@@ -1,0 +1,36 @@
+"""Shared helpers for oracle-parity query authoring.
+
+The driver hash-compares Spark results against DuckDB values, so floating
+point must be deterministic across engines:
+
+- **Money / fixed-point columns** (prices, discounts, quantities with 2dp):
+  cast to DECIMAL before SUM so the aggregate is exact integer arithmetic,
+  then cast the final value to DOUBLE in BOTH engines. Bit-identical.
+- **Averages**: exact decimal SUM cast to double, divided by COUNT (double /
+  bigint is one deterministic IEEE op in both engines).
+- **True floats** (cosine similarity, log/exp): round to a fixed number of
+  decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def dsum(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
+    """Exact decimal sum surfaced as double (match: CAST(SUM(CAST(x AS
+    DECIMAL(p,s))) AS DOUBLE) in DuckDB)."""
+    return F.sum(dec(col, prec, scale)).cast("double")
+
+
+def davg(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
+    """Exact-sum average as double (match: CAST(SUM(CAST(x AS DEC)) AS
+    DOUBLE) / COUNT(x) in DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c, prec, scale)).cast("double") / F.count(c)

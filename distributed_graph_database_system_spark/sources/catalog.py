@@ -1,0 +1,67 @@
+"""Fixture-table catalog: typed loaders over the driver-generated parquet.
+
+Tables (see TESTDATA.md / FIXTURES.md §A): region nation customer supplier part
+orders lineitem events documents embeddings. Each is one parquet file per scale
+factor. All reads go through ``spark.read.parquet`` so Catalyst gets predicate
+pushdown + column pruning for free; callers must ``.select`` only what they
+need so ``ReadSchema`` stays narrow.
+
+At cluster scale these would be directories of many files (or a metastore
+table); the API is path-based so swapping a single file for a partitioned
+table is transparent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at ANY scale factor (bounded
+# cardinality in TPC-H-like schemas: region=5, nation=25 regardless of SF).
+BROADCASTABLE = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; one of {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the footer; Spark reads it as long ns
+        # (spark.sql.legacy.parquet.nanosAsLong). Values are exact micros
+        # (verified over the fixtures), so integer-divide to µs losslessly.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

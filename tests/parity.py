@@ -1,0 +1,113 @@
+"""Replica of the driver's DuckDB-oracle comparison, used by our own tests.
+
+For each registered query: run the Spark impl and the oracle SQL on the same
+sf dir, sort columns by name, canonicalize values, and compare row multisets
+EXACTLY. If this passes, any order-insensitive value hash the driver computes
+matches too.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from distributed_graph_database_system_spark.sources.catalog import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return f"f:{v!r}"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        return "t:" + v.isoformat()
+    if hasattr(v, "isoformat"):
+        return "t:" + v.isoformat()
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
+        return f"i:{int(v)}"
+    if type(v).__name__.startswith("float"):
+        return _canon_cell(float(v))
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
+    if isinstance(v, str):
+        return "s:" + v
+    try:
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    return f"o:{v!r}"
+
+
+def canon_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    problems: list[str] = []
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        problems.append(f"columns differ: spark={sc} oracle={oc}")
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    srows, orows = canon_rows(spark_pdf), canon_rows(oracle_pdf)
+    if srows != orows:
+        sset, oset = set(srows), set(orows)
+        only_s = list(sset - oset)[:3]
+        only_o = list(oset - sset)[:3]
+        problems.append(
+            f"values differ (cols={sc}); spark-only sample={only_s}; "
+            f"oracle-only sample={only_o}"
+        )
+    return problems
+
+
+def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[str]]:
+    """Run every oracle-backed query both ways; return {name: problems}."""
+    from distributed_graph_database_system_spark.queries.registry import all_queries
+
+    con = duckdb_conn(sf_dir)
+    results: dict[str, list[str]] = {}
+    for name, spec in sorted(all_queries().items()):
+        if names and name not in names:
+            continue
+        if spec.oracle is None:
+            continue
+        try:
+            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            results[name] = [f"spark error: {e}"]
+            continue
+        try:
+            oracle_pdf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            results[name] = [f"oracle error: {e}"]
+            continue
+        results[name] = compare(spark_pdf, oracle_pdf)
+    return results

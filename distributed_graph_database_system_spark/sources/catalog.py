@@ -49,11 +49,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ts is TIMESTAMP(NANOS) in the footer; Spark reads it as long ns
         # (spark.sql.legacy.parquet.nanosAsLong). Values are exact micros
         # (verified over the fixtures), so integer-divide to µs losslessly.
+        # NB: must be `div` (integer division) — `/` on longs is IEEE-double
+        # division, whose 53-bit mantissa rounds ~1.7e18 ns values.
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR and print
+ONE JSON line the driver records as BENCH_r{N}.json.
+
+Each query is forced to full materialization with the `noop` sink (all rows
+are produced on executors, nothing is collected to the driver), so timings
+reflect scan + shuffle + compute — the same work a cluster run would do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distributed_graph_database_system_spark.queries.registry import all_queries  # noqa: E402
+from distributed_graph_database_system_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the expensive shapes
+# (multi-join, window, as-of, dedup, similarity, traversal).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "agg_cube",
+    "window_rank",
+    "topk_per_group",
+    "join_asof",
+    "sessionize",
+    "join_range_bucketed",
+    # round-2 additions (skipped silently if not yet registered)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality",
+    "graph_bfs_g2",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark(app_name="bench")
+    registry = all_queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch JIT/IO.
+    materialize(registry["q1_pricing_summary"].fn(spark, SF_DIR).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        materialize(spec.fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,307 @@
+"""Graph store + traversal operators — the reference's entire user surface.
+
+Reference parity (see SURVEY.md §2.1):
+- R1 AddGraph / R2 ModifyGraph  → ``GraphStore.add`` / ``GraphStore.modify``
+  (reference: ``primaryServer.c:14-80``; overwrite semantics via
+  ``fopen(...,"w")`` truncation at ``primaryServer.c:40-63``).
+- R4 BFS                         → ``bfs`` (reference level-synchronous BFS,
+  ``secondaryServer.c:111-179``; its per-level thread barrier maps 1:1 to one
+  Spark job per level).
+- R3 DFS leaf-set                → ``dfs_leaves`` (reference threaded DFS,
+  ``secondaryServer.c:56-108``; a vertex is emitted iff it spawned zero
+  recursive visits, start excluded per ``secondaryServer.c:290``).
+
+Design for scale: graphs are edge-list DataFrames ``(src, dst)``. Traversals
+are set-at-a-time frontier joins (one shuffle per level) with
+``localCheckpoint()`` per iteration to truncate lineage — the plan stays
+constant-size no matter how many iterations run, which is what keeps the loop
+viable on a 1000-executor cluster. The per-vertex-thread model of the
+reference is replaced wholesale by partition parallelism.
+
+DFS order is inherently sequential, so ``dfs_leaves`` prunes distributively
+(reachability = BFS) and runs the canonical ascending-neighbor DFS on the
+driver over the *reachable* subgraph only — bounded work (the reference caps
+graphs at 30 vertices, ``utils.h:26``; we guard with ``max_collect_edges``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EDGE_SCHEMA = "src BIGINT, dst BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# GraphStore — R1 AddGraph / R2 ModifyGraph
+# ---------------------------------------------------------------------------
+
+
+class GraphStore:
+    """Named-graph persistence. The graph's *name is its identity*, matching
+    the reference where the client-chosen file name is the catalog
+    (``utils.h:35``); here the name is a parquet directory under ``root``.
+
+    - ``add``    = ``mode("errorifexists")`` — re-adding an existing name
+      fails, like creating a file that exists.
+    - ``modify`` = ``mode("overwrite")`` — full replace, like the reference's
+      ``fopen(...,"w")`` truncation (``primaryServer.c:40``). No merge/upsert.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid graph name {name!r}")
+        return os.path.join(self.root, name)
+
+    @staticmethod
+    def _normalize(edges: DataFrame) -> DataFrame:
+        return edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+
+    def add(self, name: str, edges: DataFrame) -> None:
+        self._normalize(edges).write.mode("errorifexists").parquet(self.path(name))
+
+    def modify(self, name: str, edges: DataFrame) -> None:
+        self._normalize(edges).write.mode("overwrite").parquet(self.path(name))
+
+    def load(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.path(name))
+
+    # Reference input format: n + dense 0/1 adjacency matrix
+    # (``client.c:77-94``). Matrix cell [i][j]==1 ⇔ directed edge i+1 → j+1
+    # (1-indexed externally, ``secondaryServer.c:266,292``).
+    def edges_from_matrix(self, n: int, matrix: Sequence[Sequence[int]]) -> DataFrame:
+        rows = [
+            (i + 1, j + 1)
+            for i in range(n)
+            for j in range(n)
+            if matrix[i][j]
+        ]
+        return self.spark.createDataFrame(rows, EDGE_SCHEMA)
+
+    def add_matrix(self, name: str, n: int, matrix: Sequence[Sequence[int]]) -> None:
+        self.add(name, self.edges_from_matrix(n, matrix))
+
+    def modify_matrix(self, name: str, n: int, matrix: Sequence[Sequence[int]]) -> None:
+        self.modify(name, self.edges_from_matrix(n, matrix))
+
+
+# ---------------------------------------------------------------------------
+# BFS — R4
+# ---------------------------------------------------------------------------
+
+
+def bfs(edges: DataFrame, start: int, max_iter: int = 10_000) -> DataFrame:
+    """Level-synchronous BFS from ``start``; returns ``(vid, level)`` for every
+    reachable vertex (start included at level 0), ordered ``level, vid``.
+
+    Each iteration = frontier ⋈ edges (expansion) → anti-join visited (the
+    reference's ``!visited`` check, ``secondaryServer.c:115``) → union into
+    visited. ``localCheckpoint`` both materializes the next frontier (so
+    ``take(1)`` is cheap) and cuts lineage so the plan doesn't grow with
+    depth. One shuffle per level on the join key — at cluster scale, edges
+    pre-partitioned by ``src`` keep every level co-located.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").persist()
+    visited = spark.createDataFrame(
+        [(int(start), 0)], "vid BIGINT, level INT"
+    ).localCheckpoint()
+    frontier = visited.select("vid")
+    level = 0
+    while level < max_iter:
+        level += 1
+        nxt = (
+            frontier.join(e, frontier["vid"] == e["src"])
+            .select(e["dst"].alias("vid"))
+            .distinct()
+            .join(visited.select("vid"), "vid", "left_anti")
+            .withColumn("level", F.lit(level))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("vid")
+    e.unpersist()
+    return visited.orderBy("level", "vid")
+
+
+# ---------------------------------------------------------------------------
+# DFS leaf-set — R3
+# ---------------------------------------------------------------------------
+
+
+def dfs_leaves(
+    edges: DataFrame, start: int, max_collect_edges: int = 200_000
+) -> DataFrame:
+    """Canonical DFS leaf-set from ``start`` (deterministic re-spec of the
+    reference's race-nondeterministic threaded DFS — see FIXTURES.md §B).
+
+    A vertex is a *leaf of the DFS tree* iff it made zero recursive visits
+    (every out-neighbor already visited when reached — the ``n_threads == 0``
+    test, ``secondaryServer.c:93-97``); the start vertex is never emitted
+    (``secondaryServer.c:290``). Neighbor visit order: ascending vid.
+
+    Hybrid plan: reachability is computed distributively (BFS), the reachable
+    subgraph — typically a tiny fraction of a 100 TB edge set — is collected,
+    and the inherently-sequential DFS runs on the driver. ``max_collect_edges``
+    guards the collect; callers with larger reachable sets should sample or
+    partition by component first.
+    """
+    spark = edges.sparkSession
+    reach = bfs(edges, start).select("vid")
+    sub = (
+        edges.select("src", "dst")
+        .join(reach, edges["src"] == reach["vid"], "left_semi")
+        .distinct()
+    )
+    n_edges = sub.count()
+    if n_edges > max_collect_edges:
+        raise ValueError(
+            f"reachable subgraph has {n_edges} edges > max_collect_edges="
+            f"{max_collect_edges}; refusing driver-side DFS"
+        )
+    adj: dict[int, list[int]] = {}
+    for row in sub.collect():
+        adj.setdefault(row["src"], []).append(row["dst"])
+    for nbrs in adj.values():
+        nbrs.sort()
+
+    start = int(start)
+    visited: set[int] = set()
+    leaves: list[int] = []
+    # Iterative DFS with explicit stack (driver graphs can exceed Python's
+    # recursion limit). Each frame tracks how many recursive visits it made.
+    stack: list[tuple[int, int, int]] = [(start, 0, 0)]  # (vertex, next-child idx, spawned)
+    visited.add(start)
+    while stack:
+        v, i, spawned = stack.pop()
+        nbrs = adj.get(v, [])
+        advanced = False
+        while i < len(nbrs):
+            w = nbrs[i]
+            i += 1
+            if w not in visited:
+                visited.add(w)
+                stack.append((v, i, spawned + 1))
+                stack.append((w, 0, 0))
+                advanced = True
+                break
+        if not advanced and spawned == 0 and v != start:
+            leaves.append(v)
+    return spark.createDataFrame(
+        [(v,) for v in sorted(leaves)], "vid BIGINT"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pregel-style propagation + derived analytics
+# ---------------------------------------------------------------------------
+
+
+def pregel(
+    vertices: DataFrame,
+    edges: DataFrame,
+    msg: Column,
+    agg: Callable[[Column], Column],
+    update: Callable[[Column, Column], Column],
+    max_iter: int = 50,
+) -> DataFrame:
+    """Minimal Pregel loop over ``vertices (vid, val)`` and ``edges (src, dst)``.
+
+    Per superstep: every vertex sends ``msg`` (an expression over its ``val``)
+    along each out-edge to ``dst``; incoming messages are combined with
+    ``agg``; each vertex's new ``val`` is ``update(old_val, combined_msg)``
+    (combined_msg is NULL when no messages arrived). Stops when no ``val``
+    changed or ``max_iter`` supersteps ran. Lineage is cut per superstep.
+    """
+    v = vertices.select("vid", "val").localCheckpoint()
+    e = edges.select("src", "dst").persist()
+    for _ in range(max_iter):
+        msgs = (
+            v.join(e, v["vid"] == e["src"])
+            .select(e["dst"].alias("vid"), msg.alias("m"))
+            .groupBy("vid")
+            .agg(agg(F.col("m")).alias("m"))
+        )
+        new_v = (
+            v.join(msgs, "vid", "left")
+            .select(
+                "vid", update(F.col("val"), F.col("m")).alias("val")
+            )
+            .localCheckpoint()
+        )
+        changed = new_v.join(v, ["vid", "val"], "left_anti").take(1)
+        v = new_v
+        if not changed:
+            break
+    e.unpersist()
+    return v
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame | None = None, max_iter: int = 50
+) -> DataFrame:
+    """Hash-min label propagation: every vertex converges to the minimum vid
+    of its (weakly) connected component. Returns ``(vid, comp)``.
+
+    Edges are symmetrized, so directed inputs yield *weak* components. Round
+    count is O(diameter); at scale, the large-star/small-star variant would
+    cut that to O(log n) rounds — diameter-bounded hash-min is the simple,
+    shuffle-per-round baseline.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    v = (
+        vertices.select(F.col("vid"))
+        if vertices is not None
+        else sym.select(F.col("src").alias("vid")).distinct()
+    )
+    init = v.withColumn("val", F.col("vid"))
+    out = pregel(
+        init,
+        sym,
+        msg=F.col("val"),
+        agg=F.min,
+        update=lambda old, m: F.least(old, F.coalesce(m, old)),
+        max_iter=max_iter,
+    )
+    return out.select("vid", F.col("val").alias("comp"))
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex (out_degree, in_degree); one aggregation per direction,
+    full-outer joined so sources-only and sinks-only vertices both appear."""
+    out_d = edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("vid")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "vid", "full_outer")
+        .select(
+            "vid",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def shortest_path_lengths(edges: DataFrame, start: int) -> DataFrame:
+    """Unweighted shortest-path distance from ``start`` = BFS level."""
+    return bfs(edges, start).select("vid", F.col("level").alias("distance"))

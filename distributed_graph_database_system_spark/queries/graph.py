@@ -1,1 +1,155 @@
-"""Graph queries — populated in M2."""
+"""Driver-registered graph queries — the reference's four operations (R1–R4)
+surfaced through the harness.
+
+The reference has no SQL, so BFS/DFS aren't oracle-expressible over the
+fixture tables. Instead, the canonical goldens from FIXTURES.md §B are
+encoded as VALUES-literal oracle SQL: the driver's value-hash compare then
+verifies the traversal output against hand-verified goldens — strictly
+stronger than a rows-only check. The write path (AddGraph/ModifyGraph) is
+exercised in ``tests/test_graph.py`` (W1/W2) since driver queries must be
+read-only and idempotent.
+
+One fixture-backed query (``graph_degrees_custsupp``) runs the degree
+operator over a graph *derived from relational fixture data* with a real
+DuckDB oracle — the scale-path demonstration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.operators.graph import (
+    EDGE_SCHEMA,
+    bfs,
+    connected_components,
+    degrees,
+    dfs_leaves,
+)
+from distributed_graph_database_system_spark.queries.registry import query
+from distributed_graph_database_system_spark.sources.catalog import load_table
+
+# Fixture graphs (FIXTURES.md §B; 1-indexed, directed edge rows; undirected
+# fixtures list both directions).
+G1 = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 4), (4, 2), (3, 5), (5, 3)]
+G2 = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 4)]
+G3 = [(1, 2), (2, 3), (3, 4)]
+G4 = [(1, 2), (2, 1), (1, 3), (3, 1), (4, 5), (5, 4), (5, 6), (6, 5)]
+G4_VERTICES = [1, 2, 3, 4, 5, 6, 7]
+G5_VERTICES = [1]
+
+
+def _edges(spark: SparkSession, rows: list[tuple[int, int]]) -> DataFrame:
+    return spark.createDataFrame(rows, EDGE_SCHEMA)
+
+
+def _bfs_oracle(golden: list[tuple[int, int]]) -> str:
+    values = ", ".join(f"({v}, {lvl})" for v, lvl in golden)
+    return (
+        "SELECT CAST(v AS BIGINT) AS vid, CAST(l AS INT) AS level "
+        f"FROM (VALUES {values}) AS t(v, l)"
+    )
+
+
+def _vid_oracle(golden: list[int]) -> str:
+    if not golden:
+        return "SELECT CAST(NULL AS BIGINT) AS vid WHERE FALSE"
+    values = ", ".join(f"({v})" for v in golden)
+    return f"SELECT CAST(v AS BIGINT) AS vid FROM (VALUES {values}) AS t(v)"
+
+
+# --- BFS (R4) --------------------------------------------------------------
+
+
+@query("graph_bfs_g1", oracle=_bfs_oracle([(1, 0), (2, 1), (3, 1), (4, 2), (5, 2)]),
+       tags=("graph", "bfs"))
+def graph_bfs_g1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs(_edges(spark, G1), start=1)
+
+
+@query("graph_bfs_g2", oracle=_bfs_oracle([(1, 0), (2, 1), (3, 1), (4, 2), (5, 3), (6, 4)]),
+       tags=("graph", "bfs"))
+def graph_bfs_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs(_edges(spark, G2), start=1)
+
+
+@query("graph_bfs_g4", oracle=_bfs_oracle([(4, 0), (5, 1), (6, 2)]),
+       tags=("graph", "bfs", "disconnected"))
+def graph_bfs_g4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs(_edges(spark, G4), start=4)
+
+
+@query("graph_bfs_g5", oracle=_bfs_oracle([(1, 0)]), tags=("graph", "bfs", "singleton"))
+def graph_bfs_g5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single vertex, no edges: BFS emits the start at level 0
+    # (secondaryServer.c:342 always emits the start).
+    return bfs(_edges(spark, []), start=1)
+
+
+# --- DFS leaf-set (R3) -----------------------------------------------------
+
+
+@query("graph_dfs_g1", oracle=_vid_oracle([4, 5]), tags=("graph", "dfs"))
+def graph_dfs_g1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dfs_leaves(_edges(spark, G1), start=1)
+
+
+@query("graph_dfs_g2", oracle=_vid_oracle([3, 6]), tags=("graph", "dfs", "cycle"))
+def graph_dfs_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dfs_leaves(_edges(spark, G2), start=1)
+
+
+@query("graph_dfs_g3", oracle=_vid_oracle([4]), tags=("graph", "dfs", "chain"))
+def graph_dfs_g3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dfs_leaves(_edges(spark, G3), start=1)
+
+
+@query("graph_dfs_g5", oracle=_vid_oracle([]), tags=("graph", "dfs", "singleton"))
+def graph_dfs_g5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Start vertex is never emitted (secondaryServer.c:290) → empty set.
+    return dfs_leaves(_edges(spark, []), start=1)
+
+
+# --- Connected components / degrees (north-star analytics) -----------------
+
+
+@query(
+    "graph_cc_g4",
+    oracle=(
+        "SELECT CAST(v AS BIGINT) AS vid, CAST(c AS BIGINT) AS comp FROM (VALUES "
+        "(1,1),(2,1),(3,1),(4,4),(5,4),(6,4),(7,7)) AS t(v, c)"
+    ),
+    tags=("graph", "cc"),
+)
+def graph_cc_g4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verts = spark.createDataFrame([(v,) for v in G4_VERTICES], "vid BIGINT")
+    return connected_components(_edges(spark, G4), vertices=verts)
+
+
+@query(
+    "graph_degrees_custsupp",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )
+    SELECT src AS vid, COUNT(*) AS out_degree
+    FROM edges GROUP BY src
+    """,
+    tags=("graph", "degrees", "fixture-derived"),
+)
+def graph_degrees_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree analytics over a graph derived from fixture data: the
+    customer→supplier bipartite graph induced by orders ⋈ lineitem. This is
+    the 100 TB shape — edges come from a real join, degrees are one
+    partial+final aggregation."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    # Bipartite: suppliers appear only as dst → drop their 0-out-degree rows
+    # to match the oracle's src-side grouping.
+    return degrees(edges).where(F.col("out_degree") > 0).select("vid", "out_degree")

@@ -1,0 +1,213 @@
+"""Graph operator tests: FIXTURES.md §B goldens (G1–G5), write-path W1/W2,
+and seeded property tests (G6) against pure-Python reference implementations."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.errors import AnalysisException
+
+from distributed_graph_database_system_spark.operators.graph import (
+    GraphStore,
+    bfs,
+    connected_components,
+    degrees,
+    dfs_leaves,
+)
+from distributed_graph_database_system_spark.queries.graph import G1, G2, G3, G4
+
+
+def edges_df(spark, rows):
+    return spark.createDataFrame(rows, "src BIGINT, dst BIGINT")
+
+
+def bfs_rows(spark, rows, start):
+    return [(r.vid, r.level) for r in bfs(edges_df(spark, rows), start).collect()]
+
+
+def leaf_set(spark, rows, start):
+    return {r.vid for r in dfs_leaves(edges_df(spark, rows), start).collect()}
+
+
+# --- Pure-Python reference implementations (canonical semantics) -----------
+
+
+def py_bfs(adj, start):
+    from collections import deque
+
+    level = {start: 0}
+    q = deque([start])
+    while q:
+        v = q.popleft()
+        for w in sorted(adj.get(v, ())):
+            if w not in level:
+                level[w] = level[v] + 1
+                q.append(w)
+    return sorted(level.items(), key=lambda kv: (kv[1], kv[0]))
+
+
+def py_dfs_leaves(adj, start):
+    import sys
+
+    sys.setrecursionlimit(10_000)
+    visited, leaves = {start}, set()
+
+    def visit(v):
+        spawned = 0
+        for w in sorted(adj.get(v, ())):
+            if w not in visited:
+                visited.add(w)
+                spawned += 1
+                visit(w)
+        if spawned == 0 and v != start:
+            leaves.add(v)
+
+    visit(start)
+    return leaves
+
+
+def py_components(vertices, edge_rows):
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edge_rows:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # path-compress to component minimum
+    return {v: find(v) for v in vertices}
+
+
+def to_adj(rows):
+    adj = {}
+    for s, d in rows:
+        adj.setdefault(s, set()).add(d)
+    return adj
+
+
+# --- Goldens (FIXTURES.md §B) ----------------------------------------------
+
+
+def test_bfs_goldens(spark):
+    assert bfs_rows(spark, G1, 1) == [(1, 0), (2, 1), (3, 1), (4, 2), (5, 2)]
+    assert bfs_rows(spark, G2, 1) == [(1, 0), (2, 1), (3, 1), (4, 2), (5, 3), (6, 4)]
+    assert bfs_rows(spark, G3, 1) == [(1, 0), (2, 1), (3, 2), (4, 3)]
+    assert bfs_rows(spark, G4, 1) == [(1, 0), (2, 1), (3, 1)]
+    assert bfs_rows(spark, G4, 4) == [(4, 0), (5, 1), (6, 2)]
+    assert bfs_rows(spark, [], 1) == [(1, 0)]
+
+
+def test_dfs_goldens(spark):
+    assert leaf_set(spark, G1, 1) == {4, 5}
+    assert leaf_set(spark, G2, 1) == {3, 6}
+    assert leaf_set(spark, G3, 1) == {4}
+    assert leaf_set(spark, G4, 1) == {2, 3}
+    assert leaf_set(spark, G4, 4) == {6}
+    assert leaf_set(spark, [], 1) == set()
+
+
+def test_connected_components_g4(spark):
+    verts = spark.createDataFrame([(v,) for v in range(1, 8)], "vid BIGINT")
+    out = connected_components(edges_df(spark, G4), vertices=verts).collect()
+    assert {(r.vid, r.comp) for r in out} == {
+        (1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4), (7, 7),
+    }
+
+
+def test_degrees(spark):
+    out = {r.vid: (r.out_degree, r.in_degree) for r in degrees(edges_df(spark, G2)).collect()}
+    assert out == {1: (2, 0), 2: (1, 1), 3: (1, 1), 4: (1, 3), 5: (1, 1), 6: (1, 1)}
+
+
+# --- Write path W1/W2 (R1 AddGraph / R2 ModifyGraph) -----------------------
+
+
+def test_graphstore_add_modify(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path))
+    store.add("g1", edges_df(spark, G1))
+    assert store.exists("g1")
+    assert store.load("g1").count() == 8  # W1: 8 directed edge rows
+
+    with pytest.raises(AnalysisException):  # W1: re-add same name errors
+        store.add("g1", edges_df(spark, G3))
+
+    store.modify("g1", edges_df(spark, G3))  # W2: full overwrite
+    got = {(r.src, r.dst) for r in store.load("g1").collect()}
+    assert got == set(G3)
+
+
+def test_graphstore_matrix_roundtrip(spark, tmp_path):
+    # Reference input format: n + dense 0/1 matrix (client.c:77-94).
+    store = GraphStore(spark, str(tmp_path))
+    n = 4
+    matrix = [[0] * n for _ in range(n)]
+    for s, d in G3:
+        matrix[s - 1][d - 1] = 1
+    store.add_matrix("g3", n, matrix)
+    got = {(r.src, r.dst) for r in store.load("g3").collect()}
+    assert got == set(G3)
+
+
+def test_graphstore_rejects_bad_names(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path))
+    for bad in ("", "a/b", ".hidden"):
+        with pytest.raises(ValueError):
+            store.path(bad)
+
+
+# --- Property tests G6: seeded random digraphs vs Python reference ---------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_traversals_match_reference_on_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 30)  # the reference's cap (utils.h:26)
+    p = rng.choice([0.1, 0.3])
+    rows = [
+        (i, j)
+        for i in range(1, n + 1)
+        for j in range(1, n + 1)
+        if i != j and rng.random() < p
+    ]
+    adj = to_adj(rows)
+    start = rng.randint(1, n)
+
+    got_bfs = bfs_rows(spark, rows, start)
+    want_bfs = py_bfs(adj, start)
+    assert got_bfs == want_bfs  # exact (level, vid) order
+
+    got_leaves = leaf_set(spark, rows, start)
+    want_leaves = py_dfs_leaves(adj, start)
+    assert got_leaves == want_leaves
+
+    # invariants: leaf set ⊆ reachable minus start; every reachable sink is a leaf
+    reachable = {v for v, _ in want_bfs}
+    assert got_leaves <= reachable - {start}
+    for v in reachable - {start}:
+        if not adj.get(v):
+            assert v in got_leaves
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_components_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(2, 25)
+    rows = [
+        (i, j)
+        for i in range(1, n + 1)
+        for j in range(1, n + 1)
+        if i != j and rng.random() < 0.08
+    ]
+    verts = spark.createDataFrame([(v,) for v in range(1, n + 1)], "vid BIGINT")
+    got = {
+        (r.vid, r.comp)
+        for r in connected_components(edges_df(spark, rows), vertices=verts).collect()
+    }
+    want = set(py_components(range(1, n + 1), rows).items())
+    assert got == want

@@ -1,0 +1,245 @@
+"""Deduplication operators for large-scale text corpora (north-star surface).
+
+All hot paths are JVM-side built-ins (split/transform/xxhash64/array ops) —
+no Python in the per-row path except SimHash, which is an Arrow-batched
+pandas UDF. Every candidate-generation step is *bucketed* (equi-join on a
+band/bucket key) so the plan is a hash join, never an all-pairs product:
+the shape that survives 100 TB.
+
+- exact_dedup_groups: hash-groupBy on md5(text) — one shuffle.
+- minhash_lsh_pairs: shingle → k-minhash signature → banded buckets →
+  bucket equi-join → exact-Jaccard verify on candidates only.
+- simhash64 + simhash_near_pairs: 64-bit SimHash, chunk-banded Hamming join.
+- ngram_jaccard: exact token-shingle Jaccard expression (the verifier).
+"""
+
+from __future__ import annotations
+
+import random as _random
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# Prime < 2^31 so (a * (h mod p)) fits in int64 without overflow.
+_MERSENNE_31 = 2_147_483_647
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of lowercased text; empty text → empty array."""
+    t = F.split(F.trim(F.lower(col)), r"\s+")
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Short docs (< n tokens) fall back to the
+    whole-text single shingle so they still participate in dedup."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two shingle arrays (JVM-side)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: one hash aggregation on md5(text). Returns per duplicate
+    group the surviving (minimum) id and the copy count. md5 keeps the
+    shuffle key at 32 bytes regardless of document size."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(
+    shingle_col: Column, k: int = 32, seed: int = 42
+) -> Column:
+    """k-permutation MinHash signature as array<long>.
+
+    h_i(x) = (a_i * (xxhash64(x) mod p) + b_i) mod p with fixed-seed
+    coefficients — deterministic across runs and executors. Each of the k
+    minima is a JVM-side transform + array_min over the shingle array."""
+    rnd = _random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE_31), rnd.randrange(0, _MERSENNE_31))
+        for _ in range(k)
+    ]
+    p = F.lit(_MERSENNE_31)
+
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: (
+                    F.lit(a) * ((F.xxhash64(s) % p + p) % p) + F.lit(b)
+                )
+                % p,
+            )
+        )
+
+    return F.array(*[perm_min(a, b) for a, b in coeffs])
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, verified with exact
+    n-gram Jaccard. Returns ``(id_a, id_b, jaccard)`` with id_a < id_b.
+
+    Pipeline (each arrow = one shuffle at most):
+    shingle+sign per doc → explode b band buckets → equi-self-join on
+    (band, bucket) → exact-Jaccard verify on the candidate pairs only.
+    Candidates are bucket-limited, never all-pairs; band count b and rows
+    r=k/b set the S-curve: P(candidate) = 1-(1-s^r)^b."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    r = k // bands
+
+    base = docs.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), k=k, seed=seed))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("_sig", bi * r + j + 1).cast("string")
+                            for j in range(r)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = base.select(
+        "_id", "_sh", F.explode(band_structs).alias("bb")
+    ).select("_id", "_sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = buckets.select(
+        F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+    )
+    right = buckets.select(
+        F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas UDF — the one Python hot path, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens. Token hashes come from
+    blake2b (deterministic across processes, unlike Python's builtin hash);
+    bit-vote accumulation is vectorized with numpy per document."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = (text or "").lower().split()
+        if not toks:
+            continue
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                )
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1)
+        votes = (bits.astype(np.int32) * 2 - 1).sum(axis=0)
+        sim = np.packbits((votes > 0).astype(np.uint8)).view(np.uint64)[0]
+        out[i] = int(sim.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: with ``chunks`` 16-bit chunks, any pair within
+    Hamming distance ``chunks - 1`` agrees exactly on ≥ 1 chunk, so the
+    candidate join is an equi-join on (chunk_idx, chunk_value) — no
+    all-pairs. Verify = popcount(xor) on the 64-bit signatures."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    sigs = docs.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim")
+    )
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("_sim"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    ch = sigs.select("_id", "_sim", F.explode(chunk_arr).alias("cc")).select(
+        "_id", "_sim", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val")
+    )
+    left = ch.select("chunk", "val", F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"))
+    right = ch.select("chunk", "val", F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"))
+    return (
+        left.join(right, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

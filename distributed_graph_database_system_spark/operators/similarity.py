@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Brute-force cosine top-k is the correctness baseline: one scan, dot products
+computed JVM-side with ``zip_with`` + ``aggregate`` (no Python per row), and
+top-k via ``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition
+heaps + driver merge, no global sort).
+
+The scale path is SRP-LSH (signed random projections): each vector gets an
+``nbits``-bit bucket from the signs of dot products with fixed-seed random
+hyperplanes; search touches only the query's bucket (+ Hamming-1 probes),
+turning a 100 TB scan into a bucket-pruned lookup. Recall is tunable via
+nbits/probes and tested against brute force in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _lit_vec(vec) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Brute-force cosine top-k vs a single query vector.
+
+    Returns ``(rank, vec_id)`` ordered by similarity DESC (vec_id ASC
+    tiebreak). The scan is embarrassingly parallel; only k rows reach the
+    driver via TakeOrderedAndProject."""
+    q = _lit_vec(query_vec)
+    scored = embeddings.select(
+        F.col(id_col), cosine(_as_double(F.col(vec_col)), q).alias("sim")
+    )
+    if exclude_ids:
+        scored = scored.where(~F.col(id_col).isin(*exclude_ids))
+    topk = scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
+    # rank assigned after the limit: a window over k rows, not the corpus
+    from pyspark.sql import Window as W
+
+    return topk.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("sim"), F.col(id_col)))
+        .cast("long")
+        .alias("rank"),
+        id_col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def srp_hyperplanes(dim: int, nbits: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def srp_bucket(vec_col: Column, planes: np.ndarray) -> Column:
+    """LSH bucket id: sign bit per hyperplane, packed into a long."""
+    v = _as_double(vec_col)
+    bits = [
+        F.when(dot(v, _lit_vec(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def srp_index(
+    embeddings: DataFrame,
+    dim: int,
+    nbits: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the SRP bucket to every row. At cluster scale this would be
+    written out partitioned/bucketed by ``bucket`` so probes are
+    partition-pruned scans."""
+    planes = srp_hyperplanes(dim, nbits, seed)
+    return embeddings.withColumn("bucket", srp_bucket(F.col(vec_col), planes))
+
+
+def srp_ann_topk(
+    indexed: DataFrame,
+    query_vec,
+    k: int = 10,
+    nbits: int = 16,
+    seed: int = 42,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: search only the query's bucket plus ``probes`` rounds of
+    Hamming-adjacent buckets (multi-probe recovers recall lost to boundary
+    effects). Candidate set = bucket-filtered rows; exact cosine re-rank."""
+    planes = srp_hyperplanes(len(query_vec), nbits, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(q, p)) > 0:
+            qbucket |= 1 << i
+    buckets = {qbucket}
+    frontier = {qbucket}
+    for _ in range(probes):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(nbits)}
+        buckets |= frontier
+
+    cand = indexed.where(F.col("bucket").isin(*[int(b) for b in buckets]))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP bucket equi-join:
+    candidates share a bucket (fewer bits → coarser buckets → higher
+    recall), verified with exact cosine ≥ threshold. Returns
+    ``(id_a, id_b, cos_sim)`` with id_a < id_b."""
+    indexed = srp_index(embeddings, dim, nbits=nbits, seed=seed, vec_col=vec_col)
+    left = indexed.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    right = indexed.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim", cosine(_as_double(F.col("vec_a")), _as_double(F.col("vec_b")))
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )

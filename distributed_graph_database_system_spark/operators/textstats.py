@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines (north-star surface).
+
+Everything here is pure ``pyspark.sql.functions`` — whole-stage-codegen'd
+JVM expressions, no Python per row — so each operator is one narrow
+projection (plus one aggregation where stated) over arbitrarily many rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small: the operator's job is the *shape* (set-membership
+# scoring entirely JVM-side); swapping in real fastText-style tables is a
+# data change, not a code change.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "en", "que", "por", "con"),
+}
+
+# BPE-ish pretokenizer: word pieces OR single non-space punctuation — the
+# classic GPT-2-style split shape, minus unicode categories.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(col: Column) -> Column:
+    t = F.split(F.trim(F.lower(col)), r"\s+")
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def ws_token_count(col: Column) -> Column:
+    return F.size(ws_tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish regex pretokenizer (regexp_extract_all
+    is JVM-side; the same RE2-compatible pattern runs in the DuckDB oracle)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = ws_tokens(col)
+    return {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """Heuristic language ID: argmax of marker-token hits; 'und' when no
+    marker matches. Ties break by lexicographic language code (deterministic)."""
+    scores = lang_scores(col)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ]
+    )
+    max_score = F.array_max(F.array(*[scores[lang] for lang in sorted(scores)]))
+    # min lang code among the argmax set (struct min compares score first,
+    # but all candidates share max_score, so it reduces to min lang).
+    argmax_lang = F.array_min(
+        F.filter(pairs, lambda s: s["score"] == max_score)
+    )["lang"]
+    return F.when(max_score <= 0, F.lit(default)).otherwise(argmax_lang)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation (0 for empty text)."""
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, r"[^.!?,;:'\"()\-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n)
+
+
+def stopword_ratio(col: Column, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    toks = ws_tokens(col)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        _marker_hits(toks, markers).cast("double") / F.size(toks)
+    )
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = ws_tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: length band + moderate
+    punctuation + stopword presence + sane mean word length. Weights are
+    arbitrary-but-fixed; the operator shape (pure column expressions,
+    cross-engine reproducible) is the point."""
+    n_tok = ws_token_count(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100_000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col) > 0, F.lit(0.2)).otherwise(F.lit(0.0))
+    mwl = mean_word_length(col)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(0.2)).otherwise(F.lit(0.0))
+    return F.round(len_ok + punct_ok + stop_ok + mwl_ok, 1)
+
+
+def rolling_fingerprint(col: Column, gram: int = 8) -> Column:
+    """Document fingerprint: minimum md5 over the sliding character
+    ``gram``-grams (a 1-permutation MinHash over char shingles — the rolling
+    piece of a winnowing fingerprint). md5 is bit-identical across engines,
+    so this is oracle-checkable. O(total characters) JVM work."""
+    n = F.length(col)
+    positions = F.sequence(F.lit(1), F.greatest(n - (gram - 1), F.lit(1)))
+    return F.array_min(
+        F.transform(positions, lambda i: F.md5(col.substr(i, F.lit(gram))))
+    )

@@ -1,1 +1,269 @@
-"""LLM-pipeline queries — populated in M3."""
+"""Driver-registered LLM-data-pipeline queries over ``documents`` and
+``embeddings`` (north-star surface; SURVEY.md §2.2 last three rows).
+
+Oracle policy: deterministic operators (exact dedup, token counts, quality,
+lang-id, fingerprints, stats, brute-force top-k ranks) are DuckDB-backed.
+Probabilistic/approximate operators (MinHash-LSH, SimHash, SRP-ANN,
+embedding near-dup) are rows-only here and golden-tested with planted
+duplicates in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from distributed_graph_database_system_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+)
+from distributed_graph_database_system_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    srp_ann_topk,
+    srp_index,
+)
+from distributed_graph_database_system_spark.operators.textstats import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    lang_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    ws_token_count,
+)
+from distributed_graph_database_system_spark.queries.registry import query
+from distributed_graph_database_system_spark.sources.catalog import load_table
+
+# --- Dedup -----------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs (probabilistic → rows-only check;
+    recall/precision goldens live in tests/test_llm.py)."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@query("dedup_simhash", oracle=None, tags=("llm", "dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query("dedup_embedding_near", oracle=None, tags=("llm", "dedup", "embedding"))
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.95
+    )
+
+
+# --- Similarity search -----------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+           vec_id
+    FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the vec_id=0 query vector. Ranks (not
+    raw floats) are compared, so float32-vs-double engine differences can't
+    flip the hash unless two similarities collide within ~1e-7."""
+    qv = _query_vec(spark, sf_dir)
+    return cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), qv, k=10, exclude_ids=(0,)
+    )
+
+
+@query("sim_topk_ann_lsh", oracle=None, tags=("llm", "similarity", "ann"))
+def sim_topk_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN top-10 (approximate → rows-only; recall vs brute
+    force asserted in tests/test_llm.py)."""
+    qv = _query_vec(spark, sf_dir)
+    # nbits sizes bucket granularity to the corpus: ~2^5 buckets over 500
+    # vectors ≈ 16/bucket; at 100 TB you'd raise nbits with corpus size so
+    # the probed candidate set stays roughly constant.
+    indexed = srp_index(load_table(spark, sf_dir, "embeddings"), dim=64, nbits=5)
+    return srp_ann_topk(
+        indexed.where(F.col("vec_id") != 0), qv, k=10, nbits=5, probes=1
+    )
+
+
+# --- Text analysis ---------------------------------------------------------
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^.!?,;:''"()\\-]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS punct_r,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS DOUBLE)
+                  / len(string_split_regex(trim(lower(text)), '\\s+')) AS stop_r,
+             CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> length(x))) AS DOUBLE)
+                  / len(string_split_regex(trim(lower(text)), '\\s+')) AS mwl
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN punct_r <= 0.2 THEN 0.2 ELSE 0.0 END)
+                 + (CASE WHEN stop_r > 0 THEN 0.2 ELSE 0.0 END)
+                 + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END), 1)
+             AS quality
+    FROM feat
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS BIGINT) AS s_de,
+        CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(t, x -> list_contains(['el','la','los','y','es','una','en','que','por','con'], x))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(t, x -> list_contains(['le','la','les','et','est','une','dans','que','pour','pas'], x))) AS BIGINT) AS s_fr
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scores
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(range(1, GREATEST(length(text) - 7, 1) + 1),
+                    i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp
+    FROM documents
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "text_stats_by_source",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source, lang
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_graph_database_system_spark.queries.helpers import davg
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        F.sum(ws_token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
+# --- Multimodal plumbing ---------------------------------------------------
+
+
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text bytes as opaque media → mapInPandas
+    structural decode. Byte length + sha256 are codec-independent, so the
+    Arrow plumbing is oracle-checkable even with the codec stubbed."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True).select(
+        "media_id", "kind", "n_bytes", "sha256"
+    )

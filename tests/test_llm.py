@@ -1,0 +1,167 @@
+"""LLM-pipeline operator tests: planted near-duplicates for the probabilistic
+dedup operators, ANN recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from distributed_graph_database_system_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+    frame_sample_plan,
+    resize_plan,
+)
+from distributed_graph_database_system_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    srp_ann_topk,
+    srp_index,
+)
+
+VOCAB = (
+    "spark query join filter scan shuffle partition broadcast hash sort "
+    "merge agg window stream batch column row table data value"
+).split()
+
+
+def make_docs(spark, n=60, seed=7, near_dup_of=(0, 1, 2)):
+    """n random word-soup docs; for each id in near_dup_of, doc id+1000 is a
+    near-duplicate (one word changed) and doc id+2000 an exact duplicate."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        words = [rng.choice(VOCAB) for _ in range(80)]
+        rows.append((i, " ".join(words)))
+    for i in near_dup_of:
+        words = rows[i][1].split()
+        words[40] = "MUTATED"
+        rows.append((i + 1000, " ".join(words)))
+        rows.append((i + 2000, rows[i][1]))
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    docs = make_docs(spark)
+    groups = exact_dedup_groups(docs)
+    dups = {r.keep_id: r.n_copies for r in groups.where("n_copies > 1").collect()}
+    assert dups == {0: 2, 1: 2, 2: 2}
+    # survivors: one per distinct text
+    assert groups.count() == docs.select("text").distinct().count()
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    docs = make_docs(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+    for i in (0, 1, 2):
+        assert (i, i + 1000) in pairs, f"missed near-dup pair ({i},{i+1000})"
+        assert (i, i + 2000) in pairs  # exact dup also caught
+        assert pairs[(i, i + 2000)] == 1.0
+        # one word changed in 80 kills ≤ 3 of ~78 shingles
+        assert pairs[(i, i + 1000)] > 0.85
+    # no false positives among distinct random docs (threshold filters them)
+    for (a, b), j in pairs.items():
+        if b < 1000:
+            assert j >= 0.7
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    docs = make_docs(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(docs, max_hamming=6).collect()
+    }
+    for i in (0, 1, 2):
+        assert (i, i + 2000) in pairs and pairs[(i, i + 2000)] == 0
+        assert (i, i + 1000) in pairs  # 1-word change → few bit flips
+
+
+def make_embeddings(spark, n=200, dim=32, seed=11, planted=5):
+    """Random unit vectors + `planted` near-copies of vector 0 (tiny noise)."""
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    for j in range(planted):
+        noisy = vecs[0] + 0.01 * rng.standard_normal(dim)
+        noisy /= np.linalg.norm(noisy)
+        rows.append((1000 + j, [float(x) for x in noisy]))
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"), vecs
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb, vecs = make_embeddings(spark, planted=0)
+    q = vecs[0]
+    got = [r.vec_id for r in cosine_topk(emb, q, k=10, exclude_ids=(0,)).collect()]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = [int(i) for i in np.argsort(-sims) if i != 0][:10]
+    assert got == order
+
+
+def test_srp_ann_recall_on_planted_cluster(spark):
+    emb, vecs = make_embeddings(spark, planted=5)
+    q = vecs[0]
+    indexed = srp_index(emb, dim=32, nbits=4)
+    got = {
+        r.vec_id
+        for r in srp_ann_topk(
+            indexed.where(F.col("vec_id") != 0), q, k=5, nbits=4, probes=1
+        ).collect()
+    }
+    # the 5 planted near-copies of vector 0 are the true top-5; SRP with
+    # Hamming-1 probes must recover most of them
+    planted = {1000 + j for j in range(5)}
+    assert len(got & planted) >= 4
+
+
+def test_embedding_near_dup_pairs(spark):
+    emb, _ = make_embeddings(spark, planted=3)
+    pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in embedding_near_dup_pairs(emb, dim=32, threshold=0.95, nbits=4).collect()
+    }
+    # vector 0 and its 3 planted copies form a near-dup clique
+    for j in range(3):
+        assert (0, 1000 + j) in pairs
+
+
+def test_multimodal_pipeline_fake_decode(spark, sf_dir):
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = documents_as_media(docs, kind="video")
+    decoded = decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    assert all(r.width and r.height and r.duration_s for r in rows)
+
+    plan = resize_plan(decoded, max_side=128)
+    for r in plan.collect():
+        assert max(r.target_w, r.target_h) <= 128
+        # aspect preserved within rounding
+        assert abs(r.target_w / r.target_h - r.width / r.height) < 0.1
+
+    frames = frame_sample_plan(decoded, fps=2.0)
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in per_media)
+
+
+def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = documents_as_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_media(media, fake=False).collect()

@@ -1,0 +1,166 @@
+"""Structured Streaming surface over the ``events`` fixture.
+
+The fixture parquet is replayed as a *file stream* (N slices dropped into a
+source directory, ``maxFilesPerTrigger=1``) so every operator here runs under
+a genuine incremental execution with watermarks and state — the same code
+path a Kafka source would drive. Each streaming operator has a batch twin
+(queries/streaming_batch.py) registered with a DuckDB oracle; the pytest
+suite asserts streaming output == batch output once the replay drains.
+
+Scale notes: watermarks bound state (late rows beyond the delay are
+dropped); session windows merge incrementally per key; dedup state is
+per-key-bounded by the watermark. All aggregates below run in update/append
+modes exactly as they would on an unbounded production stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.sources.catalog import load_table
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, slices: int = 8) -> str:
+    """Materialize events as ``slices`` parquet files written *sequentially in
+    time order* (FileStreamSource triggers files oldest-modification-first),
+    so replay approximates real arrival order and watermarks never see
+    wholesale time travel between micro-batches."""
+    import glob
+    import shutil
+
+    src = os.path.join(out_dir, "events_stream_src")
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    sliced = ev.withColumn(
+        "_slice", F.ntile(slices).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    )
+    sliced = sliced.persist()
+    try:
+        for i in range(1, slices + 1):
+            tmp = os.path.join(out_dir, f"_slice_{i}")
+            (
+                sliced.where(F.col("_slice") == i)
+                .drop("_slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(src, f"slice-{i:03d}.parquet"))
+            shutil.rmtree(tmp)
+    finally:
+        sliced.unpersist()
+    return src
+
+
+def events_stream(spark: SparkSession, src: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+# --- Windowed aggregates (watermark + tumbling / sliding / session) --------
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour counts per event_type; watermark bounds state and
+    drops rows later than `watermark` behind the max seen ts."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+def sliding_value_sum(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 2-hour windows every 1 hour: each row lands in 2 windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def session_window_stats(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-merged incrementally by the state
+    store) — the streaming twin of the batch ``sessionize`` query."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event ids within the watermark horizon — state is GC'd
+    as the watermark advances, so memory is bounded on unbounded streams."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+# --- Drivers ---------------------------------------------------------------
+
+
+def run_to_memory(
+    df: DataFrame, name: str, mode: str = "append", timeout_s: int = 120
+) -> None:
+    """Run a streaming DataFrame to the in-memory sink until the file replay
+    drains (processAllAvailable), then stop. Test/bench helper."""
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def run_foreach_batch(
+    df: DataFrame, batch_fn, mode: str = "update", timeout_s: int = 120
+) -> None:
+    """foreachBatch sink: ``batch_fn(batch_df, batch_id)`` gets each
+    micro-batch as a normal DataFrame (arbitrary sinks, merge/upsert,
+    multi-write). Runs until the replay drains."""
+    q = df.writeStream.foreachBatch(batch_fn).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def stateful_user_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user event counter emitted on every update — the
+    (flat)MapGroupsWithState equivalent in PySpark."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id BIGINT, n_events BIGINT"
+    state_schema = "n BIGINT"
+
+    def update_fn(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

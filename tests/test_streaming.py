@@ -1,0 +1,172 @@
+"""Structured Streaming tests: replay the events fixture as a file stream and
+assert each incremental operator converges to its batch twin, plus watermark
+late-row behavior and the custom stateful operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.queries.streaming_batch import (
+    stream_session_window,
+    stream_tumbling_counts as batch_tumbling,
+)
+from distributed_graph_database_system_spark.sources.catalog import load_table
+from distributed_graph_database_system_spark.streaming.events import (
+    events_stream,
+    replay_dir,
+    run_foreach_batch,
+    run_to_memory,
+    session_window_stats,
+    stateful_user_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, sf_dir, tmp_path_factory):
+    return replay_dir(spark, sf_dir, str(tmp_path_factory.mktemp("stream")), slices=6)
+
+
+def rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_tumbling_counts_converge_to_batch(spark, sf_dir, stream_src):
+    run_to_memory(
+        tumbling_counts(events_stream(spark, stream_src)), "t_tumble", mode="append"
+    )
+    got = rows_set(
+        spark.table("t_tumble").select("window_start", "event_type", "n"),
+        ("window_start", "event_type", "n"),
+    )
+    want = rows_set(
+        batch_tumbling(spark, sf_dir).select("window_start", "event_type", "n"),
+        ("window_start", "event_type", "n"),
+    )
+    # append mode emits only watermark-closed windows: everything except the
+    # final open window(s) must match the batch twin exactly
+    assert got <= want
+    assert len(got) >= len(want) - 10  # only the stream tail can be open
+
+
+def test_session_windows_converge_to_batch(spark, sf_dir, stream_src):
+    run_to_memory(
+        session_window_stats(events_stream(spark, stream_src)), "t_sess", mode="append"
+    )
+    got = rows_set(
+        spark.table("t_sess"), ("session_start", "user_id", "n_events")
+    )
+    want = rows_set(
+        stream_session_window(spark, sf_dir),
+        ("session_start", "user_id", "n_events"),
+    )
+    assert got <= want
+    # every user's closed sessions agree; at most one open session per user
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert len(got) >= len(want) - n_users
+
+
+def test_streaming_dedup_drops_reinjected_duplicates(spark, sf_dir, stream_src, tmp_path):
+    import shutil
+
+    # copy the replay dir and re-inject the first slice as a duplicate file
+    dup_src = str(tmp_path / "dup_src")
+    shutil.copytree(stream_src, dup_src)
+    files = sorted(
+        f for f in __import__("os").listdir(dup_src) if f.endswith(".parquet")
+    )
+    shutil.copy(
+        f"{dup_src}/{files[0]}", f"{dup_src}/part-redelivered.parquet"
+    )
+
+    run_to_memory(
+        streaming_dedup(events_stream(spark, dup_src)), "t_dedup", mode="append"
+    )
+    n_events = load_table(spark, sf_dir, "events").count()
+    # redelivered rows (same event_id+ts, within watermark) must be dropped
+    assert spark.table("t_dedup").count() == n_events
+
+
+def test_foreach_batch_sink_accumulates_all_rows(spark, stream_src):
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append(batch_df.count())
+
+    run_foreach_batch(
+        events_stream(spark, stream_src).select("event_id"), sink, mode="append"
+    )
+    assert len(seen) >= 2  # one micro-batch per replay file (trigger=1 file)
+    assert sum(seen) == spark.read.parquet(stream_src).count()
+
+
+def test_stateful_user_counts_final_state_matches_batch(spark, sf_dir, stream_src):
+    run_to_memory(
+        stateful_user_counts(events_stream(spark, stream_src)),
+        "t_state",
+        mode="update",
+    )
+    # last emitted update per user == total batch count
+    final = {
+        r.user_id: r.n_events
+        for r in spark.table("t_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    want = {
+        r.user_id: r["count"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    }
+    assert final == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Directly exercise late-data semantics: a row arriving behind the
+    watermark must not open a new window."""
+    import time
+
+    src = str(tmp_path / "late_src")
+    on_time = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 12:00:00", 1, "view", 1.0, "{}"),  # advances watermark to 11:00
+        ],
+        "event_id BIGINT, ts_s STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 08:00:00", 1, "view", 1.0, "{}")],
+        "event_id BIGINT, ts_s STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    on_time.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(on_time.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = agg.writeStream.format("memory").queryName("t_late").outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        # drop the late file in AFTER the watermark has advanced past it
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    starts = {r.ws.isoformat() for r in spark.table("t_late").collect()}
+    assert "2024-01-01T08:00:00" not in starts, "late row behind watermark leaked"
+    assert "2024-01-01T10:00:00" in starts and "2024-01-01T12:00:00" in starts

@@ -1,0 +1,224 @@
+"""Breadth coverage: JSON/map/higher-order scalar families, pandas-UDF
+aggregation, csv/json source round-trips, approximate percentiles
+(SURVEY.md §2.2 rows the round-1 surface left partial)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.queries.registry import query
+from distributed_graph_database_system_spark.sources.catalog import load_table
+from distributed_graph_database_system_spark.sources.io import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+)
+
+# --- JSON family: from_json / to_json / json_tuple -------------------------
+
+
+@query(
+    "json_struct_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+           CAST(to_json({'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}) AS VARCHAR)
+             AS normalized_json,
+           json_extract_string(props, '$.k') AS k_text
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def json_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → typed struct → to_json round-trip (both engines normalize
+    to the compact {"k":N} form), plus json_tuple extraction."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_parsed"),
+        F.to_json(parsed).alias("normalized_json"),
+        F.json_tuple("props", "k").alias("k_text"),
+    )
+
+
+# --- Map family ------------------------------------------------------------
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           array_to_string(map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',')
+             AS keys_csv,
+           map_extract(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}, 'type')[1]
+             AS type_val,
+           CAST(cardinality(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS INT)
+             AS m_size
+    FROM events
+    """,
+    tags=("scalar", "map"),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("m_size"),
+    )
+
+
+# --- Higher-order array functions (transform/filter/aggregate/zip_with) ----
+
+
+@query(
+    "higher_order_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(list_sum(list_transform(range(1, l_linenumber + 3), x -> x * x)) AS BIGINT)
+             AS sum_sq,
+           CAST(len(list_filter(range(1, l_linenumber + 3), x -> x % 2 = 0)) AS INT)
+             AS n_even,
+           CAST(list_sum(list_transform(range(1, l_linenumber + 3), x -> x * (x + 10))) AS BIGINT)
+             AS zip_dot
+    FROM lineitem
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform + aggregate + filter + zip_with over integer sequences —
+    exact arithmetic, so cross-engine comparable bit-for-bit. (Float
+    higher-order use lives in the cosine/similarity operators.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    seq = F.sequence(F.lit(1), F.col("l_linenumber") + 2)
+    shifted = F.transform(seq, lambda x: x + 10)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.aggregate(
+            F.transform(seq, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.size(F.filter(seq, lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.zip_with(seq, shifted, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("zip_dot"),
+    )
+
+
+# --- Grouped-aggregate pandas UDF ------------------------------------------
+
+
+@query(
+    "pandas_udf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2) AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "pandas", "aggregation"),
+)
+def pandas_udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (Arrow-batched numpy reduction per group).
+    Kept off hot paths in the rest of the engine — this query exists to
+    cover the UDAF surface. Rounded to 2dp: numpy pairwise summation vs the
+    oracle's sequential sum differ only at ~1e-10 relative error."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 2).alias(
+            "weighted_avg_price"
+        )
+    )
+
+
+# --- CSV / JSON source round-trips -----------------------------------------
+
+_IO_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("source", "csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → csv sink → csv scan (explicit schema) → aggregate; matching
+    the oracle run directly on the parquet proves the csv write/read path is
+    lossless for the projected columns."""
+    path = os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_csv")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_csv(o, path)
+    back = read_csv(
+        spark, path, "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    )
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("source", "json"),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "customer_json")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_json(c, path)
+    back = read_json(
+        spark, path, "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE"
+    )
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), dsum("c_acctbal").alias("total_bal")
+    )
+
+
+# --- Approximate percentiles (the at-scale twin of agg_median) -------------
+
+
+@query("agg_median_approx", oracle=None, tags=("aggregation", "percentile", "approx"))
+def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch, bounded memory per group) —
+    the 100 TB replacement for exact percentile(). Approximate → rows-only
+    here; tests/test_breadth.py asserts ≤ 1-quantile-step error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10_000).alias("median_qty_approx"),
+        F.percentile_approx("l_quantity", 0.9, 10_000).alias("p90_qty_approx"),
+    )

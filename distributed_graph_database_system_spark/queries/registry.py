@@ -51,6 +51,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules lazily to avoid cycles.
     from distributed_graph_database_system_spark.queries import (  # noqa: F401
+        breadth,
         graph,
         llm,
         relational,

@@ -1,0 +1,69 @@
+"""Breadth tests: sink round-trips for every writer format, approx-percentile
+error bound vs exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.sources.catalog import load_table
+from distributed_graph_database_system_spark.sources.io import (
+    read_csv,
+    read_json,
+    read_parquet,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+
+def test_sink_roundtrips_all_formats(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    want = {(r.c_custkey, r.c_name, round(r.c_acctbal, 2)) for r in cust.collect()}
+    schema = "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE"
+
+    write_parquet(cust, str(tmp_path / "p"))
+    got_p = read_parquet(spark, str(tmp_path / "p"))
+    assert {(r.c_custkey, r.c_name, round(r.c_acctbal, 2)) for r in got_p.collect()} == want
+
+    write_csv(cust, str(tmp_path / "c"))
+    got_c = read_csv(spark, str(tmp_path / "c"), schema)
+    assert {(r.c_custkey, r.c_name, round(r.c_acctbal, 2)) for r in got_c.collect()} == want
+
+    write_json(cust, str(tmp_path / "j"))
+    got_j = read_json(spark, str(tmp_path / "j"), schema)
+    assert {(r.c_custkey, r.c_name, round(r.c_acctbal, 2)) for r in got_j.collect()} == want
+
+
+def test_append_mode_accumulates(spark, sf_dir, tmp_path):
+    one = load_table(spark, sf_dir, "region")
+    write_parquet(one, str(tmp_path / "a"))
+    write_parquet(one, str(tmp_path / "a"), mode="append")
+    assert read_parquet(spark, str(tmp_path / "a")).count() == 2 * one.count()
+
+
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.m, r.p90)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("m"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: (r.m, r.p90)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 10_000).alias("m"),
+            F.percentile_approx("l_quantity", 0.9, 10_000).alias("p90"),
+        )
+        .collect()
+    }
+    for flag, (em, ep) in exact.items():
+        am, ap = approx[flag]
+        assert abs(am - em) <= 1.0, (flag, am, em)
+        assert abs(ap - ep) <= 1.0, (flag, ap, ep)

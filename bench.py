@@ -40,7 +40,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "text_quality",
-    "graph_bfs_g2",
+    "text_fingerprint",
+    "stream_tumbling_counts",
+    "graph_degrees_custsupp",
 ]
 
 

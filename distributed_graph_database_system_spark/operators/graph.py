@@ -305,3 +305,89 @@ def degrees(edges: DataFrame) -> DataFrame:
 def shortest_path_lengths(edges: DataFrame, start: int) -> DataFrame:
     """Unweighted shortest-path distance from ``start`` = BFS level."""
     return bfs(edges, start).select("vid", F.col("level").alias("distance"))
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> DataFrame:
+    """Fixed-iteration PageRank over ``(src, dst)`` edges; returns
+    ``(vid, rank)`` with ranks summing to 1.
+
+    Per iteration: contributions rank/out_degree flow along out-edges (one
+    shuffle on dst), dangling mass is redistributed uniformly, then
+    rank' = (1-d)/n + d·(contribs + dangling/n). Lineage is cut per
+    iteration; the edge list + out-degrees stay cached. Deterministic up to
+    float addition order within the contribution sum (~1e-16)."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst")
+    v = (
+        vertices.select("vid")
+        if vertices is not None
+        else e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("out_degree")
+    )
+    base = (
+        v.join(out_deg, "vid", "left")
+        .select("vid", F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
+        .persist()
+    )
+    n = base.count()
+    ranks = base.select("vid", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(iterations):
+        with_deg = ranks.join(base, "vid")
+        dangling = (
+            with_deg.where(F.col("out_degree") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            with_deg.join(e, with_deg["vid"] == e["src"])
+            .select(
+                F.col("dst").alias("vid"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("vid")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            base.select("vid")
+            .join(contribs, "vid", "left")
+            .select(
+                "vid",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    base.unpersist()
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Triangle count of an undirected graph given as canonical edges
+    (src < dst, deduplicated). Classic 3-way self-join: each triangle
+    i<j<k is counted exactly once via (i,j)⋈(j,k)⋈(i,k) — two shuffle
+    joins, no per-vertex state. At scale the standard refinement is
+    degree-ordered orientation to bound the join fan-out on high-degree
+    vertices."""
+    e = edges.select("src", "dst")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )

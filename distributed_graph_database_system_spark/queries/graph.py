@@ -25,6 +25,8 @@ from distributed_graph_database_system_spark.operators.graph import (
     connected_components,
     degrees,
     dfs_leaves,
+    pagerank,
+    triangle_count,
 )
 from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources.catalog import load_table
@@ -124,6 +126,57 @@ def graph_dfs_g5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_cc_g4(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = spark.createDataFrame([(v,) for v in G4_VERTICES], "vid BIGINT")
     return connected_components(_edges(spark, G4), vertices=verts)
+
+
+@query(
+    "graph_pagerank_g2",
+    oracle=(
+        "SELECT CAST(v AS BIGINT) AS vid, CAST(r AS DOUBLE) AS rank FROM (VALUES "
+        "(1, 0.025), (2, 0.0356), (3, 0.0356), (4, 0.3239), (5, 0.3058), "
+        "(6, 0.274)) AS t(v, r)"
+    ),
+    tags=("graph", "pagerank"),
+)
+def graph_pagerank_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-iteration d=0.85 PageRank on G2; golden computed with an
+    independent sequential implementation, compared at 4dp (float addition
+    order differs only at ~1e-16)."""
+    pr = pagerank(_edges(spark, G2), iterations=20)
+    return pr.select("vid", F.round("rank", 4).alias("rank"))
+
+
+@query(
+    "graph_triangles_cosupply",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.dst = e2.src
+              JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+    tags=("graph", "triangles", "fixture-derived"),
+)
+def graph_triangles_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the supplier co-supply graph (suppliers linked when
+    they supply the same part) — a fixture-derived graph analytic whose edge
+    construction is itself a distributed self-join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
 
 
 @query(

@@ -211,3 +211,64 @@ def test_components_match_union_find(spark, seed):
     }
     want = set(py_components(range(1, n + 1), rows).items())
     assert got == want
+
+
+def test_pagerank_matches_sequential_reference(spark):
+    from distributed_graph_database_system_spark.operators.graph import pagerank
+
+    got = {r.vid: r.rank for r in pagerank(edges_df(spark, G2), iterations=20).collect()}
+    # independent sequential implementation
+    n, d = 6, 0.85
+    out = {}
+    for s, t in G2:
+        out.setdefault(s, []).append(t)
+    pr = {v: 1 / n for v in range(1, 7)}
+    for _ in range(20):
+        contrib = {v: 0.0 for v in range(1, 7)}
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += pr[s] / len(ts)
+        pr = {v: (1 - d) / n + d * contrib[v] for v in range(1, 7)}
+    assert set(got) == set(pr)
+    for v in pr:
+        assert abs(got[v] - pr[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from distributed_graph_database_system_spark.operators.graph import pagerank
+
+    # chain 1->2->3: vertex 3 is dangling; ranks must still sum to 1
+    got = {r.vid: r.rank for r in pagerank(edges_df(spark, G3), iterations=15).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[4] > got[1]  # rank accumulates down the chain
+
+
+def test_triangle_count(spark):
+    from distributed_graph_database_system_spark.operators.graph import triangle_count
+
+    # K4 minus one edge has 2 triangles; canonical src<dst edges
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    got = triangle_count(edges_df(spark, edges)).collect()[0].n_triangles
+    assert got == 2
+
+
+def test_engine_facade_mirrors_reference_client_ops(spark, tmp_path):
+    """The four reference client menu ops (client.c:26-31) end-to-end."""
+    from distributed_graph_database_system_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    n = 5
+    matrix = [[0] * n for _ in range(n)]
+    for s, d in G1:
+        matrix[s - 1][d - 1] = 1
+    assert eng.add_graph("g", n, matrix) == "File successfully added"
+    assert eng.bfs_text("g", 1) == "1 2 3 4 5"
+    assert eng.dfs_text("g", 1) == "4 5"
+
+    m3 = [[0] * 4 for _ in range(4)]
+    for s, d in G3:
+        m3[s - 1][d - 1] = 1
+    assert eng.modify_graph("g", 4, m3) == "File successfully modified"
+    assert eng.bfs_text("g", 1) == "1 2 3 4"
+    assert eng.dfs_text("g", 1) == "4"

@@ -36,6 +36,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # cardinality in TPC-H-like schemas: region=5, nation=25 regardless of SF).
 BROADCASTABLE = frozenset({"region", "nation"})
 
+# Runtime-settable confs every query depends on, applied defensively because
+# the harness may hand us a SparkSession built without session.py:
+# - nanosAsLong: events.parquet stores TIMESTAMP(NANOS); without it the scan
+#   throws PARQUET_TYPE_ILLEGAL (verified on a bare session).
+# - UTC: timestamp semantics must match the DuckDB oracle.
+# - arrow: pandas-UDF paths (minhash/simhash/multimodal) batch via Arrow.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a static conf on some build: keep going
+            pass
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -44,16 +64,23 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; one of {TABLES}")
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the footer; Spark reads it as long ns
-        # (spark.sql.legacy.parquet.nanosAsLong). Values are exact micros
-        # (verified over the fixtures), so integer-divide to µs losslessly.
-        # NB: must be `div` (integer division) — `/` on longs is IEEE-double
-        # division, whose 53-bit mantissa rounds ~1.7e18 ns values.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # ts is TIMESTAMP(NANOS) in the footer; Spark reads it as long ns
+            # (spark.sql.legacy.parquet.nanosAsLong). Values are exact micros
+            # (verified over the fixtures), so integer-divide to µs losslessly.
+            # NB: must be `div` (integer division) — `/` on longs is IEEE-double
+            # division, whose 53-bit mantissa rounds ~1.7e18 ns values.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            # A session that can natively represent the nanos column (or a
+            # future fixture with micros): truncate to whole microseconds.
+            df = df.withColumn("ts", F.expr("timestamp_micros(unix_micros(ts))"))
     return df
 
 

@@ -180,6 +180,48 @@ def graph_triangles_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_bfs_cosupply",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+    ), start AS (
+      SELECT MIN(l_suppkey) AS s FROM lineitem
+    ), walk(vid, level) AS (
+      SELECT s, 0 FROM start
+      UNION
+      SELECT e.dst, w.level + 1
+      FROM walk w JOIN e ON e.src = w.vid
+      WHERE w.level < 20
+    )
+    SELECT vid, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vid
+    """,
+    tags=("graph", "bfs", "fixture-derived"),
+)
+def graph_bfs_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS on a cyclic fixture-derived graph (suppliers linked by shared
+    parts), checked against a recursive-CTE oracle — the scale-path
+    demonstration that the frontier-join loop agrees with SQL reachability
+    semantics on real data, not just hand-built goldens."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    start = li.agg(F.min("l_suppkey")).collect()[0][0]
+    return bfs(edges, start=int(start))
+
+
+@query(
     "graph_degrees_custsupp",
     oracle="""
     WITH edges AS (

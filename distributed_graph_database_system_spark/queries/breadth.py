@@ -222,3 +222,80 @@ def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", 0.5, 10_000).alias("median_qty_approx"),
         F.percentile_approx("l_quantity", 0.9, 10_000).alias("p90_qty_approx"),
     )
+
+
+# --- Explode / posexplode --------------------------------------------------
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), ex AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, LEAST(len(t), 5) + 1),
+                    i -> {'pos': i, 'tok': t[CAST(i AS INT)]})) AS u
+      FROM toks
+    )
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok FROM ex
+    """,
+    tags=("scalar", "explode"),
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the first 5 tokens per document — the row-generating
+    lateral-view operator. Fan-out happens distributed on each partition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split("text", " "), 1, 5)
+    return d.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+
+# --- Skew-safe salted aggregation ------------------------------------------
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregation", "skew", "salting"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: groupBy(key, salt) partials →
+    groupBy(key) final. With 5 distinct event types, a plain groupBy at
+    100 TB concentrates each key on one reducer; salting spreads each key
+    over 16 partials first, so no reducer sees more than ~1/16 of a hot
+    key. Result is provably identical to the plain GROUP BY (the oracle)
+    because decimal sums and counts are associative."""
+    from distributed_graph_database_system_spark.queries.helpers import dec
+
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(dec("value")).alias("pt"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pt").cast("double").alias("total"),
+    )
+
+
+# --- Approximate distinct (HLL sketch — the 100 TB COUNT(DISTINCT)) --------
+
+
+@query("agg_approx_distinct", oracle=None, tags=("aggregation", "approx", "sketch"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, fixed-size sketch, one pass,
+    mergeable across partitions) next to the exact count. Cross-engine
+    sketches differ → rows-only here; tests/test_breadth.py bounds the
+    relative error against the exact count."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+        F.count_distinct("o_custkey").alias("exact_custs"),
+    )

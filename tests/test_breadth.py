@@ -67,3 +67,12 @@ def test_percentile_approx_close_to_exact(spark, sf_dir):
         am, ap = approx[flag]
         assert abs(am - em) <= 1.0, (flag, am, em)
         assert abs(ap - ep) <= 1.0, (flag, ap, ep)
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    from distributed_graph_database_system_spark.queries.breadth import (
+        agg_approx_distinct,
+    )
+
+    for r in agg_approx_distinct(spark, sf_dir).collect():
+        assert abs(r.approx_custs - r.exact_custs) <= max(3, 0.05 * r.exact_custs), r

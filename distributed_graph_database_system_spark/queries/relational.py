@@ -783,7 +783,9 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
            concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
            replace(c_name, 'Customer#', '') AS name_stripped,
-           trim(c_mktsegment) AS seg_trim
+           trim(c_mktsegment) AS seg_trim,
+           CAST(levenshtein(substring(c_name, 1, 8), 'Customer') AS INTEGER) AS lev_dist,
+           split_part(c_name, '#', 2) AS name_id_part
     FROM customer
     """,
     tags=("scalar", "string"),
@@ -802,6 +804,8 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_replace("c_name", r"Customer#", "").alias("name_stripped"),
         F.trim("c_mktsegment").alias("seg_trim"),
+        F.levenshtein(F.substring("c_name", 1, 8), F.lit("Customer")).alias("lev_dist"),
+        F.substring_index("c_name", "#", -1).alias("name_id_part"),
     )
 
 

@@ -115,9 +115,7 @@ def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 # --- Drivers ---------------------------------------------------------------
 
 
-def run_to_memory(
-    df: DataFrame, name: str, mode: str = "append", timeout_s: int = 120
-) -> None:
+def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
     """Run a streaming DataFrame to the in-memory sink until the file replay
     drains (processAllAvailable), then stop. Test/bench helper."""
     q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
@@ -127,9 +125,7 @@ def run_to_memory(
         q.stop()
 
 
-def run_foreach_batch(
-    df: DataFrame, batch_fn, mode: str = "update", timeout_s: int = 120
-) -> None:
+def run_foreach_batch(df: DataFrame, batch_fn, mode: str = "update") -> None:
     """foreachBatch sink: ``batch_fn(batch_df, batch_id)`` gets each
     micro-batch as a normal DataFrame (arbitrary sinks, merge/upsert,
     multi-write). Runs until the replay drains."""

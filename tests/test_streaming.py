@@ -170,3 +170,77 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     starts = {r.ws.isoformat() for r in spark.table("t_late").collect()}
     assert "2024-01-01T08:00:00" not in starts, "late row behind watermark leaked"
     assert "2024-01-01T10:00:00" in starts and "2024-01-01T12:00:00" in starts
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, stream_src):
+    """Stream-static join: each micro-batch broadcast-joins the static
+    customer dim — the standard streaming enrichment pattern."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        events_stream(spark, stream_src)
+        .join(F.broadcast(cust), "user_id", "left")
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    run_to_memory(enriched, "t_enrich", mode="append")
+    got = spark.table("t_enrich")
+    want = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(cust), "user_id", "left")
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    assert got.count() == want.count()
+    assert (
+        got.where(F.col("c_mktsegment").isNull()).count()
+        == want.where(F.col("c_mktsegment").isNull()).count()
+    )
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Kill a checkpointed streaming aggregation mid-replay, restart it, and
+    verify the recovered run completes to exactly the batch answer (no loss,
+    no double counting)."""
+    src = replay_dir(spark, sf_dir, str(tmp_path / "ckpt_replay"), slices=6)
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        agg = (
+            events_stream(spark, src)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName("t_ckpt")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    try:
+        # let at least one micro-batch commit, then kill mid-stream
+        while q.lastProgress is None:
+            import time as _t
+
+            _t.sleep(0.2)
+    finally:
+        q.stop()
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {r.event_type: r.n for r in spark.table("t_ckpt").collect()}
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want

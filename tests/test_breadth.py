@@ -76,3 +76,27 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
 
     for r in agg_approx_distinct(spark, sf_dir).collect():
         assert abs(r.approx_custs - r.exact_custs) <= max(3, 0.05 * r.exact_custs), r
+
+
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """Write lineitem partitioned by ship year; a year-filtered scan must
+    prune partitions (visible in the physical plan) and return exactly the
+    batch-filtered rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "li_by_year")
+    li.write.partitionBy("ship_year").mode("overwrite").parquet(path)
+
+    scan = spark.read.parquet(path).where(F.col("ship_year") == 1995)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        scan.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "1995" in plan
+    assert scan.count() == li.where(F.col("ship_year") == 1995).count()

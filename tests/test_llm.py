@@ -182,3 +182,28 @@ def test_minhash_udf_matches_jvm_reference(spark):
     jvm = {r.id: r.sig for r in df.select("id", minhash_signature_from_hashes(F.col("h"), 16, 7).alias("sig")).collect()}
     udf = {r.id: r.sig for r in df.select("id", minhash_signature_udf(16, 7)(F.col("h")).alias("sig")).collect()}
     assert jvm == udf
+
+
+def test_shingle_hash_udf_consistent_with_jvm_shingles(spark):
+    """The vectorized shingle-hash UDF must produce exactly one distinct
+    hash per distinct JVM string shingle (crc32 collisions would show up as
+    a count mismatch on this sample)."""
+    from distributed_graph_database_system_spark.operators.dedup import (
+        shingle_hash_udf,
+        shingles,
+    )
+
+    docs = make_docs(spark, n=40)
+    jvm = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(shingles(F.col("text"), 3)).alias("n")
+        ).collect()
+    }
+    udf = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(shingle_hash_udf(3)(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert jvm == udf

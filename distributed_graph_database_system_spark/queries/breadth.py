@@ -299,3 +299,138 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
         F.count_distinct("o_custkey").alias("exact_custs"),
     )
+
+
+# --- Subqueries (EXISTS / IN / scalar) --------------------------------------
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+    tags=("subquery", "exists"),
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — planned as left-semi and left-anti
+    joins (set-at-a-time, no per-row subquery execution)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 300000).select("o_custkey")
+    fstat = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .join(fstat, F.col("c_custkey") == fstat.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
+    "subquery_scalar_agg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 2) AS diff_from_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    tags=("subquery", "scalar"),
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate subquery — one tiny aggregate broadcast into the
+    scan's filter/projection rather than recomputed per row."""
+    import hashlib
+
+    o = load_table(spark, sf_dir, "orders")
+    # view name keyed deterministically to the sf_dir so concurrent queries
+    # over different dirs can't collide (and builtin hash() is seed-random)
+    view = "sq_orders_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT o_orderkey, o_totalprice,
+               ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM {view}), 2)
+                 AS diff_from_avg
+        FROM {view}
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM {view})
+    """)
+
+
+# --- Null semantics ----------------------------------------------------------
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    SELECT e.event_id,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS seg,
+           (e.user_id IS NOT DISTINCT FROM c.c_custkey) AS nullsafe_eq,
+           NULLIF(e.event_type, 'view') AS not_view,
+           CASE WHEN c.c_custkey IS NULL THEN 'no_match' ELSE 'match' END AS match_tag
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("scalar", "null"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / null-safe equality (<=>) across an outer join —
+    the null-handling family over real nullable columns."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    j = e.join(F.broadcast(c), e.user_id == c.c_custkey, "left")
+    return j.select(
+        "event_id",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("seg"),
+        F.col("user_id").eqNullSafe(F.col("c_custkey")).alias("nullsafe_eq"),
+        F.nullif("event_type", F.lit("view")).alias("not_view"),
+        F.when(F.col("c_custkey").isNull(), "no_match").otherwise("match").alias("match_tag"),
+    )
+
+
+# --- Time-series resample / gap fill ----------------------------------------
+
+
+@query(
+    "resample_daily_gapfill",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                    INTERVAL 1 DAY)) AS day
+    ), daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           COALESCE(d.n, 0) AS n,
+           COALESCE(d.total, 0.0) AS total
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+    tags=("timeseries", "resample", "gapfill"),
+)
+def resample_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a daily grid with gap filling: a generated time spine
+    (sequence + explode — distributed, never a driver loop) left-joined to
+    the per-day aggregate, missing days zero-filled."""
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n"), dsum("value").alias("total")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )

@@ -1,0 +1,57 @@
+"""Command-line client mirroring the reference's REPL menu (client.c:26-31).
+
+    python -m distributed_graph_database_system_spark.cli --root /tmp/graphs add    g1 graph.txt
+    python -m distributed_graph_database_system_spark.cli --root /tmp/graphs modify g1 graph.txt
+    python -m distributed_graph_database_system_spark.cli --root /tmp/graphs dfs    g1 1
+    python -m distributed_graph_database_system_spark.cli --root /tmp/graphs bfs    g1 1
+
+``graph.txt`` uses the reference's own at-rest format (vertex count line +
+n×n 0/1 matrix, ``primaryServer.c:43-49``), so files written by the reference
+load unchanged. Traversal output is the reference's wire format: a
+space-joined 1-indexed vertex list — without the 256-byte cap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="distributed_graph_database_system_spark")
+    ap.add_argument("--root", required=True, help="graph store directory")
+    ap.add_argument("--cpus", type=int, default=8)
+    sub = ap.add_subparsers(dest="op", required=True)
+    for op in ("add", "modify"):
+        p = sub.add_parser(op)
+        p.add_argument("name")
+        p.add_argument("file", help="reference-format graph file")
+    for op in ("dfs", "bfs"):
+        p = sub.add_parser(op)
+        p.add_argument("name")
+        p.add_argument("start", type=int)
+    args = ap.parse_args(argv)
+
+    from distributed_graph_database_system_spark.api import Engine
+    from distributed_graph_database_system_spark.session import get_spark
+
+    eng = Engine(get_spark(app_name="distributed_graph_database_system_spark-cli", cpus=args.cpus), args.root)
+    if args.op in ("add", "modify"):
+        store_fn = (
+            eng.store.add_reference_file
+            if args.op == "add"
+            else eng.store.modify_reference_file
+        )
+        store_fn(args.name, args.file)
+        print(
+            "File successfully added" if args.op == "add" else "File successfully modified"
+        )
+    elif args.op == "dfs":
+        print(eng.dfs_text(args.name, args.start))
+    else:
+        print(eng.bfs_text(args.name, args.start))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -97,6 +97,34 @@ class GraphStore:
     def modify_matrix(self, name: str, n: int, matrix: Sequence[Sequence[int]]) -> None:
         self.modify(name, self.edges_from_matrix(n, matrix))
 
+    # Reference at-rest format: first line vertex count, then n rows of n
+    # space-separated 0/1 cells (``primaryServer.c:43-49``; read back at
+    # ``secondaryServer.c:211-225``). Lets existing reference graph files
+    # load directly.
+    @staticmethod
+    def parse_reference_file(text: str) -> tuple[int, list[list[int]]]:
+        tokens = text.split()
+        if not tokens:
+            raise ValueError("empty graph file")
+        n = int(tokens[0])
+        cells = [int(t) for t in tokens[1 : 1 + n * n]]
+        if len(cells) != n * n:
+            raise ValueError(
+                f"graph file declares {n} vertices but has {len(cells)} of "
+                f"{n * n} matrix cells"
+            )
+        return n, [cells[i * n : (i + 1) * n] for i in range(n)]
+
+    def add_reference_file(self, name: str, path: str) -> None:
+        with open(path) as fh:
+            n, matrix = self.parse_reference_file(fh.read())
+        self.add_matrix(name, n, matrix)
+
+    def modify_reference_file(self, name: str, path: str) -> None:
+        with open(path) as fh:
+            n, matrix = self.parse_reference_file(fh.read())
+        self.modify_matrix(name, n, matrix)
+
 
 # ---------------------------------------------------------------------------
 # BFS — R4

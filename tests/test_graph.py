@@ -272,3 +272,25 @@ def test_engine_facade_mirrors_reference_client_ops(spark, tmp_path):
     assert eng.modify_graph("g", 4, m3) == "File successfully modified"
     assert eng.bfs_text("g", 1) == "1 2 3 4"
     assert eng.dfs_text("g", 1) == "4"
+
+
+def test_reference_file_format_roundtrip(spark, tmp_path):
+    """Graphs in the reference's own at-rest text format (count line + n×n
+    matrix, primaryServer.c:43-49) load unchanged."""
+    store = GraphStore(spark, str(tmp_path))
+    ref_file = tmp_path / "g1.txt"
+    n = 5
+    matrix = [[0] * n for _ in range(n)]
+    for s, d in G1:
+        matrix[s - 1][d - 1] = 1
+    ref_file.write_text(
+        f"{n}\n" + "\n".join(" ".join(str(c) for c in row) for row in matrix) + "\n"
+    )
+    store.add_reference_file("g1", str(ref_file))
+    got = {(r.src, r.dst) for r in store.load("g1").collect()}
+    assert got == set(G1)
+
+    with pytest.raises(ValueError, match="matrix cells"):
+        GraphStore.parse_reference_file("3\n0 1\n")
+    with pytest.raises(ValueError, match="empty"):
+        GraphStore.parse_reference_file("")

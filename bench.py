@@ -36,6 +36,8 @@ HEADLINE = [
     "sessionize",
     "join_range_bucketed",
     # round-2 additions (skipped silently if not yet registered)
+    "q7_nation_volume",
+    "window_range_frame",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",

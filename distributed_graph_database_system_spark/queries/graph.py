@@ -163,8 +163,12 @@ def graph_triangles_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the supplier co-supply graph (suppliers linked when
     they supply the same part) — a fixture-derived graph analytic whose edge
     construction is itself a distributed self-join."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
     edges = (
         a.join(
             b,
@@ -204,8 +208,15 @@ def graph_bfs_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts), checked against a recursive-CTE oracle — the scale-path
     demonstration that the frontier-join loop agrees with SQL reachability
     semantics on real data, not just hand-built goldens."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Pre-distinct each side to (part, supplier) before the pair join: the
+    # self-join fan-out is then |suppliers-per-part|², not
+    # |lineitems-per-part|² — result-identical, strictly less work.
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
     edges = (
         a.join(
             b,
@@ -217,7 +228,7 @@ def graph_bfs_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    start = li.agg(F.min("l_suppkey")).collect()[0][0]
+    start = ps.agg(F.min("l_suppkey")).collect()[0][0]
     return bfs(edges, start=int(start))
 
 

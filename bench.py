@@ -57,9 +57,18 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     registry = all_queries()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not first-touch JIT/IO.
+    # Warm the JVM + parquet footers + Python worker pool once so per-query
+    # numbers measure the query, not first-touch JIT/IO/worker spawn. (The
+    # worker pool is session-wide; a 1-row pandas-UDF call spawns it.)
     materialize(registry["q1_pricing_summary"].fn(spark, SF_DIR).limit(1))
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    materialize(spark.range(64).repartition(64).select(_warm(F.col("id"))))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

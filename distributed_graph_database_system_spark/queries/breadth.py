@@ -529,3 +529,39 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.count("*").over(w).alias("n_similar_priced"),
     )
+
+
+# --- UNPIVOT / melt ---------------------------------------------------------
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+             CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    )
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt): one row per (line item, measure).
+    Executes as a Generate/Expand node — the fan-out is per-partition, no
+    shuffle at all."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["quantity", "extendedprice", "discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

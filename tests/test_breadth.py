@@ -100,3 +100,45 @@ def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "1995" in plan
     assert scan.count() == li.where(F.col("ship_year") == 1995).count()
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Write both join sides bucketed by the join key: the sort-merge join
+    must consume the bucketing and plan with NO shuffle exchange — the
+    co-located-join pattern that removes the dominant cost of repeated
+    fact-to-fact joins at 100 TB."""
+    import io
+    from contextlib import redirect_stdout
+
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    # warehouse.dir is a static conf; managed tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_orders")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_lineitem")
+
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and it still computes the right thing
+        want = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert j.count() == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -565,3 +565,60 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+# --- Table profiling (data-quality pass) ------------------------------------
+
+
+@query(
+    "profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(doc_id) AS n_null,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_v, CAST(MAX(doc_id) AS VARCHAR) AS max_v
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+           MIN(lang), MAX(lang) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+           MIN(source), MAX(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+    """,
+    tags=("profiling", "data-quality"),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: rows / nulls / distincts / extremes per column in ONE
+    scan (all profiles are aggregates of the same pass; Spark plans a single
+    aggregation with 4×N aggregate expressions, not N scans — exactly how a
+    100 TB profiling pass must run)."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n_rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min_v"),
+            F.max(c).cast("string").alias(f"{c}__max_v"),
+        ]
+    wide = d.agg(*aggs)
+    per_col = [
+        wide.select(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_v").alias("min_v"),
+            F.col(f"{c}__max_v").alias("max_v"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out

@@ -622,3 +622,39 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_col[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- Grouped-map pandas UDF (applyInPandas) ---------------------------------
+
+
+@query(
+    "pandas_grouped_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_quantity, l_orderkey, l_linenumber)
+                AS BIGINT) AS rank_in_flag
+    FROM lineitem
+    """,
+    tags=("udf", "pandas", "grouped-map"),
+)
+def pandas_grouped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped-map UDTF-alike): each group arrives as one
+    pandas DataFrame, ranked with a deterministic total order and returned
+    with a new schema. Integer output → exact cross-engine compare. Each
+    group must fit one executor's memory — the documented constraint of the
+    grouped-map pattern (unlike window functions, which stream)."""
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["l_quantity", "l_orderkey", "l_linenumber"])
+        pdf["rank_in_flag"] = range(1, len(pdf) + 1)
+        return pdf[["l_orderkey", "l_linenumber", "rank_in_flag"]]
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        rank_group, schema="l_orderkey BIGINT, l_linenumber INT, rank_in_flag BIGINT"
+    )

@@ -143,6 +143,55 @@ def srp_ann_topk(
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF (inverted-file) index: a k-means coarse quantizer assigns every
+    vector to its nearest centroid's list. Returns ``(indexed_df, centroids)``
+    where indexed_df has a ``list_id`` column.
+
+    The quantizer trains with pyspark.ml KMeans (distributed Lloyd's, fixed
+    seed). At cluster scale the indexed table is written partitioned by
+    ``list_id`` so probes are partition-pruned scans — same storage story as
+    the SRP buckets, but data-adaptive: lists follow the embedding
+    distribution instead of fixed hyperplanes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = embeddings.withColumn("_features", array_to_vector(_as_double(F.col(vec_col))))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id")
+    model = km.fit(with_vec)
+    indexed = model.transform(with_vec).drop("_features")
+    centroids = np.array(
+        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
+    )
+    _ = vector_to_array  # imported for symmetry; assignment uses the model
+    return indexed, centroids
+
+
+def ivf_ann_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids by distance to the query, scan only the
+    ``nprobe`` nearest lists, exact cosine re-rank of the candidates.
+    Recall/latency trades on nprobe exactly as in FAISS-style IVF-Flat."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = np.linalg.norm(centroids - q[None, :], axis=1)
+    probe = [int(i) for i in np.argsort(dists)[:nprobe]]
+    cand = indexed.where(F.col("list_id").isin(probe))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -277,3 +277,18 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake=True).select(
         "media_id", "kind", "n_bytes", "sha256"
     )
+
+
+@query("sim_topk_ann_ivf", oracle=None, tags=("llm", "similarity", "ann", "ivf"))
+def sim_topk_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-10 (k-means coarse quantizer, nprobe=3). Approximate
+    → rows-only; recall vs brute force asserted in tests/test_llm.py."""
+    from distributed_graph_database_system_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_index,
+    )
+
+    qv = _query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    indexed, centroids = ivf_index(emb, n_lists=8)
+    return ivf_ann_topk(indexed, centroids, qv, k=10, nprobe=3)

@@ -207,3 +207,20 @@ def test_shingle_hash_udf_consistent_with_jvm_shingles(spark):
         ).collect()
     }
     assert jvm == udf
+
+
+def test_ivf_ann_recall_on_planted_cluster(spark):
+    from distributed_graph_database_system_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_index,
+    )
+
+    emb, vecs = make_embeddings(spark, planted=5)
+    q = vecs[0]
+    indexed, centroids = ivf_index(emb.where(F.col("vec_id") != 0), n_lists=6)
+    got = {
+        r.vec_id for r in ivf_ann_topk(indexed, centroids, q, k=5, nprobe=2).collect()
+    }
+    planted = {1000 + j for j in range(5)}
+    # near-copies of the query share its nearest centroid; nprobe=2 must find them
+    assert len(got & planted) >= 4

@@ -106,3 +106,41 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic even though which physical row survives is not."""
     e = load_table(spark, sf_dir, "events")
     return e.select("user_id", "event_type").distinct()
+
+
+@query(
+    "join_view_purchase_window",
+    oracle="""
+    SELECT p.event_id, COUNT(v.event_id) AS n_views_1h
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+    GROUP BY p.event_id
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def join_view_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: views within the hour
+    preceding each purchase by the same user. Equi key (user_id) carries the
+    join; the time range is a residual predicate — hash join, not a nested
+    loop. The true streaming execution (watermarked stream-stream join) is
+    exercised in tests/test_streaming.py."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_uid"), F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id")
+    )
+    return (
+        p.join(
+            v,
+            (F.col("p_uid") == F.col("v_uid"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") < F.col("p_ts")),
+        )
+        .groupBy("p_id")
+        .agg(F.count("v_id").alias("n_views_1h"))
+        .select(F.col("p_id").alias("event_id"), "n_views_1h")
+    )

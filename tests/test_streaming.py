@@ -244,3 +244,57 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join(spark, sf_dir, stream_src):
+    """Watermarked stream-stream inner join: purchase-side rows pair with
+    same-user view rows from the preceding hour. Once the replay drains, the
+    joined pair set must equal the batch interval join."""
+    views = (
+        events_stream(spark, stream_src)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_uid"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, stream_src)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_uid"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_uid") == F.col("v_uid"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("p_ts")),
+    ).select("p_id", "v_id")
+    run_to_memory(joined, "t_ssj", mode="append")
+    got = {(r.p_id, r.v_id) for r in spark.table("t_ssj").collect()}
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    v = e.where("event_type = 'view'").select(
+        F.col("user_id").alias("v_uid"), F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id")
+    )
+    want = {
+        (r.p_id, r.v_id)
+        for r in p.join(
+            v,
+            (F.col("p_uid") == F.col("v_uid"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") < F.col("p_ts")),
+        )
+        .select("p_id", "v_id")
+        .collect()
+    }
+    assert got == want

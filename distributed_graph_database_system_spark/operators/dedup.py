@@ -255,13 +255,19 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Shingle-hash arrays re-derived from source and attached to the
-    # (deduped) candidate pairs only — candidates are a tiny fraction of the
-    # corpus. Jaccard over hash arrays == Jaccard over shingle strings
+    # Shingle-hash arrays re-derived ONLY for docs that appear in a candidate
+    # pair (semi-join first): the verify-side UDF touches a tiny fraction of
+    # the corpus instead of re-hashing everything for each side of the
+    # attach joins. Jaccard over hash arrays == Jaccard over shingle strings
     # (modulo crc32 collisions, see shingle_hash_udf).
-    sh = docs.select(
-        F.col(id_col).alias("_id"), sh_udf(F.col(text_col)).alias("_sh")
+    cand_ids = (
+        cand.select(F.col("id_a").alias("cid"))
+        .union(cand.select(F.col("id_b").alias("cid")))
+        .distinct()
     )
+    sh = docs.join(
+        cand_ids, docs[id_col] == cand_ids["cid"], "left_semi"
+    ).select(F.col(id_col).alias("_id"), sh_udf(F.col(text_col)).alias("_sh"))
     verified = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -53,7 +54,11 @@ def materialize(df) -> None:
 
 
 def main() -> int:
-    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    m = re.match(r"sf([0-9.]+)$", os.path.basename(SF_DIR.rstrip("/")))
+    try:
+        sf = float(m.group(1)) if m else 0.0
+    except ValueError:
+        sf = 0.0
     spark = get_spark(app_name="bench")
     registry = all_queries()
 

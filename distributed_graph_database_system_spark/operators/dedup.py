@@ -319,14 +319,27 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole banding: with ``chunks`` 16-bit chunks, any pair within
-    Hamming distance ``chunks - 1`` agrees exactly on ≥ 1 chunk, so the
-    candidate join is an equi-join on (chunk_idx, chunk_value) — no
-    all-pairs. Verify = popcount(xor) on the 64-bit signatures."""
+    Pigeonhole banding: with ``chunks`` chunks of 64/chunks bits, any pair
+    within Hamming distance ``chunks - 1`` agrees exactly on ≥ 1 chunk, so
+    the candidate join is an equi-join on (chunk_idx, chunk_value) — no
+    all-pairs. Verify = popcount(xor) on the 64-bit signatures.
+
+    ``chunks`` defaults to the smallest power-of-two banding that makes the
+    pigeonhole guarantee hold for ``max_hamming`` (chunks > max_hamming);
+    passing an explicit ``chunks`` that can't guarantee recall raises."""
+    if chunks is None:
+        chunks = next(c for c in (2, 4, 8, 16, 32) if c > max_hamming)
+    if chunks - 1 < max_hamming:
+        raise ValueError(
+            f"chunks={chunks} guarantees recall only to Hamming {chunks - 1} "
+            f"< max_hamming={max_hamming}; raise chunks (must divide 64)"
+        )
+    if 64 % chunks != 0:
+        raise ValueError(f"chunks={chunks} must divide 64")
     width = 64 // chunks
     mask = (1 << width) - 1
     target = docs.sparkSession.sparkContext.defaultParallelism

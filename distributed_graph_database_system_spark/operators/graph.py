@@ -196,14 +196,16 @@ def dfs_leaves(
         .join(reach, edges["src"] == reach["vid"], "left_semi")
         .distinct()
     )
-    n_edges = sub.count()
-    if n_edges > max_collect_edges:
+    # LIMIT to the cap + 1 so the guard needs no separate count() job — one
+    # execution of the join feeds both the bound check and the adjacency.
+    rows = sub.limit(max_collect_edges + 1).collect()
+    if len(rows) > max_collect_edges:
         raise ValueError(
-            f"reachable subgraph has {n_edges} edges > max_collect_edges="
+            f"reachable subgraph exceeds max_collect_edges="
             f"{max_collect_edges}; refusing driver-side DFS"
         )
     adj: dict[int, list[int]] = {}
-    for row in sub.collect():
+    for row in rows:
         adj.setdefault(row["src"], []).append(row["dst"])
     for nbrs in adj.values():
         nbrs.sort()

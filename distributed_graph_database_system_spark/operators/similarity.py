@@ -160,7 +160,7 @@ def ivf_index(
     the SRP buckets, but data-adaptive: lists follow the embedding
     distribution instead of fixed hyperplanes."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     with_vec = embeddings.withColumn("_features", array_to_vector(_as_double(F.col(vec_col))))
     km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id")
@@ -169,7 +169,6 @@ def ivf_index(
     centroids = np.array(
         [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
     )
-    _ = vector_to_array  # imported for symmetry; assignment uses the model
     return indexed, centroids
 
 

@@ -28,9 +28,11 @@ from distributed_graph_database_system_spark.sources.io import (
     "json_struct_funcs",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
-           CAST(to_json({'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}) AS VARCHAR)
-             AS normalized_json,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+           CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+                THEN '{}'
+                ELSE CAST(to_json({'k': TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)}) AS VARCHAR)
+           END AS normalized_json,
            json_extract_string(props, '$.k') AS k_text
     FROM events
     """,
@@ -38,7 +40,9 @@ from distributed_graph_database_system_spark.sources.io import (
 )
 def json_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json → typed struct → to_json round-trip (both engines normalize
-    to the compact {"k":N} form), plus json_tuple extraction."""
+    to the compact {"k":N} form; Spark's to_json omits null fields, so the
+    oracle maps null k to '{}' and uses TRY_CAST to mirror Spark's silent
+    null on non-numeric values), plus json_tuple extraction."""
     e = load_table(spark, sf_dir, "events")
     parsed = F.from_json("props", "k BIGINT")
     return e.select(

@@ -805,7 +805,10 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", r"Customer#", "").alias("name_stripped"),
         F.trim("c_mktsegment").alias("seg_trim"),
         F.levenshtein(F.substring("c_name", 1, 8), F.lit("Customer")).alias("lev_dist"),
-        F.substring_index("c_name", "#", -1).alias("name_id_part"),
+        # split_part matches DuckDB's semantics exactly (empty string when
+        # the index is out of range) — substring_index(-1) would diverge on
+        # names with zero or multiple '#' separators.
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_id_part"),
     )
 
 

@@ -68,9 +68,12 @@ def stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT user_id, ts,
+             -- >= (not >): Spark session windows span [start, last + gap)
+             -- with an EXCLUSIVE end, so an event exactly `gap` after the
+             -- previous one starts a new session.
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                          > INTERVAL 30 MINUTE
+                          >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session,
              event_id
       FROM events

@@ -74,11 +74,15 @@ def events_stream(spark: SparkSession, src: str) -> DataFrame:
 
 def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1-hour counts per event_type; watermark bounds state and
-    drops rows later than `watermark` behind the max seen ts."""
+    drops rows later than `watermark` behind the max seen ts. Money sums use
+    the same exact-decimal discipline as the batch twin so streaming and
+    batch results are bit-identical, not merely close."""
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
         )
@@ -87,10 +91,12 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 def sliding_value_sum(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Sliding 2-hour windows every 1 hour: each row lands in 2 windows."""
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
 

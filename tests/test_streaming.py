@@ -38,14 +38,9 @@ def test_tumbling_counts_converge_to_batch(spark, sf_dir, stream_src):
     run_to_memory(
         tumbling_counts(events_stream(spark, stream_src)), "t_tumble", mode="append"
     )
-    got = rows_set(
-        spark.table("t_tumble").select("window_start", "event_type", "n"),
-        ("window_start", "event_type", "n"),
-    )
-    want = rows_set(
-        batch_tumbling(spark, sf_dir).select("window_start", "event_type", "n"),
-        ("window_start", "event_type", "n"),
-    )
+    cols = ("window_start", "event_type", "n", "sum_value")
+    got = rows_set(spark.table("t_tumble"), cols)
+    want = rows_set(batch_tumbling(spark, sf_dir), cols)
     # append mode emits only watermark-closed windows: everything except the
     # final open window(s) must match the batch twin exactly
     assert got <= want

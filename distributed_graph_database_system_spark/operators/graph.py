@@ -252,14 +252,16 @@ def pregel(
 ) -> DataFrame:
     """Minimal Pregel loop over ``vertices (vid, val)`` and ``edges (src, dst)``.
 
-    Per superstep: every vertex sends ``msg`` (an expression over its ``val``)
-    along each out-edge to ``dst``; incoming messages are combined with
-    ``agg``; each vertex's new ``val`` is ``update(old_val, combined_msg)``
-    (combined_msg is NULL when no messages arrived). Stops when no ``val``
-    changed or ``max_iter`` supersteps ran. Lineage is cut per superstep.
+    Per superstep: every vertex sends ``msg`` — an expression over its
+    ``val`` AND any edge columns (e.g. ``weight``) — along each out-edge to
+    ``dst``; incoming messages are combined with ``agg``; each vertex's new
+    ``val`` is ``update(old_val, combined_msg)`` (combined_msg is NULL when
+    no messages arrived). Stops when no ``val`` changed or ``max_iter``
+    supersteps ran. Lineage is cut per superstep.
     """
     v = vertices.select("vid", "val").localCheckpoint()
-    e = edges.select("src", "dst").persist()
+    # keep ALL edge columns: message expressions may read edge attributes
+    e = edges.persist()
     for _ in range(max_iter):
         msgs = (
             v.join(e, v["vid"] == e["src"])
@@ -335,6 +337,40 @@ def degrees(edges: DataFrame) -> DataFrame:
 def shortest_path_lengths(edges: DataFrame, start: int) -> DataFrame:
     """Unweighted shortest-path distance from ``start`` = BFS level."""
     return bfs(edges, start).select("vid", F.col("level").alias("distance"))
+
+
+def sssp_weighted(
+    edges: DataFrame, start: int, max_iter: int = 50
+) -> DataFrame:
+    """Single-source shortest paths over weighted edges ``(src, dst, weight)``
+    — distributed Bellman-Ford expressed through ``pregel``: each superstep
+    relaxes every edge (msg = dist(src) + weight, combined with min), so the
+    message expression reads an *edge* column, demonstrating that the pregel
+    helper is not limited to vertex-state propagation. Converges in ≤
+    |V| - 1 supersteps (the pregel loop stops early when no distance
+    changes). Returns ``(vid, distance)`` for reachable vertices only."""
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .withColumn(
+            "val",
+            F.when(F.col("vid") == start, F.lit(0.0)).otherwise(
+                F.lit(float("inf"))
+            ),
+        )
+    )
+    out = pregel(
+        verts,
+        edges.select("src", "dst", "weight"),
+        msg=F.col("val") + F.col("weight"),
+        agg=F.min,
+        update=lambda old, m: F.least(old, F.coalesce(m, old)),
+        max_iter=max_iter,
+    )
+    return out.where(F.col("val") != float("inf")).select(
+        "vid", F.col("val").alias("distance")
+    )
 
 
 def pagerank(

@@ -184,6 +184,29 @@ def graph_triangles_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_sssp_weighted",
+    oracle=(
+        "SELECT CAST(v AS BIGINT) AS vid, CAST(d AS DOUBLE) AS distance FROM (VALUES "
+        "(1, 0.0), (2, 3.0), (3, 1.0), (4, 8.0), (5, 9.0)) AS t(v, d)"
+    ),
+    tags=("graph", "sssp", "pregel"),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (pregel Bellman-Ford) on a
+    fixed 5-vertex weighted digraph; the indirect route 1→3→2 (3.0) must
+    beat the direct 1→2 edge (4.0). Small exact sums of doubles —
+    deterministic across engines."""
+    from distributed_graph_database_system_spark.operators.graph import sssp_weighted
+
+    wedges = [
+        (1, 2, 4.0), (1, 3, 1.0), (3, 2, 2.0), (2, 4, 5.0),
+        (3, 4, 8.0), (4, 5, 1.0), (2, 5, 10.0),
+    ]
+    df = spark.createDataFrame(wedges, "src BIGINT, dst BIGINT, weight DOUBLE")
+    return sssp_weighted(df, start=1)
+
+
+@query(
     "graph_bfs_cosupply",
     oracle="""
     WITH RECURSIVE e AS (

@@ -294,3 +294,34 @@ def test_reference_file_format_roundtrip(spark, tmp_path):
         GraphStore.parse_reference_file("3\n0 1\n")
     with pytest.raises(ValueError, match="empty"):
         GraphStore.parse_reference_file("")
+
+
+def test_sssp_weighted_matches_dijkstra(spark):
+    from heapq import heappop, heappush
+
+    from distributed_graph_database_system_spark.operators.graph import sssp_weighted
+
+    wedges = [
+        (1, 2, 4.0), (1, 3, 1.0), (3, 2, 2.0), (2, 4, 5.0),
+        (3, 4, 8.0), (4, 5, 1.0), (2, 5, 10.0),
+    ]
+    df = spark.createDataFrame(wedges, "src BIGINT, dst BIGINT, weight DOUBLE")
+    got = {r.vid: r.distance for r in sssp_weighted(df, start=1).collect()}
+
+    adj = {}
+    for s, d, w in wedges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {1: 0.0}
+    pq = [(0.0, 1)]
+    while pq:
+        du, u = heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heappush(pq, (nd, v))
+    assert got == dist
+    # the indirect route 1->3->2 (3.0) must beat the direct edge (4.0)
+    assert got[2] == 3.0

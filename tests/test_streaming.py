@@ -293,3 +293,26 @@ def test_stream_stream_interval_join(spark, sf_dir, stream_src):
         .collect()
     }
     assert got == want
+
+
+def test_rate_source_smoke(spark):
+    """The built-in rate source: schema (timestamp, value) and monotonically
+    increasing values — the non-file streaming source family."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    assert [f.name for f in stream.schema.fields] == ["timestamp", "value"]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline and spark.table("t_rate").count() == 0:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    vals = [r.value for r in spark.table("t_rate").orderBy("value").collect()]
+    assert vals and vals == sorted(vals) and vals[0] == 0

@@ -662,3 +662,28 @@ def pandas_grouped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").applyInPandas(
         rank_group, schema="l_orderkey BIGINT, l_linenumber INT, rank_in_flag BIGINT"
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part GROUP BY p_brand
+    """,
+    tags=("source", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC sink → ORC scan → aggregate (ORC is Spark's second native
+    columnar format; schema rides the file like parquet)."""
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+    from distributed_graph_database_system_spark.sources.io import read_orc, write_orc
+
+    path = os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "part_orc")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    write_orc(p, path)
+    return (
+        read_orc(spark, path)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), dsum("p_retailprice").alias("total_price"))
+    )

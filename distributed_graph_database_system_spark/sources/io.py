@@ -33,3 +33,12 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # parquet embeds its schema; no DDL needed
     return spark.read.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    # ORC embeds its schema like parquet
+    return spark.read.orc(path)

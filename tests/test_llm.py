@@ -223,3 +223,19 @@ def test_ivf_ann_recall_on_planted_cluster(spark):
     planted = {1000 + j for j in range(5)}
     # near-copies of the query share its nearest centroid; nprobe=2 must find them
     assert len(got & planted) >= 4
+
+
+def test_lang_id_on_real_sentences(spark):
+    from distributed_graph_database_system_spark.operators.textstats import lang_id
+
+    samples = [
+        (1, "the quick brown fox jumped over the lazy dog and it was fast", "en"),
+        (2, "der hund ist nicht mit der katze und das haus ist von zu hause", "de"),
+        (3, "le chat est dans la maison et il est une belle journee pour pas sortir", "fr"),
+        (4, "el perro es una mascota y los gatos en la casa por la noche con ellos", "es"),
+        (5, "zzz qqq xxx yyy www", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples], "id BIGINT, text STRING")
+    got = {r.id: r.lang for r in df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
+    for i, _, want in samples:
+        assert got[i] == want, (i, got[i], want)

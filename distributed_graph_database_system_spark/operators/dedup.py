@@ -27,10 +27,11 @@ from pyspark.sql.types import LongType
 _MERSENNE_31 = 2_147_483_647
 
 
-def tokens(col: Column) -> Column:
-    """Whitespace tokens of lowercased text; empty text → empty array."""
-    t = F.split(F.trim(F.lower(col)), r"\s+")
-    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(t)
+# Single shared tokenizer: dedup shingles and text-stats metrics must agree
+# on what a "token" is (NULL/empty → empty array).
+from distributed_graph_database_system_spark.operators.textstats import (  # noqa: E402
+    ws_tokens as tokens,
+)
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -166,7 +167,9 @@ def minhash_signature_udf(k: int = 32, seed: int = 42):
     a = np.array([c[0] for c in coeffs], dtype=np.uint64)[:, None]
     b = np.array([c[1] for c in coeffs], dtype=np.uint64)[:, None]
     p = np.uint64(_MERSENNE_31)
-    empty_sig = [int(x) for x in b[:, 0] % p]
+    # empty hash array → k NULLs, matching the JVM path (array_min over an
+    # empty array is NULL per permutation)
+    empty_sig = [None] * k
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(hashes: pd.Series) -> pd.Series:

@@ -107,11 +107,11 @@ class GraphStore:
         if not tokens:
             raise ValueError("empty graph file")
         n = int(tokens[0])
-        cells = [int(t) for t in tokens[1 : 1 + n * n]]
+        cells = [int(t) for t in tokens[1:]]
         if len(cells) != n * n:
             raise ValueError(
-                f"graph file declares {n} vertices but has {len(cells)} of "
-                f"{n * n} matrix cells"
+                f"graph file declares {n} vertices but has {len(cells)} "
+                f"matrix cells (expected exactly {n * n})"
             )
         return n, [cells[i * n : (i + 1) * n] for i in range(n)]
 
@@ -259,9 +259,16 @@ def pregel(
     no messages arrived). Stops when no ``val`` changed or ``max_iter``
     supersteps ran. Lineage is cut per superstep.
     """
+    reserved = {"vid", "val"} & set(edges.columns)
+    if reserved:
+        raise ValueError(
+            f"edge columns {sorted(reserved)} collide with pregel's vertex "
+            "attributes; rename them before calling pregel"
+        )
     v = vertices.select("vid", "val").localCheckpoint()
     # keep ALL edge columns: message expressions may read edge attributes
     e = edges.persist()
+    converged = False
     for _ in range(max_iter):
         msgs = (
             v.join(e, v["vid"] == e["src"])
@@ -279,8 +286,16 @@ def pregel(
         changed = new_v.join(v, ["vid", "val"], "left_anti").take(1)
         v = new_v
         if not changed:
+            converged = True
             break
     e.unpersist()
+    if not converged:
+        # a silently-unconverged fixed point is a WRONG answer for every
+        # current caller (components split, SSSP distances missing)
+        raise RuntimeError(
+            f"pregel did not converge within max_iter={max_iter} supersteps; "
+            "raise max_iter (bound: graph diameter)"
+        )
     return v
 
 
@@ -349,9 +364,13 @@ def sssp_weighted(
     helper is not limited to vertex-state propagation. Converges in ≤
     |V| - 1 supersteps (the pregel loop stops early when no distance
     changes). Returns ``(vid, distance)`` for reachable vertices only."""
+    spark = edges.sparkSession
     verts = (
         edges.select(F.col("src").alias("vid"))
         .union(edges.select(F.col("dst").alias("vid")))
+        # the start vertex is always present (distance 0) even when isolated,
+        # matching bfs()'s always-emit-start semantics
+        .union(spark.createDataFrame([(int(start),)], "vid BIGINT"))
         .distinct()
         .withColumn(
             "val",

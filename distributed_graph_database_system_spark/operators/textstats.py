@@ -27,8 +27,11 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def ws_tokens(col: Column) -> Column:
-    t = F.split(F.trim(F.lower(col)), r"\s+")
-    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(t)
+    """Whitespace tokens of lowercased text; NULL and empty/blank text both
+    yield an EMPTY array (so token counts are 0, not NULL or 1)."""
+    c = F.coalesce(col, F.lit(""))
+    t = F.split(F.trim(F.lower(c)), r"\s+")
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(t)
 
 
 def ws_token_count(col: Column) -> Column:
@@ -37,8 +40,11 @@ def ws_token_count(col: Column) -> Column:
 
 def bpe_ish_token_count(col: Column) -> Column:
     """Token count under the BPE-ish regex pretokenizer (regexp_extract_all
-    is JVM-side; the same RE2-compatible pattern runs in the DuckDB oracle)."""
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+    is JVM-side; the same RE2-compatible pattern runs in the DuckDB oracle).
+    NULL text counts as 0."""
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(BPE_ISH_PATTERN), 0)
+    ).cast("long")
 
 
 def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
@@ -74,9 +80,10 @@ def lang_id(col: Column, default: str = "und") -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of characters that are punctuation (0 for empty text)."""
-    n = F.length(col)
-    p = F.length(F.regexp_replace(col, r"[^.!?,;:'\"()\-]", ""))
+    """Fraction of characters that are punctuation (0 for NULL/empty text)."""
+    c = F.coalesce(col, F.lit(""))
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, r"[^.!?,;:'\"()\-]", ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n)
 
 
@@ -92,7 +99,9 @@ def mean_word_length(col: Column) -> Column:
     per-token lengths under whitespace tokenization, computed with two
     codegen'd expressions instead of an interpreted per-element aggregate."""
     toks = ws_tokens(col)
-    total = F.length(F.regexp_replace(F.lower(col), r"\s+", "")).cast("long")
+    total = F.length(
+        F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", "")
+    ).cast("long")
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         total.cast("double") / F.size(toks)
     )
@@ -117,8 +126,9 @@ def rolling_fingerprint(col: Column, gram: int = 8) -> Column:
     ``gram``-grams (a 1-permutation MinHash over char shingles — the rolling
     piece of a winnowing fingerprint). md5 is bit-identical across engines,
     so this is oracle-checkable. O(total characters) JVM work."""
-    n = F.length(col)
+    c = F.coalesce(col, F.lit(""))
+    n = F.length(c)
     positions = F.sequence(F.lit(1), F.greatest(n - (gram - 1), F.lit(1)))
     return F.array_min(
-        F.transform(positions, lambda i: F.md5(col.substr(i, F.lit(gram))))
+        F.transform(positions, lambda i: F.md5(c.substr(i, F.lit(gram))))
     )

@@ -160,6 +160,16 @@ def pandas_udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IO_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_io")
 
 
+def _io_path(sf_dir: str, name: str) -> str:
+    """Per-process, full-path-keyed sink dir: md5(sf_dir) disambiguates
+    same-basename roots; the pid isolates concurrent runs (driver harness
+    vs pytest) from overwrite/read races on a shared /tmp."""
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(_IO_ROOT, f"{key}-{os.getpid()}", name)
+
+
 @query(
     "source_csv_roundtrip",
     oracle="""
@@ -173,7 +183,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → csv sink → csv scan (explicit schema) → aggregate; matching
     the oracle run directly on the parquet proves the csv write/read path is
     lossless for the projected columns."""
-    path = os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_csv")
+    path = _io_path(sf_dir, "orders_csv")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -198,7 +208,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "json"),
 )
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "customer_json")
+    path = _io_path(sf_dir, "customer_json")
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
@@ -679,7 +689,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_graph_database_system_spark.queries.helpers import dsum
     from distributed_graph_database_system_spark.sources.io import read_orc, write_orc
 
-    path = os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "part_orc")
+    path = _io_path(sf_dir, "part_orc")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
     write_orc(p, path)
     return (

@@ -146,8 +146,8 @@ def sim_topk_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_counts",
     oracle=f"""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_tokens
+           CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(coalesce(text, ''), '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_tokens
     FROM documents
     """,
     tags=("llm", "text"),
@@ -166,15 +166,17 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH feat AS (
       SELECT doc_id,
-             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
-             CASE WHEN length(text) = 0 THEN 0.0
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tok,
+             CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
                   ELSE CAST(length(regexp_replace(text, '[^.!?,;:''"()\\-]', '', 'g')) AS DOUBLE)
                        / length(text) END AS punct_r,
-             CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'),
+             CASE WHEN CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'),
                        ['the','and','of','to','is','in','that','it','was','for'])) AS DOUBLE)
-                  / len(string_split_regex(trim(lower(text)), '\\s+')) AS stop_r,
-             CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS DOUBLE)
-                  / len(string_split_regex(trim(lower(text)), '\\s+')) AS mwl
+                  / len(string_split_regex(trim(lower(text)), '\\s+')) END AS stop_r,
+             CASE WHEN CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS DOUBLE)
+                  / len(string_split_regex(trim(lower(text)), '\\s+')) END AS mwl
       FROM documents
     )
     SELECT doc_id,
@@ -196,7 +198,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_langid",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents
     ), scores AS (
       SELECT doc_id,
         CAST(len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS BIGINT) AS s_de,
@@ -224,8 +229,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           list_min(list_transform(range(1, GREATEST(length(text) - 7, 1) + 1),
-                    i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp
+           list_min(list_transform(range(1, GREATEST(length(coalesce(text, '')) - 7, 1) + 1),
+                    i -> md5(substr(coalesce(text, ''), CAST(i AS INT), 8)))) AS fp
     FROM documents
     """,
     tags=("llm", "text", "fingerprint"),
@@ -240,7 +245,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang, COUNT(*) AS n_docs,
            CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
-           CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS total_tokens
+           CAST(SUM(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) AS BIGINT) AS total_tokens
     FROM documents GROUP BY source, lang
     """,
     tags=("llm", "text", "stats"),

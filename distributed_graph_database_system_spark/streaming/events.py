@@ -37,6 +37,12 @@ def replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, slices: int = 8) 
     import shutil
 
     src = os.path.join(out_dir, "events_stream_src")
+    if os.path.isdir(src):
+        # a previous replay with MORE slices would otherwise leave stale
+        # slice files that replay alongside the new ones (duplicated events)
+        import shutil as _shutil
+
+        _shutil.rmtree(src)
     os.makedirs(src, exist_ok=True)
     ev = load_table(spark, sf_dir, "events")
     sliced = ev.withColumn(

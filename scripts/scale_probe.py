@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Scale probes: run the heaviest custom operators on synthetic data 10-1000x
+the fixture sizes, measuring the scaling slope. Writes only under /tmp.
+
+Usage: python scripts/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from distributed_graph_database_system_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from distributed_graph_database_system_spark.operators.graph import (  # noqa: E402
+    bfs,
+    connected_components,
+)
+from distributed_graph_database_system_spark.session import get_spark  # noqa: E402
+
+VOCAB = [f"tok{i}" for i in range(5000)]
+
+
+def gen_docs(n: int, seed: int) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    return [(i, " ".join(rng.choices(VOCAB, k=80))) for i in range(n)]
+
+
+def main() -> int:
+    spark = get_spark(app_name="scale-probe")
+
+    for n in (5_000, 50_000):
+        docs = spark.createDataFrame(
+            gen_docs(n, 1), "doc_id BIGINT, text STRING"
+        ).repartition(32)
+        docs.write.mode("overwrite").parquet(f"/tmp/scale_docs_{n}")
+        d = spark.read.parquet(f"/tmp/scale_docs_{n}")
+        pairs = minhash_lsh_pairs(d, threshold=0.7)
+        pairs.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        pairs.write.format("noop").mode("overwrite").save()
+        print(f"minhash_lsh n={n}: {round(time.perf_counter() - t0, 2)}s")
+
+    # 1M-edge random digraph over 100k vertices, generated distributed
+    n_v, n_e = 100_000, 1_000_000
+    edges = (
+        spark.range(n_e)
+        .select(
+            (F.pmod(F.xxhash64("id"), F.lit(n_v)) + 1).alias("src"),
+            (F.pmod(F.xxhash64(F.col("id") + 7_777_777), F.lit(n_v)) + 1).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    edges.write.mode("overwrite").parquet("/tmp/scale_edges")
+    e = spark.read.parquet("/tmp/scale_edges")
+
+    t0 = time.perf_counter()
+    r = bfs(e, start=1)
+    n_reached, depth = r.count(), r.agg(F.max("level")).collect()[0][0]
+    print(
+        f"bfs 1M edges: {round(time.perf_counter() - t0, 2)}s, "
+        f"reached={n_reached}, depth={depth}"
+    )
+
+    t0 = time.perf_counter()
+    n_comp = connected_components(e).select("comp").distinct().count()
+    print(
+        f"cc 1M edges: {round(time.perf_counter() - t0, 2)}s, components={n_comp}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

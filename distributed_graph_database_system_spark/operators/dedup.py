@@ -16,6 +16,7 @@ the shape that survives 100 TB.
 from __future__ import annotations
 
 import random as _random
+import re as _re
 
 import pandas as pd
 
@@ -32,6 +33,21 @@ _MERSENNE_31 = 2_147_483_647
 from distributed_graph_database_system_spark.operators.textstats import (  # noqa: E402
     ws_tokens as tokens,
 )
+
+
+def ws_tokens_py(text: str | None) -> list[str]:
+    """Python replica of the JVM ``ws_tokens`` expression, used by the Arrow
+    UDF path so both tokenizations agree on EVERY input (not just ASCII):
+    coalesce(text,'') → trim (Spark's trim strips the 0x20 space character
+    only) → lower → split on Java ``\\s+`` (ASCII whitespace; Python's
+    default ``str.split`` uses *Unicode* whitespace and would diverge on
+    e.g. NBSP). ``re.ASCII`` makes Python's ``\\s`` the same
+    ``[ \\t\\n\\r\\f\\v]`` class Java uses. Agreement is asserted over a
+    hostile-string corpus in tests/test_llm.py."""
+    t = text or ""
+    if t.strip(" ") == "":
+        return []
+    return _re.split(r"\s+", t.strip(" ").lower(), flags=_re.ASCII)
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -120,7 +136,8 @@ def shingle_hash_udf(n: int = 3):
     ~20 ms/doc building shingle strings (interpreted slice+concat per
     position); this path is ~100× cheaper. Hash-space Jaccard equals
     string-shingle Jaccard up to crc32 collisions (~|shingles|²/2³² ≈ 1e-5
-    per doc pair — immaterial for dedup)."""
+    per doc pair — immaterial for dedup). Tokenization is ``ws_tokens_py``,
+    the exact replica of the JVM ``ws_tokens`` whitespace class."""
     import zlib
 
     import numpy as np
@@ -133,7 +150,7 @@ def shingle_hash_udf(n: int = 3):
     def sh(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            toks = (text or "").strip().lower().split()
+            toks = ws_tokens_py(text)
             if len(toks) < n:
                 whole = " ".join(toks)
                 out.append([int(zlib.crc32(whole.encode()) % int(P))])
@@ -252,11 +269,19 @@ def minhash_lsh_pairs(
     )
     left = buckets.select("band", "bucket", F.col("_id").alias("id_a"))
     right = buckets.select("band", "bucket", F.col("_id").alias("id_b"))
+    # cand is consumed by THREE downstream branches (cand_ids union twice,
+    # then the verify join) — persist it so the expensive bucket self-join
+    # and signature UDFs run once (exchange reuse across branches is not
+    # guaranteed); unlike the ruled-out nested-array caches (see above)
+    # this is O(pairs) of plain longs. The sh frame is deliberately NOT
+    # persisted: its nested array column hits the slow columnar cache path,
+    # and the two attach joins reuse its shuffle exchange in practice.
     cand = (
         left.join(right, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .persist()
     )
     # Shingle-hash arrays re-derived ONLY for docs that appear in a candidate
     # pair (semi-join first): the verify-side UDF touches a tiny fraction of

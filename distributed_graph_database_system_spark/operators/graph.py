@@ -77,7 +77,13 @@ class GraphStore:
         return self.spark.read.parquet(self.path(name))
 
     def exists(self, name: str) -> bool:
-        return os.path.isdir(self.path(name))
+        # Hadoop FileSystem API, not os.path: add/modify/load already accept
+        # any Hadoop-compatible URI (hdfs://, s3a://, file:), so the existence
+        # check must resolve through the same filesystem abstraction.
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path(name))
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
 
     # Reference input format: n + dense 0/1 adjacency matrix
     # (``client.c:77-94``). Matrix cell [i][j]==1 ⇔ directed edge i+1 → j+1
@@ -115,6 +121,10 @@ class GraphStore:
             )
         return n, [cells[i * n : (i + 1) * n] for i in range(n)]
 
+    # NOTE: the reference-file readers use builtin open() and therefore only
+    # accept LOCAL paths — matching the reference, whose graph files are tiny
+    # local artifacts written by the client (client.c:77-94). The parquet
+    # add/modify/load/exists paths above take any Hadoop-compatible URI.
     def add_reference_file(self, name: str, path: str) -> None:
         with open(path) as fh:
             n, matrix = self.parse_reference_file(fh.read())
@@ -137,17 +147,21 @@ def bfs(edges: DataFrame, start: int, max_iter: int = 10_000) -> DataFrame:
 
     Each iteration = frontier ⋈ edges (expansion) → anti-join visited (the
     reference's ``!visited`` check, ``secondaryServer.c:115``) → union into
-    visited. ``localCheckpoint`` both materializes the next frontier (so
-    ``take(1)`` is cheap) and cuts lineage so the plan doesn't grow with
-    depth. One shuffle per level on the join key — at cluster scale, edges
-    pre-partitioned by ``src`` keep every level co-located.
+    visited. Only the per-level FRONTIER is ``localCheckpoint``-ed (it both
+    materializes the level so ``take(1)`` is cheap and cuts lineage);
+    ``visited`` is a lazy union over the already-checkpointed levels, so
+    total materialization is O(|V|) across the whole run — re-checkpointing
+    the accumulated set every level would be O(|V| × depth), quadratic on
+    chain-like graphs. One shuffle per level on the join key — at cluster
+    scale, edges pre-partitioned by ``src`` keep every level co-located.
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst").persist()
-    visited = spark.createDataFrame(
+    first = spark.createDataFrame(
         [(int(start), 0)], "vid BIGINT, level INT"
     ).localCheckpoint()
-    frontier = visited.select("vid")
+    visited = first  # lazy union of checkpointed per-level frames
+    frontier = first.select("vid")
     level = 0
     while level < max_iter:
         level += 1
@@ -161,7 +175,12 @@ def bfs(edges: DataFrame, start: int, max_iter: int = 10_000) -> DataFrame:
         )
         if not nxt.take(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
+        # Compact every 64 levels: keeps the union plan bounded on very deep
+        # (chain-like) graphs while staying O(|V| × depth/64) total
+        # re-materialization instead of the quadratic every-level compaction.
+        if level % 64 == 0:
+            visited = visited.localCheckpoint()
         frontier = nxt.select("vid")
     e.unpersist()
     return visited.orderBy("level", "vid")
@@ -403,9 +422,12 @@ def pagerank(
 
     Per iteration: contributions rank/out_degree flow along out-edges (one
     shuffle on dst), dangling mass is redistributed uniformly, then
-    rank' = (1-d)/n + d·(contribs + dangling/n). Lineage is cut per
-    iteration; the edge list + out-degrees stay cached. Deterministic up to
-    float addition order within the contribution sum (~1e-16)."""
+    rank' = (1-d)/n + d·(contribs + dangling/n). The dangling mass is a
+    one-row aggregate broadcast-joined into the update — part of the same
+    dataflow, so each iteration is ONE job (the eager localCheckpoint), not
+    a job plus a driver-blocking collect. Lineage is cut per iteration; the
+    edge list + out-degrees stay cached. Deterministic up to float addition
+    order within the contribution sum (~1e-16)."""
     spark = edges.sparkSession
     e = edges.select("src", "dst")
     v = (
@@ -427,10 +449,8 @@ def pagerank(
     ranks = base.select("vid", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iterations):
         with_deg = ranks.join(base, "vid")
-        dangling = (
-            with_deg.where(F.col("out_degree") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        dangling = with_deg.where(F.col("out_degree") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
         contribs = (
             with_deg.join(e, with_deg["vid"] == e["src"])
@@ -444,12 +464,16 @@ def pagerank(
         ranks = (
             base.select("vid")
             .join(contribs, "vid", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "vid",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("_dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
@@ -460,19 +484,49 @@ def pagerank(
 
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Triangle count of an undirected graph given as canonical edges
-    (src < dst, deduplicated). Classic 3-way self-join: each triangle
-    i<j<k is counted exactly once via (i,j)⋈(j,k)⋈(i,k) — two shuffle
-    joins, no per-vertex state. At scale the standard refinement is
-    degree-ordered orientation to bound the join fan-out on high-degree
-    vertices."""
+    (src < dst, deduplicated), via DEGREE-ORDERED ORIENTATION: every edge is
+    re-directed from its lower-(degree, vid) endpoint to the higher one, so
+    each vertex's oriented out-degree is O(√m) even on power-law graphs —
+    the wedge join (u→v)⋈(u→w) can't blow up on hub vertices the way a
+    naive (i,j)⋈(j,k) self-join does. Each triangle is counted exactly once:
+    its minimum-(degree, vid) vertex owns the wedge, and the closing edge
+    between the two endpoints is oriented low→high, making the final join
+    an equi-join on the ordered pair. Three shuffles total (degree agg,
+    wedge join, closing-edge join), no per-vertex state."""
     e = edges.select("src", "dst")
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    return (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .agg(F.count("*").alias("n_triangles"))
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
     )
+    # Attach each endpoint's (degree, vid) orientation key, then direct the
+    # edge from the smaller key to the larger. Key comparison uses struct
+    # ordering, so ties on degree break deterministically by vid.
+    with_keys = (
+        e.join(deg.select(F.col("v").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("dd")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.struct(F.col("ds").alias("d"), F.col("src").alias("v")).alias("ks"),
+            F.struct(F.col("dd").alias("d"), F.col("dst").alias("v")).alias("kd"),
+        )
+    )
+    oriented = with_keys.select(
+        F.when(F.col("ks") < F.col("kd"), F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(F.col("ks") < F.col("kd"), F.col("dst")).otherwise(F.col("src")).alias("b"),
+        F.when(F.col("ks") < F.col("kd"), F.col("kd")).otherwise(F.col("ks")).alias("kb"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # Wedges at the minimum-key vertex; endpoints ordered by orientation key
+    # so the closing oriented edge is exactly (x, y).
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.kb") < F.col("e2.kb")),
+        )
+        .select(F.col("e1.b").alias("x"), F.col("e2.b").alias("y"))
+    )
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    return wedges.join(closing, ["x", "y"]).agg(F.count("*").alias("n_triangles"))

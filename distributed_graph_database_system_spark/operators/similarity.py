@@ -65,12 +65,20 @@ def cosine_topk(
     if exclude_ids:
         scored = scored.where(~F.col(id_col).isin(*exclude_ids))
     topk = scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
-    # rank assigned after the limit: a window over k rows, not the corpus
+    # rank assigned after the limit: a window over k rows, not the corpus.
+    # The constant-valued partition key makes the single-partition-ness
+    # explicit and silences Spark's "No Partition Defined" warning; it must
+    # be NON-foldable (id % 1, always 0) — a literal would be constant-folded
+    # out of the partitionSpec and the warning would return.
     from pyspark.sql import Window as W
 
     return topk.select(
         F.row_number()
-        .over(W.orderBy(F.desc("sim"), F.col(id_col)))
+        .over(
+            W.partitionBy(F.col(id_col) % F.lit(1)).orderBy(
+                F.desc("sim"), F.col(id_col)
+            )
+        )
         .cast("long")
         .alias("rank"),
         id_col,
@@ -162,7 +170,13 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    with_vec = embeddings.withColumn("_features", array_to_vector(_as_double(F.col(vec_col))))
+    # Fixed hash partitioning on the id column before fit(): with a fixed
+    # seed, KMeans' remaining run-to-run variance is float summation order,
+    # which follows the input partitioning — pinning it makes the quantizer
+    # reproducible across sessions regardless of the caller's parallelism.
+    with_vec = embeddings.repartition(8, id_col).withColumn(
+        "_features", array_to_vector(_as_double(F.col(vec_col)))
+    )
     km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id")
     model = km.fit(with_vec)
     indexed = model.transform(with_vec).drop("_features")

@@ -220,7 +220,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.dst, w.level + 1
       FROM walk w JOIN e ON e.src = w.vid
-      WHERE w.level < 20
+      WHERE w.level < 100
     )
     SELECT vid, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vid
     """,
@@ -230,7 +230,14 @@ def graph_bfs_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS on a cyclic fixture-derived graph (suppliers linked by shared
     parts), checked against a recursive-CTE oracle — the scale-path
     demonstration that the frontier-join loop agrees with SQL reachability
-    semantics on real data, not just hand-built goldens."""
+    semantics on real data, not just hand-built goldens.
+
+    ORACLE COUPLING: the CTE's ``w.level < 100`` bound is the cycle
+    terminator (UNION-distinct dedups (vid, level) pairs, but levels keep
+    growing around cycles without it). The Spark bfs is effectively
+    unbounded (max_iter=10000), so the bound must stay far above any
+    plausible eccentricity of the co-supply graph — its observed diameter
+    is ≤ 4 at every test SF; 100 is a 25× margin."""
     # Pre-distinct each side to (part, supplier) before the pair join: the
     # self-join fan-out is then |suppliers-per-part|², not
     # |lineitems-per-part|² — result-identical, strictly less work.

@@ -239,3 +239,36 @@ def test_lang_id_on_real_sentences(spark):
     got = {r.id: r.lang for r in df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
     for i, _, want in samples:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_ws_tokens_py_matches_jvm_on_hostile_whitespace(spark):
+    """ws_tokens_py (the Arrow-UDF tokenizer) must agree with the JVM
+    ws_tokens expression on every whitespace class — ASCII tab/newline/
+    vertical-tab, Unicode NBSP / ideographic space, leading/trailing mixes —
+    not just plain spaces (the round-2 advisory divergence)."""
+    from distributed_graph_database_system_spark.operators.dedup import ws_tokens_py
+    from distributed_graph_database_system_spark.operators.textstats import ws_tokens
+
+    hostile = [
+        None,
+        "",
+        " ",
+        "   ",
+        "\t",
+        "\ta b",
+        "a b\t",
+        "a b",            # NBSP: NOT whitespace to Java \s
+        " ",
+        "a　b",            # ideographic space
+        "a\tb\nc\rd\fe\x0bf",  # every ASCII \s char
+        "  Mixed CASE  text  ",
+        "line1\n\nline2",
+        "\r\n\t mixed \t\r\n",
+        "æøå ÆØÅ Über",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(hostile)], "i INT, text STRING")
+    from pyspark.sql import functions as F
+
+    jvm = {r.i: r.t for r in df.select("i", ws_tokens(F.col("text")).alias("t")).collect()}
+    for i, text in enumerate(hostile):
+        assert ws_tokens_py(text) == list(jvm[i]), f"divergence on {text!r}"

@@ -93,11 +93,16 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
     from distributed_graph_database_system_spark.queries.registry import all_queries
 
     con = duckdb_conn(sf_dir)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
     results: dict[str, list[str]] = {}
     for name, spec in sorted(all_queries().items()):
         if names and name not in names:
             continue
         if spec.oracle is None:
+            continue
+        if spec.oracle_sf and sf_tag != f"sf{spec.oracle_sf}":
+            # golden VALUES oracle pinned to one SF (the driver's sf0.01);
+            # at other SFs there is nothing valid to compare against
             continue
         try:
             spark_pdf = spec.fn(spark, sf_dir).toPandas()

@@ -1,0 +1,79 @@
+"""The driver records CORRECTNESS rows for the first 50 registry entries
+only, so the window ordering IS part of the driver contract: every SURVEY
+§2.2 operator row must be represented inside it, and the order must be
+exactly DRIVER_WINDOW (a silent reordering would evict families from the
+driver's view without failing anything else)."""
+
+from __future__ import annotations
+
+from distributed_graph_database_system_spark.queries.registry import (
+    DRIVER_WINDOW,
+    all_queries,
+)
+
+# SURVEY §2.2 row → window queries that evidence it. Maintained by hand;
+# the test only checks that every mapped query is really inside the window
+# (rows 20/24 — streaming watermarks and the graph write path — are
+# pytest-covered because driver queries must be read-only batch).
+ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
+    "scans_sources": ("source_roundtrips",),
+    "sinks": ("source_roundtrips",),
+    "projection": ("projection_compute",),
+    "filter": ("filter_predicates",),
+    "join_equi": ("q3_shipping_priority",),
+    "join_broadcast": ("q5_local_supplier_volume",),
+    "join_theta": ("join_theta",),
+    "join_range_asof": ("join_range_bucketed", "join_asof"),
+    "join_semi_anti": ("join_semi_anti",),
+    "aggregation": ("q1_pricing_summary", "agg_salted_skew", "agg_median"),
+    "grouping_sets": ("agg_grouping_multi",),
+    "window_functions": ("window_funcs", "window_range_frame"),
+    "sort_limit_topk": ("sort_topk",),
+    "set_operations": ("set_ops",),
+    "scalar_string": ("scalar_funcs",),
+    "scalar_datetime": ("scalar_funcs",),
+    "scalar_math": ("scalar_funcs",),
+    "scalar_array_hof": ("higher_order_funcs", "map_funcs"),
+    "scalar_json": ("json_struct_funcs",),
+    "streaming_windows": (
+        "stream_tumbling_counts",
+        "stream_sliding_sum",
+        "stream_session_window",
+    ),
+    "streaming_stateful_join": ("stream_dedup_keys", "join_view_purchase_window"),
+    "udf_pandas": ("pandas_udf_weighted_avg", "multimodal_decode_meta"),
+    "graph_bfs": ("graph_bfs_goldens", "graph_bfs_cosupply"),
+    "graph_dfs": ("graph_dfs_goldens",),
+    "graph_analytics": ("graph_cc_g4", "graph_pagerank_g2", "graph_triangles_cosupply"),
+    "llm_dedup": (
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_near",
+    ),
+    "llm_similarity": ("sim_topk_bruteforce", "sim_topk_ann_lsh", "sim_topk_ann_ivf"),
+    "llm_text_multimodal": ("text_analysis", "multimodal_decode_meta"),
+}
+
+
+def test_window_is_first_50_entries():
+    names = list(all_queries())
+    assert len(DRIVER_WINDOW) == 50
+    assert names[:50] == list(DRIVER_WINDOW)
+
+
+def test_window_covers_every_survey_row():
+    window = set(DRIVER_WINDOW)
+    missing = {
+        row: qs
+        for row, qs in ROW_EVIDENCE.items()
+        if not set(qs) <= window
+    }
+    assert not missing, f"rows whose evidence fell out of the window: {missing}"
+
+
+def test_window_queries_all_registered_and_runnable_signatures():
+    qs = all_queries()
+    for name in DRIVER_WINDOW:
+        assert name in qs
+        assert callable(qs[name].fn)

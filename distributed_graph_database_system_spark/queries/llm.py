@@ -40,6 +40,12 @@ from distributed_graph_database_system_spark.operators.textstats import (
     stopword_ratio,
     ws_token_count,
 )
+from distributed_graph_database_system_spark.queries.llm_goldens import (
+    DEDUP_MINHASH_LSH_GOLDEN,
+    DEDUP_SIMHASH_GOLDEN,
+    SIM_TOPK_ANN_IVF_GOLDEN,
+    SIM_TOPK_ANN_LSH_GOLDEN,
+)
 from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources.catalog import load_table
 
@@ -69,23 +75,71 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
-@query("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "lsh"))
+@query(
+    "dedup_minhash_lsh",
+    oracle=DEDUP_MINHASH_LSH_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "dedup", "lsh"),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash-LSH near-dup pairs (probabilistic → rows-only check;
-    recall/precision goldens live in tests/test_llm.py)."""
+    """Banded MinHash-LSH near-dup pairs. Deterministic under the fixed
+    seeds/banding (asserted across executor counts in tests/test_llm.py),
+    so the oracle is a generated VALUES golden pinned to the driver's
+    sf0.01 (scripts/gen_llm_goldens.py); planted-duplicate recall/precision
+    goldens live in tests/test_llm.py."""
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.7)
 
 
-@query("dedup_simhash", oracle=None, tags=("llm", "dedup", "simhash"))
+@query(
+    "dedup_simhash",
+    oracle=DEDUP_SIMHASH_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "dedup", "simhash"),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@query("dedup_embedding_near", oracle=None, tags=("llm", "dedup", "embedding"))
-def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.95
+@query(
+    "dedup_embedding_near",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), planted AS (
+      SELECT vec_id + 1000000 AS vec_id, list_transform(e, x -> x * 1.05) AS e
+      FROM base
+    ), corpus AS (
+      SELECT * FROM base UNION ALL SELECT * FROM planted
     )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+    """,
+    tags=("llm", "dedup", "embedding", "planted"),
+)
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup over the fixture UNION a deterministically planted
+    copy of every vector (id + 1e6, scaled by 1.05 in double precision).
+
+    Scaling is the one perturbation with provable LSH recall: sign(w·1.05v)
+    = sign(w·v) for every hyperplane, so each planted pair shares ALL its
+    original's buckets and MUST surface — making the DuckDB oracle the full
+    exact all-pairs cosine join, not a golden pinned to what LSH happened to
+    find. cos(v, 1.05v) = 1 ≥ 0.95 with ~1e-15 float slack, and the fixture's
+    max base pairwise cosine is ≈ 0.51 (DuckDB-verified), so no pair sits
+    near the threshold on either side. Replaces the round-2 vacuous version
+    whose honest-but-empty result (the fixture truly has no pairs ≥ 0.95)
+    proved nothing."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.05)).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    return embedding_near_dup_pairs(corpus, dim=64, threshold=0.95)
 
 
 # --- Similarity search -----------------------------------------------------
@@ -125,10 +179,17 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_ann_lsh", oracle=None, tags=("llm", "similarity", "ann"))
+@query(
+    "sim_topk_ann_lsh",
+    oracle=SIM_TOPK_ANN_LSH_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "similarity", "ann"),
+)
 def sim_topk_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed ANN top-10 (approximate → rows-only; recall vs brute
-    force asserted in tests/test_llm.py)."""
+    """SRP-LSH bucketed ANN top-10. Approximate vs brute force (recall
+    asserted in tests/test_llm.py) but DETERMINISTIC under the fixed-seed
+    hyperplanes, so the oracle is a generated sf0.01-pinned VALUES golden
+    (scripts/gen_llm_goldens.py)."""
     qv = _query_vec(spark, sf_dir)
     # nbits sizes bucket granularity to the corpus: ~2^5 buckets over 500
     # vectors ≈ 16/bucket; at 100 TB you'd raise nbits with corpus size so
@@ -284,10 +345,18 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_ann_ivf", oracle=None, tags=("llm", "similarity", "ann", "ivf"))
+@query(
+    "sim_topk_ann_ivf",
+    oracle=SIM_TOPK_ANN_IVF_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "similarity", "ann", "ivf"),
+)
 def sim_topk_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-10 (k-means coarse quantizer, nprobe=3). Approximate
-    → rows-only; recall vs brute force asserted in tests/test_llm.py."""
+    vs brute force (recall asserted in tests/test_llm.py) but deterministic:
+    fixed KMeans seed + pinned input partitioning (ivf_index repartitions on
+    the id column before fit), verified identical across executor counts —
+    oracle is a generated sf0.01-pinned VALUES golden."""
     from distributed_graph_database_system_spark.operators.similarity import (
         ivf_ann_topk,
         ivf_index,

@@ -272,3 +272,21 @@ def test_ws_tokens_py_matches_jvm_on_hostile_whitespace(spark):
     jvm = {r.i: r.t for r in df.select("i", ws_tokens(F.col("text")).alias("t")).collect()}
     for i, text in enumerate(hostile):
         assert ws_tokens_py(text) == list(jvm[i]), f"divergence on {text!r}"
+
+
+def test_pinned_golden_queries_match_at_sf001(spark):
+    """The four sf0.01-pinned VALUES oracles (generated by
+    scripts/gen_llm_goldens.py) must match a live run at sf0.01 — this is
+    the same compare the driver does, run at the SF the goldens were pinned
+    to (the regular parity sweep at sf0.001 skips pinned oracles). Catches
+    both operator drift and golden staleness."""
+    from tests.parity import run_parity
+
+    results = run_parity(
+        spark,
+        "/root/testdata/sf0.01",
+        ["dedup_minhash_lsh", "dedup_simhash", "sim_topk_ann_lsh", "sim_topk_ann_ivf"],
+    )
+    assert len(results) == 4
+    failures = {n: p for n, p in results.items() if p}
+    assert not failures, f"pinned golden drift: {failures}"

@@ -318,35 +318,119 @@ def pregel(
     return v
 
 
-def connected_components(
-    edges: DataFrame, vertices: DataFrame | None = None, max_iter: int = 50
-) -> DataFrame:
-    """Hash-min label propagation: every vertex converges to the minimum vid
-    of its (weakly) connected component. Returns ``(vid, comp)``.
-
-    Edges are symmetrized, so directed inputs yield *weak* components. Round
-    count is O(diameter); at scale, the large-star/small-star variant would
-    cut that to O(log n) rounds — diameter-bounded hash-min is the simple,
-    shuffle-per-round baseline.
-    """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14): for every node u, attach all strictly-larger
+    neighbors to ``m = min(Γ(u) ∪ {u})``. Emits ``(v, m)`` for v ∈ Γ(u),
+    v > u, over the symmetrized edge set."""
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
     )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step: orient each edge high→low, then attach every
+    smaller-or-equal neighbor (and u itself) of each node u to
+    ``m = min(Γ(u) ∪ {u})``; self-loops ``(m, m)`` are dropped."""
+    orient = e.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).distinct()
+    # every dst < src here, so min(Γ⁺(u)) is just min(dst)
+    mins = orient.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = orient.join(mins, "src")
+    return (
+        joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(mins.select("src", F.col("m").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 50,
+    algorithm: str = "star",
+) -> DataFrame:
+    """Weakly connected components: every vertex labeled with the minimum
+    vid of its component. Returns ``(vid, comp)``.
+
+    ``algorithm="star"`` (default) is alternating large-star/small-star
+    (Kiveris et al., SoCC'14): converges in O(log n) rounds independent of
+    graph diameter — the variant that survives 100 TB path-shaped or
+    high-diameter graphs, where hash-min's O(diameter) rounds (each a full
+    shuffle) are the bottleneck. ``algorithm="hashmin"`` keeps the simple
+    pregel label-propagation baseline; both produce identical labels
+    (asserted against each other and a driver-side oracle in
+    tests/test_graph.py).
+    """
     v = (
         vertices.select(F.col("vid"))
         if vertices is not None
-        else sym.select(F.col("src").alias("vid")).distinct()
+        else edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
     )
-    init = v.withColumn("val", F.col("vid"))
-    out = pregel(
-        init,
-        sym,
-        msg=F.col("val"),
-        agg=F.min,
-        update=lambda old, m: F.least(old, F.coalesce(m, old)),
-        max_iter=max_iter,
+    if algorithm == "hashmin":
+        sym = edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        init = v.withColumn("val", F.col("vid"))
+        out = pregel(
+            init,
+            sym,
+            msg=F.col("val"),
+            agg=F.min,
+            update=lambda old, m: F.least(old, F.coalesce(m, old)),
+            max_iter=max_iter,
+        )
+        return out.select("vid", F.col("val").alias("comp"))
+    if algorithm != "star":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
     )
-    return out.select("vid", F.col("val").alias("comp"))
+    n_prev = e.count()
+    converged = n_prev == 0
+    for _ in range(max_iter):
+        # localCheckpoint per round: constant-size plan regardless of round
+        # count (same rationale as bfs/pregel)
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        n_new = new_e.count()
+        # both sets are distinct: equal count + empty (new ∖ old) ⟺ equal
+        if n_new == n_prev and not new_e.join(
+            e, ["src", "dst"], "left_anti"
+        ).take(1):
+            converged = True
+            e = new_e
+            break
+        e, n_prev = new_e, n_new
+    if not converged:
+        raise RuntimeError(
+            f"star CC did not converge within max_iter={max_iter} rounds; "
+            "bound is O(log n) — raise max_iter"
+        )
+    # fixed point is a star forest: src → component-min. Roots and isolated
+    # vertices label themselves.
+    labels = e.select(F.col("src").alias("vid"), F.col("dst").alias("comp"))
+    return v.join(labels, "vid", "left").select(
+        "vid", F.coalesce("comp", F.col("vid")).alias("comp")
+    )
 
 
 def degrees(edges: DataFrame) -> DataFrame:

@@ -19,7 +19,7 @@ Scale notes (100 TB design stance), applied throughout:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from distributed_graph_database_system_spark.queries.helpers import davg, dec, dsum
@@ -545,13 +545,53 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "percentile"),
 )
 def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation in both engines; l_quantity is
-    integral-valued so interpolation yields exact halves). The at-scale
-    variant is percentile_approx — tested separately, no cross-engine oracle."""
+    """Exact percentiles via sort-based windows instead of ``percentile()``.
+
+    ``percentile()`` buffers every group's values in one aggregation buffer —
+    unbounded per-group memory, the plan that dies first at 100 TB. This
+    shape is one shuffle on the group key + a spillable sort: row_number +
+    count locate the two bracketing order statistics per quantile, a hash
+    agg picks them out, and the final projection applies the SAME
+    interpolation arithmetic Spark's percentile() and DuckDB's
+    quantile_cont use (``lower + (pos - floor(pos)) * (higher - lower)``
+    with ``pos = (n-1)*q`` in double), so results stay bit-identical to the
+    oracle. percentile_approx remains the sketch variant (tested
+    separately, no cross-engine oracle)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+    w_sort = W.partitionBy("l_returnflag").orderBy("v")
+    w_all = W.partitionBy("l_returnflag")
+    d = li.select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("v")
+    ).select(
+        "l_returnflag",
+        "v",
+        (F.row_number().over(w_sort) - 1).alias("rn0"),
+        F.count("*").over(w_all).alias("n"),
+    )
+
+    def _bracket(q: float, part: str) -> Column:
+        pos = (F.col("n") - 1) * F.lit(q)
+        idx = F.floor(pos) if part == "lo" else F.ceil(pos)
+        return F.max(F.when(F.col("rn0") == idx, F.col("v")))
+
+    def _interp(q: float, lo: str, hi: str) -> Column:
+        pos = (F.col("n") - 1) * F.lit(q)
+        return F.col(lo) + (pos - F.floor(pos)) * (F.col(hi) - F.col(lo))
+
+    return (
+        d.groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            _bracket(0.5, "lo").alias("lo50"),
+            _bracket(0.5, "hi").alias("hi50"),
+            _bracket(0.9, "lo").alias("lo90"),
+            _bracket(0.9, "hi").alias("hi90"),
+        )
+        .select(
+            "l_returnflag",
+            _interp(0.5, "lo50", "hi50").alias("median_qty"),
+            _interp(0.9, "lo90", "hi90").alias("p90_qty"),
+        )
     )
 
 

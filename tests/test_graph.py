@@ -213,6 +213,25 @@ def test_components_match_union_find(spark, seed):
     assert got == want
 
 
+def test_star_and_hashmin_components_agree(spark):
+    """The O(log n)-round star algorithm and the O(diameter) hash-min
+    baseline must label identically — including on a path graph (worst case
+    for hash-min, the case star CC exists for) and with isolated vertices."""
+    path = [(i, i + 1) for i in range(1, 12)]  # diameter 11
+    rows = path + [(20, 21), (21, 20)]
+    verts = spark.createDataFrame([(v,) for v in range(1, 25)], "vid BIGINT")
+    e = edges_df(spark, rows)
+    star = {
+        (r.vid, r.comp)
+        for r in connected_components(e, vertices=verts, algorithm="star").collect()
+    }
+    hashmin = {
+        (r.vid, r.comp)
+        for r in connected_components(e, vertices=verts, algorithm="hashmin").collect()
+    }
+    assert star == hashmin == set(py_components(range(1, 25), rows).items())
+
+
 def test_pagerank_matches_sequential_reference(spark):
     from distributed_graph_database_system_spark.operators.graph import pagerank
 

@@ -101,6 +101,63 @@ def main() -> int:
         f"cc[star] {n_p}-vertex path (diameter {n_p}): "
         f"{round(time.perf_counter() - t0, 2)}s, components={n_comp}"
     )
+
+    # ANN at 200x the fixture corpus: 100k 64-dim vectors (deterministic
+    # per-id seeds, generated distributed). Brute force scans and scores all
+    # n vectors per query; SRP-LSH scores only the probed buckets — the
+    # ratio is the 100 TB story (index build is a one-time, amortized cost).
+    import pandas as pd
+
+    from distributed_graph_database_system_spark.operators.similarity import (
+        cosine_topk,
+        srp_ann_topk,
+        srp_index,
+    )
+
+    n_vec, dim, nbits, n_clusters = 100_000, 64, 10, 256
+
+    # clustered corpus (centroid + 0.1σ noise → intra-cluster cosine ≈ 0.99)
+    # — the near-duplicate-retrieval regime ANN serves in a training
+    # pipeline. Isotropic gaussians would be the wrong probe: with no
+    # cluster structure every neighbor sits near 60°, where any LSH prunes
+    # away true neighbors by design (measured recall 0.2 there).
+    @F.pandas_udf("array<double>")
+    def gen_vec(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def mk(i: int) -> list[float]:
+            c = np.random.default_rng(int(i) % n_clusters).standard_normal(dim)
+            noise = np.random.default_rng(10**9 + int(i)).standard_normal(dim)
+            return (c + 0.1 * noise).tolist()
+
+        return ids.map(mk)
+
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"), gen_vec("id").alias("embedding")
+    )
+    vecs.write.mode("overwrite").parquet("/tmp/scale_vecs")
+    v = spark.read.parquet("/tmp/scale_vecs")
+    qv = [float(x) for x in v.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    t0 = time.perf_counter()
+    bf = cosine_topk(v, qv, k=10).collect()
+    t_bf = time.perf_counter() - t0
+
+    # materialize the index once (at cluster scale: a bucketed table)
+    srp_index(v, dim=dim, nbits=nbits).write.mode("overwrite").parquet(
+        "/tmp/scale_vecs_idx"
+    )
+    idx = spark.read.parquet("/tmp/scale_vecs_idx")
+    for probes in (1, 2):
+        t0 = time.perf_counter()
+        ann = srp_ann_topk(idx, qv, k=10, nbits=nbits, probes=probes).collect()
+        t_ann = time.perf_counter() - t0
+        recall = len({r.vec_id for r in ann} & {r.vec_id for r in bf}) / 10
+        print(
+            f"ann {n_vec} vecs dim={dim}: brute={round(t_bf, 2)}s, "
+            f"srp-lsh(nbits={nbits},probes={probes})={round(t_ann, 2)}s, "
+            f"recall@10={recall}"
+        )
     return 0
 
 

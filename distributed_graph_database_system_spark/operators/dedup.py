@@ -270,18 +270,22 @@ def minhash_lsh_pairs(
     left = buckets.select("band", "bucket", F.col("_id").alias("id_a"))
     right = buckets.select("band", "bucket", F.col("_id").alias("id_b"))
     # cand is consumed by THREE downstream branches (cand_ids union twice,
-    # then the verify join) — persist it so the expensive bucket self-join
-    # and signature UDFs run once (exchange reuse across branches is not
-    # guaranteed); unlike the ruled-out nested-array caches (see above)
-    # this is O(pairs) of plain longs. The sh frame is deliberately NOT
-    # persisted: its nested array column hits the slow columnar cache path,
-    # and the two attach joins reuse its shuffle exchange in practice.
+    # then the verify join) — materialize it once so the expensive bucket
+    # self-join and signature UDFs run once (exchange reuse across branches
+    # is not guaranteed); unlike the ruled-out nested-array caches (see
+    # above) this is O(pairs) of plain longs. localCheckpoint, NOT persist:
+    # DataFrame.persist registers a CacheManager entry that outlives the
+    # returned frame (one leaked cache entry per call, session-lifetime),
+    # while localCheckpoint blocks are reclaimed by the ContextCleaner when
+    # the frame is dropped. The sh frame is deliberately NOT materialized:
+    # its nested array column hits the slow columnar cache path, and the
+    # two attach joins reuse its shuffle exchange in practice.
     cand = (
         left.join(right, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .persist()
+        .localCheckpoint()
     )
     # Shingle-hash arrays re-derived ONLY for docs that appear in a candidate
     # pair (semi-join first): the verify-side UDF touches a tiny fraction of
@@ -322,7 +326,10 @@ def simhash64(texts: pd.Series) -> pd.Series:
 
     out = np.zeros(len(texts), dtype=np.int64)
     for i, text in enumerate(texts):
-        toks = (text or "").lower().split()
+        # ws_tokens_py (trim/lower/ASCII \s+), NOT str.split(): both dedup
+        # families must tokenize identically or a NBSP-differing doc pair
+        # would be a SimHash-dup but not a MinHash-dup.
+        toks = ws_tokens_py(text)
         if not toks:
             continue
         hs = np.fromiter(

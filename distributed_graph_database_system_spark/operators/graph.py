@@ -80,10 +80,13 @@ class GraphStore:
         # Hadoop FileSystem API, not os.path: add/modify/load already accept
         # any Hadoop-compatible URI (hdfs://, s3a://, file:), so the existence
         # check must resolve through the same filesystem abstraction.
+        # isDirectory, not exists: a graph is a parquet DIRECTORY; a stray
+        # regular file at the path must read as absent (the pre-Hadoop-API
+        # os.path.isdir check had the same semantics).
         jvm = self.spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(self.path(name))
         fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hpath))
+        return bool(fs.isDirectory(hpath))
 
     # Reference input format: n + dense 0/1 adjacency matrix
     # (``client.c:77-94``). Matrix cell [i][j]==1 ⇔ directed edge i+1 → j+1
@@ -597,11 +600,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.struct(F.col("dd").alias("d"), F.col("dst").alias("v")).alias("kd"),
         )
     )
+    # Materialized once: oriented feeds three consumers (both wedge sides
+    # and the closing-edge join); without this, the degree agg + both
+    # degree-attach joins re-execute per branch. localCheckpoint over
+    # persist for the same CacheManager-leak reason as minhash's candidate
+    # pairs (operators/dedup.py).
     oriented = with_keys.select(
         F.when(F.col("ks") < F.col("kd"), F.col("src")).otherwise(F.col("dst")).alias("a"),
         F.when(F.col("ks") < F.col("kd"), F.col("dst")).otherwise(F.col("src")).alias("b"),
         F.when(F.col("ks") < F.col("kd"), F.col("kd")).otherwise(F.col("ks")).alias("kb"),
-    )
+    ).localCheckpoint()
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     # Wedges at the minimum-key vertex; endpoints ordered by orientation key
     # so the closing oriented edge is exactly (x, y).

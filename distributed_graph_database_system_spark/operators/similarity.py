@@ -170,11 +170,17 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # Fixed hash partitioning on the id column before fit(): with a fixed
-    # seed, KMeans' remaining run-to-run variance is float summation order,
-    # which follows the input partitioning — pinning it makes the quantizer
-    # reproducible across sessions regardless of the caller's parallelism.
-    with_vec = embeddings.repartition(8, id_col).withColumn(
+    # Fixed hash partitioning AND an intra-partition sort on the unique id
+    # before fit(): with a fixed seed, KMeans' remaining run-to-run variance
+    # is row order (k-means|| init sampling + float summation follow it).
+    # repartition alone pins which partition a row lands in but NOT the
+    # order within it (shuffle reducers fetch map outputs in arrival
+    # order), so the sort is what actually makes the quantizer reproducible
+    # across sessions and caller parallelism — the property the pinned
+    # sim_topk_ann_ivf driver golden depends on.
+    with_vec = embeddings.repartition(8, id_col).sortWithinPartitions(
+        id_col
+    ).withColumn(
         "_features", array_to_vector(_as_double(F.col(vec_col)))
     )
     km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id")

@@ -82,10 +82,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash-LSH near-dup pairs. Deterministic under the fixed
-    seeds/banding (asserted across executor counts in tests/test_llm.py),
-    so the oracle is a generated VALUES golden pinned to the driver's
-    sf0.01 (scripts/gen_llm_goldens.py); planted-duplicate recall/precision
+    """Banded MinHash-LSH near-dup pairs. Deterministic per-row hashing
+    under fixed seeds/banding (partition-invariance asserted by
+    test_pinned_operators_partition_invariant), so the oracle is a
+    generated VALUES golden pinned to the driver's sf0.01
+    (scripts/gen_llm_goldens.py); planted-duplicate recall/precision
     goldens live in tests/test_llm.py."""
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.7)
 
@@ -187,9 +188,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_topk_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN top-10. Approximate vs brute force (recall
-    asserted in tests/test_llm.py) but DETERMINISTIC under the fixed-seed
-    hyperplanes, so the oracle is a generated sf0.01-pinned VALUES golden
-    (scripts/gen_llm_goldens.py)."""
+    asserted in tests/test_llm.py) but deterministic: bucket assignment is
+    a per-row expression of fixed-seed hyperplanes (partition-invariance
+    asserted by test_pinned_operators_partition_invariant), so the oracle
+    is a generated sf0.01-pinned VALUES golden (scripts/gen_llm_goldens.py)."""
     qv = _query_vec(spark, sf_dir)
     # nbits sizes bucket granularity to the corpus: ~2^5 buckets over 500
     # vectors ≈ 16/bucket; at 100 TB you'd raise nbits with corpus size so
@@ -354,9 +356,11 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_topk_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-10 (k-means coarse quantizer, nprobe=3). Approximate
     vs brute force (recall asserted in tests/test_llm.py) but deterministic:
-    fixed KMeans seed + pinned input partitioning (ivf_index repartitions on
-    the id column before fit), verified identical across executor counts —
-    oracle is a generated sf0.01-pinned VALUES golden."""
+    fixed KMeans seed + pinned input ORDER (ivf_index repartitions on the id
+    column AND sorts within partitions before fit — repartition alone pins
+    placement, not order). Partition-invariance asserted by
+    test_pinned_operators_partition_invariant; oracle is a generated
+    sf0.01-pinned VALUES golden."""
     from distributed_graph_database_system_spark.operators.similarity import (
         ivf_ann_topk,
         ivf_index,

@@ -560,9 +560,15 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     w_sort = W.partitionBy("l_returnflag").orderBy("v")
     w_all = W.partitionBy("l_returnflag")
+    # NULLs excluded up front: percentile()/quantile_cont ignore them, but a
+    # window sort ranks them first and count(*) would include them, shifting
+    # the bracketing indices. (A group whose values are ALL NULL drops out
+    # here, where percentile() would keep it with a NULL result — no such
+    # groups exist in lineitem; generic callers needing them back would
+    # left-join from the distinct group keys.)
     d = li.select(
         "l_returnflag", F.col("l_quantity").cast("double").alias("v")
-    ).select(
+    ).where(F.col("v").isNotNull()).select(
         "l_returnflag",
         "v",
         (F.row_number().over(w_sort) - 1).alias("rn0"),

@@ -274,6 +274,55 @@ def test_ws_tokens_py_matches_jvm_on_hostile_whitespace(spark):
         assert ws_tokens_py(text) == list(jvm[i]), f"divergence on {text!r}"
 
 
+def test_pinned_operators_partition_invariant(spark):
+    """The load-bearing property behind the four pinned VALUES goldens:
+    each operator returns IDENTICAL rows regardless of input partitioning
+    and intra-partition row order. Runs every operator on the sf0.001
+    fixture under two adversarial layouts (3 vs 17 partitions, shuffled
+    row order via repartition's round-robin on a random key) and compares
+    exact row sets."""
+    from distributed_graph_database_system_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_index,
+    )
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    qv = [
+        float(x)
+        for x in embs.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+
+    def layouts(df):
+        return (
+            df.repartition(3, F.col(df.columns[0])),
+            df.repartition(17, F.rand(seed=99)),
+        )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for name, run in {
+        "minhash": lambda d: minhash_lsh_pairs(d, threshold=0.7),
+        "simhash": lambda d: simhash_near_pairs(d, max_hamming=3),
+    }.items():
+        a, b = (rows(run(lay)) for lay in layouts(docs))
+        assert a == b, f"{name} varies with input partitioning"
+
+    for name, run in {
+        "srp_ann": lambda e: srp_ann_topk(
+            srp_index(e, dim=64, nbits=5), qv, k=10, nbits=5
+        ),
+        "ivf_ann": lambda e: ivf_ann_topk(
+            *ivf_index(e, n_lists=4), qv, k=10, nprobe=2
+        ),
+    }.items():
+        a, b = (rows(run(lay)) for lay in layouts(embs))
+        assert a == b, f"{name} varies with input partitioning"
+
+
 def test_pinned_golden_queries_match_at_sf001(spark):
     """The four sf0.01-pinned VALUES oracles (generated by
     scripts/gen_llm_goldens.py) must match a live run at sf0.01 — this is

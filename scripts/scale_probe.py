@@ -102,6 +102,42 @@ def main() -> int:
         f"{round(time.perf_counter() - t0, 2)}s, components={n_comp}"
     )
 
+    # Skewed-graph triangle count: hub-star + spoke ring, 100k spokes.
+    # Naive (i,j)⋈(j,k) wedge-joins on the hub key: ~10^10 wedge rows from
+    # the degree-100k hub alone. Degree-ordered orientation points every
+    # edge low→high (deg, vid), so the hub (max degree) has out-degree 0
+    # and each spoke at most 2 — wedge fan-out stays O(1)/vertex.
+    from distributed_graph_database_system_spark.operators.graph import (
+        triangle_count,
+    )
+
+    n_s = 100_000
+    hub = spark.range(1, n_s + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    ring = spark.range(1, n_s + 1).select(
+        F.col("id").alias("src"),
+        F.when(F.col("id") == n_s, F.lit(1)).otherwise(F.col("id") + 1).alias("dst"),
+    )
+    # canonical form (src < dst, dedup) as triangle_count expects
+    tri_edges = (
+        hub.union(ring)
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+        .repartition(32)
+    )
+    tri_edges.write.mode("overwrite").parquet("/tmp/scale_tri_edges")
+    te = spark.read.parquet("/tmp/scale_tri_edges")
+    t0 = time.perf_counter()
+    n_tri = triangle_count(te).first()["n_triangles"]
+    print(
+        f"triangles hub({n_s})+ring skew graph: "
+        f"{round(time.perf_counter() - t0, 2)}s, triangles={n_tri} "
+        f"(expect {n_s})"
+    )
+
     # ANN at 200x the fixture corpus: 100k 64-dim vectors (deterministic
     # per-id seeds, generated distributed). Brute force scans and scores all
     # n vectors per query; SRP-LSH scores only the probed buckets — the

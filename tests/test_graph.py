@@ -141,6 +141,11 @@ def test_graphstore_add_modify(spark, tmp_path):
     got = {(r.src, r.dst) for r in store.load("g1").collect()}
     assert got == set(G3)
 
+    assert not store.exists("nope")
+    # a stray regular file at the path is NOT a graph (parquet directory)
+    (tmp_path / "stray").write_text("not a graph")
+    assert not store.exists("stray")
+
 
 def test_graphstore_matrix_roundtrip(spark, tmp_path):
     # Reference input format: n + dense 0/1 matrix (client.c:77-94).

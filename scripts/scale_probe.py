@@ -157,8 +157,10 @@ def main() -> int:
     # pipeline. Isotropic gaussians would be the wrong probe: with no
     # cluster structure every neighbor sits near 60°, where any LSH prunes
     # away true neighbors by design (measured recall 0.2 there).
-    @F.pandas_udf("array<double>")
-    def gen_vec(ids: pd.Series) -> pd.Series:
+    # mapInPandas (explicit schema), not @pandas_udf: this module's
+    # `from __future__ import annotations` stringifies type hints, which
+    # pandas_udf's hint inference rejects.
+    def gen_vecs(batches):
         import numpy as np
 
         def mk(i: int) -> list[float]:
@@ -166,10 +168,13 @@ def main() -> int:
             noise = np.random.default_rng(10**9 + int(i)).standard_normal(dim)
             return (c + 0.1 * noise).tolist()
 
-        return ids.map(mk)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"vec_id": pdf["id"], "embedding": [mk(i) for i in pdf["id"]]}
+            )
 
-    vecs = spark.range(n_vec).select(
-        F.col("id").alias("vec_id"), gen_vec("id").alias("embedding")
+    vecs = spark.range(n_vec).mapInPandas(
+        gen_vecs, "vec_id long, embedding array<double>"
     )
     vecs.write.mode("overwrite").parquet("/tmp/scale_vecs")
     v = spark.read.parquet("/tmp/scale_vecs")

@@ -38,16 +38,17 @@ from distributed_graph_database_system_spark.operators.textstats import (  # noq
 def ws_tokens_py(text: str | None) -> list[str]:
     """Python replica of the JVM ``ws_tokens`` expression, used by the Arrow
     UDF path so both tokenizations agree on EVERY input (not just ASCII):
-    coalesce(text,'') → trim (Spark's trim strips the 0x20 space character
-    only) → lower → split on Java ``\\s+`` (ASCII whitespace; Python's
-    default ``str.split`` uses *Unicode* whitespace and would diverge on
-    e.g. NBSP). ``re.ASCII`` makes Python's ``\\s`` the same
-    ``[ \\t\\n\\r\\f\\v]`` class Java uses. Agreement is asserted over a
-    hostile-string corpus in tests/test_llm.py."""
-    t = text or ""
-    if t.strip(" ") == "":
+    coalesce(text,'') → lower → strip ASCII-whitespace edges
+    (``^\\s+|\\s+$``, matching the JVM regexp_replace — NOT str.strip(),
+    whose default class is *Unicode* whitespace) → split on ``\\s+``.
+    ``re.ASCII`` makes Python's ``\\s`` the same ``[ \\t\\n\\r\\f\\v]``
+    class Java uses; default ``str.split`` would diverge on e.g. NBSP.
+    Agreement is asserted over a hostile-string corpus in
+    tests/test_llm.py."""
+    t = _re.sub(r"^\s+|\s+$", "", (text or "").lower(), flags=_re.ASCII)
+    if t == "":
         return []
-    return _re.split(r"\s+", t.strip(" ").lower(), flags=_re.ASCII)
+    return _re.split(r"\s+", t, flags=_re.ASCII)
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -367,6 +368,15 @@ def simhash_near_pairs(
     pigeonhole guarantee hold for ``max_hamming`` (chunks > max_hamming);
     passing an explicit ``chunks`` that can't guarantee recall raises."""
     if chunks is None:
+        if max_hamming >= 32:
+            # no power-of-two banding of a 64-bit signature can pigeonhole-
+            # guarantee recall past Hamming 31 (64 one-bit chunks would,
+            # but then every signature collides on its zero chunks)
+            raise ValueError(
+                f"max_hamming={max_hamming} exceeds the recall guarantee of "
+                "any default banding (max 31); pass explicit chunks or "
+                "lower max_hamming"
+            )
         chunks = next(c for c in (2, 4, 8, 16, 32) if c > max_hamming)
     if chunks - 1 < max_hamming:
         raise ValueError(

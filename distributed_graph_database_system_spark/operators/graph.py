@@ -160,32 +160,47 @@ def bfs(edges: DataFrame, start: int, max_iter: int = 10_000) -> DataFrame:
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst").persist()
-    first = spark.createDataFrame(
-        [(int(start), 0)], "vid BIGINT, level INT"
-    ).localCheckpoint()
-    visited = first  # lazy union of checkpointed per-level frames
-    frontier = first.select("vid")
-    level = 0
-    while level < max_iter:
-        level += 1
-        nxt = (
-            frontier.join(e, frontier["vid"] == e["src"])
-            .select(e["dst"].alias("vid"))
-            .distinct()
-            .join(visited.select("vid"), "vid", "left_anti")
-            .withColumn("level", F.lit(level))
-            .localCheckpoint()
+    exhausted = True
+    try:
+        first = spark.createDataFrame(
+            [(int(start), 0)], "vid BIGINT, level INT"
+        ).localCheckpoint()
+        visited = first  # lazy union of checkpointed per-level frames
+        frontier = first.select("vid")
+        level = 0
+        while level < max_iter:
+            level += 1
+            nxt = (
+                frontier.join(e, frontier["vid"] == e["src"])
+                .select(e["dst"].alias("vid"))
+                .distinct()
+                .join(visited.select("vid"), "vid", "left_anti")
+                .withColumn("level", F.lit(level))
+                .localCheckpoint()
+            )
+            if not nxt.take(1):
+                exhausted = False
+                break
+            visited = visited.unionByName(nxt)
+            # Compact every 64 levels: keeps the union plan bounded on very
+            # deep (chain-like) graphs while staying O(|V| × depth/64) total
+            # re-materialization instead of the quadratic every-level
+            # compaction.
+            if level % 64 == 0:
+                visited = visited.localCheckpoint()
+            frontier = nxt.select("vid")
+    finally:
+        # finally: a task failure mid-loop must not leak the session-lifetime
+        # CacheManager entry
+        e.unpersist()
+    if exhausted:
+        # a silently truncated reachable set is a WRONG answer for every
+        # caller (shortest_path_lengths, dfs_leaves pruning) — same contract
+        # as pregel's non-convergence raise
+        raise RuntimeError(
+            f"bfs did not exhaust the frontier within max_iter={max_iter} "
+            "levels; raise max_iter (bound: graph eccentricity from start)"
         )
-        if not nxt.take(1):
-            break
-        visited = visited.unionByName(nxt)
-        # Compact every 64 levels: keeps the union plan bounded on very deep
-        # (chain-like) graphs while staying O(|V| × depth/64) total
-        # re-materialization instead of the quadratic every-level compaction.
-        if level % 64 == 0:
-            visited = visited.localCheckpoint()
-        frontier = nxt.select("vid")
-    e.unpersist()
     return visited.orderBy("level", "vid")
 
 
@@ -291,26 +306,29 @@ def pregel(
     # keep ALL edge columns: message expressions may read edge attributes
     e = edges.persist()
     converged = False
-    for _ in range(max_iter):
-        msgs = (
-            v.join(e, v["vid"] == e["src"])
-            .select(e["dst"].alias("vid"), msg.alias("m"))
-            .groupBy("vid")
-            .agg(agg(F.col("m")).alias("m"))
-        )
-        new_v = (
-            v.join(msgs, "vid", "left")
-            .select(
-                "vid", update(F.col("val"), F.col("m")).alias("val")
+    try:
+        for _ in range(max_iter):
+            msgs = (
+                v.join(e, v["vid"] == e["src"])
+                .select(e["dst"].alias("vid"), msg.alias("m"))
+                .groupBy("vid")
+                .agg(agg(F.col("m")).alias("m"))
             )
-            .localCheckpoint()
-        )
-        changed = new_v.join(v, ["vid", "val"], "left_anti").take(1)
-        v = new_v
-        if not changed:
-            converged = True
-            break
-    e.unpersist()
+            new_v = (
+                v.join(msgs, "vid", "left")
+                .select(
+                    "vid", update(F.col("val"), F.col("m")).alias("val")
+                )
+                .localCheckpoint()
+            )
+            changed = new_v.join(v, ["vid", "val"], "left_anti").take(1)
+            v = new_v
+            if not changed:
+                converged = True
+                break
+    finally:
+        # finally: a task failure mid-superstep must not leak the cache entry
+        e.unpersist()
     if not converged:
         # a silently-unconverged fixed point is a WRONG answer for every
         # current caller (components split, SSSP distances missing)
@@ -533,39 +551,49 @@ def pagerank(
         .persist()
     )
     n = base.count()
-    ranks = base.select("vid", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    for _ in range(iterations):
-        with_deg = ranks.join(base, "vid")
-        dangling = with_deg.where(F.col("out_degree") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
-        )
-        contribs = (
-            with_deg.join(e, with_deg["vid"] == e["src"])
-            .select(
-                F.col("dst").alias("vid"),
-                (F.col("rank") / F.col("out_degree")).alias("c"),
+    if n == 0:
+        # empty graph: empty result, matching bfs/connected_components
+        # (1.0 / n below would raise ZeroDivisionError on the driver)
+        base.unpersist()
+        return spark.createDataFrame([], "vid BIGINT, rank DOUBLE")
+    try:
+        ranks = base.select(
+            "vid", F.lit(1.0 / n).alias("rank")
+        ).localCheckpoint()
+        for _ in range(iterations):
+            with_deg = ranks.join(base, "vid")
+            dangling = with_deg.where(F.col("out_degree") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
             )
-            .groupBy("vid")
-            .agg(F.sum("c").alias("c"))
-        )
-        ranks = (
-            base.select("vid")
-            .join(contribs, "vid", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "vid",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("_dangling") / F.lit(float(n))
-                    )
-                ).alias("rank"),
+            contribs = (
+                with_deg.join(e, with_deg["vid"] == e["src"])
+                .select(
+                    F.col("dst").alias("vid"),
+                    (F.col("rank") / F.col("out_degree")).alias("c"),
+                )
+                .groupBy("vid")
+                .agg(F.sum("c").alias("c"))
             )
-            .localCheckpoint()
-        )
-    base.unpersist()
+            ranks = (
+                base.select("vid")
+                .join(contribs, "vid", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "vid",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.col("_dangling") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        # finally: a task failure mid-iteration must not leak the cache entry
+        base.unpersist()
     return ranks
 
 

@@ -63,13 +63,14 @@ def _fake_decode(content: bytes, kind: str) -> dict:
     """Deterministic structural fake of a codec: derives plausible
     dimensions/duration from the content digest. Stands in for
     Pillow/soundfile/ffmpeg, which are not installed in this container."""
-    digest = hashlib.sha256(content).digest()
+    hasher = hashlib.sha256(content)  # hashed once; CPU-bound hot path
+    digest = hasher.digest()
     w = 64 + digest[0] % 192
     h = 64 + digest[1] % 192
     dur = round(1.0 + digest[2] / 16.0, 3)
     out = {
         "n_bytes": len(content),
-        "sha256": hashlib.sha256(content).hexdigest(),
+        "sha256": hasher.hexdigest(),
         "width": None,
         "height": None,
         "duration_s": None,
@@ -117,12 +118,19 @@ def resize_plan(decoded: DataFrame, max_side: int = 224) -> DataFrame:
         F.lit(1.0),
         F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
     )
+    # least(…, max_side): ceil(side * scale) can overshoot by 1 when the
+    # float product of side and max_side/side rounds up (e.g. 293 * 224/293
+    # = 224.00000000000003 → ceil 225), violating the max-side contract
     return decoded.where(F.col("width").isNotNull()).select(
         "media_id",
         "width",
         "height",
-        F.ceil(F.col("width") * scale).cast("int").alias("target_w"),
-        F.ceil(F.col("height") * scale).cast("int").alias("target_h"),
+        F.least(F.ceil(F.col("width") * scale), F.lit(max_side))
+        .cast("int")
+        .alias("target_w"),
+        F.least(F.ceil(F.col("height") * scale), F.lit(max_side))
+        .cast("int")
+        .alias("target_h"),
     )
 
 

@@ -136,10 +136,18 @@ def srp_ann_topk(
     Hamming-adjacent buckets (multi-probe recovers recall lost to boundary
     effects). Candidate set = bucket-filtered rows; exact cosine re-rank."""
     planes = srp_hyperplanes(len(query_vec), nbits, seed)
-    q = np.asarray(query_vec, dtype=np.float64)
+    q = [float(x) for x in query_vec]
     qbucket = 0
     for i, p in enumerate(planes):
-        if float(np.dot(q, p)) > 0:
+        # sequential left-fold in index order — the SAME summation order as
+        # the JVM aggregate(zip_with(...)) in srp_bucket. np.dot's pairwise/
+        # SIMD summation rounds differently, so a dot product within float
+        # rounding of 0 could flip sign and put the query's "own bucket" on
+        # the wrong side of its stored bucket.
+        acc = 0.0
+        for x, y in zip(q, p):
+            acc += x * float(y)
+        if acc > 0:
             qbucket |= 1 << i
     buckets = {qbucket}
     frontier = {qbucket}

@@ -28,10 +28,21 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def ws_tokens(col: Column) -> Column:
     """Whitespace tokens of lowercased text; NULL and empty/blank text both
-    yield an EMPTY array (so token counts are 0, not NULL or 1)."""
-    c = F.coalesce(col, F.lit(""))
-    t = F.split(F.trim(F.lower(c)), r"\s+")
-    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(t)
+    yield an EMPTY array (so token counts are 0, not NULL or 1).
+
+    Edge stripping is ``regexp_replace('^\\s+|\\s+$')``, NOT ``trim`` —
+    trim strips 0x20 only, so tab/newline-edged text ('\\n', '\\tfoo')
+    would otherwise split into phantom empty-string tokens that inflate
+    every downstream metric. The Python replica (``ws_tokens_py`` in
+    operators/dedup.py) and the DuckDB oracle SQL implement the same
+    strip-then-split; agreement is asserted over a hostile-whitespace
+    corpus in tests/test_llm.py."""
+    cleaned = F.regexp_replace(
+        F.lower(F.coalesce(col, F.lit(""))), r"^\s+|\s+$", ""
+    )
+    return F.when(
+        cleaned == "", F.array().cast("array<string>")
+    ).otherwise(F.split(cleaned, r"\s+"))
 
 
 def ws_token_count(col: Column) -> Column:

@@ -209,7 +209,7 @@ def sim_topk_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_counts",
     oracle=f"""
     SELECT doc_id,
-           CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS BIGINT) AS ws_tokens,
+           CAST(CASE WHEN regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all(coalesce(text, ''), '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_tokens
     FROM documents
     """,
@@ -229,17 +229,17 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH feat AS (
       SELECT doc_id,
-             CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tok,
+             CASE WHEN regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tok,
              CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
                   ELSE CAST(length(regexp_replace(text, '[^.!?,;:''"()\\-]', '', 'g')) AS DOUBLE)
                        / length(text) END AS punct_r,
-             CASE WHEN CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END = 0 THEN 0.0
-                  ELSE CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'),
+             CASE WHEN CASE WHEN regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
                        ['the','and','of','to','is','in','that','it','was','for'])) AS DOUBLE)
-                  / len(string_split_regex(trim(lower(text)), '\\s+')) END AS stop_r,
-             CASE WHEN CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END = 0 THEN 0.0
+                  / len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS stop_r,
+             CASE WHEN CASE WHEN regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END = 0 THEN 0.0
                   ELSE CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS DOUBLE)
-                  / len(string_split_regex(trim(lower(text)), '\\s+')) END AS mwl
+                  / len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS mwl
       FROM documents
     )
     SELECT doc_id,
@@ -262,8 +262,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+             CASE WHEN regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t
       FROM documents
     ), scores AS (
       SELECT doc_id,
@@ -308,7 +308,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang, COUNT(*) AS n_docs,
            CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
-           CAST(SUM(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) AS BIGINT) AS total_tokens
+           CAST(SUM(CASE WHEN regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END) AS BIGINT) AS total_tokens
     FROM documents GROUP BY source, lang
     """,
     tags=("llm", "text", "stats"),

@@ -273,6 +273,15 @@ def test_ws_tokens_py_matches_jvm_on_hostile_whitespace(spark):
     for i, text in enumerate(hostile):
         assert ws_tokens_py(text) == list(jvm[i]), f"divergence on {text!r}"
 
+    # the semantic contract, not just agreement: whitespace-only text is 0
+    # tokens and whitespace-edged text yields no phantom '' tokens
+    assert ws_tokens_py("\t") == []
+    assert ws_tokens_py("\n \r\f\x0b") == []
+    assert ws_tokens_py("\tfoo") == ["foo"]
+    assert ws_tokens_py("\r\n\t mixed \t\r\n") == ["mixed"]
+    for toks in jvm.values():
+        assert "" not in toks
+
 
 def test_pinned_operators_partition_invariant(spark):
     """The load-bearing property behind the four pinned VALUES goldens:

@@ -81,17 +81,22 @@ def oracle_of(name: str) -> str:
 # Covers all 30 SURVEY §2.2 rows (see tests/test_registry_window.py for the
 # row → query mapping). Order within the window is thematic, not semantic.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # TPC-H shapes (scan/filter/agg + equi/broadcast joins + top-k)
+    # TPC-H shapes (scan/filter/agg + equi/broadcast joins + top-k +
+    # decorrelated subqueries). Swapped in round 4 for driver coverage of
+    # the subquery family: q6/q10/q12/q13 out (their shapes remain covered
+    # by q1+filter_predicates / q3 / q14 / join_outer), q16/q17/q19/q22 in
+    # (NOT IN, correlated scalar AVG, disjunctive join, global-scalar+anti
+    # — shapes no other window entry exercises).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "q7_nation_volume",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q13_order_count_distribution",
     "q14_promo_revenue_pct",
+    "q16_supplier_part_types",
+    "q17_small_qty_revenue",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
     # core relational operators
     "projection_compute",
     "filter_predicates",
@@ -147,8 +152,10 @@ def all_queries() -> dict[str, QuerySpec]:
         graph,
         llm,
         merged,
+        pipeline,
         relational,
         streaming_batch,
+        tpch_extra,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -1195,7 +1195,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue_pct",
     oracle="""
     SELECT ROUND(
-             100.00 * CAST(SUM(CASE WHEN p_type LIKE 'TYPE_1%'
+             100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
@@ -1208,13 +1208,16 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q14 shape: ratio of two conditional aggregates over one join —
-    a single aggregation pass, exact decimal numerators/denominators."""
+    a single aggregation pass, exact decimal numerators/denominators.
+    (Round 4: predicate fixed from 'TYPE_1%', which matches nothing in the
+    fixture's p_type domain {ECONOMY..STANDARD} and made the numerator
+    vacuously 0, to 'PROMO%' — the ratio now exercises both branches.)"""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = dec("l_extendedprice") * (1 - dec("l_discount"))
-    promo = F.when(F.col("p_type").like("TYPE_1%"), vol).otherwise(
+    promo = F.when(F.col("p_type").like("PROMO%"), vol).otherwise(
         F.lit(0).cast("decimal(18,2)")
     )
     return (

@@ -26,6 +26,13 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "join_range_asof": ("join_range_bucketed", "join_asof"),
     "join_semi_anti": ("join_semi_anti",),
     "aggregation": ("q1_pricing_summary", "agg_salted_skew", "agg_median"),
+    "subquery_decorrelation": (
+        "q16_supplier_part_types",  # NOT IN → broadcast anti join
+        "q17_small_qty_revenue",  # correlated scalar AVG → agg + equi-join
+        "q18_large_orders",  # IN over HAVING → semi-join
+        "q22_idle_customers",  # global scalar + NOT EXISTS
+    ),
+    "disjunctive_predicates": ("q19_disjunctive_revenue",),
     "grouping_sets": ("agg_grouping_multi",),
     "window_functions": ("window_funcs", "window_range_frame"),
     "sort_limit_topk": ("sort_topk",),

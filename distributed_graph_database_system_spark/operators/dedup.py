@@ -311,6 +311,67 @@ def minhash_lsh_pairs(
     return verified
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs at threshold num/den via prefix
+    filtering (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
+    Search") — recall 1.0, unlike the probabilistic MinHash/SimHash
+    families. Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard
+    rounded to 4dp.
+
+    Order each doc's shingles by ascending global document frequency
+    (rarest first; ties by shingle string); keep the first
+    |s| - ceil(t·|s|) + 1 as the doc's PREFIX. Any pair with J >= t must
+    share a prefix shingle: if every shared shingle sat in one doc's
+    suffix, overlap <= ceil(t·|s|) - 1 < t·|s| <= t·|union|, so J < t —
+    contradiction. Candidates therefore come from an equi-self-join on
+    prefix shingles (volume tracks rare-shingle collisions, never
+    |docs|²); verify = exact Jaccard on candidates only.
+
+    Threshold arithmetic is integral — ceil(t·|s|) computed as
+    (num·|s| + den - 1) div den — so float rounding can never shorten a
+    prefix and silently cost recall.
+    """
+    t = threshold_num / threshold_den
+    sh = docs.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("s"))
+    tok = sh.select("_id", F.explode("s").alias("shingle"))
+    dfreq = tok.groupBy("shingle").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.partitionBy("_id").orderBy("df", "shingle"))
+    sz = F.size(F.col("s"))
+    ceil_ts = F.floor(
+        (sz * threshold_num + (threshold_den - 1)) / F.lit(threshold_den)
+    ).cast("int")
+    prefix = (
+        tok.join(dfreq, "shingle")
+        .withColumn("rk", rk)
+        .join(sh.select("_id", "s"), "_id")
+        .where(F.col("rk") <= sz - ceil_ts + 1)
+        .select("_id", "shingle")
+    )
+    cand = (
+        prefix.select("shingle", F.col("_id").alias("id_a"))
+        .join(prefix.select("shingle", F.col("_id").alias("id_b")), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("s").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("s").alias("sh_b")), "id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= F.lit(t))
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (pandas UDF — the one Python hot path, Arrow-batched)
 # ---------------------------------------------------------------------------

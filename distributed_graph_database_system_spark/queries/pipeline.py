@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from distributed_graph_database_system_spark.operators.dedup import (
-    ngram_jaccard,
+    ngram_jaccard_pairs,
     shingles,
 )
 from distributed_graph_database_system_spark.operators.textstats import (
@@ -82,44 +82,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     not |docs|². Verify = exact Jaccard on the candidate pairs only.
 
     The oracle is the honest all-pairs join — affordable at oracle scale
-    (500 docs) precisely because THIS side never does all-pairs. Threshold
-    arithmetic is integral (ceil(3|s|/5) as (3|s|+4) div 5) so no float
-    rounding can shorten a prefix and cost recall.
+    (500 docs) precisely because THIS side never does all-pairs. Algorithm
+    and recall proof: operators.dedup.ngram_jaccard_pairs.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(F.col("doc_id"), shingles(F.col("text")).alias("s"))
-    tok = sh.select("doc_id", F.explode("s").alias("shingle"))
-    dfreq = tok.groupBy("shingle").agg(F.count("*").alias("df"))
-    # Rarest-first rank within each doc; prefix_len = |s| - ceil(0.6|s|) + 1.
-    rk = F.row_number().over(
-        W.partitionBy("doc_id").orderBy("df", "shingle")
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold_num=3, threshold_den=5
     )
-    sz = F.size(F.col("s"))
-    prefix_len = sz - F.floor((sz * 3 + 4) / F.lit(5)).cast("int") + 1
-    prefix = (
-        tok.join(dfreq, "shingle")
-        .withColumn("rk", rk)
-        .join(sh.select("doc_id", F.col("s")), "doc_id")
-        .where(F.col("rk") <= prefix_len)
-        .select("doc_id", "shingle")
-    )
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    verified = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sh_b")), "id_b")
-        .withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= 3 / 5)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-    )
-    return verified
 
 
 @query(

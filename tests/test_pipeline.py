@@ -1,0 +1,153 @@
+"""Tests for the round-4 training-data pipeline operators (queries/pipeline.py,
+operators/dedup.ngram_jaccard_pairs): exact-recall similarity join vs a
+brute-force Python reference, split determinism, packing invariants, and
+centroid accuracy."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    ws_tokens_py,
+)
+from distributed_graph_database_system_spark.queries.pipeline import (
+    embed_centroids,
+    pack_sequences,
+    split_train_holdout,
+)
+from distributed_graph_database_system_spark.sources.catalog import load_table
+
+
+def _py_shingles(text: str, n: int = 3) -> frozenset[str]:
+    toks = ws_tokens_py(text)
+    if len(toks) < n:
+        return frozenset([" ".join(toks)])
+    return frozenset(
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    )
+
+
+def _py_jaccard(a: frozenset, b: frozenset) -> float:
+    u = len(a | b)
+    return 1.0 if u == 0 else len(a & b) / u
+
+
+# Hostile corpus: exact dups, word-dropped/swapped near-dups, disjoint docs,
+# short docs (< n tokens), empty text — all shapes the prefix filter must
+# handle without losing a pair.
+_CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river"),
+    (3, "a quick brown fox jumps over the lazy dog near the river bank"),
+    (4, "completely different text about distributed query engines and spark"),
+    (5, "another unrelated document mentioning parquet shuffles and joins"),
+    (6, "short doc"),
+    (7, "short doc"),
+    (8, ""),
+    (9, "the quick brown fox jumps over a lazy dog near a river bank today"),
+    (10, "query engines and spark completely different text about distributed"),
+]
+
+
+@pytest.mark.parametrize("num,den", [(3, 5), (4, 5), (9, 10)])
+def test_ngram_jaccard_pairs_exact_recall_and_precision(spark, num, den):
+    docs = spark.createDataFrame(_CORPUS, "doc_id BIGINT, text STRING")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold_num=num, threshold_den=den
+        ).collect()
+    }
+    t = num / den
+    sh = {i: _py_shingles(txt) for i, txt in _CORPUS}
+    want = {
+        (a, b): round(_py_jaccard(sh[a], sh[b]), 4)
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if _py_jaccard(sh[a], sh[b]) >= t
+    }
+    assert set(got) == set(want), (
+        f"prefix filter lost or invented pairs at t={t}: "
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
+    )
+    for pair, j in want.items():
+        assert got[pair] == pytest.approx(j, abs=1e-4)
+
+
+def test_ngram_jaccard_pairs_partition_invariant(spark):
+    docs = spark.createDataFrame(_CORPUS, "doc_id BIGINT, text STRING")
+    one = sorted(
+        map(tuple, ngram_jaccard_pairs(docs.coalesce(1)).collect())
+    )
+    many = sorted(
+        map(tuple, ngram_jaccard_pairs(docs.repartition(7)).collect())
+    )
+    assert one == many
+
+
+def test_split_assignment_is_pure_function_of_id(spark, sf_dir):
+    base = split_train_holdout(spark, sf_dir).collect()
+    again = split_train_holdout(spark, sf_dir).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+    splits = {r["split"]: 0 for r in base}
+    for r in base:
+        splits[r["split"]] += r["n_docs"]
+    total = sum(splits.values())
+    # md5 buckets are uniform; with 500 docs the 80/10/10 split should be
+    # within a generous tolerance
+    assert 0.7 <= splits.get("train", 0) / total <= 0.9
+    assert splits.get("val", 0) > 0 and splits.get("test", 0) > 0
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(spark, sf_dir):
+    rows = pack_sequences(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    from distributed_graph_database_system_spark.operators.textstats import (
+        ws_token_count,
+    )
+
+    max_doc = docs.agg(
+        F.max(ws_token_count(F.col("text"))).alias("m")
+    ).first()["m"]
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r)
+    for source, bins in per_source.items():
+        bins.sort(key=lambda r: r["bin"])
+        # bins are contiguous from 0
+        assert [r["bin"] for r in bins] == list(range(len(bins)))
+        # every bin except the last STARTS below the next boundary, so a
+        # bin's token mass is < 2048 + max straddling doc
+        for r in bins:
+            assert r["bin_tokens"] < 2048 + max_doc, (source, r)
+        # total token conservation
+    total_binned = sum(r["bin_tokens"] for r in rows)
+    total_docs = docs.agg(
+        F.sum(ws_token_count(F.col("text"))).alias("s")
+    ).first()["s"]
+    assert total_binned == total_docs
+
+
+def test_embed_centroids_match_numpy(spark, sf_dir):
+    got = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in embed_centroids(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    by_label: dict[int, list] = {}
+    for r in emb.collect():
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    for label, vecs in by_label.items():
+        mean = np.stack(vecs).mean(axis=0)
+        for d in range(len(mean)):
+            # quantization to 1e-6 before the mean bounds the error by 1e-6
+            assert abs(got[(label, d + 1)] - mean[d]) <= 1e-6 + 1e-12, (
+                label,
+                d,
+            )

@@ -26,9 +26,10 @@ from pyspark.sql import functions as F
 
 from distributed_graph_database_system_spark.operators.dedup import (
     ngram_jaccard_pairs,
-    shingles,
+    shingles_long,
 )
 from distributed_graph_database_system_spark.operators.textstats import (
+    mean_word_length,
     ws_token_count,
 )
 from distributed_graph_database_system_spark.queries.registry import query
@@ -90,6 +91,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_bucket() -> F.Column:
+    """Deterministic 0-99 bucket of doc_id — pure function of the id, byte-
+    identical in Spark and DuckDB (md5 of the decimal-string id; first 8 hex
+    digits as an int). The basis of every split/holdout decision below, so
+    membership can never depend on row order, partitioning, or engine."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+# DuckDB twin of _md5_bucket().
+_MD5_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
 @query(
     "split_train_holdout",
     oracle="""
@@ -118,11 +137,7 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts audit the split balance. One narrow projection + one aggregate;
     no shuffle beyond the groupBy."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = _md5_bucket()
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -199,7 +214,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject; ties broken by shingle string so the result set
     is deterministic across engines and partitionings."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(F.explode(shingles(F.col("text"))).alias("shingle"))
+    sh = shingles_long(d)
     return (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("doc_freq"))
@@ -244,4 +259,127 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("q").cast("double") / F.count("*") / F.lit(1_000_000)).alias(
             "centroid"
         )
+    )
+
+
+@query(
+    "decontaminate_holdout",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    bucketed AS (
+      SELECT doc_id, {_MD5_BUCKET_SQL} AS bucket FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(sh.s) AS b_shingle
+      FROM sh JOIN bucketed USING (doc_id) WHERE bucket >= 90
+    ),
+    tok AS (
+      SELECT doc_id, unnest(sh.s) AS shingle
+      FROM sh JOIN bucketed USING (doc_id) WHERE bucket < 80
+    )
+    SELECT doc_id, COUNT(*) AS n_shingles, COUNT(b_shingle) AS n_matched,
+           ROUND(CAST(COUNT(b_shingle) AS DOUBLE) / COUNT(*), 4) AS overlap
+    FROM tok LEFT JOIN bench ON shingle = b_shingle
+    GROUP BY doc_id
+    HAVING CAST(COUNT(b_shingle) AS DOUBLE) / COUNT(*) >= 0.8
+    """,
+    tags=("llm", "pipeline", "decontamination"),
+)
+def decontaminate_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag TRAIN-split documents whose trigram
+    shingles overlap >= 80% with the TEST split's shingle set — the n-gram
+    overlap check run before pretraining so eval data never leaks into the
+    training corpus (the 13-gram variant of GPT-3 appendix C; 3-grams here
+    because fixture docs are short — `n` is a knob on `shingles`).
+
+    Plan: both sides derive from one `documents` scan; the test-side
+    shingle set is distinct-projected, the train side exploded, and the
+    membership check is a shingle-keyed LEFT join counted per doc
+    (count(b) / count(*)). At corpus scale the benchmark side is 10% of
+    docs — too big to broadcast blindly, so the join is left to AQE; for a
+    real fixed benchmark suite (MMLU et al., thousands of docs) the same
+    plan auto-broadcasts. Membership and split are both pure functions of
+    content/id, so the result is partition- and engine-invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    bucketed = d.withColumn("bucket", _md5_bucket())
+    bench = (
+        shingles_long(bucketed.where(F.col("bucket") >= 90))
+        .select(F.col("shingle").alias("b_shingle"))
+        .distinct()
+    )
+    tok = shingles_long(bucketed.where(F.col("bucket") < 80)).withColumnRenamed(
+        "_id", "doc_id"
+    )
+    counted = (
+        tok.join(bench, tok.shingle == bench.b_shingle, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("b_shingle").alias("n_matched"),
+        )
+    )
+    frac = F.col("n_matched").cast("double") / F.col("n_shingles")
+    return counted.where(frac >= 0.8).select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        F.round(frac, 4).alias("overlap"),
+    )
+
+
+@query(
+    "quality_filter_funnel",
+    oracle=r"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE nonempty) AS n_nonempty,
+           COUNT(*) FILTER (WHERE nonempty AND len_ok) AS n_len_ok,
+           COUNT(*) FILTER (WHERE nonempty AND len_ok AND mwl_ok) AS n_mwl_ok,
+           COUNT(*) FILTER (WHERE nonempty AND len_ok AND mwl_ok AND lang = 'en')
+             AS n_en
+    FROM (
+      SELECT source, lang,
+             regexp_replace(coalesce(text,''),'^\s+|\s+$','','g') <> '' AS nonempty,
+             n_tok >= 10 AS len_ok,
+             n_tok > 0 AND n_alpha / n_tok BETWEEN 2.0 AND 12.0 AS mwl_ok
+      FROM (
+        SELECT source, lang, text,
+               CAST(CASE WHEN regexp_replace(coalesce(text,''),'^\s+|\s+$','','g') = ''
+                    THEN 0
+                    ELSE len(string_split_regex(
+                           regexp_replace(lower(text),'^\s+|\s+$','','g'), '\s+'))
+               END AS DOUBLE) AS n_tok,
+               CAST(length(regexp_replace(lower(coalesce(text,'')),'\s+','','g'))
+                    AS DOUBLE) AS n_alpha
+        FROM documents
+      )
+    )
+    GROUP BY source
+    """,
+    tags=("llm", "pipeline", "quality-funnel"),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel audit: per source, how many docs survive each
+    successive filter stage (non-empty → >= 10 tokens → mean word length in
+    [2, 12] → English) — the per-shard report a corpus-cleaning pipeline
+    emits so a mis-tuned filter that silently drops a source is visible.
+    One scan, one aggregate: every stage is a conditional count over the
+    SAME pass (partial+final combine), never one job per stage. Stages are
+    cumulative conjunctions, so the funnel is monotonically non-increasing
+    by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    nonempty = (
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"^\s+|\s+$", "")
+        != ""
+    )
+    len_ok = ws_token_count(F.col("text")) >= 10
+    mwl_ok = mean_word_length(F.col("text")).between(2.0, 12.0)
+    is_en = F.col("lang") == "en"
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        cnt(nonempty).alias("n_nonempty"),
+        cnt(nonempty & len_ok).alias("n_len_ok"),
+        cnt(nonempty & len_ok & mwl_ok).alias("n_mwl_ok"),
+        cnt(nonempty & len_ok & mwl_ok & is_en).alias("n_en"),
     )

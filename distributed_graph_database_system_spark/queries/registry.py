@@ -119,9 +119,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_session_window",
     "stream_dedup_keys",
     "join_view_purchase_window",
-    # semi-structured / higher-order / UDF / sources
+    # semi-structured / higher-order / UDF / sources (map_funcs swapped out
+    # in round 4 for dedup_ngram_jaccard — the array/map row keeps
+    # higher_order_funcs as its window evidence; map_funcs stays
+    # oracle-verified in the parity sweep)
     "json_struct_funcs",
-    "map_funcs",
     "higher_order_funcs",
     "pandas_udf_weighted_avg",
     "source_roundtrips",
@@ -136,6 +138,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "dedup_embedding_near",
     "sim_topk_bruteforce",
     "sim_topk_ann_lsh",

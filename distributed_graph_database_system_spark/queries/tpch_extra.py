@@ -1,7 +1,8 @@
-"""Adapted TPC-H shapes q2/q4/q8/q9/q11/q15/q16/q17/q19/q22 — the subquery
-half of the benchmark, re-expressed for this fixture schema (no partsupp /
-commitdate / container columns; see TESTDATA.md) and decorrelated the way a
-distributed planner wants them.
+"""Adapted TPC-H shapes q2/q4/q8/q9/q11/q15/q16/q17/q19/q20/q21/q22 — the
+subquery half of the benchmark, re-expressed for this fixture schema (no
+partsupp / commitdate / container columns; see TESTDATA.md) and decorrelated
+the way a distributed planner wants them. With these, every TPC-H query
+q1-q22 has an adapted twin registered.
 
 The reference has none of this surface (SURVEY.md §2.1 — its four ops are
 graph add/modify/DFS/BFS, `client.c:26-31`); these queries exist for the
@@ -427,6 +428,135 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_revenue()).cast("double").alias("revenue"),
             F.count("*").alias("n_rows"),
         )
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH qty AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1999-01-01' AND l_shipdate < DATE '2000-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+      SELECT l_partkey AS t_partkey, SUM(sq) AS tq FROM qty GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS n_parts
+    FROM qty JOIN tot ON l_partkey = t_partkey
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '%gear%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE CAST(sq AS DOUBLE) > 0.5 * CAST(tq AS DOUBLE)
+    GROUP BY s_suppkey, s_name
+    """,
+    tags=("relational", "tpch", "nested-agg-share"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape, adapted (no partsupp/availqty in the fixture): for
+    parts whose name matches a pattern, suppliers who shipped more than half
+    of that part's 1999 volume. The classic ``ps_availqty > 0.5 * (SELECT
+    SUM(l_quantity) ...)`` correlated scalar is decorrelated into two
+    stacked aggregates — per (part, supplier) then per part, the second a
+    cheap rollup of the first with NO second scan of lineitem — joined back
+    on the part key. The share comparison is a residual on an equi join;
+    `part` is filtered at the scan and broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("date"))
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("sq")
+    )
+    tot = (
+        qty.groupBy("l_partkey")
+        .agg(F.sum("sq").alias("tq"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        qty.join(tot, qty.l_partkey == F.col("t_partkey"))
+        .where(F.col("sq").cast("double") > 0.5 * F.col("tq").cast("double"))
+        .join(F.broadcast(p), qty.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp), qty.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_suppkey LIMIT 10
+    """,
+    tags=("relational", "tpch", "exists-anti-correlated"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape, adapted (no commit/receipt dates): suppliers who
+    were the SOLE late shipper on finished multi-supplier orders, "late" =
+    shipped > 60 days after the order date. The doubly-correlated
+    EXISTS / NOT EXISTS pair becomes a left-semi then a left-anti join,
+    both keyed on the order (hash joins) with the supplier inequality as a
+    residual — the decorrelation Catalyst itself applies to such
+    subqueries, written explicitly so the plan is stable. Top-10 by wait
+    count → TakeOrderedAndProject; s_suppkey tiebreak keeps the limit
+    deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other_any = li.select(
+        F.col("l_orderkey").alias("a_orderkey"),
+        F.col("l_suppkey").alias("a_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("b_orderkey"),
+        F.col("l_suppkey").alias("b_suppkey"),
+    )
+    sole_late = (
+        late.join(
+            other_any,
+            (late.l_orderkey == F.col("a_orderkey"))
+            & (late.l_suppkey != F.col("a_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (late.l_orderkey == F.col("b_orderkey"))
+            & (late.l_suppkey != F.col("b_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(10)
     )
 
 

@@ -56,6 +56,31 @@ _CORPUS = [
 ]
 
 
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_shingles_long_agrees_with_array_form(spark, n):
+    """The codegen'd long form must produce exactly the distinct shingle
+    sets of the interpreted array form on every edge shape (short docs,
+    empty text, repeated grams)."""
+    from pyspark.sql.functions import col, explode
+    from distributed_graph_database_system_spark.operators.dedup import (
+        shingles,
+        shingles_long,
+    )
+
+    docs = spark.createDataFrame(_CORPUS, "doc_id BIGINT, text STRING")
+    want = {
+        (r["doc_id"], r["shingle"])
+        for r in docs.select(
+            "doc_id", explode(shingles(col("text"), n)).alias("shingle")
+        ).collect()
+    }
+    got = {
+        (r["_id"], r["shingle"])
+        for r in shingles_long(docs, n=n).collect()
+    }
+    assert got == want
+
+
 @pytest.mark.parametrize("num,den", [(3, 5), (4, 5), (9, 10)])
 def test_ngram_jaccard_pairs_exact_recall_and_precision(spark, num, den):
     docs = spark.createDataFrame(_CORPUS, "doc_id BIGINT, text STRING")

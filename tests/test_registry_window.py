@@ -40,7 +40,7 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "scalar_string": ("scalar_funcs",),
     "scalar_datetime": ("scalar_funcs",),
     "scalar_math": ("scalar_funcs",),
-    "scalar_array_hof": ("higher_order_funcs", "map_funcs"),
+    "scalar_array_hof": ("higher_order_funcs",),
     "scalar_json": ("json_struct_funcs",),
     "streaming_windows": (
         "stream_tumbling_counts",
@@ -56,6 +56,7 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_ngram_jaccard",
         "dedup_embedding_near",
     ),
     "llm_similarity": ("sim_topk_bruteforce", "sim_topk_ann_lsh", "sim_topk_ann_ivf"),

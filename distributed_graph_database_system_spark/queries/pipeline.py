@@ -28,6 +28,9 @@ from distributed_graph_database_system_spark.operators.dedup import (
     ngram_jaccard_pairs,
     shingles_long,
 )
+from distributed_graph_database_system_spark.operators.graph import (
+    connected_components,
+)
 from distributed_graph_database_system_spark.operators.textstats import (
     mean_word_length,
     ws_token_count,
@@ -382,4 +385,390 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(nonempty & len_ok).alias("n_len_ok"),
         cnt(nonempty & len_ok & mwl_ok).alias("n_mwl_ok"),
         cnt(nonempty & len_ok & mwl_ok & is_en).alias("n_en"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: cluster canonicalization, PII redaction, stratified
+# sampling, length histograms, embedding-norm audit, normalization audit.
+# Same design rules as above: JVM column expressions only, every query a
+# full DuckDB oracle, every hash/split decision a pure function of ids or
+# content so results are engine- and partitioning-invariant.
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of the exact n-gram-Jaccard pair predicate at threshold 3/5
+# (the same all-pairs formulation used by the dedup_ngram_jaccard oracle).
+_JACCARD_PAIRS_SQL = f"""
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      WHERE e.b <> r.a
+    ),
+    labels AS (
+      SELECT a AS vid, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+    )
+    SELECT comp AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed,
+           MAX(vid) AS max_doc_id
+    FROM labels GROUP BY comp
+    """,
+    tags=("llm", "dedup", "clusters"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER canonicalization — the production dedup end-game:
+    pairwise near-dup evidence is only half the job, because near-duplicate
+    relations are not transitive-closed pairlists but overlapping groups
+    (A~B, B~C ⇒ {A,B,C} is one cluster even when A~C is below threshold).
+    Pipeline: exact n-gram-Jaccard pairs (prefix-filtered, recall 1.0) →
+    weakly connected components over the pair graph → one surviving doc per
+    cluster (the minimum id — which IS the component label, since
+    ``connected_components`` labels each component with its min vid).
+
+    Output: one row per multi-doc cluster (cluster_id = surviving doc,
+    n_docs, n_removed, max_doc_id). Scale: the pair graph is orders of
+    magnitude smaller than the corpus (only near-dup docs appear) and the
+    large-star/small-star CC converges in O(log n) rounds — the same
+    operator already probed to 1M edges (operators/graph.py:381). The
+    oracle computes the same closure with a recursive CTE — affordable at
+    oracle scale exactly because components there are tiny."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold_num=3, threshold_den=5
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    return comp.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.lit(1)).alias("n_removed"),
+        F.max("vid").alias("max_doc_id"),
+    )
+
+
+# PII patterns — RE2-safe subset (no lookaround/backrefs) so the Java regex
+# engine (Spark) and RE2 (DuckDB) match identically; \b and \d agree between
+# the engines on ASCII input.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+# Deterministically planted PII (fixture text has none — auditing zero
+# matches would be vacuous): docs in md5-buckets [0,10) get an email,
+# [10,20) a phone number, both derived from doc_id so both engines plant
+# byte-identical strings.
+_PLANTED_SQL = f"""
+      SELECT source,
+             coalesce(text, '') ||
+             CASE WHEN {_MD5_BUCKET_SQL} < 10
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com'
+                  WHEN {_MD5_BUCKET_SQL} < 20
+                  THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS t
+      FROM documents
+"""
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH planted AS ({_PLANTED_SQL}),
+    red AS (
+      SELECT source, t,
+             regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS r
+      FROM planted
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(t, '{_EMAIL_RE}')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(t, '{_PHONE_RE}')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+           CAST(SUM(len(regexp_extract_all(t, '{_EMAIL_RE}'))
+                    + len(regexp_extract_all(t, '{_PHONE_RE}'))) AS BIGINT)
+             AS n_redactions,
+           CAST(SUM(len(regexp_extract_all(r, '{_EMAIL_RE}'))
+                    + len(regexp_extract_all(r, '{_PHONE_RE}'))) AS BIGINT)
+             AS n_residual
+    FROM red GROUP BY source
+    """,
+    tags=("llm", "pipeline", "pii"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit — the scrub-before-training pass every corpus
+    pipeline runs: find emails/phone numbers, replace with typed placeholder
+    tokens, and report per source (a) how many docs carried each PII kind,
+    (b) total redactions applied, and (c) residual matches AFTER redaction
+    (must be 0 — the audit recomputes it honestly rather than asserting it).
+
+    The fixture corpus contains no real PII, so a deterministic planted
+    layer (pure function of doc_id — same strings in both engines) makes
+    the audit non-vacuous; the dedup_embedding_near golden uses the same
+    planted-input pattern. All regex work is JVM-side `regexp_count` /
+    `regexp_replace` over one scan — per-row cost is the regex automaton,
+    no Python, no shuffle beyond the final per-source aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _md5_bucket()
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            bucket < 10,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            bucket < 20,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    base = d.select("source", planted.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    n_email = F.regexp_count(F.col("t"), F.lit(_EMAIL_RE))
+    n_phone = F.regexp_count(F.col("t"), F.lit(_PHONE_RE))
+    n_res = F.regexp_count(redacted, F.lit(_EMAIL_RE)) + F.regexp_count(
+        redacted, F.lit(_PHONE_RE)
+    )
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((n_email > 0).cast("long")).alias("n_email_docs"),
+        F.sum((n_phone > 0).cast("long")).alias("n_phone_docs"),
+        F.sum((n_email + n_phone).cast("long")).alias("n_redactions"),
+        F.sum(n_res.cast("long")).alias("n_residual"),
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS mn FROM c),
+    r AS (
+      SELECT lang,
+             GREATEST(CAST(10 AS BIGINT),
+                      CAST(FLOOR(100 * mn / cnt) AS BIGINT)) AS rate
+      FROM c, m
+    ),
+    b AS (SELECT lang, {_MD5_BUCKET_SQL} AS bucket FROM documents)
+    SELECT b.lang, r.rate,
+           COUNT(*) AS n_before,
+           CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after
+    FROM b JOIN r ON b.lang = r.lang
+    GROUP BY b.lang, r.rate
+    """,
+    tags=("llm", "pipeline", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced stratified downsampling: each language keeps
+    `max(10, floor(100·min_count/count))`% of its docs — dominant languages
+    are downsampled toward the smallest one (floor of 10% so nothing is
+    wiped out), membership decided by the deterministic md5 bucket of
+    doc_id, never by sampling state. Reports per-language before/after so
+    the rebalance is auditable.
+
+    The integer rate math is exact in both engines (IEEE division of
+    integers whose quotient fits a double is exact, then floor), and the
+    rate table is a per-language dim — broadcast-joined back to the corpus,
+    so the only full shuffle is the final per-language aggregate. This is
+    the deterministic replacement for `df.sampleBy()`, whose
+    per-partition RNG draws are neither engine- nor repartition-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    m = c.agg(F.min("cnt").alias("mn"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.greatest(
+            F.lit(10).cast("bigint"),
+            F.floor(F.lit(100) * F.col("mn") / F.col("cnt")).cast("bigint"),
+        ).alias("rate"),
+    )
+    b = d.select("lang", _md5_bucket().alias("bucket"))
+    return (
+        b.join(F.broadcast(r), "lang")
+        .groupBy("lang", "rate")
+        .agg(
+            F.count("*").alias("n_before"),
+            F.sum((F.col("bucket") < F.col("rate")).cast("long")).alias(
+                "n_after"
+            ),
+        )
+    )
+
+
+@query(
+    "token_length_histogram",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             CAST(CASE WHEN regexp_replace(coalesce(text,''),'^\s+|\s+$','','g') = ''
+                  THEN 0
+                  ELSE len(string_split_regex(
+                         regexp_replace(lower(text),'^\s+|\s+$','','g'), '\s+'))
+             END AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(FLOOR(LOG2(n_tok)) AS BIGINT) END AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM tok GROUP BY source, len_bucket
+    """,
+    tags=("llm", "pipeline", "histogram"),
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log2-bucketed token-length histogram — the length
+    distribution a pipeline inspects before choosing packing lengths and
+    truncation cutoffs (bucket k = lengths in [2^k, 2^(k+1)); empty docs in
+    bucket -1). log2 of an integer is boundary-exact in IEEE754 (powers of
+    two are representable and log2 of them is integral), so the floor
+    cannot straddle engines. One scan, one aggregate; partial+final combine
+    keeps reducer state at one row per (source, bucket)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = ws_token_count(F.col("text"))
+    bucket = (
+        F.when(n_tok == 0, F.lit(-1).cast("bigint"))
+        .otherwise(F.floor(F.log2(n_tok)).cast("bigint"))
+        .alias("len_bucket")
+    )
+    return d.select("source", n_tok.alias("n_tok"), bucket).groupBy(
+        "source", "len_bucket"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
+@query(
+    "embed_norm_stats",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+               AS q
+      FROM embeddings
+    ),
+    pv AS (
+      SELECT vec_id, label,
+             CAST(SUM(q * q) AS BIGINT) AS norm2q,
+             COUNT(*) AS dim
+      FROM q GROUP BY vec_id, label
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MAX(dim) AS n_dims,
+           MIN(norm2q) AS min_norm2q,
+           MAX(norm2q) AS max_norm2q,
+           CAST(SUM(norm2q) AS DOUBLE) / COUNT(*) / 1000000 AS avg_norm2
+    FROM pv GROUP BY label
+    """,
+    tags=("llm", "embedding", "audit"),
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm audit per label: vector counts, dimensionality, and
+    min/max/mean squared L2 norm — the sanity pass that catches unnormalized
+    or degenerate (near-zero) vectors before they poison cosine similarity
+    and IVF training. Components are quantized to integer milli-units before
+    squaring/summing (same determinism device as embed_centroids:
+    float-summation order can never flip a bit), the mean is one double
+    division per engine. explode → per-vector agg → per-label agg; both
+    aggregates are partial+final shapes whose reducer state is O(1) per
+    group, so the plan survives any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", "label", F.explode("embedding").alias("v")
+    ).select(
+        "vec_id",
+        "label",
+        F.floor(F.col("v").cast("double") * 1000).cast("bigint").alias("q"),
+    )
+    pv = q.groupBy("vec_id", "label").agg(
+        F.sum(F.col("q") * F.col("q")).alias("norm2q"),
+        F.count("*").alias("dim"),
+    )
+    return pv.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.max("dim").alias("n_dims"),
+        F.min("norm2q").alias("min_norm2q"),
+        F.max("norm2q").alias("max_norm2q"),
+        (F.sum("norm2q").cast("double") / F.count("*") / F.lit(1000000)).alias(
+            "avg_norm2"
+        ),
+    )
+
+
+@query(
+    "text_clean_normalize",
+    oracle=r"""
+    WITH n AS (
+      SELECT source, coalesce(text, '') AS t,
+             trim(regexp_replace(
+                    regexp_replace(lower(coalesce(text, '')),
+                                   '[^a-z0-9 ]', ' ', 'g'),
+                    ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN norm <> t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(length(t) - length(norm)) AS BIGINT) AS chars_removed,
+           CAST(SUM(length(norm)) AS BIGINT) AS total_norm_chars
+    FROM n GROUP BY source
+    """,
+    tags=("llm", "pipeline", "normalize"),
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization audit: lowercase, map every non-[a-z0-9 ] char to
+    a space, collapse runs of spaces, trim — the canonicalization applied
+    before shingling/fingerprinting — and report per source how many docs
+    changed and how many characters the cleanup removed (length is
+    monotone non-increasing under these rewrites, so `chars_removed` is a
+    true shrinkage measure). Pure codegen'd string expressions over one
+    scan; the regex classes are ASCII-explicit so Java regex and RE2 agree
+    byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[^a-z0-9 ]", " "), r" +", " "
+        )
+    )
+    base = d.select("source", t.alias("t"), norm.alias("norm"))
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("norm") != F.col("t")).cast("long")).alias("n_changed"),
+        F.sum(F.length("t") - F.length("norm")).alias("chars_removed"),
+        F.sum(F.length("norm")).alias("total_norm_chars"),
     )

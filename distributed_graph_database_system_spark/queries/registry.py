@@ -127,22 +127,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "higher_order_funcs",
     "pandas_udf_weighted_avg",
     "source_roundtrips",
-    # graph
+    # graph (pagerank swapped out in round 4 — the analytics row keeps
+    # cc + triangles as window evidence; pagerank stays golden-verified in
+    # the parity sweep and pytest)
     "graph_bfs_goldens",
     "graph_dfs_goldens",
     "graph_bfs_cosupply",
     "graph_cc_g4",
-    "graph_pagerank_g2",
     "graph_triangles_cosupply",
-    # LLM-data-pipeline operators
+    # LLM-data-pipeline operators (round 4: simhash/ann_ivf swapped out —
+    # their families keep minhash/ngram/embedding resp. bruteforce/ann_lsh
+    # as window evidence, both stay pinned-golden-verified in the sweep —
+    # so the three full-SQL-oracle pipeline ops below get driver rows:
+    # cluster canonicalization, decontamination, and the quality funnel
+    # are first-class gradeable components per the brief)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dedup_embedding_near",
     "sim_topk_bruteforce",
     "sim_topk_ann_lsh",
-    "sim_topk_ann_ivf",
+    "decontaminate_holdout",
+    "quality_filter_funnel",
     "text_analysis",
     "multimodal_decode_meta",
 )

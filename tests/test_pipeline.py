@@ -176,3 +176,44 @@ def test_embed_centroids_match_numpy(spark, sf_dir):
                 label,
                 d,
             )
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """Near-dup clusters must be the transitive closure of the pair graph:
+    A~B and B~C put {A,B,C} in ONE cluster even when J(A,C) < threshold —
+    the defining difference between pairwise evidence and canonicalization.
+    Corpus built so J(A,B)=9/11, J(B,C)=8/12 (both >= 3/5) but
+    J(A,C)=7/13 < 3/5; plus an exact-dup pair and an unrelated singleton."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        connected_components,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    docs = spark.createDataFrame(
+        [
+            (0, base + " w12"),
+            (1, base + " x12"),  # ~ doc 0 (last word changed)
+            (2, "y1 y2 " + "w3 w4 w5 w6 w7 w8 w9 w10 w11 x12"),  # ~ doc 1 only
+            (3, "identical twin document body"),
+            (4, "identical twin document body"),
+            (5, "nothing in common with anything else here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold_num=3, threshold_den=5)
+    got_pairs = {
+        (r.id_a, r.id_b) for r in pairs.collect()
+    }
+    assert (0, 1) in got_pairs and (1, 2) in got_pairs
+    assert (0, 2) not in got_pairs  # below threshold — closure must bridge it
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    clusters = {
+        r.cluster_id: (r.n_docs, r.max_doc_id)
+        for r in comp.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(F.count("*").alias("n_docs"), F.max("vid").alias("max_doc_id"))
+        .collect()
+    }
+    assert clusters == {0: (3, 2), 3: (2, 4)}

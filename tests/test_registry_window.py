@@ -51,15 +51,16 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "udf_pandas": ("pandas_udf_weighted_avg", "multimodal_decode_meta"),
     "graph_bfs": ("graph_bfs_goldens", "graph_bfs_cosupply"),
     "graph_dfs": ("graph_dfs_goldens",),
-    "graph_analytics": ("graph_cc_g4", "graph_pagerank_g2", "graph_triangles_cosupply"),
+    "graph_analytics": ("graph_cc_g4", "graph_triangles_cosupply"),
     "llm_dedup": (
         "dedup_exact",
         "dedup_minhash_lsh",
-        "dedup_simhash",
         "dedup_ngram_jaccard",
+        "dedup_clusters",
         "dedup_embedding_near",
     ),
-    "llm_similarity": ("sim_topk_bruteforce", "sim_topk_ann_lsh", "sim_topk_ann_ivf"),
+    "llm_similarity": ("sim_topk_bruteforce", "sim_topk_ann_lsh"),
+    "llm_pipeline": ("decontaminate_holdout", "quality_filter_funnel"),
     "llm_text_multimodal": ("text_analysis", "multimodal_decode_meta"),
 }
 

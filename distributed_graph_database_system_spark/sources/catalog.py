@@ -68,7 +68,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             # ts is TIMESTAMP(NANOS) in the footer; Spark reads it as long ns
@@ -77,6 +77,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # NB: must be `div` (integer division) — `/` on longs is IEEE-double
             # division, whose 53-bit mantissa rounds ~1.7e18 ns values.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # timestamp[us] with no timezone in the footer (current fixtures).
+            # Session tz is pinned UTC, so the NTZ→LTZ cast is a pure wall-clock
+            # reinterpretation — identical instants, and downstream code (and
+            # DuckDB's naive TIMESTAMP oracle) sees the same values.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             # A session that can natively represent the nanos column (or a
             # future fixture with micros): truncate to whole microseconds.

@@ -1,0 +1,124 @@
+"""Data-layout queries: bucketed co-located join + partition-pruned scan.
+
+These register the ``sources/layout.py`` capabilities as driver-checkable
+queries. Each call re-materializes its layout (write → read → query) so the
+result is always derived from the current fixture; the write is the point —
+it IS the operator under test. Plan-shape guarantees (no Exchange before the
+bucketed join, ``PartitionFilters`` on the pruned scan) are asserted in
+``tests/test_layout.py``; here the oracle checks the values survive the
+layout round-trip.
+
+Reference parity: the reference re-reads one flat text file per query with no
+layout controls (``secondaryServer.c:208-228``) — partitioning/bucketing is
+the Spark-native answer to "make re-reads cheap", amortizing one write-time
+shuffle/sort across every later query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.queries.helpers import dsum
+from distributed_graph_database_system_spark.queries.registry import query
+from distributed_graph_database_system_spark.sources import layout
+from distributed_graph_database_system_spark.sources.catalog import load_table
+
+_LAYOUT_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_layout")
+
+
+def _key(sf_dir: str) -> str:
+    """Full-path + pid key: disambiguates scale factors and isolates the
+    driver harness from a concurrently-running pytest (same rationale as
+    queries/breadth.py's _io_path)."""
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"{h}_{os.getpid()}"
+
+
+@query(
+    "layout_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("layout", "bucketing", "join"),
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem where BOTH sides are first written bucketed by the
+    join key (same count, bucket-sorted): the merge-hinted join consumes the
+    bucketing and plans with no Exchange on either input — the write-once,
+    join-many pattern for repeated fact-to-fact joins at 100 TB. The only
+    shuffle left in the whole query is the final small groupBy."""
+    key = _key(sf_dir)
+    ob, lb = f"b_orders_{key}", f"b_lineitem_{key}"
+    layout.write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ob,
+        keys=["o_orderkey"],
+        buckets=8,
+        path=os.path.join(_LAYOUT_ROOT, ob),
+    )
+    layout.write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        lb,
+        keys=["l_orderkey"],
+        buckets=8,
+        path=os.path.join(_LAYOUT_ROOT, lb),
+    )
+    j = layout.bucketed(spark, lb).join(
+        # merge hint: keep the demonstration plan a SortMergeJoin even at
+        # scale factors where the optimizer would broadcast the small side
+        # (bucketing is consumed by SMJ; a broadcast would ignore it).
+        layout.bucketed(spark, ob).hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+
+
+@query(
+    "layout_partition_pruned",
+    oracle="""
+    SELECT date_trunc('day', ts) AS event_day, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+      AND CAST(ts AS DATE) < DATE '2024-01-15'
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+    tags=("layout", "partitioning", "pruning"),
+)
+def layout_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events written hive-partitioned by day, read back with a one-week
+    date predicate: Catalyst prunes 23 of 30 day-directories at planning
+    time (``PartitionFilters`` — asserted in tests/test_layout.py), so the
+    scan cost tracks the week, not the table. At 100 TB this is the
+    difference between reading ~3 TB and reading everything."""
+    path = os.path.join(_LAYOUT_ROOT, f"events_by_day_{_key(sf_dir)}")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    layout.write_partitioned(e, path, ["event_date"])
+    back = layout.read_partitioned(spark, path)
+    week = back.filter(
+        (F.col("event_date") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("event_date") < F.lit("2024-01-15").cast("date"))
+    )
+    return week.groupBy(
+        # surfaced as timestamp, not date: the parity harness canonicalizes
+        # temporals via pandas, where Spark DATE → datetime.date but DuckDB
+        # DATE → Timestamp — same convention as resample_daily_gapfill.
+        F.col("event_date").cast("timestamp").alias("event_day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("total_value"),
+    )

@@ -87,11 +87,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # by q1+filter_predicates / q3 / q14 / join_outer), q16/q17/q19/q22 in
     # (NOT IN, correlated scalar AVG, disjunctive join, global-scalar+anti
     # — shapes no other window entry exercises).
+    # (q7/q14 rotated out in round 5 for the data-layout family below —
+    # q7's multi-join shape remains covered by q3/q5, q14's conditional-sum
+    # ratio by q19/quality_filter_funnel; both stay parity-sweep-verified
+    # and q7 stays in the bench headline set.)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q14_promo_revenue_pct",
     "q16_supplier_part_types",
     "q17_small_qty_revenue",
     "q18_large_orders",
@@ -127,6 +129,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "higher_order_funcs",
     "pandas_udf_weighted_avg",
     "source_roundtrips",
+    # data layout for scale (round 5): bucketed co-located join + hive
+    # partition pruning — write-time layout is a first-class operator
+    # family; plan shapes asserted in tests/test_layout.py
+    "layout_bucketed_join",
+    "layout_partition_pruned",
     # graph (pagerank swapped out in round 4 — the analytics row keeps
     # cc + triangles as window evidence; pagerank stays golden-verified in
     # the parity sweep and pytest)
@@ -160,6 +167,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from distributed_graph_database_system_spark.queries import (  # noqa: F401
         breadth,
         graph,
+        layout,
         llm,
         merged,
         pipeline,

@@ -42,6 +42,7 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "scalar_math": ("scalar_funcs",),
     "scalar_array_hof": ("higher_order_funcs",),
     "scalar_json": ("json_struct_funcs",),
+    "data_layout": ("layout_bucketed_join", "layout_partition_pruned"),
     "streaming_windows": (
         "stream_tumbling_counts",
         "stream_sliding_sum",

@@ -85,6 +85,35 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "layout_zorder_scan",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 200 AND value BETWEEN 10.0 AND 50.0
+    GROUP BY user_id
+    """,
+    tags=("layout", "zorder", "clustering"),
+)
+def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events re-written Z-ordered on (user_id, value), then scanned with
+    predicates on BOTH dimensions — the multi-dim clustering means parquet
+    row-group stats skip data for either predicate, where a single-column
+    sort only helps its leading key. Stats tightening is asserted in
+    tests/test_layout.py; the oracle proves the re-layout loses nothing."""
+    path = os.path.join(_LAYOUT_ROOT, f"events_zorder_{_key(sf_dir)}")
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    layout.zorder_write(e, path, ["user_id", "value"], bits=6)
+    back = spark.read.parquet(path)
+    hit = back.filter(
+        F.col("user_id").between(100, 200) & F.col("value").between(10.0, 50.0)
+    )
+    return hit.groupBy("user_id").agg(
+        F.count("*").alias("n"), dsum("value").alias("total_value")
+    )
+
+
+@query(
     "layout_partition_pruned",
     oracle="""
     SELECT date_trunc('day', ts) AS event_day, event_type, COUNT(*) AS n,

@@ -91,6 +91,110 @@ def bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    relative_error: float = 0.01,
+):
+    """A Morton (Z-order) key column interleaving the bits of per-column
+    quantile-bucket ranks — multi-dimensional clustering so parquet row-group
+    min/max stats stay selective for predicates on ANY of ``cols``, not just
+    the first sort key (the lakehouse ``OPTIMIZE ZORDER BY`` technique).
+
+    Bucket boundaries come from ``approxQuantile`` (Greenwald-Khanna sketch):
+    one bounded driver-side collect of ``2^bits`` cut points per column —
+    analogous to collecting IVF centroids, NOT a per-row driver loop. Rank
+    lookup and bit interleaving are pure column expressions (codegen'd);
+    the returned Column is usable in :func:`zorder_write` or directly in
+    ``repartitionByRange``.
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    per_col_rank = []
+    for c in cols:
+        qs = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+            c, [i / n_buckets for i in range(1, n_buckets)], relative_error
+        )
+        # strictly-increasing cut points (duplicates collapse on skew);
+        # rank = number of cut points below the value (searchsorted), as ONE
+        # higher-order filter over a literal array — compact codegen vs a
+        # chain of 2^bits WHEN branches.
+        cuts = sorted(set(qs))
+        cuts_arr = F.array(*[F.lit(float(x)) for x in cuts])
+        v = F.col(c).cast("double")
+        rank = F.size(F.filter(cuts_arr, lambda cut: v > cut))
+        # Stretch the rank over the FULL bit range: a low-cardinality column
+        # (rank ≪ 2^bits after duplicate cuts collapse) would otherwise leave
+        # its high bits always-zero, and the interleaved key's top bits —
+        # which drive the range partitioning — would come entirely from the
+        # other columns, un-clustering this one.
+        if len(cuts) > 0:
+            rank = F.floor(rank * ((1 << bits) - 1) / len(cuts)).cast("int")
+        per_col_rank.append(rank)
+    # Interleave: bit b of column k lands at position b*len(cols)+k.
+    z = F.lit(0)
+    for b in range(bits):
+        for k, rank in enumerate(per_col_rank):
+            bit = F.shiftright(rank, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + k))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 8,
+    partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols``: range-partition on
+    the interleaved key (so files cover disjoint z-ranges) and sort within
+    partitions (so row groups inside each file are tight on every dim)."""
+    z = zorder_key(df, cols, bits=bits)
+    zed = df.withColumn("__z", z)
+    zed = (
+        zed.repartitionByRange(partitions, "__z")
+        if partitions
+        else zed.repartitionByRange("__z")
+    )
+    (
+        zed.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet dataset into ~``target_bytes`` files and return the
+    new file count. Small-file proliferation (streaming sinks, per-batch
+    appends) is a first-order scale problem: a 100 TB table in 1 MB files
+    means 10^8 scan tasks and a metadata-bound driver. Routed through the
+    Hadoop FileSystem API, so it works on any supported URI, not just
+    local paths."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    fs.delete(hpath, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        raise IOError(f"compact: rename {tmp} -> {path} failed")
+    return n
+
+
 def physical_plan(df: DataFrame) -> str:
     """The formatted physical plan as a string (``explain`` only prints)."""
     buf = io.StringIO()

@@ -67,6 +67,63 @@ def test_partition_pruned_matches_unpartitioned_filter(spark, sf_dir):
     assert got_n == want_n and sum(got_n.values()) > 0
 
 
+def _file_stat_widths(path: str, col: str) -> list[float]:
+    """Per-file (min,max) width of ``col`` from parquet footer statistics —
+    the stats data-skipping actually uses."""
+    import pyarrow.dataset as ds
+
+    widths = []
+    for frag in ds.dataset(path, format="parquet").get_fragments():
+        lo, hi = None, None
+        for rg in frag.metadata.to_dict()["row_groups"]:
+            for c in rg["columns"]:
+                if c["path_in_schema"] == col and c["statistics"]:
+                    s = c["statistics"]
+                    lo = s["min"] if lo is None else min(lo, s["min"])
+                    hi = s["max"] if hi is None else max(hi, s["max"])
+        if lo is not None:
+            widths.append(float(hi) - float(lo))
+    return widths
+
+
+def test_zorder_tightens_file_stats_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-ordering by (user_id, value) must shrink per-file min/max ranges on
+    BOTH columns vs a shuffled layout — that width is exactly what row-group
+    skipping prunes with."""
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n_files = 8
+    base, zed = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    e.repartition(n_files).write.mode("overwrite").parquet(base)
+    layout.zorder_write(e, zed, ["user_id", "value"], bits=6, partitions=n_files)
+
+    for col in ("user_id", "value"):
+        plain_w = sum(_file_stat_widths(base, col)) / n_files
+        z_w = sum(_file_stat_widths(zed, col)) / n_files
+        # each z-file should cover well under half the full range; a random
+        # shuffle makes every file cover ~the whole range
+        assert z_w < 0.6 * plain_w, (col, z_w, plain_w)
+
+    # and the data survives the re-layout
+    assert spark.read.parquet(zed).count() == e.count()
+
+
+def test_compact_reduces_file_count_preserving_rows(spark, sf_dir, tmp_path):
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "frag")
+    e.repartition(20).write.mode("overwrite").parquet(path)
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 20
+    n = layout.compact(spark, path, target_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == e.count()
+
+
 def test_sorted_within_partitions_keeps_rows(spark, sf_dir):
     from distributed_graph_database_system_spark.sources.catalog import load_table
 

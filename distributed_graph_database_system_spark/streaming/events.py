@@ -148,6 +148,77 @@ def run_foreach_batch(df: DataFrame, batch_fn, mode: str = "update") -> None:
         q.stop()
 
 
+def run_incremental_daily_rollup(
+    spark: SparkSession, stream: DataFrame, rollup_path: str
+) -> None:
+    """Maintain a day×event_type rollup table incrementally from the raw
+    stream — the continuous-aggregate ("hypertable rollup") pattern:
+
+    each micro-batch contributes partial aggregates (count + exact-decimal
+    value sum), which are merged with the existing rollup rows for ONLY the
+    days the batch touched, and written back with dynamic partition
+    overwrite — so per batch the table rewrite is O(days-in-batch), not
+    O(table). Counts and decimal sums are additive, so merge = re-aggregate
+    of (existing ∪ contribution); no full-table state is held in the
+    streaming job at all.
+
+    Delivery note: file-source replay + foreachBatch is at-least-once on
+    failure; production exactly-once needs a batch_id-keyed staging commit
+    (or a transactional table format), which this container lacks — the
+    merge itself is idempotent per batch only if the batch is not partially
+    applied. Documented trade, same as any parquet-only sink.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        contrib = (
+            # DATE partition column: date-typed directory values round-trip
+            # through hive partition inference; timestamps don't reliably.
+            batch_df.groupBy(
+                F.to_date(F.col("ts")).alias("day"), F.col("event_type")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_value"),
+            )
+        )
+        # bounded driver-side collect: a micro-batch spans few distinct days
+        days = [r["day"] for r in contrib.select("day").distinct().collect()]
+        if not days:
+            return
+        try:
+            existing = spark.read.parquet(rollup_path).where(F.col("day").isin(days))
+        except AnalysisException:  # first batch: rollup doesn't exist yet
+            existing = spark.createDataFrame(
+                [], "day DATE, event_type STRING, n BIGINT, dec_value DECIMAL(18,2)"
+            )
+        merged = (
+            existing.unionByName(contrib)
+            .groupBy("day", "event_type")
+            .agg(F.sum("n").alias("n"), F.sum("dec_value").alias("dec_value"))
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.partitionBy("day").mode("overwrite").parquet(rollup_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    run_foreach_batch(stream, upsert, mode="append")
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The maintained rollup, surfaced with the engine's money discipline
+    (exact decimal store, double at the edge)."""
+    r = spark.read.parquet(rollup_path)
+    return r.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "event_type",
+        "n",
+        F.col("dec_value").cast("double").alias("sum_value"),
+    )
+
+
 def stateful_user_counts(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: a running
     per-user event counter emitted on every update — the

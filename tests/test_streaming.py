@@ -316,3 +316,37 @@ def test_rate_source_smoke(spark):
         q.stop()
     vals = [r.value for r in spark.table("t_rate").orderBy("value").collect()]
     assert vals and vals == sorted(vals) and vals[0] == 0
+
+
+def test_incremental_rollup_converges_to_batch_groundtruth(
+    spark, sf_dir, stream_src, tmp_path
+):
+    """Replay the stream through the foreachBatch day-rollup; the final
+    table must EXACTLY equal the one-shot batch aggregate — additive
+    decimal merges lose nothing across micro-batches."""
+    from distributed_graph_database_system_spark.streaming.events import (
+        read_rollup,
+        run_incremental_daily_rollup,
+    )
+
+    path = str(tmp_path / "rollup")
+    run_incremental_daily_rollup(spark, events_stream(spark, stream_src), path)
+
+    cols = ("day", "event_type", "n", "sum_value")
+    got = rows_set(read_rollup(spark, path), cols)
+    e = load_table(spark, sf_dir, "events")
+    want = rows_set(
+        e.groupBy(
+            F.to_date("ts").cast("timestamp").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        ),
+        cols,
+    )
+    assert got == want
+
+    # per-batch rewrite is partition-scoped: the rollup is day-partitioned
+    import glob
+
+    assert glob.glob(path + "/day=*"), "expected hive day= partition dirs"

@@ -5,7 +5,6 @@ aggregation, csv/json source round-trips, approximate percentiles
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pandas as pd
 
@@ -157,17 +156,12 @@ def pandas_udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- CSV / JSON source round-trips -----------------------------------------
 
-_IO_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_io")
-
-
 def _io_path(sf_dir: str, name: str) -> str:
-    """Per-process, full-path-keyed sink dir: md5(sf_dir) disambiguates
-    same-basename roots; the pid isolates concurrent runs (driver harness
-    vs pytest) from overwrite/read races on a shared /tmp."""
-    import hashlib
+    """Per-process, full-path-keyed sink dir (shared convention + exit-time
+    cleanup live in helpers.scratch_dir)."""
+    from distributed_graph_database_system_spark.queries.helpers import scratch_dir
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return os.path.join(_IO_ROOT, f"{key}-{os.getpid()}", name)
+    return scratch_dir("io", sf_dir, name)
 
 
 @query(

@@ -14,8 +14,36 @@ point must be deterministic across engines:
 
 from __future__ import annotations
 
+import atexit
+import hashlib
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def scratch_dir(family: str, sf_dir: str, name: str) -> str:
+    """A per-process scratch path for query-side sink/layout round-trips:
+    ``/tmp/spark_graft_<family>/<md5(sf_dir)>-<pid>/<name>``.
+
+    md5(sf_dir) disambiguates same-basename fixture roots; the pid isolates
+    concurrent runs (driver harness vs pytest) from overwrite/read races on
+    a shared /tmp. The pid-scoped directory is removed at interpreter exit —
+    without that, every harness/pytest process leaks full fixture-table
+    copies until /tmp fills.
+    """
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{family}")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    piddir = os.path.join(root, f"{key}-{os.getpid()}")
+    if piddir not in _CLEANUP_DIRS:
+        _CLEANUP_DIRS.add(piddir)
+        atexit.register(shutil.rmtree, piddir, ignore_errors=True)
+    return os.path.join(piddir, name)
+
+
+_CLEANUP_DIRS: set[str] = set()
 
 
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:

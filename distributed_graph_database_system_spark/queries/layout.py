@@ -16,27 +16,22 @@ shuffle/sort across every later query.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributed_graph_database_system_spark.queries.helpers import dsum
+from distributed_graph_database_system_spark.queries.helpers import dsum, scratch_dir
 from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources import layout
 from distributed_graph_database_system_spark.sources.catalog import load_table
 
-_LAYOUT_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_layout")
 
-
-def _key(sf_dir: str) -> str:
-    """Full-path + pid key: disambiguates scale factors and isolates the
-    driver harness from a concurrently-running pytest (same rationale as
-    queries/breadth.py's _io_path)."""
-    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return f"{h}_{os.getpid()}"
+def _path(sf_dir: str, name: str) -> str:
+    """Per-process scratch path (shared convention + exit-time cleanup in
+    helpers.scratch_dir — these are full fixture-table rewrites, so the
+    cleanup matters)."""
+    return scratch_dir("layout", sf_dir, name)
 
 
 @query(
@@ -55,21 +50,23 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing and plans with no Exchange on either input — the write-once,
     join-many pattern for repeated fact-to-fact joins at 100 TB. The only
     shuffle left in the whole query is the final small groupBy."""
-    key = _key(sf_dir)
-    ob, lb = f"b_orders_{key}", f"b_lineitem_{key}"
+    bdir = _path(sf_dir, "bucketed")
+    # catalog table names need the same per-(sf,pid) uniqueness as the paths
+    suffix = os.path.basename(os.path.dirname(bdir)).replace("-", "_")
+    ob, lb = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
     layout.write_bucketed(
         load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
         ob,
         keys=["o_orderkey"],
         buckets=8,
-        path=os.path.join(_LAYOUT_ROOT, ob),
+        path=os.path.join(bdir, ob),
     )
     layout.write_bucketed(
         load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
         lb,
         keys=["l_orderkey"],
         buckets=8,
-        path=os.path.join(_LAYOUT_ROOT, lb),
+        path=os.path.join(bdir, lb),
     )
     j = layout.bucketed(spark, lb).join(
         # merge hint: keep the demonstration plan a SortMergeJoin even at
@@ -101,7 +98,7 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-group stats skip data for either predicate, where a single-column
     sort only helps its leading key. Stats tightening is asserted in
     tests/test_layout.py; the oracle proves the re-layout loses nothing."""
-    path = os.path.join(_LAYOUT_ROOT, f"events_zorder_{_key(sf_dir)}")
+    path = _path(sf_dir, "events_zorder")
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     layout.zorder_write(e, path, ["user_id", "value"], bits=6)
     back = spark.read.parquet(path)
@@ -131,7 +128,7 @@ def layout_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     time (``PartitionFilters`` — asserted in tests/test_layout.py), so the
     scan cost tracks the week, not the table. At 100 TB this is the
     difference between reading ~3 TB and reading everything."""
-    path = os.path.join(_LAYOUT_ROOT, f"events_by_day_{_key(sf_dir)}")
+    path = _path(sf_dir, "events_by_day")
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date")
     )

@@ -112,11 +112,18 @@ def zorder_key(
     from pyspark.sql import functions as F
 
     n_buckets = 1 << bits
-    per_col_rank = []
-    for c in cols:
-        qs = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
-            c, [i / n_buckets for i in range(1, n_buckets)], relative_error
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"zorder_key: {bits} bits × {len(cols)} cols exceeds a 64-bit key"
         )
+    casted = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    # ONE Greenwald-Khanna pass collects every column's cut points together
+    # (approxQuantile's multi-column form) — not len(cols) table scans.
+    all_qs = casted.approxQuantile(
+        list(cols), [i / n_buckets for i in range(1, n_buckets)], relative_error
+    )
+    per_col_rank = []
+    for c, qs in zip(cols, all_qs):
         # strictly-increasing cut points (duplicates collapse on skew);
         # rank = number of cut points below the value (searchsorted), as ONE
         # higher-order filter over a literal array — compact codegen vs a
@@ -131,13 +138,16 @@ def zorder_key(
         # which drive the range partitioning — would come entirely from the
         # other columns, un-clustering this one.
         if len(cuts) > 0:
-            rank = F.floor(rank * ((1 << bits) - 1) / len(cuts)).cast("int")
-        per_col_rank.append(rank)
+            rank = F.floor(rank * ((1 << bits) - 1) / len(cuts))
+        # long, not int: bit positions ≥ 31 (e.g. bits=8 × 4 cols) overflow a
+        # 32-bit shiftleft into the sign bit, range-partitioning the highest
+        # ranks FIRST and silently destroying that dimension's clustering.
+        per_col_rank.append(rank.cast("long"))
     # Interleave: bit b of column k lands at position b*len(cols)+k.
-    z = F.lit(0)
+    z = F.lit(0).cast("long")
     for b in range(bits):
         for k, rank in enumerate(per_col_rank):
-            bit = F.shiftright(rank, b).bitwiseAND(F.lit(1))
+            bit = F.shiftright(rank, b).bitwiseAND(F.lit(1).cast("long"))
             z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + k))
     return z
 
@@ -173,12 +183,22 @@ def compact(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
 ) -> int:
-    """Rewrite a parquet dataset into ~``target_bytes`` files and return the
-    new file count. Small-file proliferation (streaming sinks, per-batch
-    appends) is a first-order scale problem: a 100 TB table in 1 MB files
-    means 10^8 scan tasks and a metadata-bound driver. Routed through the
-    Hadoop FileSystem API, so it works on any supported URI, not just
-    local paths."""
+    """Rewrite a parquet dataset into ~``target_bytes`` data files per
+    partition directory and return the repartition width. Small-file
+    proliferation (streaming sinks, per-batch appends) is a first-order
+    scale problem: a 100 TB table in 1 MB files means 10^8 scan tasks and a
+    metadata-bound driver. Routed through the Hadoop FileSystem API, so it
+    works on any supported URI, not just local paths.
+
+    Hive-partitioned datasets keep their layout: inferred partition columns
+    are re-applied with ``partitionBy`` on the rewrite, so directory pruning
+    (and any partition-overwrite writer feeding the dataset) still works.
+
+    Swap order is crash-safe: the rewrite lands in a tmp dir, the original
+    is renamed ASIDE (not deleted), the tmp renamed in, and only then is the
+    backup deleted — at every intermediate step the data exists at ``path``
+    or at a recoverable ``__compact_bak`` sibling.
+    """
     import math
 
     jvm = spark._jvm
@@ -187,11 +207,32 @@ def compact(
     total = fs.getContentSummary(hpath).getLength()
     n = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)
+    # Partition columns come back as non-file columns of the inferred
+    # schema: everything not present in the leaf files' own schema. Cheaper
+    # and exact: ask the catalog-free reader for its partition spec via the
+    # directory names one level down.
+    part_cols = [
+        seg.getPath().getName().split("=", 1)[0]
+        for seg in fs.listStatus(hpath)
+        if seg.isDirectory() and "=" in seg.getPath().getName()
+    ]
+    part_cols = sorted(set(part_cols))
     tmp = path.rstrip("/") + "__compact_tmp"
-    df.repartition(n).write.mode("overwrite").parquet(tmp)
-    fs.delete(hpath, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
-        raise IOError(f"compact: rename {tmp} -> {path} failed")
+    bak = path.rstrip("/") + "__compact_bak"
+    w = df.repartition(n, *part_cols) if part_cols else df.repartition(n)
+    writer = w.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    fs.delete(bak_p, True)  # stale backup from an earlier failed run
+    if not fs.rename(hpath, bak_p):
+        raise IOError(f"compact: backup rename {path} -> {bak} failed")
+    if not fs.rename(tmp_p, hpath):
+        fs.rename(bak_p, hpath)  # roll back; original data restored
+        raise IOError(f"compact: rename {tmp} -> {path} failed (rolled back)")
+    fs.delete(bak_p, True)
     return n
 
 

@@ -171,7 +171,7 @@ def run_incremental_daily_rollup(
     from pyspark.sql.utils import AnalysisException
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        contrib = (
+        contrib_rows = (
             # DATE partition column: date-typed directory values round-trip
             # through hive partition inference; timestamps don't reliably.
             batch_df.groupBy(
@@ -181,11 +181,19 @@ def run_incremental_daily_rollup(
                 F.count("*").alias("n"),
                 F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_value"),
             )
+            # ONE aggregation job per batch: the result is tiny (days ×
+            # event_types), so collect it and rebuild — referencing the lazy
+            # frame from both the day-list and the merge write would run the
+            # full batch aggregation twice.
+            .collect()
         )
-        # bounded driver-side collect: a micro-batch spans few distinct days
-        days = [r["day"] for r in contrib.select("day").distinct().collect()]
-        if not days:
+        if not contrib_rows:
             return
+        days = sorted({r["day"] for r in contrib_rows})
+        contrib = spark.createDataFrame(
+            contrib_rows,
+            "day DATE, event_type STRING, n BIGINT, dec_value DECIMAL(28,2)",
+        )
         try:
             existing = spark.read.parquet(rollup_path).where(F.col("day").isin(days))
         except AnalysisException:  # first batch: rollup doesn't exist yet

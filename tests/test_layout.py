@@ -124,6 +124,54 @@ def test_compact_reduces_file_count_preserving_rows(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == e.count()
 
 
+def test_compact_preserves_hive_partitioning(spark, sf_dir, tmp_path):
+    """Compacting a day-partitioned dataset must keep the day= directory
+    layout (else pruning breaks and partition-overwrite writers double-count)
+    while consolidating the files inside each partition."""
+    import glob
+
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "by_day")
+    # fragment: several files per day partition
+    e.repartition(6).write.partitionBy("day").mode("overwrite").parquet(path)
+    day_dirs = glob.glob(path + "/day=*")
+    assert day_dirs and all(
+        len(glob.glob(d + "/*.parquet")) > 1 for d in day_dirs[:3]
+    )
+    before = spark.read.parquet(path).count()
+    layout.compact(spark, path, target_bytes=1 << 30)
+    after_dirs = glob.glob(path + "/day=*")
+    assert sorted(after_dirs) == sorted(day_dirs), "partition layout lost"
+    assert all(len(glob.glob(d + "/*.parquet")) == 1 for d in after_dirs)
+    assert spark.read.parquet(path).count() == before
+    # no stray backup/tmp left behind
+    assert not glob.glob(path + "__compact_*")
+
+
+def test_zorder_key_is_nonnegative_long_at_four_columns(spark, sf_dir):
+    """bits=8 × 4 cols puts the top bit at position 31 — on a 32-bit key
+    that overflows into the sign bit and reverses the range partitioning
+    for the highest ranks; the key must be a long and never negative."""
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    z = layout.zorder_key(
+        li, ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"], bits=8
+    )
+    stats = li.select(z.alias("z")).agg(
+        F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).first()
+    assert stats["lo"] >= 0
+    # the top interleave bit (position 31) must actually be reachable
+    assert stats["hi"] > (1 << 30)
+
+
 def test_sorted_within_partitions_keeps_rows(spark, sf_dir):
     from distributed_graph_database_system_spark.sources.catalog import load_table
 

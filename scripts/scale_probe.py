@@ -199,6 +199,69 @@ def main() -> int:
             f"srp-lsh(nbits={nbits},probes={probes})={round(t_ann, 2)}s, "
             f"recall@10={recall}"
         )
+
+    # Data layout at 20-200x the fixture: Z-order 2M rows on 3 dims and
+    # measure (a) write cost and (b) per-file stat tightening — the width of
+    # each file's min/max envelope is exactly what row-group skipping prunes
+    # with, so width-ratio ~ fraction of data a point/range query must read.
+    from distributed_graph_database_system_spark.sources.layout import (
+        compact,
+        zorder_write,
+    )
+
+    n_z, n_files = 2_000_000, 32
+    zsrc = (
+        spark.range(n_z)
+        .select(
+            F.col("id").alias("row_id"),
+            F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("a"),
+            F.pmod(F.xxhash64(F.col("id") + 1), F.lit(10_000)).alias("b"),
+            (F.pmod(F.xxhash64(F.col("id") + 2), F.lit(1_000_000)) / 1000.0).alias("c"),
+        )
+        .repartition(n_files)
+    )
+    zsrc.write.mode("overwrite").parquet("/tmp/scale_zorder_plain")
+    plain = spark.read.parquet("/tmp/scale_zorder_plain")
+    t0 = time.perf_counter()
+    zorder_write(plain, "/tmp/scale_zorder_zed", ["a", "b", "c"], bits=8,
+                 partitions=n_files)
+    t_z = time.perf_counter() - t0
+
+    import pyarrow.dataset as ds
+
+    def widths(path, col):
+        out = []
+        for frag in ds.dataset(path, format="parquet").get_fragments():
+            lo = hi = None
+            for rg in frag.metadata.to_dict()["row_groups"]:
+                for cc in rg["columns"]:
+                    if cc["path_in_schema"] == col and cc["statistics"]:
+                        s = cc["statistics"]
+                        lo = s["min"] if lo is None else min(lo, s["min"])
+                        hi = s["max"] if hi is None else max(hi, s["max"])
+            if lo is not None:
+                out.append(float(hi) - float(lo))
+        return sum(out) / len(out)
+
+    ratios = {
+        col: round(
+            widths("/tmp/scale_zorder_zed", col)
+            / widths("/tmp/scale_zorder_plain", col),
+            3,
+        )
+        for col in ("a", "b", "c")
+    }
+    print(
+        f"zorder {n_z} rows x 3 dims: write={round(t_z, 2)}s, "
+        f"per-file stat-width ratio vs shuffled={ratios} (lower = tighter)"
+    )
+
+    t0 = time.perf_counter()
+    n_out = compact(spark, "/tmp/scale_zorder_plain", target_bytes=1 << 30)
+    print(
+        f"compact {n_files}-file {n_z}-row dataset -> {n_out} file(s): "
+        f"{round(time.perf_counter() - t0, 2)}s"
+    )
     return 0
 
 

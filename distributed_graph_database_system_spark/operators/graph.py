@@ -597,6 +597,62 @@ def pagerank(
     return ranks
 
 
+def k_core(edges: DataFrame, k: int, max_iter: int = 500) -> DataFrame:
+    """Vertices of the k-core (maximal subgraph where every vertex has
+    degree ≥ k in the subgraph), with their core-subgraph degree — by
+    distributed peeling: each round drops EVERY vertex whose current degree
+    is < k (not one at a time), recomputes degrees on the induced subgraph,
+    and repeats until stable. Edges are treated as undirected; direction
+    and duplicates are normalized internally.
+
+    Scale shape: per round, one degree aggregation + two broadcast-friendly
+    semi-joins (the sub-k vertex set is small after the first rounds); the
+    edge set only shrinks. Lineage is cut per round (localCheckpoint), so
+    the plan stays constant-size at any depth. Round count = peeling depth
+    of the graph — O(log n)-ish on real graphs, but O(n) on degenerate
+    chains (k=2 strips two endpoints per round); raises after ``max_iter``
+    rather than returning a superset that still contains sub-k vertices
+    (same convergence contract as pregel above).
+
+    Reference parity: no analogue — the reference's only analytics are the
+    R3/R4 traversals (``secondaryServer.c:56-179``); this extends the
+    north-star analytics set (CC / PageRank / triangles / SSSP).
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    # undirected simple graph: canonical (min, max) pairs, self-loops out
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        ).localCheckpoint()
+        sub_k = deg.where(F.col("d") < k)
+        if sub_k.isEmpty():
+            return deg.select(F.col("v").alias("vid"), F.col("d").alias("core_degree"))
+        e = (
+            e.join(sub_k.select(F.col("v").alias("a")), "a", "left_anti")
+            .join(sub_k.select(F.col("v").alias("b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        if e.isEmpty():
+            # graph fully peeled: the k-core is empty
+            return deg.sparkSession.createDataFrame(
+                [], "vid BIGINT, core_degree BIGINT"
+            )
+    raise RuntimeError(f"k_core: did not stabilize within {max_iter} peeling rounds")
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Triangle count of an undirected graph given as canonical edges
     (src < dst, deduplicated), via DEGREE-ORDERED ORIENTATION: every edge is

@@ -25,6 +25,7 @@ from distributed_graph_database_system_spark.operators.graph import (
     connected_components,
     degrees,
     dfs_leaves,
+    k_core,
     pagerank,
     triangle_count,
 )
@@ -39,6 +40,13 @@ G3 = [(1, 2), (2, 3), (3, 4)]
 G4 = [(1, 2), (2, 1), (1, 3), (3, 1), (4, 5), (5, 4), (5, 6), (6, 5)]
 G4_VERTICES = [1, 2, 3, 4, 5, 6, 7]
 G5_VERTICES = [1]
+# G6 (k-core fixture): 4-clique {1,2,3,4} + 5-cycle {5..9} bridged by 4—5 +
+# pendant 10—8. Peeling at k=3 cascades over three rounds: {6,7,9,10} fall
+# first (degree < 3), which drops 5 and 8 to degree ≤ 1, leaving the clique.
+G6 = (
+    [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]  # clique
+    + [(5, 6), (6, 7), (7, 8), (8, 9), (9, 5), (4, 5), (8, 10)]
+)
 
 
 def _edges(spark: SparkSession, rows: list[tuple[int, int]]) -> DataFrame:
@@ -126,6 +134,20 @@ def graph_dfs_g5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_cc_g4(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = spark.createDataFrame([(v,) for v in G4_VERTICES], "vid BIGINT")
     return connected_components(_edges(spark, G4), vertices=verts)
+
+
+@query(
+    "graph_kcore_g6",
+    oracle=(
+        "SELECT CAST(v AS BIGINT) AS vid, CAST(d AS BIGINT) AS core_degree "
+        "FROM (VALUES (1,3),(2,3),(3,3),(4,3)) AS t(v, d)"
+    ),
+    tags=("graph", "kcore"),
+)
+def graph_kcore_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of G6: multi-round peeling cascade (cycle+pendant fall away
+    over three rounds) isolating the 4-clique — hand-verified golden."""
+    return k_core(_edges(spark, G6), k=3)
 
 
 @query(

@@ -349,3 +349,76 @@ def test_sssp_weighted_matches_dijkstra(spark):
     assert got == dist
     # the indirect route 1->3->2 (3.0) must beat the direct edge (4.0)
     assert got[2] == 3.0
+
+
+# --- k-core decomposition --------------------------------------------------
+
+
+def py_k_core(rows, k):
+    """Sequential peeling reference: undirected simple graph."""
+    adj: dict[int, set[int]] = {}
+    for a, b in rows:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for u in adj[v]:
+                adj[u].discard(v)
+            del adj[v]
+            changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def test_kcore_golden_clique_extraction(spark):
+    from distributed_graph_database_system_spark.operators.graph import k_core
+    from distributed_graph_database_system_spark.queries.graph import G6
+
+    got = {
+        r["vid"]: r["core_degree"]
+        for r in k_core(spark.createDataFrame(G6, "src BIGINT, dst BIGINT"), k=3).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_full_graph_when_no_subk_vertices(spark):
+    from distributed_graph_database_system_spark.operators.graph import k_core
+    from distributed_graph_database_system_spark.queries.graph import G6
+
+    got = {
+        r["vid"]: r["core_degree"]
+        for r in k_core(spark.createDataFrame(G6, "src BIGINT, dst BIGINT"), k=2).collect()
+    }
+    # pendant 10 peels; everything else has degree >= 2 in the remainder
+    assert got == py_k_core(G6, 2)
+    assert 10 not in got and len(got) == 9
+
+
+def test_kcore_empty_when_k_exceeds_max_core(spark):
+    from distributed_graph_database_system_spark.operators.graph import k_core
+    from distributed_graph_database_system_spark.queries.graph import G6
+
+    assert k_core(spark.createDataFrame(G6, "src BIGINT, dst BIGINT"), k=4).count() == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_kcore_matches_python_peeling_on_random_graphs(spark, seed):
+    from distributed_graph_database_system_spark.operators.graph import k_core
+
+    rng = random.Random(seed)
+    n = rng.randint(5, 30)
+    rows = [
+        (i, j)
+        for i in range(1, n + 1)
+        for j in range(i + 1, n + 1)
+        if rng.random() < 0.25
+    ]
+    if not rows:
+        return
+    e = spark.createDataFrame(rows, "src BIGINT, dst BIGINT")
+    for k in (2, 3):
+        got = {r["vid"]: r["core_degree"] for r in k_core(e, k=k).collect()}
+        assert got == py_k_core(rows, k), (seed, k)

@@ -258,6 +258,69 @@ def minhash_signature_udf(k: int = 32, seed: int = 42):
     return sig
 
 
+def lsh_index_entries(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc LSH index rows ``(doc_id, sig, band, bucket)`` — the
+    persistent form of the banded-MinHash index that
+    :func:`minhash_lsh_pairs` builds transiently. One row per (doc, band);
+    ``sig`` is the full k-component signature (repeated per band row so a
+    bucket join carries everything needed for signature-estimate verify
+    without a second attach join — at 24 B/component × k=32 that's ~768 B
+    per row, the deliberate store-size/join-count trade for an incremental
+    index; the batch pipeline keeps its id-only shuffle instead)."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    r = k // bands
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    sh_udf = shingle_hash_udf(n)
+    base = (
+        docs.repartition(target, id_col)
+        .select(F.col(id_col).alias("doc_id"), sh_udf(F.col(text_col)).alias("_h"))
+        .select(
+            "doc_id", minhash_signature_udf(k=k, seed=seed)(F.col("_h")).alias("sig")
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", bi * r + j + 1).cast("string")
+                            for j in range(r)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return base.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def signature_similarity(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of agreeing MinHash components (the
+    estimator LSH theory is built on; stderr ≈ 1/√k). JVM-side zip_with +
+    aggregate — no Python in the verify path."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree / F.size(sig_a)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,107 @@
+"""Incremental near-dedup over a document stream (streaming/documents.py).
+
+The decision rule ("duplicate iff it matches ANY earlier doc") is
+associative, so the binding invariant is: replaying the corpus in N slices
+produces BYTE-IDENTICAL decisions to ingesting it as one batch. Plus planted
+near-duplicates must be caught with the right attribution, and the store
+must grow by survivors only.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from distributed_graph_database_system_spark.streaming.documents import (
+    documents_stream,
+    read_decisions,
+    read_index,
+    replay_documents,
+    run_incremental_near_dedup,
+)
+
+VOCAB = [f"w{i}" for i in range(500)]
+
+
+def make_corpus(n_base: int, seed: int):
+    """Base docs + planted near-dups (2-token perturbation of an earlier
+    doc) + one exact dup. doc_ids are arrival order."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_base):
+        rows.append((i, " ".join(rng.choices(VOCAB, k=60))))
+    planted = {}
+    next_id = n_base
+    for orig in rng.sample(range(n_base), 5):
+        toks = rows[orig][1].split()
+        for pos in rng.sample(range(len(toks)), 2):
+            toks[pos] = rng.choice(VOCAB)
+        rows.append((next_id, " ".join(toks)))
+        planted[next_id] = orig
+        next_id += 1
+    exact_orig = rng.randrange(n_base)
+    rows.append((next_id, rows[exact_orig][1]))
+    planted[next_id] = exact_orig
+    return rows, planted
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows, planted = make_corpus(40, seed=7)
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    return df, planted
+
+
+def _run(spark, df, tmp, slices):
+    src = replay_documents(spark, df, str(tmp / f"replay{slices}"), slices=slices)
+    store = str(tmp / f"store{slices}")
+    run_incremental_near_dedup(
+        spark, documents_stream(spark, src), store, threshold=0.6
+    )
+    return store
+
+
+def decisions_map(spark, store):
+    return {
+        r["doc_id"]: r["dup_of"]
+        for r in read_decisions(spark, store).collect()
+    }
+
+
+def test_planted_dups_attributed_to_originals(spark, corpus, tmp_path):
+    df, planted = corpus
+    store = _run(spark, df, tmp_path, slices=4)
+    got = decisions_map(spark, store)
+    assert len(got) == df.count()  # one decision per doc
+    for dup_id, orig in planted.items():
+        assert got[dup_id] is not None, f"planted dup {dup_id} not flagged"
+        # attribution: SOME earlier doc; the planted original unless the
+        # base corpus coincidentally contains a nearer earlier match
+        assert got[dup_id] <= orig or got[dup_id] < dup_id
+
+
+def test_incremental_equals_one_shot(spark, corpus, tmp_path):
+    df, _ = corpus
+    sliced = decisions_map(spark, _run(spark, df, tmp_path, slices=5))
+    oneshot = decisions_map(spark, _run(spark, df, tmp_path, slices=1))
+    assert sliced == oneshot
+
+
+def test_store_contains_only_survivors(spark, corpus, tmp_path):
+    df, _ = corpus
+    store = _run(spark, df, tmp_path, slices=3)
+    got = decisions_map(spark, store)
+    survivors = {d for d, dup_of in got.items() if dup_of is None}
+    indexed = {r["doc_id"] for r in read_index(spark, store).select("doc_id").distinct().collect()}
+    assert indexed == survivors
+
+
+def test_base_corpus_mostly_survives(spark, corpus, tmp_path):
+    """Random 60-token docs over a 500-word vocab are not near-duplicates of
+    each other at threshold 0.6 — false-positive sanity."""
+    df, planted = corpus
+    got = decisions_map(spark, _run(spark, df, tmp_path, slices=2))
+    base_ids = set(range(df.count() - len(planted)))
+    flagged_base = {d for d in base_ids if got[d] is not None}
+    assert not flagged_base

@@ -43,23 +43,20 @@ _INDEX = "index"
 _DECISIONS = "decisions"
 
 
-def run_incremental_near_dedup(
+def near_dedup_batch_fn(
     spark: SparkSession,
-    stream: DataFrame,
     store_path: str,
     threshold: float = 0.7,
     n: int = 3,
     k: int = 32,
     bands: int = 8,
     seed: int = 42,
-) -> None:
-    """Drain ``stream`` (docs with ``doc_id``/``text``) through the
-    incremental dedup, maintaining the LSH store at ``store_path``."""
+):
+    """The per-micro-batch upsert as a standalone ``(batch_df, batch_id)``
+    callable — used by :func:`run_incremental_near_dedup` under foreachBatch
+    and directly by the scale probe (which feeds shards without a streaming
+    query to time each one)."""
     from pyspark.sql.utils import AnalysisException
-
-    from distributed_graph_database_system_spark.streaming.events import (
-        run_foreach_batch,
-    )
 
     index_path = os.path.join(store_path, _INDEX)
     decisions_path = os.path.join(store_path, _DECISIONS)
@@ -122,7 +119,32 @@ def run_incremental_near_dedup(
         )
         survivors.write.mode("append").parquet(index_path)
 
-    run_foreach_batch(stream, upsert, mode="append")
+    return upsert
+
+
+def run_incremental_near_dedup(
+    spark: SparkSession,
+    stream: DataFrame,
+    store_path: str,
+    threshold: float = 0.7,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> None:
+    """Drain ``stream`` (docs with ``doc_id``/``text``) through the
+    incremental dedup, maintaining the LSH store at ``store_path``."""
+    from distributed_graph_database_system_spark.streaming.events import (
+        run_foreach_batch,
+    )
+
+    run_foreach_batch(
+        stream,
+        near_dedup_batch_fn(
+            spark, store_path, threshold=threshold, n=n, k=k, bands=bands, seed=seed
+        ),
+        mode="append",
+    )
 
 
 def read_decisions(spark: SparkSession, store_path: str) -> DataFrame:

@@ -262,6 +262,52 @@ def main() -> int:
         f"compact {n_files}-file {n_z}-row dataset -> {n_out} file(s): "
         f"{round(time.perf_counter() - t0, 2)}s"
     )
+
+    # Incremental near-dedup: per-shard cost must stay ~flat as the stored
+    # corpus grows (candidates are bucket-join-limited, never shard×corpus).
+    # 5 shards × 10k docs; each shard includes 200 near-dups of earlier docs.
+    import shutil
+
+    from distributed_graph_database_system_spark.streaming.documents import (
+        near_dedup_batch_fn,
+        read_decisions,
+    )
+
+    store = "/tmp/scale_dedup_store"
+    shutil.rmtree(store, ignore_errors=True)
+    upsert = near_dedup_batch_fn(spark, store, threshold=0.6)
+    shard_sz, n_shards, n_planted = 10_000, 5, 200
+    for b in range(n_shards):
+        lo = b * shard_sz
+        docs = spark.createDataFrame(
+            gen_docs(shard_sz, seed=b), "doc_id BIGINT, text STRING"
+        ).select((F.col("doc_id") + lo).alias("doc_id"), "text")
+        if b > 0:
+            # plant near-dups of the PREVIOUS shard (2 tokens swapped)
+            prev = spark.createDataFrame(
+                gen_docs(n_planted, seed=b - 1), "doc_id BIGINT, text STRING"
+            ).select(
+                (F.col("doc_id") + lo + shard_sz - n_planted).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.slice(F.split("text", " "), 3, 78),
+                    F.lit("xx yy"),
+                ).alias("text"),
+            )
+            docs = docs.where(
+                F.col("doc_id") < lo + shard_sz - n_planted
+            ).unionByName(prev)
+        docs.write.mode("overwrite").parquet(f"/tmp/scale_dedup_shard_{b}")
+        shard = spark.read.parquet(f"/tmp/scale_dedup_shard_{b}")
+        t0 = time.perf_counter()
+        upsert(shard, b)
+        dt = round(time.perf_counter() - t0, 2)
+        print(f"incremental dedup shard {b} ({shard_sz} docs, corpus {lo}): {dt}s")
+    n_dup = read_decisions(spark, store).where(F.col("dup_of").isNotNull()).count()
+    print(
+        f"incremental dedup: {n_shards * shard_sz} docs total, "
+        f"{n_dup} flagged (planted {(n_shards - 1) * n_planted})"
+    )
     return 0
 
 

@@ -90,6 +90,72 @@ def cosine_topk(
 # ---------------------------------------------------------------------------
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector scale
+    s = max|x|/127, components stored as ``array<tinyint>`` (Tungsten packs
+    primitive arrays at 1 byte/element: 4× narrower components than float32,
+    ~3× smaller parquet files once per-element def/rep overhead — identical
+    on both sides — is included) plus one float scale.
+    Quantization error ≤ s/2 per component ⇒ cosine error is O(1/127) —
+    recall-neutral for top-k at realistic margins (asserted in
+    tests/test_llm.py). Pure column expressions; no Python per row.
+
+    At 100 TB this is the difference between an embedding store that fits
+    executor memory for the bucket-verify path and one that doesn't; the
+    same trade every production ANN system (FAISS SQ8 et al.) makes."""
+    v = _as_double(F.col(vec_col))
+    scale = F.greatest(
+        F.aggregate(
+            F.transform(v, lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        / F.lit(127.0),
+        F.lit(1e-30),  # all-zero vectors: keep scale finite, q = zeros
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")).alias("q"),
+        scale.cast("float").alias("scale"),
+    )
+
+
+def cosine_topk_quantized(
+    quantized: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k over the int8 store (``quantize_embeddings``
+    output). The query stays float; per row the dot product is computed on
+    dequantized components (one multiply by the row scale hoisted out of
+    the sum) — still whole-stage-codegen'd JVM arithmetic."""
+    q = _lit_vec(query_vec)
+    deq = F.transform(F.col("q"), lambda x: x.cast("double"))
+    # cos(sv, q) = s·(v̂·q) / (s·|v̂|·|q|): the scale cancels, so compute on
+    # raw int8 components directly — no dequantization multiply needed.
+    scored = quantized.select(
+        F.col(id_col), cosine(deq, q).alias("sim")
+    )
+    topk = scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
+    from pyspark.sql import Window as W
+
+    return topk.select(
+        F.row_number()
+        .over(
+            W.partitionBy(F.col(id_col) % F.lit(1)).orderBy(
+                F.desc("sim"), F.col(id_col)
+            )
+        )
+        .alias("rank"),
+        id_col,
+    )
+
+
 def srp_hyperplanes(dim: int, nbits: int = 16, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((nbits, dim))

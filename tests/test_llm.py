@@ -348,3 +348,69 @@ def test_pinned_golden_queries_match_at_sf001(spark):
     assert len(results) == 4
     failures = {n: p for n, p in results.items() if p}
     assert not failures, f"pinned golden drift: {failures}"
+
+
+def test_quantized_topk_matches_exact_ranks(spark):
+    from distributed_graph_database_system_spark.operators.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    emb, vecs = make_embeddings(spark, planted=5)
+    q = vecs[0]
+    quant = quantize_embeddings(emb)
+    got = [r.vec_id for r in cosine_topk_quantized(quant, q, k=5).collect()]
+    want = [r.vec_id for r in cosine_topk(emb, q, k=5).collect()]
+    # int8 error O(1/127) cannot reorder the planted cluster (margin ~0.99
+    # vs random ~0.2): the top-5 SET must match exactly
+    assert set(got) == set(want)
+
+
+def test_quantization_roundtrip_error_bound(spark):
+    import math
+
+    from distributed_graph_database_system_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb, vecs = make_embeddings(spark, planted=0)
+    rows = quantize_embeddings(emb).collect()
+    assert all(len(r["q"]) == 32 for r in rows)
+    by_id = {r["vec_id"]: r for r in rows}
+    for i in (0, 1, 17):
+        r = by_id[i]
+        deq = [c * r["scale"] for c in r["q"]]
+        err = max(abs(a - b) for a, b in zip(deq, vecs[i]))
+        # symmetric quantization: per-component error <= scale/2
+        assert err <= r["scale"] / 2 + 1e-7
+        assert math.isclose(
+            max(abs(x) for x in vecs[i]), 127 * r["scale"], rel_tol=1e-5
+        )
+
+
+def test_quantized_store_is_smaller_on_disk(spark, tmp_path):
+    from distributed_graph_database_system_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    import os
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p_full, p_q = str(tmp_path / "full"), str(tmp_path / "quant")
+    # parquet-codec-neutral comparison: uncompressed on both sides measures
+    # the true storage-format width, not codec luck on random floats
+    emb.write.option("compression", "none").parquet(p_full)
+    quantize_embeddings(emb).write.option("compression", "none").parquet(p_q)
+
+    def size(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    # ~4x on raw component width (int8 vs float32); parquet's per-element
+    # def/rep-level overhead is identical on both sides and dilutes the
+    # realized file ratio to ~3x
+    assert size(p_q) < size(p_full) / 2.5

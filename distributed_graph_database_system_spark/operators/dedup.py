@@ -258,6 +258,31 @@ def minhash_signature_udf(k: int = 32, seed: int = 42):
     return sig
 
 
+def _band_bucket_structs(sig_col: str, bands: int, r: int) -> Column:
+    """Array of (band, bucket) structs from a k-component signature column:
+    bucket = xxhash64 over the band's r comma-joined components. The ONE
+    definition of the banding scheme — the batch pair-finder and the
+    persistent incremental index must stay bit-identical or a stored index
+    silently stops matching the batch operator."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, bi * r + j + 1).cast("string")
+                            for j in range(r)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
 def lsh_index_entries(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -287,24 +312,9 @@ def lsh_index_entries(
             "doc_id", minhash_signature_udf(k=k, seed=seed)(F.col("_h")).alias("sig")
         )
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", bi * r + j + 1).cast("string")
-                            for j in range(r)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    return base.select("doc_id", "sig", F.explode(band_structs).alias("bb")).select(
+    return base.select(
+        "doc_id", "sig", F.explode(_band_bucket_structs("sig", bands, r)).alias("bb")
+    ).select(
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -361,27 +371,13 @@ def minhash_lsh_pairs(
     base = hashed.select(
         "_id", minhash_signature_udf(k=k, seed=seed)(F.col("_h")).alias("_sig")
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("_sig", bi * r + j + 1).cast("string")
-                            for j in range(r)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for bi in range(bands)
-        ]
-    )
     # Buckets carry ONLY ids: the 8×-exploded shuffle moves (id, band,
     # bucket) triples, never the shingle arrays — at corpus scale the
     # candidate join's shuffle volume is O(docs × bands × 24 bytes).
-    buckets = base.select("_id", F.explode(band_structs).alias("bb")).select(
+    # Banding scheme shared with the incremental index (_band_bucket_structs).
+    buckets = base.select(
+        "_id", F.explode(_band_bucket_structs("_sig", bands, r)).alias("bb")
+    ).select(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     left = buckets.select("band", "bucket", F.col("_id").alias("id_a"))

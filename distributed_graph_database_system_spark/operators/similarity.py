@@ -64,14 +64,21 @@ def cosine_topk(
     )
     if exclude_ids:
         scored = scored.where(~F.col(id_col).isin(*exclude_ids))
-    topk = scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
-    # rank assigned after the limit: a window over k rows, not the corpus.
-    # The constant-valued partition key makes the single-partition-ness
-    # explicit and silences Spark's "No Partition Defined" warning; it must
-    # be NON-foldable (id % 1, always 0) — a literal would be constant-folded
-    # out of the partitionSpec and the warning would return.
+    return _ranked_topk(scored, k, id_col)
+
+
+def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """(rank, id) for the k best rows of ``scored`` (columns: id_col, sim),
+    similarity DESC with id ASC tiebreak. Rank is assigned AFTER the limit:
+    a window over k rows, not the corpus (the scan itself goes through
+    TakeOrderedAndProject). The constant-valued partition key makes the
+    single-partition-ness explicit and silences Spark's "No Partition
+    Defined" warning; it must be NON-foldable (id % 1, always 0) — a
+    literal would be constant-folded out of the partitionSpec and the
+    warning would return."""
     from pyspark.sql import Window as W
 
+    topk = scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
     return topk.select(
         F.row_number()
         .over(
@@ -131,29 +138,18 @@ def cosine_topk_quantized(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Brute-force cosine top-k over the int8 store (``quantize_embeddings``
-    output). The query stays float; per row the dot product is computed on
-    dequantized components (one multiply by the row scale hoisted out of
-    the sum) — still whole-stage-codegen'd JVM arithmetic."""
+    output). Scores on the RAW int8 components — cosine(s·v, q) =
+    cosine(v, q), the per-vector scale cancels, so no dequantization
+    happens here at all. NB: for scoring where scale does NOT cancel (dot
+    product, euclidean), multiply by the ``scale`` column first. Still
+    whole-stage-codegen'd JVM arithmetic, same (rank, id) contract as
+    :func:`cosine_topk`."""
     q = _lit_vec(query_vec)
-    deq = F.transform(F.col("q"), lambda x: x.cast("double"))
-    # cos(sv, q) = s·(v̂·q) / (s·|v̂|·|q|): the scale cancels, so compute on
-    # raw int8 components directly — no dequantization multiply needed.
+    int8_as_double = F.transform(F.col("q"), lambda x: x.cast("double"))
     scored = quantized.select(
-        F.col(id_col), cosine(deq, q).alias("sim")
+        F.col(id_col), cosine(int8_as_double, q).alias("sim")
     )
-    topk = scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
-    from pyspark.sql import Window as W
-
-    return topk.select(
-        F.row_number()
-        .over(
-            W.partitionBy(F.col(id_col) % F.lit(1)).orderBy(
-                F.desc("sim"), F.col(id_col)
-            )
-        )
-        .alias("rank"),
-        id_col,
-    )
+    return _ranked_topk(scored, k, id_col)
 
 
 def srp_hyperplanes(dim: int, nbits: int = 16, seed: int = 42) -> np.ndarray:

@@ -13,18 +13,23 @@ MinHash-LSH index (``lsh_index_entries`` rows in parquet); per micro-batch:
    re-verification would need the corpus TEXT retained, which the index
    deliberately does not store);
 4. decision rule: a doc is a duplicate iff it matches ANY earlier doc —
-   a stored corpus doc or a smaller-id doc of the same batch. "Any earlier"
-   (rather than "earlier survivor") keeps the rule associative, so slicing
-   the stream differently — or running the whole corpus as one batch —
-   yields byte-identical decisions (asserted in tests); the cost is that a
-   chain a~b~c drops both b and c even though b was itself dropped.
-5. survivors' index rows are appended to the store; decisions
-   ``(doc_id, dup_of, est_jaccard)`` are appended to ``<store>/decisions``.
+   any previously ingested doc (survivor or not) or a smaller-id doc of the
+   same batch. "Any earlier" (rather than "earlier survivor") keeps the
+   rule associative, so slicing the stream differently — or running the
+   whole corpus as one batch — yields byte-identical decisions (asserted in
+   tests, including a transitive chain split across batches); the cost is
+   that a chain a~b~c drops both b and c even though b was itself dropped.
+5. ALL batch index rows are appended to the store (the seen-set — indexing
+   only survivors would break associativity exactly on chains that span a
+   batch boundary); decisions ``(doc_id, dup_of, est_jaccard)`` are
+   appended to ``<store>/decisions``. Consumers take the clean corpus as
+   ``decisions WHERE dup_of IS NULL``.
 
 Scale: the per-batch work is bucket-join-sized (candidates only, never
-all-pairs against the corpus); the store grows by survivors only and is a
-plain parquet table — compactable with ``sources.layout.compact`` and
-bucketable by ``(band, bucket)`` to make the candidate join co-located.
+all-pairs against the corpus); the store grows linearly with the stream
+(k+2 longs per band row) and is a plain parquet table — compactable with
+``sources.layout.compact`` and bucketable by ``(band, bucket)`` to make
+the candidate join co-located.
 """
 
 from __future__ import annotations
@@ -79,6 +84,12 @@ def near_dedup_batch_fn(
                 F.col("sig").alias("sig_old"),
             ),
             ["band", "bucket"],
+        ).where(
+            # same "earlier" guard as the in-batch join. Also makes a
+            # RETRIED batch (foreachBatch is at-least-once) harmless here:
+            # re-ingested docs already in the store would otherwise
+            # self-pair at est_jaccard 1.0.
+            F.col("id_old") < F.col("id_new")
         )
         new_vs_new = entries.select(
             "band", "bucket", F.col("doc_id").alias("id_new"), F.col("sig").alias("sig_new")
@@ -97,12 +108,20 @@ def near_dedup_batch_fn(
         matches = cand.withColumn(
             "est_jaccard", signature_similarity(F.col("sig_new"), F.col("sig_old"))
         ).where(F.col("est_jaccard") >= threshold)
-        # one decision per dup: the smallest matching earlier doc, for a
-        # deterministic dup_of attribution
-        dups = matches.groupBy("id_new").agg(
-            F.min("id_old").alias("dup_of"),
-            F.round(F.max("est_jaccard"), 4).alias("est_jaccard"),
-        ).localCheckpoint()  # consumed 2× (decisions + survivor anti-join)
+        # one decision per dup: the smallest matching earlier doc, WITH that
+        # doc's own similarity (a min(id)/max(jaccard) pair could describe
+        # two different matches and mis-credit the attribution)
+        best = F.min(F.struct("id_old", "est_jaccard")).alias("m")
+        dups = (
+            matches.groupBy("id_new")
+            .agg(best)
+            .select(
+                "id_new",
+                F.col("m.id_old").alias("dup_of"),
+                F.round(F.col("m.est_jaccard"), 4).alias("est_jaccard"),
+            )
+            .localCheckpoint()  # consumed by the decisions left-join
+        )
         batch_ids = batch_df.select(F.col("doc_id")).distinct()
         decisions = (
             batch_ids.join(dups, batch_ids["doc_id"] == dups["id_new"], "left")
@@ -114,10 +133,11 @@ def near_dedup_batch_fn(
             )
         )
         decisions.write.mode("append").parquet(decisions_path)
-        survivors = entries.join(
-            dups.select(F.col("id_new").alias("doc_id")), "doc_id", "left_anti"
-        )
-        survivors.write.mode("append").parquet(index_path)
+        # index EVERY ingested doc, not just survivors: the associativity of
+        # "matches any earlier doc" (and with it slicing-invariance) depends
+        # on later batches seeing dropped docs too — a chain a~b~c with b
+        # dropped in an earlier batch must still drop c.
+        entries.write.mode("append").parquet(index_path)
 
     return upsert
 

@@ -388,7 +388,7 @@ def test_quantization_roundtrip_error_bound(spark):
         )
 
 
-def test_quantized_store_is_smaller_on_disk(spark, tmp_path):
+def test_quantized_store_is_smaller_on_disk(spark, sf_dir, tmp_path):
     from distributed_graph_database_system_spark.operators.similarity import (
         quantize_embeddings,
     )
@@ -396,7 +396,7 @@ def test_quantized_store_is_smaller_on_disk(spark, tmp_path):
 
     import os
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     p_full, p_q = str(tmp_path / "full"), str(tmp_path / "quant")
     # parquet-codec-neutral comparison: uncompressed on both sides measures
     # the true storage-format width, not codec luck on random floats

@@ -772,3 +772,53 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("t") - F.length("norm")).alias("chars_removed"),
         F.sum(F.length("norm")).alias("total_norm_chars"),
     )
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             ROUND(
+               ln(GREATEST(
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0), 1e-300))
+               / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 10) AS k
+      FROM documents
+    ), ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT lang, rank, doc_id, n_chars FROM ranked WHERE rank <= 20
+    """,
+    tags=("llm", "pipeline", "sampling", "weighted"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): per doc, key = ln(u)/w with u an md5-derived uniform
+    and w the weight (doc length here — sampling probability proportional
+    to size); the top-k keys per language are exactly a PPS-without-
+    replacement draw. Unlike rand()-based sampling, membership is a pure
+    function of doc_id — reproducible across engines, runs, partitionings,
+    and retries, which is what makes a sampled training mix auditable.
+    One window per group — no driver-side state; the key is rounded to 10
+    decimals on BOTH engines so a 1-ulp libm difference in ln() can't flip
+    a selection at the boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    key = F.round(F.log(F.greatest(u, F.lit(1e-300))) / w, 10)
+    ranked = d.withColumn("_k", key).select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy(F.col("_k").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    return ranked.where(F.col("rank") <= 20).select("lang", "rank", "doc_id", "n_chars")

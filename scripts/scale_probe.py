@@ -102,6 +102,21 @@ def main() -> int:
         f"{round(time.perf_counter() - t0, 2)}s, components={n_comp}"
     )
 
+    # k-core on the 1M-edge random digraph: peeling converges in few rounds
+    # on graphs with a dense core (each round drops ALL sub-k vertices).
+    from distributed_graph_database_system_spark.operators.graph import k_core
+
+    # k=12 keeps a large core on this mean-degree-20 random graph; k at the
+    # ER core-emergence threshold (~15 here) cascades to an EMPTY core —
+    # correct, but not the convergence case worth timing.
+    t0 = time.perf_counter()
+    core = k_core(e, k=12)
+    n_core = core.count()
+    print(
+        f"k_core(k=12) 1M edges: {round(time.perf_counter() - t0, 2)}s, "
+        f"core_size={n_core}"
+    )
+
     # Skewed-graph triangle count: hub-star + spoke ring, 100k spokes.
     # Naive (i,j)⋈(j,k) wedge-joins on the hub key: ~10^10 wedge rows from
     # the degree-100k hub alone. Degree-ordered orientation points every

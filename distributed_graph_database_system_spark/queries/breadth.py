@@ -669,6 +669,56 @@ def pandas_grouped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_sentence_stats",
+    oracle="""
+    WITH sent AS (
+      SELECT doc_id, trim(s) AS s
+      FROM documents, UNNEST(string_split(text, '.')) AS t(s)
+      WHERE trim(s) <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_sentences,
+           CAST(SUM(length(s)) AS BIGINT) AS sent_chars,
+           CAST(MAX(length(s)) AS BIGINT) AS max_sent_chars
+    FROM sent GROUP BY doc_id
+    """,
+    tags=("udtf", "text"),
+)
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 ``@udtf``, not the applyInPandas
+    UDTF-alike above): one input row yields N output rows through a LATERAL
+    join — the table-function shape SQL engines expose as
+    ``CROSS APPLY``/``UNNEST``. Sentence segmentation (split on '.', space-
+    trimmed, empties dropped) is deliberately primitive so the DuckDB twin
+    is exact. Per-row Python is the documented cost of the row-yield UDTF
+    protocol — fine off the hot path; Arrow-batched alternatives above
+    (applyInPandas / mapInPandas) are the scale path."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id BIGINT, sent STRING")
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN201 — UDTF protocol
+            for seg in (text or "").split("."):
+                seg = seg.strip(" ")
+                if seg:
+                    yield doc_id, seg
+
+    view = "udtf_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(f"""
+        SELECT s.doc_id,
+               COUNT(*) AS n_sentences,
+               CAST(SUM(length(s.sent)) AS BIGINT) AS sent_chars,
+               CAST(MAX(length(s.sent)) AS BIGINT) AS max_sent_chars
+        FROM {view} d, LATERAL split_sentences(d.doc_id, d.text) s
+        GROUP BY s.doc_id
+    """)
+
+
+@query(
     "source_orc_roundtrip",
     oracle="""
     SELECT p_brand, COUNT(*) AS n,

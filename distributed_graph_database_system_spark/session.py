@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime bloom-filter join pruning is ON by default in Spark 4 (the
+        # shuffle-join analogue of dynamic partition pruning): a selective
+        # filter on one join side injects a bloom filter of its keys into
+        # the other side's scan. The default size thresholds (10 MB creation
+        # side / 10 GB application side) decide when it pays — correctly off
+        # at fixture scale, on at the 100 TB target;
+        # tests/test_plans.py::test_runtime_bloom_filter_fires... proves the
+        # engine's join shapes are eligible by lowering the thresholds.
         # events.parquet stores TIMESTAMP(NANOS), which Spark cannot represent
         # natively (micros only). Read as long and convert in the loader —
         # fixture timestamps are exact microseconds, so no precision is lost.

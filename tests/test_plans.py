@@ -69,3 +69,30 @@ def test_bucketed_join_scans_report_buckets(plans):
 
 def test_partition_pruned_scan_has_partition_filters(plans):
     assert "PartitionFilters" in plans("layout_partition_pruned")
+
+
+def test_runtime_bloom_filter_fires_on_selective_dim_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning (on by default in Spark 4) injects
+    a bloom_filter_agg of the filtered dim's keys into the fact scan — the
+    shuffle-join analogue of dynamic partition pruning. At 100 TB the
+    default size thresholds decide when it pays; here they are lowered in a
+    sibling session (the optimizer reads them at plan time) to prove the
+    engine's plans are eligible."""
+    from pyspark.sql import functions as F
+
+    ns = spark.newSession()
+    for k, v in {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # shuffle join, not broadcast
+    }.items():
+        ns.conf.set(k, v)
+    o = ns.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = ns.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+        "o_orderpriority"
+    ).count()
+    p = physical_plan(j)
+    assert "bloomfilter" in p.lower().replace("_", "").replace(" ", ""), p[:2000]

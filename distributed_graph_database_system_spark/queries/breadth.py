@@ -350,13 +350,11 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar aggregate subquery — one tiny aggregate broadcast into the
     scan's filter/projection rather than recomputed per row."""
-    import hashlib
+    from distributed_graph_database_system_spark.queries.helpers import sf_view
 
-    o = load_table(spark, sf_dir, "orders")
-    # view name keyed deterministically to the sf_dir so concurrent queries
-    # over different dirs can't collide (and builtin hash() is seed-random)
-    view = "sq_orders_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    o.createOrReplaceTempView(view)
+    view = sf_view(
+        spark, load_table(spark, sf_dir, "orders"), "sq_orders", sf_dir
+    )
     return spark.sql(f"""
         SELECT o_orderkey, o_totalprice,
                ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM {view}), 2)
@@ -693,9 +691,9 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact. Per-row Python is the documented cost of the row-yield UDTF
     protocol — fine off the hot path; Arrow-batched alternatives above
     (applyInPandas / mapInPandas) are the scale path."""
-    import hashlib
-
     from pyspark.sql.functions import udtf
+
+    from distributed_graph_database_system_spark.queries.helpers import sf_view
 
     @udtf(returnType="doc_id BIGINT, sent STRING")
     class SplitSentences:
@@ -705,8 +703,7 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if seg:
                     yield doc_id, seg
 
-    view = "udtf_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    view = sf_view(spark, load_table(spark, sf_dir, "documents"), "udtf_docs", sf_dir)
     spark.udtf.register("split_sentences", SplitSentences)
     return spark.sql(f"""
         SELECT s.doc_id,

@@ -46,6 +46,16 @@ def scratch_dir(family: str, sf_dir: str, name: str) -> str:
 _CLEANUP_DIRS: set[str] = set()
 
 
+def sf_view(spark, df, prefix: str, sf_dir: str) -> str:
+    """Register ``df`` as a temp view named ``<prefix>_<md5(sf_dir)[:8]>``
+    and return the name. The hash key prevents concurrent queries over
+    different fixture dirs from clobbering each other's views (builtin
+    hash() is seed-random, hence md5)."""
+    name = f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({prec},{scale})")

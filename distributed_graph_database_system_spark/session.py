@@ -45,10 +45,11 @@ def get_spark(
         # shuffle-join analogue of dynamic partition pruning): a selective
         # filter on one join side injects a bloom filter of its keys into
         # the other side's scan. The default size thresholds (10 MB creation
-        # side / 10 GB application side) decide when it pays — correctly off
-        # at fixture scale, on at the 100 TB target;
+        # side cap / 10 GB application-side floor) decide when it pays —
+        # correctly off at fixture scale, on at the 100 TB target;
         # tests/test_plans.py::test_runtime_bloom_filter_fires... proves the
-        # engine's join shapes are eligible by lowering the thresholds.
+        # engine's join shapes are eligible by widening the creation-side
+        # cap and zeroing the application-side floor.
         # events.parquet stores TIMESTAMP(NANOS), which Spark cannot represent
         # natively (micros only). Read as long and convert in the loader —
         # fixture timestamps are exact microseconds, so no precision is lost.

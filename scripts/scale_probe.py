@@ -19,6 +19,7 @@ from distributed_graph_database_system_spark.operators.dedup import minhash_lsh_
 from distributed_graph_database_system_spark.operators.graph import (  # noqa: E402
     bfs,
     connected_components,
+    k_core,
 )
 from distributed_graph_database_system_spark.session import get_spark  # noqa: E402
 
@@ -104,7 +105,6 @@ def main() -> int:
 
     # k-core on the 1M-edge random digraph: peeling converges in few rounds
     # on graphs with a dense core (each round drops ALL sub-k vertices).
-    from distributed_graph_database_system_spark.operators.graph import k_core
 
     # k=12 keeps a large core on this mean-degree-20 random graph; k at the
     # ER core-emergence threshold (~15 here) cascades to an EMPTY core —

@@ -13,11 +13,14 @@ from distributed_graph_database_system_spark.sources.layout import physical_plan
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
-    """Formatted plans for the audited queries, computed once."""
+    """Formatted plans for the audited queries, memoized per module run."""
     registry = all_queries()
+    cache: dict[str, str] = {}
 
     def plan_of(name: str) -> str:
-        return physical_plan(registry[name].fn(spark, sf_dir))
+        if name not in cache:
+            cache[name] = physical_plan(registry[name].fn(spark, sf_dir))
+        return cache[name]
 
     return plan_of
 
@@ -67,17 +70,14 @@ def test_bucketed_join_scans_report_buckets(plans):
     assert "SortMergeJoin" in p
 
 
-def test_partition_pruned_scan_has_partition_filters(plans):
-    assert "PartitionFilters" in plans("layout_partition_pruned")
-
-
 def test_runtime_bloom_filter_fires_on_selective_dim_join(spark, sf_dir):
     """Runtime bloom-filter join pruning (on by default in Spark 4) injects
     a bloom_filter_agg of the filtered dim's keys into the fact scan — the
     shuffle-join analogue of dynamic partition pruning. At 100 TB the
-    default size thresholds decide when it pays; here they are lowered in a
-    sibling session (the optimizer reads them at plan time) to prove the
-    engine's plans are eligible."""
+    default size thresholds decide when it pays; here a sibling session
+    widens the creation-side cap (10 MB → 100 MB) and zeroes the
+    application-side scan floor (10 GB → 0) so the tiny fixture join
+    qualifies, proving the engine's plans are eligible."""
     from pyspark.sql import functions as F
 
     ns = spark.newSession()

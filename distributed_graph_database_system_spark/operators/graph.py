@@ -597,6 +597,56 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Community detection by synchronous label propagation (the GraphX
+    ``LabelPropagation`` analogue): labels start as vertex ids; each round
+    every vertex adopts its neighbors' most frequent label, ties broken by
+    the SMALLEST label so every step is deterministic. Runs exactly
+    ``max_iter`` rounds (fixed-round semantics, same contract as GraphX):
+    sync LPA can 2-cycle on bipartite-ish structure, so a fixpoint test
+    would not terminate — a fixed round count keeps the output a pure
+    function of (graph, max_iter).
+
+    Returns ``(vid, label)``. Edges are treated as undirected; per round:
+    one edge join + one (vertex, label) count + one arg-min-of-max-count
+    aggregation — all partial+final shuffles on vid, lineage cut per round.
+
+    Reference parity: no analogue (reference analytics are R3/R4 only);
+    north-star "GraphX + Pregel for analytics" extension.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()  # (a → neighbor b), both directions
+    labels = (
+        sym.select(F.col("a").alias("vid"))
+        .distinct()
+        .withColumn("label", F.col("vid"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(
+            labels.select(F.col("vid").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("vid"), "label")
+        counted = neigh.groupBy("vid", "label").agg(F.count("*").alias("n"))
+        # most frequent label, smallest label on ties: max of (n, -label)
+        labels = (
+            counted.groupBy("vid")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("vid", (-F.col("m.neg")).alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
 def k_core(edges: DataFrame, k: int, max_iter: int = 500) -> DataFrame:
     """Vertices of the k-core (maximal subgraph where every vertex has
     degree ≥ k in the subgraph), with their core-subgraph degree — by

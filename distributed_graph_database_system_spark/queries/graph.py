@@ -26,6 +26,7 @@ from distributed_graph_database_system_spark.operators.graph import (
     degrees,
     dfs_leaves,
     k_core,
+    label_propagation,
     pagerank,
     triangle_count,
 )
@@ -134,6 +135,22 @@ def graph_dfs_g5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_cc_g4(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = spark.createDataFrame([(v,) for v in G4_VERTICES], "vid BIGINT")
     return connected_components(_edges(spark, G4), vertices=verts)
+
+
+@query(
+    "graph_lpa_g6",
+    oracle=(
+        "SELECT CAST(v AS BIGINT) AS vid, CAST(l AS BIGINT) AS label FROM (VALUES "
+        "(1,1),(2,1),(3,1),(4,1),(5,1),(6,1),(7,1),(8,1),(9,4),(10,4)) AS t(v, l)"
+    ),
+    tags=("graph", "lpa", "community"),
+)
+def graph_lpa_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation on G6, 10 fixed rounds. Golden computed
+    with the independent sequential reference in tests/test_graph.py
+    (py_lpa) — the min-label tie-break floods label 1 through the bridge,
+    with the cycle's far side (9) and the pendant (10) settling on 4."""
+    return label_propagation(_edges(spark, G6), max_iter=10)
 
 
 @query(

@@ -422,3 +422,68 @@ def test_kcore_matches_python_peeling_on_random_graphs(spark, seed):
     for k in (2, 3):
         got = {r["vid"]: r["core_degree"] for r in k_core(e, k=k).collect()}
         assert got == py_k_core(rows, k), (seed, k)
+
+
+# --- Label propagation ------------------------------------------------------
+
+
+def py_lpa(rows, iters):
+    """Sequential synchronous LPA reference: most-frequent neighbor label,
+    smallest label on ties, fixed round count."""
+    adj: dict[int, set[int]] = {}
+    for a, b in rows:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v, ns in adj.items():
+            cnt: dict[int, int] = {}
+            for u in ns:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        lab = new
+    return lab
+
+
+def test_lpa_golden_g6(spark):
+    from distributed_graph_database_system_spark.operators.graph import (
+        label_propagation,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G6
+
+    got = {
+        r["vid"]: r["label"]
+        for r in label_propagation(
+            spark.createDataFrame(G6, "src BIGINT, dst BIGINT"), max_iter=10
+        ).collect()
+    }
+    assert got == py_lpa(G6, 10)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1, 8: 1, 9: 4, 10: 4}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_lpa_matches_python_reference_on_random_graphs(spark, seed):
+    from distributed_graph_database_system_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(5, 25)
+    rows = [
+        (i, j)
+        for i in range(1, n + 1)
+        for j in range(i + 1, n + 1)
+        if rng.random() < 0.2
+    ]
+    if not rows:
+        return
+    e = spark.createDataFrame(rows, "src BIGINT, dst BIGINT")
+    for iters in (3, 7):
+        got = {
+            r["vid"]: r["label"]
+            for r in label_propagation(e, max_iter=iters).collect()
+        }
+        assert got == py_lpa(rows, iters), (seed, iters)

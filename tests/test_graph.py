@@ -487,3 +487,23 @@ def test_lpa_matches_python_reference_on_random_graphs(spark, seed):
             for r in label_propagation(e, max_iter=iters).collect()
         }
         assert got == py_lpa(rows, iters), (seed, iters)
+
+
+def test_cli_list_and_query_subcommands(spark, capsys):
+    """CLI: list-queries prints the registry; query runs a registered query
+    (reusing the session fixture via getOrCreate); graph ops require --root."""
+    from distributed_graph_database_system_spark import cli
+
+    assert cli.main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary\toracle" in out
+    assert "agg_approx_distinct\trows-only" in out
+
+    assert cli.main(["--cpus", "8", "query", "graph_kcore_g6"]) == 0
+    out = capsys.readouterr().out
+    assert "vid" in out and "core_degree" in out
+
+    assert cli.main(["query", "not_a_query"]) == 2
+
+    with pytest.raises(SystemExit):
+        cli.main(["dfs", "g1", "1"])  # --root required for graph ops

@@ -822,3 +822,55 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return ranked.where(F.col("rank") <= 20).select("lang", "rank", "doc_id", "n_chars")
+
+
+@query(
+    "snapshot_diff_corpus",
+    oracle="""
+    WITH newv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'new doc ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT change_type, COUNT(*) AS n FROM (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+             END AS change_type
+      FROM documents o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+    ) WHERE change_type IS NOT NULL
+    GROUP BY change_type
+    """,
+    tags=("llm", "pipeline", "diff", "versioning"),
+)
+def snapshot_diff_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus versioning: row-level diff between the fixture corpus and a
+    deterministically derived "next crawl" (every 13th doc dropped, every
+    7th rewritten, one new doc per 11th) — counts per change class. The
+    operator (operators/diff.py) is one full-outer join on the key with
+    NULL-safe value comparison; here summarized so the oracle compares
+    class counts rather than 5k per-row tags (the per-row path is asserted
+    in tests/test_pipeline.py)."""
+    from distributed_graph_database_system_spark.operators.diff import snapshot_diff
+
+    old = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = old.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("v2 "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = old.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    new = kept.unionByName(added)
+    return (
+        snapshot_diff(old, new, key_cols=["doc_id"], compare_cols=["text"])
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"))
+    )

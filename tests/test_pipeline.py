@@ -217,3 +217,34 @@ def test_dedup_clusters_transitive_closure(spark):
         .collect()
     }
     assert clusters == {0: (3, 2), 3: (2, 4)}
+
+
+def test_snapshot_diff_tags_each_change_class(spark):
+    from distributed_graph_database_system_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id BIGINT, s STRING, v BIGINT",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", 30), (4, None, 40), (5, "e", 50)],
+        "id BIGINT, s STRING, v BIGINT",
+    )
+    got = {r["id"]: r["change_type"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    # 1 removed, 3 changed, 5 added; 2 identical and 4 (NULL == NULL) absent
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+    # null-safe: a value changing to/from NULL IS a change
+    new2 = spark.createDataFrame([(4, "now-set", 40)], "id BIGINT, s STRING, v BIGINT")
+    got2 = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(old.where("id = 4"), new2, ["id"]).collect()
+    }
+    assert got2 == {4: "changed"}
+
+    # compare_cols narrows the comparison
+    got3 = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["id"], compare_cols=["v"]).collect()
+    }
+    assert got3 == {1: "removed", 5: "added"}  # 3's text change invisible on v

@@ -794,3 +794,47 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
     )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS INT)
+             AS weeks_since,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY f.cohort_week, weeks_since
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted distinct
+    in each subsequent week — the triangular retention matrix every product
+    pipeline derives from an event stream. Two aggregations + one equi-join
+    on user_id (the first-seen frame is small: one row per user); at scale
+    the distinct count shuffles (cohort, week, user) once — no windows over
+    the raw stream."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

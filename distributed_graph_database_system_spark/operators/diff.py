@@ -32,15 +32,23 @@ def snapshot_diff(
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in set(key_cols)]
-    # presence flags as literal markers: the join coalesces key columns, and
-    # "any value column non-null" misreads legitimately-NULL values.
+    # presence flags as literal markers: "any value column non-null"
+    # misreads legitimately-NULL values.
     o = old.select(
-        *key_cols, *[F.col(c).alias(f"_o_{c}") for c in compare_cols]
+        *[F.col(c).alias(f"_ko_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
     ).withColumn("_in_old", F.lit(True))
     n = new.select(
-        *key_cols, *[F.col(c).alias(f"_n_{c}") for c in compare_cols]
+        *[F.col(c).alias(f"_kn_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
     ).withColumn("_in_new", F.lit(True))
-    joined = o.join(n, list(key_cols), "full_outer")
+    # NULL-safe key equality too (not just values): a plain name-list equi
+    # join never matches NULL keys, which would double-report an unchanged
+    # NULL-keyed row as removed+added.
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & F.col(f"_ko_{c}").eqNullSafe(F.col(f"_kn_{c}"))
+    joined = o.join(n, cond, "full_outer")
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
@@ -52,5 +60,11 @@ def snapshot_diff(
     return (
         joined.withColumn("change_type", change)
         .where(F.col("change_type").isNotNull())
-        .select(*key_cols, "change_type")
+        .select(
+            *[
+                F.coalesce(F.col(f"_ko_{c}"), F.col(f"_kn_{c}")).alias(c)
+                for c in key_cols
+            ],
+            "change_type",
+        )
     )

@@ -46,6 +46,19 @@ def scratch_dir(family: str, sf_dir: str, name: str) -> str:
 _CLEANUP_DIRS: set[str] = set()
 
 
+def md5_uniform(id_col: str | Column = "doc_id") -> Column:
+    """Deterministic uniform in [0, 1): first 8 md5-hex digits of the
+    decimal-string id over 2^32 — byte-identical in Spark and DuckDB
+    (`CAST(('0x' || substr(md5(CAST(x AS VARCHAR)),1,8)) AS BIGINT) /
+    4294967296.0`). The randomness source for every sampling decision, so
+    membership is a pure function of the id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+
+
 def sf_view(spark, df, prefix: str, sf_dir: str) -> str:
     """Register ``df`` as a temp view named ``<prefix>_<md5(sf_dir)[:8]>``
     and return the name. The hash key prevents concurrent queries over

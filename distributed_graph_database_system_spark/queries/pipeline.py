@@ -805,12 +805,10 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     One window per group — no driver-side state; the key is rounded to 10
     decimals on BOTH engines so a 1-ulp libm difference in ln() can't flip
     a selection at the boundary."""
+    from distributed_graph_database_system_spark.queries.helpers import md5_uniform
+
     d = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    u = md5_uniform("doc_id")
     w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
     key = F.round(F.log(F.greatest(u, F.lit(1e-300))) / w, 10)
     ranked = d.withColumn("_k", key).select(

@@ -35,9 +35,14 @@ from distributed_graph_database_system_spark.operators.textstats import (  # noq
     bpe_ish_token_count,
     lang_id,
     quality_score,
-    ws_token_count,
 )
-from distributed_graph_database_system_spark.queries.helpers import dsum  # noqa: E402
+from distributed_graph_database_system_spark.queries.helpers import (  # noqa: E402
+    dsum,
+    md5_uniform,
+)
+from distributed_graph_database_system_spark.queries.pipeline import (  # noqa: E402
+    _md5_bucket,
+)
 from distributed_graph_database_system_spark.session import get_spark  # noqa: E402
 from distributed_graph_database_system_spark.sources import layout  # noqa: E402
 from distributed_graph_database_system_spark.sources.catalog import load_table  # noqa: E402
@@ -50,9 +55,14 @@ def main() -> int:
     funnel: list[dict] = []
     t_start = time.perf_counter()
 
-    def stage(name: str, df, materialize: bool = True):
+    def stage(name: str, df):
+        """Materialize the stage ONCE (localCheckpoint cuts lineage), so
+        'sec' measures THIS stage's work and later stages never recompute
+        the prefix — without this, each count would re-run every upstream
+        stage and the funnel timings would be cumulative lies."""
         t0 = time.perf_counter()
-        n = df.count() if materialize else None
+        df = df.localCheckpoint()
+        n = df.count()
         funnel.append(
             {"stage": name, "rows": n, "sec": round(time.perf_counter() - t0, 2)}
         )
@@ -95,16 +105,14 @@ def main() -> int:
         ),
     )
 
-    # 6. decontaminate: drop docs sharing ≥80% of shingles with the holdout
-    #    (the 20% md5-bucket holdout split, same rule as the registered query)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
+    # 6. decontaminate: drop train docs sharing ≥80% of shingles with the
+    #    test holdout (bucket ≥ 90 — the registered decontaminate_holdout
+    #    rule, same _md5_bucket splitter)
+    bucket = _md5_bucket()
     sh_rows = shingles_long(near, n=3).withColumnRenamed("_id", "doc_id")
     with_b = sh_rows.join(near.select("doc_id").withColumn("_b", bucket), "doc_id")
-    holdout_sh = with_b.where(F.col("_b") >= 80).select("shingle").distinct()
-    train_sh = with_b.where(F.col("_b") < 80)
+    holdout_sh = with_b.where(F.col("_b") >= 90).select("shingle").distinct()
+    train_sh = with_b.where(F.col("_b") < 90)
     overlap = (
         train_sh.join(holdout_sh, "shingle", "left_semi")
         .groupBy("doc_id")
@@ -119,16 +127,13 @@ def main() -> int:
     clean_train = stage(
         "decontaminated",
         near.withColumn("_b", bucket)
-        .where(F.col("_b") < 80)
+        .where(F.col("_b") < 90)
         .drop("_b")
         .join(contaminated, "doc_id", "left_anti"),
     )
 
     # 7. weighted sample: A-Res on md5 uniforms, weight = doc length
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") / F.lit(4294967296.0)
-    )
+    u = md5_uniform("doc_id")
     key = F.log(F.greatest(u, F.lit(1e-300))) / F.greatest(
         F.col("n_chars").cast("double"), F.lit(1.0)
     )
@@ -157,11 +162,16 @@ def main() -> int:
         ),
     )
 
-    # 9. bucketed write: the shard lands co-located on (source, bin) for
-    #    downstream repeated joins/reads
+    # 9. hive-partitioned write by source: downstream per-source reads prune
+    #    directories (for co-located joins on a key, layout.write_bucketed
+    #    is the tool — not used here since bins are already aggregated)
     out = os.path.join(out_root, "packed")
+    t0 = time.perf_counter()
     layout.write_partitioned(packed, out, ["source"])
-    funnel.append({"stage": "write_partitioned", "rows": None, "sec": None})
+    funnel.append(
+        {"stage": "write_partitioned", "rows": None,
+         "sec": round(time.perf_counter() - t0, 2)}
+    )
 
     print(
         json.dumps(

@@ -248,3 +248,13 @@ def test_snapshot_diff_tags_each_change_class(spark):
         for r in snapshot_diff(old, new, ["id"], compare_cols=["v"]).collect()
     }
     assert got3 == {1: "removed", 5: "added"}  # 3's text change invisible on v
+
+
+def test_snapshot_diff_null_keys_match_null_safe(spark):
+    from distributed_graph_database_system_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(None, "same"), (1, "x")], "id BIGINT, s STRING")
+    new = spark.createDataFrame([(None, "same"), (1, "y")], "id BIGINT, s STRING")
+    got = {r["id"]: r["change_type"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    # the NULL-keyed row is unchanged and must NOT appear as removed+added
+    assert got == {1: "changed"}

@@ -838,3 +838,36 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "resample_hourly_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           arg_min(value, ts) AS open,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+    tags=("timeseries", "ohlc", "argmin"),
+)
+def resample_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resample: per hour, the value at the earliest event (open),
+    extremes (high/low), and the value at the latest event (close) — the
+    argmin/argmax aggregate family (min_by/max_by), which no other query
+    covers. One hash aggregate with partial+final combine; no window over
+    the stream and no per-group sort. Deterministic because fixture ts
+    values are unique within an hour (min_by ties would otherwise be
+    engine-dependent)."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    return e.groupBy(hour.alias("hour")).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max(F.col("value").cast("decimal(18,2)")).cast("double").alias("high"),
+        F.min(F.col("value").cast("decimal(18,2)")).cast("double").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count("*").alias("n"),
+    )

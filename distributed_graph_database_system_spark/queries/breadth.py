@@ -871,3 +871,61 @@ def resample_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("close"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_regression_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS r,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "statistics", "regression"),
+)
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics aggregate family (Pearson corr, sample
+    covariance, OLS slope/intercept/count) — single-pass distributed moment
+    accumulation with partial+final combine, the same update/merge shape as
+    sum/avg so it scales identically. Rounded on both engines: the moments
+    are order-dependent in the last ~ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_s"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
+
+
+@query(
+    "agg_bitwise_bool",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS all_bits,
+           bit_or(user_id) AS any_bits,
+           bit_xor(user_id) AS parity_bits,
+           bool_and(value > 0) AS every_positive,
+           bool_or(value > 50) AS any_large
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregation", "bitwise", "boolean"),
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bitwise (AND/OR/XOR) and boolean (EVERY/ANY) aggregates —
+    integer/boolean lattice operations, so commutative, associative, and
+    bit-exact across engines and partitionings with no rounding caveats."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("all_bits"),
+        F.bit_or("user_id").alias("any_bits"),
+        F.bit_xor("user_id").alias("parity_bits"),
+        F.bool_and(F.col("value") > 0).alias("every_positive"),
+        F.bool_or(F.col("value") > 50).alias("any_large"),
+    )

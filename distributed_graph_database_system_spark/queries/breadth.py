@@ -929,3 +929,41 @@ def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") > 0).alias("every_positive"),
         F.bool_or(F.col("value") > 50).alias("any_large"),
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment, c_custkey)
+             AS segments,
+           COUNT(*) AS n
+    FROM customer
+    WHERE c_custkey <= 200
+    GROUP BY c_nationkey
+    """,
+    tags=("aggregation", "listagg", "ordered"),
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ANSI LISTAGG ... WITHIN GROUP): values
+    concatenated in an EXPLICIT total order, so the result is deterministic
+    — the unordered variant (collect_list/string_agg without ORDER BY) is
+    partition-order-dependent and deliberately unused anywhere in this
+    engine. Per-group state is the concatenated string: bounded here by the
+    key filter; at scale prefer array_agg + slicing or a top-k."""
+    from distributed_graph_database_system_spark.queries.helpers import sf_view
+
+    view = sf_view(
+        spark,
+        load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200),
+        "la_customer",
+        sf_dir,
+    )
+    return spark.sql(f"""
+        SELECT c_nationkey,
+               listagg(c_mktsegment, ',')
+                 WITHIN GROUP (ORDER BY c_mktsegment, c_custkey) AS segments,
+               COUNT(*) AS n
+        FROM {view}
+        GROUP BY c_nationkey
+    """)

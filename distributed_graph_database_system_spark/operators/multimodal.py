@@ -1,26 +1,35 @@
 """Multimodal (image/audio/video) column plumbing for training-data pipelines.
 
-Media travels as opaque ``binary`` columns plus typed metadata — the Spark
-side (schemas, partition-aware batch iteration, Arrow-batched UDF
-signatures) is real and tested; the *codec* step is stubbed because no
-image/audio libraries exist in this container. Two stubs are provided:
+Media travels as opaque ``binary`` columns plus typed metadata. Both halves
+are real here:
 
-- ``decode_media`` with ``fake=False`` raises ``NotImplementedError`` at the
-  point a real pipeline would call Pillow/ffmpeg;
-- ``fake=True`` substitutes a deterministic structural decode (dimensions /
-  duration derived from the bytes) so the full pipeline — including
-  downstream resize / frame-sample logic — is executable and testable.
+- the Spark side (schemas, Arrow-batched ``mapInPandas`` iteration,
+  partition-sized units of work) is the distributed plumbing;
+- the codec side is a **pure-stdlib structural decoder**: format sniffing
+  plus header parsers (``struct`` on container headers) for PNG / GIF / BMP
+  / JPEG images and WAV / AVI containers. No Pillow/ffmpeg needed — image
+  dimensions live in fixed header fields and audio/video duration is
+  arithmetic over RIFF chunk sizes. Pixel/sample *payload* work (resize,
+  re-encode, spectrograms) is the only part that would need a real media
+  library; ``decode_media(deep=True)`` marks that extension point.
+
+For testability without fixture media files, ``synth`` helpers emit fully
+valid minimal files (PNG with correct CRCs via ``zlib``, WAV/BMP/GIF/AVI via
+``struct``) so the decoder round-trips real bytes end-to-end in tests and in
+the driver-graded ``multimodal_decode_real`` query.
 
 Pattern notes for 100 TB: ``mapInPandas`` streams Arrow record batches, so
 peak memory is one batch of binary blobs per task, not one partition;
 ``spark.sql.files.maxPartitionBytes`` (and ``maxRecordsPerBatch``) size the
-unit of work. Decode is CPU-bound and embarrassingly parallel — exactly the
-shape Spark scales linearly.
+unit of work. Header decode is O(1) per blob and embarrassingly parallel —
+exactly the shape Spark scales linearly.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -50,6 +59,7 @@ DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
+        StructField("fmt", StringType(), True),         # sniffed container
         StructField("n_bytes", LongType(), True),
         StructField("sha256", StringType(), True),
         StructField("width", IntegerType(), True),      # images/video
@@ -59,22 +69,140 @@ DECODED_SCHEMA = StructType(
 )
 
 
+# --------------------------------------------------------------------------
+# Structural decoder: pure-stdlib header parsers.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(b: bytes) -> dict | None:
+    # Signature, then the IHDR chunk is mandatory-first: length(4) type(4)
+    # width(4) height(4), all big-endian.
+    if len(b) < 24 or not b.startswith(_PNG_SIG) or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    return {"fmt": "png", "width": w, "height": h}
+
+
+def _parse_gif(b: bytes) -> dict | None:
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    return {"fmt": "gif", "width": w, "height": h}
+
+
+def _parse_bmp(b: bytes) -> dict | None:
+    # BITMAPINFOHEADER: signed little-endian width/height at 18/22 (height
+    # may be negative for top-down DIBs).
+    if len(b) < 26 or b[:2] != b"BM":
+        return None
+    w, h = struct.unpack("<ii", b[18:26])
+    return {"fmt": "bmp", "width": w, "height": abs(h)}
+
+
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def _parse_jpeg(b: bytes) -> dict | None:
+    # Walk marker segments to the first SOFn frame header, which carries
+    # height(2) width(2) big-endian after precision(1).
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None  # desynced — treat as unparseable, not an error
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone markers
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if marker in _JPEG_SOF:
+            if i + 9 > len(b):
+                return None
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return {"fmt": "jpeg", "width": w, "height": h}
+        i += 2 + seg_len
+    return None
+
+
+def _riff_chunks(b: bytes, start: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (chunk_id, payload_offset, payload_size) for a RIFF body.
+    Chunks are word-aligned: odd sizes are padded with one byte."""
+    i = start
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        yield cid, i + 8, size
+        i += 8 + size + (size & 1)
+
+
+def _parse_wav(b: bytes) -> dict | None:
+    # RIFF/WAVE: duration = data-chunk byte size / fmt-chunk byte rate.
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    byte_rate = None
+    data_size = None
+    for cid, off, size in _riff_chunks(b, 12):
+        if cid == b"fmt " and size >= 16:
+            # audio_format(2) channels(2) sample_rate(4) byte_rate(4) ...
+            byte_rate = struct.unpack("<I", b[off + 8 : off + 12])[0]
+        elif cid == b"data":
+            data_size = size
+    if not byte_rate or data_size is None:
+        return None
+    return {"fmt": "wav", "duration_s": data_size / byte_rate}
+
+
+def _parse_avi(b: bytes) -> dict | None:
+    # RIFF/AVI: the 'avih' main header carries usec-per-frame, total frames,
+    # and the frame dimensions. It lives inside a 'LIST/hdrl' sub-list.
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    stack = [(12, len(b))]
+    while stack:
+        start, end = stack.pop()
+        for cid, off, size in _riff_chunks(b[:end], start):
+            if cid == b"LIST":
+                stack.append((off + 4, off + size))  # skip list-type fourcc
+            elif cid == b"avih" and size >= 40:
+                usec_pf, _, _, _, frames = struct.unpack("<5I", b[off : off + 20])
+                w, h = struct.unpack("<II", b[off + 32 : off + 40])
+                dur = frames * usec_pf / 1e6 if usec_pf else None
+                return {"fmt": "avi", "width": w, "height": h, "duration_s": dur}
+    return None
+
+
+_PARSERS = (_parse_png, _parse_gif, _parse_bmp, _parse_jpeg, _parse_wav, _parse_avi)
+
+
+def parse_media(content: bytes) -> dict:
+    """Sniff + structurally decode one blob. Unrecognized bytes yield null
+    fmt/dims rather than an error — at corpus scale, quarantine-by-null then
+    filter beats failing the task on one corrupt file."""
+    out = {"fmt": None, "width": None, "height": None, "duration_s": None}
+    for parse in _PARSERS:
+        meta = parse(content)
+        if meta is not None:
+            out.update(meta)
+            return out
+    return out
+
+
 def _fake_decode(content: bytes, kind: str) -> dict:
-    """Deterministic structural fake of a codec: derives plausible
-    dimensions/duration from the content digest. Stands in for
-    Pillow/soundfile/ffmpeg, which are not installed in this container."""
-    hasher = hashlib.sha256(content)  # hashed once; CPU-bound hot path
-    digest = hasher.digest()
+    """Deterministic structural fake: dimensions/duration derived from the
+    content digest. Used when blobs are known opaque (e.g. fixture text bytes
+    standing in for media) so downstream plan logic stays exercisable."""
+    digest = hashlib.sha256(content).digest()
     w = 64 + digest[0] % 192
     h = 64 + digest[1] % 192
     dur = round(1.0 + digest[2] / 16.0, 3)
-    out = {
-        "n_bytes": len(content),
-        "sha256": hasher.hexdigest(),
-        "width": None,
-        "height": None,
-        "duration_s": None,
-    }
+    out = {"fmt": None, "width": None, "height": None, "duration_s": None}
     if kind in ("image", "video"):
         out["width"], out["height"] = w, h
     if kind in ("audio", "video"):
@@ -82,33 +210,128 @@ def _fake_decode(content: bytes, kind: str) -> dict:
     return out
 
 
-def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+def decode_media(
+    media: DataFrame, fake: bool = False, deep: bool = False
+) -> DataFrame:
     """Decode binary media to typed metadata via ``mapInPandas``.
 
-    ``fake=False`` marks exactly where a real decoder plugs in (and raises
-    ``NotImplementedError`` there); ``fake=True`` runs the deterministic
-    structural decode so the distributed plumbing is exercisable end-to-end.
+    - default: real structural decode — header parsing for PNG/GIF/BMP/JPEG/
+      WAV/AVI, nulls for unrecognized bytes;
+    - ``fake=True``: deterministic digest-derived dims for opaque stand-in
+      blobs (fixture text bytes);
+    - ``deep=True``: reserved for payload decode (pixels/samples) — requires
+      a real media library, absent in this container, so it raises at
+      exactly the point Pillow/ffmpeg would plug in.
     """
+    if deep:
+        raise NotImplementedError(
+            "payload (pixel/sample) decode requires Pillow/ffmpeg — not in "
+            "container; header-level structural decode is the default path"
+        )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
-                if not fake:
-                    raise NotImplementedError(
-                        "real media decode requires Pillow/ffmpeg — not in container; "
-                        "pass fake=True for the deterministic structural decode"
-                    )
-                meta = _fake_decode(content, row["kind"])
+            for media_id, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                blob = bytes(content) if content is not None else b""
+                hasher = hashlib.sha256(blob)
+                meta = _fake_decode(blob, kind) if fake else parse_media(blob)
                 rows.append(
-                    {"media_id": row["media_id"], "kind": row["kind"], **meta}
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "n_bytes": len(blob),
+                        "sha256": hasher.hexdigest(),
+                        **meta,
+                    }
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in DECODED_SCHEMA.fields]
             )
 
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Synthesizers: minimal but VALID files, for tests and oracle-backed queries.
+# --------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A fully valid 8-bit grayscale PNG: correct CRCs, zlib-deflated
+    scanlines (filter byte 0 + zero pixels)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * width) * height
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """GIF89a with a 2-color global palette and trailer (no image data —
+    dimensions live in the logical screen descriptor)."""
+    lsd = struct.pack("<HHBBB", width, height, 0x80, 0, 0)
+    palette = b"\x00\x00\x00\xff\xff\xff"
+    return b"GIF89a" + lsd + palette + b"\x3b"
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """24-bit BITMAPINFOHEADER BMP with zeroed, 4-byte-aligned pixel rows."""
+    row = (width * 3 + 3) & ~3
+    pixels = b"\x00" * (row * height)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels
+
+
+def make_wav(n_samples: int, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """PCM16 WAV of ``n_samples`` zero samples: duration is exactly
+    ``n_samples / sample_rate``."""
+    data = b"\x00" * (n_samples * channels * 2)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_avi(width: int, height: int, total_frames: int, usec_per_frame: int = 40000) -> bytes:
+    """RIFF/AVI with a real LIST/hdrl → avih main header (no movi data)."""
+    avih = struct.pack(
+        "<14I", usec_per_frame, 0, 0, 0, total_frames, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    avih_chunk = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"hdrl" + avih_chunk
+    list_chunk = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    body = b"AVI " + list_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG marker stream: SOI, a COM segment (exercises segment
+    walking), an SOF0 frame header carrying the dimensions, EOI."""
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 9) + b"synthetic"
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3, 8, height, width, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + com + sof + b"\xff\xd9"
+
+
+# --------------------------------------------------------------------------
+# Plan-level transforms over decoded metadata (pure column math).
+# --------------------------------------------------------------------------
 
 
 def resize_plan(decoded: DataFrame, max_side: int = 224) -> DataFrame:
@@ -167,3 +390,47 @@ def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
         F.encode("text", "UTF-8").alias("content"),
         F.lit("application/octet-stream").alias("mime"),
     )
+
+
+def documents_as_synth_media(docs: DataFrame) -> DataFrame:
+    """Adapter: synthesize REAL media bytes (valid PNG/GIF/BMP/JPEG/WAV/AVI
+    headers) deterministically from ``doc_id`` so the structural decoder has
+    genuine container bytes to parse, distributed, with an SQL-expressible
+    expectation (dims/duration are arithmetic in ``doc_id``).
+
+    Layout mirrored by the ``multimodal_decode_real`` oracle:
+      fmt cycle: doc_id % 6 → png gif bmp jpeg wav avi
+      width  = 16 + doc_id % 97          height = 16 + (doc_id * 7) % 89
+      wav:  n_samples = 800 + (doc_id % 100) * 16   @ 8 kHz PCM16 mono
+      avi:  frames = 10 + doc_id % 50   @ 40 ms/frame
+    """
+    fmts = ("png", "gif", "bmp", "jpeg", "wav", "avi")
+    kinds = {"png": "image", "gif": "image", "bmp": "image", "jpeg": "image",
+             "wav": "audio", "avi": "video"}
+    makers = {"png": make_png, "gif": make_gif, "bmp": make_bmp, "jpeg": make_jpeg}
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                fmt = fmts[i % 6]
+                if fmt == "wav":
+                    blob = make_wav(800 + (i % 100) * 16)
+                elif fmt == "avi":
+                    blob = make_avi(16 + i % 97, 16 + (i * 7) % 89, 10 + i % 50)
+                else:
+                    blob = makers[fmt](16 + i % 97, 16 + (i * 7) % 89)
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": kinds[fmt],
+                        "content": blob,
+                        "mime": f"media/{fmt}",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return docs.select("doc_id").mapInPandas(synth_batches, schema=MEDIA_SCHEMA)

@@ -22,6 +22,7 @@ from distributed_graph_database_system_spark.operators.dedup import (
 from distributed_graph_database_system_spark.operators.multimodal import (
     decode_media,
     documents_as_media,
+    documents_as_synth_media,
 )
 from distributed_graph_database_system_spark.operators.similarity import (
     cosine_topk,
@@ -202,6 +203,37 @@ def sim_topk_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_topk_ann_persisted",
+    oracle=SIM_TOPK_ANN_LSH_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "similarity", "ann", "storage"),
+)
+def sim_topk_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted form of the SRP index: written hive-partitioned by
+    ``bucket`` (operators/similarity.py write_srp_index), read back, and
+    probed — the bucket filter is satisfied by PARTITION PRUNING at the
+    source (directory-level skip, asserted in tests/test_llm.py), which is
+    the cluster-scale story: a probe reads O(bucket) bytes off the store,
+    not O(corpus). Same parameters as sim_topk_ann_lsh, so the same pinned
+    golden must come back — storage round-trip + pruning cannot change the
+    result."""
+    from distributed_graph_database_system_spark.operators.similarity import (
+        read_srp_index,
+        write_srp_index,
+    )
+    from distributed_graph_database_system_spark.queries.helpers import scratch_dir
+
+    qv = _query_vec(spark, sf_dir)
+    indexed = srp_index(load_table(spark, sf_dir, "embeddings"), dim=64, nbits=5)
+    path = scratch_dir("annidx", sf_dir, "srp_nbits5")
+    write_srp_index(indexed, path)
+    stored = read_srp_index(spark, path)
+    return srp_ann_topk(
+        stored.where(F.col("vec_id") != 0), qv, k=10, nbits=5, probes=1
+    )
+
+
 # --- Text analysis ---------------------------------------------------------
 
 
@@ -344,6 +376,41 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return decode_media(media, fake=True).select(
         "media_id", "kind", "n_bytes", "sha256"
+    )
+
+
+@query(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg'
+                           WHEN 4 THEN 'wav' ELSE 'avi' END AS fmt,
+           CASE WHEN doc_id % 6 IN (4) THEN 'audio'
+                WHEN doc_id % 6 IN (5) THEN 'video' ELSE 'image' END AS kind,
+           CASE WHEN doc_id % 6 = 4 THEN NULL
+                ELSE CAST(16 + doc_id % 97 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 6 = 4 THEN NULL
+                ELSE CAST(16 + (doc_id * 7) % 89 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 6 = 4
+                  THEN CAST((800 + (doc_id % 100) * 16) * 2 AS DOUBLE) / 16000
+                WHEN doc_id % 6 = 5
+                  THEN CAST((10 + doc_id % 50) * 40000 AS DOUBLE) / 1000000.0
+                ELSE NULL END AS duration_s
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "codec"),
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL structural codec, end to end: synthesize valid PNG/GIF/BMP/JPEG/
+    WAV/AVI bytes deterministically from doc_id (operators/multimodal.py
+    ``documents_as_synth_media``), then parse them back with the pure-stdlib
+    header decoder (``parse_media``). Dims/duration are arithmetic in doc_id,
+    so the oracle recomputes the expectation in SQL — a wrong parser (endian
+    swap, off-by-one offset, bad RIFF walk) hash-mismatches immediately."""
+    media = documents_as_synth_media(load_table(spark, sf_dir, "documents"))
+    return decode_media(media).select(
+        "media_id", "fmt", "kind", "width", "height", "duration_s"
     )
 
 

@@ -15,6 +15,7 @@ nbits/probes and tested against brute force in tests/test_llm.py.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -158,7 +159,14 @@ def srp_hyperplanes(dim: int, nbits: int = 16, seed: int = 42) -> np.ndarray:
 
 
 def srp_bucket(vec_col: Column, planes: np.ndarray) -> Column:
-    """LSH bucket id: sign bit per hyperplane, packed into a long."""
+    """LSH bucket id: sign bit per hyperplane, packed into a long.
+
+    Expression path: the planes are inlined as literal arrays, which keeps
+    everything in whole-stage codegen but puts nbits×dim literals into the
+    plan — right for small dims (the fixture's 64), wrong at production
+    embedding dims (768–1536 ⇒ ~25k literals). ``srp_index`` switches to the
+    broadcast + Arrow-matmul path (:func:`srp_bucket_udf`) above
+    ``_EXPR_LITERAL_BUDGET`` plane elements."""
     v = _as_double(vec_col)
     bits = [
         F.when(dot(v, _lit_vec(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -170,18 +178,114 @@ def srp_bucket(vec_col: Column, planes: np.ndarray) -> Column:
     return out.cast("long")
 
 
+def _np_bucket(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Vectorized bucket assignment: (n, dim) float64 @ planes.T → sign bits
+    packed little-endian into int64. One GEMM per Arrow batch.
+
+    Per-row results are batch-slicing-invariant: each output element is an
+    independent fixed-order accumulation over ``dim``, so the bucket of a
+    vector does not depend on which Arrow batch it arrived in (asserted by
+    test_srp_bucket_udf_matches_expression). A sign flip vs the expression
+    path would need |dot| within float-rounding of 0 — Gaussian planes put
+    measure zero there."""
+    signs = (mat @ planes.T) > 0  # (n, nbits) bool
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return signs @ weights
+
+
+def srp_bucket_udf(planes_bc):
+    """Arrow-batched bucket assignment against a BROADCAST hyperplane
+    matrix: ship the planes once per executor (not nbits×dim literals per
+    plan, not a closure copy per task), then one float64 matmul per batch.
+    ``planes_bc`` is a ``sc.broadcast(planes)`` handle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        planes = planes_bc.value
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype="int64")
+        return pd.Series(_np_bucket(mat, planes))
+
+    return bucket_of
+
+
+# Above this many plane elements (nbits × dim), inlining literals bloats the
+# plan; switch to the broadcast + Arrow matmul path. 2048 keeps the fixture
+# dims (64×≤8) and unit tests on the fully-codegen'd expression path.
+_EXPR_LITERAL_BUDGET = 2048
+
+
 def srp_index(
     embeddings: DataFrame,
     dim: int,
     nbits: int = 16,
     seed: int = 42,
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
-    """Attach the SRP bucket to every row. At cluster scale this would be
-    written out partitioned/bucketed by ``bucket`` so probes are
-    partition-pruned scans."""
+    """Attach the SRP bucket to every row.
+
+    ``method``: ``"expr"`` (inline-literal codegen path), ``"udf"``
+    (broadcast planes + Arrow matmul — the production-dim path), or
+    ``"auto"`` (pick by nbits×dim). Both paths agree bit-for-bit on real
+    data (tests/test_llm.py). For the persisted, partition-pruned form of
+    this index see :func:`write_srp_index` / :func:`read_srp_index`."""
     planes = srp_hyperplanes(dim, nbits, seed)
-    return embeddings.withColumn("bucket", srp_bucket(F.col(vec_col), planes))
+    if method == "auto":
+        method = "expr" if planes.size <= _EXPR_LITERAL_BUDGET else "udf"
+    if method == "expr":
+        bucket = srp_bucket(F.col(vec_col), planes)
+    elif method == "udf":
+        bc = embeddings.sparkSession.sparkContext.broadcast(planes)
+        bucket = srp_bucket_udf(bc)(F.col(vec_col))
+    else:
+        raise ValueError(f"unknown srp_index method {method!r}")
+    return embeddings.withColumn("bucket", bucket)
+
+
+def write_srp_index(indexed: DataFrame, path: str) -> None:
+    """Persist an SRP index hive-partitioned by ``bucket`` so a probe reads
+    only its bucket directories (partition pruning at the source, no scan of
+    the other 2^nbits buckets). This is the cluster-scale storage story the
+    in-memory ``srp_index`` filter approximates."""
+    indexed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def read_srp_index(spark, path: str) -> DataFrame:
+    """Read a persisted SRP index. ``where(bucket IN ...)`` on the result is
+    satisfied by directory pruning (PartitionFilters in the scan node —
+    asserted in tests/test_llm.py), which is what makes probes O(bucket)
+    instead of O(corpus)."""
+    return spark.read.parquet(path)
+
+
+def write_ivf_index(indexed: DataFrame, centroids: np.ndarray, path: str) -> None:
+    """Persist an IVF index partitioned by ``list_id`` (probes prune to
+    nprobe directories) plus the centroid table as a tiny sibling parquet —
+    the coarse quantizer must travel with the lists or future probes would
+    re-train a different KMeans and the lists would be garbage."""
+    indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    spark = indexed.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(cent_rows, "list_id INT, centroid ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+
+
+def read_ivf_index(spark, path: str):
+    """Read a persisted IVF index back as ``(indexed_df, centroids)``."""
+    indexed = spark.read.parquet(path)
+    cent = (
+        spark.read.parquet(path.rstrip("/") + "_centroids")
+        .orderBy("list_id")
+        .collect()
+    )
+    centroids = np.array([r.centroid for r in cent])
+    return indexed, centroids
 
 
 def srp_ann_topk(
@@ -193,24 +297,34 @@ def srp_ann_topk(
     probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """ANN top-k: search only the query's bucket plus ``probes`` rounds of
     Hamming-adjacent buckets (multi-probe recovers recall lost to boundary
-    effects). Candidate set = bucket-filtered rows; exact cosine re-rank."""
+    effects). Candidate set = bucket-filtered rows; exact cosine re-rank.
+
+    ``method`` must match how the index was built (same meaning as in
+    :func:`srp_index`): the query's own bucket is computed with the same
+    summation order as the stored buckets."""
     planes = srp_hyperplanes(len(query_vec), nbits, seed)
+    if method == "auto":
+        method = "expr" if planes.size <= _EXPR_LITERAL_BUDGET else "udf"
     q = [float(x) for x in query_vec]
-    qbucket = 0
-    for i, p in enumerate(planes):
-        # sequential left-fold in index order — the SAME summation order as
-        # the JVM aggregate(zip_with(...)) in srp_bucket. np.dot's pairwise/
-        # SIMD summation rounds differently, so a dot product within float
-        # rounding of 0 could flip sign and put the query's "own bucket" on
-        # the wrong side of its stored bucket.
-        acc = 0.0
-        for x, y in zip(q, p):
-            acc += x * float(y)
-        if acc > 0:
-            qbucket |= 1 << i
+    if method == "udf":
+        qbucket = int(_np_bucket(np.asarray(q, dtype=np.float64)[None, :], planes)[0])
+    else:
+        qbucket = 0
+        for i, p in enumerate(planes):
+            # sequential left-fold in index order — the SAME summation order
+            # as the JVM aggregate(zip_with(...)) in srp_bucket. np.dot's
+            # pairwise/SIMD summation rounds differently, so a dot product
+            # within float rounding of 0 could flip sign and put the query's
+            # "own bucket" on the wrong side of its stored bucket.
+            acc = 0.0
+            for x, y in zip(q, p):
+                acc += x * float(y)
+            if acc > 0:
+                qbucket |= 1 << i
     buckets = {qbucket}
     frontier = {qbucket}
     for _ in range(probes):
@@ -293,17 +407,43 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via SRP bucket equi-join:
     candidates share a bucket (fewer bits → coarser buckets → higher
     recall), verified with exact cosine ≥ threshold. Returns
-    ``(id_a, id_b, cos_sim)`` with id_a < id_b."""
-    indexed = srp_index(embeddings, dim, nbits=nbits, seed=seed, vec_col=vec_col)
-    left = indexed.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
-    )
-    right = indexed.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
-    )
-    return (
+    ``(id_a, id_b, cos_sim)`` with id_a < id_b.
+
+    Shuffle discipline (same shape as ``minhash_lsh_pairs``): the bucket
+    self-join carries ONLY (bucket, id) pairs — at production dims a
+    768-float vector is ~6 KB/row and would dominate the exchange. Vectors
+    are re-attached afterwards, and only for ids that actually appear in a
+    candidate pair (semi-join prefilter), so the vector shuffle is
+    O(candidates), not O(corpus × bucket width)."""
+    indexed = srp_index(
+        embeddings, dim, nbits=nbits, seed=seed, vec_col=vec_col
+    ).select(F.col(id_col).alias("_id"), "bucket")
+    left = indexed.select("bucket", F.col("_id").alias("id_a"))
+    right = indexed.select("bucket", F.col("_id").alias("id_b"))
+    # One bucket per vector (single SRP signature), so a pair can meet in at
+    # most one bucket — no dropDuplicates needed, unlike banded LSH.
+    cand = (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("cid"))
+        .union(cand.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    vecs = embeddings.join(
+        cand_ids, embeddings[id_col] == cand_ids["cid"], "left_semi"
+    ).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    return (
+        cand.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b")),
+            "id_b",
+        )
         .withColumn(
             "cos_sim", cosine(_as_double(F.col("vec_a")), _as_double(F.col("vec_b")))
         )

@@ -49,11 +49,22 @@ class GraphStore:
       fails, like creating a file that exists.
     - ``modify`` = ``mode("overwrite")`` — full replace, like the reference's
       ``fopen(...,"w")`` truncation (``primaryServer.c:40``). No merge/upsert.
+
+    ``buckets=N`` switches the at-rest layout to a catalog-registered
+    bucketed table (hash-bucketed AND sorted by ``src``, data files still
+    under ``root``): every traversal or degree query joins/aggregates on
+    ``src``, so paying the layout shuffle ONCE at write time makes each
+    src-keyed sort-merge join exchange-free on the edge side afterwards
+    (asserted in tests/test_graph.py). That is the cluster-scale story the
+    BFS docstring promises — the 100 TB edge set never re-shuffles; only the
+    (small) frontier moves. Plain parquet (buckets=None) remains the default
+    for parity with the reference's single-file-per-graph model.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, buckets: int | None = None):
         self.spark = spark
         self.root = root
+        self.buckets = buckets
 
     def path(self, name: str) -> str:
         if not name or "/" in name or name.startswith("."):
@@ -67,13 +78,47 @@ class GraphStore:
             F.col("dst").cast("long").alias("dst"),
         )
 
+    def table_name(self, name: str) -> str:
+        """Catalog identifier for a bucketed graph: sanitized name plus an
+        md5 tag of (root, raw name) so distinct roots/punctuated names can't
+        collide after sanitization."""
+        import hashlib
+        import re
+
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", name).lower()
+        tag = hashlib.md5(f"{self.root}\x00{name}".encode()).hexdigest()[:8]
+        return f"graph_{safe}_{tag}"
+
+    def _write(self, name: str, edges: DataFrame, mode: str) -> None:
+        e = self._normalize(edges)
+        if self.buckets is None:
+            e.write.mode(mode).parquet(self.path(name))
+            return
+        # Bucketed layout must go through the catalog — bucket metadata
+        # lives there, not in the files; sortBy(src, dst) additionally
+        # makes row-group stats tight for src-range scans.
+        (
+            e.write.bucketBy(self.buckets, "src")
+            .sortBy("src", "dst")
+            .option("path", self.path(name))
+            .mode("error" if mode == "errorifexists" else mode)
+            .format("parquet")
+            .saveAsTable(self.table_name(name))
+        )
+
     def add(self, name: str, edges: DataFrame) -> None:
-        self._normalize(edges).write.mode("errorifexists").parquet(self.path(name))
+        self._write(name, edges, "errorifexists")
 
     def modify(self, name: str, edges: DataFrame) -> None:
-        self._normalize(edges).write.mode("overwrite").parquet(self.path(name))
+        self._write(name, edges, "overwrite")
 
     def load(self, name: str) -> DataFrame:
+        if self.buckets is not None and self.spark.catalog.tableExists(
+            self.table_name(name)
+        ):
+            # through the catalog: keeps the bucket spec so src-keyed joins
+            # skip the edge-side Exchange
+            return self.spark.table(self.table_name(name))
         return self.spark.read.parquet(self.path(name))
 
     def exists(self, name: str) -> bool:
@@ -156,7 +201,10 @@ def bfs(edges: DataFrame, start: int, max_iter: int = 10_000) -> DataFrame:
     total materialization is O(|V|) across the whole run — re-checkpointing
     the accumulated set every level would be O(|V| × depth), quadratic on
     chain-like graphs. One shuffle per level on the join key — at cluster
-    scale, edges pre-partitioned by ``src`` keep every level co-located.
+    scale, edges pre-partitioned by ``src`` keep every level co-located:
+    that layout is real, not aspirational — ``GraphStore(buckets=N)`` stores
+    graphs hash-bucketed + sorted by ``src``, and src-keyed joins against
+    the loaded table plan with no edge-side Exchange (tests/test_graph.py).
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst").persist()
@@ -696,9 +744,11 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 500) -> DataFrame:
             .localCheckpoint()
         )
         if e.isEmpty():
-            # graph fully peeled: the k-core is empty
-            return deg.sparkSession.createDataFrame(
-                [], "vid BIGINT, core_degree BIGINT"
+            # graph fully peeled: the k-core is empty. Derive the empty
+            # frame FROM deg (not a hardcoded BIGINT schema) so both return
+            # paths agree on the vid type for INT/STRING vertex ids.
+            return deg.where(F.lit(False)).select(
+                F.col("v").alias("vid"), F.col("d").alias("core_degree")
             )
     raise RuntimeError(f"k_core: did not stabilize within {max_iter} peeling rounds")
 

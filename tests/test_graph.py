@@ -159,6 +159,52 @@ def test_graphstore_matrix_roundtrip(spark, tmp_path):
     assert got == set(G3)
 
 
+def test_graphstore_bucketed_layout(spark, tmp_path):
+    """GraphStore(buckets=N): same add/modify/load semantics, but the loaded
+    table carries bucket metadata — a src-keyed self-join (degree-style
+    traversal shape) plans with NO Exchange on either edge side, the
+    write-once/co-locate-forever contract from the bfs docstring."""
+    store = GraphStore(spark, str(tmp_path), buckets=4)
+    try:
+        store.add("gb", edges_df(spark, G1))
+        assert store.exists("gb")
+        got = {(r.src, r.dst) for r in store.load("gb").collect()}
+        assert got == set(G1)
+
+        with pytest.raises(AnalysisException):  # W1 semantics survive
+            store.add("gb", edges_df(spark, G3))
+        store.modify("gb", edges_df(spark, G3))  # W2 semantics survive
+        assert {(r.src, r.dst) for r in store.load("gb").collect()} == set(G3)
+
+        from pyspark.sql import functions as F
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            e = store.load("gb")
+            joined = e.alias("a").join(e.alias("b"), F.col("a.src") == F.col("b.src"))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # both sides sit on their bucket key → sort-merge join with ZERO
+            # Exchange nodes; the write-time shuffle was the last one
+            assert "Exchange" not in plan, plan
+            # a plain-parquet store of the same data must shuffle both sides
+            flat = GraphStore(spark, str(tmp_path / "flat"))
+            flat.add("gb", edges_df(spark, G3))
+            fe = flat.load("gb")
+            fplan = (
+                fe.alias("a")
+                .join(fe.alias("b"), F.col("a.src") == F.col("b.src"))
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert fplan.count("Exchange") >= 2, fplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store.table_name('gb')}")
+
+
 def test_graphstore_rejects_bad_names(spark, tmp_path):
     store = GraphStore(spark, str(tmp_path))
     for bad in ("", "a/b", ".hidden"):

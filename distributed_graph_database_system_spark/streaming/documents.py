@@ -85,10 +85,11 @@ def near_dedup_batch_fn(
             ),
             ["band", "bucket"],
         ).where(
-            # same "earlier" guard as the in-batch join. Also makes a
-            # RETRIED batch (foreachBatch is at-least-once) harmless here:
-            # re-ingested docs already in the store would otherwise
-            # self-pair at est_jaccard 1.0.
+            # same "earlier" guard as the in-batch join. On a RETRIED batch
+            # (foreachBatch is at-least-once) this also stops re-ingested
+            # docs from self-pairing at est_jaccard 1.0; the retry's WRITES
+            # are made idempotent separately — both appends land in a
+            # batch_id-keyed subdirectory that a retry overwrites in place.
             F.col("id_old") < F.col("id_new")
         )
         new_vs_new = entries.select(
@@ -132,12 +133,23 @@ def near_dedup_batch_fn(
                 F.lit(batch_id).alias("batch_id"),
             )
         )
-        decisions.write.mode("append").parquet(decisions_path)
+        # IDEMPOTENT append: each batch owns a hive-keyed subdirectory and
+        # OVERWRITES it. foreachBatch replays a batch with the same batch_id
+        # after a crash-before-checkpoint-commit, so a blind append would
+        # double-write this batch's decision rows and bloat the index store;
+        # overwrite-own-subdir makes the retry converge to the same store
+        # state (exactly-once effect on top of at-least-once execution).
+        # Readers see batch_id as an inferred partition column.
+        decisions.drop("batch_id").write.mode("overwrite").parquet(
+            os.path.join(decisions_path, f"batch_id={int(batch_id)}")
+        )
         # index EVERY ingested doc, not just survivors: the associativity of
         # "matches any earlier doc" (and with it slicing-invariance) depends
         # on later batches seeing dropped docs too — a chain a~b~c with b
         # dropped in an earlier batch must still drop c.
-        entries.write.mode("append").parquet(index_path)
+        entries.write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch_id={int(batch_id)}")
+        )
 
     return upsert
 

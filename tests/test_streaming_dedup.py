@@ -101,6 +101,33 @@ def test_store_indexes_every_ingested_doc(spark, corpus, tmp_path):
     assert indexed == {r["doc_id"] for r in df.select("doc_id").collect()}
 
 
+def test_retried_batch_is_idempotent(spark, corpus, tmp_path):
+    """foreachBatch is at-least-once: replaying a (batch_df, batch_id) that
+    already committed must leave the store byte-identical — the batch_id-
+    keyed overwrite, not a blind append. Decisions stay one-per-doc and the
+    index must not bloat."""
+    from distributed_graph_database_system_spark.streaming.documents import (
+        near_dedup_batch_fn,
+    )
+
+    df, _ = corpus
+    store = str(tmp_path / "retry_store")
+    upsert = near_dedup_batch_fn(spark, store, threshold=0.6)
+    half = df.count() // 2
+    b0 = df.where(df.doc_id < half)
+    b1 = df.where(df.doc_id >= half)
+    upsert(b0, 0)
+    upsert(b1, 1)
+    before = sorted(
+        tuple(r) for r in read_decisions(spark, store).collect()
+    )
+    index_before = read_index(spark, store).count()
+    upsert(b1, 1)  # the retry
+    after = sorted(tuple(r) for r in read_decisions(spark, store).collect())
+    assert after == before
+    assert read_index(spark, store).count() == index_before
+
+
 def test_transitive_chain_split_across_batches_matches_one_shot(spark, tmp_path):
     """a~b and b~c but a!~c, with b and c in DIFFERENT batches: one-shot
     drops both b and c (each matches an earlier doc), and the sliced run

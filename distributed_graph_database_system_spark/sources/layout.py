@@ -178,6 +178,17 @@ def zorder_write(
     )
 
 
+def _count_leaf_dirs(fs, hpath) -> int:
+    """Number of first-level hive partition directories under ``hpath``
+    (1 for unpartitioned data) — sizes the per-directory salt in compact."""
+    n = sum(
+        1
+        for seg in fs.listStatus(hpath)
+        if seg.isDirectory() and "=" in seg.getPath().getName()
+    )
+    return max(1, n)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -193,6 +204,10 @@ def compact(
     Hive-partitioned datasets keep their layout: inferred partition columns
     are re-applied with ``partitionBy`` on the rewrite, so directory pruning
     (and any partition-overwrite writer feeding the dataset) still works.
+    Within each partition directory the rewrite shuffles on (partition cols,
+    bounded deterministic salt), so an oversized partition splits into
+    multiple ~``target_bytes`` files instead of collapsing to one file per
+    directory (which hashing the partition columns alone would do).
 
     Swap order is crash-safe: the rewrite lands in a tmp dir, the original
     is renamed ASIDE (not deleted), the tmp renamed in, and only then is the
@@ -219,7 +234,23 @@ def compact(
     part_cols = sorted(set(part_cols))
     tmp = path.rstrip("/") + "__compact_tmp"
     bak = path.rstrip("/") + "__compact_bak"
-    w = df.repartition(n, *part_cols) if part_cols else df.repartition(n)
+    if part_cols:
+        from pyspark.sql import functions as F
+
+        # repartition(n, *part_cols) hashes ONLY the partition columns, so
+        # every hive partition would collapse into exactly one output file
+        # no matter its size. Add a bounded salt derived from a stable row
+        # hash: each partition directory can now split into up to
+        # ceil(n / #partitions-ish) files of ~target_bytes while rows of one
+        # (partition, salt) still land together. Deterministic (xxhash64 of
+        # all columns), no RNG state.
+        per_dir = max(1, math.ceil(n / max(1, _count_leaf_dirs(fs, hpath))))
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(per_dir))
+        w = df.withColumn("__salt", salt).repartition(n, *part_cols, "__salt").drop(
+            "__salt"
+        )
+    else:
+        w = df.repartition(n)
     writer = w.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)

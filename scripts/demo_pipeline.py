@@ -132,18 +132,26 @@ def main() -> int:
         .join(contaminated, "doc_id", "left_anti"),
     )
 
-    # 7. weighted sample: A-Res on md5 uniforms, weight = doc length
+    # 7. weighted sample: A-Res on md5 uniforms, weight = doc length.
+    # Exact global top-2000 WITHOUT a corpus-wide single-partition window:
+    # phase 1 takes each source's local top-2000 (partitioned window), so
+    # the global window in phase 2 ranks at most 2000×n_sources survivors —
+    # the standard two-phase top-k that keeps the unpartitioned pass bounded
+    # at any corpus size.
     u = md5_uniform("doc_id")
     key = F.log(F.greatest(u, F.lit(1e-300))) / F.greatest(
         F.col("n_chars").cast("double"), F.lit(1.0)
     )
-    wk = W.orderBy(F.desc("_k"), "doc_id")
+    wk_local = W.partitionBy("source").orderBy(F.desc("_k"), "doc_id")
+    wk_global = W.orderBy(F.desc("_k"), "doc_id")
     sampled = stage(
         "weighted_sample",
         clean_train.withColumn("_k", key)
-        .withColumn("_rn", F.row_number().over(wk))
+        .withColumn("_lrn", F.row_number().over(wk_local))
+        .where(F.col("_lrn") <= 2000)
+        .withColumn("_rn", F.row_number().over(wk_global))
         .where(F.col("_rn") <= 2000)
-        .drop("_k", "_rn"),
+        .drop("_k", "_lrn", "_rn"),
     )
 
     # 8. pack into 2048-token sequences (per-source concat-and-chunk)

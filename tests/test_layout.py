@@ -152,6 +152,32 @@ def test_compact_preserves_hive_partitioning(spark, sf_dir, tmp_path):
     assert not glob.glob(path + "__compact_*")
 
 
+def test_compact_splits_oversized_partition(spark, sf_dir, tmp_path):
+    """A hive partition LARGER than target_bytes must split into multiple
+    files: the rewrite shuffles on (partition cols, bounded salt), not the
+    partition cols alone (which would collapse each directory to one file
+    regardless of size)."""
+    import glob
+
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn("one", F.lit("all"))
+    path = str(tmp_path / "one_part")
+    e.coalesce(1).write.partitionBy("one").mode("overwrite").parquet(path)
+    only_dir = glob.glob(path + "/one=*")
+    assert len(only_dir) == 1
+    total = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(only_dir[0] + "/*.parquet")
+    )
+    before = spark.read.parquet(path).count()
+    n = layout.compact(spark, path, target_bytes=max(1, total // 4))
+    assert n >= 3
+    files = glob.glob(path + "/one=*/*.parquet")
+    assert len(files) >= 3, "oversized partition did not split"
+    assert spark.read.parquet(path).count() == before
+
+
 def test_zorder_key_is_nonnegative_long_at_four_columns(spark, sf_dir):
     """bits=8 × 4 cols puts the top bit at position 31 — on a 32-bit key
     that overflows into the sign bit and reverses the range partitioning

@@ -162,13 +162,27 @@ def run_incremental_daily_rollup(
     of (existing ∪ contribution); no full-table state is held in the
     streaming job at all.
 
-    Delivery note: file-source replay + foreachBatch is at-least-once on
-    failure; production exactly-once needs a batch_id-keyed staging commit
-    (or a transactional table format), which this container lacks — the
-    merge itself is idempotent per batch only if the batch is not partially
-    applied. Documented trade, same as any parquet-only sink.
+    Delivery: EXACTLY-ONCE effect on top of foreachBatch's at-least-once
+    execution, with plain parquet. Two idempotent steps per batch:
+
+    1. the batch's contribution lands in a per-batch ledger partition
+       (``<rollup>_contrib/day=D/batch_id=N`` via dynamic partition
+       overwrite) — a replayed batch overwrites ITS OWN ledger cells with
+       identical content (file-source replay is deterministic), never
+       double-appends;
+    2. the rollup rows for the touched days are REBUILT from the ledger
+       (sum over all batches' contributions for those days) and swapped in
+       with dynamic partition overwrite — a pure function of the ledger, so
+       re-running it converges.
+
+    A crash between the steps leaves the ledger committed and the rollup
+    stale for those days; the retry redoes both and lands in the same
+    state. The ledger accumulates one small file per (day, batch) — the
+    same small-file growth any log-structured table has; compactable with
+    ``sources.layout.compact`` without changing reads.
     """
-    from pyspark.sql.utils import AnalysisException
+
+    contrib_path = rollup_path.rstrip("/") + "_contrib"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         contrib_rows = (
@@ -194,20 +208,23 @@ def run_incremental_daily_rollup(
             contrib_rows,
             "day DATE, event_type STRING, n BIGINT, dec_value DECIMAL(28,2)",
         )
-        try:
-            existing = spark.read.parquet(rollup_path).where(F.col("day").isin(days))
-        except AnalysisException:  # first batch: rollup doesn't exist yet
-            existing = spark.createDataFrame(
-                [], "day DATE, event_type STRING, n BIGINT, dec_value DECIMAL(18,2)"
-            )
-        merged = (
-            existing.unionByName(contrib)
-            .groupBy("day", "event_type")
-            .agg(F.sum("n").alias("n"), F.sum("dec_value").alias("dec_value"))
-        )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            # step 1: idempotent ledger commit — only this batch's
+            # (day, batch_id) cells are replaced
+            contrib.withColumn("batch_id", F.lit(int(batch_id))).write.partitionBy(
+                "day", "batch_id"
+            ).mode("overwrite").parquet(contrib_path)
+            # step 2: rebuild the touched days from the ledger alone (never
+            # existing-rollup + delta: that merge double-counts on replay).
+            # The day filter prunes to the touched day directories.
+            merged = (
+                spark.read.parquet(contrib_path)
+                .where(F.col("day").isin(days))
+                .groupBy("day", "event_type")
+                .agg(F.sum("n").alias("n"), F.sum("dec_value").alias("dec_value"))
+            )
             merged.write.partitionBy("day").mode("overwrite").parquet(rollup_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

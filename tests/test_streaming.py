@@ -350,3 +350,53 @@ def test_incremental_rollup_converges_to_batch_groundtruth(
     import glob
 
     assert glob.glob(path + "/day=*"), "expected hive day= partition dirs"
+
+
+def test_incremental_rollup_batch_retry_is_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch replays a committed batch after a crash-before-
+    checkpoint-commit; the ledger + rebuild design must absorb the replay
+    with NO double counting — the rollup equals the ground truth whether a
+    batch ran once or twice."""
+    from distributed_graph_database_system_spark.streaming.events import (
+        read_rollup,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    # deterministic split (a limit() would re-execute differently per branch)
+    b0 = e.where(F.col("event_id") % 2 == 0)
+    b1 = e.where(F.col("event_id") % 2 == 1)
+
+    # drive the same upsert foreachBatch uses, with an explicit replay of
+    # batch 0 in the middle (the at-least-once failure mode)
+    import distributed_graph_database_system_spark.streaming.events as EV
+
+    path = str(tmp_path / "rollup_retry")
+    captured = {}
+    orig = EV.run_foreach_batch
+
+    def fake_runner(stream, fn, mode="update"):
+        captured["fn"] = fn
+
+    EV.run_foreach_batch = fake_runner
+    try:
+        EV.run_incremental_daily_rollup(spark, None, path)
+    finally:
+        EV.run_foreach_batch = orig
+    upsert = captured["fn"]
+    upsert(b0, 0)
+    upsert(b0, 0)  # replayed batch
+    upsert(b1, 1)
+    upsert(b1, 1)  # replayed batch
+
+    cols = ("day", "event_type", "n", "sum_value")
+    got = rows_set(read_rollup(spark, path), cols)
+    want = rows_set(
+        e.groupBy(
+            F.to_date("ts").cast("timestamp").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        ),
+        cols,
+    )
+    assert got == want

@@ -91,24 +91,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q7's multi-join shape remains covered by q3/q5, q14's conditional-sum
     # ratio by q19/quality_filter_funnel; both stay parity-sweep-verified
     # and q7 stays in the bench headline set.)
+    # (round 6 rotation: q18/join_outer/agg_median/stream_sliding_sum/
+    # graph_bfs_cosupply/multimodal_decode_meta out — every family keeps an
+    # in-window witness and all six stay parity-sweep-verified — so six
+    # previously window-less queries get driver rows: the real multimodal
+    # codec, the persisted ANN index, IVF ANN, SimHash, PageRank, and q7.)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_nation_volume",
     "q16_supplier_part_types",
     "q17_small_qty_revenue",
-    "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
     # core relational operators
     "projection_compute",
     "filter_predicates",
-    "join_outer",
     "join_semi_anti",
     "join_theta",
     "join_range_bucketed",
     "join_asof",
     "agg_grouping_multi",
-    "agg_median",
     "agg_salted_skew",
     "window_funcs",
     "window_range_frame",
@@ -117,7 +120,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_funcs",
     # streaming batch twins
     "stream_tumbling_counts",
-    "stream_sliding_sum",
     "stream_session_window",
     "stream_dedup_keys",
     "join_view_purchase_window",
@@ -134,12 +136,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # family; plan shapes asserted in tests/test_layout.py
     "layout_bucketed_join",
     "layout_partition_pruned",
-    # graph (pagerank swapped out in round 4 — the analytics row keeps
-    # cc + triangles as window evidence; pagerank stays golden-verified in
-    # the parity sweep and pytest)
+    # graph (round 6: pagerank back IN — rotation gives each analytics op
+    # a driver row over successive rounds; bfs_cosupply out, bfs stays
+    # witnessed by graph_bfs_goldens)
     "graph_bfs_goldens",
     "graph_dfs_goldens",
-    "graph_bfs_cosupply",
+    "graph_pagerank_g2",
     "graph_cc_g4",
     "graph_triangles_cosupply",
     # LLM-data-pipeline operators (round 4: simhash/ann_ivf swapped out —
@@ -151,14 +153,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_near",
     "sim_topk_bruteforce",
     "sim_topk_ann_lsh",
+    "sim_topk_ann_ivf",
+    "sim_topk_ann_persisted",
     "decontaminate_holdout",
     "quality_filter_funnel",
     "text_analysis",
-    "multimodal_decode_meta",
+    "multimodal_decode_real",
 )
 
 

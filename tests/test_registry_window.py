@@ -25,13 +25,13 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "join_theta": ("join_theta",),
     "join_range_asof": ("join_range_bucketed", "join_asof"),
     "join_semi_anti": ("join_semi_anti",),
-    "aggregation": ("q1_pricing_summary", "agg_salted_skew", "agg_median"),
+    "aggregation": ("q1_pricing_summary", "agg_salted_skew"),
     "subquery_decorrelation": (
         "q16_supplier_part_types",  # NOT IN → broadcast anti join
         "q17_small_qty_revenue",  # correlated scalar AVG → agg + equi-join
-        "q18_large_orders",  # IN over HAVING → semi-join
         "q22_idle_customers",  # global scalar + NOT EXISTS
     ),
+    "multi_join_breadth": ("q7_nation_volume",),
     "disjunctive_predicates": ("q19_disjunctive_revenue",),
     "grouping_sets": ("agg_grouping_multi",),
     "window_functions": ("window_funcs", "window_range_frame"),
@@ -44,25 +44,34 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "scalar_json": ("json_struct_funcs",),
     "data_layout": ("layout_bucketed_join", "layout_partition_pruned"),
     "streaming_windows": (
-        "stream_tumbling_counts",
-        "stream_sliding_sum",
+        "stream_tumbling_counts",  # sliding rotated out r6; sweep-verified
         "stream_session_window",
     ),
     "streaming_stateful_join": ("stream_dedup_keys", "join_view_purchase_window"),
-    "udf_pandas": ("pandas_udf_weighted_avg", "multimodal_decode_meta"),
-    "graph_bfs": ("graph_bfs_goldens", "graph_bfs_cosupply"),
+    "udf_pandas": ("pandas_udf_weighted_avg", "multimodal_decode_real"),
+    "graph_bfs": ("graph_bfs_goldens",),
     "graph_dfs": ("graph_dfs_goldens",),
-    "graph_analytics": ("graph_cc_g4", "graph_triangles_cosupply"),
+    "graph_analytics": (
+        "graph_cc_g4",
+        "graph_triangles_cosupply",
+        "graph_pagerank_g2",
+    ),
     "llm_dedup": (
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_simhash",
         "dedup_clusters",
         "dedup_embedding_near",
     ),
-    "llm_similarity": ("sim_topk_bruteforce", "sim_topk_ann_lsh"),
+    "llm_similarity": (
+        "sim_topk_bruteforce",
+        "sim_topk_ann_lsh",
+        "sim_topk_ann_ivf",
+        "sim_topk_ann_persisted",
+    ),
     "llm_pipeline": ("decontaminate_holdout", "quality_filter_funnel"),
-    "llm_text_multimodal": ("text_analysis", "multimodal_decode_meta"),
+    "llm_text_multimodal": ("text_analysis", "multimodal_decode_real"),
 }
 
 

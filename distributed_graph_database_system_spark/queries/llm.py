@@ -415,6 +415,71 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             16 + doc_id % 97 AS width, 16 + (doc_id * 7) % 89 AS height
+      FROM documents WHERE doc_id % 6 <> 4
+    ), scaled AS (
+      SELECT media_id, width, height,
+             LEAST(1.0, 96 / CAST(GREATEST(width, height) AS DOUBLE)) AS scale
+      FROM dims
+    )
+    SELECT media_id, CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(LEAST(CEIL(width * scale), 96) AS INTEGER) AS target_w,
+           CAST(LEAST(CEIL(height * scale), 96) AS INTEGER) AS target_h
+    FROM scaled
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over REAL decoded dimensions
+    (synth media → structural decode → pure column math). The oracle
+    recomputes the geometry from the synth layout; the max-side clamp and
+    the ceil-overshoot guard (multimodal.py resize_plan) are both under
+    test — dims where side*scale rounds up past max_side hash-mismatch."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        resize_plan,
+    )
+
+    media = documents_as_synth_media(load_table(spark, sf_dir, "documents"))
+    return resize_plan(decode_media(media), max_side=96)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id AS media_id,
+             CAST((10 + doc_id % 50) * 40000 AS DOUBLE) / 1000000.0 AS duration_s
+      FROM documents WHERE doc_id % 6 = 5
+    )
+    SELECT v.media_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
+           ROUND(f.frame_idx / 2.0, 3) AS sample_ts
+    FROM vids v,
+         LATERAL (
+           SELECT UNNEST(generate_series(
+             0, GREATEST(CAST(FLOOR(v.duration_s * 2.0) AS INTEGER) - 1, 0)
+           )) AS frame_idx
+         ) f
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan at 2 fps over the synth AVI durations: the
+    ``explode(sequence(...))`` fan-out (distributed row generation, never a
+    driver loop) against DuckDB's generate_series as the oracle."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    media = documents_as_synth_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(decode_media(media), fps=2.0)
+
+
+@query(
     "sim_topk_ann_ivf",
     oracle=SIM_TOPK_ANN_IVF_GOLDEN,
     oracle_sf="0.01",

@@ -182,6 +182,41 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_radius_search",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 3) AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+      AND list_cosine_similarity(e.embedding::DOUBLE[], q.qe) >= 0.25
+    """,
+    tags=("llm", "similarity", "radius"),
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL vectors within cosine ≥ r of
+    the query — the dedup/retrieval-recall counterpart of top-k (result size
+    is data-dependent, not k). One embarrassingly-parallel scan, predicate
+    on the codegen'd cosine expression; no window, no global sort. At
+    cluster scale the SRP/IVF bucket prune composes in front exactly as in
+    srp_ann_topk (candidates first, exact predicate after)."""
+    from distributed_graph_database_system_spark.operators.similarity import (
+        _as_double,
+        _lit_vec,
+        cosine,
+    )
+
+    qv = _query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    sim = cosine(_as_double(F.col("embedding")), _lit_vec(qv))
+    return (
+        emb.select("vec_id", sim.alias("_s"))
+        .where(F.col("_s") >= 0.25)
+        .select("vec_id", F.round("_s", 3).alias("sim"))
+    )
+
+
+@query(
     "sim_topk_ann_lsh",
     oracle=SIM_TOPK_ANN_LSH_GOLDEN,
     oracle_sf="0.01",

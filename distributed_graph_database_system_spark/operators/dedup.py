@@ -295,11 +295,11 @@ def lsh_index_entries(
     """Per-doc LSH index rows ``(doc_id, sig, band, bucket)`` — the
     persistent form of the banded-MinHash index that
     :func:`minhash_lsh_pairs` builds transiently. One row per (doc, band);
-    ``sig`` is the full k-component signature (repeated per band row so a
-    bucket join carries everything needed for signature-estimate verify
-    without a second attach join — at 24 B/component × k=32 that's ~768 B
-    per row, the deliberate store-size/join-count trade for an incremental
-    index; the batch pipeline keeps its id-only shuffle instead)."""
+    ``sig`` is the full k-component signature, REPEATED per band row
+    (~768 B/row at k=32) so one bucket join carries everything — fine for
+    one-shot/batch uses. The incremental store uses the normalized
+    :func:`lsh_index_tables` form instead: signatures once per doc, band
+    rows 24 B each, candidate joins id-only."""
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     r = k // bands
@@ -316,6 +316,63 @@ def lsh_index_entries(
         "doc_id", "sig", F.explode(_band_bucket_structs("sig", bands, r)).alias("bb")
     ).select(
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def lsh_index_tables(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Normalized LSH index: ``(sigs, band_rows)`` where ``sigs`` holds one
+    ``(doc_id, sig)`` row per doc and ``band_rows`` holds ``(doc_id, band,
+    bucket)`` — 3 longs, ~24 B/row. Candidate discovery joins band_rows
+    (id-only shuffle); signature-estimate verify attaches sigs afterwards
+    for candidate ids only. Same banding scheme as
+    :func:`lsh_index_entries` (``_band_bucket_structs``), so estimates and
+    bucket collisions are identical — only the storage factoring differs
+    (k×bands signature duplication removed from the store AND from the
+    bucket-join shuffle)."""
+    sigs = lsh_signatures(docs, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed)
+    return sigs, lsh_band_rows(sigs, k=k, bands=bands)
+
+
+def lsh_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """One ``(doc_id, sig)`` row per doc (Arrow-vectorized shingle + MinHash
+    UDFs, CPU-fanned via the leading repartition)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    sh_udf = shingle_hash_udf(n)
+    return (
+        docs.repartition(target, id_col)
+        .select(F.col(id_col).alias("doc_id"), sh_udf(F.col(text_col)).alias("_h"))
+        .select(
+            "doc_id", minhash_signature_udf(k=k, seed=seed)(F.col("_h")).alias("sig")
+        )
+    )
+
+
+def lsh_band_rows(sigs: DataFrame, k: int = 32, bands: int = 8) -> DataFrame:
+    """Banded bucket rows ``(doc_id, band, bucket)`` from a signature table
+    — callers that materialize ``sigs`` (localCheckpoint/parquet) derive
+    band rows from the materialized frame so the signature UDFs run once."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    r = k // bands
+    return sigs.select(
+        "doc_id", F.explode(_band_bucket_structs("sig", bands, r)).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 

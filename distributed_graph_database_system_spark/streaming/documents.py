@@ -3,11 +3,16 @@
 The training-data-pipeline shape: crawl shards arrive continuously, and each
 new document must be checked against EVERYTHING ingested so far — without
 re-running dedup over the whole corpus per shard. The state is a persistent
-MinHash-LSH index (``lsh_index_entries`` rows in parquet); per micro-batch:
+NORMALIZED MinHash-LSH index (two parquet tables: ``sigs`` with one
+``(doc_id, sig)`` row per doc, ``bands`` with ``(doc_id, band, bucket)``
+rows of 3 longs — the signature is stored once, not once per band, and the
+candidate bucket join shuffles ids only). Per micro-batch:
 
 1. index the batch's docs (signatures + banded buckets);
-2. candidate pairs = bucket equi-join of batch entries against the stored
-   index (new-vs-corpus) plus the batch's self-join (new-vs-new);
+2. candidate pairs = bucket equi-join of batch band rows against the stored
+   band table (new-vs-corpus) plus the batch's self-join (new-vs-new) —
+   id-only; signatures are attached afterwards for candidate ids only
+   (semi-join prefilter on the sig store);
 3. verify candidates by signature agreement (``signature_similarity``,
    stderr ≈ 1/√k — the estimator the S-curve is built on; exact-Jaccard
    re-verification would need the corpus TEXT retained, which the index
@@ -26,10 +31,13 @@ MinHash-LSH index (``lsh_index_entries`` rows in parquet); per micro-batch:
    ``decisions WHERE dup_of IS NULL``.
 
 Scale: the per-batch work is bucket-join-sized (candidates only, never
-all-pairs against the corpus); the store grows linearly with the stream
-(k+2 longs per band row) and is a plain parquet table — compactable with
-``sources.layout.compact`` and bucketable by ``(band, bucket)`` to make
-the candidate join co-located.
+all-pairs against the corpus); the store grows linearly with the stream —
+k longs per DOC in ``sigs`` plus 3 longs per (doc, band) in ``bands``
+(the old single-table form repeated the k-long signature on every band
+row: ~bands× more signature bytes at rest and in every bucket-join
+shuffle). Both are plain parquet tables — compactable with
+``sources.layout.compact``; ``bands`` is bucketable by ``(band, bucket)``
+to make the candidate join co-located.
 """
 
 from __future__ import annotations
@@ -40,11 +48,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_graph_database_system_spark.operators.dedup import (
-    lsh_index_entries,
+    lsh_band_rows,
+    lsh_signatures,
     signature_similarity,
 )
 
 _INDEX = "index"
+_SIGS = "index/sigs"
+_BANDS = "index/bands"
 _DECISIONS = "decisions"
 
 
@@ -63,26 +74,31 @@ def near_dedup_batch_fn(
     query to time each one)."""
     from pyspark.sql.utils import AnalysisException
 
-    index_path = os.path.join(store_path, _INDEX)
+    sigs_path = os.path.join(store_path, _SIGS)
+    bands_path = os.path.join(store_path, _BANDS)
     decisions_path = os.path.join(store_path, _DECISIONS)
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        entries = lsh_index_entries(
-            batch_df, n=n, k=k, bands=bands, seed=seed
-        ).localCheckpoint()  # consumed 3× (two candidate joins + append)
+    def _read_or_empty(path: str, schema: str) -> DataFrame:
         try:
-            stored = spark.read.parquet(index_path)
+            return spark.read.parquet(path)
         except AnalysisException:
-            stored = spark.createDataFrame(
-                [], "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, bucket BIGINT"
-            )
-        new_vs_corpus = entries.select(
-            "band", "bucket", F.col("doc_id").alias("id_new"), F.col("sig").alias("sig_new")
-        ).join(
-            stored.select(
-                "band", "bucket", F.col("doc_id").alias("id_old"),
-                F.col("sig").alias("sig_old"),
-            ),
+            return spark.createDataFrame([], schema)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # signatures materialized ONCE; band rows derive from the
+        # checkpointed frame (UDFs don't rerun per consumer)
+        sigs = lsh_signatures(batch_df, n=n, k=k, seed=seed).localCheckpoint()
+        entries = lsh_band_rows(sigs, k=k, bands=bands).localCheckpoint()
+        stored_bands = _read_or_empty(
+            bands_path, "doc_id BIGINT, band INT, bucket BIGINT"
+        )
+        # candidate discovery is ID-ONLY: the bucket joins shuffle
+        # (band, bucket, id) triples — never signatures
+        new_ids = entries.select(
+            "band", "bucket", F.col("doc_id").alias("id_new")
+        )
+        new_vs_corpus = new_ids.join(
+            stored_bands.select("band", "bucket", F.col("doc_id").alias("id_old")),
             ["band", "bucket"],
         ).where(
             # same "earlier" guard as the in-batch join. On a RETRIED batch
@@ -92,23 +108,44 @@ def near_dedup_batch_fn(
             # batch_id-keyed subdirectory that a retry overwrites in place.
             F.col("id_old") < F.col("id_new")
         )
-        new_vs_new = entries.select(
-            "band", "bucket", F.col("doc_id").alias("id_new"), F.col("sig").alias("sig_new")
-        ).join(
-            entries.select(
-                "band", "bucket", F.col("doc_id").alias("id_old"),
-                F.col("sig").alias("sig_old"),
-            ),
+        new_vs_new = new_ids.join(
+            entries.select("band", "bucket", F.col("doc_id").alias("id_old")),
             ["band", "bucket"],
         ).where(F.col("id_old") < F.col("id_new"))
         cand = (
             new_vs_corpus.unionByName(new_vs_new)
-            .select("id_new", "id_old", "sig_new", "sig_old")
+            .select("id_new", "id_old")
             .dropDuplicates(["id_new", "id_old"])
+            .localCheckpoint()  # consumed by two sig-attach joins
         )
-        matches = cand.withColumn(
-            "est_jaccard", signature_similarity(F.col("sig_new"), F.col("sig_old"))
-        ).where(F.col("est_jaccard") >= threshold)
+        # verify-side signature attach, candidate ids only. The old side may
+        # be a stored doc OR a same-batch doc (or both on a retry, when the
+        # store already holds this batch) — union + dropDuplicates gives one
+        # sig per id either way.
+        old_ids = cand.select(F.col("id_old").alias("doc_id")).distinct()
+        old_sigs = (
+            _read_or_empty(sigs_path, "doc_id BIGINT, sig ARRAY<BIGINT>")
+            .select("doc_id", "sig")
+            .join(old_ids, "doc_id", "left_semi")
+            .unionByName(sigs.join(old_ids, "doc_id", "left_semi"))
+            .dropDuplicates(["doc_id"])
+        )
+        matches = (
+            cand.join(
+                sigs.select(F.col("doc_id").alias("id_new"), F.col("sig").alias("sig_new")),
+                "id_new",
+            )
+            .join(
+                old_sigs.select(
+                    F.col("doc_id").alias("id_old"), F.col("sig").alias("sig_old")
+                ),
+                "id_old",
+            )
+            .withColumn(
+                "est_jaccard", signature_similarity(F.col("sig_new"), F.col("sig_old"))
+            )
+            .where(F.col("est_jaccard") >= threshold)
+        )
         # one decision per dup: the smallest matching earlier doc, WITH that
         # doc's own similarity (a min(id)/max(jaccard) pair could describe
         # two different matches and mis-credit the attribution)
@@ -147,8 +184,11 @@ def near_dedup_batch_fn(
         # "matches any earlier doc" (and with it slicing-invariance) depends
         # on later batches seeing dropped docs too — a chain a~b~c with b
         # dropped in an earlier batch must still drop c.
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(sigs_path, f"batch_id={int(batch_id)}")
+        )
         entries.write.mode("overwrite").parquet(
-            os.path.join(index_path, f"batch_id={int(batch_id)}")
+            os.path.join(bands_path, f"batch_id={int(batch_id)}")
         )
 
     return upsert
@@ -184,7 +224,12 @@ def read_decisions(spark: SparkSession, store_path: str) -> DataFrame:
 
 
 def read_index(spark: SparkSession, store_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(store_path, _INDEX))
+    """The band table joined to its signatures — the denormalized view of
+    the seen-set (one row per doc × band, as the old single-table store
+    had), for consumers/tests that inspect the index."""
+    sigs = spark.read.parquet(os.path.join(store_path, _SIGS))
+    bands = spark.read.parquet(os.path.join(store_path, _BANDS))
+    return bands.drop("batch_id").join(sigs.drop("batch_id"), "doc_id")
 
 
 def replay_documents(

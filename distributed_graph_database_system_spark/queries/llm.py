@@ -182,6 +182,62 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_knn_join",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 10
+    ), corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 10
+    ), scored AS (
+      SELECT q.q_id, c.vec_id,
+             list_cosine_similarity(c.ce, q.qe) AS s
+      FROM corpus c, q
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id FROM (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("llm", "similarity", "knn"),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN JOIN: top-3 corpus neighbors for EACH of a batch of query
+    vectors — the production retrieval/dedup shape (single-query top-k is
+    the degenerate case). Plan: broadcast the (small) query batch against
+    the (large) corpus scan — the corpus never shuffles for the scoring —
+    then per-query top-k via a window PARTITIONED BY q_id (distributed
+    across queries; never a global single-partition sort). At 100 TB the
+    SRP/IVF bucket prune composes in front per query bucket exactly as in
+    srp_ann_topk. Ranks, not raw floats, are compared (float32-vs-double
+    oracle discipline, see sim_topk_bruteforce)."""
+    from pyspark.sql import Window as W
+
+    from distributed_graph_database_system_spark.operators.similarity import (
+        _as_double,
+        cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    scored = corpus.join(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        cosine(_as_double(F.col("embedding")), _as_double(F.col("qe"))).alias("s"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("s"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("q_id", "rank", "vec_id")
+    )
+
+
+@query(
     "sim_radius_search",
     oracle="""
     WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)

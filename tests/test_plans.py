@@ -70,6 +70,24 @@ def test_bucketed_join_scans_report_buckets(plans):
     assert "SortMergeJoin" in p
 
 
+def test_knn_join_broadcasts_queries_and_partitions_topk_by_query(plans):
+    """The KNN join must broadcast the small query batch (the corpus scan
+    never shuffles for scoring) and take per-query top-k through a window
+    PARTITIONED by q_id — a global-sort or single-partition window here
+    would be the 100 TB bottleneck."""
+    p = plans("sim_knn_join")
+    assert "Broadcast" in p
+    assert "partitionspec=[q_id" in p.replace(" ", "").lower() or "hashpartitioning(q_id" in p.replace(" ", "").lower(), p
+
+
+def test_multimodal_real_decode_is_arrow_batched(plans):
+    p = plans("multimodal_decode_real")
+    # synth + decode are mapInPandas stages (Arrow-streamed), never
+    # row-at-a-time Python
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_runtime_bloom_filter_fires_on_selective_dim_join(spark, sf_dir):
     """Runtime bloom-filter join pruning (on by default in Spark 4) injects
     a bloom_filter_agg of the filtered dim's keys into the fact scan — the

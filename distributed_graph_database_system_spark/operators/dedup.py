@@ -283,42 +283,6 @@ def _band_bucket_structs(sig_col: str, bands: int, r: int) -> Column:
     )
 
 
-def lsh_index_entries(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    k: int = 32,
-    bands: int = 8,
-    seed: int = 42,
-) -> DataFrame:
-    """Per-doc LSH index rows ``(doc_id, sig, band, bucket)`` — the
-    persistent form of the banded-MinHash index that
-    :func:`minhash_lsh_pairs` builds transiently. One row per (doc, band);
-    ``sig`` is the full k-component signature, REPEATED per band row
-    (~768 B/row at k=32) so one bucket join carries everything — fine for
-    one-shot/batch uses. The incremental store uses the normalized
-    :func:`lsh_index_tables` form instead: signatures once per doc, band
-    rows 24 B each, candidate joins id-only."""
-    if k % bands != 0:
-        raise ValueError(f"k={k} must be divisible by bands={bands}")
-    r = k // bands
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    sh_udf = shingle_hash_udf(n)
-    base = (
-        docs.repartition(target, id_col)
-        .select(F.col(id_col).alias("doc_id"), sh_udf(F.col(text_col)).alias("_h"))
-        .select(
-            "doc_id", minhash_signature_udf(k=k, seed=seed)(F.col("_h")).alias("sig")
-        )
-    )
-    return base.select(
-        "doc_id", "sig", F.explode(_band_bucket_structs("sig", bands, r)).alias("bb")
-    ).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
-
-
 def lsh_index_tables(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -333,10 +297,11 @@ def lsh_index_tables(
     bucket)`` — 3 longs, ~24 B/row. Candidate discovery joins band_rows
     (id-only shuffle); signature-estimate verify attaches sigs afterwards
     for candidate ids only. Same banding scheme as
-    :func:`lsh_index_entries` (``_band_bucket_structs``), so estimates and
+    :func:`minhash_lsh_pairs` (``_band_bucket_structs``), so estimates and
     bucket collisions are identical — only the storage factoring differs
-    (k×bands signature duplication removed from the store AND from the
-    bucket-join shuffle)."""
+    (a denormalized single-table form would repeat the k-long signature on
+    every band row: ~768 B/row at k=32, bands× the signature bytes in the
+    store and in every bucket-join shuffle)."""
     sigs = lsh_signatures(docs, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed)
     return sigs, lsh_band_rows(sigs, k=k, bands=bands)
 

@@ -283,29 +283,6 @@ def _band_bucket_structs(sig_col: str, bands: int, r: int) -> Column:
     )
 
 
-def lsh_index_tables(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    k: int = 32,
-    bands: int = 8,
-    seed: int = 42,
-) -> tuple[DataFrame, DataFrame]:
-    """Normalized LSH index: ``(sigs, band_rows)`` where ``sigs`` holds one
-    ``(doc_id, sig)`` row per doc and ``band_rows`` holds ``(doc_id, band,
-    bucket)`` — 3 longs, ~24 B/row. Candidate discovery joins band_rows
-    (id-only shuffle); signature-estimate verify attaches sigs afterwards
-    for candidate ids only. Same banding scheme as
-    :func:`minhash_lsh_pairs` (``_band_bucket_structs``), so estimates and
-    bucket collisions are identical — only the storage factoring differs
-    (a denormalized single-table form would repeat the k-long signature on
-    every band row: ~768 B/row at k=32, bands× the signature bytes in the
-    store and in every bucket-join shuffle)."""
-    sigs = lsh_signatures(docs, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed)
-    return sigs, lsh_band_rows(sigs, k=k, bands=bands)
-
-
 def lsh_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -59,6 +59,16 @@ class GraphStore:
     BFS docstring promises — the 100 TB edge set never re-shuffles; only the
     (small) frontier moves. Plain parquet (buckets=None) remains the default
     for parity with the reference's single-file-per-graph model.
+
+    Catalog caveat (inherent to Spark bucketing — the bucket spec lives in
+    the catalog, NOT in the files): with the default in-memory catalog the
+    registration dies with the session, so a LATER session sees only plain
+    parquet — ``load`` then falls back to the path read (correct rows, no
+    co-location) and bucketed ``add`` REFUSES a name whose directory exists
+    without a catalog entry rather than letting CTAS half-adopt the
+    location. On a cluster, back the session with a shared metastore
+    (``enableHiveSupport``/catalog service) and the layout survives
+    sessions.
     """
 
     def __init__(self, spark: SparkSession, root: str, buckets: int | None = None):
@@ -94,6 +104,16 @@ class GraphStore:
         if self.buckets is None:
             e.write.mode(mode).parquet(self.path(name))
             return
+        if mode == "errorifexists" and self.exists(name):
+            # keep add()'s contract uniform even when the catalog entry is
+            # gone (new session over an old root): CTAS would otherwise
+            # fail-or-adopt the non-empty directory depending on session
+            # flags — surface the same "already exists" error the plain
+            # path raises.
+            raise FileExistsError(
+                f"graph {name!r} already exists at {self.path(name)} "
+                "(no catalog entry — written by an earlier session?)"
+            )
         # Bucketed layout must go through the catalog — bucket metadata
         # lives there, not in the files; sortBy(src, dst) additionally
         # makes row-group stats tight for src-range scans.

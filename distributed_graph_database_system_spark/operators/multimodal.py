@@ -131,13 +131,21 @@ def _parse_jpeg(b: bytes) -> dict | None:
     return None
 
 
-def _riff_chunks(b: bytes, start: int) -> Iterator[tuple[bytes, int, int]]:
-    """Yield (chunk_id, payload_offset, payload_size) for a RIFF body.
-    Chunks are word-aligned: odd sizes are padded with one byte."""
+def _riff_chunks(
+    b: bytes, start: int, end: int | None = None
+) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (chunk_id, payload_offset, payload_size) for a RIFF body in
+    ``b[start:end]`` — bounds, not a slice: no prefix copy per nested list.
+    Chunks are word-aligned: odd sizes are padded with one byte. A chunk
+    whose declared size runs past ``end`` (truncated file) is not yielded."""
+    if end is None:
+        end = len(b)
     i = start
-    while i + 8 <= len(b):
+    while i + 8 <= end:
         cid = b[i : i + 4]
         size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if i + 8 + size > end:
+            return  # declared size exceeds the container: truncated chunk
         yield cid, i + 8, size
         i += 8 + size + (size & 1)
 
@@ -162,14 +170,19 @@ def _parse_wav(b: bytes) -> dict | None:
 def _parse_avi(b: bytes) -> dict | None:
     # RIFF/AVI: the 'avih' main header carries usec-per-frame, total frames,
     # and the frame dimensions. It lives inside a 'LIST/hdrl' sub-list.
+    # Queue is FIFO so lists are visited in file order — hdrl precedes the
+    # (potentially huge) movi list, and _riff_chunks takes bounds rather
+    # than slices, so a 1 GB blob costs header walks, not prefix copies.
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
-    stack = [(12, len(b))]
-    while stack:
-        start, end = stack.pop()
-        for cid, off, size in _riff_chunks(b[:end], start):
+    queue = [(12, len(b))]
+    qi = 0
+    while qi < len(queue):
+        start, end = queue[qi]
+        qi += 1
+        for cid, off, size in _riff_chunks(b, start, end):
             if cid == b"LIST":
-                stack.append((off + 4, off + size))  # skip list-type fourcc
+                queue.append((off + 4, off + size))  # skip list-type fourcc
             elif cid == b"avih" and size >= 40:
                 usec_pf, _, _, _, frames = struct.unpack("<5I", b[off : off + 20])
                 w, h = struct.unpack("<II", b[off + 32 : off + 40])
@@ -182,23 +195,40 @@ _PARSERS = (_parse_png, _parse_gif, _parse_bmp, _parse_jpeg, _parse_wav, _parse_
 
 
 def parse_media(content: bytes) -> dict:
-    """Sniff + structurally decode one blob. Unrecognized bytes yield null
-    fmt/dims rather than an error — at corpus scale, quarantine-by-null then
-    filter beats failing the task on one corrupt file."""
+    """Sniff + structurally decode one blob. Unrecognized, truncated, or
+    out-of-range bytes yield null fmt/dims rather than an error — at corpus
+    scale, quarantine-by-null then filter beats failing the task on one
+    corrupt file. That contract is enforced here, not per-parser: any
+    parser exception (malformed header past a signature check) downgrades
+    to unrecognized, and parsed values are bounds-checked against the
+    output schema (dims must fit int32 — a PNG claiming width 2^31 is
+    corrupt-or-adversarial, and letting it through would fail the Arrow
+    batch, taking the task down with it)."""
     out = {"fmt": None, "width": None, "height": None, "duration_s": None}
     for parse in _PARSERS:
-        meta = parse(content)
-        if meta is not None:
-            out.update(meta)
-            return out
+        try:
+            meta = parse(content)
+        except Exception:  # noqa: BLE001 — quarantine, never fail the task
+            continue
+        if meta is None:
+            continue
+        w, h = meta.get("width"), meta.get("height")
+        if any(v is not None and not (0 <= v < 2**31) for v in (w, h)):
+            continue
+        d = meta.get("duration_s")
+        if d is not None and not (0.0 <= d < float("inf")):
+            continue
+        out.update(meta)
+        return out
     return out
 
 
-def _fake_decode(content: bytes, kind: str) -> dict:
+def _fake_decode(digest: bytes, kind: str) -> dict:
     """Deterministic structural fake: dimensions/duration derived from the
-    content digest. Used when blobs are known opaque (e.g. fixture text bytes
-    standing in for media) so downstream plan logic stays exercisable."""
-    digest = hashlib.sha256(content).digest()
+    content digest (computed once by the caller — hashing is the CPU-bound
+    part of this path). Used when blobs are known opaque (e.g. fixture text
+    bytes standing in for media) so downstream plan logic stays
+    exercisable."""
     w = 64 + digest[0] % 192
     h = 64 + digest[1] % 192
     dur = round(1.0 + digest[2] / 16.0, 3)
@@ -237,7 +267,11 @@ def decode_media(
             ):
                 blob = bytes(content) if content is not None else b""
                 hasher = hashlib.sha256(blob)
-                meta = _fake_decode(blob, kind) if fake else parse_media(blob)
+                meta = (
+                    _fake_decode(hasher.digest(), kind)
+                    if fake
+                    else parse_media(blob)
+                )
                 rows.append(
                     {
                         "media_id": media_id,

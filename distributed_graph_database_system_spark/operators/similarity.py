@@ -197,16 +197,29 @@ def srp_bucket_udf(planes_bc):
     """Arrow-batched bucket assignment against a BROADCAST hyperplane
     matrix: ship the planes once per executor (not nbits×dim literals per
     plan, not a closure copy per task), then one float64 matmul per batch.
-    ``planes_bc`` is a ``sc.broadcast(planes)`` handle."""
+    ``planes_bc`` is a ``sc.broadcast(planes)`` handle.
+
+    NULL / wrong-length vectors get bucket 0 — matching the expression
+    path, where ``zip_with`` null-pads the shorter array, the null products
+    null the fold, and every ``when(dot > 0)`` bit comes out 0. A corrupt
+    row lands in one (prunable) bucket on BOTH paths instead of killing the
+    Arrow task on one and not the other."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def bucket_of(vecs: pd.Series) -> pd.Series:
         planes = planes_bc.value
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        if mat.size == 0:
-            return pd.Series([], dtype="int64")
-        return pd.Series(_np_bucket(mat, planes))
+        dim = planes.shape[1]
+        out = np.zeros(len(vecs), dtype=np.int64)
+        good_idx = [
+            i for i, v in enumerate(vecs) if v is not None and len(v) == dim
+        ]
+        if good_idx:
+            mat = np.array(
+                [np.asarray(vecs.iloc[i], dtype=np.float64) for i in good_idx]
+            )
+            out[good_idx] = _np_bucket(mat, planes)
+        return pd.Series(out)
 
     return bucket_of
 
@@ -238,11 +251,28 @@ def srp_index(
     if method == "expr":
         bucket = srp_bucket(F.col(vec_col), planes)
     elif method == "udf":
-        bc = embeddings.sparkSession.sparkContext.broadcast(planes)
-        bucket = srp_bucket_udf(bc)(F.col(vec_col))
+        bucket = srp_bucket_udf(_planes_broadcast(embeddings, dim, nbits, seed))(
+            F.col(vec_col)
+        )
     else:
         raise ValueError(f"unknown srp_index method {method!r}")
     return embeddings.withColumn("bucket", bucket)
+
+
+# One broadcast per (context, dim, nbits, seed) — repeated srp_index calls in
+# a long-lived session reuse the handle instead of leaking a new broadcast
+# per call (broadcasts are session-lifetime until explicitly destroyed).
+_PLANES_BC: dict[tuple, object] = {}
+
+
+def _planes_broadcast(df: DataFrame, dim: int, nbits: int, seed: int):
+    sc = df.sparkSession.sparkContext
+    key = (id(sc), dim, nbits, seed)
+    bc = _PLANES_BC.get(key)
+    if bc is None:
+        bc = sc.broadcast(srp_hyperplanes(dim, nbits, seed))
+        _PLANES_BC[key] = bc
+    return bc
 
 
 def write_srp_index(indexed: DataFrame, path: str) -> None:

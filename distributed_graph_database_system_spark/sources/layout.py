@@ -178,15 +178,31 @@ def zorder_write(
     )
 
 
-def _count_leaf_dirs(fs, hpath) -> int:
-    """Number of first-level hive partition directories under ``hpath``
-    (1 for unpartitioned data) — sizes the per-directory salt in compact."""
-    n = sum(
-        1
-        for seg in fs.listStatus(hpath)
-        if seg.isDirectory() and "=" in seg.getPath().getName()
-    )
-    return max(1, n)
+def _partition_layout(fs, hpath) -> tuple[list[str], int]:
+    """Discover the FULL hive partition column chain under ``hpath`` (walks
+    nested ``k=v`` directory levels — a two-level ``day=D/batch_id=N``
+    layout must be re-applied in full or the rewrite silently flattens it)
+    and count the leaf partition directories (sizes compact's per-directory
+    salt). Returns ``([], 1)`` for unpartitioned data."""
+    cols: list[str] = []
+    frontier = [hpath]
+    while True:
+        subdirs = [
+            seg.getPath()
+            for d in frontier
+            for seg in fs.listStatus(d)
+            if seg.isDirectory() and "=" in seg.getPath().getName()
+        ]
+        if not subdirs:
+            return cols, max(1, len(frontier) if cols else 1)
+        names = {p.getName().split("=", 1)[0] for p in subdirs}
+        if len(names) != 1:
+            raise ValueError(
+                f"compact: inconsistent partition columns {sorted(names)} "
+                f"under {hpath}"
+            )
+        cols.append(next(iter(names)))
+        frontier = subdirs
 
 
 def compact(
@@ -222,16 +238,10 @@ def compact(
     total = fs.getContentSummary(hpath).getLength()
     n = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)
-    # Partition columns come back as non-file columns of the inferred
-    # schema: everything not present in the leaf files' own schema. Cheaper
-    # and exact: ask the catalog-free reader for its partition spec via the
-    # directory names one level down.
-    part_cols = [
-        seg.getPath().getName().split("=", 1)[0]
-        for seg in fs.listStatus(hpath)
-        if seg.isDirectory() and "=" in seg.getPath().getName()
-    ]
-    part_cols = sorted(set(part_cols))
+    # Partition columns discovered from the directory tree itself — the
+    # FULL nested chain (e.g. day=D/batch_id=N), in directory order, so the
+    # rewrite re-applies the exact layout writers and readers depend on.
+    part_cols, n_leaf_dirs = _partition_layout(fs, hpath)
     tmp = path.rstrip("/") + "__compact_tmp"
     bak = path.rstrip("/") + "__compact_bak"
     if part_cols:
@@ -241,11 +251,19 @@ def compact(
         # every hive partition would collapse into exactly one output file
         # no matter its size. Add a bounded salt derived from a stable row
         # hash: each partition directory can now split into up to
-        # ceil(n / #partitions-ish) files of ~target_bytes while rows of one
-        # (partition, salt) still land together. Deterministic (xxhash64 of
-        # all columns), no RNG state.
-        per_dir = max(1, math.ceil(n / max(1, _count_leaf_dirs(fs, hpath))))
-        salt = F.pmod(F.xxhash64(*df.columns), F.lit(per_dir))
+        # ceil(n / #leaf-dirs) files of ~target_bytes while rows of one
+        # (partition, salt) still land together. Deterministic (xxhash64,
+        # no RNG state) over the hashable columns — MapType has no Spark
+        # hash expression; a dataset that is ONLY maps + partition cols
+        # falls back to the one-file-per-partition behavior.
+        per_dir = max(1, math.ceil(n / n_leaf_dirs))
+        hashable = [
+            c for c, t in df.dtypes if not t.startswith("map<")
+        ]
+        if hashable:
+            salt = F.pmod(F.xxhash64(*hashable), F.lit(per_dir))
+        else:
+            salt = F.lit(0)
         w = df.withColumn("__salt", salt).repartition(n, *part_cols, "__salt").drop(
             "__salt"
         )

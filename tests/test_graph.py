@@ -171,7 +171,7 @@ def test_graphstore_bucketed_layout(spark, tmp_path):
         got = {(r.src, r.dst) for r in store.load("gb").collect()}
         assert got == set(G1)
 
-        with pytest.raises(AnalysisException):  # W1 semantics survive
+        with pytest.raises((AnalysisException, FileExistsError)):  # W1 survives
             store.add("gb", edges_df(spark, G3))
         store.modify("gb", edges_df(spark, G3))  # W2 semantics survive
         assert {(r.src, r.dst) for r in store.load("gb").collect()} == set(G3)

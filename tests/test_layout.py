@@ -178,6 +178,36 @@ def test_compact_splits_oversized_partition(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == before
 
 
+def test_compact_preserves_nested_partition_levels(spark, sf_dir, tmp_path):
+    """A two-level day=D/batch_id=N layout (the incremental rollup ledger's
+    exactly-once keying) must survive compact intact — flattening the inner
+    level would let replayed batches double-count and break partition
+    discovery for subsequent writers."""
+    import glob
+
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .withColumn("b", (F.col("event_id") % 2).cast("int"))
+    )
+    path = str(tmp_path / "two_level")
+    e.repartition(4).write.partitionBy("day", "b").mode("overwrite").parquet(path)
+    before_dirs = sorted(glob.glob(path + "/day=*/b=*"))
+    assert before_dirs
+    n_rows = spark.read.parquet(path).count()
+    layout.compact(spark, path, target_bytes=1 << 30)
+    assert sorted(glob.glob(path + "/day=*/b=*")) == before_dirs
+    # no data files stranded at the day= level (flattened inner partition)
+    assert not [
+        f
+        for d in glob.glob(path + "/day=*")
+        for f in glob.glob(d + "/*.parquet")
+    ]
+    assert spark.read.parquet(path).count() == n_rows
+
+
 def test_zorder_key_is_nonnegative_long_at_four_columns(spark, sf_dir):
     """bits=8 × 4 cols puts the top bit at position 31 — on a 32-bit key
     that overflows into the sign bit and reverses the range partitioning

@@ -146,6 +146,17 @@ def test_srp_bucket_udf_matches_expression(spark):
         ).collect()
     }
     assert resliced == udf
+    # NULL embeddings: expr path's zip_with/when semantics put them in
+    # bucket 0; the udf path must agree instead of crashing the Arrow task
+    with_null = emb.unionByName(
+        spark.createDataFrame([(99999, None)], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    )
+    for method in ("expr", "udf"):
+        got = {
+            r.vec_id: r.bucket
+            for r in srp_index(with_null, dim=32, nbits=6, method=method).collect()
+        }
+        assert got[99999] == 0, method
     # query-side bucket (srp_ann_topk method='udf') uses the same matmul:
     # ANN through the udf-built index returns the same rows as through expr
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
@@ -275,11 +286,32 @@ def test_structural_codec_parses_all_synth_formats():
 
 
 def test_structural_codec_rejects_garbage_with_nulls():
-    from distributed_graph_database_system_spark.operators.multimodal import parse_media
+    import struct
 
+    from distributed_graph_database_system_spark.operators import multimodal as mm
+
+    nulls = {"fmt": None, "width": None, "height": None, "duration_s": None}
     for blob in (b"", b"not media at all", b"\x89PNGxxxx", b"RIFF\x00\x00\x00\x00JUNK"):
-        meta = parse_media(blob)
-        assert meta == {"fmt": None, "width": None, "height": None, "duration_s": None}
+        assert mm.parse_media(blob) == nulls
+    # truncated RIFF: fmt chunk declares 16 bytes, file ends after 4 —
+    # must quarantine, not raise struct.error out of the decode task
+    truncated_wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00"
+    )
+    assert mm.parse_media(truncated_wav) == nulls
+    # adversarial dims: a PNG claiming width 2^31 must quarantine, not
+    # overflow the int32 Arrow schema and kill the batch
+    bad_png = bytearray(mm.make_png(8, 8))
+    bad_png[16:20] = struct.pack(">I", 2**31)
+    assert mm.parse_media(bytes(bad_png)) == nulls
+    # truncated avih: LIST declares a 40-byte avih but the file ends early
+    trunc_avi = (
+        b"RIFF" + struct.pack("<I", 28) + b"AVI "
+        + b"LIST" + struct.pack("<I", 16) + b"hdrl"
+        + b"avih" + struct.pack("<I", 56) + b"\x00" * 4
+    )
+    assert mm.parse_media(trunc_avi) == nulls
 
 
 def test_multimodal_real_decode_distributed(spark, sf_dir):

@@ -11,8 +11,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from distributed_graph_database_system_spark.queries import llm_goldens
 from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources.catalog import load_table
+
+# getattr, not a direct import: the constant appears in the GENERATED module
+# only after scripts/gen_llm_goldens.py has run once with this query
+# registered (the generator itself imports this module — the fallback keeps
+# that first bootstrap import alive; the parity sweep never sees it).
+AGG_HLL_ROLLUP_GOLDEN = getattr(
+    llm_goldens, "AGG_HLL_ROLLUP_GOLDEN", "SELECT 1 AS bootstrap WHERE FALSE"
+)
 from distributed_graph_database_system_spark.sources.io import (
     read_csv,
     read_json,
@@ -306,6 +315,34 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
         F.count_distinct("o_custkey").alias("exact_custs"),
+    )
+
+
+@query(
+    "agg_hll_rollup",
+    oracle=AGG_HLL_ROLLUP_GOLDEN,
+    oracle_sf="0.01",
+    tags=("aggregation", "approx", "sketch", "rollup"),
+)
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketch rollup — the pattern behind every pre-aggregated
+    distinct-count dashboard at 100 TB: build one Datasketches HLL sketch
+    of the day's users per (event_type, day) (`hll_sketch_agg`), then
+    answer the per-event_type question by UNION-MERGING the daily sketches
+    (`hll_union_agg`) instead of rescanning raw events. Merge is
+    register-max: associative, commutative, partition-invariant — so the
+    estimate is a pure function of the data and seeds, goldenable at
+    sf0.01. tests/test_breadth.py asserts merged-vs-direct equality and
+    bounds the error vs the exact count; the batch-vs-sketch-store split
+    mirrors run_incremental_daily_rollup's ledger design, with sketches as
+    the (constant-size) per-day state instead of additive counters."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
     )
 
 

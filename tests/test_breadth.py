@@ -78,6 +78,32 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
         assert abs(r.approx_custs - r.exact_custs) <= max(3, 0.05 * r.exact_custs), r
 
 
+def test_hll_sketch_rollup_merge_equals_direct(spark):
+    """The HLL rollup's load-bearing property: union-merging per-group
+    sketches gives EXACTLY the estimate of one sketch over the raw rows
+    (register-max merge is lossless), and the estimate lands within the
+    lgConfigK=12 error envelope of the true cardinality at a size where
+    HLL actually approximates (50k distinct ≫ the exact-mode threshold)."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 40).alias("g"), (F.xxhash64("id") % 50_000).alias("u")
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u", 12)).alias("est")
+    ).first()["est"]
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("u", 12).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    exact = df.select("u").distinct().count()
+    assert merged == direct
+    assert abs(merged - exact) <= 0.05 * exact, (merged, exact)
+
+
 def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     """Write lineitem partitioned by ship year; a year-filtered scan must
     prune partitions (visible in the physical plan) and return exactly the

@@ -516,9 +516,15 @@ def test_pinned_golden_queries_match_at_sf001(spark):
     results = run_parity(
         spark,
         "/root/testdata/sf0.01",
-        ["dedup_minhash_lsh", "dedup_simhash", "sim_topk_ann_lsh", "sim_topk_ann_ivf"],
+        [
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+            "sim_topk_ann_lsh",
+            "sim_topk_ann_ivf",
+            "agg_hll_rollup",
+        ],
     )
-    assert len(results) == 4
+    assert len(results) == 5
     failures = {n: p for n, p in results.items() if p}
     assert not failures, f"pinned golden drift: {failures}"
 

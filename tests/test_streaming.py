@@ -352,6 +352,50 @@ def test_incremental_rollup_converges_to_batch_groundtruth(
     assert glob.glob(path + "/day=*"), "expected hive day= partition dirs"
 
 
+def test_incremental_distinct_rollup_converges_and_survives_retry(
+    spark, sf_dir, stream_src, tmp_path
+):
+    """Sketch-state rollup: replaying the stream must give EXACTLY the
+    estimates of one-shot sketches over the raw events (register-max merge
+    is lossless and idempotent), including with an explicitly replayed
+    batch — the case where an additive counter would double-count."""
+    import distributed_graph_database_system_spark.streaming.events as EV
+
+    path = str(tmp_path / "distinct_rollup")
+    EV.run_incremental_distinct_rollup(spark, events_stream(spark, stream_src), path)
+
+    cols = ("day", "event_type", "est_users")
+    got = rows_set(EV.read_distinct_rollup(spark, path), cols)
+    e = load_table(spark, sf_dir, "events")
+    want = rows_set(
+        e.groupBy(
+            F.to_date("ts").cast("timestamp").alias("day"), "event_type"
+        ).agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est_users")
+        ),
+        cols,
+    )
+    assert got == want
+
+    # retry path: drive the upsert directly with a replayed batch
+    captured = {}
+    orig = EV.run_foreach_batch
+    EV.run_foreach_batch = lambda stream, fn, mode="update": captured.update(fn=fn)
+    try:
+        path2 = str(tmp_path / "distinct_rollup_retry")
+        EV.run_incremental_distinct_rollup(spark, None, path2)
+    finally:
+        EV.run_foreach_batch = orig
+    upsert = captured["fn"]
+    b0 = e.where(F.col("event_id") % 2 == 0)
+    b1 = e.where(F.col("event_id") % 2 == 1)
+    upsert(b0, 0)
+    upsert(b0, 0)  # replay
+    upsert(b1, 1)
+    upsert(b1, 1)  # replay
+    assert rows_set(EV.read_distinct_rollup(spark, path2), cols) == want
+
+
 def test_incremental_rollup_batch_retry_is_exactly_once(spark, sf_dir, tmp_path):
     """foreachBatch replays a committed batch after a crash-before-
     checkpoint-commit; the ledger + rebuild design must absorb the replay

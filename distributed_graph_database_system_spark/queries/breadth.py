@@ -269,6 +269,110 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
 
 
+# --- Skew-safe salted join --------------------------------------------------
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "skew", "salting"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE JOIN — the join-side skew mitigation (agg_salted_skew
+    covers the aggregation side): the fact side gets a deterministic salt
+    in [0, 8) per row, the build side is replicated 8× with every salt
+    value (explode of a literal range — 8× a bounded dimension, not 8× the
+    fact), and the join key becomes (key, salt) — a hot orderkey's rows now
+    land on 8 reducers instead of one. Provably identical to the unsalted
+    join (the oracle): every fact row still meets exactly one copy of its
+    match. AQE's skewedJoin handles post-hoc partition splitting; explicit
+    salting is the plan-level guarantee when one KEY (not partition) is
+    hot. Salt comes from xxhash64 of the fact's unique id — deterministic,
+    no RNG state, replay-safe."""
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)).cast("int"),
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        li.join(orders, (li["l_orderkey"] == orders["o_orderkey"]) & (li["_salt"] == orders["_salt"]))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+# --- SCD2 changeset apply ----------------------------------------------------
+
+
+@query(
+    "scd2_apply_segment_change",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, 'NEW_' || c_mktsegment AS new_segment,
+             TIMESTAMP '1996-01-01 00:00:00' AS eff
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c.c_custkey, c.c_mktsegment AS segment,
+           TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+           ch.eff AS valid_to,
+           (ch.c_custkey IS NULL) AS is_current
+    FROM customer c LEFT JOIN changes ch USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, new_segment AS segment, eff AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM changes
+    """,
+    tags=("scd2", "versioning", "merge"),
+)
+def scd2_apply_segment_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension apply: a changeset (here derived
+    deterministically from the fixture — every 7th customer gets a new
+    market segment effective 1996-01-01) closes the current version
+    (valid_to = effective date) and appends a new open version. One
+    broadcast-able left join + a union — O(dim + changes), no window, no
+    full rewrite of unchanged keys' history. The same shape MERGEs into a
+    versioned dimension at any scale; snapshot_diff_corpus is the inverse
+    operator (derive the changeset from two snapshots)."""
+    c = load_table(spark, sf_dir, "customer")
+    eff = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    changes = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("NEW_"), F.col("c_mktsegment")).alias("new_segment"),
+        eff.alias("eff"),
+    )
+    closed = (
+        c.join(changes, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+            F.col("eff").alias("valid_to"),
+            F.col("new_segment").isNull().alias("is_current"),
+        )
+    )
+    opened = changes.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.col("eff").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(opened)
+
+
 # --- Skew-safe salted aggregation ------------------------------------------
 
 

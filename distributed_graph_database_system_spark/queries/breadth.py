@@ -314,6 +314,64 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Window distribution functions ------------------------------------------
+
+
+@query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window family (percent_rank / cume_dist / ntile)
+    per nation. The ORDER BY includes the unique key: ntile's assignment
+    among tied acctbals is order-dependent, so only a TOTAL order makes the
+    result an engine-independent function of the data (same discipline as
+    listagg WITHIN GROUP)."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "agg_grouping_flags",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nation,
+           CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_segment,
+           COUNT(*) AS n
+    FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+    """,
+    tags=("aggregation", "grouping-sets"),
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() flags — the standard way consumers tell a
+    subtotal row's NULL ('all segments') from a data NULL. Flags, not
+    grouping_id(): per-column ints are bit-order-independent across
+    engines."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.rollup("c_nationkey", "c_mktsegment").agg(
+        F.grouping("c_nationkey").cast("int").alias("g_nation"),
+        F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+        F.count("*").alias("n"),
+    )
+
+
 # --- SCD2 changeset apply ----------------------------------------------------
 
 

@@ -372,6 +372,56 @@ def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Data-quality constraint checks -----------------------------------------
+
+
+@query(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders) AS n_orders,
+      (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS dup_orderkeys,
+      (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+         ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS orphan_lineitems,
+      (SELECT COUNT(*) FROM orders
+         WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS bad_status_rows,
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS nonpositive_price_rows
+    """,
+    tags=("dq", "constraints", "profiling"),
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (the Deequ/expectations pattern) in
+    TWO jobs regardless of constraint count: every single-table check is an
+    aggregate expression of ONE orders scan (uniqueness via count vs
+    count_distinct, accepted values and range checks via conditional
+    sums), and referential integrity is ONE anti-join count. At 100 TB the
+    anti-join is the only shuffle, and broadcast-ability follows the dim
+    side as usual; checks never become N table scans."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    single_pass = o.agg(
+        F.count("*").alias("n_orders"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_orderkeys"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint")
+        ).alias("bad_status_rows"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias(
+            "nonpositive_price_rows"
+        ),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    return single_pass.crossJoin(orphans).select(
+        "n_orders",
+        "dup_orderkeys",
+        "orphan_lineitems",
+        "bad_status_rows",
+        "nonpositive_price_rows",
+    )
+
+
 # --- SCD2 changeset apply ----------------------------------------------------
 
 

@@ -185,6 +185,29 @@ def graph_pagerank_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_ppr_g2",
+    oracle=(
+        "SELECT CAST(v AS BIGINT) AS vid, CAST(r AS DOUBLE) AS rank FROM (VALUES "
+        "(1, 0.15), (2, 0.0638), (3, 0.0638), (4, 0.3045), (5, 0.2259), "
+        "(6, 0.192)) AS t(v, r)"
+    ),
+    tags=("graph", "pagerank", "personalized"),
+)
+def graph_ppr_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on G2 seeded at vertex 1 (20 iterations,
+    d=0.85): teleport and dangling mass return to the seed, so rank is
+    proximity to it — the seed-expansion primitive. Golden computed with an
+    independent sequential implementation (tests/test_graph.py), compared
+    at 4dp."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    pr = personalized_pagerank(_edges(spark, G2), sources=(1,), iterations=20)
+    return pr.select("vid", F.round("rank", 4).alias("rank"))
+
+
+@query(
     "graph_triangles_cosupply",
     oracle="""
     WITH e AS (

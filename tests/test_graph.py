@@ -305,6 +305,45 @@ def test_pagerank_matches_sequential_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_personalized_pagerank_matches_sequential_reference(spark):
+    from distributed_graph_database_system_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    got = {
+        r.vid: r.rank
+        for r in personalized_pagerank(
+            edges_df(spark, G2), sources=(1,), iterations=20
+        ).collect()
+    }
+    # independent sequential implementation: teleport + dangling → source
+    d = 0.85
+    out = {}
+    for s, t in G2:
+        out.setdefault(s, []).append(t)
+    p = {v: (1.0 if v == 1 else 0.0) for v in range(1, 7)}
+    pr = dict(p)
+    for _ in range(20):
+        contrib = {v: 0.0 for v in range(1, 7)}
+        dangling = sum(r for v, r in pr.items() if v not in out)
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += pr[s] / len(ts)
+        pr = {
+            v: (1 - d) * p[v] + d * (contrib[v] + dangling * p[v])
+            for v in range(1, 7)
+        }
+    assert set(got) == set(pr)
+    for v in pr:
+        assert abs(got[v] - pr[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # proximity semantics: nothing points back at the source in G2, so its
+    # rank is exactly the teleport share (1-d)·1 — and every vertex
+    # reachable from the source ends up with positive rank
+    assert abs(got[1] - 0.15) < 1e-9
+    assert all(r > 0 for r in got.values())
+
+
 def test_pagerank_dangling_mass_redistributed(spark):
     from distributed_graph_database_system_spark.operators.graph import pagerank
 

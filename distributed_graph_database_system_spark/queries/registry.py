@@ -80,30 +80,36 @@ def oracle_of(name: str) -> str:
 # The driver-checked window: first 50 entries of queries()/oracle_sql().
 # Covers all 30 SURVEY §2.2 rows (see tests/test_registry_window.py for the
 # row → query mapping). Order within the window is thematic, not semantic.
+#
+# This round's rotation deliberately maximizes FIRST-TIME driver evidence:
+# 20 of the 50 entries have never appeared in any CORRECTNESS_r* file.
+# Every rotated-out name keeps local parity-sweep coverage, and every §2.2
+# row keeps an in-window witness — where possible the witness is itself a
+# never-driver-checked query of the same family (e.g. the subquery row is
+# now evidenced by q2/q20/q21 instead of the thrice-confirmed
+# q16/q17/q22; graph analytics by kcore/lpa/ppr instead of cc/pagerank/
+# triangles; similarity by knn-join/persisted-index instead of
+# bruteforce/ivf). Rotated out this round: q7 q16 q17 q22
+# agg_grouping_multi window_funcs window_range_frame sort_topk
+# pandas_udf_weighted_avg graph_pagerank_g2 graph_cc_g4
+# graph_triangles_cosupply dedup_simhash dedup_embedding_near
+# sim_topk_bruteforce sim_topk_ann_ivf decontaminate_holdout
+# quality_filter_funnel.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # TPC-H shapes (scan/filter/agg + equi/broadcast joins + top-k +
-    # decorrelated subqueries). Swapped in round 4 for driver coverage of
-    # the subquery family: q6/q10/q12/q13 out (their shapes remain covered
-    # by q1+filter_predicates / q3 / q14 / join_outer), q16/q17/q19/q22 in
-    # (NOT IN, correlated scalar AVG, disjunctive join, global-scalar+anti
-    # — shapes no other window entry exercises).
-    # (q7/q14 rotated out in round 5 for the data-layout family below —
-    # q7's multi-join shape remains covered by q3/q5, q14's conditional-sum
-    # ratio by q19/quality_filter_funnel; both stay parity-sweep-verified
-    # and q7 stays in the bench headline set.)
-    # (round 6 rotation: q18/join_outer/agg_median/stream_sliding_sum/
-    # graph_bfs_cosupply/multimodal_decode_meta out — every family keeps an
-    # in-window witness and all six stay parity-sweep-verified — so six
-    # previously window-less queries get driver rows: the real multimodal
-    # codec, the persisted ANN index, IVF ANN, SimHash, PageRank, and q7.)
+    # TPC-H shapes: q1/q3/q5/q19 stay as stable cross-round anchors
+    # (aggregation, equi-join, broadcast-join, disjunctive predicates);
+    # q2/q4/q20/q21 give the subquery-decorrelation row first-time
+    # evidence (correlated scalar MIN, EXISTS, nested IN + correlated agg,
+    # EXISTS+NOT-EXISTS self-joins); q9 replaces q7 as the multi-join
+    # breadth witness.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q16_supplier_part_types",
-    "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
-    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation_year",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
     # core relational operators
     "projection_compute",
     "filter_predicates",
@@ -111,11 +117,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_theta",
     "join_range_bucketed",
     "join_asof",
-    "agg_grouping_multi",
+    "join_salted_skew",
+    "agg_grouping_flags",
     "agg_salted_skew",
-    "window_funcs",
-    "window_range_frame",
-    "sort_topk",
+    "window_distribution_funcs",
+    "topk_per_group",
     "set_ops",
     "scalar_funcs",
     # streaming batch twins
@@ -123,45 +129,36 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_session_window",
     "stream_dedup_keys",
     "join_view_purchase_window",
-    # semi-structured / higher-order / UDF / sources (map_funcs swapped out
-    # in round 4 for dedup_ngram_jaccard — the array/map row keeps
-    # higher_order_funcs as its window evidence; map_funcs stays
-    # oracle-verified in the parity sweep)
+    # semi-structured / higher-order / UDF / sources
     "json_struct_funcs",
     "higher_order_funcs",
-    "pandas_udf_weighted_avg",
+    "udtf_sentence_stats",
     "source_roundtrips",
-    # data layout for scale (round 5): bucketed co-located join + hive
-    # partition pruning — write-time layout is a first-class operator
-    # family; plan shapes asserted in tests/test_layout.py
+    # data layout for scale: bucketed co-located join + hive partition
+    # pruning; plan shapes asserted in tests/test_layout.py
     "layout_bucketed_join",
     "layout_partition_pruned",
-    # graph (round 6: pagerank back IN — rotation gives each analytics op
-    # a driver row over successive rounds; bfs_cosupply out, bfs stays
-    # witnessed by graph_bfs_goldens)
+    # graph: BFS/DFS keep their golden anchors; the analytics row gets
+    # first-time evidence for k-core, label propagation, and personalized
+    # PageRank (cc/pagerank/triangles stay sweep-verified).
     "graph_bfs_goldens",
     "graph_dfs_goldens",
-    "graph_pagerank_g2",
-    "graph_cc_g4",
-    "graph_triangles_cosupply",
-    # LLM-data-pipeline operators (round 4: simhash/ann_ivf swapped out —
-    # their families keep minhash/ngram/embedding resp. bruteforce/ann_lsh
-    # as window evidence, both stay pinned-golden-verified in the sweep —
-    # so the three full-SQL-oracle pipeline ops below get driver rows:
-    # cluster canonicalization, decontamination, and the quality funnel
-    # are first-class gradeable components per the brief)
+    "graph_kcore_g6",
+    "graph_lpa_g6",
+    "graph_ppr_g2",
+    # LLM-data-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_clusters",
-    "dedup_embedding_near",
-    "sim_topk_bruteforce",
     "sim_topk_ann_lsh",
-    "sim_topk_ann_ivf",
     "sim_topk_ann_persisted",
-    "decontaminate_holdout",
-    "quality_filter_funnel",
+    "sim_knn_join",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "snapshot_diff_corpus",
+    "sample_weighted_reservoir",
+    "dq_constraint_checks",
     "text_analysis",
     "multimodal_decode_real",
 )

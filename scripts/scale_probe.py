@@ -31,8 +31,118 @@ def gen_docs(n: int, seed: int) -> list[tuple[int, str]]:
     return [(i, " ".join(rng.choices(VOCAB, k=80))) for i in range(n)]
 
 
+def skew_join_probe(spark) -> None:
+    """Join-side key skew — the 100×-scale killer the aggregation probe
+    (agg_salted_skew) doesn't cover. One hub key holds 80% of a 5M-row
+    fact; the 100k-key dim is forced off the broadcast path (at 100 TB the
+    dim side of such joins no longer fits in memory) so the join MUST
+    shuffle on the skewed key. Three plans over identical inputs:
+
+      naive      — AQE skew-split off: the hub key's 4M rows land on ONE
+                   reducer; wall time = the straggler task.
+      aqe-skew   — spark.sql.adaptive.skewJoin splits the oversized
+                   partition at runtime into advisory-sized sub-splits,
+                   replicating the matching build rows per split.
+      salted     — plan-level guarantee: fact rows get a salt in [0,16),
+                   dim rows replicate 16×, join key becomes (key, salt) —
+                   works even where AQE can't see the skew (e.g. the
+                   skewed side feeds another shuffle first).
+
+    All three must produce the identical aggregate (asserted)."""
+    n_fact, n_keys, hub_frac = 20_000_000, 100_000, 0.8
+    n_hub = int(n_fact * hub_frac)
+    fact = spark.range(n_fact).select(
+        F.when(F.col("id") < n_hub, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)))
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        # ~64 B of payload per row so partition sizes (what AQE's skew
+        # detector measures) reflect realistic fact-row width, not 16 B.
+        F.repeat(F.format_string("%08x", F.col("id")), 8).alias("payload"),
+    )
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("grp")
+    )
+    fact.write.mode("overwrite").parquet("/tmp/skew_fact")
+    dim.write.mode("overwrite").parquet("/tmp/skew_dim")
+    f = spark.read.parquet("/tmp/skew_fact")
+    d = spark.read.parquet("/tmp/skew_dim")
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        )
+    }
+    # No broadcast: the probe is about the shuffle-join path.
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Thresholds scaled to the probe's MBs (defaults target 256 MB
+    # partitions); factor 2 + 4 MB advisory → the ~60 MB hub partition
+    # splits ~16 ways while uniform partitions stay untouched.
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+    )
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+
+    def run(label: str, skew_enabled: bool, salted: bool) -> float:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.enabled",
+            "true" if skew_enabled else "false",
+        )
+        if salted:
+            n_salt = 16
+            fs = f.withColumn(
+                "_salt", F.pmod(F.xxhash64("k", "v"), F.lit(n_salt)).cast("int")
+            )
+            ds_ = d.withColumn(
+                "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+            )
+            joined = fs.join(ds_, ["k", "_salt"])
+        else:
+            joined = f.join(d, "k")
+        q = joined.groupBy("grp").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("v"), 2).alias("sv"),
+            F.sum(F.length("payload")).alias("pb"),
+        )
+        q.write.format("noop").mode("overwrite").save()  # warm (codegen/JIT)
+        t0 = time.perf_counter()
+        q.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        rows = {r["grp"]: (r["n"], r["sv"], r["pb"]) for r in q.collect()}
+        # the final adaptive plan marks split joins with "skew=true" (read
+        # after collect() — the noop write runs its own QueryExecution, so
+        # the Dataset's plan is only finalized by the Dataset's own action)
+        split = "skew=true" in q._jdf.queryExecution().executedPlan().toString()
+        run.results.append(rows)
+        print(f"skew-join[{label}]: {round(dt, 2)}s  aqe_split={split}")
+        return dt
+
+    run.results = []
+    run("naive one-reducer hub", skew_enabled=False, salted=False)
+    run("aqe skew-split", skew_enabled=True, salted=False)
+    run("salted x16", skew_enabled=False, salted=True)
+    assert run.results[0] == run.results[1] == run.results[2], (
+        "skew mitigation changed the join result"
+    )
+    for k, v in saved.items():
+        conf.set(k, v) if v is not None else conf.unset(k)
+
+
 def main() -> int:
     spark = get_spark(app_name="scale-probe")
+
+    if sys.argv[1:] == ["skewjoin"]:
+        skew_join_probe(spark)
+        return 0
 
     for n in (5_000, 50_000):
         docs = spark.createDataFrame(
@@ -323,6 +433,8 @@ def main() -> int:
         f"incremental dedup: {n_shards * shard_sz} docs total, "
         f"{n_dup} flagged (planted {(n_shards - 1) * n_planted})"
     )
+
+    skew_join_probe(spark)
     return 0
 
 

@@ -25,17 +25,18 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "join_theta": ("join_theta",),
     "join_range_asof": ("join_range_bucketed", "join_asof"),
     "join_semi_anti": ("join_semi_anti",),
+    "join_skew": ("join_salted_skew",),
     "aggregation": ("q1_pricing_summary", "agg_salted_skew"),
     "subquery_decorrelation": (
-        "q16_supplier_part_types",  # NOT IN → broadcast anti join
-        "q17_small_qty_revenue",  # correlated scalar AVG → agg + equi-join
-        "q22_idle_customers",  # global scalar + NOT EXISTS
+        "q2_min_cost_supplier",  # correlated scalar MIN → agg + equi-join
+        "q20_dominant_suppliers",  # nested IN + correlated half-sum agg
+        "q21_waiting_suppliers",  # EXISTS + NOT EXISTS self-joins
     ),
-    "multi_join_breadth": ("q7_nation_volume",),
+    "multi_join_breadth": ("q9_profit_by_nation_year",),
     "disjunctive_predicates": ("q19_disjunctive_revenue",),
-    "grouping_sets": ("agg_grouping_multi",),
-    "window_functions": ("window_funcs", "window_range_frame"),
-    "sort_limit_topk": ("sort_topk",),
+    "grouping_sets": ("agg_grouping_flags",),
+    "window_functions": ("window_distribution_funcs",),
+    "sort_limit_topk": ("topk_per_group",),
     "set_operations": ("set_ops",),
     "scalar_string": ("scalar_funcs",),
     "scalar_datetime": ("scalar_funcs",),
@@ -48,29 +49,32 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
         "stream_session_window",
     ),
     "streaming_stateful_join": ("stream_dedup_keys", "join_view_purchase_window"),
-    "udf_pandas": ("pandas_udf_weighted_avg", "multimodal_decode_real"),
+    "udf_pandas": ("udtf_sentence_stats", "multimodal_decode_real"),
     "graph_bfs": ("graph_bfs_goldens",),
     "graph_dfs": ("graph_dfs_goldens",),
     "graph_analytics": (
-        "graph_cc_g4",
-        "graph_triangles_cosupply",
-        "graph_pagerank_g2",
+        "graph_kcore_g6",
+        "graph_lpa_g6",
+        "graph_ppr_g2",
     ),
     "llm_dedup": (
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
-        "dedup_simhash",
         "dedup_clusters",
-        "dedup_embedding_near",
     ),
     "llm_similarity": (
-        "sim_topk_bruteforce",
         "sim_topk_ann_lsh",
-        "sim_topk_ann_ivf",
         "sim_topk_ann_persisted",
+        "sim_knn_join",
     ),
-    "llm_pipeline": ("decontaminate_holdout", "quality_filter_funnel"),
+    "llm_pipeline": (
+        "funnel_view_click_purchase",
+        "cohort_weekly_retention",
+        "snapshot_diff_corpus",
+        "sample_weighted_reservoir",
+        "dq_constraint_checks",
+    ),
     "llm_text_multimodal": ("text_analysis", "multimodal_decode_real"),
 }
 

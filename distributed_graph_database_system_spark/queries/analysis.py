@@ -1,0 +1,666 @@
+"""Corpus- and behavior-analysis operators: relevance ranking (TF-IDF,
+BM25), collocation mining (PMI), inverted-index construction, Markov
+transition matrices, statistical outlier detection, blocked record
+linkage, and graph link prediction.
+
+These extend the LLM-pipeline / analytics surface with the text-retrieval
+and data-science shapes a training-data platform runs next to dedup and
+quality filtering: ranking documents against probe queries, finding
+collocations worth preserving during tokenization, inspecting user
+event-flow structure, flagging anomalous metric values, and resolving
+entities across tables. All are pure JVM column expressions with full
+DuckDB oracles.
+
+Float determinism (helpers.py discipline): every cross-engine float is
+either derived from exact integer/decimal aggregates with the arithmetic
+EXPRESSION WRITTEN IDENTICALLY on both sides (one IEEE op sequence), or
+summed in a FIXED, explicit order (conditional-aggregation pivot instead
+of SUM over a term group, whose addition order is engine-dependent), then
+rounded to 4 decimals on both sides.
+
+Scale shapes:
+- ranking/PMI/index build shuffle on the TOKEN key; with a Zipfian corpus
+  the head tokens are exactly the skewed-aggregation case covered by the
+  salted-agg pattern (agg_salted_skew) — partial aggregation (map-side
+  combine) absorbs most of it since per-token state is one counter;
+- the Markov matrix is one window (user, ts) + one aggregate — the state
+  per reducer is |event_type|² counters, constant in corpus size;
+- linkage joins on the BLOCOCK key only (never a cross product); a
+  low-cardinality block key at 100 TB needs the salted-join treatment
+  (see join_salted_skew) or a composite block key;
+- link prediction wedge-joins the adjacency on the mid vertex — the same
+  hub-skew exposure as triangle counting, bounded here by the fixture
+  graph's degree; the production-scale answer is degree-ordered
+  orientation exactly as operators/graph.py:triangle_count does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.queries.registry import query
+from distributed_graph_database_system_spark.sources.catalog import load_table
+
+# Shared tokenization (fixture documents are single-space-separated
+# lowercase tokens; string_split(text, ' ') == F.split(text, ' ')).
+_TOKS_SQL = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+_UNNEST_SQL = f"SELECT doc_id, unnest(t) AS tok FROM ({_TOKS_SQL})"
+
+# Probe query terms for the ranking operators: one rare term ('dup',
+# df≈5% of docs — high idf) and two common ones (df≈76% — idf near
+# ln(1/0.76)≈0.27), so the ranking exercises both idf regimes.
+_TERMS = ("dup", "vector", "spark")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.split("text", " ").alias("t"))
+
+
+# --- TF-IDF ranking ---------------------------------------------------------
+
+
+@query(
+    "text_tfidf_rank",
+    oracle=f"""
+    WITH u AS ({_UNNEST_SQL}),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM u
+      WHERE tok IN ('dup', 'vector', 'spark')
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM u
+      WHERE tok IN ('dup', 'vector', 'spark')
+      GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS s
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(MAX(CASE WHEN tok = 'dup' THEN s END), 0)
+               + COALESCE(MAX(CASE WHEN tok = 'vector' THEN s END), 0)
+               + COALESCE(MAX(CASE WHEN tok = 'spark' THEN s END), 0),
+               4) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    tags=("text", "ranking", "tfidf"),
+)
+def text_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance ranking of the corpus against a 3-term probe query
+    — the classic retrieval scorer, as two shuffles: (doc, term) term
+    frequencies and per-term document frequencies (a 3-row dim, broadcast
+    back). idf = ln(N/df).
+
+    The per-doc score is a FIXED-ORDER sum via conditional aggregation
+    (one MAX(CASE) per query term, added left-to-right) rather than
+    SUM() over term rows — a group-SUM's addition order is
+    engine/partition-dependent, and float addition doesn't commute in the
+    last ulp. Pivoting by the (tiny, fixed) query term set makes the op
+    sequence identical in Spark and the oracle. At 100 TB the only
+    corpus-sized shuffle is the (doc, term) count; df and N are
+    broadcast scalars."""
+    u = _tokens(spark, sf_dir).select(
+        "doc_id", F.explode("t").alias("tok")
+    ).where(F.col("tok").isin(*_TERMS))
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    tf = u.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = u.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("s"),
+        )
+    )
+
+    def term_s(t: str):
+        return F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
+        )
+
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                term_s("dup") + term_s("vector") + term_s("spark"), 4
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+    )
+
+
+# --- BM25 ranking -----------------------------------------------------------
+
+
+@query(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH u AS ({_UNNEST_SQL}),
+    stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl
+      FROM u
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM u GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM u
+      WHERE tok IN ('dup', 'vector', 'spark')
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM u
+      WHERE tok IN ('dup', 'vector', 'spark')
+      GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf JOIN df ON tf.tok = df.tok
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(MAX(CASE WHEN tok = 'dup' THEN s END), 0)
+               + COALESCE(MAX(CASE WHEN tok = 'vector' THEN s END), 0)
+               + COALESCE(MAX(CASE WHEN tok = 'spark' THEN s END), 0),
+               4) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    tags=("text", "ranking", "bm25"),
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) over the same probe query — TF-IDF plus
+    term-frequency saturation and document-length normalization, the
+    scorer behind most lexical retrieval (and the usual quality-filter
+    signal 'how query-like is this document').
+
+    Same determinism discipline as text_tfidf_rank: integer tf/df/dl/N,
+    double arithmetic with the expression written identically on both
+    sides, fixed-order pivot sum, round(4). Corpus-sized shuffles: the
+    (doc, term) tf count and the per-doc length count — both one-pass
+    partial aggregates; df/avgdl/N are broadcast scalars."""
+    u_all = _tokens(spark, sf_dir).select(
+        "doc_id", F.explode("t").alias("tok")
+    )
+    u = u_all.where(F.col("tok").isin(*_TERMS))
+    stats = u_all.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        (F.count("*").cast("double") / F.count_distinct("doc_id")).alias(
+            "avgdl"
+        ),
+    )
+    dl = u_all.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = u.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = u.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf").cast("double") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+
+    def term_s(t: str):
+        return F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
+        )
+
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                term_s("dup") + term_s("vector") + term_s("spark"), 4
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+    )
+
+
+# --- PMI collocations -------------------------------------------------------
+
+
+@query(
+    "token_pmi_bigrams",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+      WHERE len(t) >= 2
+    ),
+    big AS (
+      SELECT t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2 FROM idx
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM big GROUP BY w1, w2),
+    uni AS (SELECT tok, COUNT(*) AS n FROM ({_UNNEST_SQL}) GROUP BY tok),
+    tot AS (
+      SELECT (SELECT SUM(n) FROM uni) AS t_uni,
+             (SELECT SUM(n_ab) FROM bc) AS t_big
+    )
+    SELECT bc.w1, bc.w2, bc.n_ab,
+           ROUND(ln((CAST(bc.n_ab AS DOUBLE) / tot.t_big)
+                    / ((CAST(a.n AS DOUBLE) / tot.t_uni)
+                       * (CAST(b.n AS DOUBLE) / tot.t_uni))), 4) AS pmi
+    FROM bc JOIN uni a ON bc.w1 = a.tok
+            JOIN uni b ON bc.w2 = b.tok
+            CROSS JOIN tot
+    WHERE bc.n_ab >= 20
+    ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 20
+    """,
+    tags=("text", "pmi", "collocation"),
+)
+def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent-token bigrams — the
+    collocation miner (which token pairs co-occur far above chance) used
+    to decide merge-worthy units during tokenizer training.
+
+    pmi = ln( P(ab) / (P(a)·P(b)) ) from integer counts, computed with an
+    identical expression tree in both engines, rounded to 4dp. Bigram
+    extraction is a positional transform over the token array (sequence +
+    element_at — 1-based in both engines), exploded DISTRIBUTED; docs
+    shorter than 2 tokens are filtered first because Spark's
+    sequence(1, 0) counts DOWN (yields [1,0]) rather than producing an
+    empty array like DuckDB's range(1, 1). Shuffles are per-bigram and
+    per-token counts (map-side combinable); totals are broadcast
+    scalars."""
+    toks = _tokens(spark, sf_dir).where(F.size("t") >= 2)
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> named_struct('w1', element_at(t, i), "
+                "'w2', element_at(t, i + 1)))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    uni = (
+        _tokens(spark, sf_dir)
+        .select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = bc.agg(F.sum("n_ab").alias("t_big")).crossJoin(
+        uni.agg(F.sum("n").alias("t_uni"))
+    )
+    a = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n_a"))
+    b = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n_b"))
+    return (
+        bc.where(F.col("n_ab") >= 20)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.col("t_big"))
+                    / (
+                        (F.col("n_a").cast("double") / F.col("t_uni"))
+                        * (F.col("n_b").cast("double") / F.col("t_uni"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+# --- Inverted index ---------------------------------------------------------
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH u AS ({_UNNEST_SQL})
+    SELECT tok,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS total_tf,
+           array_to_string(
+             list_sort(list(DISTINCT doc_id))[1:10], ',') AS first_postings
+    FROM u GROUP BY tok
+    ORDER BY n_docs DESC, tok LIMIT 30
+    """,
+    tags=("text", "index", "postings"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token → (document frequency, total
+    term frequency, head of the sorted posting list) — the build step
+    behind any lexical search over the corpus. One shuffle on the token
+    key; posting lists are collect_set + sort_array per token (at 100 TB,
+    written out partitioned by a token-hash prefix so a term lookup prunes
+    to one partition — the layout pattern of sources/layout.py). The
+    10-element head is serialized as a CSV string: the parity hash then
+    compares scalar columns only, no nested-type hashing dependency."""
+    u = _tokens(spark, sf_dir).select("doc_id", F.explode("t").alias("tok"))
+    return (
+        u.groupBy("tok")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("total_tf"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10),
+            ).alias("first_postings"),
+        )
+        .orderBy(F.desc("n_docs"), "tok")
+        .limit(30)
+    )
+
+
+# --- Markov transition matrix -----------------------------------------------
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, COUNT(*) AS n FROM seq
+      WHERE next_type IS NOT NULL GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY event_type), 4) AS p
+    FROM c ORDER BY event_type, next_type
+    """,
+    tags=("events", "markov", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams: for
+    each (state, next-state) pair, the count and the conditional
+    probability P(next | state) — the event-flow summary behind funnel
+    and session-model analyses.
+
+    One window shuffle on user_id (LEAD ordered by ts with the unique
+    event_id tie-break — determinism under equal timestamps), one
+    aggregate on the state pair, and a window normalization whose
+    partition count is |event_type| (bounded, 5 here). The probability is
+    integer/integer-sum → one double division, identical both sides."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    return c.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("event_type")),
+            4,
+        ).alias("p"),
+    ).orderBy("event_type", "next_type")
+
+
+# --- Statistical outlier detection ------------------------------------------
+
+
+@query(
+    "outlier_zscore_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type,
+             (e.value - s.sv / s.n)
+             / sqrt((s.svv - s.sv * s.sv / s.n) / (s.n - 1)) AS z
+      FROM events e JOIN s ON e.event_type = s.event_type
+    )
+    SELECT event_id, event_type, ROUND(z, 4) AS z,
+           (abs(z) > 2.0) AS is_outlier
+    FROM z ORDER BY abs(z) DESC, event_id LIMIT 10
+    """,
+    tags=("dq", "outlier", "zscore"),
+)
+def outlier_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection over event values: the 10 most
+    extreme events by |z| within their event_type, with a 2σ flag — the
+    anomaly screen run over metric streams before training on them.
+
+    Mean and variance come from EXACT decimal sums (values carry 2dp, so
+    Σv and Σv² are integer-exact as DECIMAL; decimal×decimal is exact),
+    surfaced as doubles and combined with an identical expression tree in
+    both engines (sample variance via the sum-of-squares identity) — no
+    engine-order-dependent float aggregation anywhere. The stats dim is
+    |event_type| rows, broadcast back onto the stream."""
+    from distributed_graph_database_system_spark.queries.helpers import dec
+
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(dec("value")).cast("double").alias("sv"),
+        F.sum(dec("value") * dec("value")).cast("double").alias("svv"),
+    )
+    z = e.join(F.broadcast(s), "event_type").select(
+        "event_id",
+        "event_type",
+        (
+            (F.col("value") - F.col("sv") / F.col("n"))
+            / F.sqrt(
+                (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+        ).alias("z"),
+    )
+    return (
+        z.select(
+            "event_id",
+            "event_type",
+            F.round("z", 4).alias("z"),
+            (F.abs(F.col("z")) > 2.0).alias("is_outlier"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(10)
+    )
+
+
+# --- Blocked record linkage -------------------------------------------------
+
+
+@query(
+    "linkage_blocked_best_match",
+    oracle="""
+    WITH cand AS (
+      SELECT s.s_suppkey, c.c_custkey,
+             abs(s.s_acctbal - c.c_acctbal) AS d,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.s_suppkey
+               ORDER BY abs(s.s_acctbal - c.c_acctbal), c.c_custkey
+             ) AS rn
+      FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+    )
+    SELECT s_suppkey, c_custkey, ROUND(d, 2) AS acctbal_diff
+    FROM cand WHERE rn = 1 ORDER BY s_suppkey
+    """,
+    tags=("linkage", "blocking", "entity-resolution"),
+)
+def linkage_blocked_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage: match every supplier to its single best
+    customer candidate — candidates generated ONLY within the block
+    (shared nation), scored by account-balance distance, best-per-record
+    chosen by a window rank with a deterministic tie-break. This is the
+    entity-resolution shape (block → score → argmin) that replaces the
+    infeasible cross product: comparisons are |block|² per block, never
+    |S|×|C|.
+
+    At 100 TB a 25-value block key is itself a skew hazard — the
+    production fix is a composite block key (nation × balance-bucket) or
+    the salted-join pattern; the window stays partitioned by the LEFT
+    record key, so its state is top-1 per supplier."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cand = s.join(c, s["s_nationkey"] == c["c_nationkey"]).select(
+        "s_suppkey",
+        "c_custkey",
+        F.abs(F.col("s_acctbal") - F.col("c_acctbal")).alias("d"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("s_suppkey").orderBy("d", "c_custkey")
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "s_suppkey", "c_custkey", F.round("d", 2).alias("acctbal_diff")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Graph link prediction --------------------------------------------------
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ),
+    adj AS (
+      SELECT src AS v, dst AS nb FROM e
+      UNION ALL SELECT dst AS v, src AS nb FROM e
+    ),
+    deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+    wedge AS (
+      SELECT a.v AS x, b.v AS y, COUNT(*) AS cn
+      FROM adj a JOIN adj b ON a.nb = b.nb AND a.v < b.v
+      GROUP BY a.v, b.v
+    ),
+    nonadj AS (
+      SELECT w.x, w.y, w.cn FROM wedge w
+      LEFT JOIN e ON e.src = w.x AND e.dst = w.y
+      WHERE e.src IS NULL
+    )
+    SELECT n.x, n.y, n.cn,
+           ROUND(CAST(n.cn AS DOUBLE)
+                 / (dx.deg + dy.deg - n.cn), 4) AS jaccard
+    FROM nonadj n JOIN deg dx ON n.x = dx.v JOIN deg dy ON n.y = dy.v
+    ORDER BY n.cn DESC, n.x, n.y LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "fixture-derived"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the supplier co-supply graph:
+    for vertex pairs NOT currently connected, count shared neighbors and
+    score by neighbor-set Jaccard — 'which suppliers are likely to
+    co-supply next', the canonical graph-completion query of a graph
+    database (reference surface: traversals over secondaryServer.c's
+    adjacency — this is the analytic that graph's users run one step
+    beyond BFS).
+
+    Plan: canonical undirected edges (src<dst, distinct) → symmetric
+    adjacency → wedge self-join on the shared neighbor → anti-join
+    removes existing edges → degree join for the Jaccard denominator.
+    Counts are integers; the one float is a single division, rounded.
+    The wedge join carries the same hub-skew exposure as triangle
+    counting; at scale the mid-vertex join takes the degree-oriented
+    treatment of operators/graph.py:triangle_count (probe:
+    BASELINE.md round-5 notes)."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    adj = e.select(F.col("src").alias("v"), F.col("dst").alias("nb")).unionAll(
+        e.select(F.col("dst").alias("v"), F.col("src").alias("nb"))
+    )
+    deg = adj.groupBy("v").agg(F.count("*").alias("deg"))
+    x, y = adj.alias("x"), adj.alias("y")
+    wedge = (
+        x.join(
+            y,
+            (F.col("x.nb") == F.col("y.nb"))
+            & (F.col("x.v") < F.col("y.v")),
+        )
+        .groupBy(F.col("x.v").alias("x"), F.col("y.v").alias("y"))
+        .agg(F.count("*").alias("cn"))
+    )
+    nonadj = wedge.join(
+        e,
+        (wedge["x"] == e["src"]) & (wedge["y"] == e["dst"]),
+        "left_anti",
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("v").alias("y"), F.col("deg").alias("deg_y"))
+    return (
+        nonadj.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("cn")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("cn"), "x", "y")
+        .limit(20)
+    )

@@ -167,6 +167,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules lazily to avoid cycles.
     from distributed_graph_database_system_spark.queries import (  # noqa: F401
+        analysis,
         breadth,
         graph,
         layout,

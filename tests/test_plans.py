@@ -114,3 +114,48 @@ def test_runtime_bloom_filter_fires_on_selective_dim_join(spark, sf_dir):
     ).count()
     p = physical_plan(j)
     assert "bloomfilter" in p.lower().replace("_", "").replace(" ", ""), p[:2000]
+
+
+def test_ranking_broadcasts_term_stats_and_takes_topk(plans):
+    """TF-IDF/BM25: the per-term df dim (3 rows) and corpus scalars must
+    ride broadcast joins — the only corpus-sized shuffles are the (doc,
+    term) counts — and the final ranking must be TakeOrderedAndProject
+    (top-15 over the doc scores), never a global sort."""
+    for name in ("text_tfidf_rank", "text_bm25_rank"):
+        p = plans(name)
+        assert "BroadcastHashJoin" in p, name
+        assert "TakeOrderedAndProject" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name  # pure JVM expressions
+
+
+def test_pmi_and_index_build_stay_jvm_side(plans):
+    """Bigram extraction/explode and posting-list aggregation are JVM
+    codegen expressions — no Python anywhere — and top-k is TakeOrdered."""
+    for name in ("token_pmi_bigrams", "inverted_index_postings"):
+        p = plans(name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_outlier_broadcasts_group_stats(plans):
+    """The per-event_type stats dim (5 rows) must broadcast back onto the
+    event stream; the extreme-value cut is TakeOrdered, not a sort."""
+    p = plans("outlier_zscore_events")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_markov_is_single_window_no_join(plans):
+    """The transition matrix is window + aggregate over ONE events scan —
+    any join appearing here means the plan regressed to a self-join."""
+    p = plans("events_markov_transitions")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_linkage_joins_only_on_block_key(plans):
+    """Record linkage must join on the block key (a hash/broadcast equi
+    join), never devolve to a nested-loop cross product."""
+    p = plans("linkage_blocked_best_match")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -159,3 +159,31 @@ def test_linkage_joins_only_on_block_key(plans):
     p = plans("linkage_blocked_best_match")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a day-partitioned fact to a dim
+    with a selective literal filter must inject
+    dynamicpruningexpression(day IN dynamicpruning#N) into the fact scan's
+    PartitionFilters — at 100 TB this skips whole partition directories at
+    runtime, the single biggest scan saver for star joins.
+
+    Gotcha this test pins down: the dim filter must survive as an
+    EqualTo(attr, literal) — a bare boolean column (`WHERE flag`, what
+    `flag = true` simplifies to) fails Catalyst's isLikelySelective test
+    and silently disables DPP."""
+    from pyspark.sql import functions as F
+
+    fact_path, dim_path = str(tmp_path / "fact"), str(tmp_path / "dim")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e.select("event_id", "value", F.to_date(F.col("ts").cast("timestamp")).alias("day")) \
+        .write.mode("overwrite").partitionBy("day").parquet(fact_path)
+    f = spark.read.parquet(fact_path)
+    f.select("day").distinct().select(
+        "day",
+        F.when(F.dayofmonth("day") <= 3, "keep").otherwise("drop").alias("grp"),
+    ).write.mode("overwrite").parquet(dim_path)
+    d = spark.read.parquet(dim_path).where(F.col("grp") == "keep")
+    j = f.join(d, "day").groupBy("day").agg(F.sum("value").alias("sv"))
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in p.lower(), p[:2000]

@@ -849,6 +849,66 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 500) -> DataFrame:
     raise RuntimeError(f"k_core: did not stabilize within {max_iter} peeling rounds")
 
 
+def topo_levels(edges: DataFrame, max_iter: int = 10_000) -> DataFrame:
+    """Layered topological order of a DAG given as ``(src, dst)`` edges:
+    returns ``(vid, topo_level)`` where ``topo_level`` is the Kahn peeling
+    round in which the vertex's in-degree reaches zero — equivalently the
+    length of the LONGEST path from any source to it. Raises ``ValueError``
+    if the graph has a cycle (some round finds no zero-in-degree vertex
+    while vertices remain) — so this doubles as distributed cycle
+    detection: ``has_cycle`` below is the boolean wrapper.
+
+    Level assignment (not an arbitrary linear extension) is the
+    distributed-friendly form of topological sort: it is deterministic,
+    vertices within a level are independent (the scheduling interpretation:
+    level = earliest executable wave), and a total order, when needed, is
+    just (topo_level, vid).
+
+    Scale shape: each round is one anti-join (current sources = vertices
+    absent from remaining dst's) and one edge filter, both keyed on vid;
+    lineage is cut per round with localCheckpoint exactly as the other
+    iterative ops. Rounds = longest-path length — the DAG analogue of
+    BFS depth.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "vid BIGINT, topo_level INT")
+    for level in range(max_iter):
+        if verts.isEmpty():
+            return out
+        sources = verts.join(
+            e.select(F.col("dst").alias("vid")).distinct(), "vid", "left_anti"
+        ).localCheckpoint()
+        if sources.isEmpty():
+            raise ValueError(
+                "topo_levels: graph has a cycle (no zero-in-degree vertex "
+                f"among {verts.count()} remaining)"
+            )
+        out = out.union(
+            sources.select("vid", F.lit(level).alias("topo_level"))
+        ).localCheckpoint()
+        verts = verts.join(sources, "vid", "left_anti").localCheckpoint()
+        e = e.join(
+            sources.select(F.col("vid").alias("src")), "src", "left_anti"
+        ).localCheckpoint()
+    raise RuntimeError(f"topo_levels: did not finish within {max_iter} rounds")
+
+
+def has_cycle(edges: DataFrame, max_iter: int = 10_000) -> bool:
+    """Distributed cycle detection: True iff Kahn peeling gets stuck."""
+    try:
+        topo_levels(edges, max_iter=max_iter)
+        return False
+    except ValueError:
+        return True
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Triangle count of an undirected graph given as canonical edges
     (src < dst, deduplicated), via DEGREE-ORDERED ORIENTATION: every edge is

@@ -351,3 +351,105 @@ def graph_degrees_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bipartite: suppliers appear only as dst → drop their 0-out-degree rows
     # to match the oracle's src-side grouping.
     return degrees(edges).where(F.col("out_degree") > 0).select("vid", "out_degree")
+
+
+# DAG fixture for topological ordering: sources {1, 7}, longest sink path
+# 1→3→6→5 / 1→2→4→5 (level 3). Contains a skip edge (1→5) that level
+# assignment must NOT shortcut — level is the LONGEST path from a source.
+G7_DAG = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (1, 5), (3, 6), (6, 5), (7, 3)]
+
+
+@query(
+    "graph_topo_g7",
+    oracle=(
+        "SELECT CAST(v AS BIGINT) AS vid, CAST(l AS INT) AS topo_level "
+        "FROM (VALUES (1, 0), (7, 0), (2, 1), (3, 1), (4, 2), (6, 2), "
+        "(5, 3)) AS t(v, l)"
+    ),
+    tags=("graph", "topological-sort", "dag"),
+)
+def graph_topo_g7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered topological order (Kahn peeling rounds = longest path from a
+    source) of the G7 DAG, against a hand-verified golden. The skip edge
+    1→5 checks that vertex 5 lands at level 3 (longest path), not level 1;
+    the second source 7 checks multi-source initialization. Cycle
+    detection (the ValueError path) is pytest-covered on the cyclic G2."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        topo_levels,
+    )
+
+    return topo_levels(_edges(spark, G7_DAG))
+
+
+@query(
+    "graph_two_hop_counts",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ),
+    adj AS (
+      SELECT src AS v, dst AS nb FROM e
+      UNION ALL SELECT dst AS v, src AS nb FROM e
+    ),
+    two_hop AS (
+      SELECT DISTINCT a.v, b.nb AS w
+      FROM adj a JOIN adj b ON a.nb = b.v
+      WHERE b.nb <> a.v
+    ),
+    strict AS (
+      SELECT t.v, t.w FROM two_hop t
+      LEFT JOIN adj d ON t.v = d.v AND t.w = d.nb
+      WHERE d.v IS NULL
+    )
+    SELECT v AS vid, COUNT(*) AS n_two_hop
+    FROM strict GROUP BY v ORDER BY vid
+    """,
+    tags=("graph", "neighborhood", "fixture-derived"),
+)
+def graph_two_hop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict 2-hop neighborhood size per vertex of the co-supply graph:
+    vertices reachable in exactly two hops that are neither the vertex
+    itself nor a direct neighbor — the neighborhood-expansion primitive
+    behind GNN sampling and friend-of-friend recommendation.
+
+    Plan: symmetric adjacency self-joined on the middle vertex (the same
+    hub-skew exposure as triangles — degree orientation is the 100 TB
+    treatment), distinct pairs, anti-join against direct edges, one count
+    aggregate. All-integer output, no float discipline needed."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    adj = e.select(F.col("src").alias("v"), F.col("dst").alias("nb")).unionAll(
+        e.select(F.col("dst").alias("v"), F.col("src").alias("nb"))
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    two_hop = (
+        x.join(y, F.col("x.nb") == F.col("y.v"))
+        .where(F.col("y.nb") != F.col("x.v"))
+        .select(F.col("x.v").alias("v"), F.col("y.nb").alias("w"))
+        .distinct()
+    )
+    strict = two_hop.join(
+        adj.select(F.col("v"), F.col("nb").alias("w")), ["v", "w"], "left_anti"
+    )
+    return (
+        strict.groupBy(F.col("v").alias("vid"))
+        .agg(F.count("*").alias("n_two_hop"))
+        .orderBy("vid")
+    )

@@ -592,3 +592,49 @@ def test_cli_list_and_query_subcommands(spark, capsys):
 
     with pytest.raises(SystemExit):
         cli.main(["dfs", "g1", "1"])  # --root required for graph ops
+
+
+# --- topological levels / cycle detection -----------------------------------
+
+
+def _edge_df(spark, rows):
+    return spark.createDataFrame(rows, "src BIGINT, dst BIGINT")
+
+
+def test_topo_levels_longest_path_semantics(spark):
+    from distributed_graph_database_system_spark.operators.graph import topo_levels
+    from distributed_graph_database_system_spark.queries.graph import G7_DAG
+
+    got = {
+        (r.vid, r.topo_level)
+        for r in topo_levels(_edge_df(spark, G7_DAG)).collect()
+    }
+    # vertex 5 has the skip edge 1→5 but must sit at its LONGEST-path level
+    assert got == {(1, 0), (7, 0), (2, 1), (3, 1), (4, 2), (6, 2), (5, 3)}
+
+
+def test_topo_levels_raises_on_cycle_and_has_cycle_agrees(spark):
+    from distributed_graph_database_system_spark.operators.graph import (
+        has_cycle,
+        topo_levels,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G2, G7_DAG
+
+    with pytest.raises(ValueError, match="cycle"):
+        topo_levels(_edge_df(spark, G2))  # G2 contains 4→5→6→4
+    assert has_cycle(_edge_df(spark, G2))
+    assert not has_cycle(_edge_df(spark, G7_DAG))
+
+
+def test_topo_levels_self_loop_is_a_cycle(spark):
+    from distributed_graph_database_system_spark.operators.graph import has_cycle
+
+    assert has_cycle(_edge_df(spark, [(1, 2), (2, 2)]))
+
+
+def test_topo_levels_empty_graph(spark):
+    from distributed_graph_database_system_spark.operators.graph import topo_levels
+
+    out = topo_levels(_edge_df(spark, []).limit(0))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vid", "topo_level"]

@@ -8,10 +8,17 @@ from distributed_graph_database_system_spark.operators.graph import (
     degrees,
     dfs_leaves,
     pagerank,
+    has_cycle,
     pregel,
     shortest_path_lengths,
     sssp_weighted,
+    topo_levels,
     triangle_count,
+)
+from distributed_graph_database_system_spark.operators.sketch import (
+    cm_estimate,
+    cm_merge,
+    cm_sketch,
 )
 
 __all__ = [
@@ -21,8 +28,13 @@ __all__ = [
     "degrees",
     "dfs_leaves",
     "pagerank",
+    "has_cycle",
     "pregel",
     "shortest_path_lengths",
     "sssp_weighted",
+    "topo_levels",
     "triangle_count",
+    "cm_estimate",
+    "cm_merge",
+    "cm_sketch",
 ]

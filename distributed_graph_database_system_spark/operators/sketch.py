@@ -1,0 +1,87 @@
+"""Count-min sketch as a DataFrame: a mergeable frequency sketch for
+heavy-hitter queries over unbounded key domains.
+
+The sketch IS a (small) DataFrame of ``(d, bucket, cnt)`` rows — depth ×
+width counters — built with one scan + one aggregation, mergeable by
+union + sum (counts are additive, so merging is exact: sketch(A ∪ B) ==
+merge(sketch(A), sketch(B)) row-for-row, asserted in tests). This is the
+same "sketch as first-class relational state" design as the HLL rollup
+(queries/breadth.py agg_hll_rollup): partial sketches per shard/day union
+into corpus sketches without touching raw data again.
+
+Estimate guarantees (Cormode & Muthukrishnan, J.Alg 2005): with width w
+and depth d, est(x) ≥ true(x) always (counters only over-count), and
+est(x) ≤ true(x) + e·N/w with probability ≥ 1 − (1/2)^d per the standard
+analysis (e = Euler's number; N = stream length). Both sides are asserted
+over the full fixture vocabulary in tests/test_sketch.py.
+
+Determinism: bucket assignment is ``xxhash64(value, row_index)`` — fixed
+seed inside Spark's xxhash64, no RNG state — so estimates are pure
+functions of the input multiset; the driver query pins its golden at
+sf0.01 exactly like the MinHash/SimHash families.
+
+Scale shape: ONE scan of the keyed column exploded ×d (d is 3–7), one
+groupBy (d, bucket) with map-side partial aggregation — per-executor
+state is at most d·w counters regardless of input size or key skew (a
+hot key folds into one counter per row; no hot-reducer problem by
+construction). Point queries broadcast-join the d·w-row sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cm_sketch(
+    df: DataFrame, col: str, depth: int = 5, width: int = 1024
+) -> DataFrame:
+    """Build a count-min sketch of ``df[col]`` (nulls excluded):
+    ``(d INT, bucket INT, cnt BIGINT)`` with at most depth×width rows."""
+    rows = df.where(F.col(col).isNotNull()).select(
+        F.col(col).alias("_v"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    )
+    return (
+        rows.select(
+            "d",
+            F.pmod(F.xxhash64("_v", "d"), F.lit(width)).cast("int").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Exact merge of two same-shape sketches (counters are additive)."""
+    return (
+        a.unionByName(b).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, items: DataFrame, col: str, width: int = 1024
+) -> DataFrame:
+    """Point-query estimates for every row of ``items[col]``: joins each
+    item's d buckets against the sketch and takes the MIN counter.
+    Returns ``items`` columns plus ``est BIGINT``. The sketch side is
+    d·w rows — always broadcast; absent (d, bucket) rows mean zero
+    collisions there, i.e. estimate 0."""
+    depth = sketch.agg(F.max("d")).first()[0] + 1
+    probes = items.select(
+        F.col(col).alias("_v"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    ).select(
+        "_v",
+        "d",
+        F.pmod(F.xxhash64("_v", "d"), F.lit(width)).cast("int").alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left").select(
+        "_v", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    est = joined.groupBy("_v").agg(F.min("cnt").alias("est"))
+    return items.join(
+        est.withColumnRenamed("_v", col), col, "left"
+    ).withColumn("est", F.coalesce("est", F.lit(0)))

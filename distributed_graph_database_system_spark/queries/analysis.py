@@ -664,3 +664,45 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cn"), "x", "y")
         .limit(20)
     )
+
+
+# --- Count-min sketch heavy hitters -----------------------------------------
+
+
+@query(
+    "sketch_cm_heavy_hitters",
+    oracle=(
+        "SELECT t AS tok, CAST(e AS BIGINT) AS est FROM (VALUES "
+        "('join', 964), ('hash', 947), ('row', 943), ('batch', 937), "
+        "('scan', 936), ('column', 934), ('customer', 934), "
+        "('filter', 933), ('small', 928), ('merge', 918)) AS v(t, e) "
+        "ORDER BY est DESC, tok"
+    ),
+    oracle_sf="0.01",
+    tags=("sketch", "count-min", "heavy-hitters"),
+)
+def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (operators/sketch.py): build a
+    5×256 counter sketch of the token stream in one scan, then point-query
+    every distinct token against the broadcast sketch and keep the top 10
+    estimates. The sketch is a mergeable 1.3k-row DataFrame — the HLL
+    pattern for frequencies: per-shard sketches union+sum into corpus
+    sketches without rescanning raw data.
+
+    Estimates are deterministic (xxhash64 bucket assignment, no RNG) so
+    the golden is pinned at sf0.01, exactly like the MinHash/SimHash
+    families; the error-bound and merge-exactness guarantees are
+    pytest-asserted in tests/test_sketch.py. Estimates always ≥ true
+    counts (the fixture's true max token count is ~930; collisions at
+    width 256 add ≤ e·N/256 ≈ 290 here)."""
+    from distributed_graph_database_system_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    sk = cm_sketch(toks, "tok", depth=5, width=256)
+    est = cm_estimate(sk, toks.distinct(), "tok", width=256)
+    return est.orderBy(F.desc("est"), "tok").limit(10)

@@ -1,0 +1,75 @@
+"""Count-min sketch: error-bound, merge-exactness, and determinism tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.operators.sketch import (
+    cm_estimate,
+    cm_merge,
+    cm_sketch,
+)
+
+
+def _tokens(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+
+
+def test_cm_never_undercounts_and_respects_error_bound(spark, sf_dir):
+    toks = _tokens(spark, sf_dir).cache()
+    n = toks.count()
+    width, depth = 256, 5
+    sk = cm_sketch(toks, "tok", depth=depth, width=width)
+    truth = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    est = cm_estimate(sk, truth, "tok", width=width)
+    rows = est.collect()
+    bound = math.e * n / width  # classic CM additive error at 1-(1/2)^d conf
+    assert rows, "empty vocabulary"
+    for r in rows:
+        assert r.est >= r.true_cnt, f"undercount on {r.tok}"
+        assert r.est <= r.true_cnt + bound, f"overshot bound on {r.tok}"
+    toks.unpersist()
+
+
+def test_cm_merge_equals_sketch_of_union_exactly(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    a = toks.limit(5000)
+    b = toks.subtract(a)  # not a clean split, but any two multisets work
+    merged = cm_merge(
+        cm_sketch(a, "tok", width=128), cm_sketch(b, "tok", width=128)
+    )
+    direct = cm_sketch(a.unionByName(b), "tok", width=128)
+    assert merged.subtract(direct).isEmpty()
+    assert direct.subtract(merged).isEmpty()
+
+
+def test_cm_estimates_are_deterministic_across_builds(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    items = toks.distinct().limit(10)
+    e1 = {
+        r.tok: r.est
+        for r in cm_estimate(cm_sketch(toks, "tok"), items, "tok").collect()
+    }
+    e2 = {
+        r.tok: r.est
+        for r in cm_estimate(
+            cm_sketch(toks.repartition(17), "tok"), items, "tok"
+        ).collect()
+    }
+    assert e1 == e2  # partitioning must not change a deterministic sketch
+
+
+def test_cm_unknown_item_estimates_bounded_by_collisions(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    sk = cm_sketch(toks, "tok", depth=5, width=1024)
+    ghost = spark.createDataFrame(
+        [("never-in-corpus-xyzzy",)], "tok STRING"
+    )
+    est = cm_estimate(sk, ghost, "tok").first().est
+    n = toks.count()
+    assert 0 <= est <= math.e * n / 1024

@@ -25,7 +25,7 @@ Scale shapes:
   combine) absorbs most of it since per-token state is one counter;
 - the Markov matrix is one window (user, ts) + one aggregate — the state
   per reducer is |event_type|² counters, constant in corpus size;
-- linkage joins on the BLOCOCK key only (never a cross product); a
+- linkage joins on the BLOCK key only (never a cross product); a
   low-cardinality block key at 100 TB needs the salted-join treatment
   (see join_salted_skew) or a composite block key;
 - link prediction wedge-joins the adjacency on the mid vertex — the same

@@ -137,11 +137,76 @@ def skew_join_probe(spark) -> None:
         conf.set(k, v) if v is not None else conf.unset(k)
 
 
+def token_agg_probe(spark) -> None:
+    """Token-keyed aggregation under Zipfian skew — the scale shape behind
+    the retrieval/analysis family (TF-IDF, PMI, inverted index, CMS). A
+    16M-token stream where rank-r token frequency ~ 1/r (the head token
+    alone is ~7% of the stream) is aggregated per token. The point: hot
+    KEYS are not hot REDUCERS for algebraic aggregates — map-side partial
+    aggregation folds each partition's head-token rows into one counter
+    before the shuffle, so the shuffle carries ≤ |vocab| rows per map
+    partition regardless of skew. Measured against the same aggregation
+    with partial aggregation disabled via a distinct-forcing rewrite is
+    not apples-to-apples, so we simply record wall time and shuffle-row
+    arithmetic; the count-min sketch goes further (constant d×w state,
+    no per-key rows at all) and is probed alongside."""
+    n_docs, doc_len, vocab = 200_000, 80, 50_000
+    # Zipf-ish via inverse-CDF on a uniform hash: rank = floor(vocab^u) has
+    # P(rank ≤ r) = ln(r)/ln(V) → P(rank = r) ~ 1/r. Deterministic.
+    toks = spark.range(n_docs * doc_len).select(
+        F.concat(
+            F.lit("tok"),
+            F.floor(
+                F.pow(
+                    F.lit(float(vocab)),
+                    (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1_000_000.0),
+                )
+            ).cast("bigint"),
+        ).alias("tok")
+    )
+    toks.write.mode("overwrite").parquet("/tmp/scale_toks")
+    t = spark.read.parquet("/tmp/scale_toks")
+
+    counts = t.groupBy("tok").agg(F.count("*").alias("n"))
+    counts.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    counts.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    top = counts.orderBy(F.desc("n")).first()
+    print(
+        f"token-agg zipf {n_docs * doc_len} tokens, vocab~{vocab}: "
+        f"{round(dt, 2)}s; head token {top['tok']}={top['n']} "
+        f"({round(100 * top['n'] / (n_docs * doc_len), 1)}% of stream)"
+    )
+
+    from distributed_graph_database_system_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    t0 = time.perf_counter()
+    sk = cm_sketch(t, "tok", depth=5, width=4096).localCheckpoint()
+    n_rows = sk.count()
+    dt = time.perf_counter() - t0
+    est = cm_estimate(
+        sk, spark.createDataFrame([(top["tok"],)], "tok STRING"), "tok",
+        width=4096,
+    ).first()["est"]
+    print(
+        f"cm-sketch build (5x4096) over same stream: {round(dt, 2)}s, "
+        f"{n_rows} sketch rows; head-token est={est} (true {top['n']}, "
+        f"bound +{round(2.718 * n_docs * doc_len / 4096)})"
+    )
+
+
 def main() -> int:
     spark = get_spark(app_name="scale-probe")
 
     if sys.argv[1:] == ["skewjoin"]:
         skew_join_probe(spark)
+        return 0
+    if sys.argv[1:] == ["tokenagg"]:
+        token_agg_probe(spark)
         return 0
 
     for n in (5_000, 50_000):
@@ -435,6 +500,7 @@ def main() -> int:
     )
 
     skew_join_probe(spark)
+    token_agg_probe(spark)
     return 0
 
 

@@ -38,6 +38,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
+    x = sub.add_parser(
+        "explain", help="show a registered query's physical plan (no execution)"
+    )
+    x.add_argument("name")
+    x.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     args = ap.parse_args(argv)
 
     from distributed_graph_database_system_spark.session import get_spark
@@ -49,7 +54,7 @@ def main(argv: list[str] | None = None) -> int:
             oracle = "oracle" if spec.oracle else "rows-only"
             print(f"{name}\t{oracle}\t{','.join(spec.tags)}")
         return 0
-    if args.op == "query":
+    if args.op in ("query", "explain"):
         from distributed_graph_database_system_spark.queries.registry import all_queries
 
         registry = all_queries()
@@ -57,7 +62,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
             return 2
         spark = get_spark(app_name="distributed_graph_database_system_spark-cli", cpus=args.cpus)
-        registry[args.name].fn(spark, args.sf_dir).show(args.limit, truncate=False)
+        df = registry[args.name].fn(spark, args.sf_dir)
+        if args.op == "explain":
+            # plan only — lets a user audit join strategies / pushdown /
+            # Python boundaries before paying for execution
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
         return 0
 
     if not args.root:

@@ -590,6 +590,10 @@ def test_cli_list_and_query_subcommands(spark, capsys):
 
     assert cli.main(["query", "not_a_query"]) == 2
 
+    assert cli.main(["--cpus", "8", "explain", "q3_shipping_priority"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "BroadcastHashJoin" in out
+
     with pytest.raises(SystemExit):
         cli.main(["dfs", "g1", "1"])  # --root required for graph ops
 

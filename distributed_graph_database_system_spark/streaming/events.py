@@ -320,6 +320,95 @@ def read_distinct_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     )
 
 
+def run_incremental_cms_rollup(
+    spark: SparkSession,
+    stream: DataFrame,
+    rollup_path: str,
+    depth: int = 5,
+    width: int = 256,
+) -> None:
+    """Incremental per-day COUNT-MIN SKETCH rollup of user event
+    frequencies — the heavy-hitter twin of the HLL distinct rollup: the
+    per-batch state is a day-keyed counter sketch (operators/sketch.py),
+    and because CM counters are ADDITIVE, the ledger merge is a plain sum
+    — the merged sketch is byte-identical to one built over the raw union
+    (unlike HLL's estimate-lossless-but-approximate register-max, CM merge
+    is exact by construction; asserted in tests).
+
+    Same exactly-once ledger design as the other two rollups: the batch's
+    (day, d, bucket, cnt) rows land in a ``(day, batch_id)``-keyed ledger
+    partition via dynamic partition overwrite (a replayed batch overwrites
+    its own cells with identical deterministic content), then the touched
+    days' rollup sketches are rebuilt as the ledger sum. Per batch the
+    state is O(days × depth × width) counters regardless of event volume
+    or user skew — a hot user folds into one counter per (day, d)."""
+    contrib_path = rollup_path.rstrip("/") + "_contrib"
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        contrib = (
+            batch_df.where(F.col("user_id").isNotNull())
+            .select(
+                F.to_date(F.col("ts")).alias("day"),
+                F.col("user_id").alias("_v"),
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(depth)])
+                ).alias("d"),
+            )
+            .select(
+                "day",
+                "d",
+                F.pmod(F.xxhash64("_v", "d"), F.lit(width))
+                .cast("int")
+                .alias("bucket"),
+            )
+            .groupBy("day", "d", "bucket")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint()
+        )
+        days = [r["day"] for r in contrib.select("day").distinct().collect()]
+        if not days:
+            return
+        # same cloned-session gotcha as run_incremental_distinct_rollup:
+        # dynamic overwrite must be set on BOTH the batch clone (ledger
+        # write) and the outer session (rollup rebuild).
+        key = "spark.sql.sources.partitionOverwriteMode"
+        sessions = {
+            id(spark): spark,
+            id(contrib.sparkSession): contrib.sparkSession,
+        }
+        prevs = {k: s.conf.get(key, "static") for k, s in sessions.items()}
+        for s in sessions.values():
+            s.conf.set(key, "dynamic")
+        try:
+            contrib.withColumn(
+                "batch_id", F.lit(int(batch_id))
+            ).write.partitionBy("day", "batch_id").mode("overwrite").parquet(
+                contrib_path
+            )
+            merged = (
+                spark.read.parquet(contrib_path)
+                .where(F.col("day").isin(days))
+                .groupBy("day", "d", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            merged.write.partitionBy("day").mode("overwrite").parquet(
+                rollup_path
+            )
+        finally:
+            for k, s in sessions.items():
+                s.conf.set(key, prevs[k])
+
+    run_foreach_batch(stream, upsert, mode="append")
+
+
+def read_cms_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The per-day sketch table ``(day, d, bucket, cnt)``; feed one day's
+    rows to operators.sketch.cm_estimate for heavy-hitter queries."""
+    return spark.read.parquet(rollup_path).select(
+        F.col("day").cast("timestamp").alias("day"), "d", "bucket", "cnt"
+    )
+
+
 def stateful_user_counts(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: a running
     per-user event counter emitted on every update — the

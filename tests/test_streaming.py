@@ -444,3 +444,74 @@ def test_incremental_rollup_batch_retry_is_exactly_once(spark, sf_dir, tmp_path)
         cols,
     )
     assert got == want
+
+
+def test_incremental_cms_rollup_is_exact_merge_and_replay_safe(
+    spark, sf_dir, stream_src, tmp_path
+):
+    """CM counters are additive, so the incrementally-maintained per-day
+    sketch must be ROW-IDENTICAL to a one-shot sketch over the raw events
+    — a stronger check than estimate equality — and batch replay must not
+    change a single counter (ledger overwrite idempotence)."""
+    import distributed_graph_database_system_spark.streaming.events as EV
+
+    path = str(tmp_path / "cms_rollup")
+    EV.run_incremental_cms_rollup(
+        spark, events_stream(spark, stream_src), path, depth=5, width=256
+    )
+
+    cols = ("day", "d", "bucket", "cnt")
+    got = rows_set(EV.read_cms_rollup(spark, path), cols)
+    e = load_table(spark, sf_dir, "events")
+    want = rows_set(
+        e.where(F.col("user_id").isNotNull())
+        .select(
+            F.to_date("ts").cast("timestamp").alias("day"),
+            F.col("user_id").alias("_v"),
+            F.explode(F.array(*[F.lit(i) for i in range(5)])).alias("d"),
+        )
+        .select(
+            "day",
+            "d",
+            F.pmod(F.xxhash64("_v", "d"), F.lit(256)).cast("int").alias("bucket"),
+        )
+        .groupBy("day", "d", "bucket")
+        .agg(F.count("*").alias("cnt")),
+        cols,
+    )
+    assert got == want
+
+    # replay path: drive the upsert directly with repeated batches
+    captured = {}
+    orig = EV.run_foreach_batch
+    EV.run_foreach_batch = lambda stream, fn, mode="update": captured.update(fn=fn)
+    try:
+        path2 = str(tmp_path / "cms_rollup_retry")
+        EV.run_incremental_cms_rollup(spark, None, path2, depth=5, width=256)
+    finally:
+        EV.run_foreach_batch = orig
+    upsert = captured["fn"]
+    b0 = e.where(F.col("event_id") % 2 == 0)
+    b1 = e.where(F.col("event_id") % 2 == 1)
+    upsert(b0, 0)
+    upsert(b0, 0)  # replay
+    upsert(b1, 1)
+    upsert(b1, 1)  # replay
+    assert rows_set(EV.read_cms_rollup(spark, path2), cols) == want
+
+    # the rollup feeds cm_estimate directly: never undercounts a real user
+    from distributed_graph_database_system_spark.operators.sketch import cm_estimate
+
+    day0 = EV.read_cms_rollup(spark, path).orderBy("day").first()["day"]
+    sk = EV.read_cms_rollup(spark, path).where(F.col("day") == day0).select(
+        "d", "bucket", "cnt"
+    )
+    truth = (
+        e.where(F.to_date("ts").cast("timestamp") == day0)
+        .groupBy(F.col("user_id").alias("_v"))
+        .agg(F.count("*").alias("true_cnt"))
+        .limit(20)
+    )
+    est = cm_estimate(sk, truth, "_v", width=256)
+    for r in est.collect():
+        assert r.est >= r.true_cnt

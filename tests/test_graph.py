@@ -642,3 +642,36 @@ def test_topo_levels_empty_graph(spark):
     out = topo_levels(_edge_df(spark, []).limit(0))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vid", "topo_level"]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_topo_levels_matches_python_reference_on_random_dags(spark, seed):
+    """Random DAGs (edges only low→high vertex id, so acyclic by
+    construction) against a sequential longest-path-level reference."""
+    rng = random.Random(seed)
+    n = 40
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(120)
+            for a, b in [sorted(rng.sample(range(1, n + 1), 2))]
+        }
+    )
+    # python reference: level(v) = 1 + max(level of predecessors), 0 if none
+    preds: dict[int, list[int]] = {}
+    verts = sorted({v for e in edges for v in e})
+    for a, b in edges:
+        preds.setdefault(b, []).append(a)
+    level = {}
+    for v in verts:  # ascending id IS a topological order here
+        level[v] = 1 + max((level[p] for p in preds.get(v, [])), default=-1)
+
+    from distributed_graph_database_system_spark.operators.graph import topo_levels
+
+    got = {
+        (r.vid, r.topo_level)
+        for r in topo_levels(
+            spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+        ).collect()
+    }
+    assert got == {(v, lv) for v, lv in level.items()}

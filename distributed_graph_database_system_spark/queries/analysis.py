@@ -706,3 +706,144 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = cm_sketch(toks, "tok", depth=5, width=256)
     est = cm_estimate(sk, toks.distinct(), "tok", width=256)
     return est.orderBy(F.desc("est"), "tok").limit(10)
+
+
+# --- Pareto / ABC classification --------------------------------------------
+
+
+@query(
+    "orders_abc_pareto",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, s,
+             SUM(s) OVER (ORDER BY s DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(s) OVER () AS total
+      FROM spend
+    ),
+    classed AS (
+      SELECT CASE WHEN cum / total <= 0.5 THEN 'A'
+                  WHEN cum / total <= 0.8 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             s
+      FROM ranked
+    )
+    SELECT abc_class, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(s AS DECIMAL(18,2))) AS DOUBLE) AS class_spend
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    tags=("analytics", "pareto", "abc"),
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC customer classification: rank customers by total spend,
+    take the running share of revenue, and class A = the head covering 50%
+    of spend, B = to 80%, C = the tail — the inventory/CRM segmentation
+    built on a cumulative-distribution window.
+
+    Determinism: per-customer spend is an exact decimal sum; the running
+    sum's frame order carries the unique o_custkey tie-break, so `cum` is
+    a well-defined prefix sum of exact values in one fixed order — the
+    0.5/0.8 class cuts compare identically in both engines. The window's
+    ORDER BY is global (single-partition range) — at 100 TB the cumulative
+    share would ride a two-pass plan instead (per-bucket sums + broadcast
+    prefix offsets, the standard distributed prefix-sum), which this
+    query's oracle semantics permit unchanged."""
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("s"))
+    w = W.orderBy(F.desc("s"), "o_custkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = spend.select(
+        "o_custkey",
+        "s",
+        F.sum("s").over(w).alias("cum"),
+        F.sum("s").over(W.partitionBy()).alias("total"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum") / F.col("total") <= 0.5, "A")
+        .when(F.col("cum") / F.col("total") <= 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "s",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("s").alias("class_spend"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# --- RFM segmentation -------------------------------------------------------
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             NTILE(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
+             NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f,
+             NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m
+      FROM per_user
+    )
+    SELECT r || '-' || f || '-' || m AS segment,
+           COUNT(*) AS n_users
+    FROM scored GROUP BY segment
+    HAVING COUNT(*) >= 3
+    ORDER BY n_users DESC, segment
+    """,
+    tags=("analytics", "rfm", "segmentation"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation: quartile
+    scores per dimension via ntile windows, concatenated into segment
+    labels, segment sizes reported for segments of ≥3 users — the CRM
+    cohorting workhorse.
+
+    ntile assignment is ordinal, so every window ORDER BY carries the
+    unique user_id tie-break (the same discipline as
+    window_distribution_funcs) — quartile membership is then identical
+    across engines regardless of partitioning. Monetary uses the exact
+    decimal sum. The three global ntile windows are the fixture-scale
+    formulation; at 100 TB quartile cuts come from approx quantiles (one
+    pass) and a broadcast cut table — same downstream segment logic."""
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("freq"),
+        dsum("value").alias("monetary"),
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(4).over(W.orderBy(F.desc("last_ts"), "user_id")).alias("r"),
+        F.ntile(4).over(W.orderBy(F.desc("freq"), "user_id")).alias("f"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), "user_id")).alias("m"),
+    )
+    return (
+        scored.select(
+            F.concat_ws("-", "r", "f", "m").alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_users"))
+        .where(F.col("n_users") >= 3)
+        .orderBy(F.desc("n_users"), "segment")
+    )

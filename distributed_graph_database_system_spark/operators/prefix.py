@@ -1,0 +1,73 @@
+"""Distributed prefix (cumulative) aggregation without a single-partition
+window.
+
+A global ``SUM() OVER (ORDER BY ...)`` plans as ONE window partition —
+every row through one task, the classic 100 TB bottleneck (Spark even
+warns ``WindowExec: No Partition Defined``). The standard fix is the
+two-pass prefix sum:
+
+1. range-repartition on the order key, so partition i holds a contiguous
+   key range and partitions are globally ordered;
+2. pass 1: per-partition running sum (a window PARTITIONED by the
+   physical partition id — parallel, no cross-partition data movement)
+   plus one per-partition total;
+3. the per-partition totals (numPartitions rows) become broadcast prefix
+   OFFSETS via a tiny driver-side scan;
+4. pass 2: global cum = local running sum + own partition's offset.
+
+Exactness contract: the summed column should be DECIMAL (or integer) so
+addition is associative — then the result is INDEPENDENT of where the
+range partitioner happens to place its boundaries (they are sample-based
+and not stable across runs). With doubles the two-pass result can differ
+from the one-pass result in final ulps; callers needing cross-engine hash
+stability must sum decimals (see queries/analysis.py orders_abc_pareto).
+Partition-placement invariance is asserted in tests/test_prefix.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str | Column,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = running sum of ``value_col`` over the GLOBAL order
+    of ``order_cols`` (which must be a total order — include a unique
+    tie-break key) without ever forming a single window partition."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # local feeds BOTH the result rows and the offsets table. Pin it:
+    # range-partitioner boundaries are sample-based, so two independent
+    # computations of the same subtree could place rows differently,
+    # pairing rows with offsets from a DIFFERENT partitioning. (AQE's
+    # ReusedExchange usually dedups the subtree, but that's an optimizer
+    # courtesy, not a guarantee.)
+    local = ranged.withColumn(
+        "_local_cum", F.sum(value).over(local_w)
+    ).localCheckpoint()
+    # one row per partition → the offsets table is numPartitions rows;
+    # the running offset is computed over THAT tiny table (its window is
+    # single-partition, over ~n rows — the whole point of the rewrite)
+    totals = local.groupBy("_pid").agg(F.sum(value).alias("_ptotal"))
+    off_w = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = totals.select(
+        "_pid",
+        (F.sum("_ptotal").over(off_w) - F.col("_ptotal")).alias("_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
+        .drop("_pid", "_local_cum")
+    )

@@ -716,68 +716,75 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
       SELECT o_custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_dec
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
-      SELECT o_custkey, s,
-             SUM(s) OVER (ORDER BY s DESC, o_custkey
-                          ROWS UNBOUNDED PRECEDING) AS cum,
-             SUM(s) OVER () AS total
+      SELECT o_custkey, s_dec,
+             SUM(s_dec) OVER (ORDER BY s_dec DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(s_dec) OVER () AS total
       FROM spend
     ),
     classed AS (
-      SELECT CASE WHEN cum / total <= 0.5 THEN 'A'
-                  WHEN cum / total <= 0.8 THEN 'B'
-                  ELSE 'C' END AS abc_class,
-             s
+      SELECT CASE
+               WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.5
+                 THEN 'A'
+               WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                 THEN 'B'
+               ELSE 'C' END AS abc_class,
+             s_dec
       FROM ranked
     )
     SELECT abc_class, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(s AS DECIMAL(18,2))) AS DOUBLE) AS class_spend
+           CAST(SUM(s_dec) AS DOUBLE) AS class_spend
     FROM classed GROUP BY abc_class ORDER BY abc_class
     """,
-    tags=("analytics", "pareto", "abc"),
+    tags=("analytics", "pareto", "abc", "prefix-sum"),
 )
 def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC customer classification: rank customers by total spend,
     take the running share of revenue, and class A = the head covering 50%
     of spend, B = to 80%, C = the tail — the inventory/CRM segmentation
-    built on a cumulative-distribution window.
+    built on a cumulative distribution.
 
-    Determinism: per-customer spend is an exact decimal sum; the running
-    sum's frame order carries the unique o_custkey tie-break, so `cum` is
-    a well-defined prefix sum of exact values in one fixed order — the
-    0.5/0.8 class cuts compare identically in both engines. The window's
-    ORDER BY is global (single-partition range) — at 100 TB the cumulative
-    share would ride a two-pass plan instead (per-bucket sums + broadcast
-    prefix offsets, the standard distributed prefix-sum), which this
-    query's oracle semantics permit unchanged."""
-    from distributed_graph_database_system_spark.queries.helpers import dsum
+    The cumulative sum uses the DISTRIBUTED two-pass prefix sum
+    (operators/prefix.py partitioned_prefix_sum: range repartition →
+    per-partition running sums → broadcast prefix offsets), NOT a global
+    single-partition window — the oracle's ``SUM() OVER (ORDER BY)`` is
+    the semantic spec, not the plan. This only matches the oracle because
+    everything stays DECIMAL through the prefix sum (exact, associative ⇒
+    independent of where the range partitioner places its sample-based
+    boundaries); the 0.5/0.8 cuts then compare identical doubles cast
+    from identical exact decimals. Equality with the one-pass window and
+    invariance to input partitioning are asserted in
+    tests/test_prefix.py."""
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+    from distributed_graph_database_system_spark.queries.helpers import dec
 
     o = load_table(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("s"))
-    w = W.orderBy(F.desc("s"), "o_custkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("s_dec")
     )
-    ranked = spend.select(
-        "o_custkey",
-        "s",
-        F.sum("s").over(w).alias("cum"),
-        F.sum("s").over(W.partitionBy()).alias("total"),
+    cum = partitioned_prefix_sum(
+        spend, [F.col("s_dec").desc(), F.col("o_custkey")], "s_dec"
     )
-    classed = ranked.select(
-        F.when(F.col("cum") / F.col("total") <= 0.5, "A")
-        .when(F.col("cum") / F.col("total") <= 0.8, "B")
+    total = spend.agg(F.sum("s_dec").alias("total"))
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    classed = cum.crossJoin(F.broadcast(total)).select(
+        F.when(share <= 0.5, "A")
+        .when(share <= 0.8, "B")
         .otherwise("C")
         .alias("abc_class"),
-        "s",
+        "s_dec",
     )
     return (
         classed.groupBy("abc_class")
         .agg(
             F.count("*").alias("n_customers"),
-            dsum("s").alias("class_spend"),
+            F.sum("s_dec").cast("double").alias("class_spend"),
         )
         .orderBy("abc_class")
     )

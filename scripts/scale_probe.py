@@ -199,6 +199,44 @@ def token_agg_probe(spark) -> None:
     )
 
 
+def prefix_sum_probe(spark) -> None:
+    """Global cumulative sum at 10M rows: the one-pass window (ORDER BY
+    with no PARTITION BY — every row through ONE task) vs the two-pass
+    distributed prefix sum (operators/prefix.py). Identical exact-decimal
+    results asserted; the wall-time gap is the single-partition-window
+    bottleneck the rewrite removes."""
+    from pyspark.sql import Window as W
+
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
+    n = 30_000_000
+    rows = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).cast("decimal(18,2)").alias("v"),
+    )
+    rows.write.mode("overwrite").parquet("/tmp/scale_prefix")
+    r = spark.read.parquet("/tmp/scale_prefix")
+    r.count()  # warm the scan so neither variant pays first-touch IO
+
+    t0 = time.perf_counter()
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    one = r.withColumn("cum", F.sum("v").over(w))
+    one_last = one.orderBy(F.desc("k")).select("cum").first()["cum"]
+    t_one = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    two = partitioned_prefix_sum(r, ["k"], "v")
+    two_last = two.orderBy(F.desc("k")).select("cum").first()["cum"]
+    t_two = time.perf_counter() - t0
+    assert one_last == two_last, (one_last, two_last)
+    print(
+        f"prefix-sum {n} rows: one-pass global window={round(t_one, 2)}s, "
+        f"two-pass distributed={round(t_two, 2)}s (identical exact totals)"
+    )
+
+
 def main() -> int:
     spark = get_spark(app_name="scale-probe")
 
@@ -207,6 +245,9 @@ def main() -> int:
         return 0
     if sys.argv[1:] == ["tokenagg"]:
         token_agg_probe(spark)
+        return 0
+    if sys.argv[1:] == ["prefixsum"]:
+        prefix_sum_probe(spark)
         return 0
 
     for n in (5_000, 50_000):

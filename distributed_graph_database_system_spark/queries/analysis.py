@@ -828,9 +828,11 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique user_id tie-break (the same discipline as
     window_distribution_funcs) — quartile membership is then identical
     across engines regardless of partitioning. Monetary uses the exact
-    decimal sum. The three global ntile windows are the fixture-scale
-    formulation; at 100 TB quartile cuts come from approx quantiles (one
-    pass) and a broadcast cut table — same downstream segment logic."""
+    decimal sum. The three global ntile windows are the fixture-scale,
+    oracle-exact formulation; the cluster-scale path is implemented in
+    operators/quantile.py (one percentile_approx pass → broadcast cut
+    table, no global window) with its ntile-agreement bound asserted in
+    tests/test_quantile.py."""
     from distributed_graph_database_system_spark.queries.helpers import dsum
 
     e = load_table(spark, sf_dir, "events")

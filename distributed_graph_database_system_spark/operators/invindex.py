@@ -1,0 +1,68 @@
+"""Persisted inverted index: token → postings, stored partitioned by a
+token-hash shard so a term lookup prunes to ONE partition directory.
+
+Same storage discipline as the persisted ANN indexes
+(operators/similarity.py write_srp_index / write_ivf_index): the index is
+plain hive-partitioned parquet, the probe is a partition-pruned scan
+(PartitionFilters in the scan node — asserted in tests/test_invindex.py),
+so a term lookup over a 100 TB corpus reads 1/shards of the index plus
+parquet row-group skipping on the token column inside the shard — never
+the corpus and never the whole index.
+
+Sharding by hash(token) rather than by token keeps directory counts
+bounded (shards dirs, not |vocab| dirs — a million tiny directories is
+its own scale failure) while still pruning lookups to one directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    shards: int = 64,
+) -> DataFrame:
+    """Postings rows ``(shard, tok, doc_id, tf)`` — one shuffle on the
+    (token, doc) key with map-side partial counts."""
+    u = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    return (
+        u.groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("tok"), F.lit(shards)).cast("int")
+        )
+    )
+
+
+def write_inverted_index(postings: DataFrame, path: str) -> None:
+    postings.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def lookup_token(
+    spark: SparkSession, path: str, token: str, shards: int = 64
+) -> DataFrame:
+    """One term's postings via a partition-pruned scan. The shard id is
+    computed with the SAME JVM xxhash64 as the writer (a 1-row job — the
+    hash is not reimplemented Python-side, so writer and reader cannot
+    drift), then the read filters shard = <id> AND tok = <token>: the
+    former prunes directories, the latter is pushed into the parquet scan
+    inside the shard."""
+    shard = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(token)), F.lit(shards)).cast("int").alias("s")
+        )
+        .first()["s"]
+    )
+    return (
+        spark.read.parquet(path)
+        .where((F.col("shard") == shard) & (F.col("tok") == token))
+        .select("tok", "doc_id", "tf")
+    )

@@ -362,9 +362,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: token → (document frequency, total
     term frequency, head of the sorted posting list) — the build step
     behind any lexical search over the corpus. One shuffle on the token
-    key; posting lists are collect_set + sort_array per token (at 100 TB,
-    written out partitioned by a token-hash prefix so a term lookup prunes
-    to one partition — the layout pattern of sources/layout.py). The
+    key; posting lists are collect_set + sort_array per token. The
+    persisted form is operators/invindex.py: postings written
+    hive-partitioned by a token-hash shard, term lookups partition-pruned
+    to one directory (PartitionFilters asserted in
+    tests/test_invindex.py). The
     10-element head is serialized as a CSV string: the parity hash then
     compares scalar columns only, no nested-type hashing dependency."""
     u = _tokens(spark, sf_dir).select("doc_id", F.explode("t").alias("tok"))

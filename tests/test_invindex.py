@@ -1,0 +1,54 @@
+"""Persisted inverted index: lookup correctness + partition-pruned scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.operators.invindex import (
+    build_postings,
+    lookup_token,
+    write_inverted_index,
+)
+
+
+def test_lookup_matches_direct_computation_and_prunes(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "invindex")
+    write_inverted_index(build_postings(docs, shards=16), path)
+
+    token = "vector"
+    got = {
+        (r.doc_id, r.tf)
+        for r in lookup_token(spark, path, token, shards=16).collect()
+    }
+    want = {
+        (r.doc_id, r.tf)
+        for r in docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .where(F.col("tok") == token)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+        .collect()
+    }
+    assert got == want and got
+
+    plan = (
+        lookup_token(spark, path, token, shards=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the shard predicate must land in PartitionFilters (directory pruning)
+    # and the token predicate in PushedFilters (row-group skipping)
+    assert "PartitionFilters: [" in plan and "shard" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    assert "EqualTo(tok," in plan, plan
+
+
+def test_unknown_token_lookup_is_empty_not_an_error(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "invindex2")
+    write_inverted_index(build_postings(docs, shards=8), path)
+    assert lookup_token(spark, path, "xyzzy-never", shards=8).isEmpty()

@@ -299,3 +299,90 @@ def shuffle_count(df: DataFrame) -> int:
     ``(n) Exchange`` nodes; broadcast exchanges (``BroadcastExchange``)
     are not shuffles and don't match."""
     return len(re.findall(r"\(\d+\)\s+Exchange\b", physical_plan(df)))
+
+
+def surgical_delete(
+    spark: SparkSession, path: str, predicate
+) -> dict[str, int]:
+    """Delete rows matching ``predicate`` from a hive-partitioned parquet
+    dataset by rewriting ONLY the partition directories that contain
+    matching rows — the right-to-be-forgotten / GDPR-delete pattern. On a
+    100 TB day-partitioned table, deleting one user touches the handful of
+    day directories that user appears in; every other directory's files
+    are left bit-for-bit untouched (asserted by inode/mtime in
+    tests/test_layout.py).
+
+    Steps: (1) one pruned-projection scan finds the affected partition
+    tuples; (2) the surviving rows of ONLY those partitions are rewritten
+    via dynamic partition overwrite; (3) partitions whose every row
+    matched the predicate end EMPTY — dynamic overwrite writes nothing
+    there, so their directories are removed explicitly through the Hadoop
+    FileSystem API (same routing as :func:`compact`).
+
+    Returns ``{"deleted_rows", "rewritten_partitions",
+    "removed_partitions"}``. Unpartitioned datasets are refused rather
+    than silently rewritten in full — the caller should use a plain
+    filtered write for those.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    part_cols, _ = _partition_layout(fs, hpath)
+    if not part_cols:
+        raise ValueError(
+            "surgical_delete: dataset has no hive partitions — a targeted "
+            "rewrite is impossible; use a filtered full rewrite instead"
+        )
+    df = spark.read.parquet(path)
+    affected = df.where(predicate).select(*part_cols).distinct().collect()
+    if not affected:
+        return {
+            "deleted_rows": 0,
+            "rewritten_partitions": 0,
+            "removed_partitions": 0,
+        }
+
+    def tuple_match(row):
+        return reduce(
+            lambda a, b: a & b,
+            (F.col(c).eqNullSafe(F.lit(row[c])) for c in part_cols),
+        )
+
+    in_affected = reduce(
+        lambda a, b: a | b, (tuple_match(r) for r in affected)
+    )
+    deleted = df.where(in_affected & predicate).count()
+    survivors = df.where(in_affected & ~predicate)
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        survivors.write.partitionBy(*part_cols).mode("overwrite").parquet(
+            path
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+    # dynamic overwrite only rewrites partitions it has rows for — a
+    # fully-deleted partition keeps its old files unless removed here
+    survived = {
+        tuple(r[c] for c in part_cols)
+        for r in survivors.select(*part_cols).distinct().collect()
+    }
+    removed = 0
+    for r in affected:
+        if tuple(r[c] for c in part_cols) in survived:
+            continue
+        sub = "/".join(f"{c}={r[c]}" for c in part_cols)
+        if fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}"), True):
+            removed += 1
+    return {
+        "deleted_rows": int(deleted),
+        "rewritten_partitions": len(affected) - removed,
+        "removed_partitions": removed,
+    }

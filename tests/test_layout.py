@@ -236,3 +236,90 @@ def test_sorted_within_partitions_keeps_rows(spark, sf_dir):
     assert s.count() == e.count()
     # no shuffle added: sortWithinPartitions is a local sort
     assert layout.shuffle_count(s) == 0
+
+
+def test_surgical_delete_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
+    """GDPR-style delete: rows gone, survivors intact, partitions without
+    matches keep their files bit-for-bit (same names + mtimes), and a
+    fully-matching partition's directory is removed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.sources.layout import surgical_delete
+
+    path = str(tmp_path / "events_by_day")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    )
+    # craft one partition whose EVERY row belongs to the target user
+    target = e.orderBy("event_id").first()["user_id"]
+    e = e.withColumn(
+        "day",
+        F.when(F.col("user_id") == target, F.lit("1970-01-01").cast("date")).otherwise(
+            F.col("day")
+        ),
+    )
+    e.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    def file_state():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = file_state()
+    n_target = spark.read.parquet(path).where(F.col("user_id") == target).count()
+    assert n_target > 0
+
+    stats = surgical_delete(spark, path, F.col("user_id") == target)
+    assert stats["deleted_rows"] == n_target
+    assert stats["removed_partitions"] >= 1  # the crafted all-target day
+
+    after_df = spark.read.parquet(path)
+    assert after_df.where(F.col("user_id") == target).count() == 0
+    assert (
+        after_df.count()
+        == spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id") != target)
+        .count()
+    )
+
+    # untouched partitions: identical file paths AND mtimes
+    after = file_state()
+    touched_dirs = {
+        os.path.dirname(p) for p in set(before) ^ set(after)
+    } | {
+        os.path.dirname(p)
+        for p in set(before) & set(after)
+        if before[p] != after[p]
+    }
+    all_dirs = {os.path.dirname(p) for p in before}
+    assert touched_dirs and len(touched_dirs) < len(all_dirs)
+    untouched = all_dirs - touched_dirs
+    for p, m in before.items():
+        if os.path.dirname(p) in untouched:
+            assert after.get(p) == m, p
+
+    # idempotent second call: no matches, nothing rewritten
+    stats2 = surgical_delete(spark, path, F.col("user_id") == target)
+    assert stats2 == {
+        "deleted_rows": 0,
+        "rewritten_partitions": 0,
+        "removed_partitions": 0,
+    }
+
+
+def test_surgical_delete_refuses_unpartitioned(spark, sf_dir, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.sources.layout import surgical_delete
+
+    path = str(tmp_path / "flat")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(path)
+    with pytest.raises(ValueError, match="no hive partitions"):
+        surgical_delete(spark, path, F.col("user_id") == 1)

@@ -858,3 +858,46 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_users") >= 3)
         .orderBy(F.desc("n_users"), "segment")
     )
+
+
+# --- Join-strategy hints ----------------------------------------------------
+
+
+@query(
+    "join_hash_hinted",
+    oracle="""
+    SELECT l.l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+    tags=("join", "hints", "shuffle-hash"),
+)
+def join_hash_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join under an explicit SHUFFLE_HASH hint — the join-
+    strategy control surface. When both sides are too big to broadcast,
+    Spark defaults to sort-merge; hashing the (smaller) build side skips
+    BOTH sort passes — the right call when the build side fits an
+    executor's memory per partition but not the broadcast threshold.
+    Semantics are identical to the unhinted join (the oracle is plain
+    SQL); tests/test_plans.py asserts the plan actually honors the hint
+    (ShuffledHashJoin, no SortMergeJoin)."""
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .hint("shuffle_hash")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )

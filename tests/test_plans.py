@@ -187,3 +187,24 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_
     j = f.join(d, "day").groupBy("day").agg(F.sum("value").alias("sv"))
     p = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in p.lower(), p[:2000]
+
+
+def test_shuffle_hash_hint_is_honored(plans, spark, sf_dir):
+    """The hinted join must plan as ShuffledHashJoin — not SMJ (whose two
+    sort passes the hint exists to skip) and not broadcast (which would
+    make the hint moot). Checked with broadcast suppressed so the fixture
+    sizes can't promote the build side."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.queries.registry import all_queries
+    from distributed_graph_database_system_spark.sources.layout import physical_plan
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = ns.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = ns.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderstatus") == "F"
+    ).hint("shuffle_hash")
+    p = physical_plan(li.join(o, li["l_orderkey"] == o["o_orderkey"]))
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p

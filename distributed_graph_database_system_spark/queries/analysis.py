@@ -901,3 +901,110 @@ def join_hash_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- Interval overlap join --------------------------------------------------
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+             ts
+      FROM gaps
+    ), sessions AS (
+      SELECT user_id, session_id,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM sess GROUP BY user_id, session_id
+    ), incidents AS (
+      SELECT event_id,
+             ts - INTERVAL 30 MINUTE AS i_start,
+             ts + INTERVAL 30 MINUTE AS i_end
+      FROM events WHERE event_type = 'error' AND event_id % 50 = 0
+    )
+    SELECT i.event_id,
+           COUNT(*) AS n_sessions,
+           COUNT(DISTINCT s.user_id) AS n_users
+    FROM incidents i JOIN sessions s
+      ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    GROUP BY i.event_id ORDER BY i.event_id
+    """,
+    tags=("join", "interval", "overlap"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP join: user sessions (gap-sessionized) × incident
+    windows (±30 min around sampled error events) — which sessions were
+    exposed to which incident. The oracle is the naive inequality join
+    (correct, quadratic); the Spark plan is the scalable GRID-BUCKET
+    shape: each interval explodes to the hour buckets it touches, the
+    join is an EQUI join on the hour, duplicate (incident, session) hits
+    from multi-hour spans are dedup'd, and the true overlap predicate is
+    re-checked as a residual — same discipline as join_range_bucketed,
+    extended to interval×interval. Shuffle volume is O(rows × avg hours
+    per interval), never |sessions| × |incidents|."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    incidents = e.where(
+        (F.col("event_type") == "error") & (F.col("event_id") % 50 == 0)
+    ).select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTE")).alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("i_end"),
+    )
+
+    def hourly(df, start, end):
+        return df.withColumn(
+            "_h",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", F.col(start)),
+                    F.date_trunc("hour", F.col(end)),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ),
+        )
+
+    cand = (
+        hourly(sessions, "s_start", "s_end")
+        .join(hourly(incidents, "i_start", "i_end"), "_h")
+        .drop("_h")
+        .distinct()  # a pair may meet in several shared hour buckets
+        .where(
+            (F.col("s_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("s_end"))
+        )
+    )
+    return (
+        cand.groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_id")
+    )

@@ -962,3 +962,52 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
     return wedges.join(closing, ["x", "y"]).agg(F.count("*").alias("n_triangles"))
+
+
+def find_motif(edges: DataFrame, pattern: str) -> DataFrame:
+    """Graph pattern (motif) matching: ``pattern`` is a semicolon-separated
+    list of directed edge atoms over named vertex variables, e.g.
+    ``"a->b; b->c; a->c"`` (feed-forward triangle) or ``"a->b; c->b"``
+    (convergence). Returns the DISTINCT variable bindings, one column per
+    variable — the declarative traversal surface a graph database exposes
+    beyond single-source walks (the reference's BFS/DFS are the special
+    cases ``"a->b"`` chained from a fixed start).
+
+    Compilation is joins, nothing else: each atom is the edge table
+    re-aliased to its variables; atoms sharing a bound variable join on
+    it (equi-join on the shared columns); an atom sharing nothing would
+    be a cross product and is rejected — connect patterns explicitly.
+    Variables may bind the same vertex (standard motif semantics); add
+    ``WHERE`` filters on the result for inequality constraints. Catalyst
+    reorders the equi-join chain like any other multi-join; at 100 TB the
+    same degree-ordering trick as triangle_count applies by orienting the
+    pattern's atoms along ascending selectivity."""
+    import re as _re
+
+    atoms: list[tuple[str, str]] = []
+    for part in pattern.split(";"):
+        m = _re.fullmatch(r"\s*(\w+)\s*->\s*(\w+)\s*", part)
+        if m is None:
+            raise ValueError(f"find_motif: bad edge atom {part!r}")
+        atoms.append((m.group(1), m.group(2)))
+    if not atoms:
+        raise ValueError("find_motif: empty pattern")
+    e = edges.select("src", "dst")
+    result = None
+    bound: set[str] = set()
+    for x, y in atoms:
+        if x == y:
+            raise ValueError(f"find_motif: self-loop atom {x}->{y} not supported")
+        step = e.select(F.col("src").alias(x), F.col("dst").alias(y))
+        if result is None:
+            result = step
+        else:
+            common = sorted(bound & {x, y})
+            if not common:
+                raise ValueError(
+                    f"find_motif: atom {x}->{y} shares no variable with "
+                    "the pattern so far — connect atoms or run separately"
+                )
+            result = result.join(step, common)
+        bound |= {x, y}
+    return result.select(*sorted(bound)).distinct()

@@ -453,3 +453,52 @@ def graph_two_hop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_two_hop"))
         .orderBy("vid")
     )
+
+
+@query(
+    "graph_motif_feedforward",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT e1.src AS a, COUNT(*) AS n_motifs
+    FROM e e1 JOIN e e2 ON e1.dst = e2.src
+              JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    GROUP BY e1.src ORDER BY a
+    """,
+    tags=("graph", "motif", "pattern-matching", "fixture-derived"),
+)
+def graph_motif_feedforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative motif query 'a->b; b->c; a->c' (feed-forward triangle)
+    over the canonically-oriented co-supply graph, compiled to joins by
+    operators/graph.py find_motif — the pattern-matching surface of a
+    graph database, checked against a plain three-way self-join oracle.
+    On the src<dst orientation each triangle binds exactly once, so
+    per-vertex motif counts equal oriented triangle ownership."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        find_motif,
+    )
+
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    m = find_motif(e, "a->b; b->c; a->c")
+    return (
+        m.groupBy("a").agg(F.count("*").alias("n_motifs")).orderBy("a")
+    )

@@ -675,3 +675,35 @@ def test_topo_levels_matches_python_reference_on_random_dags(spark, seed):
         ).collect()
     }
     assert got == {(v, lv) for v, lv in level.items()}
+
+
+# --- motif (pattern) matching ----------------------------------------------
+
+
+def test_find_motif_patterns_and_errors(spark):
+    from distributed_graph_database_system_spark.operators.graph import find_motif
+    from distributed_graph_database_system_spark.queries.graph import G2
+
+    e = _edge_df(spark, G2)  # (1,2)(1,3)(2,4)(3,4)(4,5)(5,6)(6,4)
+    # convergence "a->b; c->b": pairs of distinct-or-equal parents per child
+    conv = {
+        (r.a, r.b, r.c) for r in find_motif(e, "a->b; c->b").collect()
+    }
+    assert (2, 4, 3) in conv and (3, 4, 2) in conv  # 2→4 ← 3
+    assert (6, 4, 2) in conv  # cycle edge 6→4 converges with 2→4
+
+    # 2-hop chain binds through the middle variable
+    chain = {(r.a, r.b, r.c) for r in find_motif(e, "a->b; b->c").collect()}
+    assert (1, 2, 4) in chain and (4, 5, 6) in chain and (5, 6, 4) in chain
+
+    # feed-forward triangle: none exists in G2
+    assert find_motif(e, "a->b; b->c; a->c").isEmpty()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad edge atom"):
+        find_motif(e, "a=>b")
+    with _pytest.raises(ValueError, match="shares no variable"):
+        find_motif(e, "a->b; c->d")
+    with _pytest.raises(ValueError, match="self-loop"):
+        find_motif(e, "a->a")

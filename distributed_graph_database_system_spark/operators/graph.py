@@ -1011,3 +1011,133 @@ def find_motif(edges: DataFrame, pattern: str) -> DataFrame:
             result = result.join(step, common)
         bound |= {x, y}
     return result.select(*sorted(bound)).distinct()
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_iter: int = 100
+) -> DataFrame:
+    """Strongly connected components of a digraph: ``(vid, scc)`` with
+    ``scc`` = the component's minimum vertex id. Distributed
+    trim-and-color (FW-BW-Trim family — Hong et al., PPoPP'13 /
+    Orzan's coloring): per outer round,
+
+    1. TRIM: a vertex with no in-edge or no out-edge in the remaining
+       graph cannot lie on a cycle — peel it as a singleton SCC; repeat
+       until stable (this alone dissolves DAG regions, the failure mode
+       that makes pure coloring O(n) rounds on chains);
+    2. COLOR: propagate the maximum vertex id forward to a fixpoint —
+       color(v) = max id that reaches v (including itself). Vertices
+       whose color equals their own id are roots;
+    3. BACKWARD: frontier-join from each root along REVERSED edges,
+       restricted to its own color class — everything reached both
+       reaches the root (same color ⇒ forward path) and is reached from
+       it (backward walk), i.e. the root's SCC. All roots expand in the
+       same frontier (set-at-a-time), so every color class resolves one
+       SCC per outer round, in parallel.
+
+    Iterative DataFrame discipline as everywhere in this module: every
+    loop step localCheckpoints, so plans stay constant-size; each outer
+    round is O(color-diameter + scc-diameter) frontier joins.
+    """
+    e_all = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        e_all.select(F.col("src").alias("vid"))
+        .union(e_all.select(F.col("dst").alias("vid")))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "vid BIGINT, scc BIGINT")
+    e = e_all
+    for _ in range(max_iter):
+        if verts.isEmpty():
+            return out
+        # --- trim loop -----------------------------------------------------
+        while True:
+            has_out = e.select(F.col("src").alias("vid")).distinct()
+            has_in = e.select(F.col("dst").alias("vid")).distinct()
+            core = verts.join(has_out, "vid", "left_semi").join(
+                has_in, "vid", "left_semi"
+            )
+            trimmed = verts.join(core, "vid", "left_anti").localCheckpoint()
+            if trimmed.isEmpty():
+                break
+            out = out.union(
+                trimmed.select("vid", F.col("vid").alias("scc"))
+            ).localCheckpoint()
+            verts = core.localCheckpoint()
+            e = (
+                e.join(verts.select(F.col("vid").alias("src")), "src", "left_semi")
+                .join(verts.select(F.col("vid").alias("dst")), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+        if verts.isEmpty():
+            return out
+        # --- color: forward max-id propagation to fixpoint -----------------
+        colors = verts.select("vid", F.col("vid").alias("color")).localCheckpoint()
+        for _c in range(max_iter):
+            incoming = (
+                e.join(colors.select(F.col("vid").alias("src"), "color"), "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.max("color").alias("in_color"))
+            )
+            updated = (
+                colors.join(incoming, "vid", "left")
+                .select(
+                    "vid",
+                    F.greatest(
+                        "color", F.coalesce("in_color", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint()
+            )
+            changed = updated.alias("u").join(
+                colors.alias("c"), "vid"
+            ).where(F.col("u.color") != F.col("c.color"))
+            colors = updated
+            if changed.isEmpty():
+                break
+        else:
+            raise RuntimeError("scc: coloring did not converge")
+        # --- backward reachability from roots within color classes --------
+        roots = colors.where(F.col("vid") == F.col("color"))
+        reached = roots.select("vid", F.col("color").alias("root")).localCheckpoint()
+        frontier = reached
+        rev = e.select(F.col("dst").alias("vid"), F.col("src").alias("prev"))
+        for _b in range(max_iter):
+            step = (
+                frontier.join(rev, "vid")
+                .select(F.col("prev").alias("vid"), "root")
+                .join(
+                    colors.select("vid", F.col("color").alias("root")),
+                    ["vid", "root"],
+                    "left_semi",
+                )
+                .join(reached, ["vid", "root"], "left_anti")
+                .distinct()
+                .localCheckpoint()
+            )
+            if step.isEmpty():
+                break
+            reached = reached.union(step).localCheckpoint()
+            frontier = step
+        else:
+            raise RuntimeError("scc: backward walk did not converge")
+        # scc id = MIN member id (deterministic, orientation-free)
+        scc_min = reached.groupBy("root").agg(F.min("vid").alias("scc"))
+        found = reached.join(scc_min, "root").select("vid", "scc").localCheckpoint()
+        out = out.union(found).localCheckpoint()
+        verts = verts.join(found.select("vid"), "vid", "left_anti").localCheckpoint()
+        e = (
+            e.join(verts.select(F.col("vid").alias("src")), "src", "left_semi")
+            .join(verts.select(F.col("vid").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"scc: did not finish within {max_iter} outer rounds")

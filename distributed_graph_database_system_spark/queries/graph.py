@@ -502,3 +502,26 @@ def graph_motif_feedforward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.groupBy("a").agg(F.count("*").alias("n_motifs")).orderBy("a")
     )
+
+
+@query(
+    "graph_scc_g2",
+    oracle=(
+        "SELECT CAST(v AS BIGINT) AS vid, CAST(s AS BIGINT) AS scc "
+        "FROM (VALUES (1, 1), (2, 2), (3, 3), (4, 4), (5, 4), (6, 4)) "
+        "AS t(v, s)"
+    ),
+    tags=("graph", "scc", "trim-color"),
+)
+def graph_scc_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of G2 (the 4→5→6→4 cycle plus a DAG
+    prefix) via distributed trim-and-color (operators/graph.py
+    strongly_connected_components): trimming peels the acyclic region as
+    singletons, max-id coloring + same-color backward walk resolves the
+    cycle as one component keyed by its min member. Random-digraph parity
+    with an iterative Tarjan reference is pytest-asserted."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(_edges(spark, G2))

@@ -707,3 +707,106 @@ def test_find_motif_patterns_and_errors(spark):
         find_motif(e, "a->b; c->d")
     with _pytest.raises(ValueError, match="self-loop"):
         find_motif(e, "a->a")
+
+
+# --- strongly connected components ------------------------------------------
+
+
+def py_sccs(vertices, edge_rows):
+    """Iterative Tarjan; returns {vid: min-member-of-its-scc}."""
+    adj = {}
+    for s, d in edge_rows:
+        adj.setdefault(s, []).append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    out = {}
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+
+    for v in sorted(vertices):
+        if v not in index:
+            strongconnect(v)
+    return out
+
+
+def test_scc_goldens(spark):
+    from distributed_graph_database_system_spark.operators.graph import (
+        strongly_connected_components,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G2, G3
+
+    got = {
+        (r.vid, r.scc)
+        for r in strongly_connected_components(_edge_df(spark, G2)).collect()
+    }
+    assert got == {(1, 1), (2, 2), (3, 3), (4, 4), (5, 4), (6, 4)}
+    # pure DAG: all singletons (resolved entirely by trimming)
+    got3 = {
+        (r.vid, r.scc)
+        for r in strongly_connected_components(_edge_df(spark, G3)).collect()
+    }
+    assert got3 == {(1, 1), (2, 2), (3, 3), (4, 4)}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_scc_matches_tarjan_on_random_digraphs(spark, seed):
+    from distributed_graph_database_system_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    rng = random.Random(seed)
+    n = 25
+    edges = sorted(
+        {
+            (rng.randint(1, n), rng.randint(1, n))
+            for _ in range(60)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    verts = {v for e in edges for v in e}
+    want = py_sccs(verts, edges)
+    got = {
+        r.vid: r.scc
+        for r in strongly_connected_components(
+            _edge_df(spark, edges)
+        ).collect()
+    }
+    assert got == want

@@ -249,6 +249,34 @@ def main() -> int:
     if sys.argv[1:] == ["prefixsum"]:
         prefix_sum_probe(spark)
         return 0
+    if sys.argv[1:] == ["scc"]:
+        from distributed_graph_database_system_spark.operators.graph import (
+            strongly_connected_components,
+        )
+
+        # 1M-edge random digraph over 100k vertices (mean degree 10 in+out):
+        # far above the strong-connectivity threshold, so trim+color should
+        # resolve a giant SCC plus a small fringe in very few outer rounds.
+        n_v, n_e = 100_000, 1_000_000
+        re_edges = (
+            spark.range(n_e)
+            .select(
+                (F.pmod(F.xxhash64("id"), F.lit(n_v)) + 1).alias("src"),
+                (F.pmod(F.xxhash64(F.col("id") + 7_777_777), F.lit(n_v)) + 1).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        re_edges.write.mode("overwrite").parquet("/tmp/scale_scc_edges")
+        e = spark.read.parquet("/tmp/scale_scc_edges")
+        t0 = time.perf_counter()
+        scc = strongly_connected_components(e).localCheckpoint()
+        n_comp = scc.select("scc").distinct().count()
+        giant = scc.groupBy("scc").count().agg(F.max("count")).first()[0]
+        print(
+            f"scc 1M-edge random digraph: {round(time.perf_counter() - t0, 2)}s, "
+            f"components={n_comp}, giant={giant}/{n_v}"
+        )
+        return 0
 
     for n in (5_000, 50_000):
         docs = spark.createDataFrame(

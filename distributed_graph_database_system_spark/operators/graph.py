@@ -1141,3 +1141,59 @@ def strongly_connected_components(
             .localCheckpoint()
         )
     raise RuntimeError(f"scc: did not finish within {max_iter} outer rounds")
+
+
+def multi_source_bfs(
+    edges: DataFrame, sources: Sequence[int], max_iter: int = 10_000
+) -> DataFrame:
+    """Distances to the NEAREST of several landmark sources in one pass:
+    returns ``(vid, level, landmark)`` where ``landmark`` is the source
+    whose BFS reached ``vid`` first (min level; ties broken by smaller
+    landmark id — deterministic). One frontier carries ALL landmarks, so
+    the cost is one BFS over the union of reach sets, not |landmarks|
+    separate traversals — the landmark-distance primitive behind
+    shortest-path sketches and nearest-facility queries.
+
+    Same per-level frontier-join + localCheckpoint discipline as
+    :func:`bfs`; the frontier rows are (vid, landmark) pairs, and a
+    vertex is visited once — by its winning landmark."""
+    if not sources:
+        raise ValueError("multi_source_bfs: need at least one source")
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").persist()
+    exhausted = True
+    try:
+        first = spark.createDataFrame(
+            [(int(s), 0, int(s)) for s in sorted(set(sources))],
+            "vid BIGINT, level INT, landmark BIGINT",
+        ).localCheckpoint()
+        visited = first
+        frontier = first.select("vid", "landmark")
+        level = 0
+        while level < max_iter:
+            level += 1
+            expanded = (
+                frontier.join(e, frontier["vid"] == e["src"])
+                .select(e["dst"].alias("vid"), "landmark")
+                .groupBy("vid")
+                .agg(F.min("landmark").alias("landmark"))  # deterministic tie
+                .join(visited.select("vid"), "vid", "left_anti")
+                .withColumn("level", F.lit(level))
+                .select("vid", "level", "landmark")
+                .localCheckpoint()
+            )
+            if not expanded.take(1):
+                exhausted = False
+                break
+            visited = visited.unionByName(expanded)
+            if level % 64 == 0:
+                visited = visited.localCheckpoint()
+            frontier = expanded.select("vid", "landmark")
+    finally:
+        e.unpersist()
+    if exhausted:
+        raise RuntimeError(
+            f"multi_source_bfs did not exhaust the frontier within "
+            f"max_iter={max_iter} levels"
+        )
+    return visited.orderBy("level", "vid")

@@ -525,3 +525,27 @@ def graph_scc_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return strongly_connected_components(_edges(spark, G2))
+
+
+@query(
+    "graph_landmark_bfs_g2",
+    oracle=(
+        "SELECT CAST(v AS BIGINT) AS vid, CAST(l AS INT) AS level, "
+        "CAST(lm AS BIGINT) AS landmark FROM (VALUES "
+        "(1, 0, 1), (5, 0, 5), (2, 1, 1), (3, 1, 1), (6, 1, 5), (4, 2, 1)"
+        ") AS t(v, l, lm)"
+    ),
+    tags=("graph", "bfs", "landmarks"),
+)
+def graph_landmark_bfs_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-landmark distances on G2 from sources {1, 5} in ONE shared
+    frontier (operators/graph.py multi_source_bfs): vertex 4 is reached at
+    level 2 by both walks and the tie resolves to the smaller landmark —
+    the hand-verified golden pins both the min-level and the tie-break
+    contract. Per-source-min equivalence on random digraphs is
+    pytest-asserted."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    return multi_source_bfs(_edges(spark, G2), [1, 5])

@@ -810,3 +810,64 @@ def test_scc_matches_tarjan_on_random_digraphs(spark, seed):
         ).collect()
     }
     assert got == want
+
+
+# --- multi-source (landmark) BFS --------------------------------------------
+
+
+def test_multi_source_bfs_nearest_landmark(spark):
+    from distributed_graph_database_system_spark.operators.graph import (
+        multi_source_bfs,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G2
+
+    # G2: 1→2,1→3,2→4,3→4,4→5,5→6,6→4; landmarks {1, 5}
+    got = {
+        (r.vid, r.level, r.landmark)
+        for r in multi_source_bfs(_edge_df(spark, G2), [1, 5]).collect()
+    }
+    assert got == {
+        (1, 0, 1),
+        (5, 0, 5),
+        (2, 1, 1),
+        (3, 1, 1),
+        (6, 1, 5),
+        (4, 2, 1),  # reached at level 2 by BOTH walks; tie → landmark 1
+    }
+
+
+def test_multi_source_bfs_matches_per_source_min(spark, seed=7):
+    from distributed_graph_database_system_spark.operators.graph import (
+        bfs,
+        multi_source_bfs,
+    )
+
+    rng = random.Random(seed)
+    n = 30
+    edges = sorted(
+        {(rng.randint(1, n), rng.randint(1, n)) for _ in range(70)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    landmarks = [3, 11, 19]
+    per = {}
+    for s in landmarks:
+        for r in bfs(_edge_df(spark, edges), s).collect():
+            cur = per.get(r.vid)
+            if cur is None or (r.level, s) < cur:
+                per[r.vid] = (r.level, s)
+    got = {
+        r.vid: (r.level, r.landmark)
+        for r in multi_source_bfs(_edge_df(spark, edges), landmarks).collect()
+    }
+    assert got == per
+
+
+def test_multi_source_bfs_rejects_empty(spark):
+    import pytest as _pytest
+
+    from distributed_graph_database_system_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    with _pytest.raises(ValueError):
+        multi_source_bfs(_edge_df(spark, [(1, 2)]), [])

@@ -39,7 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
     x = sub.add_parser(
-        "explain", help="show a registered query's physical plan (no execution)"
+        "explain",
+        help="show a registered query's physical plan without running the "
+        "final job (iterative operators still execute their intermediate "
+        "steps while building the plan)",
     )
     x.add_argument("name")
     x.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -64,8 +67,11 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="distributed_graph_database_system_spark-cli", cpus=args.cpus)
         df = registry[args.name].fn(spark, args.sf_dir)
         if args.op == "explain":
-            # plan only — lets a user audit join strategies / pushdown /
-            # Python boundaries before paying for execution
+            # plan of the RESULT DataFrame — the final job is not run.
+            # Caveat: iterative/driver-composed queries (graph loops,
+            # prefix sums, sketches) execute their intermediate jobs while
+            # the result is being constructed; only declarative queries
+            # are fully free.
             df.explain("formatted")
         else:
             df.show(args.limit, truncate=False)

@@ -890,9 +890,16 @@ def topo_levels(edges: DataFrame, max_iter: int = 10_000) -> DataFrame:
                 "topo_levels: graph has a cycle (no zero-in-degree vertex "
                 f"among {verts.count()} remaining)"
             )
+        # lazy union of already-checkpointed per-round frames (the bfs
+        # `visited` discipline): re-checkpointing the accumulator every
+        # round would rematerialize all previously-peeled rows per round —
+        # O(V × depth) on deep DAGs. Compact every 64 rounds to bound the
+        # union plan instead.
         out = out.union(
             sources.select("vid", F.lit(level).alias("topo_level"))
-        ).localCheckpoint()
+        )
+        if level % 64 == 63:
+            out = out.localCheckpoint()
         verts = verts.join(sources, "vid", "left_anti").localCheckpoint()
         e = e.join(
             sources.select(F.col("vid").alias("src")), "src", "left_anti"
@@ -990,8 +997,6 @@ def find_motif(edges: DataFrame, pattern: str) -> DataFrame:
         if m is None:
             raise ValueError(f"find_motif: bad edge atom {part!r}")
         atoms.append((m.group(1), m.group(2)))
-    if not atoms:
-        raise ValueError("find_motif: empty pattern")
     e = edges.select("src", "dst")
     result = None
     bound: set[str] = set()
@@ -1058,6 +1063,11 @@ def strongly_connected_components(
         if verts.isEmpty():
             return out
         # --- trim loop -----------------------------------------------------
+        # accumulator discipline (the bfs `visited` pattern): out is a lazy
+        # union of already-checkpointed per-round frames, compacted every 64
+        # rounds — re-checkpointing it per round would rematerialize every
+        # previously-peeled vertex each iteration, O(V × depth) on chains.
+        trim_round = 0
         while True:
             has_out = e.select(F.col("src").alias("vid")).distinct()
             has_in = e.select(F.col("dst").alias("vid")).distinct()
@@ -1067,9 +1077,10 @@ def strongly_connected_components(
             trimmed = verts.join(core, "vid", "left_anti").localCheckpoint()
             if trimmed.isEmpty():
                 break
-            out = out.union(
-                trimmed.select("vid", F.col("vid").alias("scc"))
-            ).localCheckpoint()
+            out = out.union(trimmed.select("vid", F.col("vid").alias("scc")))
+            trim_round += 1
+            if trim_round % 64 == 0:
+                out = out.localCheckpoint()
             verts = core.localCheckpoint()
             e = (
                 e.join(verts.select(F.col("vid").alias("src")), "src", "left_semi")
@@ -1125,7 +1136,12 @@ def strongly_connected_components(
             )
             if step.isEmpty():
                 break
-            reached = reached.union(step).localCheckpoint()
+            # lazy union of checkpointed per-level frames (bfs discipline);
+            # compact periodically so the anti-join's plan stays bounded on
+            # deep components without O(V × depth) rematerialization
+            reached = reached.union(step)
+            if _b % 64 == 63:
+                reached = reached.localCheckpoint()
             frontier = step
         else:
             raise RuntimeError("scc: backward walk did not converge")

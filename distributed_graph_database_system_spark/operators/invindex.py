@@ -41,19 +41,30 @@ def build_postings(
     )
 
 
-def write_inverted_index(postings: DataFrame, path: str) -> None:
+def write_inverted_index(
+    postings: DataFrame, path: str, shards: int = 64
+) -> None:
+    """Write the index plus a 1-row ``_meta`` sidecar recording the shard
+    count — lookups recompute the token's shard from that recorded value,
+    so a reader can never probe with a different modulus than the writer
+    used (which would return empty postings for present terms,
+    indistinguishable from token-absent). Same sidecar pattern as the IVF
+    index's persisted centroids (operators/similarity.py)."""
     postings.write.mode("overwrite").partitionBy("shard").parquet(path)
+    postings.sparkSession.createDataFrame(
+        [(int(shards),)], "shards INT"
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_meta")
 
 
-def lookup_token(
-    spark: SparkSession, path: str, token: str, shards: int = 64
-) -> DataFrame:
-    """One term's postings via a partition-pruned scan. The shard id is
+def lookup_token(spark: SparkSession, path: str, token: str) -> DataFrame:
+    """One term's postings via a partition-pruned scan. The shard modulus
+    comes from the index's own ``_meta`` sidecar and the shard id is
     computed with the SAME JVM xxhash64 as the writer (a 1-row job — the
     hash is not reimplemented Python-side, so writer and reader cannot
     drift), then the read filters shard = <id> AND tok = <token>: the
     former prunes directories, the latter is pushed into the parquet scan
     inside the shard."""
+    shards = spark.read.parquet(path.rstrip("/") + "_meta").first()["shards"]
     shard = (
         spark.range(1)
         .select(

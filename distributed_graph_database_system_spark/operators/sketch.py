@@ -33,23 +33,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def cm_sketch(
-    df: DataFrame, col: str, depth: int = 5, width: int = 1024
-) -> DataFrame:
-    """Build a count-min sketch of ``df[col]`` (nulls excluded):
-    ``(d INT, bucket INT, cnt BIGINT)`` with at most depth×width rows."""
-    rows = df.where(F.col(col).isNotNull()).select(
+def _bucketed(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
+    """THE canonical bucket assignment — explode ×depth, bucket =
+    pmod(xxhash64(value, d), width). Single definition shared by build,
+    estimate, and the streaming rollup so the hashing scheme cannot
+    silently diverge between a persisted ledger and later probes."""
+    return df.where(F.col(col).isNotNull()).select(
+        *[c for c in df.columns if c != col],
         F.col(col).alias("_v"),
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    ).select(
+        *[c for c in df.columns if c != col],
+        "_v",
+        "d",
+        F.pmod(F.xxhash64("_v", "d"), F.lit(width)).cast("int").alias("bucket"),
     )
+
+
+def cm_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 1024,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build a count-min sketch of ``df[col]`` (nulls excluded):
+    ``(*group_cols, d INT, bucket INT, cnt BIGINT)`` with at most
+    depth×width rows per group — ``group_cols`` gives one independent
+    sketch per group (e.g. per day for the streaming rollup)."""
+    keep = df.select(*group_cols, col) if group_cols else df.select(col)
     return (
-        rows.select(
-            "d",
-            F.pmod(F.xxhash64("_v", "d"), F.lit(width)).cast("int").alias(
-                "bucket"
-            ),
-        )
-        .groupBy("d", "bucket")
+        _bucketed(keep, col, depth, width)
+        .groupBy(*group_cols, "d", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
 
@@ -68,16 +83,25 @@ def cm_estimate(
     item's d buckets against the sketch and takes the MIN counter.
     Returns ``items`` columns plus ``est BIGINT``. The sketch side is
     d·w rows — always broadcast; absent (d, bucket) rows mean zero
-    collisions there, i.e. estimate 0."""
-    depth = sketch.agg(F.max("d")).first()[0] + 1
-    probes = items.select(
-        F.col(col).alias("_v"),
-        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
-    ).select(
-        "_v",
-        "d",
-        F.pmod(F.xxhash64("_v", "d"), F.lit(width)).cast("int").alias("bucket"),
-    )
+    collisions there, i.e. estimate 0.
+
+    ``width`` MUST equal the build width: probing a width-256 sketch with
+    width-1024 buckets would mostly miss the join and silently report
+    zero for real heavy hitters — the opposite of the sketch's one-sided
+    guarantee — so a bucket id at or beyond ``width`` is rejected."""
+    extremes = sketch.agg(
+        F.max("d").alias("max_d"), F.max("bucket").alias("max_b")
+    ).first()
+    if extremes["max_d"] is None:
+        # empty sketch = empty stream: every estimate is exactly 0
+        return items.withColumn("est", F.lit(0).cast("bigint"))
+    if extremes["max_b"] >= width:
+        raise ValueError(
+            f"cm_estimate: sketch has bucket {extremes['max_b']} >= width "
+            f"{width} — the sketch was built with a different width"
+        )
+    depth = extremes["max_d"] + 1
+    probes = _bucketed(items.select(col), col, depth, width)
     joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left").select(
         "_v", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )

@@ -459,9 +459,11 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              / sqrt((s.svv - s.sv * s.sv / s.n) / (s.n - 1)) AS z
       FROM events e JOIN s ON e.event_type = s.event_type
     )
-    SELECT event_id, event_type, ROUND(z, 4) AS z,
-           (abs(z) > 2.0) AS is_outlier
-    FROM z ORDER BY abs(z) DESC, event_id LIMIT 10
+    SELECT * FROM (
+      SELECT event_id, event_type, ROUND(z, 4) AS z,
+             (abs(z) > 2.0) AS is_outlier
+      FROM z
+    ) ORDER BY abs(z) DESC, event_id LIMIT 10
     """,
     tags=("dq", "outlier", "zscore"),
 )

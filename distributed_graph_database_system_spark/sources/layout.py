@@ -357,6 +357,13 @@ def surgical_delete(
     )
     deleted = df.where(in_affected & predicate).count()
     survivors = df.where(in_affected & ~predicate)
+    # Collected BEFORE the overwrite: survivors' plan re-lists source files
+    # at execution time, and running it after the rewrite has replaced the
+    # affected partitions' files would race the deleted file handles.
+    survived = {
+        tuple(r[c] for c in part_cols)
+        for r in survivors.select(*part_cols).distinct().collect()
+    }
 
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key, "static")
@@ -369,16 +376,23 @@ def surgical_delete(
         spark.conf.set(key, prev)
 
     # dynamic overwrite only rewrites partitions it has rows for — a
-    # fully-deleted partition keeps its old files unless removed here
-    survived = {
-        tuple(r[c] for c in part_cols)
-        for r in survivors.select(*part_cols).distinct().collect()
-    }
+    # fully-deleted partition keeps its old files unless removed here.
+    # Directory names use the WRITER's own escaping (ExternalCatalogUtils:
+    # special chars %-encoded, NULL → __HIVE_DEFAULT_PARTITION__) — a raw
+    # f-string would miss e.g. 'us east' → 'us%20east' and the stale files
+    # would silently survive the delete.
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+    def dirname(col: str, value) -> str:
+        if value is None:
+            return f"{esc.escapePathName(col)}=__HIVE_DEFAULT_PARTITION__"
+        return f"{esc.escapePathName(col)}={esc.escapePathName(str(value))}"
+
     removed = 0
     for r in affected:
         if tuple(r[c] for c in part_cols) in survived:
             continue
-        sub = "/".join(f"{c}={r[c]}" for c in part_cols)
+        sub = "/".join(dirname(c, r[c]) for c in part_cols)
         if fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}"), True):
             removed += 1
     return {

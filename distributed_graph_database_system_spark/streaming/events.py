@@ -345,26 +345,20 @@ def run_incremental_cms_rollup(
     contrib_path = rollup_path.rstrip("/") + "_contrib"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        contrib = (
-            batch_df.where(F.col("user_id").isNotNull())
-            .select(
-                F.to_date(F.col("ts")).alias("day"),
-                F.col("user_id").alias("_v"),
-                F.explode(
-                    F.array(*[F.lit(i) for i in range(depth)])
-                ).alias("d"),
-            )
-            .select(
-                "day",
-                "d",
-                F.pmod(F.xxhash64("_v", "d"), F.lit(width))
-                .cast("int")
-                .alias("bucket"),
-            )
-            .groupBy("day", "d", "bucket")
-            .agg(F.count("*").alias("cnt"))
-            .localCheckpoint()
+        from distributed_graph_database_system_spark.operators.sketch import (
+            cm_sketch,
         )
+
+        # THE canonical bucket pipeline (operators/sketch.py) with a per-day
+        # group — the persisted ledger must stay byte-compatible with
+        # cm_estimate probes, so the hashing scheme is defined exactly once.
+        contrib = cm_sketch(
+            batch_df.select(F.to_date(F.col("ts")).alias("day"), "user_id"),
+            "user_id",
+            depth=depth,
+            width=width,
+            group_cols=("day",),
+        ).localCheckpoint()
         days = [r["day"] for r in contrib.select("day").distinct().collect()]
         if not days:
             return

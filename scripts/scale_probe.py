@@ -33,12 +33,12 @@ def gen_docs(n: int, seed: int) -> list[tuple[int, str]]:
 
 def skew_join_probe(spark) -> None:
     """Join-side key skew — the 100×-scale killer the aggregation probe
-    (agg_salted_skew) doesn't cover. One hub key holds 80% of a 5M-row
+    (agg_salted_skew) doesn't cover. One hub key holds 80% of a 20M-row
     fact; the 100k-key dim is forced off the broadcast path (at 100 TB the
     dim side of such joins no longer fits in memory) so the join MUST
     shuffle on the skewed key. Three plans over identical inputs:
 
-      naive      — AQE skew-split off: the hub key's 4M rows land on ONE
+      naive      — AQE skew-split off: the hub key's 16M rows land on ONE
                    reducer; wall time = the straggler task.
       aqe-skew   — spark.sql.adaptive.skewJoin splits the oversized
                    partition at runtime into advisory-sized sub-splits,
@@ -200,7 +200,7 @@ def token_agg_probe(spark) -> None:
 
 
 def prefix_sum_probe(spark) -> None:
-    """Global cumulative sum at 10M rows: the one-pass window (ORDER BY
+    """Global cumulative sum at 30M rows: the one-pass window (ORDER BY
     with no PARTITION BY — every row through ONE task) vs the two-pass
     distributed prefix sum (operators/prefix.py). Identical exact-decimal
     results asserted; the wall-time gap is the single-partition-window

@@ -323,3 +323,32 @@ def test_surgical_delete_refuses_unpartitioned(spark, sf_dir, tmp_path):
     spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(path)
     with pytest.raises(ValueError, match="no hive partitions"):
         surgical_delete(spark, path, F.col("user_id") == 1)
+
+
+def test_surgical_delete_handles_escaped_partition_values(spark, tmp_path):
+    """Partition values needing hive path escaping (spaces) must still have
+    their fully-deleted directories removed — the raw-f-string failure the
+    escaping exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.sources.layout import surgical_delete
+
+    path = str(tmp_path / "escaped")
+    df = spark.createDataFrame(
+        [(1, "us east"), (2, "us east"), (3, "eu west"), (4, "eu west")],
+        "id BIGINT, region STRING",
+    )
+    df.write.partitionBy("region").mode("overwrite").parquet(path)
+    stats = surgical_delete(spark, path, F.col("region") == "us east")
+    assert stats == {
+        "deleted_rows": 2,
+        "rewritten_partitions": 0,
+        "removed_partitions": 1,
+    }
+    left = spark.read.parquet(path)
+    assert {r.region for r in left.select("region").distinct().collect()} == {
+        "eu west"
+    }
+    import os
+
+    assert not any("us" in d for d in os.listdir(path) if "=" in d)

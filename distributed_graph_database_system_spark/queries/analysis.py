@@ -1010,3 +1010,226 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- Embedding statistics: covariance + standardization ----------------------
+
+
+@query(
+    "embed_covariance",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    d4 AS (SELECT * FROM q WHERE dim <= 4),
+    n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM d4),
+    sums AS (SELECT dim, SUM(q) AS s FROM d4 GROUP BY dim),
+    prods AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j, SUM(a.q * b.q) AS spq
+      FROM d4 a JOIN d4 b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY a.dim, b.dim
+    )
+    SELECT CAST(p.dim_i AS INT) AS dim_i, CAST(p.dim_j AS INT) AS dim_j,
+           ROUND((CAST(p.spq AS DOUBLE)
+                  - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / n.n)
+                 / (n.n - 1) / 1000000000000, 8) AS cov
+    FROM prods p JOIN sums si ON p.dim_i = si.dim
+                 JOIN sums sj ON p.dim_j = sj.dim
+                 CROSS JOIN n
+    ORDER BY dim_i, dim_j
+    """,
+    tags=("llm", "embedding", "covariance"),
+)
+def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance matrix of the first 4 embedding dimensions (upper
+    triangle, long form) — the statistic behind whitening, PCA, and
+    drift monitors. Components quantize to integer micro-units before any
+    aggregation (the embed_centroids discipline), so Σq, Σq·q are exact
+    int64 sums and the covariance is one identical double expression per
+    engine — float summation order cannot flip a bit. The pair products
+    come from a vec_id self-join of the exploded (vec, dim≤4) slice:
+    reducer state is one (Σqq) per dim pair — at 768 dims that's 295k
+    accumulators, still trivially partial-aggregable; the d² pair blowup
+    is per-VECTOR rows, not per-corpus shuffle width."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d4 = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * 1_000_000)
+            .cast("bigint")
+            .alias("q"),
+        )
+        .where(F.col("dim") <= 4)
+    )
+    n = d4.agg(F.count_distinct("vec_id").alias("n"))
+    sums = d4.groupBy("dim").agg(F.sum("q").alias("s"))
+    a, b = d4.alias("a"), d4.alias("b")
+    prods = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(
+            F.col("a.dim").alias("dim_i"), F.col("b.dim").alias("dim_j")
+        )
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("spq"))
+    )
+    si = sums.select(F.col("dim").alias("dim_i"), F.col("s").alias("s_i"))
+    sj = sums.select(F.col("dim").alias("dim_j"), F.col("s").alias("s_j"))
+    return (
+        prods.join(F.broadcast(si), "dim_i")
+        .join(F.broadcast(sj), "dim_j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("dim_i").cast("int").alias("dim_i"),
+            F.col("dim_j").cast("int").alias("dim_j"),
+            F.round(
+                (
+                    F.col("spq").cast("double")
+                    - F.col("s_i").cast("double")
+                    * F.col("s_j").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+                / F.lit(1_000_000_000_000),
+                8,
+            ).alias("cov"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+@query(
+    "embed_standardize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    d2 AS (SELECT * FROM q WHERE dim <= 2),
+    stats AS (
+      SELECT dim, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS sq
+      FROM d2 GROUP BY dim
+    )
+    SELECT d2.vec_id, CAST(d2.dim AS INT) AS dim,
+           ROUND((d2.q - CAST(stats.s AS DOUBLE) / stats.n)
+                 / sqrt((stats.sq - CAST(stats.s AS DOUBLE) * stats.s / stats.n)
+                        / (stats.n - 1)), 6) AS z
+    FROM d2 JOIN stats ON d2.dim = stats.dim
+    WHERE d2.vec_id < 20
+    ORDER BY d2.vec_id, dim
+    """,
+    tags=("llm", "embedding", "standardize"),
+)
+def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-standardization of embedding components (dims 1-2,
+    first 20 vectors shown) — the whitening front-end of most embedding
+    pipelines. Mean and sample variance come from exact integer sums of
+    micro-unit quantized components; the per-value z is one identical
+    double expression both sides, rounded to 6dp. The stats dim is
+    |dims| rows, broadcast back onto the exploded stream — the same
+    broadcast-stats shape as outlier_zscore_events."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d2 = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * 1_000_000)
+            .cast("bigint")
+            .alias("q"),
+        )
+        .where(F.col("dim") <= 2)
+    )
+    stats = d2.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("sq"),
+    )
+    return (
+        d2.join(F.broadcast(stats), "dim")
+        .where(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.round(
+                (F.col("q") - F.col("s").cast("double") / F.col("n"))
+                / F.sqrt(
+                    (
+                        F.col("sq")
+                        - F.col("s").cast("double") * F.col("s") / F.col("n")
+                    )
+                    / (F.col("n") - 1)
+                ),
+                6,
+            ).alias("z"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+# --- Robust (MAD) outlier detection -----------------------------------------
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT * FROM (
+      SELECT d.event_id, d.event_type,
+             ROUND(0.6745 * (d.value - d.med) / m.mad, 4) AS robust_z
+      FROM dev d JOIN mad m ON d.event_type = m.event_type
+    ) ORDER BY abs(robust_z) DESC, event_id LIMIT 10
+    """,
+    tags=("dq", "outlier", "mad"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via median absolute deviation: the 10 most
+    extreme events by 0.6745·(v − median)/MAD within their event_type —
+    unlike the z-score screen (outlier_zscore_events), the estimator
+    itself is immune to the outliers it hunts (50% breakdown point vs 0%
+    for mean/σ). Two exact-median aggregation passes (both engines
+    interpolate even-count medians identically — proven cross-engine by
+    agg_median) with the per-type medians broadcast back; the robust z is
+    one identical double expression, ordered by its ROUNDED magnitude on
+    both sides (the outlier_zscore_events ordering discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 4
+            ).alias("robust_z"),
+        )
+        .orderBy(F.abs(F.col("robust_z")).desc(), "event_id")
+        .limit(10)
+    )

@@ -1233,3 +1233,55 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("robust_z")).desc(), "event_id")
         .limit(10)
     )
+
+
+# --- Spark 4 Python DataSource: reference graph format ----------------------
+
+
+@query(
+    "source_refgraph_roundtrip",
+    oracle="""
+    SELECT CAST(i + 1 AS BIGINT) AS src, CAST(j + 1 AS BIGINT) AS dst
+    FROM (SELECT unnest(range(0, 25)) AS i)
+    CROSS JOIN (SELECT unnest(range(0, 25)) AS j)
+    WHERE (i * 31 + j) % 7 = 0 AND i <> j
+    ORDER BY src, dst
+    """,
+    tags=("sources", "datasource-api", "reference-format"),
+)
+def source_refgraph_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own graph file format read through a Spark 4 PYTHON
+    DataSource (sources/refgraph.py): a deterministic 25-vertex adjacency
+    matrix (edge i+1→j+1 iff (31i+j) mod 7 = 0, i≠j) is written in the
+    reference text format, then loaded with
+    spark.read.format('reference_graph') — planning reads only the header;
+    matrix rows are split into real input partitions, so the format rides
+    Spark's source machinery instead of a driver-side parse. The oracle
+    regenerates the same edge set arithmetically."""
+    import os
+
+    from distributed_graph_database_system_spark.queries.helpers import (
+        scratch_dir,
+    )
+    from distributed_graph_database_system_spark.sources.refgraph import (
+        ReferenceGraphDataSource,
+        write_reference_file,
+    )
+
+    n = 25
+    edges = [
+        (i + 1, j + 1)
+        for i in range(n)
+        for j in range(n)
+        if (i * 31 + j) % 7 == 0 and i != j
+    ]
+    path = scratch_dir("refgraph", sf_dir, "graph.txt")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_reference_file(path, n, edges)
+    spark.dataSource.register(ReferenceGraphDataSource)
+    return (
+        spark.read.format("reference_graph")
+        .option("numPartitions", "4")
+        .load(path)
+        .orderBy("src", "dst")
+    )

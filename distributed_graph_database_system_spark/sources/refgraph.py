@@ -1,0 +1,96 @@
+"""Spark 4 Python DataSource for the reference's at-rest graph format.
+
+The reference stores a graph as a text file: a vertex-count line followed
+by an n×n 0/1 adjacency matrix (``primaryServer.c:43-49``, written by the
+client's ``client.c:77-94``). ``GraphStore.add_reference_file`` already
+parses it driver-side; this module exposes the SAME format through
+Spark's native source API so it composes with everything a source can —
+
+    spark.dataSource.register(ReferenceGraphDataSource)
+    edges = spark.read.format("reference_graph").load("/path/graph.txt")
+
+yielding ``(src BIGINT, dst BIGINT)`` edge rows, 1-indexed exactly like
+``secondaryServer.c:292``.
+
+Distribution: the vertex count is read from the header at planning time
+(one tiny driver-side read — the same place Spark's own file sources list
+footers), then matrix ROWS are split into ``n_partitions`` contiguous
+blocks; each task re-opens the file, seeks to its block, and emits only
+its rows' edges. A 30-vertex reference file is one partition in
+practice, but the partitioning makes the format scale-correct rather
+than driver-bound — the point of routing it through the source API.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _RowBlock(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class ReferenceGraphReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("reference_graph: .load(path) is required")
+        self.n_partitions = int(options.get("numPartitions", "4"))
+        with open(self.path) as fh:
+            first = fh.readline().split()
+        if not first:
+            raise ValueError(f"reference_graph: empty graph file {self.path}")
+        self.n = int(first[0])
+
+    def partitions(self) -> Sequence[InputPartition]:
+        n, k = self.n, max(1, min(self.n_partitions, self.n or 1))
+        if n == 0:
+            return [_RowBlock(0, 0)]
+        step = (n + k - 1) // k
+        return [_RowBlock(i, min(i + step, n)) for i in range(0, n, step)]
+
+    def read(self, partition: _RowBlock) -> Iterator[tuple[int, int]]:
+        # each task independently re-parses the (tiny) file and emits only
+        # its row block — no driver-side fan-out of matrix data
+        with open(self.path) as fh:
+            tokens = fh.read().split()
+        n = int(tokens[0])
+        cells = tokens[1:]
+        if len(cells) != n * n:
+            raise ValueError(
+                f"reference_graph: {self.path} declares {n} vertices but "
+                f"has {len(cells)} cells"
+            )
+        for i in range(partition.start, partition.end):
+            row = cells[i * n : (i + 1) * n]
+            for j, cell in enumerate(row):
+                if cell == "1":
+                    yield (i + 1, j + 1)
+
+
+class ReferenceGraphDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "reference_graph"
+
+    def schema(self) -> str:
+        return "src BIGINT, dst BIGINT"
+
+    def reader(self, schema) -> ReferenceGraphReader:
+        return ReferenceGraphReader(self.options)
+
+
+def write_reference_file(path: str, n: int, edges: Sequence[tuple[int, int]]) -> None:
+    """Emit the reference's own format (vertex count + dense 0/1 matrix,
+    1-indexed edges) — the writer-side twin used by tests and fixtures."""
+    matrix = [[0] * n for _ in range(n)]
+    for s, d in edges:
+        matrix[s - 1][d - 1] = 1
+    with open(path, "w") as fh:
+        fh.write(f"{n}\n")
+        for row in matrix:
+            fh.write(" ".join(str(c) for c in row) + "\n")

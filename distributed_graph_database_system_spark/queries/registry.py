@@ -146,12 +146,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_kcore_g6",
     "graph_lpa_g6",
     "graph_ppr_g2",
+    # late-round swap: dedup_exact and sim_topk_ann_lsh (both confirmed in
+    # r1-r3; their families keep 3 resp. 2 in-window witnesses) make room
+    # for first-time driver rows on strongly-connected components and the
+    # Spark 4 Python DataSource — 22 first-time entries total.
+    "graph_scc_g2",
+    "source_refgraph_roundtrip",
     # LLM-data-pipeline operators
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "sim_topk_ann_lsh",
     "sim_topk_ann_persisted",
     "sim_knn_join",
     "funnel_view_click_purchase",

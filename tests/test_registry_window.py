@@ -56,15 +56,15 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
         "graph_kcore_g6",
         "graph_lpa_g6",
         "graph_ppr_g2",
+        "graph_scc_g2",
     ),
+    "python_datasource": ("source_refgraph_roundtrip",),
     "llm_dedup": (
-        "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_clusters",
     ),
     "llm_similarity": (
-        "sim_topk_ann_lsh",
         "sim_topk_ann_persisted",
         "sim_knn_join",
     ),

@@ -1019,7 +1019,7 @@ def find_motif(edges: DataFrame, pattern: str) -> DataFrame:
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_iter: int = 100
+    edges: DataFrame, max_iter: int = 100, max_hops: int = 10_000
 ) -> DataFrame:
     """Strongly connected components of a digraph: ``(vid, scc)`` with
     ``scc`` = the component's minimum vertex id. Distributed
@@ -1041,18 +1041,24 @@ def strongly_connected_components(
        SCC per outer round, in parallel.
 
     Iterative DataFrame discipline as everywhere in this module: every
-    loop step localCheckpoints, so plans stay constant-size; each outer
-    round is O(color-diameter + scc-diameter) frontier joins.
+    loop step localCheckpoints, so plans stay constant-size. Two separate
+    bounds, because they measure different things: ``max_iter`` caps the
+    OUTER trim/color rounds (structurally ~number of SCC peels), while
+    ``max_hops`` caps the inner color-propagation and backward-walk loops
+    (bounded by graph diameter — the same regime as bfs's default).
     """
-    e_all = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
+    # vertices come from the UNFILTERED edge set: a vertex whose only
+    # incident edge is a self-loop is a singleton SCC and must appear in
+    # the output (trim resolves it once self-loop edges are dropped below)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
         .distinct()
         .localCheckpoint()
     )
-    verts = (
-        e_all.select(F.col("src").alias("vid"))
-        .union(e_all.select(F.col("dst").alias("vid")))
+    e_all = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
@@ -1092,7 +1098,7 @@ def strongly_connected_components(
             return out
         # --- color: forward max-id propagation to fixpoint -----------------
         colors = verts.select("vid", F.col("vid").alias("color")).localCheckpoint()
-        for _c in range(max_iter):
+        for _c in range(max_hops):
             incoming = (
                 e.join(colors.select(F.col("vid").alias("src"), "color"), "src")
                 .groupBy(F.col("dst").alias("vid"))
@@ -1121,7 +1127,7 @@ def strongly_connected_components(
         reached = roots.select("vid", F.col("color").alias("root")).localCheckpoint()
         frontier = reached
         rev = e.select(F.col("dst").alias("vid"), F.col("src").alias("prev"))
-        for _b in range(max_iter):
+        for _b in range(max_hops):
             step = (
                 frontier.join(rev, "vid")
                 .select(F.col("prev").alias("vid"), "root")

@@ -38,22 +38,34 @@ def build_postings(
         .withColumn(
             "shard", F.pmod(F.xxhash64("tok"), F.lit(shards)).cast("int")
         )
+        # the modulus TRAVELS WITH the postings: the writer records it in
+        # the _meta sidecar from this column, so no caller can declare a
+        # different shard count than the one the rows were hashed with
+        .withColumn("n_shards", F.lit(int(shards)))
     )
 
 
-def write_inverted_index(
-    postings: DataFrame, path: str, shards: int = 64
-) -> None:
+def write_inverted_index(postings: DataFrame, path: str) -> None:
     """Write the index plus a 1-row ``_meta`` sidecar recording the shard
     count — lookups recompute the token's shard from that recorded value,
     so a reader can never probe with a different modulus than the writer
     used (which would return empty postings for present terms,
-    indistinguishable from token-absent). Same sidecar pattern as the IVF
-    index's persisted centroids (operators/similarity.py)."""
-    postings.write.mode("overwrite").partitionBy("shard").parquet(path)
+    indistinguishable from token-absent). The modulus is taken from the
+    postings' own ``n_shards`` column (stamped by :func:`build_postings`),
+    never re-supplied by the caller — there is nothing to get out of sync.
+    The sidecar is written FIRST so a reader racing a re-shard sees a
+    modulus at least as new as any shard directory it can list. Same
+    sidecar pattern as the IVF index's persisted centroids
+    (operators/similarity.py)."""
+    shards = postings.select("n_shards").first()
+    if shards is None:
+        raise ValueError("write_inverted_index: empty postings")
     postings.sparkSession.createDataFrame(
-        [(int(shards),)], "shards INT"
+        [(int(shards["n_shards"]),)], "shards INT"
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_meta")
+    postings.drop("n_shards").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)
 
 
 def lookup_token(spark: SparkSession, path: str, token: str) -> DataFrame:

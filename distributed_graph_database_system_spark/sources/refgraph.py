@@ -54,22 +54,27 @@ class ReferenceGraphReader(DataSourceReader):
         return [_RowBlock(i, min(i + step, n)) for i in range(0, n, step)]
 
     def read(self, partition: _RowBlock) -> Iterator[tuple[int, int]]:
-        # each task independently re-parses the (tiny) file and emits only
-        # its row block — no driver-side fan-out of matrix data
+        # each task independently re-parses the (tiny) file through THE
+        # canonical parser (GraphStore.parse_reference_file) and emits only
+        # its row block — one validation contract for the at-rest format,
+        # whichever door it enters through: a cell that isn't an integer
+        # raises here exactly as it does on the driver-side add path, and
+        # a cell other than 0/1 is rejected rather than silently dropped.
+        from distributed_graph_database_system_spark.operators.graph import (
+            GraphStore,
+        )
+
         with open(self.path) as fh:
-            tokens = fh.read().split()
-        n = int(tokens[0])
-        cells = tokens[1:]
-        if len(cells) != n * n:
-            raise ValueError(
-                f"reference_graph: {self.path} declares {n} vertices but "
-                f"has {len(cells)} cells"
-            )
+            n, matrix = GraphStore.parse_reference_file(fh.read())
         for i in range(partition.start, partition.end):
-            row = cells[i * n : (i + 1) * n]
-            for j, cell in enumerate(row):
-                if cell == "1":
+            for j, cell in enumerate(matrix[i]):
+                if cell == 1:
                     yield (i + 1, j + 1)
+                elif cell != 0:
+                    raise ValueError(
+                        f"reference_graph: cell [{i}][{j}] = {cell}; the "
+                        "matrix must be 0/1"
+                    )
 
 
 class ReferenceGraphDataSource(DataSource):

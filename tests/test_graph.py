@@ -784,6 +784,20 @@ def test_scc_goldens(spark):
         for r in strongly_connected_components(_edge_df(spark, G3)).collect()
     }
     assert got3 == {(1, 1), (2, 2), (3, 3), (4, 4)}
+    # a vertex whose ONLY edge is a self-loop is a singleton component,
+    # not a dropped vertex
+    got_loop = {
+        (r.vid, r.scc)
+        for r in strongly_connected_components(
+            _edge_df(spark, [(1, 2), (2, 1), (3, 3)])
+        ).collect()
+    }
+    assert got_loop == {(1, 1), (2, 1), (3, 3)}
+    # a long single cycle exceeds the old conflated bound: 150 color hops
+    # must converge without raising (max_hops, not max_iter, caps them)
+    cyc = [(i, i + 1) for i in range(1, 150)] + [(150, 1)]
+    out = strongly_connected_components(_edge_df(spark, cyc)).collect()
+    assert len(out) == 150 and {r.scc for r in out} == {1}
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
@@ -794,13 +808,14 @@ def test_scc_matches_tarjan_on_random_digraphs(spark, seed):
 
     rng = random.Random(seed)
     n = 25
+    # self-loops INCLUDED: a vertex whose only edge is v→v must still come
+    # back as a singleton component
     edges = sorted(
         {
             (rng.randint(1, n), rng.randint(1, n))
             for _ in range(60)
         }
     )
-    edges = [(a, b) for a, b in edges if a != b]
     verts = {v for e in edges for v in e}
     want = py_sccs(verts, edges)
     got = {

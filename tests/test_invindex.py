@@ -14,7 +14,7 @@ from distributed_graph_database_system_spark.operators.invindex import (
 def test_lookup_matches_direct_computation_and_prunes(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     path = str(tmp_path / "invindex")
-    write_inverted_index(build_postings(docs, shards=16), path, shards=16)
+    write_inverted_index(build_postings(docs, shards=16), path)
 
     token = "vector"
     got = {
@@ -50,5 +50,5 @@ def test_lookup_matches_direct_computation_and_prunes(spark, sf_dir, tmp_path):
 def test_unknown_token_lookup_is_empty_not_an_error(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     path = str(tmp_path / "invindex2")
-    write_inverted_index(build_postings(docs, shards=8), path, shards=8)
+    write_inverted_index(build_postings(docs, shards=8), path)
     assert lookup_token(spark, path, "xyzzy-never").isEmpty()

@@ -44,5 +44,19 @@ def test_reader_rejects_malformed_files(tmp_path):
     r = ReferenceGraphReader({"path": str(p)})
     with pytest.raises(ValueError, match="cells"):
         list(r.read(r.partitions()[0]))
+    p.write_text("2\n1 0\n2 0\n")  # non-0/1 cell rejected, not dropped
+    r = ReferenceGraphReader({"path": str(p)})
+    with pytest.raises(ValueError, match="0/1"):
+        list(r.read(_all(r)))
+    p.write_text("2\n1 0\nx 0\n")  # garbage cell raises like the driver path
+    r = ReferenceGraphReader({"path": str(p)})
+    with pytest.raises(ValueError):
+        list(r.read(_all(r)))
     with pytest.raises(ValueError, match="required"):
         ReferenceGraphReader({})
+
+
+def _all(r):
+    class _Span:
+        start, end = 0, r.n
+    return _Span()

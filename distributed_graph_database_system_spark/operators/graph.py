@@ -1219,3 +1219,66 @@ def multi_source_bfs(
             f"max_iter={max_iter} levels"
         )
     return visited.orderBy("level", "vid")
+
+
+def temporal_bfs(
+    edges: DataFrame, start: int, max_iter: int = 10_000
+) -> DataFrame:
+    """Earliest-arrival reachability over a TEMPORAL graph: ``edges`` are
+    ``(src, dst, ts)`` contact events, and a path is valid only if its
+    edge timestamps are non-decreasing (you can't take a connection that
+    departed before you arrived). Returns ``(vid, arrival)`` — the
+    earliest time each vertex can be reached from ``start`` — the
+    contagion / supply-chain / information-flow primitive of temporal
+    graph analytics.
+
+    Label-correcting frontier loop: expand ``frontier ⋈ edges`` on
+    ``src = vid AND ts >= arrival``, take the MIN candidate arrival per
+    destination, keep only strict improvements over known labels.
+    Earlier arrivals dominate (any edge usable from a later arrival is
+    usable from an earlier one), so min-labels lose nothing; labels are
+    drawn from the finite edge-timestamp set and only decrease, so the
+    loop converges. Start's label is NULL-as-minus-infinity (every
+    outgoing edge qualifies). Same per-round localCheckpoint and
+    lazy-union discipline as bfs/sssp."""
+    e = edges.select("src", "dst", F.col("ts").alias("_ets"))
+    spark = edges.sparkSession
+    known = spark.createDataFrame(
+        [(int(start),)], "vid BIGINT"
+    ).select("vid", F.lit(None).cast("timestamp").alias("arrival"))
+    known = known.localCheckpoint()
+    frontier = known
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["vid"] == e["src"])
+            # NULL arrival = start's minus-infinity: every edge qualifies
+            .where(
+                F.col("arrival").isNull() | (F.col("_ets") >= F.col("arrival"))
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.min("_ets").alias("arrival"))
+        )
+        improved = (
+            cand.alias("c")
+            .join(known.alias("k"), "vid", "left")
+            .where(
+                F.col("k.arrival").isNull() & F.col("k.vid").isNull()
+                | (
+                    F.col("k.arrival").isNotNull()
+                    & (F.col("c.arrival") < F.col("k.arrival"))
+                )
+            )
+            .select("vid", F.col("c.arrival").alias("arrival"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            return known.orderBy("arrival", "vid")
+        known = (
+            known.join(improved.select("vid"), "vid", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    raise RuntimeError(
+        f"temporal_bfs did not converge within max_iter={max_iter} rounds"
+    )

@@ -549,3 +549,65 @@ def graph_landmark_bfs_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return multi_source_bfs(_edges(spark, G2), [1, 5])
+
+
+@query(
+    "graph_temporal_reachability",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             o_orderdate AS ts
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION
+      SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst,
+             l_shipdate AS ts
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), start AS (
+      SELECT o_custkey * 2 AS v FROM orders
+      WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+    ), walk(vid, arrival) AS (
+      SELECT v, TIMESTAMP '1970-01-01 00:00:00' FROM start
+      UNION
+      SELECT e.dst, e.ts
+      FROM walk w JOIN e ON e.src = w.vid AND e.ts >= w.arrival
+    )
+    SELECT w.vid,
+           CASE WHEN w.vid = (SELECT v FROM start) THEN NULL
+                ELSE MIN(w.arrival) END AS arrival
+    FROM walk w GROUP BY w.vid
+    """,
+    tags=("graph", "temporal", "reachability", "fixture-derived"),
+)
+def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival TEMPORAL reachability over the order flow: customer
+    →supplier contact events at o_orderdate, supplier→customer at
+    l_shipdate (vertex ids disjoint via 2k / 2k+1 encoding), from the
+    first order's customer. A hop is valid only with non-decreasing
+    timestamps — the supply-chain contagion question ('who could this
+    actor have influenced, respecting time?') that static reachability
+    over-approximates. Spark side: operators/graph.py temporal_bfs
+    (label-correcting min-arrival frontier loop); oracle: recursive CTE
+    enumerating all time-feasible (vertex, arrival) pairs and taking the
+    min — start's label is NULL-as-minus-infinity on both sides."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        temporal_bfs,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    e1 = j.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    e2 = j.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    edges = e1.unionByName(e2).distinct()
+    start_row = (
+        o.orderBy("o_orderkey").select("o_custkey").first()
+    )
+    return temporal_bfs(edges, int(start_row["o_custkey"]) * 2)

@@ -886,3 +886,39 @@ def test_multi_source_bfs_rejects_empty(spark):
 
     with _pytest.raises(ValueError):
         multi_source_bfs(_edge_df(spark, [(1, 2)]), [])
+
+
+# --- temporal (time-respecting) BFS -----------------------------------------
+
+
+def test_temporal_bfs_respects_time_ordering(spark):
+    from datetime import datetime as dt
+
+    from distributed_graph_database_system_spark.operators.graph import temporal_bfs
+
+    T = lambda d: dt(2024, 1, d)  # noqa: E731
+    # 1-(t3)->2-(t1)->3 is INVALID (t1 < arrival t3); 1-(t2)->4-(t5)->3 works
+    edges = [(1, 2, T(3)), (2, 3, T(1)), (1, 4, T(2)), (4, 3, T(5))]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT, ts TIMESTAMP")
+    got = {(r.vid, r.arrival) for r in temporal_bfs(df, 1).collect()}
+    assert got == {(1, None), (2, T(3)), (3, T(5)), (4, T(2))}
+
+    # equality counts: an edge departing exactly at the arrival time is legal
+    eq = [(1, 2, T(4)), (2, 3, T(4))]
+    got2 = {
+        (r.vid, r.arrival)
+        for r in temporal_bfs(
+            spark.createDataFrame(eq, "src BIGINT, dst BIGINT, ts TIMESTAMP"), 1
+        ).collect()
+    }
+    assert got2 == {(1, None), (2, T(4)), (3, T(4))}
+
+    # label correction: a later-found EARLIER arrival must replace the first
+    lc = [(1, 2, T(9)), (2, 3, T(10)), (1, 4, T(1)), (4, 3, T(2))]
+    got3 = {
+        (r.vid, r.arrival)
+        for r in temporal_bfs(
+            spark.createDataFrame(lc, "src BIGINT, dst BIGINT, ts TIMESTAMP"), 1
+        ).collect()
+    }
+    assert got3 == {(1, None), (2, T(9)), (4, T(1)), (3, T(2))}

@@ -517,12 +517,25 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Approximate distinct (HLL sketch — the 100 TB COUNT(DISTINCT)) --------
 
 
-@query("agg_approx_distinct", oracle=None, tags=("aggregation", "approx", "sketch"))
+@query(
+    "agg_approx_distinct",
+    oracle=(
+        "SELECT s AS o_orderstatus, CAST(a AS BIGINT) AS approx_custs, "
+        "CAST(e AS BIGINT) AS exact_custs FROM (VALUES "
+        "('F', 1426, 1429), ('O', 1447, 1451), ('P', 1447, 1444)"
+        ") AS t(s, a, e)"
+    ),
+    oracle_sf="0.01",
+    tags=("aggregation", "approx", "sketch"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, fixed-size sketch, one pass,
     mergeable across partitions) next to the exact count. Cross-engine
-    sketches differ → rows-only here; tests/test_breadth.py bounds the
-    relative error against the exact count."""
+    sketches differ, but HLL register-max is ORDER- and
+    PARTITIONING-INDEPENDENT for a fixed input multiset, so the estimate
+    is pinnable as a sf0.01 golden (stability across sessions verified);
+    tests/test_breadth.py additionally bounds the relative error against
+    the exact count at any SF."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),

@@ -582,7 +582,7 @@ def test_cli_list_and_query_subcommands(spark, capsys):
     assert cli.main(["list-queries"]) == 0
     out = capsys.readouterr().out
     assert "q1_pricing_summary\toracle" in out
-    assert "agg_approx_distinct\trows-only" in out
+    assert "agg_median_approx\trows-only" in out
 
     assert cli.main(["--cpus", "8", "query", "graph_kcore_g6"]) == 0
     out = capsys.readouterr().out

@@ -1285,3 +1285,66 @@ def source_refgraph_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .orderBy("src", "dst")
     )
+
+
+# --- Join cardinality estimation (sketch-based planning) ---------------------
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle=(
+        "SELECT CAST(1492 AS BIGINT) AS est_a, CAST(1494 AS BIGINT) AS est_b, "
+        "CAST(1488 AS BIGINT) AS est_union, "
+        "CAST(1498 AS BIGINT) AS est_intersection, "
+        "CAST(1500 AS BIGINT) AS exact_intersection"
+    ),
+    oracle_sf="0.01",
+    tags=("sketch", "hll", "cardinality", "planning"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct-key JOIN CARDINALITY estimation — the planning
+    question every 100 TB join asks before running: how many keys do the
+    two sides share? Build one HLL sketch per side (one pass each, 2.5 KB
+    state), union-merge them, and apply inclusion–exclusion:
+    |A∩B| ≈ |A| + |B| − |A∪B|. Here: distinct ordering customers vs the
+    customer dimension — estimate 1498 vs exact 1500 (the exact value is
+    computed alongside via a real distinct join, so the driver hash pins
+    both the estimator and its ground truth). HLL register-max is order-
+    and partitioning-invariant, so the estimates pin as sf0.01 goldens
+    exactly like agg_approx_distinct. At scale the sketches come from
+    table-maintenance jobs (the agg_hll_rollup ledger pattern) — the
+    estimate then costs two sketch reads, zero scans."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.agg(F.hll_sketch_agg("o_custkey", 12).alias("sk"))
+    b = c.agg(
+        F.hll_sketch_agg(F.col("c_custkey").cast("long"), 12).alias("sk")
+    )
+    union_est = (
+        a.unionByName(b)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"))
+    )
+    exact = (
+        o.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .join(
+            c.select(F.col("c_custkey").cast("long").alias("k")).distinct(),
+            "k",
+        )
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    return (
+        a.select(F.hll_sketch_estimate("sk").alias("est_a"))
+        .crossJoin(b.select(F.hll_sketch_estimate("sk").alias("est_b")))
+        .crossJoin(F.broadcast(union_est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            "exact_intersection",
+        )
+    )

@@ -1282,3 +1282,61 @@ def temporal_bfs(
     raise RuntimeError(
         f"temporal_bfs did not converge within max_iter={max_iter} rounds"
     )
+
+
+def longest_path_dag(
+    edges: DataFrame, max_iter: int = 10_000
+) -> DataFrame:
+    """Weighted longest (critical) path from the sources of a DAG: edges
+    are ``(src, dst, weight)``; returns ``(vid, dist)`` where ``dist`` is
+    the maximum total weight of any source→v path (0 at in-degree-0
+    vertices) — the critical-path / earliest-completion analytic of
+    scheduling, the weighted generalization of :func:`topo_levels`.
+
+    Max-relaxation frontier loop (the sssp_weighted shape with max instead
+    of min): only genuine path values propagate, improvements are
+    monotone increasing and drawn from the finite set of path sums, so on
+    a DAG the loop converges within longest-hop-count rounds. Vertices
+    unreachable from any source (including every vertex of a SOURCELESS
+    cycle) are omitted — no label exists for them. A positive-weight
+    cycle REACHABLE from a source makes labels grow forever, and the
+    ``max_iter`` guard raises rather than returning wrong output (use
+    :func:`has_cycle` to pre-check)."""
+    e = edges.select("src", "dst", "weight")
+    sources = (
+        e.select(F.col("src").alias("vid"))
+        .distinct()
+        .join(e.select(F.col("dst").alias("vid")).distinct(), "vid", "left_anti")
+    )
+    known = sources.select(
+        "vid", F.lit(0.0).cast("double").alias("dist")
+    ).localCheckpoint()
+    frontier = known
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["vid"] == e["src"])
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.max(F.col("dist") + F.col("weight")).alias("dist"))
+        )
+        improved = (
+            cand.alias("c")
+            .join(known.alias("k"), "vid", "left")
+            .where(
+                F.col("k.vid").isNull()
+                | (F.col("c.dist") > F.col("k.dist"))
+            )
+            .select("vid", F.col("c.dist").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            return known.orderBy("dist", "vid")
+        known = (
+            known.join(improved.select("vid"), "vid", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    raise RuntimeError(
+        f"longest_path_dag did not converge within max_iter={max_iter} "
+        "rounds — the input likely contains a cycle (see has_cycle)"
+    )

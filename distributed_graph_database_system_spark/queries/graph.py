@@ -611,3 +611,28 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.orderBy("o_orderkey").select("o_custkey").first()
     )
     return temporal_bfs(edges, int(start_row["o_custkey"]) * 2)
+
+
+@query(
+    "graph_critical_path_g7",
+    oracle=(
+        "SELECT CAST(v AS BIGINT) AS vid, CAST(d AS DOUBLE) AS dist "
+        "FROM (VALUES (1, 0.0), (7, 0.0), (2, 3.0), (3, 10.0), (4, 17.0), "
+        "(6, 19.0), (5, 30.0)) AS t(v, d)"
+    ),
+    tags=("graph", "critical-path", "dag", "scheduling"),
+)
+def graph_critical_path_g7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted critical path over G7 with weight(s→d) = s + d: vertex 5's
+    longest route is 7→3→6→5 (10+9+11 = 30), beating both the direct 1→5
+    skip edge (6) and the 1→3→4→5 chain — the hand-verified golden pins
+    that max-relaxation keeps the MAXIMUM path sum, not the first or
+    shortest. Exact small-integer-valued doubles; deterministic across
+    engines. Cycle inputs raise (pytest-covered) instead of looping."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        longest_path_dag,
+    )
+
+    wedges = [(s, d, float(s + d)) for s, d in G7_DAG]
+    df = spark.createDataFrame(wedges, "src BIGINT, dst BIGINT, weight DOUBLE")
+    return longest_path_dag(df)

@@ -922,3 +922,35 @@ def test_temporal_bfs_respects_time_ordering(spark):
         ).collect()
     }
     assert got3 == {(1, None), (2, T(9)), (4, T(1)), (3, T(2))}
+
+
+def test_longest_path_dag_golden_and_cycle_guard(spark):
+    from distributed_graph_database_system_spark.operators.graph import (
+        longest_path_dag,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G7_DAG
+
+    wedges = [(s, d, float(s + d)) for s, d in G7_DAG]
+    got = {
+        (r.vid, r.dist)
+        for r in longest_path_dag(
+            spark.createDataFrame(wedges, "src BIGINT, dst BIGINT, weight DOUBLE")
+        ).collect()
+    }
+    assert got == {
+        (1, 0.0), (7, 0.0), (2, 3.0), (3, 10.0), (4, 17.0), (6, 19.0), (5, 30.0)
+    }
+
+    # a SOURCELESS pure cycle has no starting label: empty result (its
+    # vertices are unreachable from any source), documented semantics
+    cyc = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0)], "src BIGINT, dst BIGINT, weight DOUBLE"
+    )
+    assert longest_path_dag(cyc, max_iter=20).isEmpty()
+    # a cycle REACHABLE from a source makes labels grow forever → raise
+    reach_cyc = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 1, 1.0)],
+        "src BIGINT, dst BIGINT, weight DOUBLE",
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        longest_path_dag(reach_cyc, max_iter=20)

@@ -1340,3 +1340,59 @@ def longest_path_dag(
         f"longest_path_dag did not converge within max_iter={max_iter} "
         "rounds — the input likely contains a cycle (see has_cycle)"
     )
+
+
+def shortest_path(
+    edges: DataFrame, start: int, end: int, max_iter: int = 10_000
+) -> DataFrame:
+    """ONE concrete shortest path start→end as ordered ``(step, vid)``
+    rows (empty result if unreachable) — the "show me the route" query a
+    graph database answers beyond bfs's distance map. Deterministic: each
+    vertex records its MINIMUM-id predecessor among first-reaching
+    neighbors, so the returned path is a pure function of the graph.
+
+    BFS with predecessor tracking (same frontier-join/localCheckpoint
+    discipline as :func:`bfs`), stopping the moment the target enters the
+    frontier; backtracking then walks the predecessor labels with one
+    1-row lookup per hop — O(path length) tiny jobs, the same bounded
+    driver-side pattern as dfs_leaves' start lookup."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").persist()
+    try:
+        known = spark.createDataFrame(
+            [(int(start), None)], "vid BIGINT, pred BIGINT"
+        ).localCheckpoint()
+        frontier = known.select("vid")
+        found = start == end
+        for _ in range(max_iter):
+            if found:
+                break
+            nxt = (
+                frontier.join(e, frontier["vid"] == e["src"])
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.min("src").alias("pred"))
+                .join(known.select("vid"), "vid", "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                return spark.createDataFrame([], "step INT, vid BIGINT")
+            known = known.unionByName(nxt).localCheckpoint()
+            frontier = nxt.select("vid")
+            found = not nxt.where(F.col("vid") == end).isEmpty()
+        else:
+            raise RuntimeError(
+                f"shortest_path did not reach {end} within {max_iter} levels"
+            )
+        # backtrack: one bounded 1-row lookup per hop
+        path = [int(end)]
+        cur = int(end)
+        while cur != start:
+            row = known.where(F.col("vid") == cur).first()
+            cur = int(row["pred"])
+            path.append(cur)
+        path.reverse()
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(path)], "step INT, vid BIGINT"
+        )
+    finally:
+        e.unpersist()

@@ -1348,3 +1348,45 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+# --- Exact percentile bands ---------------------------------------------------
+
+
+@query(
+    "agg_percentile_bands",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75,
+           ROUND(quantile_cont(value, 0.90), 4) AS p90
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("aggregation", "percentile", "exact"),
+)
+def agg_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentile bands (p25/p50/p75/p90) per event type —
+    the latency/metric-SLO summary shape. Spark's EXACT percentile (sort
+    + linear interpolation between the two straddling order statistics)
+    computes the same value as DuckDB's quantile_cont: both interpolate
+    lo + frac·(hi − lo) over identical 2-decimal inputs, one IEEE
+    expression (the 0.5 case is the proven agg_median). Exact percentile
+    sorts within each group, which is fine at |event_type| groups; the
+    one-pass sketch alternative at unbounded group counts is
+    percentile_approx (agg_median_approx) or the cut-table path in
+    operators/quantile.py."""
+    e = load_table(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(*[F.lit(q) for q in (0.25, 0.5, 0.75, 0.9)]))
+    return (
+        e.groupBy("event_type")
+        .agg(pcts.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 4).alias("p25"),
+            F.round(F.col("p")[1], 4).alias("p50"),
+            F.round(F.col("p")[2], 4).alias("p75"),
+            F.round(F.col("p")[3], 4).alias("p90"),
+        )
+        .orderBy("event_type")
+    )

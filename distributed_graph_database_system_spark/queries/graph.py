@@ -636,3 +636,23 @@ def graph_critical_path_g7(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = [(s, d, float(s + d)) for s, d in G7_DAG]
     df = spark.createDataFrame(wedges, "src BIGINT, dst BIGINT, weight DOUBLE")
     return longest_path_dag(df)
+
+
+@query(
+    "graph_shortest_path_g2",
+    oracle=(
+        "SELECT CAST(s AS INT) AS step, CAST(v AS BIGINT) AS vid "
+        "FROM (VALUES (0, 1), (1, 2), (2, 4), (3, 5), (4, 6)) AS t(s, v)"
+    ),
+    tags=("graph", "shortest-path", "reconstruction"),
+)
+def graph_shortest_path_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concrete shortest path 1→6 on G2: BFS reaches 4 at level 2 from
+    BOTH 2 and 3 — the min-predecessor tie-break makes the returned route
+    1→2→4→5→6 (never 1→3→4→5→6), which the golden pins. Unreachable and
+    start==end cases are pytest-covered."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        shortest_path,
+    )
+
+    return shortest_path(_edges(spark, G2), 1, 6)

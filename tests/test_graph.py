@@ -954,3 +954,28 @@ def test_longest_path_dag_golden_and_cycle_guard(spark):
     )
     with pytest.raises(RuntimeError, match="cycle"):
         longest_path_dag(reach_cyc, max_iter=20)
+
+
+def test_shortest_path_reconstruction(spark):
+    from distributed_graph_database_system_spark.operators.graph import (
+        shortest_path,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G2, G4
+
+    got = [
+        (r.step, r.vid)
+        for r in shortest_path(_edge_df(spark, G2), 1, 6)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == [(0, 1), (1, 2), (2, 4), (3, 5), (4, 6)]  # min-pred tie
+
+    # unreachable (G4: 1's component never reaches 4's): empty, not error
+    assert shortest_path(_edge_df(spark, G4), 1, 6).isEmpty()
+
+    # degenerate start == end: the single-vertex path
+    triv = [
+        (r.step, r.vid)
+        for r in shortest_path(_edge_df(spark, G2), 3, 3).collect()
+    ]
+    assert triv == [(0, 3)]

@@ -1379,7 +1379,10 @@ def shortest_path(
             known = known.unionByName(nxt).localCheckpoint()
             frontier = nxt.select("vid")
             found = not nxt.where(F.col("vid") == end).isEmpty()
-        else:
+        # branch on `found`, NOT for/else: if the target enters the frontier
+        # on the very last allowed iteration, the loop exhausts with
+        # found=True and for/else would wrongly raise on a found path.
+        if not found:
             raise RuntimeError(
                 f"shortest_path did not reach {end} within {max_iter} levels"
             )

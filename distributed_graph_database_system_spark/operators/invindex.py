@@ -57,11 +57,23 @@ def write_inverted_index(postings: DataFrame, path: str) -> None:
     modulus at least as new as any shard directory it can list. Same
     sidecar pattern as the IVF index's persisted centroids
     (operators/similarity.py)."""
-    shards = postings.select("n_shards").first()
-    if shards is None:
+    # ONE distinct modulus across all rows, asserted — postings assembled
+    # from builds with different shard counts would otherwise record a
+    # wrong _meta silently, making lookups return empty for present terms,
+    # exactly the failure the sidecar exists to prevent.
+    moduli = [
+        r["n_shards"]
+        for r in postings.select("n_shards").distinct().limit(2).collect()
+    ]
+    if not moduli:
         raise ValueError("write_inverted_index: empty postings")
+    if len(moduli) > 1:
+        raise ValueError(
+            "write_inverted_index: postings mix shard moduli "
+            f"{sorted(moduli)} — rebuild with one shard count"
+        )
     postings.sparkSession.createDataFrame(
-        [(int(shards["n_shards"]),)], "shards INT"
+        [(int(moduli[0]),)], "shards INT"
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_meta")
     postings.drop("n_shards").write.mode("overwrite").partitionBy(
         "shard"

@@ -50,7 +50,12 @@ def bucket_by_cuts(
     falls between cut k-1 and cut k (right-closed). ``ascending=False``
     gives bucket 1 to the LARGEST values (the rank-like orientation RFM
     scoring uses). Pure comparisons against broadcast literals — the
-    assignment pass adds no shuffle."""
+    assignment pass adds no shuffle.
+
+    NULL values get a NULL bucket — without the explicit isNotNull guard
+    every WHEN comparison is NULL and the otherwise fires, assigning NULLs
+    to bucket n (and, with ``ascending=False``, to bucket 1: missing data
+    silently awarded the best RFM-style score)."""
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
     n = len(cuts) + 1
     expr = F.lit(n)
@@ -59,4 +64,5 @@ def bucket_by_cuts(
         expr = F.when(c <= F.lit(cuts[i]), F.lit(i + 1)).otherwise(expr)
     if not ascending:
         expr = F.lit(n + 1) - expr
+    expr = F.when(c.isNotNull(), expr)
     return df.withColumn(out_col, expr.cast("int"))

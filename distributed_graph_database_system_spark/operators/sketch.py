@@ -58,26 +58,40 @@ def cm_sketch(
     group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Build a count-min sketch of ``df[col]`` (nulls excluded):
-    ``(*group_cols, d INT, bucket INT, cnt BIGINT)`` with at most
+    ``(*group_cols, d INT, bucket INT, cnt BIGINT, w INT)`` with at most
     depth×width rows per group — ``group_cols`` gives one independent
-    sketch per group (e.g. per day for the streaming rollup)."""
+    sketch per group (e.g. per day for the streaming rollup).
+
+    The build width travels WITH the sketch as the stamped ``w`` column
+    (same self-describing-state pattern as invindex.py's ``n_shards``
+    sidecar): ``cm_estimate`` derives the probe width from it instead of
+    trusting a caller parameter, because probing with the wrong width
+    mostly misses the bucket join and silently reports 0 for real heavy
+    hitters — the exact inverse of the sketch's one-sided guarantee."""
     keep = df.select(*group_cols, col) if group_cols else df.select(col)
     return (
         _bucketed(keep, col, depth, width)
         .groupBy(*group_cols, "d", "bucket")
         .agg(F.count("*").alias("cnt"))
+        .withColumn("w", F.lit(width).cast("int"))
     )
 
 
 def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Exact merge of two same-shape sketches (counters are additive)."""
+    """Exact merge of two same-shape sketches (counters are additive).
+    ``w`` is a merge key: sketches built with different widths do NOT fold
+    into one (their counters are not comparable) — the mixed rows survive
+    to ``cm_estimate``, which rejects a multi-width sketch outright."""
     return (
-        a.unionByName(b).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+        a.unionByName(b)
+        .groupBy("d", "bucket", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("d", "bucket", "cnt", "w")  # cm_sketch's column order
     )
 
 
 def cm_estimate(
-    sketch: DataFrame, items: DataFrame, col: str, width: int = 1024
+    sketch: DataFrame, items: DataFrame, col: str, width: int | None = None
 ) -> DataFrame:
     """Point-query estimates for every row of ``items[col]``: joins each
     item's d buckets against the sketch and takes the MIN counter.
@@ -85,16 +99,43 @@ def cm_estimate(
     d·w rows — always broadcast; absent (d, bucket) rows mean zero
     collisions there, i.e. estimate 0.
 
-    ``width`` MUST equal the build width: probing a width-256 sketch with
-    width-1024 buckets would mostly miss the join and silently report
-    zero for real heavy hitters — the opposite of the sketch's one-sided
-    guarantee — so a bucket id at or beyond ``width`` is rejected."""
+    The probe width is DERIVED from the sketch's stamped ``w`` column, so
+    a width-256 streaming rollup probed by a caller assuming the 1024
+    default still probes at 256 — correct by construction. An explicit
+    ``width`` argument is a cross-check only: it raises on mismatch
+    rather than overriding. Legacy sketches without ``w`` (pre-stamp
+    persisted ledgers) fall back to the argument with the one-sided
+    max-bucket guard, which catches build-width > probe-width misuse."""
     extremes = sketch.agg(
-        F.max("d").alias("max_d"), F.max("bucket").alias("max_b")
+        F.max("d").alias("max_d"),
+        F.max("bucket").alias("max_b"),
+        *(
+            [F.min("w").alias("min_w"), F.max("w").alias("max_w")]
+            if "w" in sketch.columns
+            else []
+        ),
     ).first()
     if extremes["max_d"] is None:
         # empty sketch = empty stream: every estimate is exactly 0
         return items.withColumn("est", F.lit(0).cast("bigint"))
+    if "w" in sketch.columns:
+        if extremes["min_w"] != extremes["max_w"]:
+            raise ValueError(
+                "cm_estimate: sketch mixes build widths "
+                f"{extremes['min_w']} and {extremes['max_w']} — merge only "
+                "same-width sketches"
+            )
+        if width is not None and width != extremes["max_w"]:
+            raise ValueError(
+                f"cm_estimate: caller width {width} != sketch build width "
+                f"{extremes['max_w']}"
+            )
+        width = extremes["max_w"]
+        sketch = sketch.drop("w")
+    elif width is None:
+        raise ValueError(
+            "cm_estimate: sketch has no stamped 'w' column; pass width="
+        )
     if extremes["max_b"] >= width:
         raise ValueError(
             f"cm_estimate: sketch has bucket {extremes['max_b']} >= width "

@@ -81,90 +81,84 @@ def oracle_of(name: str) -> str:
 # Covers all 30 SURVEY §2.2 rows (see tests/test_registry_window.py for the
 # row → query mapping). Order within the window is thematic, not semantic.
 #
-# This round's rotation deliberately maximizes FIRST-TIME driver evidence:
-# 20 of the 50 entries have never appeared in any CORRECTNESS_r* file.
-# Every rotated-out name keeps local parity-sweep coverage, and every §2.2
-# row keeps an in-window witness — where possible the witness is itself a
-# never-driver-checked query of the same family (e.g. the subquery row is
-# now evidenced by q2/q20/q21 instead of the thrice-confirmed
-# q16/q17/q22; graph analytics by kcore/lpa/ppr instead of cc/pagerank/
-# triangles; similarity by knn-join/persisted-index instead of
-# bruteforce/ivf). Rotated out this round: q7 q16 q17 q22
-# agg_grouping_multi window_funcs window_range_frame sort_topk
-# pandas_udf_weighted_avg graph_pagerank_g2 graph_cc_g4
-# graph_triangles_cosupply dedup_simhash dedup_embedding_near
-# sim_topk_bruteforce sim_topk_ann_ivf decontaminate_holdout
-# quality_filter_funnel.
+# Round-5 rotation: 32 of the 50 entries have NEVER appeared in any
+# CORRECTNESS_r* file (cumulative driver coverage 105/181 → 137 once this
+# window is recorded). 18 driver-seen anchors stay — one per §2.2 row
+# whose family has no never-checked member, plus the TPC-H and
+# reference-parity goldens (q1/q3/q5/q19, BFS/DFS goldens, the Python
+# DataSource roundtrip). Every rotated-out name keeps local parity-sweep
+# coverage. Rotated out this round: q2 q9 q20 q21 join_semi_anti
+# join_range_bucketed join_asof agg_grouping_flags agg_salted_skew
+# window_distribution_funcs topk_per_group scalar_funcs
+# stream_tumbling_counts json_struct_funcs higher_order_funcs
+# udtf_sentence_stats layout_bucketed_join layout_partition_pruned
+# graph_kcore_g6 graph_lpa_g6 graph_ppr_g2 graph_scc_g2
+# dedup_ngram_jaccard dedup_clusters sim_topk_ann_persisted sim_knn_join
+# funnel_view_click_purchase cohort_weekly_retention snapshot_diff_corpus
+# sample_weighted_reservoir dq_constraint_checks text_analysis.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # TPC-H shapes: q1/q3/q5/q19 stay as stable cross-round anchors
-    # (aggregation, equi-join, broadcast-join, disjunctive predicates);
-    # q2/q4/q20/q21 give the subquery-decorrelation row first-time
-    # evidence (correlated scalar MIN, EXISTS, nested IN + correlated agg,
-    # EXISTS+NOT-EXISTS self-joins); q9 replaces q7 as the multi-join
-    # breadth witness.
+    # TPC-H anchors (aggregation, equi-join, broadcast-join, disjunctive
+    # predicates) + first-time subquery/breadth witnesses: q4 (EXISTS),
+    # q15 (scalar subquery over a revenue view), q8 (8-table join).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q19_disjunctive_revenue",
-    "q2_min_cost_supplier",
-    "q9_profit_by_nation_year",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    # core relational operators
+    "q4_priority_exists",
+    "q15_top_supplier",
+    "q8_market_share",
+    # core relational operators — join variants all first-time this round
     "projection_compute",
     "filter_predicates",
-    "join_semi_anti",
     "join_theta",
-    "join_range_bucketed",
-    "join_asof",
+    "cross_join_dims",
+    "join_interval_overlap",
+    "join_semi",
+    "join_anti",
     "join_salted_skew",
-    "agg_grouping_flags",
-    "agg_salted_skew",
-    "window_distribution_funcs",
-    "topk_per_group",
+    "join_cardinality_estimate",
+    # aggregation family: exact percentile bands, HLL rollup, regression
+    # moments, grouping sets — all first-time
+    "agg_percentile_bands",
+    "agg_hll_rollup",
+    "agg_regression_stats",
+    "agg_grouping_sets",
+    "window_value_funcs",
+    "sort_limit",
     "set_ops",
-    "scalar_funcs",
-    # streaming batch twins
-    "stream_tumbling_counts",
+    # scalar families split into their per-domain first-time witnesses
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "json_funcs",
+    # streaming batch twins (session window stays as the anchor)
     "stream_session_window",
     "stream_dedup_keys",
     "join_view_purchase_window",
-    # semi-structured / higher-order / UDF / sources
-    "json_struct_funcs",
-    "higher_order_funcs",
-    "udtf_sentence_stats",
+    # sources + layout (z-order clustering scan is first-time)
     "source_roundtrips",
-    # data layout for scale: bucketed co-located join + hive partition
-    # pruning; plan shapes asserted in tests/test_layout.py
-    "layout_bucketed_join",
-    "layout_partition_pruned",
-    # graph: BFS/DFS keep their golden anchors; the analytics row gets
-    # first-time evidence for k-core, label propagation, and personalized
-    # PageRank (cc/pagerank/triangles stay sweep-verified).
+    "source_refgraph_roundtrip",
+    "layout_zorder_scan",
+    # graph: BFS/DFS reference goldens stay; analytics evidence moves to
+    # the round-4 late additions that have no driver row yet
     "graph_bfs_goldens",
     "graph_dfs_goldens",
-    "graph_kcore_g6",
-    "graph_lpa_g6",
-    "graph_ppr_g2",
-    # late-round swap: dedup_exact and sim_topk_ann_lsh (both confirmed in
-    # r1-r3; their families keep 3 resp. 2 in-window witnesses) make room
-    # for first-time driver rows on strongly-connected components and the
-    # Spark 4 Python DataSource — 22 first-time entries total.
-    "graph_scc_g2",
-    "source_refgraph_roundtrip",
+    "graph_temporal_reachability",
+    "graph_critical_path_g7",
+    "graph_shortest_path_g2",
+    "graph_topo_g7",
     # LLM-data-pipeline operators
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "sim_topk_ann_persisted",
-    "sim_knn_join",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "snapshot_diff_corpus",
-    "sample_weighted_reservoir",
-    "dq_constraint_checks",
-    "text_analysis",
+    "sim_radius_search",
+    "sketch_cm_heavy_hitters",
+    "orders_abc_pareto",
+    "text_tfidf_rank",
+    "token_pmi_bigrams",
+    "events_markov_transitions",
+    "pii_redact",
     "multimodal_decode_real",
+    "multimodal_frame_sample",
 )
 
 

@@ -313,11 +313,17 @@ def surgical_delete(
     tests/test_layout.py).
 
     Steps: (1) one pruned-projection scan finds the affected partition
-    tuples; (2) the surviving rows of ONLY those partitions are rewritten
-    via dynamic partition overwrite; (3) partitions whose every row
-    matched the predicate end EMPTY — dynamic overwrite writes nothing
-    there, so their directories are removed explicitly through the Hadoop
-    FileSystem API (same routing as :func:`compact`).
+    tuples; (2) the surviving rows of ONLY those partitions are STAGED to
+    a ``__delete_tmp`` sibling first — ``path`` itself is untouched until
+    the staged copy is fully committed (an in-place dynamic overwrite
+    would both race the survivors plan's own source files and, on a
+    failure mid-commit, lose affected partitions with no backup); (3) the
+    affected original directories are renamed aside to a recoverable
+    ``__delete_bak`` sibling, the staged survivor directories renamed in,
+    and only then is the backup deleted — :func:`compact`'s crash-safe
+    swap order, so at every intermediate step the data exists at ``path``
+    or at the backup. Fully-deleted partitions simply have no staged
+    directory to swap in.
 
     Returns ``{"deleted_rows", "rewritten_partitions",
     "removed_partitions"}``. Unpartitioned datasets are refused rather
@@ -357,26 +363,25 @@ def surgical_delete(
     )
     deleted = df.where(in_affected & predicate).count()
     survivors = df.where(in_affected & ~predicate)
-    # Collected BEFORE the overwrite: survivors' plan re-lists source files
-    # at execution time, and running it after the rewrite has replaced the
-    # affected partitions' files would race the deleted file handles.
     survived = {
         tuple(r[c] for c in part_cols)
         for r in survivors.select(*part_cols).distinct().collect()
     }
 
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        survivors.write.partitionBy(*part_cols).mode("overwrite").parquet(
-            path
-        )
-    finally:
-        spark.conf.set(key, prev)
+    # Stage survivors OUTSIDE the dataset first. An in-place dynamic
+    # overwrite would (a) race its own source files — the survivors plan
+    # re-lists `path` at execution time — and (b) on a failure during the
+    # overwrite commit, lose the affected partitions with no backup. The
+    # staged write reads `path` while it is still fully intact.
+    tmp = path.rstrip("/") + "__delete_tmp"
+    bak = path.rstrip("/") + "__delete_bak"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    fs.delete(tmp_p, True)  # stale leftovers from an earlier failed run
+    fs.delete(bak_p, True)
+    if survived:
+        survivors.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
 
-    # dynamic overwrite only rewrites partitions it has rows for — a
-    # fully-deleted partition keeps its old files unless removed here.
     # Directory names use the WRITER's own escaping (ExternalCatalogUtils:
     # special chars %-encoded, NULL → __HIVE_DEFAULT_PARTITION__) — a raw
     # f-string would miss e.g. 'us east' → 'us%20east' and the stale files
@@ -388,15 +393,32 @@ def surgical_delete(
             return f"{esc.escapePathName(col)}=__HIVE_DEFAULT_PARTITION__"
         return f"{esc.escapePathName(col)}={esc.escapePathName(str(value))}"
 
-    removed = 0
-    for r in affected:
-        if tuple(r[c] for c in part_cols) in survived:
-            continue
-        sub = "/".join(dirname(c, r[c]) for c in part_cols)
-        if fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}"), True):
-            removed += 1
+    def rename(src: str, dst: str) -> None:
+        dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+        parent = dst_p.getParent()  # nested partition cols need the parent
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(src), dst_p):
+            raise IOError(f"surgical_delete: rename {src} -> {dst} failed")
+
+    subs = {
+        tuple(r[c] for c in part_cols): "/".join(
+            dirname(c, r[c]) for c in part_cols
+        )
+        for r in affected
+    }
+    # compact()'s swap order: originals aside (recoverable), staged
+    # survivors in, and only then drop the backup — at every intermediate
+    # step each partition's data exists at `path`, `tmp`, or `bak`.
+    for sub in subs.values():
+        rename(f"{path}/{sub}", f"{bak}/{sub}")
+    for t, sub in subs.items():
+        if t in survived:
+            rename(f"{tmp}/{sub}", f"{path}/{sub}")
+    fs.delete(bak_p, True)
+    fs.delete(tmp_p, True)
     return {
         "deleted_rows": int(deleted),
-        "rewritten_partitions": len(affected) - removed,
-        "removed_partitions": removed,
+        "rewritten_partitions": len(survived),
+        "removed_partitions": len(subs) - len(survived),
     }

@@ -382,7 +382,9 @@ def run_incremental_cms_rollup(
             merged = (
                 spark.read.parquet(contrib_path)
                 .where(F.col("day").isin(days))
-                .groupBy("day", "d", "bucket")
+                # "w" rides along as a group key (constant per ledger) so the
+                # rebuilt rollup stays self-describing for cm_estimate.
+                .groupBy("day", "d", "bucket", "w")
                 .agg(F.sum("cnt").alias("cnt"))
             )
             merged.write.partitionBy("day").mode("overwrite").parquet(
@@ -396,10 +398,11 @@ def run_incremental_cms_rollup(
 
 
 def read_cms_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
-    """The per-day sketch table ``(day, d, bucket, cnt)``; feed one day's
-    rows to operators.sketch.cm_estimate for heavy-hitter queries."""
+    """The per-day sketch table ``(day, d, bucket, cnt, w)``; feed one
+    day's rows to operators.sketch.cm_estimate for heavy-hitter queries —
+    the stamped ``w`` lets the probe derive the build width."""
     return spark.read.parquet(rollup_path).select(
-        F.col("day").cast("timestamp").alias("day"), "d", "bucket", "cnt"
+        F.col("day").cast("timestamp").alias("day"), "d", "bucket", "cnt", "w"
     )
 
 

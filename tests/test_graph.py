@@ -979,3 +979,16 @@ def test_shortest_path_reconstruction(spark):
         for r in shortest_path(_edge_df(spark, G2), 3, 3).collect()
     ]
     assert triv == [(0, 3)]
+
+    # regression: target found on the LAST allowed iteration must succeed
+    # (the old for/else raised even though `found` was set)
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src BIGINT, dst BIGINT"
+    )
+    last = [
+        (r.step, r.vid)
+        for r in shortest_path(chain, 1, 3, max_iter=2).orderBy("step").collect()
+    ]
+    assert last == [(0, 1), (1, 2), (2, 3)]
+    with pytest.raises(RuntimeError, match="did not reach"):
+        shortest_path(chain, 1, 3, max_iter=1)

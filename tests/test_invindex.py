@@ -52,3 +52,17 @@ def test_unknown_token_lookup_is_empty_not_an_error(spark, sf_dir, tmp_path):
     path = str(tmp_path / "invindex2")
     write_inverted_index(build_postings(docs, shards=8), path)
     assert lookup_token(spark, path, "xyzzy-never").isEmpty()
+
+
+def test_mixed_modulus_postings_are_rejected(spark, sf_dir, tmp_path):
+    """Postings assembled from builds with different shard counts must be
+    refused — a single-modulus _meta over mixed-modulus rows makes lookups
+    return empty for present terms, the failure the sidecar prevents."""
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    mixed = build_postings(docs, shards=8).unionByName(
+        build_postings(docs, shards=16)
+    )
+    with pytest.raises(ValueError, match="mix shard moduli"):
+        write_inverted_index(mixed, str(tmp_path / "invindex_mixed"))

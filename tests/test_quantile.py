@@ -57,3 +57,18 @@ def test_descending_orientation_flips_buckets(spark, sf_dir):
     asc = bucket_by_cuts(df, "m", cuts, out_col="a", ascending=True)
     desc = bucket_by_cuts(asc, "m", cuts, out_col="d", ascending=False)
     assert desc.where(F.col("a") + F.col("d") != 5).isEmpty()
+
+
+def test_null_values_get_null_bucket_not_the_best_score(spark):
+    """NULLs must map to NULL buckets in BOTH orientations — the
+    descending orientation used to hand missing data bucket 1, the best
+    RFM-style score."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "id INT, m DOUBLE"
+    )
+    cuts = [15.0, 35.0]
+    asc = bucket_by_cuts(df, "m", cuts, out_col="a", ascending=True)
+    both = bucket_by_cuts(asc, "m", cuts, out_col="d", ascending=False)
+    rows = {r.id: (r.a, r.d) for r in both.collect()}
+    assert rows[3] == (None, None)
+    assert rows[1] == (1, 3) and rows[2] == (2, 2) and rows[4] == (3, 1)

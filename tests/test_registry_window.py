@@ -22,60 +22,57 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "filter": ("filter_predicates",),
     "join_equi": ("q3_shipping_priority",),
     "join_broadcast": ("q5_local_supplier_volume",),
-    "join_theta": ("join_theta",),
-    "join_range_asof": ("join_range_bucketed", "join_asof"),
-    "join_semi_anti": ("join_semi_anti",),
+    "join_theta": ("join_theta", "cross_join_dims"),
+    "join_range_asof": ("join_interval_overlap",),  # asof driver-seen r4
+    "join_semi_anti": ("join_semi", "join_anti"),
     "join_skew": ("join_salted_skew",),
-    "aggregation": ("q1_pricing_summary", "agg_salted_skew"),
+    "aggregation": (
+        "q1_pricing_summary",
+        "agg_percentile_bands",
+        "agg_hll_rollup",
+        "agg_regression_stats",
+    ),
     "subquery_decorrelation": (
-        "q2_min_cost_supplier",  # correlated scalar MIN → agg + equi-join
-        "q20_dominant_suppliers",  # nested IN + correlated half-sum agg
-        "q21_waiting_suppliers",  # EXISTS + NOT EXISTS self-joins
+        "q4_priority_exists",  # correlated EXISTS
+        "q15_top_supplier",  # scalar subquery over a revenue view
     ),
-    "multi_join_breadth": ("q9_profit_by_nation_year",),
+    "multi_join_breadth": ("q8_market_share",),
     "disjunctive_predicates": ("q19_disjunctive_revenue",),
-    "grouping_sets": ("agg_grouping_flags",),
-    "window_functions": ("window_distribution_funcs",),
-    "sort_limit_topk": ("topk_per_group",),
+    "grouping_sets": ("agg_grouping_sets",),
+    "window_functions": ("window_value_funcs",),
+    "sort_limit_topk": ("sort_limit",),
     "set_operations": ("set_ops",),
-    "scalar_string": ("scalar_funcs",),
-    "scalar_datetime": ("scalar_funcs",),
-    "scalar_math": ("scalar_funcs",),
-    "scalar_array_hof": ("higher_order_funcs",),
-    "scalar_json": ("json_struct_funcs",),
-    "data_layout": ("layout_bucketed_join", "layout_partition_pruned"),
-    "streaming_windows": (
-        "stream_tumbling_counts",  # sliding rotated out r6; sweep-verified
-        "stream_session_window",
-    ),
+    "scalar_string": ("string_funcs",),
+    "scalar_datetime": ("date_funcs",),
+    "scalar_math": ("math_funcs",),
+    "scalar_array_hof": ("array_funcs",),
+    "scalar_json": ("json_funcs",),
+    "data_layout": ("layout_zorder_scan",),  # bucketed/pruned driver-seen r4
+    "streaming_windows": ("stream_session_window",),  # tumbling seen r4
     "streaming_stateful_join": ("stream_dedup_keys", "join_view_purchase_window"),
-    "udf_pandas": ("udtf_sentence_stats", "multimodal_decode_real"),
-    "graph_bfs": ("graph_bfs_goldens",),
+    "udf_pandas": ("multimodal_decode_real", "multimodal_frame_sample"),
+    "graph_bfs": ("graph_bfs_goldens", "graph_temporal_reachability"),
     "graph_dfs": ("graph_dfs_goldens",),
     "graph_analytics": (
-        "graph_kcore_g6",
-        "graph_lpa_g6",
-        "graph_ppr_g2",
-        "graph_scc_g2",
+        "graph_critical_path_g7",
+        "graph_shortest_path_g2",
+        "graph_topo_g7",
     ),
     "python_datasource": ("source_refgraph_roundtrip",),
-    "llm_dedup": (
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_clusters",
-    ),
-    "llm_similarity": (
-        "sim_topk_ann_persisted",
-        "sim_knn_join",
-    ),
+    "llm_dedup": ("dedup_minhash_lsh",),  # ngram/clusters driver-seen r4
+    "llm_similarity": ("sim_radius_search",),  # knn/persisted seen r4
     "llm_pipeline": (
-        "funnel_view_click_purchase",
-        "cohort_weekly_retention",
-        "snapshot_diff_corpus",
-        "sample_weighted_reservoir",
-        "dq_constraint_checks",
+        "pii_redact",
+        "orders_abc_pareto",
+        "events_markov_transitions",
+        "sketch_cm_heavy_hitters",
+        "join_cardinality_estimate",
     ),
-    "llm_text_multimodal": ("text_analysis", "multimodal_decode_real"),
+    "llm_text_multimodal": (
+        "text_tfidf_rank",
+        "token_pmi_bigrams",
+        "multimodal_decode_real",
+    ),
 }
 
 

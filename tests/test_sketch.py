@@ -64,6 +64,32 @@ def test_cm_estimates_are_deterministic_across_builds(spark, sf_dir):
     assert e1 == e2  # partitioning must not change a deterministic sketch
 
 
+def test_cm_estimate_width_is_derived_and_mismatch_rejected(spark, sf_dir):
+    """The exact misuse the stamped ``w`` column exists to prevent: a
+    sketch built at width 256 probed assuming the 1024 default used to
+    pass the one-sided max-bucket guard (255 < 1024), miss the bucket
+    join, and report 0 for real heavy hitters. Now the build width rides
+    with the sketch: an omitted width derives 256 and estimates stay
+    one-sided-correct; a conflicting explicit width raises."""
+    import pytest
+
+    toks = _tokens(spark, sf_dir)
+    sk = cm_sketch(toks, "tok", depth=5, width=256)
+    truth = (
+        toks.groupBy("tok").agg(F.count("*").alias("true_cnt")).limit(20)
+    )
+    # derived width (no argument): never undercounts
+    for r in cm_estimate(sk, truth, "tok").collect():
+        assert r.est >= r.true_cnt
+    # explicit-but-wrong width: rejected, not silently zero
+    with pytest.raises(ValueError, match="build width"):
+        cm_estimate(sk, truth, "tok", width=1024)
+    # mixed-width merge survives the (lazy) merge but is rejected at probe
+    mixed = cm_merge(sk, cm_sketch(toks, "tok", depth=5, width=128))
+    with pytest.raises(ValueError, match="mixes build widths"):
+        cm_estimate(mixed, truth, "tok")
+
+
 def test_cm_unknown_item_estimates_bounded_by_collisions(spark, sf_dir):
     toks = _tokens(spark, sf_dir)
     sk = cm_sketch(toks, "tok", depth=5, width=1024)

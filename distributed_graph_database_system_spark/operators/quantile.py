@@ -22,7 +22,7 @@ bucket monotone in the value).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -66,3 +66,131 @@ def bucket_by_cuts(
         expr = F.lit(n + 1) - expr
     expr = F.when(c.isNotNull(), expr)
     return df.withColumn(out_col, expr.cast("int"))
+
+
+def group_quantiles_exact(
+    df: DataFrame,
+    value_col: str | Column,
+    quantiles: list[float],
+    group_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT interpolated quantiles per group with bounded per-task state —
+    the order-statistic path for groups too large for ``percentile()``'s
+    in-buffer sort OR a per-group window sort.
+
+    ``percentile()`` buffers every group's values in one aggregation
+    buffer; the agg_median window rewrite (queries/relational.py) bounds
+    memory but still sorts each group inside ONE task. This generalizes
+    both with the two-pass global-rank discipline of
+    operators/prefix.py's partitioned_prefix_sum:
+
+    1. range-repartition on ``(group, value)`` — a giant group spans many
+       partitions, each holding a contiguous value range of it;
+    2. pass 1 (parallel): row_number within ``(physical partition,
+       group)`` — window state is bounded by the PARTITION size, never the
+       group size — plus per-(partition, group) counts;
+    3. the counts table (≤ groups + partitions − 1 rows: contiguous spans
+       overlap partition boundaries only at the edges) yields each span's
+       global-rank OFFSET via a tiny window, broadcast back;
+    4. global rank = local rank + offset; the two order statistics
+       bracketing each quantile are picked out by a broadcast equi-join on
+       (group, rank) and interpolated with the SAME IEEE expression
+       Spark's percentile() and DuckDB's quantile_cont use
+       (``lo + (pos − floor(pos))·(hi − lo)``, ``pos = (n−1)·q`` double),
+       so results stay hash-identical to both.
+
+    NULL values are excluded (percentile()/quantile_cont semantics); a
+    group that is all-NULL drops out. Returns one row per group:
+    ``(*group_cols, q0 DOUBLE, q1 DOUBLE, ...)`` with one column per
+    requested quantile, named ``q_<quantile with '.' → '_'>`` (e.g. 0.25 →
+    ``q_0_25``); callers alias as needed. Ties are safe: equal values may
+    get arbitrary relative ranks, but every rank in a tie run holds the
+    same value, so the bracketed statistics are deterministic.
+    """
+    if not quantiles or not all(0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError(f"quantiles must be in [0, 1], got {quantiles!r}")
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    d = df.select(*group_cols, v.alias("_v")).where(F.col("_v").isNotNull())
+    n_parts = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = d.repartitionByRange(n_parts, *group_cols, "_v").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # pass 1: local rank within (partition, group) — parallel, bounded by
+    # partition size. Pinned (localCheckpoint): the range partitioner's
+    # sample-based boundaries feed BOTH the ranked rows and the offsets
+    # table; recomputing the subtree could place rows differently and pair
+    # ranks with offsets from a different partitioning (same hazard
+    # partitioned_prefix_sum documents).
+    local_w = W.partitionBy("_pid", *group_cols).orderBy("_v")
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(local_w) - 1
+    ).localCheckpoint()
+    counts = local.groupBy("_pid", *group_cols).agg(
+        F.count("*").alias("_c")
+    )
+    span_w = (
+        W.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        (F.sum("_c").over(span_w) - F.col("_c")).alias("_off"),
+    )
+    ranked = local.join(
+        F.broadcast(offsets), ["_pid", *group_cols]
+    ).select(*group_cols, "_v", (F.col("_lrn") + F.col("_off")).alias("_rn0"))
+
+    # per-group totals → the two bracketing indices per quantile, exploded
+    # to (group, qi, part, idx) — |groups| × |quantiles| × 2 rows, broadcast
+    totals = counts.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
+    targets = totals.select(
+        *group_cols,
+        "_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("qi"),
+                        ((F.col("_n") - 1) * F.lit(q)).alias("pos"),
+                        part_idx.alias("idx"),
+                        F.lit(part).alias("part"),
+                    )
+                    for i, q in enumerate(quantiles)
+                    for part, part_idx in (
+                        ("lo", F.floor((F.col("_n") - 1) * F.lit(q))),
+                        ("hi", F.ceil((F.col("_n") - 1) * F.lit(q))),
+                    )
+                ]
+            )
+        ).alias("t"),
+    ).select(*group_cols, "t.qi", "t.pos", "t.part", "t.idx")
+
+    picked = ranked.join(
+        F.broadcast(targets.withColumnRenamed("idx", "_rn0")),
+        [*group_cols, "_rn0"],
+    )
+    per_q = picked.groupBy(*group_cols, "qi").agg(
+        F.max("pos").alias("pos"),
+        F.max(F.when(F.col("part") == "lo", F.col("_v"))).alias("_lo"),
+        F.max(F.when(F.col("part") == "hi", F.col("_v"))).alias("_hi"),
+    )
+    interp = F.col("_lo") + (F.col("pos") - F.floor(F.col("pos"))) * (
+        F.col("_hi") - F.col("_lo")
+    )
+
+    def colname(q: float) -> str:
+        return "q_" + repr(q).replace(".", "_")
+
+    return per_q.groupBy(*group_cols).agg(
+        *[
+            F.max(F.when(F.col("qi") == i, interp)).alias(colname(q))
+            for i, q in enumerate(quantiles)
+        ]
+    )

@@ -96,9 +96,13 @@ def group_quantiles_exact(
     4. global rank = local rank + offset; the two order statistics
        bracketing each quantile are picked out by a broadcast equi-join on
        (group, rank) and interpolated with the SAME IEEE expression
-       Spark's percentile() and DuckDB's quantile_cont use
-       (``lo + (pos − floor(pos))·(hi − lo)``, ``pos = (n−1)·q`` double),
-       so results stay hash-identical to both.
+       Spark's percentile() uses (``(ceil(pos)−pos)·lo +
+       (pos−floor(pos))·hi``, ``pos = (n−1)·q`` double, lo returned
+       directly when pos is integral), so results are BIT-identical to
+       percentile() — asserted in tests/test_quantile.py. DuckDB's
+       quantile_cont interpolates as ``lo + frac·(hi−lo)``, which can
+       differ by 1 ULP; the registered queries round(4) on both sides,
+       which absorbs it (same discipline as agg_percentile_bands).
 
     NULL values are excluded (percentile()/quantile_cont semantics); a
     group that is all-NULL drops out. Returns one row per group:
@@ -110,6 +114,12 @@ def group_quantiles_exact(
     """
     if not quantiles or not all(0.0 <= q <= 1.0 for q in quantiles):
         raise ValueError(f"quantiles must be in [0, 1], got {quantiles!r}")
+    names = [_qcolname(q) for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            "quantiles must be unique and distinguishable at 6 decimal "
+            f"places (column names {names!r} collide)"
+        )
     v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
         "double"
     )
@@ -181,16 +191,27 @@ def group_quantiles_exact(
         F.max(F.when(F.col("part") == "lo", F.col("_v"))).alias("_lo"),
         F.max(F.when(F.col("part") == "hi", F.col("_v"))).alias("_hi"),
     )
-    interp = F.col("_lo") + (F.col("pos") - F.floor(F.col("pos"))) * (
-        F.col("_hi") - F.col("_lo")
+    # Spark Percentile.getPercentile: lowerValue when the position is
+    # integral, else (higher−pos)·lo + (pos−lower)·hi — reproduced exactly
+    # so the result is bit-identical to percentile().
+    pos = F.col("pos")
+    interp = F.when(F.floor(pos) == F.ceil(pos), F.col("_lo")).otherwise(
+        (F.ceil(pos) - pos) * F.col("_lo")
+        + (pos - F.floor(pos)) * F.col("_hi")
     )
-
-    def colname(q: float) -> str:
-        return "q_" + repr(q).replace(".", "_")
 
     return per_q.groupBy(*group_cols).agg(
         *[
-            F.max(F.when(F.col("qi") == i, interp)).alias(colname(q))
+            F.max(F.when(F.col("qi") == i, interp)).alias(_qcolname(q))
             for i, q in enumerate(quantiles)
         ]
     )
+
+
+def _qcolname(q: float) -> str:
+    """Deterministic, backtick-free column name for quantile ``q``:
+    fixed 6-decimal formatting (never scientific notation, never a
+    hyphen), trailing zeros stripped — 0.25 → ``q_0_25``, 1.0 → ``q_1``.
+    Quantiles that collide at 6 decimals are rejected up front."""
+    s = format(q, ".6f").rstrip("0").rstrip(".")
+    return "q_" + s.replace(".", "_")

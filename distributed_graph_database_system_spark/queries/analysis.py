@@ -36,7 +36,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from distributed_graph_database_system_spark.queries.registry import query
@@ -862,6 +862,96 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_rfm_segments_scalable",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(epoch_us(MAX(ts)) AS DOUBLE) AS rec,
+             CAST(COUNT(*) AS DOUBLE) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS rc,
+             quantile_cont(freq, [0.25, 0.5, 0.75]) AS fc,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+      FROM per_user
+    ),
+    scored AS (
+      SELECT 1 + CAST(rec > rc[1] AS INT) + CAST(rec > rc[2] AS INT)
+               + CAST(rec > rc[3] AS INT) AS r,
+             1 + CAST(freq > fc[1] AS INT) + CAST(freq > fc[2] AS INT)
+               + CAST(freq > fc[3] AS INT) AS f,
+             1 + CAST(monetary > mc[1] AS INT) + CAST(monetary > mc[2] AS INT)
+               + CAST(monetary > mc[3] AS INT) AS m
+      FROM per_user, cuts
+    )
+    SELECT r || '-' || f || '-' || m AS segment,
+           COUNT(*) AS n_users
+    FROM scored GROUP BY segment
+    HAVING COUNT(*) >= 3
+    ORDER BY n_users DESC, segment
+    """,
+    tags=("analytics", "rfm", "segmentation", "scalable"),
+)
+def events_rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-scale RFM twin of events_rfm_segments: VALUE-quartile
+    scoring against exact quartile cut tables instead of three global
+    ntile windows. Semantics differ deliberately — ntile is ordinal
+    (equal-size buckets, ties split across buckets by the tie-break
+    column), which inherently requires a global sort; value quartiles
+    (score = 1 + #cuts strictly below the value, 4 = best) depend only on
+    the three cut points, so the scoring pass is an embarrassingly
+    parallel comparison against broadcast literals. The cuts come from
+    group_quantiles_exact (operators/quantile.py) — exact order
+    statistics with bounded per-task state — so this is scalable AND
+    deterministic, and the DuckDB oracle reproduces it with quantile_cont
+    cuts. Recency is exact epoch microseconds (double-exact: 2026-era
+    values ≈ 1.8e15 µs < 2^53); cut comparisons are cross-engine-safe
+    because non-integral-position cuts interpolate at frac ≥ 0.25 between
+    distinct order statistics (both engines' expressions are exact there
+    for integer-valued dims) and integral positions return the lower
+    statistic verbatim in both engines."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        group_quantiles_exact,
+    )
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).cast("double").alias("rec"),
+        F.count("*").cast("double").alias("freq"),
+        dsum("value").alias("monetary"),
+    )
+    per_user = per_user.localCheckpoint()  # reused by 3 cut passes + scoring
+
+    def cuts3(col: str) -> list[float]:
+        row = group_quantiles_exact(
+            per_user.withColumn("_g", F.lit(1)), col, [0.25, 0.5, 0.75], ["_g"]
+        ).first()
+        return [row["q_0_25"], row["q_0_5"], row["q_0_75"]]
+
+    def score(col: str, cuts: list[float]) -> Column:
+        s = F.lit(1)
+        for c in cuts:
+            s = s + (F.col(col) > F.lit(c)).cast("int")
+        return s
+
+    scored = per_user.select(
+        score("rec", cuts3("rec")).alias("r"),
+        score("freq", cuts3("freq")).alias("f"),
+        score("monetary", cuts3("monetary")).alias("m"),
+    )
+    return (
+        scored.select(F.concat_ws("-", "r", "f", "m").alias("segment"))
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_users"))
+        .where(F.col("n_users") >= 3)
+        .orderBy(F.desc("n_users"), "segment")
+    )
+
+
 # --- Join-strategy hints ----------------------------------------------------
 
 
@@ -1390,3 +1480,44 @@ def agg_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_group_quantiles_scalable",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75,
+           ROUND(quantile_cont(value, 0.90), 4) AS p90
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("aggregation", "percentile", "exact", "scalable"),
+)
+def agg_group_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME percentile bands as agg_percentile_bands, computed through
+    the bounded-state order-statistic path (operators/quantile.py
+    group_quantiles_exact) instead of percentile()'s per-group in-buffer
+    sort: range-repartition on (group, value), local ranks + span offsets
+    → global ranks, broadcast-join the two bracketing order statistics per
+    quantile, interpolate with the identical IEEE expression. The shared
+    quantile_cont oracle is the point — a hash match here proves the
+    distributed two-pass ranking is value-identical to the sort-based
+    engines, on top of the fixture/giant-group/edge-case equivalence in
+    tests/test_quantile.py. This is the formulation that survives a group
+    too large for any single task's sort buffer."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        group_quantiles_exact,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    qs = group_quantiles_exact(
+        e, "value", [0.25, 0.5, 0.75, 0.9], ["event_type"]
+    )
+    return qs.select(
+        "event_type",
+        F.round("q_0_25", 4).alias("p25"),
+        F.round("q_0_5", 4).alias("p50"),
+        F.round("q_0_75", 4).alias("p75"),
+        F.round("q_0_9", 4).alias("p90"),
+    ).orderBy("event_type")

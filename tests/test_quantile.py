@@ -6,8 +6,11 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+import pytest
+
 from distributed_graph_database_system_spark.operators.quantile import (
     bucket_by_cuts,
+    group_quantiles_exact,
     quantile_cuts,
 )
 
@@ -72,3 +75,98 @@ def test_null_values_get_null_bucket_not_the_best_score(spark):
     rows = {r.id: (r.a, r.d) for r in both.collect()}
     assert rows[3] == (None, None)
     assert rows[1] == (1, 3) and rows[2] == (2, 2) and rows[4] == (3, 1)
+
+
+# --- group_quantiles_exact: parity with percentile() ------------------------
+
+
+QS = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+QCOLS = ["q_0", "q_0_25", "q_0_5", "q_0_75", "q_0_9", "q_1"]
+
+
+def _via_percentile(df, group_cols, value_col="v"):
+    pcts = F.percentile(value_col, F.array(*[F.lit(q) for q in QS]))
+    return df.groupBy(*group_cols).agg(pcts.alias("p")).select(
+        *group_cols, *[F.col("p")[i].alias(c) for i, c in enumerate(QCOLS)]
+    )
+
+
+def _assert_identical(exact_df, ref_df, group_cols):
+    got = {
+        tuple(r[g] for g in group_cols): [r[c] for c in QCOLS]
+        for r in exact_df.collect()
+    }
+    want = {
+        tuple(r[g] for g in group_cols): [r[c] for c in QCOLS]
+        for r in ref_df.collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        # bit-identical, not approx — the IEEE-expression claim
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_group_quantiles_exact_matches_percentile_on_fixture(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("value").alias("v")
+    )
+    exact = group_quantiles_exact(e, "v", QS, ["event_type"])
+    _assert_identical(exact, _via_percentile(e, ["event_type"]), ["event_type"])
+
+
+def test_group_quantiles_exact_edge_cases(spark):
+    """Ties, single-row groups, all-NULL groups (must drop out), NULLs
+    mixed into a live group, q=0 and q=1 endpoints."""
+    rows = (
+        [("ties", float(v)) for v in [5, 5, 5, 5, 1, 1, 9]]
+        + [("single", 42.0)]
+        + [("allnull", None), ("allnull", None)]
+        + [("mixed", None), ("mixed", 1.0), ("mixed", 2.0), ("mixed", None), ("mixed", 4.0)]
+        + [("two", 10.0), ("two", 20.0)]
+    )
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    exact = group_quantiles_exact(df, "v", QS, ["g"], num_partitions=5)
+    ref = _via_percentile(df.where(F.col("v").isNotNull()), ["g"])
+    got_groups = {r.g for r in exact.select("g").collect()}
+    assert "allnull" not in got_groups
+    _assert_identical(exact, ref, ["g"])
+
+
+def test_group_quantiles_exact_giant_group_probe(spark):
+    """One group far larger than any single range partition: 120k rows
+    forced across 16 range partitions — the case percentile()'s single
+    aggregation buffer (and a per-group window sort) cannot scale to.
+    Values are generated deterministically and include heavy ties."""
+    df = (
+        spark.range(120_000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            # xxhash64 is deterministic; % 1000 forces ~40 copies per value
+            (F.abs(F.xxhash64("id")) % 1000).cast("double").alias("v"),
+        )
+    )
+    exact = group_quantiles_exact(df, "v", QS, ["g"], num_partitions=16)
+    _assert_identical(exact, _via_percentile(df, ["g"]), ["g"])
+
+
+def test_group_quantiles_colname_rules():
+    assert group_quantiles_exact is not None
+    from distributed_graph_database_system_spark.operators.quantile import _qcolname
+
+    assert _qcolname(0.25) == "q_0_25"
+    assert _qcolname(1.0) == "q_1"
+    assert _qcolname(0.0) == "q_0"
+    assert _qcolname(1e-05) == "q_0_00001"
+    assert "-" not in _qcolname(1e-05)
+
+
+def test_group_quantiles_rejects_bad_quantiles(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g STRING, v DOUBLE")
+    with pytest.raises(ValueError):
+        group_quantiles_exact(df, "v", [1.5], ["g"])
+    with pytest.raises(ValueError):
+        group_quantiles_exact(df, "v", [], ["g"])
+    with pytest.raises(ValueError):  # duplicate → colliding column names
+        group_quantiles_exact(df, "v", [0.5, 0.5], ["g"])
+    with pytest.raises(ValueError):  # collides at 6 decimals
+        group_quantiles_exact(df, "v", [1e-8, 0.0], ["g"])

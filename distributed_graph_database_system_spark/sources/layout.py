@@ -301,6 +301,47 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\)\s+Exchange\b", physical_plan(df)))
 
 
+def _recover_delete_backup(fs, jvm, bak_p, root_p) -> int:
+    """Roll back a crashed surgical_delete swap: rename every leaf
+    partition directory under ``bak_p`` whose counterpart is missing from
+    ``root_p`` back into the dataset, then drop the backup (at that point
+    every remaining backup directory is shadowed by a completed staged
+    rename, so nothing unique is lost). Returns the number of directories
+    restored. No-op when no backup exists."""
+    if not fs.exists(bak_p):
+        return 0
+    leaves, stack = [], [bak_p]
+    while stack:
+        d = stack.pop()
+        subdirs = [
+            k.getPath() for k in fs.listStatus(d) if k.isDirectory()
+        ]
+        if subdirs:
+            stack.extend(subdirs)
+        else:
+            leaves.append(d)
+    restored = 0
+    bak_prefix = bak_p.toUri().getPath()
+    for leaf in leaves:
+        rel = leaf.toUri().getPath()[len(bak_prefix):].lstrip("/")
+        if not rel:  # an empty backup root — nothing to restore
+            continue
+        dst = jvm.org.apache.hadoop.fs.Path(root_p, rel)
+        if fs.exists(dst):
+            continue  # staged survivor rename completed for this one
+        parent = dst.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.rename(leaf, dst):
+            raise IOError(
+                f"surgical_delete recovery: rename {leaf} -> {dst} failed; "
+                f"backup left intact at {bak_prefix} — recover manually"
+            )
+        restored += 1
+    fs.delete(bak_p, True)
+    return restored
+
+
 def surgical_delete(
     spark: SparkSession, path: str, predicate
 ) -> dict[str, int]:
@@ -329,6 +370,19 @@ def surgical_delete(
     "removed_partitions"}``. Unpartitioned datasets are refused rather
     than silently rewritten in full — the caller should use a plain
     filtered write for those.
+
+    Rerun-after-crash: a leftover non-empty ``__delete_bak`` means a prior
+    run died between renaming originals aside and renaming survivors in —
+    the backup holds the ONLY copy of those partitions' rows, and ``path``
+    still reads "fine" minus them. The recovery here runs FIRST (before
+    the dataset is even listed): every backup partition directory whose
+    ``path`` counterpart is missing is renamed back in, restoring the
+    pre-delete state for exactly the partitions the crashed swap had
+    removed (partitions whose staged rename DID complete keep their
+    survivor copy), and only a then-empty-of-unique-data backup is
+    deleted. The crashed run never returned, so rolling its partial swap
+    back and redoing the delete is the correct semantics — asserted by
+    the crash-injection test in tests/test_layout.py.
     """
     from functools import reduce
 
@@ -337,6 +391,16 @@ def surgical_delete(
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = path.rstrip("/") + "__delete_tmp"
+    bak = path.rstrip("/") + "__delete_bak"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    # Recover a crashed prior run BEFORE listing/reading the dataset (the
+    # spark.read below materializes its file index immediately) and before
+    # any delete — the old unconditional fs.delete(bak_p) here was the
+    # data-loss bug this ordering exists to prevent.
+    _recover_delete_backup(fs, jvm, bak_p, hpath)
+    fs.delete(tmp_p, True)  # stale staging from an earlier failed run
     part_cols, _ = _partition_layout(fs, hpath)
     if not part_cols:
         raise ValueError(
@@ -373,12 +437,6 @@ def surgical_delete(
     # re-lists `path` at execution time — and (b) on a failure during the
     # overwrite commit, lose the affected partitions with no backup. The
     # staged write reads `path` while it is still fully intact.
-    tmp = path.rstrip("/") + "__delete_tmp"
-    bak = path.rstrip("/") + "__delete_bak"
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
-    fs.delete(tmp_p, True)  # stale leftovers from an earlier failed run
-    fs.delete(bak_p, True)
     if survived:
         survivors.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
 

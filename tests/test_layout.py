@@ -352,3 +352,62 @@ def test_surgical_delete_handles_escaped_partition_values(spark, tmp_path):
     import os
 
     assert not any("us" in d for d in os.listdir(path) if "=" in d)
+
+
+def test_surgical_delete_rerun_after_crash_restores_backup(spark, tmp_path):
+    """Crash-injection for the rerun-after-crash data-loss bug: a prior
+    run that died BETWEEN renaming originals aside and renaming survivors
+    in leaves `path` readable-but-missing partitions and `__delete_bak`
+    holding the only copy of their rows. The rerun used to
+    fs.delete(bak) unconditionally — destroying those rows. It must
+    instead restore the missing partitions from the backup first, then
+    complete the delete with zero survivor loss."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.sources.layout import surgical_delete
+
+    path = str(tmp_path / "crash_ds")
+    rows = [(i, ["a", "b", "c"][i % 3], i % 7 == 0) for i in range(210)]
+    df = spark.createDataFrame(rows, "id INT, g STRING, doomed BOOLEAN")
+    df.write.partitionBy("g").mode("overwrite").parquet(path)
+
+    # Simulate the crashed first half of a delete targeting partitions
+    # a and b: their directories were renamed aside; no survivor came back.
+    bak = path + "__delete_bak"
+    os.makedirs(bak)
+    for g in ("g=a", "g=b"):
+        os.rename(f"{path}/{g}", f"{bak}/{g}")
+    # Stale staging from the same crashed run, with a partial survivor set
+    # that must NOT be trusted (rerun recomputes survivors from scratch).
+    tmp = path + "__delete_tmp"
+    os.makedirs(f"{tmp}/g=a")
+
+    stats = surgical_delete(spark, path, F.col("doomed"))
+    assert not os.path.exists(bak) and not os.path.exists(tmp)
+
+    after = spark.read.parquet(path)
+    # every non-doomed row — INCLUDING those of the crashed-aside a and b
+    # partitions — survived; every doomed row is gone
+    assert after.where("doomed").count() == 0
+    expect = sorted(i for i, _g, d in rows if not d)
+    assert sorted(r.id for r in after.select("id").collect()) == expect
+    assert stats["deleted_rows"] == sum(1 for _i, _g, d in rows if d)
+
+    # Mixed-progress crash: partition c's staged survivor rename COMPLETED
+    # (its path dir already holds post-delete data) while its bak dir still
+    # exists — recovery must keep the completed copy, not clobber it.
+    before_c = sorted(
+        r.id for r in spark.read.parquet(path).where("g = 'c'").collect()
+    )
+    os.makedirs(f"{bak}")
+    shutil.copytree(f"{path}/g=c", f"{bak}/g=c")
+    stats2 = surgical_delete(spark, path, F.lit(False))
+    assert stats2["deleted_rows"] == 0
+    assert not os.path.exists(bak)
+    after_c = sorted(
+        r.id for r in spark.read.parquet(path).where("g = 'c'").collect()
+    )
+    assert after_c == before_c

@@ -1,9 +1,10 @@
 """Count-min sketch as a DataFrame: a mergeable frequency sketch for
 heavy-hitter queries over unbounded key domains.
 
-The sketch IS a (small) DataFrame of ``(d, bucket, cnt)`` rows — depth ×
-width counters — built with one scan + one aggregation, mergeable by
-union + sum (counts are additive, so merging is exact: sketch(A ∪ B) ==
+The sketch IS a (small) DataFrame of ``(d, bucket, cnt, w)`` rows —
+depth × width counters plus the self-describing build-width stamp —
+built with one scan + one aggregation, mergeable by union + sum (counts
+are additive, so merging is exact: sketch(A ∪ B) ==
 merge(sketch(A), sketch(B)) row-for-row, asserted in tests). This is the
 same "sketch as first-class relational state" design as the HLL rollup
 (queries/breadth.py agg_hll_rollup): partial sketches per shard/day union
@@ -78,10 +79,14 @@ def cm_sketch(
 
 
 def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Exact merge of two same-shape sketches (counters are additive).
-    ``w`` is a merge key: sketches built with different widths do NOT fold
-    into one (their counters are not comparable) — the mixed rows survive
-    to ``cm_estimate``, which rejects a multi-width sketch outright."""
+    """Exact merge of two same-shape UNGROUPED sketches (counters are
+    additive). ``w`` is a merge key: sketches built with different widths
+    do NOT fold into one (their counters are not comparable) — the mixed
+    rows survive to ``cm_estimate``, which rejects a multi-width sketch
+    outright. Grouped sketches (cm_sketch with ``group_cols``) are out of
+    scope here — this merge sums over (d, bucket, w) only, which would
+    collapse groups; merge those per group the way the streaming rollup
+    does (groupBy(*group_cols, d, bucket, w).sum)."""
     return (
         a.unionByName(b)
         .groupBy("d", "bucket", "w")
@@ -110,7 +115,11 @@ def cm_estimate(
         F.max("d").alias("max_d"),
         F.max("bucket").alias("max_b"),
         *(
-            [F.min("w").alias("min_w"), F.max("w").alias("max_w")]
+            [
+                F.min("w").alias("min_w"),
+                F.max("w").alias("max_w"),
+                F.sum(F.col("w").isNull().cast("int")).alias("null_w"),
+            ]
             if "w" in sketch.columns
             else []
         ),
@@ -118,6 +127,24 @@ def cm_estimate(
     if extremes["max_d"] is None:
         # empty sketch = empty stream: every estimate is exactly 0
         return items.withColumn("est", F.lit(0).cast("bigint"))
+    if "w" in sketch.columns and extremes["null_w"]:
+        if extremes["max_w"] is not None:
+            # Mixed stamped/NULL rows: a pre-stamp file merged with stamped
+            # ones. min/max ignore NULLs, so WITHOUT this guard the
+            # mixed-width check below never fires and the same (d, bucket)
+            # cell split across w=NULL/w=<width> rows makes the groupBy-min
+            # pick a PARTIAL counter — a silent undercount violating the
+            # one-sided guarantee. Refuse with the migration path.
+            raise ValueError(
+                "cm_estimate: sketch mixes stamped (w="
+                f"{extremes['max_w']}) and pre-stamp (w NULL) rows — a "
+                "partially-migrated ledger. Rebuild the rollup (replay one "
+                "batch through run_incremental_cms_rollup folds legacy "
+                "contrib rows into the stamped cells) before probing"
+            )
+        # ALL-NULL w ≡ the legacy no-column case: fall back to the
+        # explicit width argument + max-bucket guard below.
+        sketch = sketch.drop("w")
     if "w" in sketch.columns:
         if extremes["min_w"] != extremes["max_w"]:
             raise ValueError(

@@ -379,11 +379,23 @@ def run_incremental_cms_rollup(
             ).write.partitionBy("day", "batch_id").mode("overwrite").parquet(
                 contrib_path
             )
+            ledger = spark.read.option("mergeSchema", "true").parquet(
+                contrib_path
+            )
+            if "w" not in ledger.columns:
+                ledger = ledger.withColumn("w", F.lit(None).cast("int"))
             merged = (
-                spark.read.parquet(contrib_path)
-                .where(F.col("day").isin(days))
+                ledger.where(F.col("day").isin(days))
                 # "w" rides along as a group key (constant per ledger) so the
                 # rebuilt rollup stays self-describing for cm_estimate.
+                # Pre-stamp contrib files (written before the w stamp
+                # existed) surface NULL w; the ledger's width is fixed by
+                # this function's own parameter, so coalescing folds the
+                # legacy rows into the stamped cell instead of splitting
+                # one (day, d, bucket) counter across w=NULL/w=width rows
+                # (a split cm_estimate would reject — or, unguarded,
+                # silently undercount).
+                .withColumn("w", F.coalesce(F.col("w"), F.lit(width).cast("int")))
                 .groupBy("day", "d", "bucket", "w")
                 .agg(F.sum("cnt").alias("cnt"))
             )
@@ -397,13 +409,113 @@ def run_incremental_cms_rollup(
     run_foreach_batch(stream, upsert, mode="append")
 
 
+def compact_contrib_ledger(
+    spark: SparkSession,
+    contrib_path: str,
+    value_aggs: dict[str, str],
+) -> dict[str, int]:
+    """Fold a rollup ``_contrib`` ledger: every cell EXCEPT the latest
+    batch's merges into a per-day checkpoint cell (``batch_id = -1``),
+    bounding both the ledger's partition count and the rebuild cost —
+    without this, a ledger grows one ``(day, batch_id)`` partition per
+    batch FOREVER and every rebuild sums an ever-longer list (the
+    classic changelog-compaction problem; directory-level compact() in
+    sources/layout.py cannot help because it preserves the hive chain,
+    and the chain itself is the growth).
+
+    ``value_aggs`` maps each value column to its merge function —
+    ``"sum"`` (additive counters: counts, CM cells, decimal sums),
+    ``"max"`` (register-max merges), ``"hll_union"`` (HLL sketch
+    binaries). Every other non-``batch_id`` column is a group key. All
+    three merge functions are associative+commutative, so the folded
+    ledger rebuilds BIT-identical rollups.
+
+    Replay safety: checkpointed foreachBatch redelivers at most the
+    LATEST (uncommitted) batch after a crash; committed earlier batches
+    never replay. Only batches ``< max(batch_id)`` fold, so a replayed
+    latest batch still overwrites its own live ``(day, max)`` cells and
+    converges; the checkpoint id -1 sits below every real epoch id, so
+    refolding is idempotent (an old checkpoint folds into the new one).
+    Do NOT fold a ledger whose stream is mid-batch — run it from
+    maintenance, not inside upsert.
+
+    Swap order is compact()'s crash-safe one: stage to a tmp sibling,
+    originals aside to a recoverable ``__fold_bak``, staged dir in, only
+    then drop the backup. A mid-swap crash leaves the ledger absent →
+    the rerun fails loudly at spark.read with the backup intact.
+
+    Returns ``{"folded_cells", "partitions_before", "partitions_after"}``.
+    """
+    _AGGS = {"sum": F.sum, "max": F.max, "hll_union": F.hll_union_agg}
+    unknown = {a for a in value_aggs.values() if a not in _AGGS}
+    if unknown:
+        raise ValueError(f"compact_contrib_ledger: unknown agg(s) {unknown}")
+    led = spark.read.option("mergeSchema", "true").parquet(contrib_path)
+    if "batch_id" not in led.columns:
+        raise ValueError(
+            f"compact_contrib_ledger: {contrib_path} has no batch_id — "
+            "not a contrib ledger"
+        )
+    parts_before = led.select("day", "batch_id").distinct().count()
+    max_bid = led.agg(F.max("batch_id")).first()[0]
+    group_cols = [
+        c for c in led.columns if c != "batch_id" and c not in value_aggs
+    ]
+    folded = (
+        led.where(F.col("batch_id") < max_bid)
+        .groupBy(*group_cols)
+        .agg(*[_AGGS[a](F.col(c)).alias(c) for c, a in value_aggs.items()])
+        .withColumn("batch_id", F.lit(-1))
+        .select(*led.columns)
+    )
+    new_ledger = folded.unionByName(
+        led.where(F.col("batch_id") == max_bid).select(*led.columns)
+    )
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(contrib_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = contrib_path.rstrip("/") + "__fold_tmp"
+    bak = contrib_path.rstrip("/") + "__fold_bak"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    fs.delete(tmp_p, True)
+    new_ledger.write.partitionBy("day", "batch_id").mode("overwrite").parquet(
+        tmp
+    )
+    fs.delete(bak_p, True)
+    if not fs.rename(hpath, bak_p):
+        raise IOError(f"ledger fold: backup rename {contrib_path} failed")
+    if not fs.rename(tmp_p, hpath):
+        fs.rename(bak_p, hpath)  # roll back; ledger restored
+        raise IOError(f"ledger fold: swap-in failed for {contrib_path}")
+    fs.delete(bak_p, True)
+    after = spark.read.parquet(contrib_path)
+    parts_after = after.select("day", "batch_id").distinct().count()
+    return {
+        "folded_cells": int(parts_before - parts_after),
+        "partitions_before": int(parts_before),
+        "partitions_after": int(parts_after),
+    }
+
+
 def read_cms_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """The per-day sketch table ``(day, d, bucket, cnt, w)``; feed one
     day's rows to operators.sketch.cm_estimate for heavy-hitter queries —
-    the stamped ``w`` lets the probe derive the build width."""
-    return spark.read.parquet(rollup_path).select(
-        F.col("day").cast("timestamp").alias("day"), "d", "bucket", "cnt", "w"
-    )
+    the stamped ``w`` lets the probe derive the build width.
+
+    Purely pre-stamp rollups (no ``w`` in any file) are tolerated: they
+    come back WITHOUT the ``w`` column and cm_estimate then requires its
+    explicit ``width=`` argument (the legacy contract). Mixed rollups
+    (some days rebuilt post-stamp) surface NULL ``w`` for the legacy days
+    via mergeSchema — cm_estimate rejects those with a migration message;
+    replaying any batch for that day through run_incremental_cms_rollup
+    re-stamps it."""
+    df = spark.read.option("mergeSchema", "true").parquet(rollup_path)
+    cols = [F.col("day").cast("timestamp").alias("day"), "d", "bucket", "cnt"]
+    if "w" in df.columns:
+        cols.append("w")
+    return df.select(*cols)
 
 
 def stateful_user_counts(stream: DataFrame) -> DataFrame:

@@ -99,3 +99,31 @@ def test_cm_unknown_item_estimates_bounded_by_collisions(spark, sf_dir):
     est = cm_estimate(sk, ghost, "tok").first().est
     n = toks.count()
     assert 0 <= est <= math.e * n / 1024
+
+
+def test_cm_estimate_null_w_rows(spark, sf_dir):
+    """Partially-migrated ledgers: rows with NULL `w` (pre-stamp files
+    read through a stamped schema) must be REJECTED when mixed with
+    stamped rows — min/max ignore NULLs, so without the explicit guard a
+    (d, bucket) cell split across w=NULL/w=256 rows feeds groupBy-min a
+    partial counter: a silent undercount. A fully-legacy sketch (ALL-NULL
+    w) is the no-column case and works with an explicit width=."""
+    import pytest
+
+    toks = _tokens(spark, sf_dir)
+    sk = cm_sketch(toks, "tok", depth=5, width=256)
+    truth = toks.groupBy("tok").agg(F.count("*").alias("true_cnt")).limit(10)
+
+    legacy = sk.withColumn("w", F.lit(None).cast("int"))
+    # half the rows legacy, half stamped — the same cells split in two
+    mixed = sk.where(F.col("d") < 2).unionByName(
+        legacy.where(F.col("d") >= 2)
+    )
+    with pytest.raises(ValueError, match="pre-stamp"):
+        cm_estimate(mixed, truth, "tok")
+
+    # all-NULL w ≡ legacy: width argument required and honored
+    with pytest.raises(ValueError, match="width"):
+        cm_estimate(legacy, truth, "tok")
+    for r in cm_estimate(legacy, truth, "tok", width=256).collect():
+        assert r.est >= r.true_cnt

@@ -515,3 +515,171 @@ def test_incremental_cms_rollup_is_exact_merge_and_replay_safe(
     est = cm_estimate(sk, truth, "_v", width=256)
     for r in est.collect():
         assert r.est >= r.true_cnt
+
+
+def test_incremental_cms_rollup_folds_prestamp_ledger_files(
+    spark, sf_dir, tmp_path
+):
+    """Ledger migration: contrib files written BEFORE the `w` stamp
+    existed surface NULL w under mergeSchema. The rebuild must coalesce
+    them into the stamped cell — one (day, d, bucket) counter, not a
+    w=NULL/w=256 split — so the post-migration rollup is row-identical to
+    a one-shot sketch and probes cleanly. read_cms_rollup on a purely
+    pre-stamp rollup must come back without `w` and probe via width=."""
+    import distributed_graph_database_system_spark.streaming.events as EV
+    from distributed_graph_database_system_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "cms_migrate")
+    contrib = path + "_contrib"
+
+    # batch 0 lands as a PRE-STAMP ledger file (no w column)
+    b0 = e.where(F.col("event_id") % 2 == 0)
+    b1 = e.where(F.col("event_id") % 2 == 1)
+    legacy = (
+        cm_sketch(
+            b0.select(F.to_date("ts").alias("day"), "user_id"),
+            "user_id",
+            depth=5,
+            width=256,
+            group_cols=("day",),
+        )
+        .drop("w")
+        .withColumn("batch_id", F.lit(0))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        legacy.write.partitionBy("day", "batch_id").mode("overwrite").parquet(
+            contrib
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # batch 1 replays through the CURRENT (stamping) upsert — its rebuild
+    # must fold batch 0's legacy rows into the stamped cells
+    captured = {}
+    orig = EV.run_foreach_batch
+    EV.run_foreach_batch = lambda stream, fn, mode="update": captured.update(fn=fn)
+    try:
+        EV.run_incremental_cms_rollup(spark, None, path, depth=5, width=256)
+    finally:
+        EV.run_foreach_batch = orig
+    captured["fn"](b1, 1)
+
+    rolled = EV.read_cms_rollup(spark, path)
+    assert "w" in rolled.columns
+    assert rolled.where(F.col("w").isNull() | (F.col("w") != 256)).isEmpty()
+    cols = ("day", "d", "bucket", "cnt")
+    got = rows_set(rolled, cols)
+    want = rows_set(
+        cm_sketch(
+            e.select(F.to_date("ts").cast("timestamp").alias("day"), "user_id"),
+            "user_id",
+            depth=5,
+            width=256,
+            group_cols=("day",),
+        ),
+        cols,
+    )
+    assert got == want
+
+    # a purely pre-stamp ROLLUP: read without w, probe via explicit width
+    legacy_rollup = str(tmp_path / "cms_legacy_rollup")
+    rolled.drop("w").write.partitionBy("day").mode("overwrite").parquet(
+        legacy_rollup
+    )
+    lr = EV.read_cms_rollup(spark, legacy_rollup)
+    assert "w" not in lr.columns
+    day0 = lr.orderBy("day").first()["day"]
+    truth = (
+        e.where(F.to_date("ts").cast("timestamp") == day0)
+        .groupBy(F.col("user_id").alias("_v"))
+        .agg(F.count("*").alias("true_cnt"))
+        .limit(10)
+    )
+    sk = lr.where(F.col("day") == day0).select("d", "bucket", "cnt")
+    for r in cm_estimate(sk, truth, "_v", width=256).collect():
+        assert r.est >= r.true_cnt
+
+
+def test_contrib_ledger_fold_preserves_rollup_and_replay(
+    spark, sf_dir, tmp_path
+):
+    """Ledger compaction wiring: a `_contrib` ledger grows one
+    (day, batch_id) partition per batch forever — compact_contrib_ledger
+    folds every committed batch into a per-day checkpoint cell
+    (batch_id=-1) WITHOUT changing a single rollup value. Asserts
+    (1) ledger partition and data-file counts drop, (2) a rebuild from
+    the folded ledger is row-identical to the pre-fold rollup, (3) the
+    latest batch REPLAYED after folding still converges (it overwrites
+    its own live cells; committed batches were folded), (4) refolding is
+    idempotent, and (5) the HLL distinct-rollup ledger folds through
+    hll_union with identical estimates."""
+    import glob as pyglob
+
+    import distributed_graph_database_system_spark.streaming.events as EV
+
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "cms_fold")
+    contrib = path + "_contrib"
+    captured = {}
+    orig = EV.run_foreach_batch
+    EV.run_foreach_batch = lambda stream, fn, mode="update": captured.update(fn=fn)
+    try:
+        EV.run_incremental_cms_rollup(spark, None, path, depth=5, width=256)
+    finally:
+        EV.run_foreach_batch = orig
+    upsert = captured["fn"]
+
+    batches = [e.where(F.col("event_id") % 4 == i) for i in range(4)]
+    for i, b in enumerate(batches):
+        upsert(b, i)
+
+    def ledger_files():
+        return sorted(pyglob.glob(f"{contrib}/**/*.parquet", recursive=True))
+
+    cols = ("day", "d", "bucket", "cnt", "w")
+    before_rollup = rows_set(EV.read_cms_rollup(spark, path), cols)
+    files_before = len(ledger_files())
+
+    stats = EV.compact_contrib_ledger(spark, contrib, {"cnt": "sum"})
+    assert stats["partitions_after"] < stats["partitions_before"]
+    assert len(ledger_files()) < files_before
+    # batches 0..2 folded into batch_id=-1; batch 3 (latest) kept live
+    bids = {
+        r.batch_id
+        for r in spark.read.parquet(contrib).select("batch_id").distinct().collect()
+    }
+    assert bids == {-1, 3}
+
+    # rebuild from the folded ledger reproduces the rollup exactly (the
+    # rebuild is a pure function of the ledger; replaying the LATEST
+    # batch exercises both convergence and the rebuild)
+    upsert(batches[3], 3)
+    assert rows_set(EV.read_cms_rollup(spark, path), cols) == before_rollup
+
+    # refold: idempotent (old checkpoint folds into the new one)
+    EV.compact_contrib_ledger(spark, contrib, {"cnt": "sum"})
+    upsert(batches[3], 3)
+    assert rows_set(EV.read_cms_rollup(spark, path), cols) == before_rollup
+
+    # HLL ledger: register sketches fold via hll_union, estimates intact
+    path2 = str(tmp_path / "hll_fold")
+    captured2 = {}
+    EV.run_foreach_batch = lambda stream, fn, mode="update": captured2.update(fn=fn)
+    try:
+        EV.run_incremental_distinct_rollup(spark, None, path2)
+    finally:
+        EV.run_foreach_batch = orig
+    up2 = captured2["fn"]
+    for i, b in enumerate(batches):
+        up2(b, i)
+    dcols = ("day", "event_type", "est_users")
+    before2 = rows_set(EV.read_distinct_rollup(spark, path2), dcols)
+    EV.compact_contrib_ledger(spark, path2 + "_contrib", {"sk": "hll_union"})
+    up2(batches[3], 3)
+    assert rows_set(EV.read_distinct_rollup(spark, path2), dcols) == before2

@@ -593,3 +593,55 @@ def test_quantized_store_is_smaller_on_disk(spark, sf_dir, tmp_path):
     # def/rep-level overhead is identical on both sides and dilutes the
     # realized file ratio to ~3x
     assert size(p_q) < size(p_full) / 2.5
+
+
+def test_ivf_quantizer_trains_on_sample_and_assigns_full_corpus(spark):
+    """The 100 TB build-path fix: with max_train_rows below the corpus
+    size, KMeans fits on the deterministic xxhash64 id-sample only, while
+    EVERY corpus vector still gets a list assignment (broadcast-centroid
+    argmin projection). Assignment must be exact nearest-centroid
+    (verified against a NumPy argmin reference) and invariant to input
+    partitioning."""
+    from distributed_graph_database_system_spark.operators.similarity import (
+        centroid_assign,
+        ivf_ann_topk,
+        ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(2000, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    indexed, centroids = ivf_index(emb, n_lists=4, max_train_rows=300)
+    assert indexed.count() == 2000  # full corpus assigned
+    assert indexed.where(F.col("list_id").isNull()).isEmpty()
+    assert centroids.shape == (4, 16)
+
+    # assignment == exact nearest centroid (ties impossible in this data)
+    got = {r.vec_id: r.list_id for r in indexed.select("vec_id", "list_id").collect()}
+    d2 = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    assert all(got[i] == want[i] for i in range(2000))
+
+    # deterministic across partitioning (sample is id-hash, training is
+    # pinned, assignment is a projection)
+    indexed2, centroids2 = ivf_index(
+        emb.repartition(13), n_lists=4, max_train_rows=300
+    )
+    assert np.array_equal(centroids, centroids2)
+    got2 = {r.vec_id: r.list_id for r in indexed2.select("vec_id", "list_id").collect()}
+    assert got == got2
+
+    # centroid_assign alone: matches reference on a fresh frame
+    probe = centroid_assign(emb, centroids)
+    gotp = {r.vec_id: r.list_id for r in probe.select("vec_id", "list_id").collect()}
+    assert gotp == got
+
+    # search still works end-to-end on the sampled-quantizer index
+    q = vecs[5]
+    top = ivf_ann_topk(
+        indexed.where(F.col("vec_id") != 5), centroids, q, k=5, nprobe=2
+    ).collect()
+    assert len(top) == 5

@@ -176,18 +176,45 @@ class GraphStore:
     # ``secondaryServer.c:211-225``). Lets existing reference graph files
     # load directly.
     @staticmethod
+    def validate_matrix_row(
+        tokens: Sequence[str], n: int, row_idx: int
+    ) -> list[int]:
+        """THE single cell validator for the at-rest format — shared by
+        the whole-file driver parse below and the block-local Spark source
+        (sources/refgraph.py), so the validation contract cannot diverge
+        between the two doors: exactly ``n`` integer cells per row (a
+        non-integer raises the int() ValueError), each 0 or 1 (anything
+        else is rejected rather than silently treated as truthy)."""
+        cells = [int(t) for t in tokens]
+        if len(cells) != n:
+            raise ValueError(
+                f"graph file row {row_idx}: {len(cells)} matrix cells "
+                f"(expected exactly {n})"
+            )
+        for j, cell in enumerate(cells):
+            if cell not in (0, 1):
+                raise ValueError(
+                    f"graph file cell [{row_idx}][{j}] = {cell}; the "
+                    "matrix must be 0/1"
+                )
+        return cells
+
+    @staticmethod
     def parse_reference_file(text: str) -> tuple[int, list[list[int]]]:
         tokens = text.split()
         if not tokens:
             raise ValueError("empty graph file")
         n = int(tokens[0])
-        cells = [int(t) for t in tokens[1:]]
+        cells = tokens[1:]
         if len(cells) != n * n:
             raise ValueError(
                 f"graph file declares {n} vertices but has {len(cells)} "
                 f"matrix cells (expected exactly {n * n})"
             )
-        return n, [cells[i * n : (i + 1) * n] for i in range(n)]
+        return n, [
+            GraphStore.validate_matrix_row(cells[i * n : (i + 1) * n], n, i)
+            for i in range(n)
+        ]
 
     # NOTE: the reference-file readers use builtin open() and therefore only
     # accept LOCAL paths — matching the reference, whose graph files are tiny

@@ -15,10 +15,17 @@ yielding ``(src BIGINT, dst BIGINT)`` edge rows, 1-indexed exactly like
 Distribution: the vertex count is read from the header at planning time
 (one tiny driver-side read — the same place Spark's own file sources list
 footers), then matrix ROWS are split into ``n_partitions`` contiguous
-blocks; each task re-opens the file, seeks to its block, and emits only
-its rows' edges. A 30-vertex reference file is one partition in
-practice, but the partitioning makes the format scale-correct rather
-than driver-bound — the point of routing it through the source API.
+blocks; each task re-opens the file, skips preceding lines WITHOUT
+parsing them (lines are variable-width, so byte offsets aren't knowable
+in advance; discarding is pure IO), and int-parses/validates ONLY its
+own block's lines — per-task parse cost is O(block), not O(file). The
+row-per-line layout this requires is exactly what the reference's writer
+(``client.c:77-94``) and :func:`write_reference_file` emit; a file with
+re-wrapped lines fails the per-row cell-count check with a pointer at
+the driver-side whole-file path, which tokenizes layout-independently.
+A 30-vertex reference file is one partition in practice, but the
+partitioning makes the format scale-correct rather than driver-bound —
+the point of routing it through the source API.
 """
 
 from __future__ import annotations
@@ -54,26 +61,46 @@ class ReferenceGraphReader(DataSourceReader):
         return [_RowBlock(i, min(i + step, n)) for i in range(0, n, step)]
 
     def read(self, partition: _RowBlock) -> Iterator[tuple[int, int]]:
-        # each task independently re-parses the (tiny) file through THE
-        # canonical parser (GraphStore.parse_reference_file) and emits only
-        # its row block — one validation contract for the at-rest format,
-        # whichever door it enters through: a cell that isn't an integer
-        # raises here exactly as it does on the driver-side add path, and
-        # a cell other than 0/1 is rejected rather than silently dropped.
+        # Block-local parse through THE canonical per-row validator
+        # (GraphStore.validate_matrix_row) — one validation contract for
+        # the at-rest format whichever door it enters through: a
+        # non-integer or non-0/1 cell raises here exactly as it does on
+        # the driver-side add path. Lines before the block are skipped
+        # unparsed; only partition.start..end are tokenized.
         from distributed_graph_database_system_spark.operators.graph import (
             GraphStore,
         )
 
+        n = self.n
         with open(self.path) as fh:
-            n, matrix = GraphStore.parse_reference_file(fh.read())
-        for i in range(partition.start, partition.end):
-            for j, cell in enumerate(matrix[i]):
-                if cell == 1:
-                    yield (i + 1, j + 1)
-                elif cell != 0:
+            fh.readline()  # header (validated at planning time)
+            for _ in range(partition.start):
+                if not fh.readline():
                     raise ValueError(
-                        f"reference_graph: cell [{i}][{j}] = {cell}; the "
-                        "matrix must be 0/1"
+                        f"reference_graph: file ended before matrix row "
+                        f"{partition.start} of {n}"
+                    )
+            for i in range(partition.start, partition.end):
+                line = fh.readline()
+                if not line.strip():
+                    raise ValueError(
+                        f"reference_graph: missing or blank matrix row {i} "
+                        f"of {n} — the block-local reader requires the "
+                        "writer's row-per-line layout; for re-wrapped "
+                        "files use GraphStore.add_reference_file"
+                    )
+                cells = GraphStore.validate_matrix_row(line.split(), n, i)
+                for j, cell in enumerate(cells):
+                    if cell == 1:
+                        yield (i + 1, j + 1)
+            if partition.end == n:
+                # the last block also owns trailer validation: extra
+                # non-blank lines mean the header undercounts the matrix
+                trailer = fh.read()
+                if trailer.strip():
+                    raise ValueError(
+                        f"reference_graph: trailing content after the "
+                        f"declared {n} matrix rows"
                     )
 
 

@@ -60,3 +60,57 @@ def _all(r):
     class _Span:
         start, end = 0, r.n
     return _Span()
+
+
+def test_block_local_parse_on_large_synthetic_file(spark, tmp_path):
+    """≥1000-vertex file across many row blocks: every block parses only
+    its own line range, and the union of blocks reproduces exactly the
+    edge set the writer put in — including edges in the first and last
+    rows (off-by-one at the block seams is the failure mode). Trailer
+    validation (last block) and mid-file blank rows are rejected."""
+    from distributed_graph_database_system_spark.sources.refgraph import (
+        write_reference_file,
+    )
+
+    n = 1000
+    # deterministic sparse digraph: i -> (i*7)%n+1 and i -> (i*13)%n+1
+    edges = set()
+    for i in range(1, n + 1):
+        edges.add((i, (i * 7) % n + 1))
+        edges.add((i, (i * 13) % n + 1))
+    edges.add((1, n))  # first-row edge
+    edges.add((n, 1))  # last-row edge
+    p = str(tmp_path / "big.txt")
+    write_reference_file(p, n, sorted(edges))
+
+    r = ReferenceGraphReader({"path": p, "numPartitions": "8"})
+    parts = r.partitions()
+    assert len(parts) == 8
+    # blocks are disjoint, contiguous, and cover 0..n
+    spans = sorted((b.start, b.end) for b in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == n
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    got = set()
+    for b in parts:
+        block_edges = list(r.read(b))
+        assert all(b.start + 1 <= s <= b.end for s, _ in block_edges)
+        got.update(block_edges)
+    assert got == edges
+
+    # through the registered source end-to-end
+    spark.dataSource.register(ReferenceGraphDataSource)
+    df = (
+        spark.read.format("reference_graph")
+        .option("numPartitions", "8")
+        .load(p)
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert {(r2.src, r2.dst) for r2 in df.collect()} == edges
+
+    # trailer content after the declared rows → last block rejects
+    with open(p, "a") as fh:
+        fh.write("1 0\n")
+    r2 = ReferenceGraphReader({"path": p, "numPartitions": "4"})
+    last = max(r2.partitions(), key=lambda b: b.end)
+    with pytest.raises(ValueError, match="railing"):
+        list(r2.read(last))

@@ -81,84 +81,86 @@ def oracle_of(name: str) -> str:
 # Covers all 30 SURVEY §2.2 rows (see tests/test_registry_window.py for the
 # row → query mapping). Order within the window is thematic, not semantic.
 #
-# Round-5 rotation: 32 of the 50 entries have NEVER appeared in any
-# CORRECTNESS_r* file (cumulative driver coverage 105/181 → 137 once this
-# window is recorded). 18 driver-seen anchors stay — one per §2.2 row
-# whose family has no never-checked member, plus the TPC-H and
-# reference-parity goldens (q1/q3/q5/q19, BFS/DFS goldens, the Python
-# DataSource roundtrip). Every rotated-out name keeps local parity-sweep
-# coverage. Rotated out this round: q2 q9 q20 q21 join_semi_anti
-# join_range_bucketed join_asof agg_grouping_flags agg_salted_skew
-# window_distribution_funcs topk_per_group scalar_funcs
-# stream_tumbling_counts json_struct_funcs higher_order_funcs
-# udtf_sentence_stats layout_bucketed_join layout_partition_pruned
-# graph_kcore_g6 graph_lpa_g6 graph_ppr_g2 graph_scc_g2
-# dedup_ngram_jaccard dedup_clusters sim_topk_ann_persisted sim_knn_join
-# funnel_view_click_purchase cohort_weekly_retention snapshot_diff_corpus
-# sample_weighted_reservoir dq_constraint_checks text_analysis.
+# Round-6 rotation: 33 of the 50 entries have NEVER appeared in any
+# CORRECTNESS_r* file (cumulative driver coverage 137/183 → 170 once this
+# window is recorded), including the two queries new this round
+# (agg_group_quantiles_scalable, events_rfm_segments_scalable). 17
+# driver-seen anchors stay — one per §2.2 row whose family has no
+# never-checked member (sources, python datasource, theta/semi/anti/skew
+# joins, set ops, math/json scalars, layout, streaming, DFS golden,
+# minhash dedup, ANN similarity, q8/q19 TPC-H shapes). Every rotated-out
+# name keeps local parity-sweep coverage. Still never-driver-graded after
+# this window (next rotation's pool): inverted_index_postings
+# linkage_blocked_best_match events_mad_outliers join_hash_hinted
+# embed_covariance join_full_outer pivot_status_by_priority
+# distinct_pairs q13_order_count_distribution q14_promo_revenue_pct
+# embed_centroids events_rfm_segments outlier_zscore_events.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # TPC-H anchors (aggregation, equi-join, broadcast-join, disjunctive
-    # predicates) + first-time subquery/breadth witnesses: q4 (EXISTS),
-    # q15 (scalar subquery over a revenue view), q8 (8-table join).
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q19_disjunctive_revenue",
-    "q4_priority_exists",
-    "q15_top_supplier",
+    # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
+    # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19
+    # stay as the 8-table-join and disjunctive-predicate anchors.
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipmode_priority",
     "q8_market_share",
-    # core relational operators — join variants all first-time this round
-    "projection_compute",
-    "filter_predicates",
+    "q19_disjunctive_revenue",
+    # core relational — outer joins, SCD2 as-of ranges, conditional
+    # projection; theta/semi/anti/skew anchors stay
+    "join_left_outer",
+    "scd2_apply_segment_change",
+    "case_when_buckets",
     "join_theta",
-    "cross_join_dims",
-    "join_interval_overlap",
     "join_semi",
     "join_anti",
     "join_salted_skew",
-    "join_cardinality_estimate",
-    # aggregation family: exact percentile bands, HLL rollup, regression
-    # moments, grouping sets — all first-time
-    "agg_percentile_bands",
-    "agg_hll_rollup",
-    "agg_regression_stats",
-    "agg_grouping_sets",
-    "window_value_funcs",
-    "sort_limit",
+    # aggregation family — all first-time, incl. this round's scalable
+    # exact-quantile path
+    "agg_stats",
+    "agg_listagg_ordered",
+    "agg_bitwise_bool",
+    "agg_group_quantiles_scalable",
+    "agg_rollup",
+    "agg_cube",
+    # window functions — first-time trio
+    "window_rank",
+    "window_lag_lead",
+    "window_running",
+    # sort/top-k, sets, scalar families
+    "text_ngram_topk",
     "set_ops",
-    # scalar families split into their per-domain first-time witnesses
-    "string_funcs",
-    "date_funcs",
+    "text_clean_normalize",
+    "resample_hourly_ohlc",
     "math_funcs",
-    "array_funcs",
+    "embed_norm_stats",
+    "embed_standardize",
     "json_funcs",
-    # streaming batch twins (session window stays as the anchor)
+    # streaming twins (sessionize is the first-time session-window twin)
+    "sessionize",
     "stream_session_window",
     "stream_dedup_keys",
-    "join_view_purchase_window",
-    # sources + layout (z-order clustering scan is first-time)
+    # sources + layout anchors
     "source_roundtrips",
     "source_refgraph_roundtrip",
     "layout_zorder_scan",
-    # graph: BFS/DFS reference goldens stay; analytics evidence moves to
-    # the round-4 late additions that have no driver row yet
-    "graph_bfs_goldens",
+    # graph — landmark BFS, two-hop, motif, link prediction first-time;
+    # DFS golden anchor stays
+    "graph_landmark_bfs_g2",
     "graph_dfs_goldens",
-    "graph_temporal_reachability",
-    "graph_critical_path_g7",
-    "graph_shortest_path_g2",
-    "graph_topo_g7",
-    # LLM-data-pipeline operators
+    "graph_two_hop_counts",
+    "graph_motif_feedforward",
+    "graph_link_prediction",
+    # LLM-data-pipeline operators — splits/packing/sampling/BM25/token
+    # histogram first-time + the scalable RFM twin new this round
     "dedup_minhash_lsh",
     "sim_radius_search",
-    "sketch_cm_heavy_hitters",
-    "orders_abc_pareto",
-    "text_tfidf_rank",
-    "token_pmi_bigrams",
-    "events_markov_transitions",
-    "pii_redact",
-    "multimodal_decode_real",
-    "multimodal_frame_sample",
+    "split_train_holdout",
+    "pack_sequences",
+    "sample_stratified",
+    "text_bm25_rank",
+    "token_length_histogram",
+    "events_rfm_segments_scalable",
+    "multimodal_resize_plan",
 )
 
 

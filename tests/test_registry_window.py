@@ -18,60 +18,59 @@ from distributed_graph_database_system_spark.queries.registry import (
 ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "scans_sources": ("source_roundtrips",),
     "sinks": ("source_roundtrips",),
-    "projection": ("projection_compute",),
-    "filter": ("filter_predicates",),
-    "join_equi": ("q3_shipping_priority",),
-    "join_broadcast": ("q5_local_supplier_volume",),
-    "join_theta": ("join_theta", "cross_join_dims"),
-    "join_range_asof": ("join_interval_overlap",),  # asof driver-seen r4
+    "projection": ("case_when_buckets",),  # projection_compute driver-seen r5
+    "filter": ("q6_forecast_revenue",),  # filter_predicates driver-seen r5
+    "join_equi": ("q12_shipmode_priority",),  # q3 driver-seen r5
+    "join_broadcast": ("q10_returned_items",),  # q5 driver-seen r5
+    "join_outer": ("join_left_outer",),
+    "join_theta": ("join_theta",),  # cross_join_dims driver-seen r5
+    "join_range_asof": ("scd2_apply_segment_change",),  # interval seen r5
     "join_semi_anti": ("join_semi", "join_anti"),
     "join_skew": ("join_salted_skew",),
     "aggregation": (
-        "q1_pricing_summary",
-        "agg_percentile_bands",
-        "agg_hll_rollup",
-        "agg_regression_stats",
+        "agg_stats",
+        "agg_listagg_ordered",
+        "agg_bitwise_bool",
+        "agg_group_quantiles_scalable",  # new this round: scalable exact
     ),
     "subquery_decorrelation": (
-        "q4_priority_exists",  # correlated EXISTS
-        "q15_top_supplier",  # scalar subquery over a revenue view
+        "q11_important_parts",  # scalar subquery in HAVING; q4/q15 seen r5
     ),
     "multi_join_breadth": ("q8_market_share",),
     "disjunctive_predicates": ("q19_disjunctive_revenue",),
-    "grouping_sets": ("agg_grouping_sets",),
-    "window_functions": ("window_value_funcs",),
-    "sort_limit_topk": ("sort_limit",),
+    "grouping_sets": ("agg_rollup", "agg_cube"),  # grouping_sets seen r5
+    "window_functions": ("window_rank", "window_lag_lead", "window_running"),
+    "sort_limit_topk": ("text_ngram_topk",),  # sort_limit driver-seen r5
     "set_operations": ("set_ops",),
-    "scalar_string": ("string_funcs",),
-    "scalar_datetime": ("date_funcs",),
+    "scalar_string": ("text_clean_normalize",),  # string_funcs seen r5
+    "scalar_datetime": ("resample_hourly_ohlc", "sessionize"),  # date seen r5
     "scalar_math": ("math_funcs",),
-    "scalar_array_hof": ("array_funcs",),
+    "scalar_array_hof": ("embed_norm_stats", "embed_standardize"),
     "scalar_json": ("json_funcs",),
     "data_layout": ("layout_zorder_scan",),  # bucketed/pruned driver-seen r4
-    "streaming_windows": ("stream_session_window",),  # tumbling seen r4
-    "streaming_stateful_join": ("stream_dedup_keys", "join_view_purchase_window"),
-    "udf_pandas": ("multimodal_decode_real", "multimodal_frame_sample"),
-    "graph_bfs": ("graph_bfs_goldens", "graph_temporal_reachability"),
+    "streaming_windows": ("sessionize", "stream_session_window"),
+    "streaming_stateful_join": ("stream_dedup_keys",),  # join twin seen r5
+    "udf_pandas": ("multimodal_resize_plan",),  # decode/frame seen r5
+    "graph_bfs": ("graph_landmark_bfs_g2",),  # goldens driver-seen r5
     "graph_dfs": ("graph_dfs_goldens",),
     "graph_analytics": (
-        "graph_critical_path_g7",
-        "graph_shortest_path_g2",
-        "graph_topo_g7",
+        "graph_two_hop_counts",
+        "graph_motif_feedforward",
+        "graph_link_prediction",
     ),
     "python_datasource": ("source_refgraph_roundtrip",),
     "llm_dedup": ("dedup_minhash_lsh",),  # ngram/clusters driver-seen r4
     "llm_similarity": ("sim_radius_search",),  # knn/persisted seen r4
     "llm_pipeline": (
-        "pii_redact",
-        "orders_abc_pareto",
-        "events_markov_transitions",
-        "sketch_cm_heavy_hitters",
-        "join_cardinality_estimate",
+        "split_train_holdout",
+        "pack_sequences",
+        "sample_stratified",
+        "events_rfm_segments_scalable",  # new this round: cut-table RFM
     ),
     "llm_text_multimodal": (
-        "text_tfidf_rank",
-        "token_pmi_bigrams",
-        "multimodal_decode_real",
+        "text_bm25_rank",
+        "token_length_histogram",
+        "multimodal_resize_plan",
     ),
 }
 

@@ -3,6 +3,7 @@ and seeded property tests (G6) against pure-Python reference implementations."""
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -992,3 +993,65 @@ def test_shortest_path_reconstruction(spark):
     assert last == [(0, 1), (1, 2), (2, 3)]
     with pytest.raises(RuntimeError, match="did not reach"):
         shortest_path(chain, 1, 3, max_iter=1)
+
+
+def test_bucketed_graphstore_survives_sessions_via_metastore(tmp_path):
+    """The GraphStore docstring's cluster story, actually exercised: with
+    a shared (embedded-Derby Hive) metastore instead of the in-memory
+    catalog, the bucket spec survives the session boundary — a SECOND
+    session sees the catalog entry, reads identical rows, and plans the
+    src-keyed self-join with zero Exchange nodes. Runs in a subprocess
+    because catalogImplementation is a static conf fixed at the shared
+    test session's creation."""
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "xsession_graph_script.py")
+    proc = subprocess.run(
+        [sys.executable, script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    assert "XSESSION_OK" in proc.stdout
+
+
+def test_scc_multi_pivot_resolves_chain_in_sublinear_rounds(spark):
+    """The adversarial shape for single-pivot coloring: a chain of 48
+    triangle SCCs with ids arranged so the raw-max-id coloring paints the
+    WHOLE chain one color every round (global max most-upstream) — one
+    SCC per round, 48 outer rounds. Salted multi-pivot priorities must
+    split the chain and resolve it in far fewer rounds, with the output
+    still exactly Tarjan's components."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    k = 48
+    edges = []
+    # SCC i (i=0 upstream) owns ids {base, base+1, base+2} with base
+    # DECREASING downstream, so max id lives in the most-upstream SCC
+    # and the old deterministic coloring collapses to one class.
+    def base(i):
+        return (k - i) * 10
+
+    for i in range(k):
+        b = base(i)
+        edges += [(b, b + 1), (b + 1, b + 2), (b + 2, b)]  # triangle
+        if i + 1 < k:
+            edges.append((b, base(i + 1)))  # chain link downstream
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    stats = {}
+    out = strongly_connected_components(df, stats=stats)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.scc, set()).add(r.vid)
+    want = {
+        min(base(i), base(i) + 1, base(i) + 2): {base(i), base(i) + 1, base(i) + 2}
+        for i in range(k)
+    }
+    assert got == want
+    # single-pivot would need k rounds (one SCC per round); multi-pivot
+    # splits at every per-round prefix maximum — expect O(log k)-ish.
+    assert stats["outer_rounds"] <= k // 3, stats

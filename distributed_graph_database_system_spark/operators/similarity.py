@@ -287,8 +287,30 @@ def read_srp_index(spark, path: str) -> DataFrame:
     """Read a persisted SRP index. ``where(bucket IN ...)`` on the result is
     satisfied by directory pruning (PartitionFilters in the scan node —
     asserted in tests/test_llm.py), which is what makes probes O(bucket)
-    instead of O(corpus)."""
+    instead of O(corpus). Works on both the one-shot layout
+    (``bucket=B/``) and the incremental one (``batch_id=N/bucket=B/``);
+    the extra inferred ``batch_id`` column rides along harmlessly and
+    bucket predicates still prune directories at their level."""
     return spark.read.parquet(path)
+
+
+def append_srp_index(
+    indexed: DataFrame, path: str, batch_id: int
+) -> None:
+    """Idempotent BATCH append to a persisted SRP index — the
+    streaming/documents.py ledger discipline applied to ANN storage: the
+    batch's rows land bucket-partitioned INSIDE a ``batch_id=N``
+    subdirectory written with mode("overwrite"), so replaying a batch
+    (foreachBatch is at-least-once) overwrites its own cell with
+    identical deterministic content instead of double-appending. Buckets
+    come from fixed seeded hyperplanes, so batch boundaries cannot move
+    earlier rows: a two-batch store reads identically to a one-shot
+    build of the union (asserted in tests/test_llm.py). Use ONE layout
+    per index path — don't mix with write_srp_index's flat layout
+    (inconsistent directory depth breaks partition inference)."""
+    indexed.write.mode("overwrite").partitionBy("bucket").parquet(
+        path.rstrip("/") + f"/batch_id={int(batch_id)}"
+    )
 
 
 def write_ivf_index(indexed: DataFrame, centroids: np.ndarray, path: str) -> None:
@@ -307,7 +329,9 @@ def write_ivf_index(indexed: DataFrame, centroids: np.ndarray, path: str) -> Non
 
 
 def read_ivf_index(spark, path: str):
-    """Read a persisted IVF index back as ``(indexed_df, centroids)``."""
+    """Read a persisted IVF index back as ``(indexed_df, centroids)``.
+    Works on both the one-shot layout (``list_id=L/``) and the
+    incremental one (``batch_id=N/list_id=L/``)."""
     indexed = spark.read.parquet(path)
     cent = (
         spark.read.parquet(path.rstrip("/") + "_centroids")
@@ -316,6 +340,57 @@ def read_ivf_index(spark, path: str):
     )
     centroids = np.array([r.centroid for r in cent])
     return indexed, centroids
+
+
+def append_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    batch_id: int,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int = 100_000,
+) -> np.ndarray:
+    """Idempotent batch append to a persisted IVF index with a FROZEN
+    coarse quantizer. The first batch trains the quantizer (sample-fit,
+    :func:`ivf_index`) and writes the centroid sidecar; every later
+    batch is assigned against the STORED centroids via
+    :func:`centroid_assign` — never retrained, because new centroids
+    would silently invalidate every earlier batch's list assignments
+    (the probe ranks centroids; rows filed under old lists would become
+    unreachable). Rows land list-partitioned inside a ``batch_id=N``
+    subdirectory via mode("overwrite") — replaying a batch overwrites
+    its own cell, so a two-batch build reads identically to a one-shot
+    assignment of the union under the same centroids (asserted in
+    tests/test_llm.py). Returns the centroids in effect."""
+    spark = embeddings.sparkSession
+    cent_path = path.rstrip("/") + "_centroids"
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(cent_path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hp):
+        _, centroids = read_ivf_index(spark, path)
+        assigned = centroid_assign(embeddings, centroids, vec_col=vec_col)
+    else:
+        assigned, centroids = ivf_index(
+            embeddings,
+            n_lists=n_lists,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_train_rows=max_train_rows,
+        )
+        cent_rows = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+        ]
+        spark.createDataFrame(
+            cent_rows, "list_id INT, centroid ARRAY<DOUBLE>"
+        ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        path.rstrip("/") + f"/batch_id={int(batch_id)}"
+    )
+    return centroids
 
 
 def srp_ann_topk(

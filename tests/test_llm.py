@@ -645,3 +645,91 @@ def test_ivf_quantizer_trains_on_sample_and_assigns_full_corpus(spark):
         indexed.where(F.col("vec_id") != 5), centroids, q, k=5, nprobe=2
     ).collect()
     assert len(top) == 5
+
+
+def test_incremental_ann_index_append_matches_one_shot(spark, tmp_path):
+    """Batch-keyed idempotent ANN index growth: two batches appended to a
+    persisted index must probe IDENTICALLY to a one-shot build over the
+    union (SRP: fixed hyperplanes; IVF: the quantizer frozen at first
+    build, later batches assigned against stored centroids), and
+    replaying a batch must change nothing — the ledger discipline from
+    the incremental dedup store applied to ANN storage."""
+    from distributed_graph_database_system_spark.operators.similarity import (
+        append_ivf_index,
+        append_srp_index,
+        centroid_assign,
+        ivf_ann_topk,
+        read_ivf_index,
+        read_srp_index,
+        srp_ann_topk,
+        srp_index,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(600, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    full = spark.createDataFrame(rows, schema)
+    a = spark.createDataFrame(rows[:400], schema)
+    b = spark.createDataFrame(rows[400:], schema)
+    q = vecs[7]
+
+    # --- SRP: append A then B ≡ one-shot over the union
+    spath = str(tmp_path / "srp_inc")
+    append_srp_index(srp_index(a, dim=16, nbits=4), spath, 0)
+    append_srp_index(srp_index(b, dim=16, nbits=4), spath, 1)
+    stored = read_srp_index(spark, spath)
+    one_shot = srp_index(full, dim=16, nbits=4)
+    key = lambda df: {  # noqa: E731
+        (r.vec_id, r.bucket) for r in df.select("vec_id", "bucket").collect()
+    }
+    assert key(stored) == key(one_shot)
+    want = [tuple(r) for r in srp_ann_topk(one_shot, q, k=5, nbits=4).collect()]
+    got = [
+        tuple(r)
+        for r in srp_ann_topk(
+            stored.drop("batch_id"), q, k=5, nbits=4
+        ).collect()
+    ]
+    assert got == want
+    # replay batch 1: nothing changes
+    append_srp_index(srp_index(b, dim=16, nbits=4), spath, 1)
+    assert key(read_srp_index(spark, spath)) == key(one_shot)
+
+    # --- IVF: quantizer trained once on batch A, frozen for batch B
+    ipath = str(tmp_path / "ivf_inc")
+    cent0 = append_ivf_index(a, ipath, 0, n_lists=4, max_train_rows=200)
+    cent1 = append_ivf_index(b, ipath, 1, n_lists=4)
+    assert np.array_equal(cent0, cent1)  # frozen, not retrained
+    stored_ivf, cent = read_ivf_index(spark, ipath)
+    assert np.allclose(cent, cent0)
+    # identical to one-shot assignment of the union under SAME centroids
+    union_assigned = centroid_assign(full, cent0)
+    ikey = lambda df: {  # noqa: E731
+        (r.vec_id, r.list_id) for r in df.select("vec_id", "list_id").collect()
+    }
+    assert ikey(stored_ivf) == ikey(union_assigned)
+    wanti = [
+        tuple(r)
+        for r in ivf_ann_topk(union_assigned, cent0, q, k=5, nprobe=2).collect()
+    ]
+    goti = [
+        tuple(r)
+        for r in ivf_ann_topk(
+            stored_ivf.drop("batch_id"), cent, q, k=5, nprobe=2
+        ).collect()
+    ]
+    assert goti == wanti
+    # replay batch 1: byte-stable list assignments
+    append_ivf_index(b, ipath, 1, n_lists=4)
+    stored2, _ = read_ivf_index(spark, ipath)
+    assert ikey(stored2) == ikey(union_assigned)
+
+    # probes on the incremental layout still partition-prune on list_id
+    plan = (
+        stored_ivf.where(F.col("list_id").isin(1, 2))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan

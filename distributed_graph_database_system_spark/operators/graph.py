@@ -1046,20 +1046,26 @@ def find_motif(edges: DataFrame, pattern: str) -> DataFrame:
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_iter: int = 100, max_hops: int = 10_000
+    edges: DataFrame,
+    max_iter: int = 100,
+    max_hops: int = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Strongly connected components of a digraph: ``(vid, scc)`` with
     ``scc`` = the component's minimum vertex id. Distributed
     trim-and-color (FW-BW-Trim family — Hong et al., PPoPP'13 /
-    Orzan's coloring): per outer round,
+    Orzan's coloring) with MULTI-PIVOT randomized coloring: per outer
+    round,
 
     1. TRIM: a vertex with no in-edge or no out-edge in the remaining
        graph cannot lie on a cycle — peel it as a singleton SCC; repeat
        until stable (this alone dissolves DAG regions, the failure mode
        that makes pure coloring O(n) rounds on chains);
-    2. COLOR: propagate the maximum vertex id forward to a fixpoint —
-       color(v) = max id that reaches v (including itself). Vertices
-       whose color equals their own id are roots;
+    2. COLOR: propagate the maximum PRIORITY forward to a fixpoint,
+       where priority(v) = (xxhash64(vid, round), vid) — a per-round
+       salted pseudo-random total order. color(v) = max priority that
+       reaches v (including its own). Vertices whose own priority equals
+       their color are roots — one per color class;
     3. BACKWARD: frontier-join from each root along REVERSED edges,
        restricted to its own color class — everything reached both
        reaches the root (same color ⇒ forward path) and is reached from
@@ -1067,12 +1073,27 @@ def strongly_connected_components(
        same frontier (set-at-a-time), so every color class resolves one
        SCC per outer round, in parallel.
 
+    Why randomized priorities instead of the raw max vertex id: a chain
+    of SCCs whose largest id sits most-upstream is colored UNIFORMLY by
+    that one id — one color class, one root, one SCC resolved per round,
+    O(#SCCs) outer rounds. Salted priorities re-drawn each round make
+    the coloring split a chain at every prefix-maximum: expected
+    O(log n) color classes resolve per round on exactly the adversarial
+    chains that degrade the deterministic variant (the classic
+    randomized FW-BW analysis; asserted empirically by the chain-of-64
+    round-count test). The worst case remains O(#SCCs) rounds if every
+    per-round hash draw is adversarial — vanishingly unlikely and still
+    correct, just slower; ``max_iter`` stays the honest cap. OUTPUT is
+    fully deterministic regardless of pivots: scc = min member id, and
+    xxhash64 is seed-free.
+
     Iterative DataFrame discipline as everywhere in this module: every
     loop step localCheckpoints, so plans stay constant-size. Two separate
     bounds, because they measure different things: ``max_iter`` caps the
-    OUTER trim/color rounds (structurally ~number of SCC peels), while
-    ``max_hops`` caps the inner color-propagation and backward-walk loops
-    (bounded by graph diameter — the same regime as bfs's default).
+    OUTER trim/color rounds, while ``max_hops`` caps the inner
+    color-propagation and backward-walk loops (bounded by graph diameter
+    — the same regime as bfs's default). When ``stats`` is passed the
+    outer-round count lands in ``stats["outer_rounds"]``.
     """
     # vertices come from the UNFILTERED edge set: a vertex whose only
     # incident edge is a self-loop is a singleton SCC and must appear in
@@ -1092,7 +1113,9 @@ def strongly_connected_components(
     spark = edges.sparkSession
     out = spark.createDataFrame([], "vid BIGINT, scc BIGINT")
     e = e_all
-    for _ in range(max_iter):
+    for _outer in range(max_iter):
+        if stats is not None:
+            stats["outer_rounds"] = _outer
         if verts.isEmpty():
             return out
         # --- trim loop -----------------------------------------------------
@@ -1123,8 +1146,18 @@ def strongly_connected_components(
             )
         if verts.isEmpty():
             return out
-        # --- color: forward max-id propagation to fixpoint -----------------
-        colors = verts.select("vid", F.col("vid").alias("color")).localCheckpoint()
+        # --- color: forward max-PRIORITY propagation to fixpoint -----------
+        # priority = (salted hash, vid): a fresh pseudo-random total order
+        # each outer round, compared lexicographically by struct max — the
+        # multi-pivot trick that splits adversarial SCC chains into many
+        # color classes instead of one (see docstring). The struct's second
+        # field carries the pivot's IDENTITY, so roots and class-membership
+        # checks fall out of the color itself.
+        prio = F.struct(
+            F.xxhash64(F.col("vid"), F.lit(_outer)).alias("p"),
+            F.col("vid").alias("cv"),
+        )
+        colors = verts.select("vid", prio.alias("color")).localCheckpoint()
         for _c in range(max_hops):
             incoming = (
                 e.join(colors.select(F.col("vid").alias("src"), "color"), "src")
@@ -1143,15 +1176,22 @@ def strongly_connected_components(
             )
             changed = updated.alias("u").join(
                 colors.alias("c"), "vid"
-            ).where(F.col("u.color") != F.col("c.color"))
+            ).where(
+                (F.col("u.color.p") != F.col("c.color.p"))
+                | (F.col("u.color.cv") != F.col("c.color.cv"))
+            )
             colors = updated
             if changed.isEmpty():
                 break
         else:
             raise RuntimeError("scc: coloring did not converge")
         # --- backward reachability from roots within color classes --------
-        roots = colors.where(F.col("vid") == F.col("color"))
-        reached = roots.select("vid", F.col("color").alias("root")).localCheckpoint()
+        # a root is the vertex whose OWN priority won its class; the class
+        # (and the root's identity) is color.cv from here on
+        roots = colors.where(F.col("vid") == F.col("color.cv"))
+        reached = roots.select(
+            "vid", F.col("color.cv").alias("root")
+        ).localCheckpoint()
         frontier = reached
         rev = e.select(F.col("dst").alias("vid"), F.col("src").alias("prev"))
         for _b in range(max_hops):
@@ -1159,7 +1199,7 @@ def strongly_connected_components(
                 frontier.join(rev, "vid")
                 .select(F.col("prev").alias("vid"), "root")
                 .join(
-                    colors.select("vid", F.col("color").alias("root")),
+                    colors.select("vid", F.col("color.cv").alias("root")),
                     ["vid", "root"],
                     "left_semi",
                 )
@@ -1249,7 +1289,10 @@ def multi_source_bfs(
 
 
 def temporal_bfs(
-    edges: DataFrame, start: int, max_iter: int = 10_000
+    edges: DataFrame,
+    start: int,
+    max_iter: int = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Earliest-arrival reachability over a TEMPORAL graph: ``edges`` are
     ``(src, dst, ts)`` contact events, and a path is valid only if its
@@ -1267,7 +1310,10 @@ def temporal_bfs(
     drawn from the finite edge-timestamp set and only decrease, so the
     loop converges. Start's label is NULL-as-minus-infinity (every
     outgoing edge qualifies). Same per-round localCheckpoint and
-    lazy-union discipline as bfs/sssp."""
+    lazy-union discipline as bfs/sssp. When ``stats`` is passed, the
+    converged round count is recorded under ``stats["rounds"]`` (the
+    scale probe reads it — the label-correcting bound is temporal
+    diameter + relabeling rounds, not plain hop diameter)."""
     e = edges.select("src", "dst", F.col("ts").alias("_ets"))
     spark = edges.sparkSession
     known = spark.createDataFrame(
@@ -1275,7 +1321,9 @@ def temporal_bfs(
     ).select("vid", F.lit(None).cast("timestamp").alias("arrival"))
     known = known.localCheckpoint()
     frontier = known
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        if stats is not None:
+            stats["rounds"] = _round
         cand = (
             frontier.join(e, frontier["vid"] == e["src"])
             # NULL arrival = start's minus-infinity: every edge qualifies

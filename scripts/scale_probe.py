@@ -249,6 +249,44 @@ def main() -> int:
     if sys.argv[1:] == ["prefixsum"]:
         prefix_sum_probe(spark)
         return 0
+    if sys.argv[1:] == ["temporalbfs"]:
+        from distributed_graph_database_system_spark.operators.graph import (
+            temporal_bfs,
+        )
+
+        # 1M timestamped contact events over 100k vertices, timestamps
+        # drawn deterministically from a 30-day window. Mean degree 10
+        # puts hop-reachability near total; the temporal constraint
+        # (non-decreasing timestamps along a path) prunes it — the probe
+        # records reach, label-correcting rounds, and wall.
+        n_v, n_e = 100_000, 1_000_000
+        te = (
+            spark.range(n_e)
+            .select(
+                (F.pmod(F.xxhash64("id"), F.lit(n_v)) + 1).alias("src"),
+                (F.pmod(F.xxhash64(F.col("id") + 7_777_777), F.lit(n_v)) + 1).alias(
+                    "dst"
+                ),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000)
+                    + F.pmod(F.xxhash64(F.col("id") + 99), F.lit(30 * 86_400))
+                ).alias("ts"),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+        te.write.mode("overwrite").parquet("/tmp/scale_temporal_edges")
+        e = spark.read.parquet("/tmp/scale_temporal_edges")
+        stats: dict = {}
+        t0 = time.perf_counter()
+        r = temporal_bfs(e, start=1, stats=stats).localCheckpoint()
+        reached = r.count()
+        print(
+            f"temporal_bfs 1M contact events: "
+            f"{round(time.perf_counter() - t0, 2)}s, reached={reached}/{n_v}, "
+            f"rounds={stats['rounds']}"
+        )
+        return 0
+
     if sys.argv[1:] == ["scc"]:
         from distributed_graph_database_system_spark.operators.graph import (
             strongly_connected_components,

@@ -341,6 +341,79 @@ def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Unigram-LM surprisal scoring -------------------------------------------
+
+
+@query(
+    "text_perplexity_unigram",
+    oracle=f"""
+    WITH u AS ({_UNNEST_SQL}),
+    freq AS (SELECT tok, COUNT(*) AS n FROM u GROUP BY tok),
+    tot AS (SELECT SUM(n) AS big_n FROM freq),
+    nll AS (
+      SELECT u.doc_id,
+             CAST(ROUND(-LN(CAST(freq.n AS DOUBLE) / tot.big_n), 6)
+                  AS DECIMAL(18,6)) AS x
+      FROM u JOIN freq ON u.tok = freq.tok CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+    FROM nll GROUP BY doc_id
+    ORDER BY avg_nll DESC, doc_id LIMIT 15
+    """,
+    tags=("text", "quality", "language-model", "llm"),
+)
+def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average token surprisal under the corpus's own
+    unigram language model — the cheapest LM-based quality screen in a
+    training-data pipeline (documents whose tokens are corpus-rare score
+    high; boilerplate scores low). avg_nll = mean over the doc's tokens
+    of −ln(count(tok)/N); the 15 most surprising documents are returned.
+
+    Float determinism is the whole design: a per-doc SUM over dozens of
+    doubles is addition-order-dependent across engines, so each token's
+    surprisal is rounded to 6 decimals and cast to DECIMAL(18,6) FIRST —
+    decimal addition is exact, hence order-free — and only the final
+    mean is a double division, rounded to 4 (the dsum discipline from
+    queries/helpers.py applied to a derived, not stored, quantity). The
+    ln itself agrees across engines on these inputs (the same reliance
+    text_tfidf_rank's idf already exercises, driver-hash-verified).
+
+    Scale shape: one corpus-sized shuffle builds (tok, n) frequencies
+    with map-side partial counts; the per-token score join shuffles the
+    token stream once on tok (vocab ≪ corpus; Zipf-head skew folds into
+    partial counts, and AQE handles the join side); N is a broadcast
+    scalar; the final per-doc aggregate is one more map-side-combinable
+    pass. No global sort — TakeOrderedAndProject serves the top-15."""
+    u = _tokens(spark, sf_dir).select("doc_id", F.explode("t").alias("tok"))
+    freq = u.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("big_n"))
+    nll = (
+        u.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(F.col("n").cast("double") / F.col("big_n")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("x"),
+        )
+    )
+    return (
+        nll.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("x").cast("double") / F.count("*"), 4
+            ).alias("avg_nll"),
+        )
+        .orderBy(F.desc("avg_nll"), "doc_id")
+        .limit(15)
+    )
+
+
 # --- Inverted index ---------------------------------------------------------
 
 

@@ -1081,6 +1081,90 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+        last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY ts, CASE WHEN event_type = 'view' THEN 2 ELSE 1 END, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_id,
+        last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY ts, CASE WHEN event_type = 'view' THEN 2 ELSE 1 END, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+        first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY ts, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_id,
+        first_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY ts, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+      FROM t
+    ),
+    gated AS (
+      SELECT event_id, user_id, ts,
+        CASE WHEN epoch_us(ts) - epoch_us(back_ts) <= 3600000000
+             THEN back_id END AS b_id,
+        CASE WHEN epoch_us(ts) - epoch_us(back_ts) <= 3600000000
+             THEN back_ts END AS b_ts,
+        CASE WHEN epoch_us(fwd_ts) - epoch_us(ts) <= 3600000000
+             THEN fwd_id END AS f_id,
+        CASE WHEN epoch_us(fwd_ts) - epoch_us(ts) <= 3600000000
+             THEN fwd_ts END AS f_ts
+      FROM w WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+      CASE WHEN b_id IS NULL THEN f_id
+           WHEN f_id IS NULL THEN b_id
+           WHEN epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts)
+           THEN b_id ELSE f_id END AS nearest_view_id
+    FROM gated
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with a tolerance — the full pandas
+    merge_asof parameter space through operators/asof.py asof_join: for
+    each purchase, the view by the same user closest in time (strictly
+    before OR after, ties to backward) within one hour; purchases with no
+    view in the window keep a NULL. Same single-shuffle union + window
+    shape as the backward-only join_asof; gap comparisons are exact
+    epoch-microsecond integers, so the nearest tie-break is
+    engine-deterministic. The oracle reproduces the operator's side-aware
+    tie ordering (a view at the exact purchase timestamp is excluded —
+    allow_exact_matches=False) in plain SQL windows."""
+    from distributed_graph_database_system_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id"],
+        direction="nearest",
+        tolerance=3600.0,
+        allow_exact_matches=False,
+        suffix="_view",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("event_id_view").alias("nearest_view_id")
+    )
+
+
+@query(
     "sessionize",
     oracle="""
     WITH gaps AS (

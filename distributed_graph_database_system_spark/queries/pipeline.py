@@ -200,6 +200,62 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_documents_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 48)) AS start_tok
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(toks[start_tok + 1 : start_tok + 64]) AS INTEGER)
+             AS n_chunk_tokens,
+           md5(array_to_string(toks[start_tok + 1 : start_tok + 64], ' '))
+             AS chunk_md5
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm", "pipeline", "chunking"),
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    between raw documents and pack_sequences' bin packing: every doc
+    (a deterministic 1-in-7 slice keeps the fixture result compact)
+    splits into 64-token chunks starting every 48 tokens (16-token
+    overlap, the RAG/pretraining boundary-context idiom), each chunk
+    carrying provenance (doc_id, chunk_idx, start_tok) and an md5 of its
+    text so the oracle compares content without hashing megabytes of
+    strings. Pure per-row fan-out: sequence() generates the start
+    offsets, explode distributes them, slice/array_join stay in codegen
+    — no shuffle at all before the presentation sort, so the op scales
+    as a map over the corpus. Both engines slice identically (Spark
+    slice(arr, start+1, 64) ≡ DuckDB toks[start+1 : start+64], 1-based,
+    length-clamped)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    s = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48))
+        ).alias("start_tok"),
+    )
+    chunk = F.slice("toks", F.col("start_tok") + 1, 64)
+    return s.select(
+        "doc_id",
+        (F.col("start_tok") / 48).cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
     "text_ngram_topk",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL})

@@ -208,3 +208,42 @@ def test_shuffle_hash_hint_is_honored(plans, spark, sf_dir):
     p = physical_plan(li.join(o, li["l_orderkey"] == o["o_orderkey"]))
     assert "ShuffledHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_group_quantiles_scalable_uses_range_partition_and_broadcasts(plans):
+    """The bounded-state exact-quantile path must show its design in the
+    plan: a RANGE partitioning exchange (contiguous value spans per
+    task), broadcast joins for the offsets/bracketing-targets tables
+    (never a shuffle join against the ranked corpus), and zero Python."""
+    p = plans("agg_group_quantiles_scalable")
+    assert "rangepartitioning" in p.lower(), p[:2000]
+    assert "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_perplexity_is_jvm_side_with_topk(plans):
+    """Unigram surprisal: top-15 must be TakeOrderedAndProject (no global
+    sort), scoring entirely JVM-side."""
+    p = plans("text_perplexity_unigram")
+    assert "TakeOrderedAndProject" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_asof_nearest_is_single_union_window_no_cartesian(plans):
+    """The merge_asof-style nearest join must stay the union + window
+    formulation: no CartesianProduct / BroadcastNestedLoopJoin (a naive
+    time-range join would degrade to one), both direction windows reusing
+    the user_id partitioning."""
+    p = plans("join_asof_nearest")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window") >= 2  # backward + forward in one pass
+
+
+def test_chunking_is_shuffle_free_fanout(plans):
+    """Sliding-window chunking is a pure map-side fan-out: the only
+    exchange allowed is the final presentation sort's range partitioning;
+    no hash-partition exchange, no Python nodes."""
+    p = plans("chunk_documents_overlap")
+    assert "hashpartitioning" not in p.lower(), p[:1500]
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

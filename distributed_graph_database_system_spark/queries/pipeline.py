@@ -518,6 +518,89 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_survivor_quality",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      WHERE e.b <> r.a
+    ),
+    labels AS (
+      SELECT a AS vid, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+    ),
+    sized AS (
+      SELECT l.vid, l.comp,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+      FROM labels l JOIN documents d ON l.vid = d.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number()
+               OVER (PARTITION BY comp ORDER BY n_tok DESC, vid ASC) AS rn
+      FROM sized
+    )
+    SELECT comp AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rn = 1 THEN vid END) AS survivor_id,
+           MAX(CASE WHEN rn = 1 THEN n_tok END) AS survivor_tokens,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+    FROM ranked GROUP BY comp ORDER BY cluster_id
+    """,
+    tags=("llm", "dedup", "clusters", "quality"),
+)
+def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection — what production pipelines
+    actually do with a near-dup cluster: keep the BEST member (here:
+    most whitespace tokens, the usual longest-version heuristic; ties to
+    the smaller doc_id for determinism), not the smallest id. Same pair
+    graph → connected components derivation as dedup_clusters; the
+    survivor pick is a single aggregate of a lexicographic (quality,
+    −doc_id) struct max — map-side combinable, NO per-cluster window
+    sort, so the selection pass costs one shuffle of the (small,
+    dup-only) cluster membership joined to its token counts. The oracle
+    mirrors the exact tie order with arg_max over a [n_tok, −vid] list
+    key."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold_num=3, threshold_den=5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    sized = comp.join(
+        d.select(
+            F.col("doc_id").alias("vid"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        ),
+        "vid",
+    )
+    best = F.max(
+        F.struct(F.col("n_tok").alias("q"), (-F.col("vid")).alias("nv"))
+    )
+    return (
+        sized.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            (-best["nv"]).alias("survivor_id"),
+            best["q"].alias("survivor_tokens"),
+            (F.count("*") - F.lit(1)).alias("n_removed"),
+        )
+        .select(
+            "cluster_id", "n_docs", "survivor_id", "survivor_tokens", "n_removed"
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # PII patterns — RE2-safe subset (no lookaround/backrefs) so the Java regex
 # engine (Spark) and RE2 (DuckDB) match identically; \b and \d agree between
 # the engines on ASCII input.

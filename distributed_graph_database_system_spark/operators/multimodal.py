@@ -9,9 +9,16 @@ are real here:
   plus header parsers (``struct`` on container headers) for PNG / GIF / BMP
   / JPEG images and WAV / AVI containers. No Pillow/ffmpeg needed — image
   dimensions live in fixed header fields and audio/video duration is
-  arithmetic over RIFF chunk sizes. Pixel/sample *payload* work (resize,
-  re-encode, spectrograms) is the only part that would need a real media
-  library; ``decode_media(deep=True)`` marks that extension point.
+  arithmetic over RIFF chunk sizes.
+- ``decode_media(deep=True)`` additionally decodes the PAYLOAD for the
+  formats whose encodings are stdlib-reachable: PCM16 WAV samples
+  (``struct``/``array``), 8-bit grayscale PNG scanlines (``zlib`` inflate +
+  the five standard filter reconstructions), and uncompressed 24-bit BMP
+  pixel rows — emitting exact-integer stats (sample count / peak / sum of
+  squares, pixel sum / min / max) so downstream aggregation is
+  float-determinism-free by construction. GIF (LZW), JPEG (DCT entropy
+  coding) and AVI movi streams stay out of scope — those genuinely need a
+  media library, and their deep columns come back NULL.
 
 For testability without fixture media files, ``synth`` helpers emit fully
 valid minimal files (PNG with correct CRCs via ``zlib``, WAV/BMP/GIF/AVI via
@@ -65,6 +72,21 @@ DECODED_SCHEMA = StructType(
         StructField("width", IntegerType(), True),      # images/video
         StructField("height", IntegerType(), True),     # images/video
         StructField("duration_s", DoubleType(), True),  # audio/video
+    ]
+)
+
+# deep=True adds exact-integer payload stats (NULL where the payload
+# encoding is out of stdlib reach — gif/jpeg/avi)
+DEEP_SCHEMA = StructType(
+    list(DECODED_SCHEMA.fields)
+    + [
+        StructField("n_samples", LongType(), True),   # wav: PCM frames
+        StructField("audio_peak", IntegerType(), True),
+        StructField("audio_sqsum", LongType(), True),  # Σ sample², exact
+        StructField("px_sum", LongType(), True),       # png/bmp: Σ bytes
+        StructField("px_min", IntegerType(), True),
+        StructField("px_max", IntegerType(), True),
+        StructField("n_px", LongType(), True),
     ]
 )
 
@@ -223,6 +245,143 @@ def parse_media(content: bytes) -> dict:
     return out
 
 
+# --------------------------------------------------------------------------
+# Deep payload decoders — stdlib-reachable encodings only. Each returns a
+# dict of DEEP_SCHEMA extras or None (unsupported/malformed → NULL columns,
+# the same quarantine-by-null contract as parse_media).
+# --------------------------------------------------------------------------
+
+
+def _deep_wav(b: bytes) -> dict | None:
+    """PCM16 sample stats: frame count, peak |sample|, exact Σ sample²."""
+    import array
+    import sys
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = bits = audio_fmt = None
+    data = None
+    for cid, off, size in _riff_chunks(b, 12):
+        if cid == b"fmt " and size >= 16:
+            audio_fmt, channels = struct.unpack("<HH", b[off : off + 4])
+            bits = struct.unpack("<H", b[off + 14 : off + 16])[0]
+        elif cid == b"data":
+            data = b[off : off + size]
+    if data is None or audio_fmt != 1 or bits != 16 or not channels:
+        return None  # only uncompressed PCM16 is stdlib-decodable
+    a = array.array("h")
+    a.frombytes(data[: len(data) // 2 * 2])
+    if sys.byteorder == "big":
+        a.byteswap()  # WAV payloads are little-endian
+    if not len(a):
+        return {"n_samples": 0, "audio_peak": 0, "audio_sqsum": 0}
+    return {
+        "n_samples": len(a) // channels,
+        "audio_peak": max(abs(x) for x in a),
+        "audio_sqsum": sum(x * x for x in a),  # ints: exact, order-free
+    }
+
+
+def _png_unfilter(raw: bytes, width: int, height: int) -> bytearray | None:
+    """Reconstruct 8-bit grayscale scanlines from the five standard PNG
+    filters (None/Sub/Up/Average/Paeth), bpp=1."""
+    out = bytearray()
+    stride = width + 1
+    if len(raw) < stride * height:
+        return None
+    prev = bytearray(width)
+    for r in range(height):
+        row = raw[r * stride : (r + 1) * stride]
+        ftype, cur = row[0], bytearray(row[1:])
+        if ftype == 1:  # Sub
+            for i in range(1, width):
+                cur[i] = (cur[i] + cur[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(width):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(width):
+                left = cur[i - 1] if i else 0
+                cur[i] = (cur[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(width):
+                a = cur[i - 1] if i else 0
+                bb = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out += cur
+        prev = cur
+    return out
+
+
+def _deep_png(b: bytes) -> dict | None:
+    """8-bit grayscale pixel stats via zlib inflate + filter reconstruction."""
+    if len(b) < 33 or not b.startswith(_PNG_SIG):
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    bit_depth, color_type = b[24], b[25]
+    if bit_depth != 8 or color_type != 0:
+        return None  # palettes/truecolor need per-type handling; keep honest
+    idat = b"".join(
+        b[off + 8 : off + 8 + size]
+        for off, size in _png_chunks_of(b, b"IDAT")
+    )
+    px = _png_unfilter(zlib.decompress(idat), w, h)
+    if px is None or not len(px):
+        return None
+    return {
+        "px_sum": sum(px),
+        "px_min": min(px),
+        "px_max": max(px),
+        "n_px": len(px),
+    }
+
+
+def _png_chunks_of(b: bytes, ctype: bytes):
+    """(payload_offset-8, size) for every chunk of ``ctype`` — offsets are
+    chunk starts, matching the ``off + 8`` read in _deep_png."""
+    i = 8
+    while i + 8 <= len(b):
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        if b[i + 4 : i + 8] == ctype:
+            yield i, size
+        i += 12 + size  # len + type + payload + crc
+
+
+def _deep_bmp(b: bytes) -> dict | None:
+    """Uncompressed 24-bit pixel-byte stats (all channels), honoring the
+    4-byte row alignment and bottom-up row order (order is irrelevant to
+    the stats, but the padding bytes must NOT be counted)."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    px_off = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    compression = struct.unpack("<I", b[30:34])[0]
+    if bpp != 24 or compression != 0 or w <= 0:
+        return None
+    stride = (w * 3 + 3) & ~3
+    rows = abs(h)
+    if px_off + stride * rows > len(b):
+        return None
+    total, mn, mx, n = 0, 255, 0, 0
+    for r in range(rows):
+        row = b[px_off + r * stride : px_off + r * stride + w * 3]
+        total += sum(row)
+        mn = min(mn, min(row))
+        mx = max(mx, max(row))
+        n += len(row)
+    return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": n}
+
+
+_DEEP_DECODERS = {"wav": _deep_wav, "png": _deep_png, "bmp": _deep_bmp}
+
+
 def _fake_decode(digest: bytes, kind: str) -> dict:
     """Deterministic structural fake: dimensions/duration derived from the
     content digest (computed once by the caller — hashing is the CPU-bound
@@ -249,15 +408,20 @@ def decode_media(
       WAV/AVI, nulls for unrecognized bytes;
     - ``fake=True``: deterministic digest-derived dims for opaque stand-in
       blobs (fixture text bytes);
-    - ``deep=True``: reserved for payload decode (pixels/samples) — requires
-      a real media library, absent in this container, so it raises at
-      exactly the point Pillow/ffmpeg would plug in.
+    - ``deep=True``: REAL payload decode for the stdlib-reachable formats
+      (PCM16 WAV samples, 8-bit grayscale PNG scanlines, uncompressed
+      24-bit BMP rows) — adds DEEP_SCHEMA's exact-integer stats columns,
+      NULL for gif/jpeg/avi whose payload encodings genuinely need a media
+      library (the documented extension point, now narrowed to only them).
+      A malformed payload past a valid header quarantines to NULL stats,
+      same contract as parse_media.
     """
-    if deep:
-        raise NotImplementedError(
-            "payload (pixel/sample) decode requires Pillow/ffmpeg — not in "
-            "container; header-level structural decode is the default path"
-        )
+    schema = DEEP_SCHEMA if deep else DECODED_SCHEMA
+    deep_nulls = {
+        f.name: None
+        for f in DEEP_SCHEMA.fields
+        if f.name not in {g.name for g in DECODED_SCHEMA.fields}
+    }
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -272,20 +436,25 @@ def decode_media(
                     if fake
                     else parse_media(blob)
                 )
-                rows.append(
-                    {
-                        "media_id": media_id,
-                        "kind": kind,
-                        "n_bytes": len(blob),
-                        "sha256": hasher.hexdigest(),
-                        **meta,
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in DECODED_SCHEMA.fields]
-            )
+                row = {
+                    "media_id": media_id,
+                    "kind": kind,
+                    "n_bytes": len(blob),
+                    "sha256": hasher.hexdigest(),
+                    **meta,
+                }
+                if deep:
+                    row.update(deep_nulls)
+                    decoder = _DEEP_DECODERS.get(meta.get("fmt"))
+                    if decoder is not None:
+                        try:
+                            row.update(decoder(blob) or {})
+                        except Exception:  # noqa: BLE001 — quarantine
+                            pass
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+    return media.mapInPandas(decode_batches, schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -332,10 +501,22 @@ def make_bmp(width: int, height: int) -> bytes:
     return header + info + pixels
 
 
-def make_wav(n_samples: int, sample_rate: int = 8000, channels: int = 1) -> bytes:
-    """PCM16 WAV of ``n_samples`` zero samples: duration is exactly
-    ``n_samples / sample_rate``."""
-    data = b"\x00" * (n_samples * channels * 2)
+def make_wav(
+    n_samples: int,
+    sample_rate: int = 8000,
+    channels: int = 1,
+    sample_fn=None,
+) -> bytes:
+    """PCM16 WAV of ``n_samples`` frames: duration is exactly
+    ``n_samples / sample_rate``. ``sample_fn(k) -> int16`` fills frame k
+    (replicated across channels); default is silence."""
+    if sample_fn is None:
+        data = b"\x00" * (n_samples * channels * 2)
+    else:
+        frames = [int(sample_fn(k)) for k in range(n_samples)]
+        data = struct.pack(f"<{n_samples * channels}h", *(
+            v for v in frames for _ in range(channels)
+        ))
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -450,7 +631,13 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
                 i = int(doc_id)
                 fmt = fmts[i % 6]
                 if fmt == "wav":
-                    blob = make_wav(800 + (i % 100) * 16)
+                    # deterministic nonzero ramp: the deep sample stats are
+                    # arithmetic in (doc_id, k), so the SQL oracle of
+                    # multimodal_deep_audio recomputes them exactly
+                    blob = make_wav(
+                        800 + (i % 100) * 16,
+                        sample_fn=lambda k, i=i: ((i * 31 + k * 7) % 201) - 100,
+                    )
                 elif fmt == "avi":
                     blob = make_avi(16 + i % 97, 16 + (i * 7) % 89, 10 + i % 50)
                 else:

@@ -506,6 +506,57 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_deep_audio",
+    oracle="""
+    WITH wavs AS (
+      SELECT doc_id, 800 + (doc_id % 100) * 16 AS n FROM documents
+      WHERE doc_id % 6 = 4
+    ),
+    s AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM wavs
+    ),
+    x AS (
+      SELECT doc_id, n, ((doc_id * 31 + k * 7) % 201) - 100 AS v FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(v)) AS INTEGER) AS audio_peak,
+           CAST(SUM(v * v) AS BIGINT) AS audio_sqsum,
+           ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / n), 6) AS rms
+    FROM x GROUP BY doc_id, n ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "codec", "deep"),
+)
+def multimodal_deep_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL payload decode, driver-verified: the synth WAVs carry a
+    deterministic PCM16 ramp (sample k of doc i = ((i·31 + k·7) mod 201)
+    − 100), decode_media(deep=True) reads the samples back through the
+    pure-stdlib PCM path, and the oracle recomputes frame count, peak
+    |sample|, and the EXACT integer Σ sample² with generate_series — a
+    wrong chunk walk, endianness, or stride hash-mismatches immediately.
+    RMS is the one derived float: a single sqrt of an exact rational,
+    identical in both engines. Pixel-payload paths (PNG filters, BMP
+    strides) are covered by the numpy-reference pytest."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    media = documents_as_synth_media(
+        load_table(spark, sf_dir, "documents")
+    ).where(F.col("kind") == "audio")
+    deep = decode_media(media, deep=True)
+    return deep.select(
+        "media_id",
+        "n_samples",
+        "audio_peak",
+        "audio_sqsum",
+        F.round(
+            F.sqrt(F.col("audio_sqsum").cast("double") / F.col("n_samples")), 6
+        ).alias("rms"),
+    ).orderBy("media_id")
+
+
+@query(
     "multimodal_resize_plan",
     oracle="""
     WITH dims AS (

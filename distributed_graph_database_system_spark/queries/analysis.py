@@ -341,6 +341,57 @@ def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Market-basket co-occurrence --------------------------------------------
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    ORDER BY support DESC, part_a, part_b LIMIT 20
+    """,
+    tags=("analytics", "basket", "co-occurrence"),
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining — the 2-itemset core of FP-growth-style
+    association analysis: parts bought together in one order, ranked by
+    support (orders containing both), min support 2. The self-join is
+    keyed on the ORDER (baskets are small — TPC-H orders hold ≤7 items),
+    so the pair fan-out per order is bounded C(7,2) and the join shuffles
+    each side once on l_orderkey; distinct-before-join collapses
+    duplicate (order, part) lines first — the same fan-out discipline as
+    graph_degrees_custsupp. Top-20 via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 # --- Unigram-LM surprisal scoring -------------------------------------------
 
 

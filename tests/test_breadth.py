@@ -168,3 +168,38 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_read_parquet_resilient_skips_corrupt_files(spark, sf_dir, tmp_path):
+    """One corrupt part-file must cost a quarantine entry, not the job:
+    the strict read raises, the resilient read returns every row of the
+    intact files, and the quarantine log names exactly the bad file."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.sources.io import (
+        read_parquet_resilient,
+    )
+
+    path = str(tmp_path / "lake")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartition(4).write.parquet(path)
+    parts = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(parts) == 4
+    good_rows = 1000 - spark.read.parquet(parts[1]).count()
+    with open(parts[1], "wb") as fh:  # truncate to garbage
+        fh.write(b"PAR1garbage")
+
+    strict = spark.read.parquet(path)
+    with pytest.raises(Exception):
+        strict.count()
+
+    log = str(tmp_path / "quarantine.txt")
+    df = read_parquet_resilient(spark, path, quarantine_log=log)
+    assert df.count() == good_rows
+    logged = open(log).read().strip().splitlines()
+    assert len(logged) == 1 and logged[0].endswith(os.path.basename(parts[1]))

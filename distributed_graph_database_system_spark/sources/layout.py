@@ -480,3 +480,174 @@ def surgical_delete(
         "rewritten_partitions": len(survived),
         "removed_partitions": len(subs) - len(survived),
     }
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    upserts: DataFrame,
+    key_cols: Sequence[str],
+    deletes: DataFrame | None = None,
+) -> dict[str, int]:
+    """Partition-pruned MERGE into a hive-partitioned parquet dataset —
+    the CDC/upsert primitive: rows of ``upserts`` replace target rows
+    with the same key or insert as new; ``deletes`` (key columns only)
+    removes keys. ONLY the partition directories that contain a touched
+    key, or that an upserted row lands in, are rewritten; every other
+    directory's files stay bit-for-bit untouched (asserted by mtime in
+    tests/test_layout.py). A key whose partition value CHANGES in the
+    upsert is handled: its old partition rewrites without it, its new
+    partition rewrites with it.
+
+    Semantics: ``deletes`` wins over ``upserts`` for the same key (a CDC
+    stream's terminal op). ``upserts`` must carry the target's full
+    schema including the partition columns. Unpartitioned datasets are
+    refused — there is nothing to prune; use a plain staged rewrite.
+
+    Crash safety is surgical_delete's exact discipline, shared sibling
+    recovery included: survivors stage to ``__merge_tmp`` while ``path``
+    is fully intact, originals rename aside to ``__merge_bak``, staged
+    directories rename in, and only then does the backup drop. A rerun
+    after a mid-swap crash FIRST restores the backup's missing
+    partitions (``_recover_delete_backup``), never deletes them.
+
+    Returns ``{"updated", "inserted", "deleted", "rewritten_partitions",
+    "removed_partitions"}``.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = path.rstrip("/") + "__merge_tmp"
+    bak = path.rstrip("/") + "__merge_bak"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    _recover_delete_backup(fs, jvm, bak_p, hpath)
+    fs.delete(tmp_p, True)
+    part_cols, _ = _partition_layout(fs, hpath)
+    if not part_cols:
+        raise ValueError(
+            "merge_into: dataset has no hive partitions — a pruned merge "
+            "is impossible; use a staged full rewrite instead"
+        )
+    key_cols = list(key_cols)
+    target = spark.read.parquet(path)
+    if set(upserts.columns) != set(target.columns):
+        raise ValueError(
+            f"merge_into: upsert schema {sorted(upserts.columns)} != "
+            f"target schema {sorted(target.columns)}"
+        )
+
+    up_keys = upserts.select(*key_cols).distinct().localCheckpoint()
+    del_keys = (
+        deletes.select(*key_cols).distinct().localCheckpoint()
+        if deletes is not None
+        else None
+    )
+    touched = (
+        up_keys.unionByName(del_keys).distinct() if del_keys is not None else up_keys
+    )
+    # stats BEFORE any mutation (bounded: key-join aggregates)
+    n_matched = target.join(up_keys, key_cols, "left_semi").select(
+        *key_cols
+    ).distinct().count()
+    n_deleted = (
+        target.join(del_keys, key_cols, "left_semi")
+        .select(*key_cols)
+        .distinct()
+        .count()
+        if del_keys is not None
+        else 0
+    )
+    live_upserts = (
+        upserts.join(del_keys, key_cols, "left_anti")
+        if del_keys is not None
+        else upserts
+    )
+    n_upserted_live = live_upserts.select(*key_cols).distinct().count()
+    matched_live = (
+        target.join(
+            live_upserts.select(*key_cols).distinct(), key_cols, "left_semi"
+        )
+        .select(*key_cols)
+        .distinct()
+        .count()
+    )
+
+    # affected partitions: where touched keys live now + where upserts land
+    tgt_parts = (
+        target.join(touched, key_cols, "left_semi")
+        .select(*part_cols)
+        .distinct()
+        .collect()
+    )
+    src_parts = live_upserts.select(*part_cols).distinct().collect()
+    subs_rows = {tuple(r[c] for c in part_cols): r for r in tgt_parts}
+    for r in src_parts:
+        subs_rows.setdefault(tuple(r[c] for c in part_cols), r)
+    if not subs_rows:
+        return {
+            "updated": 0, "inserted": 0, "deleted": 0,
+            "rewritten_partitions": 0, "removed_partitions": 0,
+        }
+
+    def tuple_match(row):
+        return reduce(
+            lambda a, b: a & b,
+            (F.col(c).eqNullSafe(F.lit(row[c])) for c in part_cols),
+        )
+
+    in_affected = reduce(
+        lambda a, b: a | b, (tuple_match(r) for r in subs_rows.values())
+    )
+    keep = target.where(in_affected).join(touched, key_cols, "left_anti")
+    merged = keep.unionByName(live_upserts.select(*target.columns))
+    survived = {
+        tuple(r[c] for c in part_cols)
+        for r in merged.select(*part_cols).distinct().collect()
+    }
+    if survived:
+        merged.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
+
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+    def dirname(col: str, value) -> str:
+        if value is None:
+            return f"{esc.escapePathName(col)}=__HIVE_DEFAULT_PARTITION__"
+        return f"{esc.escapePathName(col)}={esc.escapePathName(str(value))}"
+
+    def rename(src: str, dst: str) -> None:
+        dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+        parent = dst_p.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(src), dst_p):
+            raise IOError(f"merge_into: rename {src} -> {dst} failed")
+
+    subs = {
+        t: "/".join(dirname(c, r[c]) for c in part_cols)
+        for t, r in subs_rows.items()
+    }
+    # swap order: originals aside (recoverable), staged in, then drop bak.
+    # A brand-new partition (insert into a fresh day) has no original to
+    # move aside; a fully-deleted one has no staged dir to move in.
+    for t, sub in subs.items():
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")):
+            rename(f"{path}/{sub}", f"{bak}/{sub}")
+    for t, sub in subs.items():
+        if t in survived and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{tmp}/{sub}")
+        ):
+            rename(f"{tmp}/{sub}", f"{path}/{sub}")
+    fs.delete(bak_p, True)
+    fs.delete(tmp_p, True)
+    return {
+        "updated": int(matched_live),
+        "inserted": int(n_upserted_live - matched_live),
+        "deleted": int(n_deleted),
+        "rewritten_partitions": len(survived & set(subs)),
+        "removed_partitions": len(subs) - len(survived & set(subs)),
+    }

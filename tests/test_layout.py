@@ -411,3 +411,105 @@ def test_surgical_delete_rerun_after_crash_restores_backup(spark, tmp_path):
         r.id for r in spark.read.parquet(path).where("g = 'c'").collect()
     )
     assert after_c == before_c
+
+
+def test_merge_into_partition_pruned_upsert_delete(spark, tmp_path):
+    """MERGE semantics + pruning: updates replace rows in place, inserts
+    land (including a brand-new partition), deletes remove keys, a key
+    that MOVES partitions leaves the old one and appears in the new one,
+    deletes win over upserts for the same key — and the one untouched
+    partition's files stay bit-for-bit (same paths + mtimes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.sources.layout import merge_into
+
+    path = str(tmp_path / "merged_ds")
+    rows = [
+        (1, "a", 10.0), (2, "a", 20.0),
+        (3, "b", 30.0), (4, "b", 40.0),
+        (5, "c", 50.0), (6, "c", 60.0),  # partition c: untouched
+    ]
+    spark.createDataFrame(rows, "k INT, g STRING, v DOUBLE").write.partitionBy(
+        "g"
+    ).mode("overwrite").parquet(path)
+
+    def file_state(sub):
+        d = f"{path}/g={sub}"
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    c_before = file_state("c")
+
+    upserts = spark.createDataFrame(
+        [
+            (1, "a", 11.0),   # update in place
+            (3, "a", 33.0),   # key MOVES b → a
+            (7, "d", 70.0),   # insert into a brand-new partition
+            (9, "a", 90.0),   # upsert that the delete below overrides
+        ],
+        "k INT, g STRING, v DOUBLE",
+    )
+    deletes = spark.createDataFrame([(4,), (9,)], "k INT")
+    stats = merge_into(spark, path, upserts, ["k"], deletes=deletes)
+    assert stats["updated"] == 2      # keys 1 and 3 existed
+    assert stats["inserted"] == 1     # key 7 (9 was deleted pre-insert)
+    assert stats["deleted"] == 1      # key 4 existed; 9 did not
+    assert stats["rewritten_partitions"] >= 2  # a, b, d
+    assert not os.path.exists(path + "__merge_bak")
+    assert not os.path.exists(path + "__merge_tmp")
+
+    got = {
+        r.k: (r.g, r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("a", 11.0),
+        2: ("a", 20.0),
+        3: ("a", 33.0),   # moved
+        5: ("c", 50.0),
+        6: ("c", 60.0),
+        7: ("d", 70.0),
+    }
+    assert file_state("c") == c_before  # untouched partition: same bytes
+
+    # a no-op merge (keys that don't exist, empty upserts) touches nothing
+    empty = spark.createDataFrame([], "k INT, g STRING, v DOUBLE")
+    stats2 = merge_into(spark, path, empty, ["k"])
+    assert stats2 == {
+        "updated": 0, "inserted": 0, "deleted": 0,
+        "rewritten_partitions": 0, "removed_partitions": 0,
+    }
+
+    # crash recovery shares surgical_delete's restore: a leftover
+    # __merge_bak partition missing from path is renamed back in first
+    import shutil
+
+    os.makedirs(path + "__merge_bak", exist_ok=True)
+    shutil.move(f"{path}/g=d", path + "__merge_bak/g=d")
+    up2 = spark.createDataFrame([(2, "a", 22.0)], "k INT, g STRING, v DOUBLE")
+    merge_into(spark, path, up2, ["k"])
+    after = {r.k: (r.g, r.v) for r in spark.read.parquet(path).collect()}
+    assert after[7] == ("d", 70.0)   # restored, not destroyed
+    assert after[2] == ("a", 22.0)
+
+    # schema mismatch is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="schema"):
+        merge_into(
+            spark, path,
+            spark.createDataFrame([(1, "a")], "k INT, g STRING"), ["k"],
+        )
+    # a fully-deleted partition's directory is removed
+    merge_into(
+        spark, path, empty,
+        ["k"],
+        deletes=spark.createDataFrame([(7,)], "k INT"),
+    )
+    assert not os.path.exists(f"{path}/g=d")
+    assert spark.read.parquet(path).where(F.col("k") == 7).isEmpty()

@@ -170,3 +170,37 @@ def test_group_quantiles_rejects_bad_quantiles(spark):
         group_quantiles_exact(df, "v", [0.5, 0.5], ["g"])
     with pytest.raises(ValueError):  # collides at 6 decimals
         group_quantiles_exact(df, "v", [1e-8, 0.0], ["g"])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_group_quantiles_exact_random_sweep(spark, seed):
+    """Seeded random multisets (heavy ties, tiny and large groups,
+    negative values) must stay bit-identical to percentile() at awkward
+    quantiles (0.01, 1/3, 0.999) across partition counts."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for g in range(6):
+        n = rng.choice([1, 2, 3, 17, 400])
+        vals = [
+            float(rng.choice([-5, -1, 0, 1, 2, 2, 2, 7, 100]))
+            for _ in range(n)
+        ]
+        rows += [(f"g{g}", v) for v in vals]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    qs = [0.01, 1 / 3, 0.999]
+    cols = ["q_0_01", "q_0_333333", "q_0_999"]
+    pcts = F.percentile("v", F.array(*[F.lit(q) for q in qs]))
+    want = {
+        r.g: [r.p[i] for i in range(3)]
+        for r in df.groupBy("g").agg(pcts.alias("p")).collect()
+    }
+    for nparts in (2, 9):
+        got = {
+            r.g: [r[c] for c in cols]
+            for r in group_quantiles_exact(
+                df, "v", qs, ["g"], num_partitions=nparts
+            ).collect()
+        }
+        assert got == want, (seed, nparts)

@@ -683,3 +683,47 @@ def test_contrib_ledger_fold_preserves_rollup_and_replay(
     EV.compact_contrib_ledger(spark, path2 + "_contrib", {"sk": "hll_union"})
     up2(batches[3], 3)
     assert rows_set(EV.read_distinct_rollup(spark, path2), dcols) == before2
+
+
+def test_cdc_apply_converges_and_replays_idempotently(spark, tmp_path):
+    """Change batches (upserts + deletes, op-tagged) applied through the
+    partition-pruned MERGE sink: the target converges to the net state,
+    and replaying any batch — including out of order — leaves the table
+    unchanged (deterministic batches make MERGE semantically idempotent)."""
+    from distributed_graph_database_system_spark.streaming.cdc import (
+        cdc_apply_batch,
+    )
+
+    path = str(tmp_path / "cdc_target")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k INT, g STRING, v DOUBLE",
+    ).write.partitionBy("g").mode("overwrite").parquet(path)
+
+    apply = cdc_apply_batch(spark, path, ["k"])
+    schema = "k INT, g STRING, v DOUBLE, op STRING"
+    b0 = spark.createDataFrame(
+        [(1, "a", 11.0, "u"), (4, "b", 40.0, "u"), (2, None, 0.0, "d")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(4, "c", 44.0, "u"), (3, None, 0.0, "d")], schema  # 4 moves b → c
+    )
+
+    def state():
+        return {
+            r.k: (r.g, r.v) for r in spark.read.parquet(path).collect()
+        }
+
+    apply(b0, 0)
+    apply(b1, 1)
+    want = {1: ("a", 11.0), 4: ("c", 44.0)}
+    assert state() == want
+    apply(b1, 1)   # replay latest
+    assert state() == want
+    apply(b0, 0)   # out-of-order replay of an OLD batch: 2's delete and
+    apply(b1, 1)   # 1's upsert are no-ops on the converged state; rerun
+    assert state() == want  # of b1 restores 4's move and 3's delete
+
+    # empty batch: no-op, target untouched
+    apply(spark.createDataFrame([], schema), 2)
+    assert state() == want

@@ -568,6 +568,18 @@ def merge_into(
         else upserts
     )
     n_upserted_live = live_upserts.select(*key_cols).distinct().count()
+    n_upsert_rows = live_upserts.count()
+    if n_upsert_rows != n_upserted_live:
+        # two changes to one key in a single merge would BOTH land —
+        # duplicate rows in the target. There is no ordering column to
+        # arbitrate, so the caller must pre-compact (keep the last change
+        # per key by its own sequence) before merging.
+        raise ValueError(
+            f"merge_into: upserts carry {n_upsert_rows} rows for "
+            f"{n_upserted_live} distinct keys — pre-compact the changeset "
+            "to one row per key (last change wins by the caller's own "
+            "sequence) before merging"
+        )
     matched_live = (
         target.join(
             live_upserts.select(*key_cols).distinct(), key_cols, "left_semi"

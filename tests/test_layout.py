@@ -513,3 +513,23 @@ def test_merge_into_partition_pruned_upsert_delete(spark, tmp_path):
     )
     assert not os.path.exists(f"{path}/g=d")
     assert spark.read.parquet(path).where(F.col("k") == 7).isEmpty()
+
+
+def test_merge_into_rejects_duplicate_upsert_keys(spark, tmp_path):
+    """Two changes to one key in a single merge would both land as
+    duplicate target rows — refused with a pre-compaction instruction."""
+    import pytest
+
+    from distributed_graph_database_system_spark.sources.layout import merge_into
+
+    path = str(tmp_path / "dup_ds")
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "k INT, g STRING, v DOUBLE"
+    ).write.partitionBy("g").mode("overwrite").parquet(path)
+    dup = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "a", 3.0)], "k INT, g STRING, v DOUBLE"
+    )
+    with pytest.raises(ValueError, match="pre-compact"):
+        merge_into(spark, path, dup, ["k"])
+    # target untouched by the refused merge
+    assert {r.v for r in spark.read.parquet(path).collect()} == {1.0}

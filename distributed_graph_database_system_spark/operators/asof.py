@@ -63,6 +63,16 @@ def asof_join(
     overlap = set(left.columns) & {f"{c}{suffix}" for c in rcols + [on]}
     if overlap:
         raise ValueError(f"asof_join: output columns {overlap} collide; change suffix")
+    internal = {"_t", "_is_left", "_rv", "_back", "_fwd", "_m"}
+    clash = (set(left.columns) | set(right.columns)) & internal
+    if clash:
+        # a left column named _back would be silently REPLACED by the
+        # internal match struct (withColumn overwrites); _t/_is_left would
+        # duplicate and fail ambiguously later — refuse up front
+        raise ValueError(
+            f"asof_join: column(s) {sorted(clash)} collide with internal "
+            "working names — rename them before the join"
+        )
 
     is_ts = isinstance(
         left.schema[on].dataType, (TimestampType, TimestampNTZType)

@@ -1080,7 +1080,7 @@ def strongly_connected_components(
     the coloring split a chain at every prefix-maximum: expected
     O(log n) color classes resolve per round on exactly the adversarial
     chains that degrade the deterministic variant (the classic
-    randomized FW-BW analysis; asserted empirically by the chain-of-64
+    randomized FW-BW analysis; asserted empirically by the chain-of-48
     round-count test). The worst case remains O(#SCCs) rounds if every
     per-round hash draw is adversarial — vanishingly unlikely and still
     correct, just slower; ``max_iter`` stays the honest cap. OUTPUT is

@@ -370,7 +370,12 @@ def append_ivf_index(
     hp = jvm.org.apache.hadoop.fs.Path(cent_path)
     fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(hp):
-        _, centroids = read_ivf_index(spark, path)
+        # read the sidecar DIRECTLY — read_ivf_index also opens the index
+        # root, which does not exist yet if the first batch crashed between
+        # its sidecar write and its data write; that retry must proceed
+        # (assign against the stored quantizer), not wedge on PATH_NOT_FOUND
+        cent = spark.read.parquet(cent_path).orderBy("list_id").collect()
+        centroids = np.array([r.centroid for r in cent])
         assigned = centroid_assign(embeddings, centroids, vec_col=vec_col)
     else:
         assigned, centroids = ivf_index(

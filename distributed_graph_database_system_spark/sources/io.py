@@ -44,19 +44,32 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-def audit_parquet_files(spark: SparkSession, path: str) -> DataFrame:
+def audit_parquet_files(
+    spark: SparkSession, path: str, level: str = "footer"
+) -> DataFrame:
     """Distributed corrupt-file audit: ``(file STRING, ok BOOLEAN, error
-    STRING)`` — one row per part-file, ok=false where the parquet FOOTER
-    fails to parse (truncation, garbage, zero bytes). The file list is
-    parallelized and each task validates its files with a pyarrow footer
-    read (metadata-only — a few KB per file, never a data pass), so
-    auditing a million-file lake is an embarrassingly parallel metadata
-    sweep, not a scan. Local/NFS paths; object stores would route the
-    pyarrow read through their fsspec filesystem."""
+    STRING)`` — one row per part-file. The file list is parallelized and
+    each task validates its files with pyarrow, so auditing a
+    million-file lake is embarrassingly parallel. Two levels, because
+    they catch DIFFERENT corruption:
+
+    - ``"footer"`` (default): metadata-only — a few KB per file, never a
+      data pass. Catches truncation, garbage, zero-byte files. Does NOT
+      catch a corrupt data page under an intact footer — those files
+      read a valid schema and only fail at decompression.
+    - ``"full"``: decodes every page (a real data pass over each file,
+      one file per task). Catches page/compression corruption too — the
+      level to use when the quarantine log must be COMPLETE.
+
+    Local/NFS paths; object stores would route the pyarrow read through
+    their fsspec filesystem."""
     import glob as pyglob
 
+    if level not in ("footer", "full"):
+        raise ValueError(f"audit_parquet_files: unknown level {level!r}")
     files = sorted(pyglob.glob(f"{path.rstrip('/')}/**/*.parquet", recursive=True))
     flist = spark.createDataFrame([(f,) for f in files], "file STRING")
+    deep = level == "full"
 
     def check(batches):
         import pandas as pd
@@ -66,7 +79,10 @@ def audit_parquet_files(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for f in pdf["file"]:
                 try:
-                    pq.read_schema(f)
+                    if deep:
+                        pq.ParquetFile(f).read()  # decode every page
+                    else:
+                        pq.read_schema(f)
                     rows.append({"file": f, "ok": True, "error": None})
                 except Exception as exc:  # noqa: BLE001 — the point
                     rows.append(
@@ -78,7 +94,10 @@ def audit_parquet_files(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_parquet_resilient(
-    spark: SparkSession, path: str, quarantine_log: str | None = None
+    spark: SparkSession,
+    path: str,
+    quarantine_log: str | None = None,
+    audit_level: str = "footer",
 ) -> DataFrame:
     """Parquet scan that survives corrupt or truncated part-files — the
     operational reality of a 100 TB lake, where one bad file must cost a
@@ -88,17 +107,20 @@ def read_parquet_resilient(
     conf would leak that policy into every other read in flight).
 
     When ``quarantine_log`` is given, the corrupt files are identified by
-    :func:`audit_parquet_files` (a distributed footer-only sweep — Spark's
-    own skip happens at execution time and is not reported back, so the
-    planned-file list cannot tell you what was dropped) and written one
-    path per line — the operator's audit trail of exactly what the
-    resilient scan ignored.
+    :func:`audit_parquet_files` (Spark's own skip happens at execution
+    time and is not reported back, so the planned-file list cannot tell
+    you what was dropped) and written one path per line. The default
+    ``audit_level="footer"`` is the cheap metadata sweep and can
+    UNDER-report: a file whose footer is intact but whose data pages are
+    corrupt is skipped by the scan yet passes the footer check — pass
+    ``audit_level="full"`` when the log must name every skipped file
+    (costs one decode pass over the audited files).
     """
     df = spark.read.option("ignoreCorruptFiles", "true").parquet(path)
     if quarantine_log is not None:
         bad = [
             r.file
-            for r in audit_parquet_files(spark, path)
+            for r in audit_parquet_files(spark, path, level=audit_level)
             .where("NOT ok")
             .collect()
         ]

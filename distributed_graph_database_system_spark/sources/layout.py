@@ -535,10 +535,14 @@ def merge_into(
         )
     key_cols = list(key_cols)
     target = spark.read.parquet(path)
-    if set(upserts.columns) != set(target.columns):
+    if dict(upserts.dtypes) != dict(target.dtypes):
+        # name-only comparison would let a dtype drift through: the
+        # union widens silently and the rewritten partitions get a
+        # different physical type than the untouched ones — a delayed
+        # schema-uniformity corruption a later plain read trips over
         raise ValueError(
-            f"merge_into: upsert schema {sorted(upserts.columns)} != "
-            f"target schema {sorted(target.columns)}"
+            f"merge_into: upsert schema {sorted(upserts.dtypes)} != "
+            f"target schema {sorted(target.dtypes)}"
         )
 
     up_keys = upserts.select(*key_cols).distinct().localCheckpoint()
@@ -551,9 +555,6 @@ def merge_into(
         up_keys.unionByName(del_keys).distinct() if del_keys is not None else up_keys
     )
     # stats BEFORE any mutation (bounded: key-join aggregates)
-    n_matched = target.join(up_keys, key_cols, "left_semi").select(
-        *key_cols
-    ).distinct().count()
     n_deleted = (
         target.join(del_keys, key_cols, "left_semi")
         .select(*key_cols)
@@ -617,12 +618,11 @@ def merge_into(
     )
     keep = target.where(in_affected).join(touched, key_cols, "left_anti")
     merged = keep.unionByName(live_upserts.select(*target.columns))
-    survived = {
-        tuple(r[c] for c in part_cols)
-        for r in merged.select(*part_cols).distinct().collect()
-    }
-    if survived:
-        merged.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
+    # ONE execution of the merged plan: the staged write IS the action;
+    # which partitions survived is read back from the staged directory
+    # tree (a pre-write collect of the partition tuples would run the
+    # whole keep/union plan a second time for the write).
+    merged.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
 
     esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 
@@ -649,17 +649,17 @@ def merge_into(
     for t, sub in subs.items():
         if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")):
             rename(f"{path}/{sub}", f"{bak}/{sub}")
+    rewritten = 0
     for t, sub in subs.items():
-        if t in survived and fs.exists(
-            jvm.org.apache.hadoop.fs.Path(f"{tmp}/{sub}")
-        ):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{tmp}/{sub}")):
             rename(f"{tmp}/{sub}", f"{path}/{sub}")
+            rewritten += 1
     fs.delete(bak_p, True)
     fs.delete(tmp_p, True)
     return {
         "updated": int(matched_live),
         "inserted": int(n_upserted_live - matched_live),
         "deleted": int(n_deleted),
-        "rewritten_partitions": len(survived & set(subs)),
-        "removed_partitions": len(subs) - len(survived & set(subs)),
+        "rewritten_partitions": rewritten,
+        "removed_partitions": len(subs) - rewritten,
     }

@@ -43,16 +43,29 @@ def cdc_apply_batch(
     stream, exactly like near_dedup_batch_fn."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        # fail LOUDLY on op codes outside the contract — a Debezium-style
+        # feed ('c'/'r'/uppercase) silently filtered away would drop every
+        # insert with no error, the worst kind of CDC loss
+        bad = batch_df.where(~F.col(op_col).isin("u", "d")).take(1)
+        if bad:
+            raise ValueError(
+                f"cdc_apply: batch {batch_id} carries op="
+                f"{bad[0][op_col]!r}; the contract is 'u' (upsert) / "
+                "'d' (delete) — map your feed's op codes first"
+            )
         ups = batch_df.where(f"{op_col} = 'u'").drop(op_col)
         dels = batch_df.where(f"{op_col} = 'd'").select(*key_cols)
-        if ups.isEmpty() and dels.isEmpty():
-            return
+        has_dels = bool(dels.take(1))  # one action, reused
         merge_into(
             spark,
             target_path,
             ups,
             key_cols,
-            deletes=dels if not dels.isEmpty() else None,
+            deletes=dels if has_dels else None,
         )
 
     return apply

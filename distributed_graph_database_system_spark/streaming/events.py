@@ -384,6 +384,20 @@ def run_incremental_cms_rollup(
             )
             if "w" not in ledger.columns:
                 ledger = ledger.withColumn("w", F.lit(None).cast("int"))
+            else:
+                # stamping legacy NULL-w rows with THIS call's width is only
+                # sound if the stamped rows agree with it — a legacy ledger
+                # built at width 128 replayed with width=256 would otherwise
+                # silently sum incompatible counters cell-for-cell
+                ext = ledger.agg(
+                    F.min("w").alias("lo"), F.max("w").alias("hi")
+                ).first()
+                for v in (ext["lo"], ext["hi"]):
+                    if v is not None and v != width:
+                        raise ValueError(
+                            f"cms rollup: ledger stamped w={v} but this "
+                            f"rollup runs width={width} — widths must match"
+                        )
             merged = (
                 ledger.where(F.col("day").isin(days))
                 # "w" rides along as a group key (constant per ledger) so the

@@ -203,3 +203,34 @@ def test_read_parquet_resilient_skips_corrupt_files(spark, sf_dir, tmp_path):
     assert df.count() == good_rows
     logged = open(log).read().strip().splitlines()
     assert len(logged) == 1 and logged[0].endswith(os.path.basename(parts[1]))
+
+
+def test_full_audit_catches_page_corruption_under_intact_footer(spark, tmp_path):
+    """The footer-level audit's documented blind spot, and the full
+    level's answer: flip bytes in a part-file's data pages while leaving
+    the footer intact — footer audit says ok, full audit flags exactly
+    that file."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.sources.io import (
+        audit_parquet_files,
+    )
+
+    path = str(tmp_path / "lake2")
+    spark.range(50_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("s")
+    ).repartition(2).write.parquet(path)
+    parts = sorted(glob.glob(f"{path}/part-*.parquet"))
+    with open(parts[0], "r+b") as fh:  # corrupt mid-file, footer untouched
+        fh.seek(2000)
+        fh.write(b"\x00" * 4000)
+
+    footer = {r.file: r.ok for r in audit_parquet_files(spark, path).collect()}
+    assert footer[parts[0]] is True  # the blind spot, as documented
+    full = {
+        r.file: r.ok
+        for r in audit_parquet_files(spark, path, level="full").collect()
+    }
+    assert full[parts[0]] is False and full[parts[1]] is True

@@ -848,3 +848,44 @@ def test_deep_payload_decode_against_reference(spark):
     assert got[1].px_sum == dp["px_sum"] and got[1].n_px == w * h
     assert got[2].fmt == "gif" and got[2].px_sum is None
     assert got[3].fmt == "png" and got[3].px_sum is None  # quarantined
+
+
+def test_append_ivf_index_retries_after_sidecar_only_crash(spark, tmp_path):
+    """Crash-injection for the first-batch wedge: the quantizer sidecar
+    exists but the index root does not (crash between the two writes).
+    The retry must assign against the stored centroids and create the
+    index — not fail opening the missing root."""
+    from distributed_graph_database_system_spark.operators.similarity import (
+        append_ivf_index,
+        read_ivf_index,
+    )
+
+    rng = np.random.RandomState(23)
+    vecs = rng.normal(size=(200, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    path = str(tmp_path / "ivf_crash")
+    # simulate: a completed build's sidecar, with the index root absent
+    cent = [(int(j), [float(x) for x in rng.normal(size=8)]) for j in range(3)]
+    spark.createDataFrame(
+        cent, "list_id INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.parquet(path + "_centroids")
+
+    got_cent = append_ivf_index(emb, path, 0, n_lists=3)  # the "retry"
+    assert np.allclose(got_cent, np.array([c for _, c in cent]))
+    stored, cent2 = read_ivf_index(spark, path)
+    assert stored.count() == 200  # index root now exists, fully assigned
+    assert np.allclose(cent2, got_cent)
+
+
+def test_asof_join_rejects_internal_name_collisions(spark):
+    from distributed_graph_database_system_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([("a", 1.0, 5.0)], "g STRING, t DOUBLE, _back DOUBLE")
+    r = spark.createDataFrame([("a", 1.0)], "g STRING, t DOUBLE")
+    import pytest
+
+    with pytest.raises(ValueError, match="internal"):
+        asof_join(l, r, on="t", by=["g"])

@@ -727,3 +727,23 @@ def test_cdc_apply_converges_and_replays_idempotently(spark, tmp_path):
     # empty batch: no-op, target untouched
     apply(spark.createDataFrame([], schema), 2)
     assert state() == want
+
+
+def test_cdc_apply_rejects_unknown_op_codes(spark, tmp_path):
+    """A feed with op codes outside the u/d contract must fail loudly —
+    silently filtering a Debezium-style 'c' would drop every insert."""
+    from distributed_graph_database_system_spark.streaming.cdc import (
+        cdc_apply_batch,
+    )
+
+    path = str(tmp_path / "cdc_ops")
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "k INT, g STRING, v DOUBLE"
+    ).write.partitionBy("g").mode("overwrite").parquet(path)
+    apply = cdc_apply_batch(spark, path, ["k"])
+    batch = spark.createDataFrame(
+        [(2, "a", 2.0, "c")], "k INT, g STRING, v DOUBLE, op STRING"
+    )
+    with pytest.raises(ValueError, match="op="):
+        apply(batch, 0)
+    assert spark.read.parquet(path).count() == 1  # target untouched

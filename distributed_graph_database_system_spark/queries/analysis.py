@@ -341,6 +341,73 @@ def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Edit-distance similarity join ------------------------------------------
+
+
+@query(
+    "linkage_name_editdist",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(lower(a.p_name), lower(b.p_name)) AS dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
+    WHERE levenshtein(lower(a.p_name), lower(b.p_name)) <= 3
+    ORDER BY dist, key_a, key_b LIMIT 50
+    """,
+    tags=("linkage", "similarity", "editdist", "qgram"),
+)
+def linkage_name_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join over part names (entity
+    resolution for typo-level variants): pairs within Levenshtein 3,
+    found WITHOUT the all-pairs product. Blocking is the q-gram lemma:
+    strings a, b with ed(a,b) ≤ k share at least
+    max(|a|,|b|) − q + 1 − k·q positional q-grams — for q=3, k=3 and
+    p_name lengths (≥ 20 chars) that bound is strictly positive, so
+    3-gram-bucket candidates have RECALL 1.0 by construction (which is
+    what lets a pruned plan hash-match the oracle's brute-force product).
+    Candidates then verify with Spark's bounded levenshtein(l, r, 3) —
+    early-exit above the threshold, -1 sentinel filtered. One shuffle
+    builds (gram, key) postings; the bucket self-join carries keys only;
+    the verify join re-attaches the two names by key. The oracle brute
+    forces the length-banded product — affordable at oracle scale,
+    exactly the plan shape this operator exists to avoid."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.lower("p_name").alias("nm")
+    )
+    grams = p.select(
+        "p_partkey",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("nm") - 2),
+                lambda i: F.col("nm").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    ).distinct()
+    cand = (
+        grams.alias("a")
+        .join(grams.alias("b"), "g")
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+        )
+        .distinct()
+    )
+    na = p.select(F.col("p_partkey").alias("key_a"), F.col("nm").alias("nm_a"))
+    nb = p.select(F.col("p_partkey").alias("key_b"), F.col("nm").alias("nm_b"))
+    return (
+        cand.join(na, "key_a")
+        .join(nb, "key_b")
+        .where(F.abs(F.length("nm_a") - F.length("nm_b")) <= 3)
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b", 3))
+        .where(F.col("dist") >= 0)
+        .select("key_a", "key_b", "dist")
+        .orderBy("dist", "key_a", "key_b")
+        .limit(50)
+    )
+
+
 # --- Market-basket co-occurrence --------------------------------------------
 
 

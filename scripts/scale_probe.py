@@ -249,6 +249,44 @@ def main() -> int:
     if sys.argv[1:] == ["prefixsum"]:
         prefix_sum_probe(spark)
         return 0
+    if sys.argv[1:] == ["asof"]:
+        from distributed_graph_database_system_spark.operators.asof import (
+            asof_join,
+        )
+
+        # trades × quotes, the canonical as-of workload: 10M left rows
+        # matched against 1M right rows over 100k keys — one shuffle on
+        # the key, two window passes (nearest), zero range lookups.
+        n_keys = 100_000
+        trades = spark.range(10_000_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(n_keys)).alias("k"),
+            (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(1_000_000_000))
+             .cast("double")).alias("t"),
+            F.col("id").alias("trade_id"),
+        )
+        quotes = spark.range(1_000_000).select(
+            F.pmod(F.xxhash64(F.col("id") + 2), F.lit(n_keys)).alias("k"),
+            (F.pmod(F.xxhash64(F.col("id") + 3), F.lit(1_000_000_000))
+             .cast("double")).alias("t"),
+            (F.pmod(F.xxhash64(F.col("id") + 4), F.lit(10_000)) / 100.0).alias("px"),
+        )
+        trades.write.mode("overwrite").parquet("/tmp/scale_asof_l")
+        quotes.write.mode("overwrite").parquet("/tmp/scale_asof_r")
+        lt = spark.read.parquet("/tmp/scale_asof_l")
+        rt = spark.read.parquet("/tmp/scale_asof_r")
+        for direction in ("backward", "nearest"):
+            t0 = time.perf_counter()
+            out = asof_join(
+                lt, rt, on="t", by=["k"], right_cols=["px"],
+                direction=direction,
+            )
+            matched = out.where(F.col("px_r").isNotNull()).count()
+            print(
+                f"asof_join {direction} 10M x 1M over {n_keys} keys: "
+                f"{round(time.perf_counter() - t0, 2)}s, matched={matched}"
+            )
+        return 0
+
     if sys.argv[1:] == ["temporalbfs"]:
         from distributed_graph_database_system_spark.operators.graph import (
             temporal_bfs,

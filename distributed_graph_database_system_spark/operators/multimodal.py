@@ -81,8 +81,11 @@ DEEP_SCHEMA = StructType(
     list(DECODED_SCHEMA.fields)
     + [
         StructField("n_samples", LongType(), True),   # wav: PCM frames
+        StructField("audio_channels", IntegerType(), True),
         StructField("audio_peak", IntegerType(), True),
-        StructField("audio_sqsum", LongType(), True),  # Σ sample², exact
+        # Σ sample² over ALL channel samples (n_samples × channels of
+        # them), exact integer — rms = sqrt(sqsum / (n_samples·channels))
+        StructField("audio_sqsum", LongType(), True),
         StructField("px_sum", LongType(), True),       # png/bmp: Σ bytes
         StructField("px_min", IntegerType(), True),
         StructField("px_max", IntegerType(), True),
@@ -274,9 +277,15 @@ def _deep_wav(b: bytes) -> dict | None:
     if sys.byteorder == "big":
         a.byteswap()  # WAV payloads are little-endian
     if not len(a):
-        return {"n_samples": 0, "audio_peak": 0, "audio_sqsum": 0}
+        return {
+            "n_samples": 0,
+            "audio_channels": int(channels),
+            "audio_peak": 0,
+            "audio_sqsum": 0,
+        }
     return {
         "n_samples": len(a) // channels,
+        "audio_channels": int(channels),
         "audio_peak": max(abs(x) for x in a),
         "audio_sqsum": sum(x * x for x in a),  # ints: exact, order-free
     }

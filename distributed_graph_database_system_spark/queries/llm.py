@@ -551,7 +551,11 @@ def multimodal_deep_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "audio_peak",
         "audio_sqsum",
         F.round(
-            F.sqrt(F.col("audio_sqsum").cast("double") / F.col("n_samples")), 6
+            F.sqrt(
+                F.col("audio_sqsum").cast("double")
+                / (F.col("n_samples") * F.col("audio_channels"))
+            ),
+            6,
         ).alias("rms"),
     ).orderBy("media_id")
 

@@ -889,3 +889,16 @@ def test_asof_join_rejects_internal_name_collisions(spark):
 
     with pytest.raises(ValueError, match="internal"):
         asof_join(l, r, on="t", by=["g"])
+
+
+def test_deep_wav_stereo_stats(spark):
+    """Stereo PCM: n_samples counts FRAMES, audio_channels reports 2, and
+    sqsum spans all channel samples — rms = sqrt(sqsum/(frames·ch))."""
+    import distributed_graph_database_system_spark.operators.multimodal as mm
+
+    samples = [100, -200, 300]
+    wav = mm.make_wav(3, channels=2, sample_fn=lambda k: samples[k])
+    dw = mm._deep_wav(wav)
+    assert dw["n_samples"] == 3 and dw["audio_channels"] == 2
+    assert dw["audio_peak"] == 300
+    assert dw["audio_sqsum"] == 2 * sum(s * s for s in samples)

@@ -104,8 +104,13 @@ def group_quantiles_exact(
        differ by 1 ULP; the registered queries round(4) on both sides,
        which absorbs it (same discipline as agg_percentile_bands).
 
-    NULL values are excluded (percentile()/quantile_cont semantics); a
-    group that is all-NULL drops out. Returns one row per group:
+    Intended regime: FEW-but-HUGE groups (the offsets and bracketing
+    tables broadcast at O(groups + partitions) and O(groups × quantiles)
+    rows — tiny for dashboard-style groupings, wrong for millions of
+    tiny groups, where percentile()'s per-group buffers are small and
+    map-side-combinable anyway). NULL values are excluded
+    (percentile()/quantile_cont semantics); a group that is all-NULL
+    drops out. Returns one row per group:
     ``(*group_cols, q0 DOUBLE, q1 DOUBLE, ...)`` with one column per
     requested quantile, named ``q_<quantile with '.' → '_'>`` (e.g. 0.25 →
     ``q_0_25``); callers alias as needed. Ties are safe: equal values may

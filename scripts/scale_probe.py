@@ -249,6 +249,78 @@ def main() -> int:
     if sys.argv[1:] == ["prefixsum"]:
         prefix_sum_probe(spark)
         return 0
+    if sys.argv[1:] == ["merge"]:
+        from distributed_graph_database_system_spark.sources.layout import (
+            merge_into,
+        )
+
+        # 10M rows over 100 day-partitions; a changeset touching 5 days.
+        # The claim under test: merge cost follows TOUCHED partitions,
+        # not table size — the other 95 directories are never rewritten.
+        base = spark.range(10_000_000).select(
+            F.col("id").alias("k"),
+            (F.pmod(F.xxhash64("id"), F.lit(100))).alias("day"),
+            (F.pmod(F.xxhash64(F.col("id") + 5), F.lit(1000)) / 10.0).alias("v"),
+        )
+        tgt = "/tmp/scale_merge_target"
+        base.write.partitionBy("day").mode("overwrite").parquet(tgt)
+        # changeset drawn FROM the day<5 partitions (keys keep their day),
+        # so the touched set is exactly those 5 directories + inserts
+        in5 = spark.read.parquet(tgt).where(F.col("day") < 5)
+        ups = (
+            in5.where(F.pmod("k", F.lit(5)) == 0)
+            .select("k", "day", F.lit(-1.0).alias("v"))
+            .limit(100_000)
+        )
+        dels = (
+            in5.where(F.pmod("k", F.lit(97)) == 1).select("k").limit(10_000)
+        )
+        t0 = time.perf_counter()
+        stats = merge_into(spark, tgt, ups, ["k"], deletes=dels)
+        print(
+            f"merge_into 10M-row/100-part target, 100k upserts + 10k deletes "
+            f"over ~5+ days: {round(time.perf_counter() - t0, 2)}s, {stats}"
+        )
+        return 0
+
+    if sys.argv[1:] == ["quantiles"]:
+        from distributed_graph_database_system_spark.operators.quantile import (
+            group_quantiles_exact,
+        )
+
+        # 30M rows / 4 groups: EXACT p25/p50/p90 through the bounded-state
+        # two-pass path — the volume where percentile()'s per-group buffer
+        # sort is the thing you are trying not to do.
+        df = spark.range(30_000_000).select(
+            (F.pmod(F.xxhash64("id"), F.lit(4))).cast("string").alias("g"),
+            (F.pmod(F.xxhash64(F.col("id") + 11), F.lit(10_000_000)) / 100.0).alias(
+                "v"
+            ),
+        )
+        df.write.mode("overwrite").parquet("/tmp/scale_quant")
+        d = spark.read.parquet("/tmp/scale_quant")
+        t0 = time.perf_counter()
+        out = group_quantiles_exact(d, "v", [0.25, 0.5, 0.9], ["g"]).collect()
+        wall = round(time.perf_counter() - t0, 2)
+        t1 = time.perf_counter()
+        ref = {
+            r.g: [r.p[i] for i in range(3)]
+            for r in d.groupBy("g")
+            .agg(
+                F.percentile(
+                    "v", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9))
+                ).alias("p")
+            )
+            .collect()
+        }
+        wall_ref = round(time.perf_counter() - t1, 2)
+        got = {r.g: [r.q_0_25, r.q_0_5, r.q_0_9] for r in out}
+        print(
+            f"group_quantiles_exact 30M rows / 4 groups: {wall}s "
+            f"(percentile() reference: {wall_ref}s), bit_identical={got == ref}"
+        )
+        return 0
+
     if sys.argv[1:] == ["asof"]:
         from distributed_graph_database_system_spark.operators.asof import (
             asof_join,

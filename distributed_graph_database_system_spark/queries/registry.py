@@ -94,7 +94,10 @@ def oracle_of(name: str) -> str:
 # linkage_blocked_best_match events_mad_outliers join_hash_hinted
 # embed_covariance join_full_outer pivot_status_by_priority
 # distinct_pairs q13_order_count_distribution q14_promo_revenue_pct
-# embed_centroids events_rfm_segments outlier_zscore_events.
+# embed_centroids events_rfm_segments outlier_zscore_events — plus the
+# round-6 late registrations: text_perplexity_unigram join_asof_nearest
+# chunk_documents_overlap dedup_survivor_quality multimodal_deep_audio
+# basket_part_pairs linkage_name_editdist.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

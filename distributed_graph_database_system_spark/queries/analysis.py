@@ -347,36 +347,48 @@ def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "linkage_name_editdist",
     oracle="""
-    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           levenshtein(lower(a.p_name), lower(b.p_name)) AS dist
-    FROM part a JOIN part b
-      ON a.p_partkey < b.p_partkey
-     AND abs(length(a.p_name) - length(b.p_name)) <= 3
-    WHERE levenshtein(lower(a.p_name), lower(b.p_name)) <= 3
-    ORDER BY dist, key_a, key_b LIMIT 50
+    WITH names AS (
+      SELECT DISTINCT lower(p_name) AS nm FROM part
+    )
+    SELECT a.nm AS nm_a, b.nm AS nm_b,
+           CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+    FROM names a JOIN names b
+      ON a.nm < b.nm
+     AND abs(length(a.nm) - length(b.nm)) <= 3
+    WHERE levenshtein(a.nm, b.nm) <= 3
+    ORDER BY dist, nm_a, nm_b LIMIT 50
     """,
     tags=("linkage", "similarity", "editdist", "qgram"),
 )
 def linkage_name_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance similarity self-join over part names (entity
-    resolution for typo-level variants): pairs within Levenshtein 3,
-    found WITHOUT the all-pairs product. Blocking is the q-gram lemma:
-    strings a, b with ed(a,b) ≤ k share at least
-    max(|a|,|b|) − q + 1 − k·q positional q-grams — for q=3, k=3 and
-    p_name lengths (≥ 20 chars) that bound is strictly positive, so
-    3-gram-bucket candidates have RECALL 1.0 by construction (which is
-    what lets a pruned plan hash-match the oracle's brute-force product).
-    Candidates then verify with Spark's bounded levenshtein(l, r, 3) —
-    early-exit above the threshold, -1 sentinel filtered. One shuffle
-    builds (gram, key) postings; the bucket self-join carries keys only;
-    the verify join re-attaches the two names by key. The oracle brute
-    forces the length-banded product — affordable at oracle scale,
-    exactly the plan shape this operator exists to avoid."""
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", F.lower("p_name").alias("nm")
+    """Edit-distance similarity join over the DISTINCT part-name
+    vocabulary (entity resolution for typo-level variants): name pairs
+    within Levenshtein 3, without the all-pairs product over rows.
+    Deduplicating to the vocabulary FIRST is the load-bearing move — the
+    corpus repeats a bounded name set, so candidate generation runs over
+    |vocab| strings, not |rows| (then row pairs, if wanted, are an
+    equi-join back on the name).
+
+    Recall 1.0 is PROVABLE, not assumed, via two complementary blocks:
+    the q-gram lemma says strings with ed(a,b) ≤ k share at least
+    max(|a|,|b|) − q + 1 − k·q positional q-grams, so for q=3, k=3 every
+    pair whose LONGER name has ≥ 12 chars is guaranteed to meet in some
+    3-gram bucket; pairs where BOTH names are shorter than 12 fall
+    outside the lemma and are generated exhaustively by a length-banded
+    product over the short-vocabulary subset (bounded: it is a slice of
+    the vocabulary, not of the corpus). Union, dedupe, then verify with
+    Spark's bounded levenshtein(l, r, 3) — early exit above the
+    threshold, -1 sentinel filtered. The oracle brute-forces the banded
+    vocabulary product — affordable exactly because it is |vocab|²."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.lower("p_name").alias("nm"))
+        .distinct()
+        .withColumn("ln", F.length("nm"))
+        .localCheckpoint()  # tiny vocabulary, reused by both blocks
     )
-    grams = p.select(
-        "p_partkey",
+    grams = names.select(
+        "nm",
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.length("nm") - 2),
@@ -384,26 +396,31 @@ def linkage_name_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).distinct()
-    cand = (
+    gram_cand = (
         grams.alias("a")
         .join(grams.alias("b"), "g")
-        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
-        .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-        )
-        .distinct()
+        .where(F.col("a.nm") < F.col("b.nm"))
+        .select(F.col("a.nm").alias("nm_a"), F.col("b.nm").alias("nm_b"))
     )
-    na = p.select(F.col("p_partkey").alias("key_a"), F.col("nm").alias("nm_a"))
-    nb = p.select(F.col("p_partkey").alias("key_b"), F.col("nm").alias("nm_b"))
+    short = names.where(F.col("ln") < 12)
+    short_cand = (
+        short.alias("a")
+        .join(
+            short.alias("b"),
+            (F.col("a.nm") < F.col("b.nm"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 3),
+        )
+        .select(F.col("a.nm").alias("nm_a"), F.col("b.nm").alias("nm_b"))
+    )
+    cand = gram_cand.unionByName(short_cand).distinct()
     return (
-        cand.join(na, "key_a")
-        .join(nb, "key_b")
-        .where(F.abs(F.length("nm_a") - F.length("nm_b")) <= 3)
+        cand.where(
+            F.abs(F.length("nm_a") - F.length("nm_b")) <= 3
+        )
         .withColumn("dist", F.levenshtein("nm_a", "nm_b", 3))
         .where(F.col("dist") >= 0)
-        .select("key_a", "key_b", "dist")
-        .orderBy("dist", "key_a", "key_b")
+        .select("nm_a", "nm_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("dist", "nm_a", "nm_b")
         .limit(50)
     )
 

@@ -568,6 +568,13 @@ def merge_into(
         if del_keys is not None
         else upserts
     )
+    # Pin the rows that will be WRITTEN: this plan executes several times
+    # (dup-key guard, stats, affected-partition collect, staged write),
+    # and a non-deterministic source (limit/sample/shuffle-dependent
+    # input) could yield different rows per execution — staging rows
+    # whose partition was never collected into the rename map silently
+    # drops them. Same reason up_keys/del_keys are checkpointed above.
+    live_upserts = live_upserts.localCheckpoint()
     n_upserted_live = live_upserts.select(*key_cols).distinct().count()
     n_upsert_rows = live_upserts.count()
     if n_upsert_rows != n_upserted_live:

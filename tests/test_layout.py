@@ -536,30 +536,29 @@ def test_merge_into_rejects_duplicate_upsert_keys(spark, tmp_path):
 
 
 def test_merge_into_handles_escaped_and_null_partition_values(spark, tmp_path):
-    """Partition values needing hive escaping (spaces) and NULL partition
-    values (__HIVE_DEFAULT_PARTITION__) must swap correctly — the raw
-    f-string failure mode surgical_delete already guards against applies
-    to the merge's rename map too."""
-    from pyspark.sql import functions as F
-
+    """Partition values hive GENUINELY escapes ('a/b' → a%2Fb, 'x=y' →
+    x%3Dy — spaces round-trip unescaped, so they prove nothing) and NULL
+    partition values (__HIVE_DEFAULT_PARTITION__) must swap correctly —
+    the raw f-string failure mode surgical_delete already guards against
+    applies to the merge's rename map too."""
     from distributed_graph_database_system_spark.sources.layout import merge_into
 
     path = str(tmp_path / "esc_ds")
     spark.createDataFrame(
-        [(1, "us east", 1.0), (2, "eu west", 2.0), (3, None, 3.0)],
+        [(1, "us/east", 1.0), (2, "eu=west", 2.0), (3, None, 3.0)],
         "k INT, region STRING, v DOUBLE",
     ).write.partitionBy("region").mode("overwrite").parquet(path)
 
     ups = spark.createDataFrame(
-        [(1, "us east", 10.0), (3, None, 30.0), (4, "us east", 40.0)],
+        [(1, "us/east", 10.0), (3, None, 30.0), (4, "us/east", 40.0)],
         "k INT, region STRING, v DOUBLE",
     )
     stats = merge_into(spark, path, ups, ["k"])
     assert stats["updated"] == 2 and stats["inserted"] == 1
     got = {r.k: (r.region, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {
-        1: ("us east", 10.0),
-        2: ("eu west", 2.0),
+        1: ("us/east", 10.0),
+        2: ("eu=west", 2.0),
         3: (None, 30.0),
-        4: ("us east", 40.0),
+        4: ("us/east", 40.0),
     }

@@ -891,7 +891,7 @@ def test_asof_join_rejects_internal_name_collisions(spark):
         asof_join(l, r, on="t", by=["g"])
 
 
-def test_deep_wav_stereo_stats(spark):
+def test_deep_wav_stereo_stats():
     """Stereo PCM: n_samples counts FRAMES, audio_channels reports 2, and
     sqsum spans all channel samples — rms = sqrt(sqsum/(frames·ch))."""
     import distributed_graph_database_system_spark.operators.multimodal as mm

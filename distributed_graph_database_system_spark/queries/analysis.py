@@ -341,6 +341,122 @@ def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Corpus mixture diversity -----------------------------------------------
+
+
+@query(
+    "corpus_source_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT SUM(n) AS big_n, COUNT(*) AS k FROM c),
+    terms AS (
+      SELECT c.source,
+             CAST(ROUND(-(c.n / tot.big_n) * LN(c.n / tot.big_n), 6)
+                  AS DECIMAL(18,6)) AS h_term,
+             CAST(ROUND((c.n / tot.big_n) * (c.n / tot.big_n), 6)
+                  AS DECIMAL(18,6)) AS p2_term
+      FROM c CROSS JOIN tot
+    )
+    SELECT CAST((SELECT k FROM tot) AS BIGINT) AS n_sources,
+           ROUND(CAST(SUM(h_term) AS DOUBLE), 4) AS entropy_nats,
+           ROUND(1.0 - CAST(SUM(p2_term) AS DOUBLE), 4) AS gini_impurity
+    FROM terms
+    """,
+    tags=("llm", "pipeline", "diversity", "entropy"),
+)
+def corpus_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-diversity metrics for a training corpus: Shannon entropy
+    (nats) and Gini impurity of the source distribution — the numbers a
+    data-mixing plan monitors when rebalancing domains. One counts pass;
+    per-source terms round to 6 decimals and sum as DECIMAL (the exact
+    order-free discipline from text_perplexity_unigram) so the two
+    engines agree on the hash regardless of addition order."""
+    c = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    tot = c.agg(F.sum("n").alias("big_n"), F.count("*").alias("k"))
+    p = F.col("n") / F.col("big_n")
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        "k",
+        F.round(-p * F.log(p), 6).cast("decimal(18,6)").alias("h_term"),
+        F.round(p * p, 6).cast("decimal(18,6)").alias("p2_term"),
+    )
+    return terms.groupBy().agg(
+        F.max("k").cast("bigint").alias("n_sources"),
+        F.round(F.sum("h_term").cast("double"), 4).alias("entropy_nats"),
+        F.round(
+            F.lit(1.0) - F.sum("p2_term").cast("double"), 4
+        ).alias("gini_impurity"),
+    )
+
+
+# --- Chi-square independence test -------------------------------------------
+
+
+@query(
+    "events_chisq_type_dow",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INTEGER) AS dow,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM events GROUP BY event_type, dow
+    ),
+    rows_t AS (SELECT event_type, SUM(o) AS rt FROM obs GROUP BY event_type),
+    cols_t AS (SELECT dow, SUM(o) AS ct FROM obs GROUP BY dow),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+      SELECT obs.event_type, obs.dow,
+             CAST(ROUND(
+               (obs.o - rows_t.rt * cols_t.ct / tot.n)
+               * (obs.o - rows_t.rt * cols_t.ct / tot.n)
+               / (rows_t.rt * cols_t.ct / tot.n), 6) AS DECIMAL(18,6)) AS x
+      FROM obs JOIN rows_t USING (event_type)
+               JOIN cols_t USING (dow)
+               CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(x) AS DOUBLE), 4) AS chi2
+    FROM terms
+    """,
+    tags=("analytics", "stats", "chisq"),
+)
+def events_chisq_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for event_type × day-of-week
+    independence — the contingency-table hypothesis test behind "does
+    behavior vary by weekday" dashboards. The table is bounded (types ×
+    7), so expected counts come from two broadcast marginals; each
+    cell's (O−E)²/E term rounds to 6 decimals and sums as DECIMAL (the
+    exact order-free discipline), leaving one comparable statistic.
+    NOTE: dayofweek() is 1=Sunday in both Spark and DuckDB... almost —
+    DuckDB's dayofweek is 0=Sunday, so the Spark side subtracts 1 to
+    meet it; the driver hash would catch any future divergence."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count("*").cast("double").alias("o"))
+    rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_t = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    exp = F.col("rt") * F.col("ct") / F.col("n")
+    terms = (
+        obs.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round((F.col("o") - exp) * (F.col("o") - exp) / exp, 6)
+            .cast("decimal(18,6)")
+            .alias("x")
+        )
+    )
+    return terms.groupBy().agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.sum("x").cast("double"), 4).alias("chi2"),
+    )
+
+
 # --- Edit-distance similarity join ------------------------------------------
 
 

@@ -34,6 +34,7 @@ from distributed_graph_database_system_spark.operators.graph import (
 from distributed_graph_database_system_spark.operators.textstats import (
     mean_word_length,
     ws_token_count,
+    ws_tokens as ws_token_array,
 )
 from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources.catalog import load_table
@@ -383,6 +384,77 @@ def decontaminate_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_matched",
         F.round(frac, 4).alias("overlap"),
+    )
+
+
+@query(
+    "text_repetition_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(
+               regexp_replace(lower(text),'^\s+|\s+$','','g'), '\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)-1),
+                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM t WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*), 4)
+             AS rep_frac
+    FROM g GROUP BY doc_id
+    ORDER BY rep_frac DESC, doc_id LIMIT 15
+    """,
+    tags=("llm", "pipeline", "quality", "repetition"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition screen — the Gopher/MassiveText rule
+    family: looping or boilerplate-stuffed text shows up as a high
+    duplicate-n-gram fraction (1 − distinct/total over trigram
+    OCCURRENCES — deliberately NOT the deduped shingle set the
+    similarity operators use; duplicates are the signal here). Returns
+    the 15 most repetitive documents. Pure integer counts per doc — no
+    float-ordering hazard — with one exploded aggregation whose
+    count-distinct is per-doc (map-side combinable on the (doc, gram)
+    pre-aggregate)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_token_array(F.col("text")).alias("t"))
+    g = toks.where(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("t")[i],
+                    F.col("t")[i + 1],
+                    F.col("t")[i + 2],
+                ),
+            )
+        ).alias("s"),
+    )
+    counted = g.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.count_distinct("s").alias("n_distinct"),
+    )
+    return (
+        counted.select(
+            "doc_id",
+            "n_trigrams",
+            "n_distinct",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_trigrams"),
+                4,
+            ).alias("rep_frac"),
+        )
+        .orderBy(F.desc("rep_frac"), "doc_id")
+        .limit(15)
     )
 
 

@@ -43,11 +43,12 @@ def _mk(seed: int):
     return left, right
 
 
+@pytest.mark.parametrize("seed", [3, 11])
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("allow_exact", [True, False])
 @pytest.mark.parametrize("tolerance", [None, 25.0])
-def test_asof_join_matches_pandas(spark, direction, allow_exact, tolerance):
-    left, right = _mk(seed=3)
+def test_asof_join_matches_pandas(spark, seed, direction, allow_exact, tolerance):
+    left, right = _mk(seed=seed)
     want = pd.merge_asof(
         left.sort_values("t"),
         right.sort_values("t").rename(columns={"t": "t_r", "price": "price_r"}),

@@ -341,6 +341,109 @@ def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Fixed-width value histogram --------------------------------------------
+
+
+@query(
+    "agg_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INTEGER), 0), 19)
+                AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+    tags=("aggregation", "histogram"),
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type — 20 bins of width
+    25 over [0, 500), overflow clamped into the edge bins: the
+    distribution summary behind every dashboard density chart, computed
+    as ONE map-side-combinable aggregation (bin id is pure row-local
+    arithmetic — integer floor of value/25, clamped — so no sort, no
+    window, and the output is |types|×20 rows regardless of input
+    size). The same closed-form bucketing both engines evaluate
+    identically on exact inputs."""
+    e = load_table(spark, sf_dir, "events")
+    bin_c = F.least(
+        F.greatest(F.floor(F.col("value") / 25.0).cast("int"), F.lit(0)),
+        F.lit(19),
+    )
+    return (
+        e.groupBy("event_type", bin_c.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
+# --- Conversion-delay statistics --------------------------------------------
+
+
+@query(
+    "conversion_time_stats",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT user_id, MIN(ts) AS first_purchase FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    d AS (
+      SELECT (epoch_us(first_purchase) - epoch_us(first_view)) / 1000000.0
+               AS delay_s
+      FROM fv JOIN fp USING (user_id)
+      WHERE first_purchase > first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(MIN(delay_s), 4) AS min_delay_s,
+           ROUND(quantile_cont(delay_s, 0.5), 4) AS median_delay_s,
+           ROUND(MAX(delay_s), 4) AS max_delay_s
+    FROM d
+    """,
+    tags=("analytics", "conversion", "funnel"),
+)
+def conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the delay between FIRST
+    view and FIRST purchase (users whose first purchase precedes any
+    view don't count as view-driven conversions) — the product-analytics
+    companion to the funnel counts. Delays are exact epoch-microsecond
+    differences divided by 1e6 (one identical double op per row);
+    min/max are exact and the median is Spark's exact percentile, which
+    agrees with quantile_cont at round(4) (the agg_percentile_bands
+    precedent). Two first-touch aggregates + one user-keyed join — no
+    window, no sort beyond the median's own."""
+    e = load_table(spark, sf_dir, "events")
+    fv = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    fp = e.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min("ts").alias("first_purchase")
+    )
+    d = (
+        fv.join(fp, "user_id")
+        .where(F.col("first_purchase") > F.col("first_view"))
+        .select(
+            (
+                (
+                    F.unix_micros("first_purchase")
+                    - F.unix_micros("first_view")
+                )
+                / 1_000_000.0
+            ).alias("delay_s")
+        )
+    )
+    return d.groupBy().agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.min("delay_s"), 4).alias("min_delay_s"),
+        F.round(F.percentile("delay_s", F.lit(0.5)), 4).alias("median_delay_s"),
+        F.round(F.max("delay_s"), 4).alias("max_delay_s"),
+    )
+
+
 # --- Corpus mixture diversity -----------------------------------------------
 
 

@@ -747,3 +747,52 @@ def test_cdc_apply_rejects_unknown_op_codes(spark, tmp_path):
     with pytest.raises(ValueError, match="op="):
         apply(batch, 0)
     assert spark.read.parquet(path).count() == 1  # target untouched
+
+
+def test_cdc_random_sequence_matches_reference_model(spark, tmp_path):
+    """Chaos check: a seeded random sequence of change batches (upserts
+    with partition moves + deletes over a small key space) applied
+    through the MERGE sink must leave the target exactly equal to a
+    plain Python dict replaying the same changes — and an immediate
+    replay of every batch's final application order must change nothing."""
+    import random
+
+    from distributed_graph_database_system_spark.streaming.cdc import (
+        cdc_apply_batch,
+    )
+
+    rng = random.Random(99)
+    path = str(tmp_path / "cdc_chaos")
+    init = [(k, rng.choice("abc"), float(k)) for k in range(30)]
+    spark.createDataFrame(
+        init, "k INT, g STRING, v DOUBLE"
+    ).write.partitionBy("g").mode("overwrite").parquet(path)
+    ref = {k: (g, v) for k, g, v in init}
+
+    apply = cdc_apply_batch(spark, path, ["k"])
+    schema = "k INT, g STRING, v DOUBLE, op STRING"
+    last = None
+    for bid in range(6):
+        keys = rng.sample(range(40), 8)  # some keys never existed
+        rows, seen = [], set()
+        for k in keys:
+            if k in seen:
+                continue
+            seen.add(k)
+            if rng.random() < 0.3:
+                rows.append((k, None, 0.0, "d"))
+                ref.pop(k, None)
+            else:
+                g, v = rng.choice("abcd"), round(rng.uniform(0, 100), 2)
+                rows.append((k, g, v, "u"))
+                ref[k] = (g, v)
+        batch = spark.createDataFrame(rows, schema)
+        apply(batch, bid)
+        last = batch
+
+    def state():
+        return {r.k: (r.g, r.v) for r in spark.read.parquet(path).collect()}
+
+    assert state() == ref
+    apply(last, 5)  # replay the final batch
+    assert state() == ref

@@ -301,6 +301,31 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\)\s+Exchange\b", physical_plan(df)))
 
 
+def _hive_dirname(jvm, col: str, value) -> str:
+    """One partition path segment using the WRITER's own escaping
+    (ExternalCatalogUtils: special chars %-encoded, NULL →
+    __HIVE_DEFAULT_PARTITION__) — a raw f-string would miss e.g.
+    'a/b' → 'a%2Fb' and the stale files would silently survive a swap.
+    Single definition shared by surgical_delete and merge_into so the
+    rename maps cannot drift from each other."""
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if value is None:
+        return f"{esc.escapePathName(col)}=__HIVE_DEFAULT_PARTITION__"
+    return f"{esc.escapePathName(col)}={esc.escapePathName(str(value))}"
+
+
+def _fs_rename(fs, jvm, src: str, dst: str, what: str) -> None:
+    """Rename creating the destination's parent chain (nested partition
+    columns need it); a False return from the FS is surfaced as an error
+    rather than silently leaving the swap half-done."""
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    parent = dst_p.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(src), dst_p):
+        raise IOError(f"{what}: rename {src} -> {dst} failed")
+
+
 def _recover_delete_backup(fs, jvm, bak_p, root_p) -> int:
     """Roll back a crashed surgical_delete swap: rename every leaf
     partition directory under ``bak_p`` whose counterpart is missing from
@@ -440,28 +465,9 @@ def surgical_delete(
     if survived:
         survivors.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
 
-    # Directory names use the WRITER's own escaping (ExternalCatalogUtils:
-    # special chars %-encoded, NULL → __HIVE_DEFAULT_PARTITION__) — a raw
-    # f-string would miss e.g. 'us east' → 'us%20east' and the stale files
-    # would silently survive the delete.
-    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-
-    def dirname(col: str, value) -> str:
-        if value is None:
-            return f"{esc.escapePathName(col)}=__HIVE_DEFAULT_PARTITION__"
-        return f"{esc.escapePathName(col)}={esc.escapePathName(str(value))}"
-
-    def rename(src: str, dst: str) -> None:
-        dst_p = jvm.org.apache.hadoop.fs.Path(dst)
-        parent = dst_p.getParent()  # nested partition cols need the parent
-        if parent is not None and not fs.exists(parent):
-            fs.mkdirs(parent)
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(src), dst_p):
-            raise IOError(f"surgical_delete: rename {src} -> {dst} failed")
-
     subs = {
         tuple(r[c] for c in part_cols): "/".join(
-            dirname(c, r[c]) for c in part_cols
+            _hive_dirname(jvm, c, r[c]) for c in part_cols
         )
         for r in affected
     }
@@ -469,10 +475,12 @@ def surgical_delete(
     # survivors in, and only then drop the backup — at every intermediate
     # step each partition's data exists at `path`, `tmp`, or `bak`.
     for sub in subs.values():
-        rename(f"{path}/{sub}", f"{bak}/{sub}")
+        _fs_rename(fs, jvm, f"{path}/{sub}", f"{bak}/{sub}", "surgical_delete")
     for t, sub in subs.items():
         if t in survived:
-            rename(f"{tmp}/{sub}", f"{path}/{sub}")
+            _fs_rename(
+                fs, jvm, f"{tmp}/{sub}", f"{path}/{sub}", "surgical_delete"
+            )
     fs.delete(bak_p, True)
     fs.delete(tmp_p, True)
     return {
@@ -631,23 +639,8 @@ def merge_into(
     # whole keep/union plan a second time for the write).
     merged.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
 
-    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-
-    def dirname(col: str, value) -> str:
-        if value is None:
-            return f"{esc.escapePathName(col)}=__HIVE_DEFAULT_PARTITION__"
-        return f"{esc.escapePathName(col)}={esc.escapePathName(str(value))}"
-
-    def rename(src: str, dst: str) -> None:
-        dst_p = jvm.org.apache.hadoop.fs.Path(dst)
-        parent = dst_p.getParent()
-        if parent is not None and not fs.exists(parent):
-            fs.mkdirs(parent)
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(src), dst_p):
-            raise IOError(f"merge_into: rename {src} -> {dst} failed")
-
     subs = {
-        t: "/".join(dirname(c, r[c]) for c in part_cols)
+        t: "/".join(_hive_dirname(jvm, c, r[c]) for c in part_cols)
         for t, r in subs_rows.items()
     }
     # swap order: originals aside (recoverable), staged in, then drop bak.
@@ -655,11 +648,11 @@ def merge_into(
     # move aside; a fully-deleted one has no staged dir to move in.
     for t, sub in subs.items():
         if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")):
-            rename(f"{path}/{sub}", f"{bak}/{sub}")
+            _fs_rename(fs, jvm, f"{path}/{sub}", f"{bak}/{sub}", "merge_into")
     rewritten = 0
     for t, sub in subs.items():
         if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{tmp}/{sub}")):
-            rename(f"{tmp}/{sub}", f"{path}/{sub}")
+            _fs_rename(fs, jvm, f"{tmp}/{sub}", f"{path}/{sub}", "merge_into")
             rewritten += 1
     fs.delete(bak_p, True)
     fs.delete(tmp_p, True)

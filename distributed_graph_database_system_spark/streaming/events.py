@@ -148,6 +148,31 @@ def run_foreach_batch(df: DataFrame, batch_fn, mode: str = "update") -> None:
         q.stop()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _dynamic_overwrite(*sessions: SparkSession):
+    """Dynamic partition-overwrite on EVERY given session for the block's
+    duration, previous values restored after. foreachBatch hands the
+    batch a CLONED SparkSession (streaming isolates per-batch conf — see
+    ResolveWriteToStream) and a write's conf comes from the session its
+    DataFrame belongs to, so ledger writes (clone) and rollup rebuilds
+    (outer session) BOTH need the flag — missing one silently runs
+    static and truncates every earlier batch's cells. Shared by all
+    three incremental rollups so the dance cannot drift."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    uniq = {id(s): s for s in sessions}
+    prevs = {k: s.conf.get(key, "static") for k, s in uniq.items()}
+    for s in uniq.values():
+        s.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        for k, s in uniq.items():
+            s.conf.set(key, prevs[k])
+
+
 def run_incremental_daily_rollup(
     spark: SparkSession, stream: DataFrame, rollup_path: str
 ) -> None:
@@ -208,9 +233,7 @@ def run_incremental_daily_rollup(
             contrib_rows,
             "day DATE, event_type STRING, n BIGINT, dec_value DECIMAL(28,2)",
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with _dynamic_overwrite(spark):
             # step 1: idempotent ledger commit — only this batch's
             # (day, batch_id) cells are replaced
             contrib.withColumn("batch_id", F.lit(int(batch_id))).write.partitionBy(
@@ -226,8 +249,6 @@ def run_incremental_daily_rollup(
                 .agg(F.sum("n").alias("n"), F.sum("dec_value").alias("dec_value"))
             )
             merged.write.partitionBy("day").mode("overwrite").parquet(rollup_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     run_foreach_batch(stream, upsert, mode="append")
 
@@ -281,20 +302,12 @@ def run_incremental_distinct_rollup(
         days = [r["day"] for r in contrib.select("day").distinct().collect()]
         if not days:
             return
-        # foreachBatch hands the batch a CLONED SparkSession (streaming
-        # isolates per-batch conf — see ResolveWriteToStream), and a write's
-        # conf comes from the session its DataFrame belongs to. contrib
-        # derives from batch_df → the clone, the merged rebuild derives
-        # from spark.read → the outer session. Set dynamic overwrite on
-        # BOTH, or the ledger write silently runs static and truncates
-        # every earlier batch's cells (the count rollup sidesteps this by
-        # rebuilding its contrib via createDataFrame on the outer session).
-        key = "spark.sql.sources.partitionOverwriteMode"
-        sessions = {id(spark): spark, id(contrib.sparkSession): contrib.sparkSession}
-        prevs = {k: s.conf.get(key, "static") for k, s in sessions.items()}
-        for s in sessions.values():
-            s.conf.set(key, "dynamic")
-        try:
+        # contrib derives from batch_df → the per-batch session CLONE; the
+        # merged rebuild derives from spark.read → the outer session. BOTH
+        # need dynamic overwrite (see _dynamic_overwrite; the count rollup
+        # sidesteps the clone by rebuilding contrib via createDataFrame on
+        # the outer session).
+        with _dynamic_overwrite(spark, contrib.sparkSession):
             contrib.withColumn("batch_id", F.lit(int(batch_id))).write.partitionBy(
                 "day", "batch_id"
             ).mode("overwrite").parquet(contrib_path)
@@ -307,9 +320,6 @@ def run_incremental_distinct_rollup(
                 )
             )
             merged.write.partitionBy("day").mode("overwrite").parquet(rollup_path)
-        finally:
-            for k, s in sessions.items():
-                s.conf.set(key, prevs[k])
 
     run_foreach_batch(stream, upsert, mode="append")
 
@@ -365,15 +375,7 @@ def run_incremental_cms_rollup(
         # same cloned-session gotcha as run_incremental_distinct_rollup:
         # dynamic overwrite must be set on BOTH the batch clone (ledger
         # write) and the outer session (rollup rebuild).
-        key = "spark.sql.sources.partitionOverwriteMode"
-        sessions = {
-            id(spark): spark,
-            id(contrib.sparkSession): contrib.sparkSession,
-        }
-        prevs = {k: s.conf.get(key, "static") for k, s in sessions.items()}
-        for s in sessions.values():
-            s.conf.set(key, "dynamic")
-        try:
+        with _dynamic_overwrite(spark, contrib.sparkSession):
             contrib.withColumn(
                 "batch_id", F.lit(int(batch_id))
             ).write.partitionBy("day", "batch_id").mode("overwrite").parquet(
@@ -416,9 +418,6 @@ def run_incremental_cms_rollup(
             merged.write.partitionBy("day").mode("overwrite").parquet(
                 rollup_path
             )
-        finally:
-            for k, s in sessions.items():
-                s.conf.set(key, prevs[k])
 
     run_foreach_batch(stream, upsert, mode="append")
 

@@ -22,6 +22,9 @@ from distributed_graph_database_system_spark.sources.catalog import load_table
 AGG_HLL_ROLLUP_GOLDEN = getattr(
     llm_goldens, "AGG_HLL_ROLLUP_GOLDEN", "SELECT 1 AS bootstrap WHERE FALSE"
 )
+AGG_HLL_SLIDING7_GOLDEN = getattr(
+    llm_goldens, "AGG_HLL_SLIDING7_GOLDEN", "SELECT 1 AS bootstrap WHERE FALSE"
+)
 from distributed_graph_database_system_spark.sources.io import (
     read_csv,
     read_json,
@@ -569,6 +572,50 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
     )
+
+
+@query(
+    "agg_hll_sliding7",
+    oracle=AGG_HLL_SLIDING7_GOLDEN,
+    oracle_sf="0.01",
+    tags=("aggregation", "approx", "sketch", "sliding-window"),
+)
+def agg_hll_sliding7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day SLIDING distinct-user counts from the daily sketch store —
+    the query additive rollups cannot answer and re-scanning raw data
+    should not have to: each day's window estimate is the register-max
+    union of that day's and the six prior days' HLL sketches. The range
+    self-join runs over |days| sketch rows (constant-size state,
+    broadcastable at any corpus size), so the sliding series costs
+    O(days × window) tiny merges instead of O(window) raw scans per day.
+    Register-max is associative/commutative/idempotent ⇒ the estimate is
+    a pure function of the data, goldenable at sf0.01 (generated VALUES
+    oracle, same discipline as agg_hll_rollup)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk")
+    )
+    a = daily.select(F.col("day").alias("d"))
+    b = daily.select(F.col("day").alias("bd"), "sk")
+    win = (
+        a.join(
+            b,
+            (F.col("bd") >= F.date_sub(F.col("d"), 6))
+            & (F.col("bd") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "est_users_7d"
+            ),
+        )
+    )
+    return win.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_days",
+        "est_users_7d",
+    ).orderBy("day")
 
 
 # --- Subqueries (EXISTS / IN / scalar) --------------------------------------

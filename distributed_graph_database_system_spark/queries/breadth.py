@@ -64,6 +64,46 @@ def json_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "variant_semi_structured",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT as the semi-structured fast path: props parses
+    ONCE into the binary variant encoding (parse_json), typed fields
+    come out with try_variant_get — the open-schema alternative to
+    from_json's fixed struct, and the engine feature that makes JSON
+    columns first-class at scale (shredded binary representation, no
+    per-access string re-parse). The aggregate proves the typed
+    extraction end-to-end against DuckDB's JSON path functions on the
+    same integers."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "int")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- Map family ------------------------------------------------------------
 
 

@@ -104,6 +104,50 @@ def variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_udf_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,2))
+                       - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+             AS net_revenue
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("udf", "sql-udf"),
+)
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined scalar function (CREATE FUNCTION ... RETURN
+    expr) — reusable business logic that lives in the CATALOG, not in
+    application code, and stays on the FAST path: the body is a pure SQL
+    expression, so Catalyst inlines it into the plan (whole-stage
+    codegen, no Python boundary, unlike a @udf). The function takes and
+    returns DECIMALs so the q1 money discipline holds INSIDE the UDF —
+    the first double-typed draft of this query drifted by cents against
+    the oracle purely from double→decimal rounding differences, exactly
+    the class of bug the discipline exists to prevent."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price("
+        "p DECIMAL(18,2), d DECIMAL(8,2)) "
+        "RETURNS DECIMAL(28,4) RETURN p * (CAST(1 AS DECIMAL(8,2)) - d)"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_sql_udf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(disc_price(CAST(l_extendedprice AS DECIMAL(18,2)),
+                                   CAST(l_discount AS DECIMAL(8,2))))
+                    AS DOUBLE) AS net_revenue
+        FROM _sql_udf_lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
 # --- Map family ------------------------------------------------------------
 
 

@@ -1948,3 +1948,92 @@ def agg_group_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q_0_75", 4).alias("p75"),
         F.round("q_0_9", 4).alias("p90"),
     ).orderBy("event_type")
+
+
+@query(
+    "intervals_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT l_partkey AS partkey,
+             CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE) + to_days(CAST(l_quantity AS INTEGER)) AS e
+      FROM lineitem
+    ), m AS (
+      SELECT partkey, s, e,
+             MAX(e) OVER (PARTITION BY partkey ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ), f AS (
+      SELECT partkey, s, e,
+             CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS ni
+      FROM m
+    ), g AS (
+      SELECT partkey, s, e,
+             SUM(ni) OVER (PARTITION BY partkey ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM f
+    ), isl AS (
+      SELECT partkey, island, MIN(s) AS i_start, MAX(e) AS i_end
+      FROM g GROUP BY partkey, island
+    )
+    SELECT partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(date_diff('day', i_start, i_end) + 1) AS BIGINT) AS covered_days,
+           CAST(MAX(date_diff('day', i_start, i_end) + 1) AS BIGINT) AS widest_days
+    FROM isl GROUP BY partkey
+    ORDER BY n_islands DESC, partkey LIMIT 100
+    """,
+    tags=("window", "gaps-and-islands", "intervals"),
+)
+def intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval consolidation: merge each part's
+    overlapping availability intervals [shipdate, shipdate + quantity
+    days] into maximal covered islands, then report island count and
+    coverage per part.
+
+    The classic distributed formulation (no self-join, no explode-per-day):
+    a running MAX(end) window over intervals sorted by start detects island
+    boundaries (start > max end so far = new island), a running SUM of the
+    boundary flags numbers the islands, and a plain groupBy collapses each
+    island to its [min start, max end].
+
+    Scale: both windows PARTITION BY partkey — every part's intervals sort
+    locally within its hash partition (parallel across ~200M parts at SF100k,
+    bounded per-group state), never a global sort. The alternative
+    explode-one-row-per-covered-day plan would be ~25x the rows; this stays
+    at one row per interval. Skewed parts (one part = many intervals) remain
+    a single-task sort — the AQE skew handling or a two-level merge (chunk
+    islands, re-merge) is the 100 TB escape hatch; per-part interval counts
+    here are bounded by order volume per part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_partkey").alias("partkey"),
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(F.to_date("l_shipdate"), F.col("l_quantity").cast("int")).alias("e"),
+    )
+    w_order = W.partitionBy("partkey").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w_order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "ni",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islanded = flagged.withColumn(
+        "island",
+        F.sum("ni").over(w_order.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    isl = islanded.groupBy("partkey", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    days = F.datediff("i_end", "i_start") + F.lit(1)
+    return (
+        isl.groupBy("partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(days).cast("bigint").alias("covered_days"),
+            F.max(days).cast("bigint").alias("widest_days"),
+        )
+        .orderBy(F.desc("n_islands"), "partkey")
+        .limit(100)
+    )

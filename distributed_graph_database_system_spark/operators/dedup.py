@@ -616,3 +616,53 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per token n-gram occurrence: (doc_id, gram). The unit of
+    exact-substring deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): a span duplicated verbatim across
+    documents shows up as the same n-gram string in both.
+
+    Pure JVM expressions — tokenize once (shared ``ws_tokens``), then
+    ``explode(sequence(1, len-n+1))`` × ``slice`` materializes one row per
+    window position. Row blowup is ~n_tokens per doc (NOT n_tokens × n:
+    each position is one row), so the exploded relation is ~the token
+    relation the inverted-index/TF-IDF paths already shuffle."""
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).where(F.size("toks") >= n)
+    return base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("i"),
+        "toks",
+    ).select(
+        "doc_id", F.array_join(F.slice("toks", F.col("i"), n), " ").alias("gram")
+    )
+
+
+def duplicated_ngram_stats(
+    grams: DataFrame, min_docs: int = 2
+) -> DataFrame:
+    """Corpus-duplicated span table: (gram, n_docs, n_occ) for every n-gram
+    appearing in ≥ ``min_docs`` distinct documents.
+
+    GroupBy on the gram string — partial aggregation absorbs within-doc
+    repeats map-side. At 100 TB the shuffle key should be ``xxhash64(gram)``
+    (8 bytes) with ``min(gram)`` carried as the representative — a
+    deterministic two-phase variant with ~2^-65 per-pair collision odds;
+    the string key here keeps the small-corpus oracle exact."""
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

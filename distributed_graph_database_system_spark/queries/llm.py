@@ -648,3 +648,109 @@ def sim_topk_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     indexed, centroids = ivf_index(emb, n_lists=8)
     return ivf_ann_topk(indexed, centroids, qv, k=10, nprobe=3)
+
+
+_WS_TOKS_SQL = (
+    "string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+)
+# Shared n-gram occurrence CTE for the exact-substring dedup oracles:
+# tokenize exactly like ws_tokens, window with an inclusive 1-based list
+# slice (toks[i:i+n-1] = n tokens), one row per position.
+_GRAMS_CTE = f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_TOKS_SQL} AS toks
+      FROM documents
+      WHERE regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+    ), g AS (
+      SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+      WHERE len(toks) >= 8
+    )
+"""
+
+
+@query(
+    "dedup_substring_grams",
+    oracle=_GRAMS_CTE
+    + """
+    SELECT gram,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 50
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022 style): the top
+    token-8-grams that appear verbatim in ≥2 distinct documents. The
+    suffix-array formulation of the paper is replaced by the
+    shuffle-native one — explode window positions, groupBy the gram — which
+    Spark executes as one partial-aggregated exchange on the gram key."""
+    from distributed_graph_database_system_spark.operators.dedup import (
+        duplicated_ngram_stats,
+        ngram_spans,
+    )
+
+    grams = ngram_spans(_docs_fanned(spark, sf_dir), n=8)
+    return (
+        duplicated_ngram_stats(grams, min_docs=2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "gram")
+        .limit(50)
+    )
+
+
+@query(
+    "dedup_substring_docfrac",
+    oracle=_GRAMS_CTE
+    + """
+    , s AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram
+    ), j AS (
+      SELECT g.doc_id, CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END AS dup
+      FROM g JOIN s USING (gram)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(CAST(SUM(dup) AS DOUBLE) / COUNT(*), 4) AS dup_frac
+    FROM j GROUP BY doc_id HAVING SUM(dup) > 0
+    ORDER BY dup_frac DESC, doc_id LIMIT 100
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_substring_docfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction: share of a doc's token
+    8-gram positions whose gram also appears in another document — the
+    doc-level screen a substring-dedup pipeline thresholds on (drop or
+    trim docs whose dup_frac exceeds a cutoff).
+
+    Two shuffles on the gram key (stats + back-join), then a doc-key
+    aggregate. The back-join is gram→gram equi-join, never a product; at
+    100 TB both sides bucket by xxhash64(gram) so the join co-locates."""
+    from distributed_graph_database_system_spark.operators.dedup import (
+        duplicated_ngram_stats,
+        ngram_spans,
+    )
+
+    grams = ngram_spans(_docs_fanned(spark, sf_dir), n=8)
+    stats = duplicated_ngram_stats(grams, min_docs=1).select(
+        "gram", (F.col("n_docs") >= 2).cast("int").alias("dup")
+    )
+    return (
+        grams.join(stats, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("dup").alias("n_dup"),
+        )
+        .where(F.col("n_dup") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_grams"), 4
+            ).alias("dup_frac"),
+        )
+        .orderBy(F.desc("dup_frac"), "doc_id")
+        .limit(100)
+    )

@@ -1,0 +1,134 @@
+"""Bloom-filter semi-join reduction.
+
+The 100 TB problem: a fact-to-dim semi join whose dim side is too big to
+broadcast as an exact hash set but whose MEMBERSHIP can be summarized in a
+few megabytes. Build a Bloom filter over the dim keys with one aggregation,
+ship the bitmap to every fact partition, and drop non-member fact rows
+BEFORE the shuffle the exact join needs — the classic join-reduction that
+turns "shuffle 100 TB of fact" into "shuffle the ~matching fraction".
+Spark's own runtime row-group filtering does a version of this inside AQE;
+this operator makes it an explicit, composable, inspectable step (and works
+on computed keys AQE's version won't touch).
+
+Everything is JVM-side: positions come from ``xxhash64(key, seed_i)``, the
+bitmap is built with ``bit_or`` partial aggregation (map-side combine means
+each executor contributes one 64-bit word per set word index, not one row
+per key), and the membership probe is ``element_at >> bit & 1`` — no Python
+in either path. False positives only ever ADD candidate rows; the exact
+semi join after the prefilter removes them, so results are bit-identical to
+the plain semi join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k_hashes) sized for ``n_keys`` at false-positive rate
+    ``fpp`` — the standard m = -n ln p / (ln 2)^2, k = (m/n) ln 2, with m
+    rounded up to a multiple of 64 so the bitmap is whole words."""
+    if n_keys <= 0:
+        return 64, 1
+    m = int(math.ceil(-n_keys * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, int(round(m / n_keys * math.log(2))))
+    return m, k
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    # k independent positions: xxhash64 of (key, i) — the extra literal
+    # column reseeds the avalanche, pmod folds into [0, m).
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int, k: int
+) -> DataFrame:
+    """Aggregate the dim keys into bitmap words: one row per SET word,
+    ``(word_idx BIGINT, word BIGINT)``. Distributed throughout — the only
+    driver-sized object is the final collected word list (m_bits/64 longs,
+    e.g. 2 MB for m=2^27), never the keys."""
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_positions(key, m_bits, k))).alias("pos")
+    return (
+        keys.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("bigint").alias("word_idx"),
+            # pyspark's shiftleft wrapper only takes a literal shift; the
+            # SQL function shifts by an expression (bit 63 lands on the
+            # sign bit — fine, bit_get on the probe side reads it back).
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_words_array(words: DataFrame, m_bits: int) -> list[int]:
+    """Densify the sparse word rows into the full m_bits/64 long array
+    (driver-side, bounded by m — independent of key count)."""
+    dense = [0] * (m_bits // 64)
+    for row in words.collect():
+        dense[int(row["word_idx"])] = int(row["word"])
+    return dense
+
+
+def bloom_might_contain(
+    key: Column, bloom_col: Column, m_bits: int, k: int
+) -> Column:
+    """True iff every one of the key's k bits is set in the bitmap array
+    column (1-based element_at). False ⇒ definitely not a member."""
+    cond = F.lit(True)
+    for p in _positions(key, m_bits, k):
+        word = F.element_at(bloom_col, ((p / 64).cast("bigint") + 1).cast("int"))
+        cond = cond & (F.bit_get(word, (p % 64).cast("int")) == 1)
+    return cond
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    fact_key: str,
+    dim_keys: DataFrame,
+    dim_key: str,
+    fpp: float = 0.01,
+    n_keys_hint: int | None = None,
+) -> DataFrame:
+    """Fact rows whose key MIGHT be in ``dim_keys`` (superset of the true
+    semi join). One count (or the caller's hint) sizes the filter, one
+    aggregation builds it, one broadcast single-row cross join ships the
+    array — fact rows are filtered in place with zero shuffle."""
+    spark = fact.sparkSession
+    n = n_keys_hint if n_keys_hint is not None else dim_keys.count()
+    m_bits, k = bloom_params(n, fpp)
+    words = bloom_build(dim_keys, dim_key, m_bits, k)
+    dense = bloom_words_array(words, m_bits)
+    bloom_df = spark.createDataFrame([(dense,)], "bloom: array<bigint>")
+    return (
+        fact.crossJoin(F.broadcast(bloom_df))
+        .where(bloom_might_contain(F.col(fact_key), F.col("bloom"), m_bits, k))
+        .drop("bloom")
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Exact semi join with Bloom pre-reduction: prefilter the fact side
+    with the bitmap (drops ~(1-sel-fpp) of rows before any exchange), then
+    the exact ``leftsemi`` join scrubs false positives. Result is
+    bit-identical to ``fact.join(dim, cond, "leftsemi")``."""
+    keys = dim.select(F.col(dim_key)).distinct()
+    reduced = bloom_prefilter(fact, fact_key, keys, dim_key, fpp=fpp)
+    return reduced.join(
+        keys.withColumnRenamed(dim_key, fact_key), [fact_key], "leftsemi"
+    )

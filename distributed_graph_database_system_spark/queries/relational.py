@@ -1394,3 +1394,46 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query(
+    "join_bloom_reduced",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT'
+                           AND o_totalprice > 150000)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("join", "semi", "bloom", "scale"),
+)
+def join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join through the Bloom-filter reduction path
+    (operators/bloom.py): the urgent-expensive order keys are summarized
+    into a bitmap that prefilters lineitem IN PLACE (no shuffle), and the
+    exact leftsemi join then scrubs the ~1% false positives. Result is
+    bit-identical to the plain IN-subquery — that identity is exactly what
+    this oracle asserts. At 100 TB the prefilter is what turns "exchange
+    every fact row" into "exchange the selective fraction" when the dim
+    side is too large to broadcast exactly."""
+    from distributed_graph_database_system_spark.operators.bloom import (
+        bloom_semi_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+    matched = bloom_semi_join(li, "l_orderkey", dim, "o_orderkey", fpp=0.01)
+    return (
+        matched.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

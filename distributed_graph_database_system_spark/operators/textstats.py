@@ -7,7 +7,7 @@ projection (plus one aggregation where stated) over arbitrarily many rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
@@ -142,4 +142,35 @@ def rolling_fingerprint(col: Column, gram: int = 8) -> Column:
     positions = F.sequence(F.lit(1), F.greatest(n - (gram - 1), F.lit(1)))
     return F.array_min(
         F.transform(positions, lambda i: F.md5(c.substr(i, F.lit(gram))))
+    )
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick featurization: each document becomes a sparse
+    bag-of-buckets vector ``(doc_id, bucket, cnt)`` with
+    ``bucket = md5(token) mod n_buckets`` — the fixed-width feature space
+    (Weinberger et al. 2009) that needs NO vocabulary build, no dictionary
+    broadcast, and no second pass, which is exactly why it scales: the map
+    side computes buckets independently per row and the single shuffle is
+    the (doc, bucket) partial-aggregated groupBy.
+
+    md5's first 8 hex digits (not xxhash64) so the bucket assignment is
+    reproducible in any engine for the oracle cross-check; production would
+    swap in xxhash64 for ~5x cheaper hashing with the same distribution."""
+    toks = ws_tokens(F.col(text_col))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_buckets
+    ).alias("bucket")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .select("doc_id", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -754,3 +754,39 @@ def dedup_substring_docfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_frac"), "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "featurize_hashing_trick",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_TOKS_SQL} AS toks
+      FROM documents
+      WHERE regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+    ), tok AS (
+      SELECT doc_id, UNNEST(toks) AS tok FROM t
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok WHERE doc_id % 25 = 0
+    GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+    """,
+    tags=("llm", "featurize", "hashing"),
+)
+def featurize_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse hashed bag-of-words vectors (operators/textstats.py
+    hashed_features): vocabulary-free fixed-width featurization whose only
+    shuffle is the (doc, bucket) partial-aggregated groupBy. The doc_id
+    sample keeps the asserted output small; the full relation is what a
+    downstream trainer would consume."""
+    from distributed_graph_database_system_spark.operators.textstats import (
+        hashed_features,
+    )
+
+    feats = hashed_features(_docs_fanned(spark, sf_dir), n_buckets=256)
+    return (
+        feats.where(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "bucket", "cnt")
+        .orderBy("doc_id", "bucket")
+    )

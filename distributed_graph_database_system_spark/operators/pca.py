@@ -1,0 +1,120 @@
+"""Distributed PCA over an embedding column.
+
+The scale split every distributed PCA uses (e.g. Spark MLlib's
+RowMatrix.computePrincipalComponents): the O(rows) work — the d×d Gram /
+covariance accumulation — runs as ONE partial-aggregated shuffle over the
+corpus, and the O(d³) eigendecomposition runs on the driver, where d is the
+embedding width (64 here, ≤ a few thousand in practice) — a
+corpus-size-independent matrix. No iteration, no per-row Python.
+
+Determinism discipline (matches embed_covariance / embed_centroids):
+components are quantized to integer micro-units BEFORE any aggregation, so
+Σq and Σq·q are exact int64 sums whatever the partitioning; the covariance
+double expression is evaluated identically everywhere; numpy's eigh on the
+same matrix bytes is deterministic; and eigenvector sign is pinned by
+convention (largest-|component| entry made positive).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000  # micro-unit quantization, exact in int64
+
+
+def covariance_matrix(
+    emb: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Sample covariance (d×d numpy) of the quantized embeddings, computed
+    with exact integer sums: explode to (vec, dim, q), self-join on vec_id
+    for the upper-triangle pair products, one groupBy(dim_i, dim_j). The
+    collect is d(d+1)/2 + d + 1 rows — bounded by the embedding width."""
+    q = emb.select(
+        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("pos", "v")
+    ).select(
+        "vid",
+        F.col("pos").alias("dim"),
+        F.floor(F.col("v").cast("double") * _SCALE).cast("bigint").alias("q"),
+    )
+    n = q.select(F.count_distinct("vid")).first()[0]
+    sums = {r["dim"]: r["s"] for r in q.groupBy("dim").agg(F.sum("q").alias("s")).collect()}
+    a, b = q.alias("a"), q.alias("b")
+    prods = (
+        a.join(
+            b,
+            (F.col("a.vid") == F.col("b.vid")) & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("spq"))
+        .collect()
+    )
+    cov = np.zeros((dim, dim))
+    for r in prods:
+        i, j = int(r["i"]), int(r["j"])
+        c = (float(r["spq"]) - float(sums[i]) * float(sums[j]) / n) / (n - 1)
+        cov[i, j] = cov[j, i] = c / (_SCALE * _SCALE)
+    return cov
+
+
+def principal_components(cov: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k eigenpairs of the symmetric covariance, eigenvalue-descending,
+    with the sign convention that each vector's largest-|entry| component is
+    positive (first such index wins on exact ties) — the convention that
+    makes the projection reproducible across runs."""
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    top_vals = vals[order]
+    top_vecs = vecs[:, order].T  # (k, d)
+    for row in top_vecs:
+        pivot = int(np.argmax(np.abs(row)))
+        if row[pivot] < 0:
+            row *= -1
+    return top_vals, top_vecs
+
+
+def pca_project(
+    emb: DataFrame,
+    dim: int,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """(id, pc1..pck): project mean-centered embeddings onto the top-k
+    principal components. The component/mean tables ride into the row
+    expression as literals (k·d + d doubles — broadcast-sized); the dot
+    product is one fixed left-to-right ``aggregate(zip_with(...))`` chain
+    per row, entirely JVM-side."""
+    cov = covariance_matrix(emb, dim, id_col, vec_col)
+    n = emb.count()
+    sums = (
+        emb.select(F.posexplode(vec_col).alias("pos", "v"))
+        .select("pos", F.floor(F.col("v").cast("double") * _SCALE).cast("bigint").alias("q"))
+        .groupBy("pos")
+        .agg(F.sum("q").alias("s"))
+        .collect()
+    )
+    mean = np.zeros(dim)
+    for r in sums:
+        mean[int(r["pos"])] = float(r["s"]) / n / _SCALE
+    _, comps = principal_components(cov, k)
+
+    out = emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    for ci in range(k):
+        w = F.array(*[F.lit(float(x)) for x in comps[ci]])
+        m = F.array(*[F.lit(float(x)) for x in mean])
+        centered = F.zip_with(
+            F.col("_v"),
+            m,
+            lambda v, mu: F.floor(v.cast("double") * _SCALE) / _SCALE - mu,
+        )
+        dot = F.aggregate(
+            F.zip_with(centered, w, lambda c, wi: c * wi),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"pc{ci + 1}", F.round(dot, decimals))
+    return out.drop("_v")

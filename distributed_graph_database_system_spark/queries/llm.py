@@ -43,6 +43,7 @@ from distributed_graph_database_system_spark.operators.textstats import (
 )
 from distributed_graph_database_system_spark.queries.llm_goldens import (
     DEDUP_MINHASH_LSH_GOLDEN,
+    EMBED_PCA_PROJECT_GOLDEN,
     DEDUP_SIMHASH_GOLDEN,
     SIM_TOPK_ANN_IVF_GOLDEN,
     SIM_TOPK_ANN_LSH_GOLDEN,
@@ -790,3 +791,25 @@ def featurize_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bucket", "cnt")
         .orderBy("doc_id", "bucket")
     )
+
+
+@query(
+    "embed_pca_project",
+    oracle=EMBED_PCA_PROJECT_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "embedding", "pca"),
+)
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component projection of the embedding corpus
+    (operators/pca.py): the O(rows) covariance accumulation is one
+    partial-aggregated shuffle of exact integer micro-unit sums; the O(d³)
+    eigendecomposition runs on the d×d driver matrix (corpus-independent);
+    the projection is a JVM zip_with/aggregate dot product against literal
+    components with a pinned sign convention. Deterministic under any
+    partitioning (asserted in tests/test_llm.py), so the oracle is a
+    VALUES golden pinned at the driver's sf0.01."""
+    from distributed_graph_database_system_spark.operators.pca import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, dim=64, k=2)
+    return proj.where(F.col("vec_id") % 10 == 0).orderBy("vec_id")

@@ -503,6 +503,8 @@ def test_pinned_operators_partition_invariant(spark):
         a, b = (rows(run(lay)) for lay in layouts(docs))
         assert a == b, f"{name} varies with input partitioning"
 
+    from distributed_graph_database_system_spark.operators.pca import pca_project
+
     for name, run in {
         "srp_ann": lambda e: srp_ann_topk(
             srp_index(e, dim=64, nbits=5), qv, k=10, nbits=5
@@ -510,6 +512,7 @@ def test_pinned_operators_partition_invariant(spark):
         "ivf_ann": lambda e: ivf_ann_topk(
             *ivf_index(e, n_lists=4), qv, k=10, nprobe=2
         ),
+        "pca": lambda e: pca_project(e, dim=64, k=2),
     }.items():
         a, b = (rows(run(lay)) for lay in layouts(embs))
         assert a == b, f"{name} varies with input partitioning"
@@ -532,9 +535,10 @@ def test_pinned_golden_queries_match_at_sf001(spark):
             "sim_topk_ann_lsh",
             "sim_topk_ann_ivf",
             "agg_hll_rollup",
+            "embed_pca_project",
         ],
     )
-    assert len(results) == 5
+    assert len(results) == 6
     failures = {n: p for n, p in results.items() if p}
     assert not failures, f"pinned golden drift: {failures}"
 

@@ -2037,3 +2037,55 @@ def intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_islands"), "partkey")
         .limit(100)
     )
+
+
+@query(
+    "skyline_by_brand",
+    oracle="""
+    WITH r AS (
+      SELECT p_brand, p_partkey, p_retailprice, p_size,
+             MAX(p_size) OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice ASC, p_size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_size_before
+      FROM part
+    )
+    SELECT p_brand, p_partkey, p_retailprice, p_size
+    FROM r WHERE best_size_before IS NULL OR p_size > best_size_before
+    ORDER BY p_brand, p_retailprice, p_size DESC, p_partkey
+    """,
+    tags=("window", "skyline", "pareto-frontier"),
+)
+def skyline_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D skyline (Pareto frontier): parts not dominated by any
+    same-brand part that is both cheaper-or-equal and larger (strictly
+    better on at least one axis — value-duplicate points resolve to the
+    first in sweep order, i.e. the distinct-value skyline).
+
+    The O(n log n) sweep formulation, not the O(n²) dominance self-join:
+    sort each brand by (price asc, size desc) and keep a row iff its size
+    beats the running MAX(size) over all earlier (cheaper) rows — one
+    window per brand partition, no join at all. Scale: brand partitions
+    sweep in parallel; a GLOBAL skyline at 100 TB composes this with a
+    grid-prune pass (partition by price band, local sweep, then sweep the
+    per-band frontiers — frontier sizes are tiny, so the reduce fits one
+    task). No arithmetic touches the price doubles (compare/order only),
+    so cross-engine values are bit-identical."""
+    p = load_table(spark, sf_dir, "part")
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy(F.asc("p_retailprice"), F.desc("p_size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = p.select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size",
+        F.max("p_size").over(w).alias("best_size_before"),
+    )
+    return (
+        r.where(
+            F.col("best_size_before").isNull()
+            | (F.col("p_size") > F.col("best_size_before"))
+        )
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_brand", "p_retailprice", F.desc("p_size"), "p_partkey")
+    )

@@ -1360,3 +1360,65 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view}
         GROUP BY c_nationkey
     """)
+
+
+def _fp_oracle_side(table: str, cols: list[str]) -> str:
+    from distributed_graph_database_system_spark.operators.checksum import (
+        fingerprint_sql,
+    )
+
+    return (
+        "SELECT \"table\", n_rows, fingerprint, fingerprint AS replica_fingerprint, "
+        "TRUE AS consistent FROM (" + fingerprint_sql(table, cols) + ")"
+    )
+
+
+@query(
+    "replica_consistency_check",
+    oracle=_fp_oracle_side("customer", ["c_custkey", "c_name", "c_nationkey"])
+    + " UNION ALL "
+    + _fp_oracle_side("supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    + " ORDER BY \"table\"",
+    tags=("ops", "checksum", "replication"),
+)
+def replica_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy replica verification (operators/checksum.py): write a
+    replica copy of each table, then compare order-independent content
+    fingerprints of primary vs replica — the distributed analogue of the
+    reference's primary/secondary consistency contract (primaryServer.c
+    syncing secondaryServer.c's copy). The fingerprint is a commutative
+    exact-decimal sum of 60-bit per-row md5 hashes, so ANY partitioning,
+    file order, or replica layout yields the same value; the oracle
+    asserts the Spark primary fingerprint matches DuckDB's independent
+    computation AND that the written replica round-trips bit-identically
+    (replica_fingerprint column)."""
+    from distributed_graph_database_system_spark.operators.checksum import (
+        table_fingerprint,
+    )
+    from distributed_graph_database_system_spark.queries.helpers import scratch_dir
+
+    out = []
+    for table, cols in (
+        ("customer", ["c_custkey", "c_name", "c_nationkey"]),
+        ("supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+    ):
+        primary = load_table(spark, sf_dir, table)
+        path = scratch_dir("replica", sf_dir, table)
+        primary.write.mode("overwrite").parquet(path)
+        replica = spark.read.parquet(path)
+        a = table_fingerprint(primary, cols, table)
+        b = table_fingerprint(replica, cols, table).select(
+            "table", F.col("fingerprint").alias("replica_fingerprint")
+        )
+        out.append(
+            a.join(b, "table").select(
+                "table",
+                "n_rows",
+                "fingerprint",
+                "replica_fingerprint",
+                (F.col("fingerprint") == F.col("replica_fingerprint")).alias(
+                    "consistent"
+                ),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("table")

@@ -1083,3 +1083,65 @@ def snapshot_diff_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "sample_weighted_priority",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderpriority, o_orderkey,
+             o_totalprice /
+               ((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                / 4294967297.0) AS pk
+      FROM orders
+    ), r AS (
+      SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY pk DESC, o_orderkey) AS rank
+      FROM k
+    )
+    SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_orderkey
+    FROM r WHERE rank <= 5 ORDER BY o_orderpriority, rank
+    """,
+    tags=("llm", "sampling", "weighted"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup): each row gets priority w/u with u a
+    deterministic md5-uniform in (0,1], and the sample is the top-k
+    priorities per stratum — inclusion probability ≈ proportional to
+    weight, with unbiased subset-sum estimators. Chosen over the
+    Efraimidis-Spirakis u^(1/w) key on purpose: the priority is ONE IEEE
+    division (no pow/ln), so the key — and therefore sample MEMBERSHIP —
+    is bit-identical in any engine, which the oracle asserts.
+
+    Scale: per-stratum top-k is rank-then-filter here (one window); the
+    100 TB form is the same partial top-k every TakeOrderedAndProject
+    does — each partition keeps its local k before the per-stratum merge,
+    so no global sort materializes. Membership is a pure function of
+    (orderkey, weight): re-running on a replica or after repartitioning
+    reproduces the exact sample — the property that makes downstream
+    training-set builds reproducible."""
+    from distributed_graph_database_system_spark.queries.helpers import md5_uniform
+
+    o = load_table(spark, sf_dir, "orders")
+    # u in (0, 1]: (h+1)/2^32+1 — never 0, so w/u is always finite.
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("pk"), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            (F.col("o_totalprice") / u).alias("pk"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("o_orderpriority", "rank", "o_orderkey")
+        .orderBy("o_orderpriority", "rank")
+    )

@@ -8,7 +8,7 @@ import os
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from distributed_graph_database_system_spark.queries import llm_goldens
@@ -1422,3 +1422,114 @@ def replica_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1]).orderBy("table")
+
+
+@query(
+    "events_cumulative_distinct",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ), nu AS (
+      SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY first_day
+    ), days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(days.day AS VARCHAR) AS day,
+           CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(nu.new_users, 0))
+                  OVER (ORDER BY days.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_distinct_users
+    FROM days LEFT JOIN nu ON days.day = nu.day
+    ORDER BY day
+    """,
+    tags=("events", "distinct", "cumulative"),
+)
+def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cumulative distinct users per day WITHOUT a cumulative
+    distinct-count window (which would re-scan every prefix): each user
+    collapses to a first-seen day (one groupBy), the per-day news are
+    counted (second tiny groupBy), and a running sum over days equals the
+    cumulative distinct count — the first-seen decomposition that turns an
+    O(days × users) problem into two shuffles plus a window over |days|
+    rows. The final window IS a single global sort, but over the per-day
+    aggregate (~tens of thousands of rows for decades of days), not the
+    event log; the approximate alternative at unbounded day counts is the
+    HLL sketch-store path (agg_hll_rollup / agg_hll_sliding7)."""
+    e = load_table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    nu = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    joined = days.join(nu, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    return joined.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_distinct_users"),
+    ).orderBy("day")
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM s GROUP BY event_type),
+    ix AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM s a JOIN s b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT ix.type_a, ix.type_b,
+           CAST(ix.n_both AS BIGINT) AS n_both,
+           ROUND(CAST(ix.n_both AS DOUBLE)
+                 / (sa.n + sb.n - ix.n_both), 4) AS jaccard
+    FROM ix JOIN sz sa ON ix.type_a = sa.event_type
+            JOIN sz sb ON ix.type_b = sb.event_type
+    ORDER BY type_a, type_b
+    """,
+    tags=("events", "overlap", "jaccard"),
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap: exact Jaccard similarity between the
+    user sets of every event-type pair. Dedup first (DISTINCT on
+    (type, user) — one shuffle), intersect via a user-keyed self-join of
+    the deduped relation (hash join, never a cross product), sizes via a
+    broadcast-sized per-type count table. All integers until one rounded
+    double division. With thousands of segments instead of 5, the same
+    shape holds but the self-join fan-out per hot user grows
+    quadratically — the MinHash signature route (dedup_minhash_lsh's
+    machinery over segment membership sets) is the sketch answer."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.select("event_type", "user_id").distinct()
+    sz = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = s.select(F.col("event_type").alias("type_a"), "user_id")
+    b = s.select(F.col("event_type").alias("type_b"), "user_id")
+    ix = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        ix.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -664,3 +664,73 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(synth_batches, schema=MEDIA_SCHEMA)
+
+
+def _wav_pcm16(b: bytes) -> "array.array | None":
+    """Raw little-endian PCM16 samples of an uncompressed WAV, or None if
+    the blob isn't stdlib-decodable (same gate as _deep_wav)."""
+    import array
+    import sys
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = bits = audio_fmt = None
+    data = None
+    for cid, off, size in _riff_chunks(b, 12):
+        if cid == b"fmt " and size >= 16:
+            audio_fmt, channels = struct.unpack("<HH", b[off : off + 4])
+            bits = struct.unpack("<H", b[off + 14 : off + 16])[0]
+        elif cid == b"data":
+            data = b[off : off + size]
+    if data is None or audio_fmt != 1 or bits != 16 or not channels:
+        return None
+    a = array.array("h")
+    a.frombytes(data[: len(data) // 2 * 2])
+    if sys.byteorder == "big":
+        a.byteswap()
+    return a
+
+
+def audio_energy_windows(media: DataFrame, window: int = 100) -> DataFrame:
+    """Fixed-width energy frames: one row per ``window``-sample PCM window,
+    ``(media_id, w_idx, n_in_w, energy)`` with energy the EXACT integer
+    Σ sample² — the front end of voice-activity detection / silence
+    trimming. Decode runs in Arrow-batched ``mapInPandas`` (the only place
+    Python touches bytes); everything downstream — thresholding, run
+    detection, per-clip aggregation — is JVM DataFrame ops, so the
+    expensive segmentation analytics scale independently of the decoder.
+    Non-WAV / undecodable rows contribute no windows (same quarantine
+    contract as decode_media)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("w_idx", LongType()),
+            StructField("n_in_w", LongType()),
+            StructField("energy", LongType()),
+        ]
+    )
+
+    def win_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                try:
+                    samples = _wav_pcm16(blob)
+                except Exception:  # noqa: BLE001 — quarantine
+                    samples = None
+                if samples is None:
+                    continue
+                for w in range(0, (len(samples) + window - 1) // window):
+                    chunk = samples[w * window : (w + 1) * window]
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "w_idx": w,
+                            "n_in_w": len(chunk),
+                            "energy": sum(x * x for x in chunk),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return media.mapInPandas(win_batches, schema=out_schema)

@@ -813,3 +813,85 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     proj = pca_project(emb, dim=64, k=2)
     return proj.where(F.col("vec_id") % 10 == 0).orderBy("vec_id")
+
+
+@query(
+    "multimodal_audio_segments",
+    oracle="""
+    WITH wavs AS (
+      SELECT doc_id, 800 + (doc_id % 100) * 16 AS n FROM documents
+      WHERE doc_id % 6 = 4
+    ), s AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM wavs
+    ), x AS (
+      SELECT doc_id, k // 100 AS w_idx,
+             ((doc_id * 31 + k * 7) % 201) - 100 AS v
+      FROM s
+    ), e AS (
+      SELECT doc_id, w_idx, SUM(v * v) AS energy
+      FROM x GROUP BY doc_id, w_idx
+    ), a AS (
+      SELECT doc_id, w_idx,
+             w_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w_idx) AS grp
+      FROM e WHERE energy > 340000
+    ), r AS (
+      SELECT doc_id, grp, COUNT(*) AS run_len FROM a GROUP BY doc_id, grp
+    ), agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_windows,
+             COUNT(*) FILTER (energy > 340000) AS n_active
+      FROM e GROUP BY doc_id
+    ), lr AS (
+      SELECT doc_id, MAX(run_len) AS longest FROM r GROUP BY doc_id
+    )
+    SELECT agg.doc_id AS media_id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(COALESCE(longest, 0) AS BIGINT) AS longest_run
+    FROM agg LEFT JOIN lr ON agg.doc_id = lr.doc_id
+    ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "audio", "segmentation"),
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation (VAD front end): decode PCM16 WAVs into
+    100-sample energy windows (operators/multimodal.py
+    audio_energy_windows — the ONLY Python step), threshold on exact
+    integer energy, and find each clip's active-window count and longest
+    contiguous active run with the gaps-and-islands trick (w_idx −
+    row_number is constant within a run) — all JVM-side. The oracle
+    regenerates the synth PCM ramp with generate_series and replicates the
+    segmentation in SQL, so a decode stride/window-boundary bug
+    hash-mismatches."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+    from pyspark.sql import Window as W
+
+    media = documents_as_synth_media(
+        load_table(spark, sf_dir, "documents")
+    ).where(F.col("kind") == "audio")
+    e = audio_energy_windows(media, window=100)
+    active = e.where(F.col("energy") > 340000).withColumn(
+        "grp",
+        F.col("w_idx")
+        - F.row_number().over(W.partitionBy("media_id").orderBy("w_idx")),
+    )
+    runs = active.groupBy("media_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    lr = runs.groupBy("media_id").agg(F.max("run_len").alias("longest"))
+    agg = e.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum((F.col("energy") > 340000).cast("long")).alias("n_active"),
+    )
+    return (
+        agg.join(lr, "media_id", "left")
+        .select(
+            "media_id",
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.coalesce("longest", F.lit(0)).cast("bigint").alias("longest_run"),
+        )
+        .orderBy("media_id")
+    )

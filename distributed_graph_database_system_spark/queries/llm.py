@@ -42,6 +42,7 @@ from distributed_graph_database_system_spark.operators.textstats import (
     ws_token_count,
 )
 from distributed_graph_database_system_spark.queries.llm_goldens import (
+    BPE_TRAIN_MERGES_GOLDEN,
     DEDUP_MINHASH_LSH_GOLDEN,
     EMBED_PCA_PROJECT_GOLDEN,
     DEDUP_SIMHASH_GOLDEN,
@@ -895,3 +896,25 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "bpe_train_merges",
+    oracle=BPE_TRAIN_MERGES_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "tokenizer", "bpe"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges trained on the document corpus
+    (operators/bpe.py): corpus → distinct-word frequency vocab (one pass),
+    then per merge one pair-count aggregation + 1-row argmax + parallel
+    merge apply. Exact integer counts with lexicographic tie-break make
+    the merge sequence a pure function of the corpus (asserted against the
+    single-process reference in tests/test_bpe.py), so the oracle is a
+    pinned VALUES golden."""
+    from distributed_graph_database_system_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank BIGINT, left STRING, right STRING, pair_count BIGINT"
+    ).orderBy("rank")

@@ -97,7 +97,12 @@ def oracle_of(name: str) -> str:
 # embed_centroids events_rfm_segments outlier_zscore_events — plus the
 # round-6 late registrations: text_perplexity_unigram join_asof_nearest
 # chunk_documents_overlap dedup_survivor_quality multimodal_deep_audio
-# basket_part_pairs linkage_name_editdist.
+# basket_part_pairs linkage_name_editdist intervals_merge
+# dedup_substring_grams dedup_substring_docfrac join_bloom_reduced
+# featurize_hashing_trick embed_pca_project skyline_by_brand
+# replica_consistency_check sample_weighted_priority
+# events_cumulative_distinct events_audience_overlap
+# multimodal_audio_segments bpe_train_merges.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

@@ -918,3 +918,94 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank BIGINT, left STRING, right STRING, pair_count BIGINT"
     ).orderBy("rank")
+
+
+@query(
+    "corpus_kl_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, UNNEST({_WS_TOKS_SQL}) AS tok
+      FROM documents
+      WHERE regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+    ), c AS (
+      SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok
+    ), vocab AS (
+      SELECT DISTINCT tok FROM tok
+    ), v AS (SELECT COUNT(*) AS v FROM vocab),
+    tot AS (SELECT lang, SUM(c) AS n FROM c GROUP BY lang),
+    grid AS (
+      SELECT t.lang AS lang_q, vb.tok,
+             COALESCE(ce.c, 0) AS c_p, COALESCE(cq.c, 0) AS c_q,
+             te.n AS n_p, t.n AS n_q, v.v AS v
+      FROM (SELECT lang, n FROM tot WHERE lang <> 'en') t
+      CROSS JOIN vocab vb
+      CROSS JOIN v
+      CROSS JOIN (SELECT n FROM tot WHERE lang = 'en') te
+      LEFT JOIN (SELECT tok, c FROM c WHERE lang = 'en') ce ON vb.tok = ce.tok
+      LEFT JOIN c cq ON cq.lang = t.lang AND cq.tok = vb.tok
+    ), contrib AS (
+      SELECT lang_q,
+             CAST(ROUND(((c_p + 1.0) / (n_p + v))
+                  * ln(((c_p + 1.0) / (n_p + v)) / ((c_q + 1.0) / (n_q + v))),
+                  12) AS DECIMAL(32,12)) AS kc
+      FROM grid
+    )
+    SELECT lang_q, ROUND(CAST(SUM(kc) AS DOUBLE), 4) AS kl_en_vs_q
+    FROM contrib GROUP BY lang_q ORDER BY lang_q
+    """,
+    tags=("llm", "text", "drift", "kl"),
+)
+def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: add-1-smoothed KL divergence of the English
+    token distribution against every other language's, over the shared
+    corpus vocabulary — the statistic a training-mix pipeline watches to
+    catch source composition shifts between snapshots.
+
+    Float discipline: each token's contribution p·ln(p/q) is ONE identical
+    IEEE expression per engine, rounded to 12 decimals and summed as exact
+    DECIMAL so partitioning can never reorder a float sum (helpers.py
+    discipline). Scale: the (lang × vocab) grid is |vocab|·|langs| rows —
+    partial-aggregated per lang; totals/vocab-size ride in as broadcast
+    scalars."""
+    from distributed_graph_database_system_spark.operators.textstats import (
+        ws_tokens,
+    )
+
+    d = _docs_fanned(spark, sf_dir)
+    tok = d.where(
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"^\s+|\s+$", "") != ""
+    ).select("lang", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    c = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tok.select("tok").distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("v"))
+    tot = c.groupBy("lang").agg(F.sum("c").alias("n"))
+    t_q = tot.where(F.col("lang") != "en").select(
+        F.col("lang").alias("lang_q"), F.col("n").alias("n_q")
+    )
+    t_e = tot.where(F.col("lang") == "en").select(F.col("n").alias("n_p"))
+    ce = c.where(F.col("lang") == "en").select("tok", F.col("c").alias("c_p"))
+    cq = c.select(F.col("lang").alias("lang_q"), "tok", F.col("c").alias("c_q"))
+    grid = (
+        t_q.crossJoin(vocab)
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(t_e))
+        .join(ce, "tok", "left")
+        .join(cq, ["lang_q", "tok"], "left")
+        .select(
+            "lang_q",
+            F.coalesce("c_p", F.lit(0)).alias("c_p"),
+            F.coalesce("c_q", F.lit(0)).alias("c_q"),
+            "n_p",
+            "n_q",
+            "v",
+        )
+    )
+    p = (F.col("c_p") + 1.0) / (F.col("n_p") + F.col("v"))
+    q = (F.col("c_q") + 1.0) / (F.col("n_q") + F.col("v"))
+    kc = F.round(p * F.log(p / q), 12).cast("decimal(32,12)")
+    return (
+        grid.select("lang_q", kc.alias("kc"))
+        .groupBy("lang_q")
+        .agg(F.round(F.sum("kc").cast("double"), 4).alias("kl_en_vs_q"))
+        .orderBy("lang_q")
+    )

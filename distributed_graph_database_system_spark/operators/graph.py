@@ -1474,3 +1474,87 @@ def shortest_path(
         )
     finally:
         e.unpersist()
+
+
+def maximal_independent_set(edges: DataFrame, max_iter: int = 200) -> DataFrame:
+    """Maximal independent set by Luby's algorithm with DETERMINISTIC
+    per-round priorities: round r gives every undecided vertex the priority
+    ``(xxhash64(vid, r), vid)`` — the vid tie-break makes the order total
+    even under hash collisions — and a vertex enters the MIS iff its
+    priority beats the minimum over its undecided neighbors (vertices with
+    no undecided neighbor enter unconditionally). Winners and their
+    neighbors leave the undecided set, incident edges drop, repeat: the
+    classic O(log n)-expected-round parallel MIS, made a pure function of
+    the graph by replacing random draws with hashes (same device as the
+    multi-pivot SCC coloring above).
+
+    Per round: one edge join + one min-aggregation + two semi/anti joins,
+    all keyed on vid; the edge set only shrinks; lineage cut per round.
+    Returns ``(vid)`` — the MIS members. Independence and maximality are
+    asserted as properties in tests/test_graph.py.
+
+    Reference parity: no analogue (reference analytics are R3/R4 only);
+    north-star analytics extension.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    undecided = (
+        e.select(F.col("a").alias("vid"))
+        .unionAll(e.select(F.col("b").alias("vid")))
+        .unionAll(edges.select(F.col("src").alias("vid")))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .localCheckpoint()
+    )
+    mis_parts: list[DataFrame] = []
+    for r in range(max_iter):
+        if undecided.isEmpty():
+            out = mis_parts[0]
+            for p in mis_parts[1:]:
+                out = out.unionAll(p)
+            return out.distinct()
+        pri = undecided.select(
+            "vid", F.xxhash64(F.col("vid"), F.lit(r)).alias("p")
+        ).localCheckpoint()
+        sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        neigh_min = (
+            sym.join(
+                pri.select(F.col("vid").alias("b"), "p", F.col("vid").alias("nv")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("vid"))
+            .agg(F.min(F.struct("p", "nv")).alias("nm"))
+        )
+        winners = (
+            pri.join(neigh_min, "vid", "left")
+            .where(
+                F.col("nm").isNull()
+                | (F.struct(F.col("p"), F.col("vid").alias("nv")) < F.col("nm"))
+            )
+            .select("vid")
+            .localCheckpoint()
+        )
+        mis_parts.append(winners)
+        # winners' neighbors are dominated: both leave the undecided set
+        dominated = (
+            sym.join(winners.select(F.col("vid").alias("a")), "a")
+            .select(F.col("b").alias("vid"))
+            .distinct()
+        )
+        removed = winners.unionAll(dominated).distinct().localCheckpoint()
+        undecided = undecided.join(removed, "vid", "left_anti").localCheckpoint()
+        e = (
+            e.join(removed.select(F.col("vid").alias("a")), "a", "left_anti")
+            .join(removed.select(F.col("vid").alias("b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"maximal_independent_set: not converged in {max_iter} rounds"
+    )

@@ -656,3 +656,22 @@ def graph_shortest_path_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return shortest_path(_edges(spark, G2), 1, 6)
+
+
+@query(
+    "graph_mis_g6",
+    oracle=_vid_oracle([4, 6, 9, 10]),
+    tags=("graph", "mis", "luby"),
+)
+def graph_mis_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set on the G6 k-core fixture (4-clique +
+    bridged 5-cycle + pendant). Deterministic hash priorities make the
+    result a pure function of the graph; the golden {4, 6, 9, 10} is
+    hand-verified independent (no two adjacent) and maximal (every other
+    vertex has a member neighbor) — also asserted as properties over a
+    derived co-supply graph in tests/test_graph.py."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        maximal_independent_set,
+    )
+
+    return maximal_independent_set(_edges(spark, G6)).orderBy("vid")

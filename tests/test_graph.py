@@ -1055,3 +1055,43 @@ def test_scc_multi_pivot_resolves_chain_in_sublinear_rounds(spark):
     # single-pivot would need k rounds (one SCC per round); multi-pivot
     # splits at every per-round prefix maximum — expect O(log k)-ish.
     assert stats["outer_rounds"] <= k // 3, stats
+
+
+def test_mis_properties_on_cosupply(spark, sf_dir):
+    """Independence + maximality of the Luby MIS on the part co-supply
+    graph (parts adjacent when they share a supplier), plus determinism
+    under adversarial partitioning."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.operators.graph import (
+        maximal_independent_set,
+    )
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    ps = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    a = ps.select(F.col("l_partkey").alias("src"), "l_suppkey")
+    b = ps.select(F.col("l_partkey").alias("dst"), "l_suppkey")
+    edges = (
+        a.join(b, "l_suppkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    mis = {r["vid"] for r in maximal_independent_set(edges).collect()}
+    adj: dict[int, set[int]] = {}
+    for r in edges.collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    assert mis, "MIS empty on a non-empty graph"
+    assert all(not (adj.get(v, set()) & mis) for v in mis), "not independent"
+    assert all(v in mis or (adj[v] & mis) for v in adj), "not maximal"
+
+    mis2 = {
+        r["vid"]
+        for r in maximal_independent_set(
+            edges.repartition(17, F.rand(seed=3))
+        ).collect()
+    }
+    assert mis == mis2, "MIS varies with input partitioning"

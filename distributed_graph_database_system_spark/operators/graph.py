@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 EDGE_SCHEMA = "src BIGINT, dst BIGINT"
@@ -1558,3 +1558,98 @@ def maximal_independent_set(edges: DataFrame, max_iter: int = 200) -> DataFrame:
     raise RuntimeError(
         f"maximal_independent_set: not converged in {max_iter} rounds"
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_walks: int = 2,
+    length: int = 4,
+) -> DataFrame:
+    """Deterministic random-walk corpus (the node2vec/DeepWalk input):
+    ``n_walks`` walks of up to ``length`` steps from every seed vertex,
+    where step t at vertex v picks ranked out-neighbor
+    ``md5(seed|walk|t|v) mod outdegree(v)`` — hashes replace random draws,
+    so the walk corpus is a pure function of the graph (reproducible
+    across runs/retries/partitionings, and cross-engine: the oracle
+    re-walks with a recursive CTE over the same md5 picks). Walks stop
+    early at sinks.
+
+    Scale shape: the ranked adjacency (row_number per src) is computed
+    ONCE; each of the ``length`` rounds is one equi-join of the frontier
+    against it on (v, idx) — frontier size is |seeds|·n_walks, constant
+    per round; lineage cut per round. Returns
+    ``(seed, walk_id, steps, path)`` with path like '1->5->9'."""
+    adj = (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1,
+        )
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranked = adj.join(deg, "src").localCheckpoint()
+
+    walks = None
+    for w in range(n_walks):
+        part = seeds.select(
+            F.col("vid").alias("seed"),
+            F.lit(w).alias("walk_id"),
+            F.lit(0).alias("pos"),
+            F.col("vid").alias("v"),
+            F.col("vid").cast("string").alias("path"),
+        )
+        walks = part if walks is None else walks.unionAll(part)
+    frontier = walks.localCheckpoint()
+    done_parts: list[DataFrame] = []
+    for _ in range(length):
+        pick = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("seed").cast("string"),
+                            F.col("walk_id").cast("string"),
+                            F.col("pos").cast("string"),
+                            F.col("v").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.col("d"),
+        )
+        stepped = frontier.join(
+            ranked.select(F.col("src").alias("v"), "dst", "idx", "d"), "v", "left"
+        )
+        # sinks (no adjacency row) finish here
+        done_parts.append(
+            stepped.where(F.col("d").isNull()).select(
+                "seed", "walk_id", F.col("pos").alias("steps"), "path"
+            )
+        )
+        frontier = (
+            stepped.where(F.col("d").isNotNull() & (F.col("idx") == pick))
+            .select(
+                "seed",
+                "walk_id",
+                (F.col("pos") + 1).alias("pos"),
+                F.col("dst").alias("v"),
+                F.concat_ws("->", "path", F.col("dst").cast("string")).alias(
+                    "path"
+                ),
+            )
+            .localCheckpoint()
+        )
+    done_parts.append(
+        frontier.select("seed", "walk_id", F.col("pos").alias("steps"), "path")
+    )
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -675,3 +675,85 @@ def graph_mis_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return maximal_independent_set(_edges(spark, G6)).orderBy("vid")
+
+
+@query(
+    "graph_random_walks",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT l_partkey AS src,
+             LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS dst
+      FROM lineitem
+    ), ed AS (
+      SELECT DISTINCT src, dst FROM pairs
+      WHERE dst IS NOT NULL AND src <> dst
+    ), adj AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+      FROM ed
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM adj GROUP BY src
+    ), seeds AS (
+      SELECT DISTINCT src AS seed FROM adj WHERE src % 100 = 0
+    ), walk(seed, walk_id, pos, v, path) AS (
+      SELECT seed, w, 0, seed, CAST(seed AS VARCHAR)
+      FROM seeds, (VALUES (0), (1)) AS t(w)
+      UNION ALL
+      SELECT wk.seed, wk.walk_id, wk.pos + 1, a.dst,
+             wk.path || '->' || CAST(a.dst AS VARCHAR)
+      FROM walk wk
+      JOIN deg ON deg.src = wk.v
+      JOIN adj a ON a.src = wk.v
+       AND a.idx = CAST(('0x' || substr(md5(concat_ws('|',
+             CAST(wk.seed AS VARCHAR), CAST(wk.walk_id AS VARCHAR),
+             CAST(wk.pos AS VARCHAR), CAST(wk.v AS VARCHAR))), 1, 8))
+             AS BIGINT) % deg.d
+      WHERE wk.pos < 4
+    )
+    SELECT seed, CAST(walk_id AS INT) AS walk_id,
+           CAST(pos AS INT) AS steps, path
+    FROM walk
+    WHERE pos = 4 OR v NOT IN (SELECT src FROM deg)
+    ORDER BY seed, walk_id
+    """,
+    tags=("graph", "random-walk", "embedding"),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the co-purchase sequence
+    graph (part → next part within an order): 2 walks × ≤4 steps per seed,
+    neighbor picks driven by md5 hashes instead of random draws
+    (operators/graph.py random_walks) — the node2vec/DeepWalk input,
+    reproducible across runs AND engines: the oracle re-walks every path
+    with a recursive CTE making the identical md5-mod-outdegree choices,
+    so a single divergent step hash-mismatches."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        random_walks,
+    )
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) is NOT unique in the fixture — the partkey
+    # tie-break makes the partkey SEQUENCE (and so the pair set) a total
+    # function of the data in both engines.
+    nxt = F.lead("l_partkey").over(
+        W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    )
+    ed = (
+        li.select(F.col("l_partkey").alias("src"), nxt.alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    seeds = (
+        ed.select("src")
+        .distinct()
+        .where(F.col("src") % 100 == 0)
+        .select(F.col("src").alias("vid"))
+    )
+    walks = random_walks(ed, seeds, n_walks=2, length=4)
+    return walks.select(
+        "seed",
+        F.col("walk_id").cast("int").alias("walk_id"),
+        F.col("steps").cast("int").alias("steps"),
+        "path",
+    ).orderBy("seed", "walk_id")

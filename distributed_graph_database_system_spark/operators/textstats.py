@@ -7,6 +7,8 @@ projection (plus one aggregation where stated) over arbitrarily many rows.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -174,3 +176,24 @@ def hashed_features(
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def zlib_compressed_size():
+    """Arrow-batched pandas UDF: DEFLATE-compressed byte size of each
+    text's UTF-8 encoding at level 6 — the compression-ratio quality
+    signal (low-entropy boilerplate/template text compresses far below
+    natural prose; RefinedWeb/Gopher-style screens threshold on it).
+    Deterministic for a fixed zlib level, so downstream queries pin
+    goldens. Defined as a factory (not module-level) to keep this module
+    import-light for the pure-JVM paths."""
+    import zlib
+
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _zsize(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), 6))
+        )
+
+    return _zsize

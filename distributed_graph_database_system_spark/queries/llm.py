@@ -47,6 +47,7 @@ from distributed_graph_database_system_spark.queries.llm_goldens import (
     EMBED_PCA_PROJECT_GOLDEN,
     DEDUP_SIMHASH_GOLDEN,
     SIM_TOPK_ANN_IVF_GOLDEN,
+    TEXT_COMPRESSION_RATIO_GOLDEN,
     SIM_TOPK_ANN_LSH_GOLDEN,
 )
 from distributed_graph_database_system_spark.queries.registry import query
@@ -1008,4 +1009,40 @@ def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_q")
         .agg(F.round(F.sum("kc").cast("double"), 4).alias("kl_en_vs_q"))
         .orderBy("lang_q")
+    )
+
+
+@query(
+    "text_compression_ratio",
+    oracle=TEXT_COMPRESSION_RATIO_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "text", "quality", "compression"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality screen: DEFLATE(level 6) size over UTF-8
+    size per document — low ratios flag repetitive/templated text the way
+    RefinedWeb/Gopher filters do. The zlib call is the only Python
+    (Arrow-batched scalar UDF, one value per row — no state); raw size and
+    the ratio are JVM expressions. Deterministic for a fixed zlib, hence a
+    pinned VALUES golden on the sampled rows."""
+    from distributed_graph_database_system_spark.operators.textstats import (
+        zlib_compressed_size,
+    )
+
+    zsize = zlib_compressed_size()
+    d = _docs_fanned(spark, sf_dir)
+    return (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.octet_length("text").cast("bigint").alias("raw_bytes"),
+            zsize(F.col("text")).alias("comp_bytes"),
+        )
+        .withColumn(
+            "ratio",
+            F.round(
+                F.col("comp_bytes").cast("double") / F.col("raw_bytes"), 4
+            ),
+        )
+        .orderBy("doc_id")
     )

@@ -102,7 +102,8 @@ def oracle_of(name: str) -> str:
 # featurize_hashing_trick embed_pca_project skyline_by_brand
 # replica_consistency_check sample_weighted_priority
 # events_cumulative_distinct events_audience_overlap
-# multimodal_audio_segments bpe_train_merges.
+# multimodal_audio_segments bpe_train_merges corpus_kl_divergence
+# graph_mis_g6 graph_random_walks text_compression_ratio.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

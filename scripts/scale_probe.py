@@ -283,6 +283,36 @@ def main() -> int:
         )
         return 0
 
+    if sys.argv[1:] == ["bloom"]:
+        from distributed_graph_database_system_spark.operators.bloom import (
+            bloom_params,
+            bloom_prefilter,
+        )
+
+        # 50M-row fact vs a 1M-key dim (2% selective): the claim under
+        # test is that a megabyte-scale broadcast bitmap drops the
+        # non-matching ~98% of fact rows BEFORE any exchange, with the
+        # measured FP rate at the configured 1%.
+        fact = spark.range(50_000_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(50_000_000)).alias("k")
+        )
+        dim = spark.range(1_000_000).select((F.col("id") * 50).alias("k"))
+        n_dim = 1_000_000
+        m, kh = bloom_params(n_dim, 0.01)
+        t0 = time.perf_counter()
+        cand = bloom_prefilter(fact, "k", dim, "k", fpp=0.01, n_keys_hint=n_dim)
+        n_cand = cand.count()
+        t1 = time.perf_counter()
+        n_fact = 50_000_000
+        true = fact.join(dim, "k", "leftsemi").count()
+        print(
+            f"bloom_prefilter 50M fact vs 1M dim keys: bitmap={m // 8 // 1024}KB "
+            f"k={kh}, candidates={n_cand} (true={true}, fp_extra={n_cand - true}, "
+            f"fp_rate={(n_cand - true) / (n_fact - true):.4f}), "
+            f"reduction={1 - n_cand / n_fact:.3f}, build+filter={t1 - t0:.1f}s"
+        )
+        return 0
+
     if sys.argv[1:] == ["quantiles"]:
         from distributed_graph_database_system_spark.operators.quantile import (
             group_quantiles_exact,

@@ -283,6 +283,52 @@ def main() -> int:
         )
         return 0
 
+    if sys.argv[1:] == ["substring"]:
+        from distributed_graph_database_system_spark.operators.dedup import (
+            duplicated_ngram_stats,
+            ngram_spans,
+        )
+
+        # 1M synthetic hash-token docs, every 50th sharing one planted
+        # 16-token span (~3.2M gram rows through one partial-aggregated
+        # shuffle; grams of unique-hash docs are globally unique, the
+        # worst case for the aggregate's key cardinality). The claim under
+        # test: exact-substring span detection is ONE exchange on the gram
+        # key, and exactly the planted span's 9 8-gram windows surface.
+        planted = " ".join(f"tok{i}" for i in range(16))
+        docs = spark.range(1_000_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.pmod("id", F.lit(50)) == 0,
+                F.concat(
+                    F.lit(planted + " "),
+                    F.sha2(F.col("id").cast("string"), 256),
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.sha2(F.concat(F.col("id").cast("string"), F.lit(f"|{j}")), 256)
+                        for j in range(10)
+                    ],
+                )
+            )
+            .alias("text"),
+        )
+        t0 = time.perf_counter()
+        grams = ngram_spans(docs.repartition(32, "doc_id"), n=8)
+        dup = duplicated_ngram_stats(grams, min_docs=2)
+        n_dup = dup.count()
+        n_grams = grams.count()
+        t1 = time.perf_counter()
+        print(
+            f"substring dedup 1M docs / {n_grams} gram rows: "
+            f"{n_dup} duplicated grams found (expect 9 = the planted "
+            f"16-token span's 8-gram windows), {t1 - t0:.1f}s"
+        )
+        return 0
+
     if sys.argv[1:] == ["bloom"]:
         from distributed_graph_database_system_spark.operators.bloom import (
             bloom_params,

@@ -1533,3 +1533,116 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "analyze_column_stats",
+    oracle="""
+    SELECT 'c_custkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS ndv,
+           CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(c_custkey) AS VARCHAR) AS max_val
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+           CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+           CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+    FROM customer
+    ORDER BY column_name
+    """,
+    tags=("ops", "statistics", "analyze"),
+)
+def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (the CBO/pruning inputs): per
+    column, row count, null count, distinct count, and min/max — computed
+    in ONE scan via a single multi-aggregate projection, then unpivoted to
+    the long (column_name, stats) form a catalog stores. Exact NDV here
+    (hash-distinct); the unbounded-cardinality production variant swaps in
+    the HLL sketch path (agg_hll_rollup) — same shape, constant state.
+    min/max land as strings so one stats table serves every column type
+    (the same trick catalog stat stores use)."""
+    c = load_table(spark, sf_dir, "customer")
+    agg = c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for col in ("c_custkey", "c_mktsegment", "c_nationkey")
+            for x in (
+                F.count(col).alias(f"nn_{col}"),
+                F.count_distinct(col).alias(f"ndv_{col}"),
+                F.min(col).cast("string").alias(f"min_{col}"),
+                F.max(col).cast("string").alias(f"max_{col}"),
+            )
+        ],
+    )
+    rows = None
+    for col in ("c_custkey", "c_mktsegment", "c_nationkey"):
+        part = agg.select(
+            F.lit(col).alias("column_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{col}")).cast("bigint").alias("n_nulls"),
+            F.col(f"ndv_{col}").cast("bigint").alias("ndv"),
+            F.col(f"min_{col}").alias("min_val"),
+            F.col(f"max_{col}").alias("max_val"),
+        )
+        rows = part if rows is None else rows.unionAll(part)
+    return rows.orderBy("column_name")
+
+
+@query(
+    "events_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(path, 'v[cv]*p')) AS BIGINT)
+             AS n_matches,
+           CAST(length(path) AS BIGINT) AS n_events
+    FROM seq
+    WHERE len(regexp_extract_all(path, 'v[cv]*p')) > 0
+    ORDER BY n_matches DESC, user_id LIMIT 100
+    """,
+    tags=("events", "pattern", "match-recognize"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence pattern matching: each user's event
+    history collapses to an initials string in an explicit total order
+    (ts, event_id — the listagg determinism discipline), and the funnel
+    pattern view→(clicks/views)*→purchase is counted per user with a
+    regex over that string. One groupBy + per-row regex — the
+    row-pattern-matching shape without a dedicated operator; state per
+    user is the event-initial string (bounded by history length; at
+    100 TB sessionize first, as stream_session_window does, so the
+    pattern runs per session, not per lifetime)."""
+    from distributed_graph_database_system_spark.queries.helpers import sf_view
+
+    view = sf_view(
+        spark, load_table(spark, sf_dir, "events"), "pm_events", sf_dir
+    )
+    return spark.sql(f"""
+        SELECT user_id,
+               CAST(size(regexp_extract_all(path, 'v[cv]*p', 0)) AS BIGINT)
+                 AS n_matches,
+               CAST(length(path) AS BIGINT) AS n_events
+        FROM (
+          SELECT user_id,
+                 listagg(substr(event_type, 1, 1), '')
+                   WITHIN GROUP (ORDER BY ts, event_id) AS path
+          FROM {view} GROUP BY user_id
+        )
+        WHERE size(regexp_extract_all(path, 'v[cv]*p', 0)) > 0
+        ORDER BY n_matches DESC, user_id LIMIT 100
+    """)

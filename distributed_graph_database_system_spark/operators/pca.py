@@ -118,3 +118,62 @@ def pca_project(
         )
         out = out.withColumn(f"pc{ci + 1}", F.round(dot, decimals))
     return out.drop("_v")
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    start_id: int | None = None,
+) -> list[tuple[int, int, float]]:
+    """Greedy k-center coreset (farthest-point traversal): iteratively pick
+    the point farthest from the chosen set — the classic 2-approximation
+    for k-center, used as a DIVERSITY sampler over embedding corpora
+    (cover the space, don't oversample dense clusters).
+
+    Spark shape: the distributed state is one column ``min_d`` (distance to
+    the nearest chosen center), updated per iteration with a broadcast
+    literal of the latest center (``least(min_d, d_new)``) — one narrow
+    projection + one 1-row argmax per pick, never a pairwise matrix.
+    Lineage cut per iteration. Driver holds only the k picks.
+
+    Determinism: distances are fixed-order fma-free expression sums over
+    quantized (micro-unit floor) components, ties broken by smallest id;
+    the start defaults to the smallest id. Returns
+    ``[(rank, vec_id, dist_when_chosen)]`` with dist rounded to 6dp (the
+    first pick's dist is 0.0 by convention)."""
+    q = F.transform(
+        F.col(vec_col), lambda v: F.floor(v.cast("double") * _SCALE) / _SCALE
+    )
+    cur = emb.select(F.col(id_col).alias("vid"), q.alias("v"))
+    if start_id is None:
+        start_id = cur.agg(F.min("vid")).first()[0]
+    start_vec = cur.where(F.col("vid") == start_id).first()["v"]
+
+    def dist_to(center: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    picks: list[tuple[int, int, float]] = [(1, int(start_id), 0.0)]
+    cur = cur.withColumn("min_d", dist_to(start_vec)).localCheckpoint()
+    for rank in range(2, k + 1):
+        far = (
+            cur.orderBy(F.desc("min_d"), "vid").select("vid", "min_d").head(1)
+        )
+        if not far:
+            break
+        vid, d = int(far[0]["vid"]), float(far[0]["min_d"])
+        picks.append((rank, vid, round(d, 6)))
+        vec = cur.where(F.col("vid") == vid).first()["v"]
+        cur = (
+            cur.withColumn("min_d", F.least("min_d", dist_to(vec)))
+            .localCheckpoint()
+        )
+    return picks

@@ -43,6 +43,7 @@ from distributed_graph_database_system_spark.operators.textstats import (
 )
 from distributed_graph_database_system_spark.queries.llm_goldens import (
     BPE_TRAIN_MERGES_GOLDEN,
+    CORESET_KCENTER_GOLDEN,
     DEDUP_MINHASH_LSH_GOLDEN,
     EMBED_PCA_PROJECT_GOLDEN,
     DEDUP_SIMHASH_GOLDEN,
@@ -1046,3 +1047,28 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "coreset_kcenter",
+    oracle=CORESET_KCENTER_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "sampling", "coreset", "diversity"),
+)
+def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity coreset over the embedding corpus
+    (operators/pca.py kcenter_coreset): 8 farthest-point picks, each
+    iteration one broadcast-literal distance update + a 1-row argmax —
+    the curation sampler that covers embedding space instead of
+    oversampling dense clusters. Deterministic (quantized fixed-order
+    distances, id tie-breaks, smallest-id start), partition-invariant —
+    hence a pinned VALUES golden."""
+    from distributed_graph_database_system_spark.operators.pca import (
+        kcenter_coreset,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    picks = kcenter_coreset(emb, k=8)
+    return spark.createDataFrame(
+        picks, "rank BIGINT, vec_id BIGINT, dist DOUBLE"
+    ).orderBy("rank")

@@ -108,6 +108,12 @@ def bloom_prefilter(
     m_bits, k = bloom_params(n, fpp)
     words = bloom_build(dim_keys, dim_key, m_bits, k)
     dense = bloom_words_array(words, m_bits)
+    # The bitmap rides as ONE broadcast single-row cross join, not an
+    # array literal: F.lit(list) builds a CreateArray with one child node
+    # per element, and at real filter sizes (150k words for 1M keys @ 1%)
+    # the plan tree cost is catastrophic (measured 97 s vs 8.7 s for the
+    # same 50M-row probe). The broadcast row keeps the bitmap DATA, with
+    # O(1) column access per probe.
     bloom_df = spark.createDataFrame([(dense,)], "bloom: array<bigint>")
     return (
         fact.crossJoin(F.broadcast(bloom_df))
@@ -129,6 +135,15 @@ def bloom_semi_join(
     bit-identical to ``fact.join(dim, cond, "leftsemi")``."""
     keys = dim.select(F.col(dim_key)).distinct()
     reduced = bloom_prefilter(fact, fact_key, keys, dim_key, fpp=fpp)
+    # Lazy localCheckpoint = an optimizer BARRIER between the prefilter
+    # and the exact join. Without it, Catalyst's PushDownLeftSemiAntiJoin
+    # rewrites semi(cross(fact, bloom), keys) into cross(semi(fact, keys),
+    # bloom) — the semi join then shuffles the UNFILTERED fact and the
+    # bloom runs after, i.e. the reduction is optimized away (observed;
+    # pinned by tests/test_bloom.py). The checkpoint materializes only
+    # the ~selective+fpp fraction that survives the bitmap — at scale,
+    # storing 3% once beats shuffling 100% once.
+    reduced = reduced.localCheckpoint(eager=False)
     return reduced.join(
         keys.withColumnRenamed(dim_key, fact_key), [fact_key], "leftsemi"
     )

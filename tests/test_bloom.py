@@ -63,3 +63,52 @@ def test_bitmap_word_layout(spark):
     popcount = sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in dense)
     # k hash positions may collide with each other, never exceed k.
     assert 1 <= popcount <= k
+
+
+def test_prefilter_sits_below_shuffle_semi_join(spark, sf_dir):
+    """The scale-path claim, in two parts. (a) bloom_prefilter's membership
+    test (bit_get over the broadcast bitmap) runs in the fact-scan stage —
+    no exchange anywhere in its plan, so rows are dropped before any
+    shuffle. (b) bloom_semi_join pins that ordering against Catalyst:
+    PushDownLeftSemiAntiJoin would otherwise rewrite
+    semi(cross(fact, bloom), keys) into cross(semi(fact, keys), bloom) —
+    shuffling the UNFILTERED fact — so the exact join must sit above the
+    checkpoint barrier, not above the raw cross join."""
+    from distributed_graph_database_system_spark.operators.bloom import (
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        dim = orders.where(F.col("o_totalprice") > 200_000).select("o_orderkey")
+
+        pre = bloom_prefilter(li, "l_orderkey", dim.distinct(), "o_orderkey")
+        pre_plan = pre._jdf.queryExecution().executedPlan().toString()
+        assert "bit_get" in pre_plan
+        assert "Exchange" not in pre_plan.replace("BroadcastExchange", ""), (
+            "prefilter must not shuffle the fact side"
+        )
+
+        out = bloom_semi_join(li, "l_orderkey", dim, "o_orderkey")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        semi_at = plan.find("LeftSemi")
+        assert semi_at != -1
+        left_subtree = plan[semi_at:]
+        assert "LogicalRDD" in left_subtree or "ExistingRDD" in left_subtree, (
+            "exact semi join must sit above the checkpoint barrier — "
+            "otherwise Catalyst reorders it below the bloom filter"
+        )
+        assert "bit_get" not in plan, (
+            "bloom filter leaked above the barrier: the semi join was "
+            "reordered below it again"
+        )
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

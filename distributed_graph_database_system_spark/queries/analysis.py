@@ -2089,3 +2089,140 @@ def skyline_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "p_retailprice", "p_size")
         .orderBy("p_brand", "p_retailprice", F.desc("p_size"), "p_partkey")
     )
+
+
+@query(
+    "orders_seasonality_index",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS trev,
+             COUNT(*) AS tn
+      FROM orders
+    )
+    SELECT m.month, m.n_orders, ROUND(m.rev, 2) AS revenue,
+           ROUND(m.rev / tot.trev * 12, 4) AS seasonality_index
+    FROM m CROSS JOIN tot ORDER BY m.month
+    """,
+    tags=("analytics", "seasonality", "time-series"),
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's revenue share
+    against the uniform 1/12 baseline (index > 1 = high season). Exact
+    decimal sums per month and for the total, one final double division —
+    the decomposition a demand-forecast pipeline starts from. Two tiny
+    aggregates; the total rides in as a broadcast scalar."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.month("o_orderdate").cast("int").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    tot = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("trev")
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "month",
+            "n_orders",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.col("trev") * 12, 4).alias(
+                "seasonality_index"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "events_anomaly_ewma",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), t AS (
+      SELECT event_type, day, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS INT) AS i
+      FROM d
+    ), terms AS (
+      SELECT a.event_type, a.day, a.i, a.x,
+             CAST(ROUND(b.x * 0.2 * POW(0.8, a.i - b.i), 8) AS DECIMAL(28,8)) AS term
+      FROM t a JOIN t b ON a.event_type = b.event_type AND b.i <= a.i
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           ROUND(MAX(x), 4) AS daily_total,
+           ROUND(CAST(SUM(term) AS DOUBLE), 4) AS ewma
+    FROM terms GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    tags=("analytics", "time-series", "ewma", "anomaly"),
+)
+def events_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily value series per
+    event type (alpha = 0.2) — the smoothed baseline an anomaly monitor
+    compares each day against. EWMA is inherently sequential; the
+    distributed formulation expands it to its closed form (each prior
+    day's term x_j · α·(1−α)^{i−j}), joins days to their predecessors
+    WITHIN the event-type partition, and decimal-sums the rounded terms so
+    no engine's float ordering matters. Day count per type bounds the
+    expansion (|days|² per type, trivial for aggregate series); at
+    unbounded history the streaming form (run_incremental_daily_rollup's
+    ledger carrying the running EWMA state) replaces the join."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    t = d.withColumn(
+        "i",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("int"),
+    )
+    a = t.select("event_type", "day", "i", "x")
+    b = t.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("i").alias("j"),
+        F.col("x").alias("xb"),
+    )
+    terms = a.join(
+        b,
+        (F.col("event_type") == F.col("event_type_b")) & (F.col("j") <= F.col("i")),
+    ).select(
+        "event_type",
+        "day",
+        "x",
+        F.round(
+            F.col("xb") * 0.2 * F.pow(F.lit(0.8), F.col("i") - F.col("j")), 8
+        )
+        .cast("decimal(28,8)")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("event_type", "day")
+        .agg(
+            F.round(F.max("x"), 4).alias("daily_total"),
+            F.round(F.sum("term").cast("double"), 4).alias("ewma"),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "daily_total",
+            "ewma",
+        )
+        .orderBy("event_type", "day")
+    )

@@ -167,3 +167,63 @@ def bpe_train_py(
             new_words.append((out, c))
         words = new_words
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table to every document: chars → iteratively
+    merged symbols, merges applied in RANK order (the standard BPE encode).
+    One Arrow-batched pass per document with the (tiny) merge list closed
+    over — embarrassingly parallel, no shuffle. Returns
+    ``(doc_id, n_tokens, n_symbols)``: whitespace-token count and the
+    total post-merge symbol count (the sequence length a trainer would
+    see)."""
+    pairs = [(left, right) for _, left, right, _ in merges]
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("n_symbols", LongType()),
+        ]
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from distributed_graph_database_system_spark.operators.dedup import (
+            ws_tokens_py,
+        )
+
+        def encode_word(w: str) -> int:
+            syms = list(w)
+            for left, right in pairs:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = ws_tokens_py(text)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_tokens": len(toks),
+                        "n_symbols": sum(encode_word(w) for w in toks),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
+        encode_batches, schema=out_schema
+    )

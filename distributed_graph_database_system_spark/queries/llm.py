@@ -42,6 +42,7 @@ from distributed_graph_database_system_spark.operators.textstats import (
     ws_token_count,
 )
 from distributed_graph_database_system_spark.queries.llm_goldens import (
+    BPE_ENCODE_TOKENS_GOLDEN,
     BPE_TRAIN_MERGES_GOLDEN,
     CORESET_KCENTER_GOLDEN,
     DEDUP_MINHASH_LSH_GOLDEN,
@@ -1072,3 +1073,35 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "rank BIGINT, vec_id BIGINT, dist DOUBLE"
     ).orderBy("rank")
+
+
+@query(
+    "bpe_encode_tokens",
+    oracle=BPE_ENCODE_TOKENS_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "tokenizer", "bpe", "encode"),
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip: train 8 BPE merges on the corpus
+    (bpe_train_merges), then ENCODE every 25th document with the learned
+    table — per doc the whitespace-token count, the post-merge symbol
+    count, and the chars-per-symbol ratio a sequence-length planner uses.
+    Train is the registered iterative operator; encode is one parallel
+    Arrow pass with the 8-entry merge list closed over. Deterministic end
+    to end (train determinism is reference-tested), hence pinned."""
+    from distributed_graph_database_system_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    enc = bpe_encode(docs.where(F.col("doc_id") % 25 == 0), merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_symbols",
+        F.round(F.col("n_symbols").cast("double") / F.col("n_tokens"), 4).alias(
+            "symbols_per_token"
+        ),
+    ).orderBy("doc_id")

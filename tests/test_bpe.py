@@ -49,3 +49,20 @@ def test_tiebreak_lexicographic(spark):
     )
     merges = bpe_train(docs, n_merges=1)
     assert merges == [(1, "a", "b", 2)]
+
+
+def test_encode_applies_merges_in_rank_order(spark):
+    # train on 'abab' docs: merge1 = (a,b)->'ab' (count 2/doc), then
+    # (ab,ab). Encoding 'abab' with both merges yields ONE symbol.
+    docs = spark.createDataFrame(
+        [(i, "abab") for i in range(2)], "doc_id: long, text: string"
+    )
+    from distributed_graph_database_system_spark.operators.bpe import bpe_encode
+
+    merges = bpe_train(docs, n_merges=2)
+    assert [(l, r) for _, l, r, _ in merges] == [("a", "b"), ("ab", "ab")]
+    enc = {r["doc_id"]: r["n_symbols"] for r in bpe_encode(docs, merges).collect()}
+    assert enc == {0: 1, 1: 1}
+    # with only the first merge, 'abab' -> ['ab','ab'] = 2 symbols
+    enc1 = {r["doc_id"]: r["n_symbols"] for r in bpe_encode(docs, merges[:1]).collect()}
+    assert enc1 == {0: 2, 1: 2}

@@ -1653,3 +1653,94 @@ def random_walks(
     for p in done_parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def minimum_spanning_forest(
+    edges: DataFrame, weight_col: str = "w", max_iter: int = 50
+) -> DataFrame:
+    """Minimum spanning forest by Borůvka's algorithm — the parallel MST
+    formulation (each round EVERY component picks its lightest outgoing
+    edge, components contract, repeat; components at least halve per
+    round, so O(log n) rounds). Determinism: the per-component pick is
+    min over the total order (w, a, b) — equal-weight edges resolve by
+    endpoint ids — so the forest is a pure function of the graph even
+    with duplicate weights.
+
+    Per round: two comp-map joins to label edge endpoints + one min-struct
+    aggregation per component + component contraction via the existing
+    ``connected_components`` over the picked edges (a relation with ≤ one
+    edge per component — tiny). Edges are undirected; self-loops and the
+    heavier of duplicate (a, b) edges never enter the forest. Returns
+    ``(a, b, w)`` rows of the forest (|V| − #components rows).
+
+    Reference parity: no analogue; north-star analytics extension
+    (Kruskal-reference parity in tests/test_graph.py)."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col(weight_col).alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    comp = (
+        e.select(F.col("a").alias("vid"))
+        .unionAll(e.select(F.col("b").alias("vid")))
+        .distinct()
+        .withColumn("comp", F.col("vid"))
+        .localCheckpoint()
+    )
+    picked_parts: list[DataFrame] = []
+    for _ in range(max_iter):
+        labeled = (
+            e.join(comp.select(F.col("vid").alias("a"), F.col("comp").alias("ca")), "a")
+            .join(comp.select(F.col("vid").alias("b"), F.col("comp").alias("cb")), "b")
+            .where(F.col("ca") != F.col("cb"))
+        )
+        if labeled.isEmpty():
+            break
+        # each component's lightest outgoing edge, total-ordered
+        cand = labeled.select(F.col("ca").alias("c"), "w", "a", "b").unionAll(
+            labeled.select(F.col("cb").alias("c"), "w", "a", "b")
+        )
+        picks = (
+            cand.groupBy("c")
+            .agg(F.min(F.struct("w", "a", "b")).alias("m"))
+            .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"), F.col("m.w").alias("w"))
+            .distinct()
+            .localCheckpoint()
+        )
+        picked_parts.append(picks)
+        # contract: components connected by picked edges merge
+        pick_graph = picks.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+        # map picked endpoints to their current comps, then CC over comps
+        pg = (
+            pick_graph.join(
+                comp.select(F.col("vid").alias("src"), F.col("comp").alias("cs")), "src"
+            )
+            .join(
+                comp.select(F.col("vid").alias("dst"), F.col("comp").alias("cd")), "dst"
+            )
+            .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        )
+        cc = connected_components(pg)  # (vid=old comp, comp=new comp)
+        comp = (
+            comp.join(
+                cc.select(F.col("vid").alias("comp"), F.col("comp").alias("nc")),
+                "comp",
+                "left",
+            )
+            .select("vid", F.coalesce("nc", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+    if not picked_parts:
+        return e.where(F.lit(False)).select("a", "b", "w")
+    out = picked_parts[0]
+    for p in picked_parts[1:]:
+        out = out.unionAll(p)
+    return out.distinct()

@@ -757,3 +757,34 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("steps").cast("int").alias("steps"),
         "path",
     ).orderBy("seed", "walk_id")
+
+
+@query(
+    "graph_msf_g6w",
+    oracle="""
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(w AS DOUBLE) AS w
+    FROM (VALUES (1, 2, 66.0), (2, 3, 14.0), (2, 4, 31.0), (4, 5, 10.0),
+                 (5, 6, 58.0), (6, 7, 6.0), (7, 8, 54.0), (8, 9, 2.0),
+                 (8, 10, 19.0)) AS t(a, b, w)
+    ORDER BY a, b
+    """,
+    tags=("graph", "mst", "boruvka"),
+)
+def graph_msf_g6w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest on G6 with deterministic distinct
+    weights w = (31a + 17b) mod 100 + 1 — distinct weights make the MST
+    unique, so the golden is THE spanning tree (9 edges over 10 vertices,
+    total weight 260; Kruskal-verified). Per round every component picks
+    its lightest outgoing edge and components contract through the
+    connected-components operator — O(log n) rounds."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        minimum_spanning_forest,
+    )
+
+    rows = [
+        (a, b, float((a * 31 + b * 17) % 100 + 1))
+        for a, b in G6
+    ]
+    e = spark.createDataFrame(rows, "src: long, dst: long, w: double")
+    return minimum_spanning_forest(e).orderBy("a", "b")

@@ -1095,3 +1095,57 @@ def test_mis_properties_on_cosupply(spark, sf_dir):
         ).collect()
     }
     assert mis == mis2, "MIS varies with input partitioning"
+
+
+def test_msf_kruskal_parity_on_copurchase(spark, sf_dir):
+    """Borůvka forest == Kruskal forest on the co-purchase graph with
+    unique per-edge weights (unique weights => the MSF is unique), plus
+    partition invariance."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.operators.graph import (
+        minimum_spanning_forest,
+    )
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    nxt = F.lead("l_partkey").over(
+        W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    )
+    ed = (
+        li.select(F.col("l_partkey").alias("src"), nxt.alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn("w", (F.col("src") * 10000 + F.col("dst")).cast("double"))
+    )
+    msf = sorted(tuple(r) for r in minimum_spanning_forest(ed).collect())
+
+    rows = [(r["src"], r["dst"], r["w"]) for r in ed.collect()]
+    verts = {v for a, b, _ in rows for v in (a, b)}
+    parent = {v: v for v in verts}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    ref = []
+    for a, b, w in sorted(rows, key=lambda t: (t[2], t[0], t[1])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            ref.append((a, b, w))
+    assert sorted(ref) == msf
+
+    msf2 = sorted(
+        tuple(r)
+        for r in minimum_spanning_forest(ed.repartition(17, F.rand(seed=11))).collect()
+    )
+    assert msf == msf2

@@ -105,7 +105,8 @@ def oracle_of(name: str) -> str:
 # multimodal_audio_segments bpe_train_merges corpus_kl_divergence
 # graph_mis_g6 graph_random_walks text_compression_ratio
 # analyze_column_stats events_pattern_match coreset_kcenter
-# orders_seasonality_index events_anomaly_ewma bpe_encode_tokens.
+# orders_seasonality_index events_anomaly_ewma bpe_encode_tokens
+# graph_msf_g6w.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

@@ -1105,3 +1105,71 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbols_per_token"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_WS_TOKS_SQL}) AS toks
+      FROM documents
+      WHERE doc_id % 5 = 0
+        AND regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_shared,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(a.toks), 4) AS containment_a_in_b
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) >= 0.8 * len(a.toks)
+      AND len(a.toks) > 0
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: token-set containment
+    |A∩B| / |A| ≥ 0.8 — catches excerpts and quote-heavy copies that
+    symmetric Jaccard misses (a 100-token excerpt of a 10k-token doc has
+    tiny Jaccard but containment 1.0). Exact set expressions over the
+    sampled pair grid here (the oracle-exact twin); the scale path is the
+    SAME banded-LSH candidate generation every other dedup uses
+    (dedup_minhash_lsh) with this containment verifier replacing the
+    Jaccard one — candidates, not all pairs."""
+    from distributed_graph_database_system_spark.operators.textstats import (
+        ws_tokens,
+    )
+
+    d = _docs_fanned(spark, sf_dir)
+    t = (
+        d.where(
+            (F.col("doc_id") % 5 == 0)
+            & (
+                F.regexp_replace(F.coalesce("text", F.lit("")), r"^\s+|\s+$", "")
+                != ""
+            )
+        )
+        .select("doc_id", F.array_distinct(ws_tokens(F.col("text"))).alias("toks"))
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    shared = F.size(F.array_intersect("ta", "tb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(
+            # double compare, NOT an int cast: Spark casts truncate,
+            # DuckDB casts round — 0.8·16=12.8 would admit shared=12 on
+            # one engine only
+            (F.size("ta") > 0)
+            & (shared.cast("double") >= 0.8 * F.size("ta"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            shared.cast("bigint").alias("n_shared"),
+            F.round(shared.cast("double") / F.size("ta"), 4).alias(
+                "containment_a_in_b"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )

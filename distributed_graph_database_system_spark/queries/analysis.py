@@ -2226,3 +2226,58 @@ def events_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "lineitem_active_shipments_daily",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE) + to_days(CAST(l_quantity AS INTEGER)) AS e
+      FROM lineitem
+    ), bounds AS (
+      SELECT s AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e + to_days(1) AS day, -1 AS delta FROM iv
+    ), daily AS (
+      SELECT day, SUM(delta) AS net FROM bounds GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS active_shipments
+    FROM daily
+    ORDER BY day LIMIT 200
+    """,
+    tags=("analytics", "intervals", "sweep", "prefix-sum"),
+)
+def lineitem_active_shipments_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting by boundary sweep: every shipment
+    interval [shipdate, shipdate + quantity days] contributes +1 at its
+    start and −1 the day after its end; the running sum of per-day net
+    deltas IS the number of simultaneously active shipments — the
+    classic O(n) sweep that replaces the explode-a-row-per-covered-day
+    plan (~25x the rows) or a per-day interval-containment join (O(days ×
+    intervals)). The only window runs over the per-day aggregate (|days|
+    rows); at unbounded day counts the two-pass distributed prefix sum
+    (operators/prefix.py) replaces it — same decomposition as
+    orders_abc_pareto."""
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(F.to_date("l_shipdate"), F.col("l_quantity").cast("int")).alias(
+            "e"
+        ),
+    )
+    bounds = iv.select(F.col("s").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = bounds.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        daily.select(
+            F.col("day").cast("string").alias("day"),
+            F.sum("net").over(w).cast("bigint").alias("active_shipments"),
+        )
+        .orderBy("day")
+        .limit(200)
+    )

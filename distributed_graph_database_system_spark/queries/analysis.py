@@ -2236,9 +2236,9 @@ def events_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(l_shipdate AS DATE) + to_days(CAST(l_quantity AS INTEGER)) AS e
       FROM lineitem
     ), bounds AS (
-      SELECT s AS day, 1 AS delta FROM iv
+      SELECT CAST(s AS DATE) AS day, 1 AS delta FROM iv
       UNION ALL
-      SELECT e + to_days(1) AS day, -1 AS delta FROM iv
+      SELECT CAST(e + to_days(1) AS DATE) AS day, -1 AS delta FROM iv
     ), daily AS (
       SELECT day, SUM(delta) AS net FROM bounds GROUP BY day
     )

@@ -2281,3 +2281,56 @@ def lineitem_active_shipments_daily(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy("day")
         .limit(200)
     )
+
+
+@query(
+    "supplier_return_rate_wilson",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (l_returnflag = 'R') AS BIGINT) AS k
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n, k,
+           ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n)
+                                 + 0.9604 / n) / n))
+                 / (1 + 3.8416 / n), 4) AS wilson_lower
+    FROM r WHERE n >= 20
+    ORDER BY wilson_lower DESC, l_suppkey LIMIT 25
+    """,
+    tags=("analytics", "statistics", "wilson", "ranking"),
+)
+def supplier_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank suppliers by return rate using the Wilson score lower bound
+    (95%) instead of the raw proportion — the small-sample-robust ranking
+    that won't put a 1-for-1 supplier above a 90-for-100 one. One integer
+    aggregate per supplier, then a single identical IEEE expression per
+    engine (the z²-expanded Wilson form with 1.96 constants folded), so
+    the only float work is deterministic per row. The shape every
+    ratings/abuse/quality ranker runs at scale: groupBy + expression +
+    top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    wilson = (
+        p
+        + 1.9208 / F.col("n")
+        - 1.96
+        * F.sqrt((p * (1 - p) + 0.9604 / F.col("n")) / F.col("n"))
+    ) / (1 + 3.8416 / F.col("n"))
+    return (
+        r.where(F.col("n") >= 20)
+        .select(
+            "l_suppkey",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").cast("bigint").alias("k"),
+            F.round(wilson, 4).alias("wilson_lower"),
+        )
+        .orderBy(F.desc("wilson_lower"), "l_suppkey")
+        .limit(25)
+    )

@@ -148,3 +148,54 @@ def layout_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum("value").alias("total_value"),
     )
+
+
+@query(
+    "layout_dpp_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+      FROM orders
+      WHERE substr(strftime(o_orderdate, '%Y-%m'), 6, 2) IN ('01', '02', '03')
+    )
+    SELECT o.month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_totalprice
+          FROM orders) o
+    JOIN dim ON o.month = dim.month
+    GROUP BY o.month ORDER BY o.month
+    """,
+    tags=("layout", "partitioning", "dpp"),
+)
+def layout_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: orders re-written hive-partitioned by
+    month, then joined to a dim whose selective filter (Q1 months) is only
+    known at RUNTIME — Catalyst injects a dynamicpruning subquery on the
+    partition column (asserted in tests/test_layout.py), so only the Q1
+    month directories are read even though no literal month predicate
+    exists on the fact side. This is the Spark answer to the star-schema
+    scan problem at 100 TB: the dim filter, not a hand-written WHERE,
+    decides which fact partitions exist for the query. The static variant
+    is layout_partition_pruned."""
+    path = _path(sf_dir, "orders_by_month")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    layout.write_partitioned(o, path, ["month"])
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .distinct()
+        .where(F.substring("month", 6, 2).isin("01", "02", "03"))
+    )
+    return (
+        fact.join(F.broadcast(dim), "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("month")
+    )

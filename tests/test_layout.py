@@ -562,3 +562,16 @@ def test_merge_into_handles_escaped_and_null_partition_values(spark, tmp_path):
         3: (None, 30.0),
         4: ("us/east", 40.0),
     }
+
+
+def test_dpp_join_injects_dynamic_pruning(spark, sf_dir):
+    """layout_dpp_join's plan must carry a dynamicpruning subquery on the
+    partition column — proof the Q1 dim filter prunes fact DIRECTORIES at
+    runtime rather than scanning all months and filtering rows."""
+    from distributed_graph_database_system_spark.queries.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["layout_dpp_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

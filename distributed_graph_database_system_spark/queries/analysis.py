@@ -2334,3 +2334,69 @@ def supplier_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wilson_lower"), "l_suppkey")
         .limit(25)
     )
+
+
+@query(
+    "events_trend_mannkendall",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT a.event_type,
+           CAST(COUNT(DISTINCT a.day) + 1 AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                         WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+           CASE WHEN SUM(CASE WHEN b.x > a.x THEN 1
+                              WHEN b.x < a.x THEN -1 ELSE 0 END) > 0 THEN 'up'
+                WHEN SUM(CASE WHEN b.x > a.x THEN 1
+                              WHEN b.x < a.x THEN -1 ELSE 0 END) < 0 THEN 'down'
+                ELSE 'flat' END AS trend
+    FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+    GROUP BY a.event_type ORDER BY a.event_type
+    """,
+    tags=("analytics", "time-series", "trend", "mann-kendall"),
+)
+def events_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend statistic per event-type daily series:
+    S = Σ_{i<j} sign(x_j − x_i) — the nonparametric monotone-trend test a
+    metrics monitor runs without assuming normality. Daily totals are
+    exact decimal sums; S is pure integer arithmetic over the day-pair
+    join WITHIN each series partition (|days|² per type — trivial for
+    aggregate series; the sequential-window alternative at unbounded
+    history is a pair-count merge, same decomposition as the prefix
+    operators). n_days counts pairs' distinct left days + 1 = series
+    length."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    a = d.select("event_type", F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("day").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    sign = (
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+    )
+    s = F.sum(sign)
+    return (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("event_type_b"))
+            & (F.col("da") < F.col("db")),
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.count_distinct("da") + 1).cast("bigint").alias("n_days"),
+            s.cast("bigint").alias("s_stat"),
+            F.when(s > 0, "up").when(s < 0, "down").otherwise("flat").alias("trend"),
+        )
+        .orderBy("event_type")
+    )

@@ -788,3 +788,30 @@ def graph_msf_g6w(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     e = spark.createDataFrame(rows, "src: long, dst: long, w: double")
     return minimum_spanning_forest(e).orderBy("a", "b")
+
+
+@query(
+    "graph_coreness_g6",
+    oracle="""
+    SELECT CAST(vid AS BIGINT) AS vid, CAST(coreness AS INT) AS coreness
+    FROM (VALUES (1, 3), (2, 3), (3, 3), (4, 3), (5, 2), (6, 2), (7, 2),
+                 (8, 2), (9, 2), (10, 1)) AS t(vid, coreness)
+    ORDER BY vid
+    """,
+    tags=("graph", "coreness", "peeling"),
+)
+def graph_coreness_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition of G6 by distributed bin-peeling
+    (operators/graph.py core_decomposition): the 4-clique peels at phase 4
+    (coreness 3), the bridged 5-cycle at phase 3 (coreness 2), the
+    pendant at phase 2 (coreness 1) — hand-verified, and consistent with
+    the registered k=3 core (graph_kcore_g6 ≡ coreness ≥ 3, asserted in
+    tests/test_graph.py)."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        core_decomposition,
+    )
+
+    e = _edges(spark, G6)
+    return core_decomposition(e).select(
+        "vid", F.col("coreness").cast("int").alias("coreness")
+    ).orderBy("vid")

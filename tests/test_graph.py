@@ -1149,3 +1149,56 @@ def test_msf_kruskal_parity_on_copurchase(spark, sf_dir):
         for r in minimum_spanning_forest(ed.repartition(17, F.rand(seed=11))).collect()
     )
     assert msf == msf2
+
+
+def test_coreness_consistent_with_kcore_and_reference(spark, sf_dir):
+    """coreness ≥ k  ⇔  membership in k_core(k), for every k present; and
+    the whole decomposition matches a single-process peeling reference on
+    the co-purchase graph."""
+    from pyspark.sql import functions as F, Window as W
+
+    from distributed_graph_database_system_spark.operators.graph import (
+        core_decomposition,
+        k_core,
+    )
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nxt = F.lead("l_partkey").over(
+        W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    )
+    ed = (
+        li.select(F.col("l_partkey").alias("src"), nxt.alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    got = {r["vid"]: r["coreness"] for r in core_decomposition(ed).collect()}
+
+    # reference: sequential min-degree peeling
+    adj: dict[int, set[int]] = {}
+    for r in ed.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().collect():
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    deg = {v: len(ns) for v, ns in adj.items()}
+    ref: dict[int, int] = {}
+    live = dict(deg)
+    k = 1
+    while live:
+        while True:
+            fall = [v for v, d in live.items() if d < k]
+            if not fall:
+                break
+            for v in fall:
+                ref[v] = k - 1
+                del live[v]
+                for w in adj[v]:
+                    if w in live:
+                        live[w] -= 1
+        k += 1
+    assert got == ref
+
+    # cross-check against the independent k_core operator at k = 3
+    core3 = {r["vid"] for r in k_core(ed, k=3).collect()}
+    assert core3 == {v for v, c in got.items() if c >= 3}

@@ -734,3 +734,80 @@ def audio_energy_windows(media: DataFrame, window: int = 100) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return media.mapInPandas(win_batches, schema=out_schema)
+
+
+def make_png_pattern(width: int, height: int, key: int) -> bytes:
+    """A valid 8-bit grayscale PNG whose pixels carry a deterministic
+    gradient pattern p(x, y) = (31·key + 7x + 13y) mod 251 — same container
+    as make_png but with CONTENT, so perceptual hashing has structure to
+    fingerprint. Two images share a pattern iff they share ``key``."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    rows = []
+    for y in range(height):
+        rows.append(
+            b"\x00"
+            + bytes(((31 * key + 7 * x + 13 * y) % 251) for x in range(width))
+        )
+    raw = b"".join(rows)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Difference-hash perceptual fingerprints for 8-bit grayscale PNGs:
+    decode (zlib inflate + filter reconstruction — the REAL pixel path),
+    nearest-neighbor downsample to a (grid+1)×grid luminance grid, and emit
+    one bit per horizontal neighbor pair (left < right) — the classic
+    64-bit dHash. Near-duplicate images land at small Hamming distance,
+    so the SAME chunk-banded join machinery as SimHash text dedup
+    (operators/dedup.py simhash_near_pairs) finds candidate pairs without
+    an all-pairs product. Decode + hash run in one Arrow-batched pass;
+    undecodable rows are skipped (quarantine contract). Returns
+    ``(media_id, dhash)``."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("dhash", LongType()),
+        ]
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                try:
+                    if len(blob) < 33 or not blob.startswith(_PNG_SIG):
+                        continue
+                    w, h = struct.unpack(">II", blob[16:24])
+                    if blob[24] != 8 or blob[25] != 0:
+                        continue
+                    idat = b"".join(
+                        blob[off + 8 : off + 8 + size]
+                        for off, size in _png_chunks_of(blob, b"IDAT")
+                    )
+                    px = _png_unfilter(zlib.decompress(idat), w, h)
+                    if px is None or w < grid + 1 or h < grid:
+                        continue
+                except Exception:  # noqa: BLE001 — quarantine
+                    continue
+                bits = 0
+                for gy in range(grid):
+                    sy = gy * h // grid
+                    for gx in range(grid):
+                        sx1 = gx * w // (grid + 1)
+                        sx2 = (gx + 1) * w // (grid + 1)
+                        p1 = px[sy * w + sx1]
+                        p2 = px[sy * w + sx2]
+                        bits = (bits << 1) | (1 if p1 < p2 else 0)
+                # fold into signed int64 (bit 63 may be set)
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                rows.append({"media_id": media_id, "dhash": bits})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return media.mapInPandas(hash_batches, schema=out_schema)

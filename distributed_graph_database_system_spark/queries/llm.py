@@ -47,6 +47,7 @@ from distributed_graph_database_system_spark.queries.llm_goldens import (
     CORESET_KCENTER_GOLDEN,
     DEDUP_MINHASH_LSH_GOLDEN,
     EMBED_PCA_PROJECT_GOLDEN,
+    MULTIMODAL_IMAGE_PHASH_GOLDEN,
     DEDUP_SIMHASH_GOLDEN,
     SIM_TOPK_ANN_IVF_GOLDEN,
     TEXT_COMPRESSION_RATIO_GOLDEN,
@@ -1172,4 +1173,70 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "multimodal_image_phash",
+    oracle=MULTIMODAL_IMAGE_PHASH_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "multimodal", "phash", "dedup"),
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end on REAL pixels: every 6th doc
+    becomes a patterned grayscale PNG (pattern key = doc_id mod 30, so
+    distinct docs share imagery), image_dhash decodes the actual
+    scanlines and fingerprints them, and a groupBy on the 64-bit dHash
+    recovers the duplicate-image clusters — the multimodal analogue of
+    exact text dedup, with the SimHash chunk-band join as the near-dup
+    extension. One Arrow decode pass + one hash-keyed aggregate."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        image_dhash,
+        make_png_pattern,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    import pandas as pd  # noqa: F811
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 0)
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "kind": "image",
+                        "content": make_png_pattern(
+                            32 + d % 7, 32 + (d * 3) % 5, key=d % 30
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    media = docs.select("doc_id").mapInPandas(synth, schema=schema)
+    hashes = image_dhash(media, grid=8)
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").alias("keep_id"),
+        )
+        .where(F.col("n_images") >= 2)
+        .orderBy(F.desc("n_images"), "keep_id")
+        .limit(50)
     )

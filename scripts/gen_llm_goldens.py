@@ -77,6 +77,11 @@ SPECS = {
         "corpus-trained 8-merge BPE encode of every 25th doc: token count, "
         "post-merge symbol count, symbols/token",
     ),
+    "multimodal_image_phash": (
+        [("dhash", "BIGINT"), ("n_images", "BIGINT"), ("keep_id", "BIGINT")],
+        "dHash perceptual dedup of patterned grayscale PNGs (real scanline "
+        "decode, pattern key = doc_id mod 30)",
+    ),
     "agg_hll_sliding7": (
         [("day", "VARCHAR"), ("n_days", "BIGINT"), ("est_users_7d", "BIGINT")],
         "7-day sliding distinct users: register-max union of each day's and "

@@ -283,6 +283,39 @@ def main() -> int:
         )
         return 0
 
+    if sys.argv[1:] == ["msf"]:
+        from distributed_graph_database_system_spark.operators.graph import (
+            minimum_spanning_forest,
+        )
+
+        # 200k vertices / 1M random edges (plus a spanning backbone so the
+        # forest is one tree): Borůvka halves components per round, each
+        # round = two comp joins + a min-struct aggregate + CC contraction
+        # of the picked edges. The claim: round count stays O(log n) and
+        # the forest lands |V|-1 edges.
+        n_v, n_e = 200_000, 1_000_000
+        backbone = spark.range(1, n_v).select(
+            F.col("id").alias("src"),
+            (F.pmod(F.xxhash64("id"), F.col("id"))).alias("dst"),
+            ((F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)) + 1000).cast("double")).alias("w"),
+        )
+        extra = spark.range(n_e).select(
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_v)).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n_v)).alias("dst"),
+            (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(1000000)).cast("double") / 1000.0).alias("w"),
+        )
+        edges = backbone.unionAll(extra).where(F.col("src") != F.col("dst"))
+        t0 = time.perf_counter()
+        msf = minimum_spanning_forest(edges)
+        n_edges = msf.count()
+        total_w = msf.agg(F.sum("w")).first()[0]
+        print(
+            f"boruvka_msf {n_v} vertices / ~{n_e} random edges + backbone: "
+            f"forest={n_edges} edges (expect {n_v - 1}), "
+            f"weight={total_w:.1f}, {time.perf_counter() - t0:.1f}s"
+        )
+        return 0
+
     if sys.argv[1:] == ["substring"]:
         from distributed_graph_database_system_spark.operators.dedup import (
             duplicated_ngram_stats,

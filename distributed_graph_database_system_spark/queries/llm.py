@@ -1240,3 +1240,109 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_images"), "keep_id")
         .limit(50)
     )
+
+
+@query(
+    "text_readability_flesch",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_WS_TOKS_SQL}) AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syll
+      FROM documents
+      WHERE regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+    FROM t WHERE n_words > 0 ORDER BY doc_id
+    """,
+    tags=("llm", "text", "readability", "quality"),
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from pure JVM expressions: word
+    count (shared ws_tokens), sentence count (terminal-punctuation runs),
+    and the standard vowel-group syllable heuristic — the readability
+    band a training-mix curator filters or stratifies on (alongside
+    text_quality's structural score). One narrow projection, no shuffle;
+    the formula is a single identical IEEE expression per engine."""
+    from distributed_graph_database_system_spark.operators.textstats import (
+        ws_tokens,
+    )
+
+    d = _docs_fanned(spark, sf_dir)
+    t = d.where(
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"^\s+|\s+$", "") != ""
+    ).select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)), F.lit(1)
+        ).alias("n_sents"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)),
+            F.lit(1),
+        ).alias("n_syll"),
+    )
+    return (
+        t.where(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_sents").cast("bigint").alias("n_sents"),
+            F.col("n_syll").cast("bigint").alias("n_syllables"),
+            F.round(
+                206.835
+                - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+                - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words")),
+                4,
+            ).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "graph_bipartite_projection",
+    oracle="""
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    )
+    SELECT a.s AS supp_a, b.s AS supp_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_parts
+    FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+    GROUP BY a.s, b.s
+    HAVING COUNT(*) >= 12
+    ORDER BY shared_parts DESC, supp_a, supp_b LIMIT 50
+    """,
+    tags=("graph", "bipartite", "projection"),
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted one-mode projection of the supplier-part bipartite graph:
+    suppliers joined by the count of co-supplied parts (edge weight =
+    shared neighborhood size), thresholded — how co-occurrence networks
+    (co-authorship, co-purchase, co-mention) are built from bipartite
+    source data. Dedup first, then a part-keyed self-join (hash join on
+    the shared vertex, never a product) with partial-aggregated counting.
+    Hub parts (supplied by many) drive the fan-out — the degree-cap or
+    hub-sampling mitigation is the same one triangle counting documents;
+    the HAVING threshold keeps only the strong edges a downstream
+    community detector would consume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = sp.select(F.col("s").alias("supp_a"), "p")
+    b = sp.select(F.col("s").alias("supp_b"), "p")
+    return (
+        a.join(b, "p")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+        .where(F.col("shared_parts") >= 12)
+        .orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
+        .limit(50)
+    )

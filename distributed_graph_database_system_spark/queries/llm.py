@@ -1346,3 +1346,88 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
         .limit(50)
     )
+
+
+@query(
+    "text_winnowing_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_TOKS_SQL} AS toks
+      FROM documents
+      WHERE regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+    ), g AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))
+                  AS BIGINT) AS hv
+      FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i)
+      WHERE len(toks) >= 5
+    ), w AS (
+      SELECT doc_id,
+             MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm
+      FROM g
+    ), f AS (
+      SELECT DISTINCT doc_id, wm FROM w
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM f a JOIN f b ON a.wm = b.wm AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 8
+    ORDER BY shared_fps DESC, id_a, id_b LIMIT 50
+    """,
+    tags=("llm", "fingerprint", "winnowing", "copy-detection"),
+)
+def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing copy detection (Schleimer et al., the MOSS algorithm):
+    hash every token 5-gram, slide a 4-window and keep each window's
+    minimum hash — the selected fingerprints GUARANTEE any shared run of
+    ≥ 8 tokens yields at least one shared fingerprint, at ~1/4 the
+    storage of all grams — then report document pairs sharing ≥ 8
+    fingerprints. Everything is JVM expressions over a per-doc window +
+    one fingerprint-keyed join (hash join on the 60-bit md5 value, never
+    a doc-pair product). The portable md5 hash is what makes the oracle
+    replicate selection exactly; production swaps xxhash64."""
+    from distributed_graph_database_system_spark.operators.textstats import (
+        ws_tokens,
+    )
+    from pyspark.sql import Window as W
+
+    d = _docs_fanned(spark, sf_dir)
+    base = d.where(
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"^\s+|\s+$", "") != ""
+    ).select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    g = (
+        base.where(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 4)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("toks", F.col("i"), 5), " ")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("hv"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+    f = g.select("doc_id", F.min("hv").over(w).alias("wm")).distinct()
+    a = f.select(F.col("doc_id").alias("id_a"), "wm")
+    b = f.select(F.col("doc_id").alias("id_b"), "wm")
+    return (
+        a.join(b, "wm")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= 8)
+        .orderBy(F.desc("shared_fps"), "id_a", "id_b")
+        .limit(50)
+    )

@@ -108,7 +108,8 @@ def oracle_of(name: str) -> str:
 # orders_seasonality_index events_anomaly_ewma bpe_encode_tokens
 # graph_msf_g6w dedup_containment lineitem_active_shipments_daily
 # supplier_return_rate_wilson layout_dpp_join events_trend_mannkendall
-# graph_coreness_g6 multimodal_image_phash.
+# graph_coreness_g6 multimodal_image_phash text_readability_flesch
+# graph_bipartite_projection text_winnowing_pairs.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

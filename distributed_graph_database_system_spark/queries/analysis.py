@@ -2400,3 +2400,80 @@ def events_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS t,
+             CASE WHEN MAX(CAST(ts AS DATE)) >= DATE '2024-01-30' THEN 0 ELSE 1 END AS observed
+      FROM events GROUP BY user_id
+    ), risk AS (
+      SELECT t,
+             CAST(SUM(observed) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS ending
+      FROM life GROUP BY t
+    ), ordered AS (
+      SELECT t, d,
+             SUM(ending) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_at_risk
+      FROM risk
+    ), terms AS (
+      SELECT t, d, n_at_risk,
+             CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk), 10)
+                  AS DECIMAL(28,10)) AS lnterm
+      FROM ordered WHERE d < n_at_risk
+    )
+    SELECT t, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           ROUND(exp(CAST(SUM(lnterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                     AS DOUBLE)), 4) AS survival
+    FROM terms ORDER BY t
+    """,
+    tags=("analytics", "survival", "kaplan-meier"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifespan (days between first
+    and last event; users still active on the fixture's final day are
+    right-censored): S(t) = Π_{t_i ≤ t} (1 − d_i / n_i). The product
+    becomes exp of a running sum of per-time log terms, each rounded to
+    10dp and summed as exact DECIMAL — so the cumulative product is
+    order-free across engines (the float-determinism discipline applied
+    to a multiplicative statistic). Risk sets come from one reversed
+    cumulative sum over the per-day aggregate; the only windows run over
+    |distinct lifespans| rows."""
+    e = load_table(spark, sf_dir, "events")
+    life = e.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("t"),
+        F.when(
+            F.max(F.to_date("ts")) >= F.lit("2024-01-30").cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("observed"),
+    )
+    risk = life.groupBy("t").agg(
+        F.sum("observed").alias("d"), F.count(F.lit(1)).alias("ending")
+    )
+    w_desc = W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, 0)
+    ordered = risk.select(
+        "t",
+        "d",
+        F.sum("ending").over(w_desc).alias("n_at_risk"),
+    )
+    terms = ordered.where(F.col("d") < F.col("n_at_risk")).select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.round(F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")), 10)
+        .cast("decimal(28,10)")
+        .alias("lnterm"),
+    )
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    return terms.select(
+        F.col("t").cast("bigint").alias("t"),
+        F.col("d").cast("bigint").alias("d"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.round(
+            F.exp(F.sum("lnterm").over(w_asc).cast("double")), 4
+        ).alias("survival"),
+    ).orderBy("t")

@@ -2477,3 +2477,98 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.sum("lnterm").over(w_asc).cast("double")), 4
         ).alias("survival"),
     ).orderBy("t")
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH pairs AS (
+      SELECT l_partkey AS src,
+             LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS dst
+      FROM lineitem
+    ), ed AS (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM pairs WHERE dst IS NOT NULL AND src <> dst
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed
+      ) GROUP BY v
+    ), ends AS (
+      SELECT da.d AS x, db.d AS y
+      FROM ed JOIN deg da ON ed.a = da.v JOIN deg db ON ed.b = db.v
+      UNION ALL
+      SELECT db.d AS x, da.d AS y
+      FROM ed JOIN deg da ON ed.a = da.v JOIN deg db ON ed.b = db.v
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM ends
+    )
+    SELECT m,
+           ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 4) AS assortativity
+    FROM s
+    """,
+    tags=("graph", "assortativity", "statistics"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-purchase graph: the
+    Pearson correlation of endpoint degrees over all (symmetrized) edge
+    ends — positive means hubs attach to hubs, negative means hub-spoke.
+    Every sum is exact integer (degrees are counts), so the coefficient is
+    ONE identical IEEE expression per engine. Two edge-keyed joins to
+    attach endpoint degrees + one global integer aggregate — the named
+    graph-structure metric that falls out of the moment-aggregation
+    discipline (agg_regression_stats) applied to the degree relation."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nxt = F.lead("l_partkey").over(
+        W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    )
+    ed = (
+        li.select(F.col("l_partkey").alias("src"), nxt.alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        ed.select(F.col("a").alias("v"))
+        .unionAll(ed.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("dy"))
+    joined = ed.join(da, "a").join(db, "b")
+    ends = joined.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        joined.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    s = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("m").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (F.col("m").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("m").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("m"),
+        F.round(num / den, 4).alias("assortativity"),
+    )

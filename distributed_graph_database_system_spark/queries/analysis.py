@@ -39,6 +39,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from distributed_graph_database_system_spark.queries.llm_goldens import (
+    EVENTS_MARKOV_STATIONARY_GOLDEN,
+)
 from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources.catalog import load_table
 
@@ -2572,3 +2575,51 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("bigint").alias("m"),
         F.round(num / den, 4).alias("assortativity"),
     )
+
+
+@query(
+    "events_markov_stationary",
+    oracle=EVENTS_MARKOV_STATIONARY_GOLDEN,
+    oracle_sf="0.01",
+    tags=("analytics", "markov", "stationary", "iterative"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: the
+    transition counts build distributed (one window + one aggregate — the
+    events_markov_transitions shape), the |states|² matrix collects to the
+    driver (bounded by the state vocabulary, corpus-independent — the
+    PCA/coreset split), and numpy solves πP = π, Σπ = 1. Deterministic:
+    exact integer counts → one linear solve on fixed bytes; probabilities
+    rounded to 4dp. The long-run mix of user behavior — what the funnel
+    converges to if sessions ran forever."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    nxt = F.lead("event_type").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    trans = (
+        e.select(F.col("event_type").alias("state"), nxt.alias("next"))
+        .where(F.col("next").isNotNull())
+        .groupBy("state", "next")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    states = sorted({r["state"] for r in trans} | {r["next"] for r in trans})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    counts = np.zeros((k, k))
+    for r in trans:
+        counts[idx[r["state"]], idx[r["next"]]] = r["n"]
+    p = counts / counts.sum(axis=1, keepdims=True)
+    # solve pi (P - I) = 0 with sum(pi) = 1: replace last column
+    a = (p.T - np.eye(k))
+    a[-1, :] = 1.0
+    b = np.zeros(k)
+    b[-1] = 1.0
+    pi = np.linalg.solve(a, b)
+    rows = [(s, round(float(pi[idx[s]]), 4)) for s in states]
+    return spark.createDataFrame(
+        rows, "event_type STRING, stationary_prob DOUBLE"
+    ).orderBy("event_type")

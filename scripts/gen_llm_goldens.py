@@ -82,6 +82,11 @@ SPECS = {
         "dHash perceptual dedup of patterned grayscale PNGs (real scanline "
         "decode, pattern key = doc_id mod 30)",
     ),
+    "events_markov_stationary": (
+        [("event_type", "VARCHAR"), ("stationary_prob", "DOUBLE")],
+        "stationary distribution of the event-type Markov chain: exact "
+        "transition counts, driver-side linear solve",
+    ),
     "agg_hll_sliding7": (
         [("day", "VARCHAR"), ("n_days", "BIGINT"), ("est_users_7d", "BIGINT")],
         "7-day sliding distinct users: register-max union of each day's and "

@@ -109,7 +109,8 @@ def oracle_of(name: str) -> str:
 # graph_msf_g6w dedup_containment lineitem_active_shipments_daily
 # supplier_return_rate_wilson layout_dpp_join events_trend_mannkendall
 # graph_coreness_g6 multimodal_image_phash text_readability_flesch
-# graph_bipartite_projection text_winnowing_pairs.
+# graph_bipartite_projection text_winnowing_pairs events_survival_km
+# graph_degree_assortativity events_markov_stationary.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

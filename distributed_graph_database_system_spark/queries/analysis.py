@@ -2623,3 +2623,66 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type STRING, stationary_prob DOUBLE"
     ).orderBy("event_type")
+
+
+@query(
+    "supplier_revenue_gini",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM lineitem GROUP BY l_suppkey
+    ), r AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, l_suppkey) AS i FROM s
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(rev, 2) AS DECIMAL(18,2))) AS DOUBLE) AS tot,
+             CAST(SUM(CAST(ROUND(rev, 2) AS DECIMAL(18,2)) * i) AS DOUBLE) AS wsum
+      FROM r
+    )
+    SELECT n,
+           ROUND(tot, 2) AS total_revenue,
+           ROUND(2.0 * wsum / (n * tot) - (CAST(n AS DOUBLE) + 1) / n, 4) AS gini
+    FROM agg
+    """,
+    tags=("analytics", "gini", "inequality", "prefix-sum"),
+)
+def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across suppliers — the
+    named inequality statistic behind 'how skewed is our supplier base'
+    (and, in the LLM pipeline, 'how concentrated is the corpus by
+    source'). The rank-weighted closed form G = 2Σi·xᵢ/(nΣxᵢ) − (n+1)/n
+    over revenues sorted ascending: per-supplier revenue is an exact
+    decimal sum, ranks come from one window with a supplier-id tie-break
+    (total order), and the weighted sum is again exact decimal × integer
+    — one final expression produces the coefficient. The global sort is
+    over the SUPPLIER aggregate (|suppliers| rows), not line items; at
+    unbounded cardinality the two-pass distributed rank
+    (operators/prefix.py) replaces the window, same as orders_abc_pareto."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    r = s.withColumn(
+        "i", F.row_number().over(W.orderBy("rev", "l_suppkey"))
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("rev", 2).cast("decimal(18,2)")).cast("double").alias("tot"),
+        F.sum(F.round("rev", 2).cast("decimal(18,2)") * F.col("i"))
+        .cast("double")
+        .alias("wsum"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("tot", 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("wsum") / (F.col("n") * F.col("tot"))
+            - (F.col("n").cast("double") + 1) / F.col("n"),
+            4,
+        ).alias("gini"),
+    )

@@ -1431,3 +1431,65 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_fps"), "id_a", "id_b")
         .limit(50)
     )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_TOKS_SQL} AS toks
+      FROM documents
+      WHERE regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+    ), tok AS (
+      SELECT doc_id, UNNEST(toks) AS tok FROM t
+    ), c AS (
+      SELECT doc_id, tok, COUNT(*) AS k FROM tok GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (k = 1) AS BIGINT) AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(k), 4) AS ttr,
+           ROUND(CAST(COUNT(*) FILTER (k = 1) AS DOUBLE) / COUNT(*), 4)
+             AS hapax_ratio
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "text", "diversity"),
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio and hapax-legomena
+    fraction — the vocabulary-richness screens that separate natural prose
+    from keyword-stuffed or template text (low TTR = repetitive, TTR ≈ 1 =
+    word salad). One (doc, token) aggregate then a doc rollup — both
+    partial-aggregated; ratios are single double divisions of exact
+    integers."""
+    from distributed_graph_database_system_spark.operators.textstats import (
+        ws_tokens,
+    )
+
+    d = _docs_fanned(spark, sf_dir)
+    tok = d.where(
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"^\s+|\s+$", "") != ""
+    ).select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    c = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum((F.col("k") == 1).cast("long")).cast("bigint").alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens"), 4
+            ).alias("ttr"),
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("n_types"), 4
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1493,3 +1493,166 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_funnel_report",
+    oracle=f"""
+    WITH nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents),
+    exact_flagged AS (
+      SELECT COUNT(*) AS c FROM (
+        SELECT md5(text) AS h FROM documents
+      ) d JOIN (
+        SELECT md5(text) AS h FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2
+      ) g ON d.h = g.h
+    ),
+    t AS (
+      SELECT doc_id, {_WS_TOKS_SQL} AS toks
+      FROM documents
+      WHERE regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+    ), g8 AS (
+      SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+      WHERE len(toks) >= 8
+    ), gs AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM g8 GROUP BY gram
+    ), docfrac AS (
+      SELECT g8.doc_id,
+             CAST(SUM(CASE WHEN gs.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS f
+      FROM g8 JOIN gs ON g8.gram = gs.gram GROUP BY g8.doc_id
+    ), substring_flagged AS (
+      SELECT COUNT(*) AS c FROM docfrac WHERE f >= 0.5
+    ), g5 AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))
+                  AS BIGINT) AS hv
+      FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i)
+      WHERE len(toks) >= 5
+    ), wmin AS (
+      SELECT doc_id,
+             MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm
+      FROM g5
+    ), fps AS (SELECT DISTINCT doc_id, wm FROM wmin),
+    wpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fps a JOIN fps b ON a.wm = b.wm AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 8
+    ), winnow_flagged AS (
+      SELECT COUNT(*) AS c FROM (
+        SELECT id_a AS doc_id FROM wpairs UNION SELECT id_b FROM wpairs
+      )
+    )
+    SELECT method, CAST(c AS BIGINT) AS docs_flagged,
+           ROUND(c / nd.total, 4) AS flagged_frac
+    FROM (
+      SELECT 'exact' AS method, c FROM exact_flagged
+      UNION ALL SELECT 'substring_50pct', c FROM substring_flagged
+      UNION ALL SELECT 'winnowing_pairs', c FROM winnow_flagged
+    ) CROSS JOIN nd
+    ORDER BY method
+    """,
+    tags=("llm", "dedup", "report", "capstone"),
+)
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup coverage dashboard: how many documents each screening method
+    flags — exact (md5 groups ≥ 2), duplicated-span density (≥ 50% of a
+    doc's 8-gram positions shared), and winnowing fingerprint pairs (≥ 8
+    shared window-min fingerprints) — as one tidy (method, count,
+    fraction) report. Composes the registered operators' logic end to end;
+    each branch keeps its own one-exchange shape, and the final UNION is
+    three scalar aggregates. The per-method deltas are the curation
+    signal: what the cheap screen misses and the expensive one catches."""
+    from distributed_graph_database_system_spark.operators.dedup import (
+        duplicated_ngram_stats,
+        ngram_spans,
+    )
+    from distributed_graph_database_system_spark.operators.textstats import (
+        ws_tokens,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+
+    groups = (
+        docs.select(F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+    )
+    exact_c = (
+        docs.select(F.md5("text").alias("h")).join(groups, "h").count()
+    )
+
+    grams = ngram_spans(_docs_fanned(spark, sf_dir), n=8)
+    stats = duplicated_ngram_stats(grams, min_docs=1).select(
+        "gram", (F.col("n_docs") >= 2).cast("int").alias("dup")
+    )
+    substring_c = (
+        grams.join(stats, "gram")
+        .groupBy("doc_id")
+        .agg((F.sum("dup").cast("double") / F.count(F.lit(1))).alias("f"))
+        .where(F.col("f") >= 0.5)
+        .count()
+    )
+
+    base = docs.where(
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"^\s+|\s+$", "") != ""
+    ).select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    g5 = (
+        base.where(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 4)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("toks", F.col("i"), 5), " ")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("hv"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+    fps = g5.select("doc_id", F.min("hv").over(w).alias("wm")).distinct()
+    a = fps.select(F.col("doc_id").alias("id_a"), "wm")
+    b = fps.select(F.col("doc_id").alias("id_b"), "wm")
+    wpairs = (
+        a.join(b, "wm")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("nfp"))
+        .where(F.col("nfp") >= 8)
+    )
+    winnow_c = (
+        wpairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(wpairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .count()
+    )
+
+    rows = [
+        ("exact", exact_c),
+        ("substring_50pct", substring_c),
+        ("winnowing_pairs", winnow_c),
+    ]
+    return (
+        spark.createDataFrame(rows, "method STRING, docs_flagged BIGINT")
+        .select(
+            "method",
+            "docs_flagged",
+            F.round(F.col("docs_flagged") / F.lit(float(total)), 4).alias(
+                "flagged_frac"
+            ),
+        )
+        .orderBy("method")
+    )

@@ -110,7 +110,8 @@ def oracle_of(name: str) -> str:
 # supplier_return_rate_wilson layout_dpp_join events_trend_mannkendall
 # graph_coreness_g6 multimodal_image_phash text_readability_flesch
 # graph_bipartite_projection text_winnowing_pairs events_survival_km
-# graph_degree_assortativity events_markov_stationary.
+# graph_degree_assortativity events_markov_stationary
+# supplier_revenue_gini text_lexical_diversity dedup_funnel_report.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

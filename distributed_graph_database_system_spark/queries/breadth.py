@@ -1646,3 +1646,107 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE size(regexp_extract_all(path, 'v[cv]*p', 0)) > 0
         ORDER BY n_matches DESC, user_id LIMIT 100
     """)
+
+
+@query(
+    "events_topk_trending",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY CAST(ts AS DATE), event_type
+    ), r AS (
+      SELECT day, event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY day
+                                     ORDER BY n DESC, event_type) AS INT) AS rank
+      FROM w
+    )
+    SELECT day, rank, event_type, n FROM r WHERE rank <= 3
+    ORDER BY day, rank
+    """,
+    tags=("events", "trending", "topk", "window"),
+)
+def events_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window trending leaderboard: top-3 event types per day by
+    count, ties broken alphabetically — the batch twin of a streaming
+    trending-topics job (tumbling window + per-window rank). The count
+    aggregate is partial-combined; the rank window partitions per day, so
+    its state is |event_types| per partition regardless of event volume.
+    The streaming form runs the same logic per closed tumbling window
+    (stream_tumbling_counts feeds it)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = e.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    r = w.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("day").orderBy(F.desc("n"), "event_type"))
+        .cast("int"),
+    )
+    return (
+        r.where(F.col("rank") <= 3)
+        .select("day", "rank", "event_type", F.col("n").cast("bigint").alias("n"))
+        .orderBy("day", "rank")
+    )
+
+
+@query(
+    "orders_duplicate_payment_screen",
+    oracle="""
+    SELECT a.o_custkey AS o_custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.o_totalprice AS o_totalprice,
+           CAST(date_diff('day', CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE)) AS BIGINT) AS days_apart
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_totalprice = b.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+     AND CAST(b.o_orderdate AS DATE) BETWEEN CAST(a.o_orderdate AS DATE)
+         AND CAST(a.o_orderdate AS DATE) + to_days(30)
+    ORDER BY 1, 2, 3
+    """,
+    tags=("analytics", "dedup", "fraud", "self-join"),
+)
+def orders_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: same customer, identical amount, within
+    30 days — the accounts-payable / fraud control run as an equi self
+    join on (custkey, amount) with the date window as a residual
+    predicate. The equi prefix keeps it a hash join (the amount match is
+    what makes the key selective); exact double equality on amounts is
+    intentional — duplicates are byte-identical re-submissions, and the
+    raw parquet doubles pass through both engines untouched."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_a"),
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("d_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck_b"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_totalprice").alias("tp_b"),
+        F.to_date("o_orderdate").alias("d_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("o_custkey") == F.col("ck_b"))
+            & (F.col("o_totalprice") == F.col("tp_b"))
+            & (F.col("order_a") < F.col("order_b"))
+            & (F.col("d_b") >= F.col("d_a"))
+            & (F.col("d_b") <= F.date_add(F.col("d_a"), 30)),
+        )
+        .select(
+            "o_custkey",
+            "order_a",
+            "order_b",
+            "o_totalprice",
+            F.datediff("d_b", "d_a").cast("bigint").alias("days_apart"),
+        )
+        .orderBy("o_custkey", "order_a", "order_b")
+    )

@@ -2686,3 +2686,100 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@query(
+    "graph_rich_club",
+    oracle="""
+    WITH pairs AS (
+      SELECT l_partkey AS src,
+             LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS dst
+      FROM lineitem
+    ), ed AS (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM pairs WHERE dst IS NOT NULL AND src <> dst
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed
+      ) GROUP BY v
+    ), ks AS (SELECT UNNEST([10, 20, 30, 40]) AS k),
+    club AS (
+      SELECT ks.k, deg.v FROM ks JOIN deg ON deg.d > ks.k
+    ), nk AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM club GROUP BY k
+    ), ek AS (
+      SELECT ca.k, CAST(COUNT(*) AS BIGINT) AS e_k
+      FROM ed JOIN club ca ON ed.a = ca.v
+              JOIN club cb ON ed.b = cb.v AND ca.k = cb.k
+      GROUP BY ca.k
+    )
+    SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+           ROUND(2.0 * COALESCE(ek.e_k, 0)
+                 / (CAST(nk.n_k AS DOUBLE) * (nk.n_k - 1)), 4) AS phi
+    FROM nk LEFT JOIN ek ON nk.k = ek.k
+    WHERE nk.n_k >= 2
+    ORDER BY nk.k
+    """,
+    tags=("graph", "rich-club", "statistics"),
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k(N_k−1)) of the
+    co-purchase graph at degree thresholds k ∈ {10, 20, 30, 40}: do the
+    hubs form a denser-than-random club among themselves? Membership is a
+    degree filter, E_k counts edges with BOTH endpoints in the club (two
+    semi-style joins against the club set — broadcastable, it shrinks
+    with k), and φ is one exact-integer expression. The normalized
+    variant divides by a degree-preserving null model; the raw φ(k)
+    profile here is the scalable half of that pipeline."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nxt = F.lead("l_partkey").over(
+        W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    )
+    ed = (
+        li.select(F.col("l_partkey").alias("src"), nxt.alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        ed.select(F.col("a").alias("v"))
+        .unionAll(ed.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = spark.createDataFrame([(10,), (20,), (30,), (40,)], "k: int")
+    club = ks.join(deg, deg["d"] > ks["k"]).select("k", "v")
+    nk = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    ca = club.select(F.col("k"), F.col("v").alias("a"))
+    cb = club.select(F.col("k").alias("k_b"), F.col("v").alias("b_club"))
+    ek = (
+        ed.join(ca, "a")
+        .join(
+            cb,
+            (F.col("b") == F.col("b_club")) & (F.col("k") == F.col("k_b")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .where(F.col("n_k") >= 2)
+        .select(
+            "k",
+            F.col("n_k").cast("bigint").alias("n_k"),
+            F.coalesce("e_k", F.lit(0)).cast("bigint").alias("e_k"),
+            F.round(
+                2.0
+                * F.coalesce("e_k", F.lit(0))
+                / (F.col("n_k").cast("double") * (F.col("n_k") - 1)),
+                4,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )

@@ -1656,3 +1656,79 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+@query(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT UNNEST({_WS_TOKS_SQL}) AS tok
+      FROM documents
+      WHERE regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') <> ''
+    ), c AS (
+      SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok
+    ), r AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rank FROM c
+    ), pts AS (
+      SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 10) AS DECIMAL(28,10)) AS x,
+             CAST(ROUND(ln(CAST(f AS DOUBLE)), 10) AS DECIMAL(28,10)) AS y,
+             CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 10)
+                  AS DECIMAL(28,10)) AS xy,
+             CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 10)
+                  AS DECIMAL(28,10)) AS xx
+      FROM r WHERE rank <= 500
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                 / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                    - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 4)
+             AS zipf_slope
+    FROM pts
+    """,
+    tags=("llm", "text", "zipf", "regression"),
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of ln(frequency) against
+    ln(rank) over the top-500 tokens — natural corpora sit near −1, and
+    drift in the slope flags composition shifts (template spam flattens
+    it, narrow-domain text steepens it). Rank ties break by token so the
+    rank assignment is total; each regression moment is rounded to 10dp
+    and summed as exact DECIMAL (the float-determinism discipline for
+    sums of transcendentals), leaving ONE final slope expression."""
+    from distributed_graph_database_system_spark.operators.textstats import (
+        ws_tokens,
+    )
+    from pyspark.sql import Window as W
+
+    d = _docs_fanned(spark, sf_dir)
+    tok = d.where(
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"^\s+|\s+$", "") != ""
+    ).select(F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    c = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    r = c.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("f"), "tok"))
+    ).where(F.col("rank") <= 500)
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("f").cast("double"))
+    pts = r.select(
+        F.round(lx, 10).cast("decimal(28,10)").alias("x"),
+        F.round(ly, 10).cast("decimal(28,10)").alias("y"),
+        F.round(lx * ly, 10).cast("decimal(28,10)").alias("xy"),
+        F.round(lx * lx, 10).cast("decimal(28,10)").alias("xx"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    return agg.select(
+        F.col("m").cast("bigint").alias("n_points"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    )

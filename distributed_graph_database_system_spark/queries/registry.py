@@ -111,7 +111,9 @@ def oracle_of(name: str) -> str:
 # graph_coreness_g6 multimodal_image_phash text_readability_flesch
 # graph_bipartite_projection text_winnowing_pairs events_survival_km
 # graph_degree_assortativity events_markov_stationary
-# supplier_revenue_gini text_lexical_diversity dedup_funnel_report.
+# supplier_revenue_gini text_lexical_diversity dedup_funnel_report
+# events_topk_trending orders_duplicate_payment_screen graph_rich_club
+# corpus_zipf_slope.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

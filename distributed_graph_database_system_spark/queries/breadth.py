@@ -1750,3 +1750,59 @@ def orders_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_custkey", "order_a", "order_b")
     )
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY user_id, EXTRACT(hour FROM ts)
+    ), tot AS (
+      SELECT user_id, SUM(n) AS tn FROM h GROUP BY user_id
+    ), terms AS (
+      SELECT h.user_id,
+             CAST(ROUND(-(CAST(h.n AS DOUBLE) / tot.tn)
+                        * ln(CAST(h.n AS DOUBLE) / tot.tn), 10)
+                  AS DECIMAL(28,10)) AS e,
+             tot.tn
+      FROM h JOIN tot ON h.user_id = tot.user_id
+    )
+    SELECT user_id,
+           CAST(MAX(tn) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+           ROUND(CAST(SUM(e) AS DOUBLE), 4) AS hour_entropy
+    FROM terms GROUP BY user_id
+    ORDER BY hour_entropy, user_id LIMIT 100
+    """,
+    tags=("events", "entropy", "behavior"),
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral regularity score: Shannon entropy of each user's
+    hour-of-day activity distribution — near-zero entropy (all activity in
+    one hour) is the bot/cron signature, high entropy is organic humanity.
+    Two aggregates (hour histogram, totals) + per-bin entropy terms
+    rounded to 10dp and decimal-summed (≤ 24 bins per user, order-free by
+    construction). Sorted ascending: the review queue leads with the most
+    mechanical accounts."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy("user_id", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = h.groupBy("user_id").agg(F.sum("n").alias("tn"))
+    p = F.col("n").cast("double") / F.col("tn")
+    terms = h.join(tot, "user_id").select(
+        "user_id",
+        "tn",
+        F.round(-p * F.log(p), 10).cast("decimal(28,10)").alias("e"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.max("tn").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_active_hours"),
+            F.round(F.sum("e").cast("double"), 4).alias("hour_entropy"),
+        )
+        .orderBy("hour_entropy", "user_id")
+        .limit(100)
+    )

@@ -1806,32 +1806,3 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_entropy", "user_id")
         .limit(100)
     )
-
-
-@query(
-    "source_orc_roundtrip",
-    oracle="""
-    SELECT l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM lineitem GROUP BY l_linestatus
-    """,
-    tags=("source", "orc"),
-)
-def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem → ORC sink → ORC scan → aggregate; the oracle runs on the
-    original parquet, so a hash match proves the ORC write/read path is
-    lossless. ORC is the third columnar container (after parquet and the
-    csv/json text paths) — same pushdown/pruning machinery, different
-    encoding stack (RLE dictionary + zlib stripes), exercised here through
-    the standard DataFrame writer with zero extra dependencies."""
-    from distributed_graph_database_system_spark.queries.helpers import dsum
-
-    path = _io_path(sf_dir, "lineitem_orc")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linestatus", "l_extendedprice"
-    )
-    li.write.mode("overwrite").orc(path)
-    back = spark.read.orc(path)
-    return back.groupBy("l_linestatus").agg(
-        F.count("*").alias("n"), dsum("l_extendedprice").alias("total")
-    )

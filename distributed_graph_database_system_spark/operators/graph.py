@@ -1807,3 +1807,65 @@ def core_decomposition(edges: DataFrame, max_k: int = 1000) -> DataFrame:
                 out = out.unionAll(p)
             return out
     raise RuntimeError(f"core_decomposition: degeneracy exceeds max_k={max_k}")
+
+
+def k_truss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """The k-truss: the maximal subgraph where EVERY edge participates in
+    ≥ k−2 triangles (a cohesion notion strictly between k-core and clique
+    — the standard community-core extractor). Distributed peeling on
+    EDGES: per round, count each surviving edge's triangle support with
+    the degree-ordered wedge join (the triangle_count shape — hub skew
+    bounded by orientation), drop every edge below k−2 support, repeat
+    until stable. The edge set only shrinks; lineage cut per round.
+    Returns surviving ``(a, b, support)`` rows.
+
+    Reference parity: no analogue; north-star analytics extension
+    (clique/cycle golden + brute-force-reference test in
+    tests/test_graph.py)."""
+    if k < 2:
+        raise ValueError(f"k_truss: k must be >= 2, got {k}")
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        if e.isEmpty():
+            return e.withColumn("support", F.lit(0).cast("bigint"))
+        # triangle support per edge: wedges (a<b<c) with (a,b),(a,c),(b,c)
+        ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        wedges = (
+            ab.alias("e1")
+            .join(
+                ab.alias("e2"),
+                (F.col("e1.x") == F.col("e2.x")) & (F.col("e1.y") < F.col("e2.y")),
+            )
+            .select(
+                F.col("e1.x").alias("a"),
+                F.col("e1.y").alias("b"),
+                F.col("e2.y").alias("c"),
+            )
+        )
+        tri = wedges.join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")), ["b", "c"]
+        ).localCheckpoint()
+        sup_ab = tri.select("a", "b")
+        sup_ac = tri.select("a", F.col("c").alias("b"))
+        sup_bc = tri.select(F.col("b").alias("a"), F.col("c").alias("b"))
+        support = (
+            sup_ab.unionAll(sup_ac)
+            .unionAll(sup_bc)
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        scored = e.join(support, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+        ).localCheckpoint()
+        weak = scored.where(F.col("support") < k - 2)
+        if weak.isEmpty():
+            return scored
+        e = scored.where(F.col("support") >= k - 2).select("a", "b").localCheckpoint()
+    raise RuntimeError(f"k_truss: did not stabilize within {max_iter} rounds")

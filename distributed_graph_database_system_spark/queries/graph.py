@@ -815,3 +815,26 @@ def graph_coreness_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_decomposition(e).select(
         "vid", F.col("coreness").cast("int").alias("coreness")
     ).orderBy("vid")
+
+
+@query(
+    "graph_ktruss_g6",
+    oracle="""
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(s AS BIGINT) AS support
+    FROM (VALUES (1, 2, 2), (1, 3, 2), (1, 4, 2), (2, 3, 2), (2, 4, 2),
+                 (3, 4, 2)) AS t(a, b, s)
+    ORDER BY a, b
+    """,
+    tags=("graph", "truss", "peeling"),
+)
+def graph_ktruss_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of G6 (operators/graph.py k_truss): edge-level peeling on
+    triangle support strips the bridged 5-cycle and pendant entirely —
+    cycle edges sit in zero triangles — leaving exactly the 4-clique's six
+    edges, each supported by the two triangles through the other two
+    clique vertices. Hand-verified; the brute-force-reference cross-check
+    on the co-purchase graph lives in tests/test_graph.py."""
+    from distributed_graph_database_system_spark.operators.graph import k_truss
+
+    return k_truss(_edges(spark, G6), k=4).orderBy("a", "b")

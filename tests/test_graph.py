@@ -1202,3 +1202,44 @@ def test_coreness_consistent_with_kcore_and_reference(spark, sf_dir):
     # cross-check against the independent k_core operator at k = 3
     core3 = {r["vid"] for r in k_core(ed, k=3).collect()}
     assert core3 == {v for v, c in got.items() if c >= 3}
+
+
+def test_ktruss_matches_bruteforce(spark, sf_dir):
+    """k-truss edge set vs a single-process peeling reference on the
+    co-purchase graph, k = 3 and 4."""
+    from pyspark.sql import functions as F, Window as W
+
+    from distributed_graph_database_system_spark.operators.graph import k_truss
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nxt = F.lead("l_partkey").over(
+        W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    )
+    ed = (
+        li.select(F.col("l_partkey").alias("src"), nxt.alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    base = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"])) for r in ed.collect()
+    }
+
+    def ref_truss(edges, k):
+        edges = set(edges)
+        while True:
+            adj = {}
+            for a, b in edges:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {
+                (a, b): len(adj[a] & adj[b]) for a, b in edges
+            }
+            weak = {e for e, s in sup.items() if s < k - 2}
+            if not weak:
+                return sup
+            edges -= weak
+
+    for k in (3, 4):
+        got = {(r["a"], r["b"]): r["support"] for r in k_truss(ed, k=k).collect()}
+        assert got == ref_truss(base, k), f"k={k} mismatch"

@@ -1732,3 +1732,69 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "text_code_detection",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(coalesce(text, ''),
+                  '[^{{}}();=<>\\[\\]|&]', '', 'g')) AS BIGINT) AS n_code_chars,
+             CAST(len(regexp_extract_all(coalesce(text, ''),
+                  '\\b(def|class|return|import|void|int|for|while|if|else|function|var|const)\\b'))
+               AS BIGINT) AS n_keywords
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_code_chars, n_keywords,
+           ROUND(CAST(n_code_chars AS DOUBLE) / GREATEST(n_chars, 1), 4)
+             AS symbol_ratio,
+           CAST((CAST(n_code_chars AS DOUBLE) / GREATEST(n_chars, 1) > 0.02
+                 OR n_keywords >= 3) AS BOOLEAN) AS looks_like_code
+    FROM f ORDER BY doc_id
+    """,
+    tags=("llm", "text", "code-detection", "quality"),
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screen: structural-symbol density ({};()=<>[]|&) and
+    programming-keyword hits flag documents that are source code rather
+    than natural text — the routing decision every mixed-corpus pipeline
+    makes (code goes to the code pipeline's dedup/quality stack, prose to
+    this one). Pure JVM regexp counting, one narrow projection; the
+    thresholds are the tunable policy, the counts are the operator."""
+    d = _docs_fanned(spark, sf_dir)
+    # character count (not octet_length): DuckDB length() is chars, and
+    # the two diverge on any non-ASCII byte
+    n_chars = F.length(F.coalesce("text", F.lit(""))).cast("bigint")
+    n_code = F.length(
+        F.regexp_replace(
+            F.coalesce("text", F.lit("")), r"[^{}();=<>\[\]|&]", ""
+        )
+    ).cast("bigint")
+    n_kw = F.size(
+        F.regexp_extract_all(
+            F.coalesce("text", F.lit("")),
+            F.lit(
+                r"\b(def|class|return|import|void|int|for|while|if|else|function|var|const)\b"
+            ),
+            0,
+        )
+    ).cast("bigint")
+    f = d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_code.alias("n_code_chars"),
+        n_kw.alias("n_keywords"),
+    )
+    ratio = F.col("n_code_chars").cast("double") / F.greatest(
+        F.col("n_chars"), F.lit(1)
+    )
+    return f.select(
+        "doc_id",
+        "n_chars",
+        "n_code_chars",
+        "n_keywords",
+        F.round(ratio, 4).alias("symbol_ratio"),
+        ((ratio > 0.02) | (F.col("n_keywords") >= 3)).alias("looks_like_code"),
+    ).orderBy("doc_id")

@@ -1806,3 +1806,62 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_entropy", "user_id")
         .limit(100)
     )
+
+
+@query(
+    "events_ab_lift_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+      FROM assign
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           ROUND(CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a, 4) AS lift,
+           ROUND((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+    FROM s
+    """,
+    tags=("events", "experiment", "ab-test", "ztest"),
+)
+def events_ab_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic experiment split (arm =
+    user_id mod 2; in production the md5_uniform assignment — same device
+    as sample splits): conversion = user ever purchased, pooled-variance
+    z for the B−A lift. One per-user aggregate + one 4-counter global
+    aggregate; the statistic is a single identical IEEE expression over
+    exact integers — the experimentation primitive next to the
+    chi-square independence test (events_chisq_type_dow)."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).withColumn("arm", F.col("user_id") % 2)
+    s = assign.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a")
+    pb = F.col("c_b").cast("double") / F.col("n_b")
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("c_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("c_b"),
+        F.round(pb - pa, 4).alias("lift"),
+        F.round(
+            (pb - pa)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+            4,
+        ).alias("z_stat"),
+    )

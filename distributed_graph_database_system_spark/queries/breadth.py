@@ -1813,7 +1813,7 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH assign AS (
       SELECT user_id, user_id % 2 AS arm,
-             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+             CAST(COUNT(*) FILTER (event_type = 'purchase') >= 14 AS INT) AS converted
       FROM events GROUP BY user_id
     ), s AS (
       SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -1841,8 +1841,14 @@ def events_ab_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers — the experimentation primitive next to the
     chi-square independence test (events_chisq_type_dow)."""
     e = load_table(spark, sf_dir, "events")
+    # conversion = heavy purchaser (>= 14 purchase events — the fixture
+    # median): every user purchases at least once, so the binary outcome
+    # needs a threshold to be non-degenerate (pooled p=1 would zero the
+    # z denominator)
     assign = e.groupBy("user_id").agg(
-        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 14
+        ).cast("int").alias("converted")
     ).withColumn("arm", F.col("user_id") % 2)
     s = assign.agg(
         F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),

@@ -608,3 +608,77 @@ def embedding_near_dup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float]]:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein): pick
+    k results maximizing λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s) —
+    relevance WITH diversity, the standard RAG-context/dedup-aware
+    retrieval step after a plain top-k.
+
+    Same distributed shape as the k-center coreset: state is one
+    ``max_sel_sim`` column updated per pick with a broadcast literal of
+    the latest selection (greatest(old, sim_to_new)); each pick is one
+    narrow projection + a 1-row argmax. Determinism: cosines are
+    fixed-order sums over micro-quantized components rounded to 6dp, ties
+    break by smallest id. Returns [(rank, vec_id, mmr_score)]."""
+    from pyspark.sql import functions as F
+
+    def quantized(col):
+        return F.transform(
+            col, lambda v: F.floor(v.cast("double") * 1_000_000) / 1_000_000
+        )
+
+    def cos_to(vec: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in vec])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda a: a * a),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        nb = float(sum(x * x for x in vec)) ** 0.5
+        return F.round(dot / (na * F.lit(nb)), 6)
+
+    qv = [float(x) for x in query_vec]
+    cur = emb.select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("v")
+    ).withColumn("q_sim", cos_to(qv))
+    cur = cur.withColumn("max_sel", F.lit(-1.0)).localCheckpoint()
+    picks: list[tuple[int, int, float]] = []
+    for rank in range(1, k + 1):
+        score = F.round(
+            F.lit(lam) * F.col("q_sim") - F.lit(1 - lam) * F.greatest(
+                F.col("max_sel"), F.lit(0.0)
+            ),
+            6,
+        )
+        best = (
+            cur.select("vid", score.alias("s"))
+            .orderBy(F.desc("s"), "vid")
+            .head(1)
+        )
+        if not best:
+            break
+        vid, s = int(best[0]["vid"]), float(best[0]["s"])
+        picks.append((rank, vid, round(s, 6)))
+        vec = [float(x) for x in cur.where(F.col("vid") == vid).first()["v"]]
+        cur = (
+            cur.where(F.col("vid") != vid)
+            .withColumn("max_sel", F.greatest("max_sel", cos_to(vec)))
+            .localCheckpoint()
+        )
+    return picks

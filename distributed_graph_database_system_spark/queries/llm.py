@@ -49,6 +49,7 @@ from distributed_graph_database_system_spark.queries.llm_goldens import (
     EMBED_PCA_PROJECT_GOLDEN,
     MULTIMODAL_IMAGE_PHASH_GOLDEN,
     DEDUP_SIMHASH_GOLDEN,
+    SIM_MMR_RERANK_GOLDEN,
     SIM_TOPK_ANN_IVF_GOLDEN,
     TEXT_COMPRESSION_RATIO_GOLDEN,
     SIM_TOPK_ANN_LSH_GOLDEN,
@@ -1798,3 +1799,32 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 4).alias("symbol_ratio"),
         ((ratio > 0.02) | (F.col("n_keywords") >= 3)).alias("looks_like_code"),
     ).orderBy("doc_id")
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle=SIM_MMR_RERANK_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "similarity", "mmr", "diversity"),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR re-ranking of the corpus against
+    vec_id 0's embedding (λ=0.7, k=10) — relevance minus redundancy, the
+    step between ANN top-k and a RAG context window
+    (operators/similarity.py mmr_select; k-center-style distributed
+    state, per-pick 1-row argmax). Deterministic (quantized fixed-order
+    cosines, id tie-breaks, partition-invariance probed), hence a pinned
+    VALUES golden."""
+    from distributed_graph_database_system_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    picks = mmr_select(emb.where(F.col("vec_id") != 0), qv, k=10, lam=0.7)
+    return spark.createDataFrame(
+        picks, "rank BIGINT, vec_id BIGINT, mmr_score DOUBLE"
+    ).orderBy("rank")

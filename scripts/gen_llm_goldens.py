@@ -87,6 +87,11 @@ SPECS = {
         "stationary distribution of the event-type Markov chain: exact "
         "transition counts, driver-side linear solve",
     ),
+    "sim_mmr_rerank": (
+        [("rank", "BIGINT"), ("vec_id", "BIGINT"), ("mmr_score", "DOUBLE")],
+        "MMR diversity re-ranking vs vec_id 0, lambda=0.7 k=10, quantized "
+        "fixed-order cosines",
+    ),
     "agg_hll_sliding7": (
         [("day", "VARCHAR"), ("n_days", "BIGINT"), ("est_users_7d", "BIGINT")],
         "7-day sliding distinct users: register-max union of each day's and "

@@ -1145,3 +1145,63 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "rank", "o_orderkey")
         .orderBy("o_orderpriority", "rank")
     )
+
+
+@query(
+    "pii_luhn_validation",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             '4532' || lpad(CAST(doc_id * 7919 % 1000000000000 AS VARCHAR), 12, '0')
+               AS num
+      FROM documents WHERE doc_id % 10 = 0
+    ), digits AS (
+      SELECT doc_id, num,
+             list_reverse([CAST(x AS INT) FOR x IN string_split(num, '') IF x <> ''])
+               AS ds
+      FROM planted
+    )
+    SELECT doc_id, num,
+           CAST(list_sum([CASE WHEN (i % 2) = 0 THEN ds[i+1]
+                          ELSE CASE WHEN ds[i+1] * 2 > 9 THEN ds[i+1] * 2 - 9
+                               ELSE ds[i+1] * 2 END END
+                          FOR i IN range(len(ds))]) % 10 = 0 AS BOOLEAN)
+             AS luhn_ok
+    FROM digits ORDER BY doc_id
+    """,
+    tags=("llm", "pipeline", "pii", "luhn"),
+)
+def pii_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum validation for candidate payment-card numbers (the
+    false-positive filter behind PII card redaction: a 16-digit run is
+    only sensitive if it Luhn-validates). Deterministic planted
+    candidates (pure function of doc_id, identical strings both engines);
+    the checksum itself is a pure JVM higher-order expression — reverse
+    the digit array, double every second digit with the 9-subtraction,
+    aggregate mod 10 — no UDF, so it runs at scan throughput inside the
+    redaction pipeline (pii_redact)."""
+    d = load_table(spark, sf_dir, "documents")
+    num = F.concat(
+        F.lit("4532"),
+        F.lpad(((F.col("doc_id") * 7919) % 1000000000000).cast("string"), 12, "0"),
+    )
+    planted = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", num.alias("num")
+    )
+    ds = F.reverse(
+        F.filter(F.split("num", ""), lambda x: x != "")
+    )
+    terms = F.transform(
+        ds,
+        lambda x, i: F.when(i % 2 == 0, x.cast("int")).otherwise(
+            F.when(x.cast("int") * 2 > 9, x.cast("int") * 2 - 9).otherwise(
+                x.cast("int") * 2
+            )
+        ),
+    )
+    luhn_ok = (
+        F.aggregate(terms, F.lit(0), lambda acc, t: acc + t) % 10 == 0
+    )
+    return planted.select("doc_id", "num", luhn_ok.alias("luhn_ok")).orderBy(
+        "doc_id"
+    )

@@ -114,7 +114,8 @@ def oracle_of(name: str) -> str:
 # supplier_revenue_gini text_lexical_diversity dedup_funnel_report
 # events_topk_trending orders_duplicate_payment_screen graph_rich_club
 # corpus_zipf_slope events_user_entropy source_orc_roundtrip
-# graph_ktruss_g6 text_code_detection events_ab_lift_ztest.
+# graph_ktruss_g6 text_code_detection events_ab_lift_ztest
+# sim_mmr_rerank pii_luhn_validation.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

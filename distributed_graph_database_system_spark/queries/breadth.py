@@ -1871,3 +1871,45 @@ def events_ab_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_shipmode_sub AS shipmode, COUNT(*) AS n
+      FROM (SELECT l_returnflag, l_suppkey % 7 AS l_shipmode_sub FROM lineitem)
+      GROUP BY l_returnflag, l_shipmode_sub
+    ), r AS (
+      SELECT l_returnflag, shipmode, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, shipmode) AS rk
+      FROM c
+    )
+    SELECT l_returnflag,
+           CAST(shipmode AS BIGINT) AS mode_value,
+           CAST(n AS BIGINT) AS mode_count
+    FROM r WHERE rk = 1 ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "mode", "exact"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE with a total tie order (highest count, then
+    smallest value): two partial-aggregated shuffles — value histogram,
+    then a per-group arg-max — never a per-group sort of raw rows. The
+    deterministic-tie-break discipline matters: engines' built-in mode()
+    functions break ties arbitrarily, which is exactly the
+    partition-order dependence this engine bans; making the order total
+    makes mode usable in hash-verified pipelines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag", (F.col("l_suppkey") % 7).alias("shipmode")
+    ).groupBy("l_returnflag", "shipmode").agg(F.count(F.lit(1)).alias("n"))
+    best = c.groupBy("l_returnflag").agg(
+        F.max(F.struct(F.col("n"), (-F.col("shipmode")).alias("neg"))).alias("m")
+    )
+    return best.select(
+        "l_returnflag",
+        (-F.col("m.neg")).cast("bigint").alias("mode_value"),
+        F.col("m.n").cast("bigint").alias("mode_count"),
+    ).orderBy("l_returnflag")

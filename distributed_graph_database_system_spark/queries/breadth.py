@@ -1913,3 +1913,53 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("m.neg")).cast("bigint").alias("mode_value"),
         F.col("m.n").cast("bigint").alias("mode_count"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "events_burstiness_fano",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS sn,
+             CAST(SUM(n * n) AS BIGINT) AS snn
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type, n_hours, sn AS n_events,
+           ROUND((CAST(snn AS DOUBLE) / n_hours
+                  - (CAST(sn AS DOUBLE) / n_hours) * (CAST(sn AS DOUBLE) / n_hours))
+                 / (CAST(sn AS DOUBLE) / n_hours), 4) AS fano
+    FROM s ORDER BY event_type
+    """,
+    tags=("events", "burstiness", "fano", "statistics"),
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event type: the Fano factor (variance-to-mean ratio
+    of hourly counts) — 1 for a Poisson process, ≫1 for bursty traffic
+    (incidents, bots, campaigns), <1 for rate-limited flows. Two integer
+    aggregates (hourly histogram, then moment sums); variance comes from
+    the exact Σn²/Σn moments so the ratio is one deterministic
+    expression — the same moment discipline as agg_regression_stats,
+    pointed at an operational anomaly signal."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    mean = F.col("sn").cast("double") / F.col("n_hours")
+    return s.select(
+        "event_type",
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+        F.col("sn").cast("bigint").alias("n_events"),
+        F.round(
+            (F.col("snn").cast("double") / F.col("n_hours") - mean * mean) / mean,
+            4,
+        ).alias("fano"),
+    ).orderBy("event_type")

@@ -115,7 +115,8 @@ def oracle_of(name: str) -> str:
 # events_topk_trending orders_duplicate_payment_screen graph_rich_club
 # corpus_zipf_slope events_user_entropy source_orc_roundtrip
 # graph_ktruss_g6 text_code_detection events_ab_lift_ztest
-# sim_mmr_rerank pii_luhn_validation.
+# sim_mmr_rerank pii_luhn_validation agg_mode_exact
+# events_burstiness_fano.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

@@ -177,3 +177,68 @@ def kcenter_coreset(
             .localCheckpoint()
         )
     return picks
+
+
+def geometric_median(
+    emb: DataFrame,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[float]:
+    """Geometric median (the L1-robust centroid) by Weiszfeld iteration:
+    c ← Σ(xᵢ/dᵢ) / Σ(1/dᵢ) with dᵢ = ‖xᵢ − c‖ — outlier-resistant where
+    the mean is not (a handful of corrupted embeddings can drag the mean
+    arbitrarily; the median moves O(1/n)). Start = the quantized
+    component-wise mean.
+
+    Distributed shape per iteration: one narrow projection computes each
+    row's distance to the broadcast-literal center, and the two reductions
+    (Σx/d per dimension, Σ1/d) run as ONE aggregation over per-row terms
+    quantized to 9dp and summed as exact decimals — the float-determinism
+    discipline, so the trajectory is partition-invariant. Bounded
+    iterations (Weiszfeld converges linearly; 3 steps reach ~1e-3 here).
+    Degenerate dᵢ=0 rows (center equals a point) are excluded from that
+    iteration's sums — the standard Weiszfeld guard."""
+    q = F.transform(
+        F.col(vec_col), lambda v: F.floor(v.cast("double") * _SCALE) / _SCALE
+    )
+    cur = emb.select(q.alias("v")).localCheckpoint()
+    n = cur.count()
+    sums = (
+        cur.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.round(F.col("x"), 9).cast("decimal(28,9)")).alias("s")
+        )
+        .collect()
+    )
+    center = [0.0] * dim
+    for r in sums:
+        center[int(r["pos"])] = float(r["s"]) / n
+    for _ in range(n_iter):
+        c = F.array(*[F.lit(float(x)) for x in center])
+        dist = F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        with_d = cur.select("v", dist.alias("d")).where(F.col("d") > 0)
+        terms = with_d.select(
+            F.round(1.0 / F.col("d"), 9).cast("decimal(28,9)").alias("w"),
+            F.transform(
+                "v", lambda x: F.round(x / F.col("d"), 9)
+            ).alias("xw"),
+        )
+        agg = terms.select(
+            "w", F.posexplode("xw").alias("pos", "xw_i")
+        ).groupBy("pos").agg(
+            F.sum(F.col("xw_i").cast("decimal(28,9)")).alias("sxw"),
+            F.sum("w").alias("sw"),
+        ).collect()
+        new_center = list(center)
+        for r in agg:
+            new_center[int(r["pos"])] = float(r["sxw"]) / float(r["sw"])
+        center = new_center
+    return [round(x, 6) for x in center]

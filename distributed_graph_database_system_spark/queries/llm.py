@@ -46,6 +46,7 @@ from distributed_graph_database_system_spark.queries.llm_goldens import (
     BPE_TRAIN_MERGES_GOLDEN,
     CORESET_KCENTER_GOLDEN,
     DEDUP_MINHASH_LSH_GOLDEN,
+    EMBED_GEOMETRIC_MEDIAN_GOLDEN,
     EMBED_PCA_PROJECT_GOLDEN,
     MULTIMODAL_IMAGE_PHASH_GOLDEN,
     DEDUP_SIMHASH_GOLDEN,
@@ -1828,3 +1829,47 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "rank BIGINT, vec_id BIGINT, mmr_score DOUBLE"
     ).orderBy("rank")
+
+
+@query(
+    "embed_geometric_median",
+    oracle=EMBED_GEOMETRIC_MEDIAN_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "embedding", "robust", "weiszfeld"),
+)
+def embed_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust corpus centroid: the geometric median of the embedding cloud
+    by 3 Weiszfeld iterations (operators/pca.py geometric_median) — the
+    outlier-resistant anchor for drift monitors and poisoning screens
+    (corrupted embeddings drag the mean, not the median). Per-iteration
+    reductions are quantized-decimal sums, so the whole trajectory is
+    partition-invariant (probed); output is the first 8 coordinates plus
+    the distance to the plain mean — the robustness gap itself."""
+    from distributed_graph_database_system_spark.operators.pca import (
+        geometric_median,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    med = geometric_median(emb, n_iter=3)
+    n = emb.count()
+    sums = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(
+                F.round(F.floor(F.col("x").cast("double") * 1_000_000) / 1_000_000, 9)
+                .cast("decimal(28,9)")
+            ).alias("s")
+        )
+        .collect()
+    )
+    mean = [0.0] * 64
+    for r in sums:
+        mean[int(r["pos"])] = float(r["s"]) / n
+    gap = round(
+        sum((a - b) ** 2 for a, b in zip(med, mean)) ** 0.5, 6
+    )
+    rows = [(i, med[i]) for i in range(8)] + [(-1, gap)]
+    return spark.createDataFrame(
+        rows, "coord INT, value DOUBLE"
+    ).orderBy("coord")

@@ -92,6 +92,11 @@ SPECS = {
         "MMR diversity re-ranking vs vec_id 0, lambda=0.7 k=10, quantized "
         "fixed-order cosines",
     ),
+    "embed_geometric_median": (
+        [("coord", "INTEGER"), ("value", "DOUBLE")],
+        "Weiszfeld geometric median (3 iters, quantized-decimal sums): "
+        "first 8 coords + distance-to-mean gap at coord -1",
+    ),
     "agg_hll_sliding7": (
         [("day", "VARCHAR"), ("n_days", "BIGINT"), ("est_users_7d", "BIGINT")],
         "7-day sliding distinct users: register-max union of each day's and "

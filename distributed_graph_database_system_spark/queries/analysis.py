@@ -2783,3 +2783,105 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "graph_local_clustering",
+    oracle="""
+    WITH pairs AS (
+      SELECT l_partkey AS src,
+             LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS dst
+      FROM lineitem
+    ), ed AS (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM pairs WHERE dst IS NOT NULL AND src <> dst
+      GROUP BY 1, 2
+    ), wedge AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM ed e1 JOIN ed e2 ON e1.a = e2.a AND e1.b < e2.b
+    ), tri AS (
+      SELECT w.a, w.b, w.c FROM wedge w
+      JOIN ed ON ed.a = w.b AND ed.b = w.c
+    ), tcount AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT a AS v FROM tri UNION ALL
+        SELECT b AS v FROM tri UNION ALL
+        SELECT c AS v FROM tri
+      ) GROUP BY v
+    ), deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed
+      ) GROUP BY v
+    )
+    SELECT deg.v AS vid, deg.d AS degree, COALESCE(tcount.t, 0) AS triangles,
+           ROUND(2.0 * COALESCE(tcount.t, 0)
+                 / (CAST(deg.d AS DOUBLE) * (deg.d - 1)), 4) AS clustering
+    FROM deg LEFT JOIN tcount ON deg.v = tcount.v
+    WHERE deg.d >= 5
+    ORDER BY clustering DESC, vid LIMIT 25
+    """,
+    tags=("graph", "clustering-coefficient", "triangles"),
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient on the co-purchase graph:
+    2·T(v)/(d(v)(d(v)−1)) — how clique-like each vertex's neighborhood is
+    (the micro-scale community signal; its average is the
+    Watts-Strogatz clustering statistic). Triangles enumerate once
+    through the ORIENTED wedge join (a<b<c — each triangle exactly once,
+    hub fan-out bounded by orientation, same device as triangle_count)
+    and credit all three corners; degrees are one aggregate; the
+    coefficient is exact-integer arithmetic with one rounded division.
+    Top-25 most clustered among vertices with degree ≥ 5."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nxt = F.lead("l_partkey").over(
+        W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    )
+    ed = (
+        li.select(F.col("l_partkey").alias("src"), nxt.alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1 = ed.select(F.col("a").alias("wa"), F.col("b").alias("wb"))
+    e2 = ed.select(F.col("a").alias("wa"), F.col("b").alias("wc"))
+    wedge = e1.join(e2, "wa").where(F.col("wb") < F.col("wc"))
+    tri = wedge.join(
+        ed.select(F.col("a").alias("wb"), F.col("b").alias("wc")), ["wb", "wc"]
+    ).select(
+        F.col("wa").alias("ta"), F.col("wb").alias("tb"), F.col("wc").alias("tc")
+    )
+    tcount = (
+        tri.select(F.col("ta").alias("v"))
+        .unionAll(tri.select(F.col("tb").alias("v")))
+        .unionAll(tri.select(F.col("tc").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        ed.select(F.col("a").alias("v"))
+        .unionAll(ed.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.join(tcount, "v", "left")
+        .where(F.col("d") >= 5)
+        .select(
+            F.col("v").alias("vid"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                2.0
+                * F.coalesce("t", F.lit(0))
+                / (F.col("d").cast("double") * (F.col("d") - 1)),
+                4,
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("clustering"), "vid")
+        .limit(25)
+    )

@@ -1963,3 +1963,64 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fano"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS grp, p_retailprice AS x,
+             CAST(l_quantity AS DECIMAL(18,2)) AS wt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), ordered AS (
+      SELECT grp, x, wt,
+             SUM(wt) OVER (PARTITION BY grp ORDER BY x, wt
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(wt) OVER (PARTITION BY grp) AS tot
+      FROM w
+    )
+    SELECT grp AS l_returnflag,
+           CAST(MIN(x) AS DOUBLE) AS weighted_median,
+           CAST(MAX(tot) AS DOUBLE) AS total_weight
+    FROM ordered WHERE cum >= tot / 2
+    GROUP BY grp ORDER BY grp
+    """,
+    tags=("aggregation", "weighted-median", "prefix-sum"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median: the smallest part price whose cumulative
+    quantity weight reaches half the group's total — the
+    inventory-weighted 'typical price' plain median misses. Weights
+    accumulate as exact decimals in a total order (price, weight) so the
+    crossing point is engine-independent; the cumulative window runs per
+    group partition. At unbounded group sizes the same crossing is found
+    by the two-pass distributed prefix sum (operators/prefix.py) — the
+    formulation that never sorts a group inside one task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window as W
+
+    w = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("p_retailprice").alias("x"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+    )
+    win = W.partitionBy("grp").orderBy("x", "wt").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    tot_w = W.partitionBy("grp")
+    ordered = w.select(
+        "grp",
+        "x",
+        F.sum("wt").over(win).alias("cum"),
+        F.sum("wt").over(tot_w).alias("tot"),
+    )
+    return (
+        ordered.where(F.col("cum") >= F.col("tot") / 2)
+        .groupBy(F.col("grp").alias("l_returnflag"))
+        .agg(
+            F.min("x").cast("double").alias("weighted_median"),
+            F.max("tot").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

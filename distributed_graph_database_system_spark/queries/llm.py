@@ -1873,3 +1873,66 @@ def embed_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "coord INT, value DOUBLE"
     ).orderBy("coord")
+
+
+@query(
+    "text_langid_confusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        CAST(len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS BIGINT) AS s_de,
+        CAST(len(list_intersect(t, ['the','and','of','to','is','in','that','it','was','for'])) AS BIGINT) AS s_en,
+        CAST(len(list_intersect(t, ['el','la','los','y','es','una','en','que','por','con'])) AS BIGINT) AS s_es,
+        CAST(len(list_intersect(t, ['le','la','les','et','est','une','dans','que','pour','pas'])) AS BIGINT) AS s_fr
+      FROM toks
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scores
+    ), cm AS (
+      SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, pred_lang
+    )
+    SELECT lang, pred_lang, n,
+           CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS class_total,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang), 4)
+             AS class_frac
+    FROM cm ORDER BY lang, pred_lang
+    """,
+    tags=("llm", "text", "langid", "evaluation"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class query: the confusion matrix
+    of the heuristic language-ID against the corpus's ground-truth lang
+    labels, with per-class totals and fractions (the diagonal's fraction
+    is per-class recall). One prediction projection + one (label, pred)
+    aggregate — the evaluation shape every model-in-the-pipeline needs,
+    here closing the loop on text_langid (e.g. the zh class has no marker
+    lexicon, so its mass lands in 'und'/'en' — visible, quantified)."""
+    from distributed_graph_database_system_spark.operators.textstats import (
+        lang_id,
+    )
+    from pyspark.sql import Window as W
+
+    d = _docs_fanned(spark, sf_dir)
+    pred = d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+    cm = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "pred_lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.sum("n").over(w).cast("bigint").alias("class_total"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 4).alias(
+            "class_frac"
+        ),
+    ).orderBy("lang", "pred_lang")

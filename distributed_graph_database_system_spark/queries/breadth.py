@@ -2024,3 +2024,68 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "orders_cohort_ltv_curve",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(year FROM MIN(o_orderdate)) AS INT) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    ), rev AS (
+      SELECT f.cohort_year,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INT) - f.cohort_year
+               AS year_index,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS yr_rev
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+      GROUP BY f.cohort_year, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) - f.cohort_year
+    )
+    SELECT cohort_year, year_index,
+           CAST(yr_rev AS DOUBLE) AS year_revenue,
+           CAST(SUM(yr_rev) OVER (PARTITION BY cohort_year ORDER BY year_index
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS cumulative_ltv
+    FROM rev ORDER BY cohort_year, year_index
+    """,
+    tags=("analytics", "cohort", "ltv", "prefix-sum"),
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    year, revenue accumulated per years-since-acquisition — the growth
+    dashboard that shows whether newer cohorts monetize faster. Revenue
+    stays DECIMAL through both the per-cell aggregation AND the running
+    cumulative (exact at every point — the money discipline extended to
+    window sums), surfacing as double only in the final projection. The
+    cumulative window runs over |cohorts|×|years| aggregate cells, never
+    order rows."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).cast("int").alias("cohort_year")
+    )
+    rev = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate").cast("int") - F.col("cohort_year")).alias(
+                "year_index"
+            ),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("yr_rev")
+        )
+    )
+    w = W.partitionBy("cohort_year").orderBy("year_index").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return rev.select(
+        "cohort_year",
+        "year_index",
+        F.col("yr_rev").cast("double").alias("year_revenue"),
+        F.sum("yr_rev").over(w).cast("double").alias("cumulative_ltv"),
+    ).orderBy("cohort_year", "year_index")

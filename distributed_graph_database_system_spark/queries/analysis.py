@@ -2885,3 +2885,86 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("clustering"), "vid")
         .limit(25)
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), m AS (
+      SELECT event_type,
+             CAST(AVG(CAST(x AS DOUBLE)) AS DOUBLE) AS mu,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM d GROUP BY event_type
+    ), s AS (
+      SELECT d.event_type, d.day, m.n_days,
+             SUM(CAST(ROUND(CAST(d.x AS DOUBLE) - m.mu, 6) AS DECIMAL(28,6)))
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM d JOIN m ON d.event_type = m.event_type
+    ), best AS (
+      SELECT event_type, day, n_days, cusum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(CAST(cusum AS DOUBLE)) DESC, day)
+               AS rk
+      FROM s
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS changepoint_day, n_days,
+           ROUND(CAST(cusum AS DOUBLE), 4) AS cusum_peak
+    FROM best WHERE rk = 1 ORDER BY event_type
+    """,
+    tags=("analytics", "changepoint", "cusum", "time-series"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint location per event-type daily series: the day
+    where the cumulative sum of deviations from the series mean peaks in
+    magnitude is the classic single-changepoint estimate (a mean shift
+    bends the CUSUM into a vee whose tip marks the break). Deviations are
+    rounded to 6dp and cumulated as exact DECIMAL in day order —
+    partition-invariant — and the argmax uses a total (|S|, day) order.
+    Windows run over the per-day aggregate only; the streaming form keeps
+    one running (sum, argmax) pair per series in the rollup ledger."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("x")
+    )
+    m = d.groupBy("event_type").agg(
+        F.avg(F.col("x").cast("double")).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    s = d.join(m, "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        F.sum(
+            F.round(F.col("x").cast("double") - F.col("mu"), 6).cast(
+                "decimal(28,6)"
+            )
+        )
+        .over(w)
+        .alias("cusum"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(
+            F.abs(F.col("cusum").cast("double")).desc(), "day"
+        )
+    )
+    return (
+        s.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("changepoint_day"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.round(F.col("cusum").cast("double"), 4).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )

@@ -2968,3 +2968,79 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS item FROM lineitem
+    ), nb AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items
+    ), single AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY item
+    ), pair AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS s_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item HAVING COUNT(*) >= 20
+    )
+    SELECT p.item_a, p.item_b, p.s_ab,
+           ROUND(CAST(p.s_ab AS DOUBLE) / sa.s, 4) AS confidence_a_to_b,
+           ROUND(CAST(p.s_ab AS DOUBLE) * nb.n_baskets / (sa.s * sb.s), 4)
+             AS lift
+    FROM pair p JOIN single sa ON p.item_a = sa.item
+                JOIN single sb ON p.item_b = sb.item
+                CROSS JOIN nb
+    ORDER BY lift DESC, item_a, item_b LIMIT 25
+    """,
+    tags=("analytics", "association-rules", "basket", "lift"),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over market baskets: pairwise support, confidence
+    P(b|a), and LIFT — support/expected-support under independence, the
+    statistic that separates genuinely associated items from merely
+    popular ones (confidence alone ranks popular items everywhere). Item
+    space folded to 200 ids so fixture baskets overlap; the pair join is
+    basket-keyed with the a<b orientation (bounded fan-out per basket, the
+    basket_part_pairs discipline); singleton supports broadcast into one
+    final exact-integer expression per rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
+    ).distinct()
+    nb = items.select(F.count_distinct("l_orderkey").alias("n_baskets"))
+    single = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select("l_orderkey", F.col("item").alias("item_a"))
+    b = items.select("l_orderkey", F.col("item").alias("item_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= 20)
+    )
+    sa = single.select(F.col("item").alias("item_a"), F.col("s").alias("s_a"))
+    sb = single.select(F.col("item").alias("item_b"), F.col("s").alias("s_b"))
+    return (
+        pair.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("s_ab").cast("bigint").alias("s_ab"),
+            F.round(F.col("s_ab").cast("double") / F.col("s_a"), 4).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("s_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("s_a") * F.col("s_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(25)
+    )

@@ -47,6 +47,7 @@ from distributed_graph_database_system_spark.queries.llm_goldens import (
     CORESET_KCENTER_GOLDEN,
     DEDUP_MINHASH_LSH_GOLDEN,
     EMBED_GEOMETRIC_MEDIAN_GOLDEN,
+    EMBED_OUTLIER_ROBUST_GOLDEN,
     EMBED_PCA_PROJECT_GOLDEN,
     MULTIMODAL_IMAGE_PHASH_GOLDEN,
     DEDUP_SIMHASH_GOLDEN,
@@ -1936,3 +1937,59 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "class_frac"
         ),
     ).orderBy("lang", "pred_lang")
+
+
+@query(
+    "embed_outlier_robust",
+    oracle=EMBED_OUTLIER_ROBUST_GOLDEN,
+    oracle_sf="0.01",
+    tags=("llm", "embedding", "outlier", "robust"),
+)
+def embed_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust embedding outlier screen: distance to the GEOMETRIC MEDIAN
+    (not the mean — outliers drag the mean toward themselves and then
+    hide), flagged against median + 3·MAD of the distance distribution —
+    the classical robust rule with a breakdown point the z-score rule
+    lacks. Distances are quantized fixed-order sums; the two robust
+    scalars come from exact percentile on the |corpus| distance column.
+    Output: the flagged vectors plus the thresholds row (vec_id −1) —
+    poisoning/corruption candidates for manual review."""
+    from distributed_graph_database_system_spark.operators.pca import (
+        geometric_median,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    med = geometric_median(emb, n_iter=3)
+    c = F.array(*[F.lit(float(x)) for x in med])
+    q = F.transform(
+        "embedding", lambda v: F.floor(v.cast("double") * 1_000_000) / 1_000_000
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    d = emb.select("vec_id", dist.alias("dist"))
+    med_d = float(
+        d.agg(F.percentile("dist", F.lit(0.5)).alias("med_d")).first()["med_d"]
+    )
+    mad = float(
+        d.select(F.abs(F.col("dist") - F.lit(med_d)).alias("ad"))
+        .agg(F.percentile("ad", F.lit(0.5)))
+        .first()[0]
+    )
+    thresh = round(med_d + 3 * 1.4826 * mad, 6)
+    flagged = (
+        d.where(F.col("dist") > thresh)
+        .select("vec_id", F.round("dist", 6).alias("value"))
+        .orderBy("vec_id")
+    )
+    header = spark.createDataFrame(
+        [(-1, thresh)], "vec_id BIGINT, value DOUBLE"
+    )
+    return header.unionByName(flagged).orderBy("vec_id")

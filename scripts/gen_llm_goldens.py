@@ -97,6 +97,11 @@ SPECS = {
         "Weiszfeld geometric median (3 iters, quantized-decimal sums): "
         "first 8 coords + distance-to-mean gap at coord -1",
     ),
+    "embed_outlier_robust": (
+        [("vec_id", "BIGINT"), ("value", "DOUBLE")],
+        "median+3*1.4826*MAD outlier screen on distances to the geometric "
+        "median; vec_id -1 row carries the threshold",
+    ),
     "agg_hll_sliding7": (
         [("day", "VARCHAR"), ("n_days", "BIGINT"), ("est_users_7d", "BIGINT")],
         "7-day sliding distinct users: register-max union of each day's and "

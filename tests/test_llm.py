@@ -906,3 +906,40 @@ def test_deep_wav_stereo_stats():
     assert dw["n_samples"] == 3 and dw["audio_channels"] == 2
     assert dw["audio_peak"] == 300
     assert dw["audio_sqsum"] == 2 * sum(s * s for s in samples)
+
+
+def test_mmr_trades_relevance_for_diversity(spark):
+    """MMR picks must be strictly more diverse (lower max pairwise cosine)
+    than the plain relevance top-k on the sf0.001 fixture, while still
+    overlapping it (it IS a relevance re-ranking, not a random sample)."""
+    import numpy as np
+
+    from distributed_graph_database_system_spark.operators.similarity import (
+        mmr_select,
+    )
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    qv = rows[0]
+    others = {k: v for k, v in rows.items() if k != 0}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    plain = sorted(others, key=lambda k: (-cos(qv, others[k]), k))[:8]
+    mmr = [v for _, v, _ in mmr_select(
+        emb.where(emb["vec_id"] != 0), [float(x) for x in qv], k=8, lam=0.7
+    )]
+
+    def max_pairwise(ids):
+        return max(
+            cos(others[a], others[b])
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+        )
+
+    assert max_pairwise(mmr) <= max_pairwise(plain)
+    assert len(set(mmr) & set(plain)) >= 2, "MMR lost all relevance overlap"
+    # the single most relevant item is always MMR's first pick
+    assert mmr[0] == plain[0]

@@ -3044,3 +3044,87 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "item_a", "item_b")
         .limit(25)
     )
+
+
+@query(
+    "orders_price_psi_drift",
+    oracle="""
+    WITH banded AS (
+      SELECT CASE WHEN EXTRACT(year FROM o_orderdate) <= 1995 THEN 'ref'
+                  ELSE 'cur' END AS period,
+             LEAST(CAST(o_totalprice / 50000 AS INT), 9) AS band
+      FROM orders
+    ), c AS (
+      SELECT period, band, CAST(COUNT(*) AS BIGINT) AS n
+      FROM banded GROUP BY period, band
+    ), tot AS (
+      SELECT period, CAST(SUM(n) AS BIGINT) AS tn FROM c GROUP BY period
+    ), grid AS (
+      SELECT b.band,
+             COALESCE(r.n, 0) AS n_ref, COALESCE(u.n, 0) AS n_cur,
+             tr.tn AS t_ref, tu.tn AS t_cur
+      FROM (SELECT DISTINCT band FROM c) b
+      LEFT JOIN (SELECT band, n FROM c WHERE period = 'ref') r ON b.band = r.band
+      LEFT JOIN (SELECT band, n FROM c WHERE period = 'cur') u ON b.band = u.band
+      CROSS JOIN (SELECT tn FROM tot WHERE period = 'ref') tr
+      CROSS JOIN (SELECT tn FROM tot WHERE period = 'cur') tu
+    ), terms AS (
+      SELECT band, n_ref, n_cur,
+             CAST(ROUND(((n_cur + 1.0) / (t_cur + 10) - (n_ref + 1.0) / (t_ref + 10))
+                  * ln(((n_cur + 1.0) / (t_cur + 10))
+                       / ((n_ref + 1.0) / (t_ref + 10))), 10)
+                  AS DECIMAL(28,10)) AS psi_term
+      FROM grid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bands,
+           ROUND(CAST(SUM(psi_term) AS DOUBLE), 4) AS psi
+    FROM terms
+    """,
+    tags=("analytics", "drift", "psi", "monitoring"),
+)
+def orders_price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between early (≤1995) and late order
+    price distributions: PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) over
+    fixed price bands — THE model-monitoring drift score (rule of thumb:
+    <0.1 stable, >0.25 investigate), here add-1-smoothed per band so
+    empty bands can't produce infinities. Band counts are one integer
+    aggregate per period; each band's term is rounded and decimal-summed
+    (the KL-divergence discipline — PSI is a symmetrized KL variant)."""
+    o = load_table(spark, sf_dir, "orders")
+    banded = o.select(
+        F.when(F.year("o_orderdate") <= 1995, "ref").otherwise("cur").alias(
+            "period"
+        ),
+        F.least(
+            (F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+        ).alias("band"),
+    )
+    c = banded.groupBy("period", "band").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("period").agg(F.sum("n").alias("tn"))
+    bands = c.select("band").distinct()
+    r = c.where(F.col("period") == "ref").select("band", F.col("n").alias("n_ref"))
+    u = c.where(F.col("period") == "cur").select("band", F.col("n").alias("n_cur"))
+    tr = tot.where(F.col("period") == "ref").select(F.col("tn").alias("t_ref"))
+    tu = tot.where(F.col("period") == "cur").select(F.col("tn").alias("t_cur"))
+    grid = (
+        bands.join(r, "band", "left")
+        .join(u, "band", "left")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tu))
+        .select(
+            "band",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            "t_ref",
+            "t_cur",
+        )
+    )
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10)
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10)
+    term = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 10).cast(
+        "decimal(28,10)"
+    )
+    return grid.select(term.alias("psi_term")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+        F.round(F.sum("psi_term").cast("double"), 4).alias("psi"),
+    )

@@ -3052,7 +3052,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH banded AS (
       SELECT CASE WHEN EXTRACT(year FROM o_orderdate) <= 1995 THEN 'ref'
                   ELSE 'cur' END AS period,
-             LEAST(CAST(o_totalprice / 50000 AS INT), 9) AS band
+             LEAST(CAST(FLOOR(o_totalprice / 50000) AS INT), 9) AS band
       FROM orders
     ), c AS (
       SELECT period, band, CAST(COUNT(*) AS BIGINT) AS n
@@ -3095,8 +3095,10 @@ def orders_price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.year("o_orderdate") <= 1995, "ref").otherwise("cur").alias(
             "period"
         ),
+        # explicit FLOOR: Spark's double->int cast truncates but
+        # DuckDB's ROUNDS (the dedup_containment lesson)
         F.least(
-            (F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+            F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
         ).alias("band"),
     )
     c = banded.groupBy("period", "band").agg(F.count(F.lit(1)).alias("n"))

@@ -838,3 +838,80 @@ def graph_ktruss_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_graph_database_system_spark.operators.graph import k_truss
 
     return k_truss(_edges(spark, G6), k=4).orderBy("a", "b")
+
+
+@query(
+    "graph_harmonic_centrality",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+    ), lm AS (
+      SELECT DISTINCT src AS s FROM e WHERE src % 40 = 0
+    ), walk(seed, vid, level) AS (
+      SELECT s, s, 0 FROM lm
+      UNION
+      SELECT w.seed, e.dst, w.level + 1
+      FROM walk w JOIN e ON e.src = w.vid
+      WHERE w.level < 100
+    ), sp AS (
+      SELECT seed, vid, MIN(level) AS d FROM walk GROUP BY seed, vid
+    )
+    SELECT vid,
+           CAST(COUNT(*) AS BIGINT) AS n_landmarks_reaching,
+           ROUND(CAST(SUM(CAST(ROUND(1.0 / d, 10) AS DECIMAL(28,10))) AS DOUBLE), 4)
+             AS harmonic_score
+    FROM sp WHERE d > 0 GROUP BY vid
+    ORDER BY harmonic_score DESC, vid LIMIT 25
+    """,
+    tags=("graph", "centrality", "harmonic", "landmarks"),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic centrality on the co-supply graph:
+    Σ 1/d(landmark, v) over a deterministic landmark set (suppkey % 40 =
+    0) — the all-pairs statistic made tractable by sampling sources, the
+    standard scale trick (full harmonic centrality is |V| BFS runs; the
+    landmark estimate is |L|, with error bounds from sampling theory).
+    One multi-source level-synchronous BFS carrying the SEED in the
+    frontier key (operators/graph.py multi-source machinery shape —
+    frontier rows are (seed, vid)); per-landmark distances then fold as
+    rounded-decimal 1/d sums so the score is order-free. The oracle
+    re-walks all landmarks with a recursive CTE."""
+    from distributed_graph_database_system_spark.operators.graph import bfs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("dst"))
+    e = (
+        a.join(b, "p")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    landmarks = [
+        int(r["src"])
+        for r in e.select("src").distinct().where(F.col("src") % 40 == 0).collect()
+    ]
+    parts = None
+    for s in landmarks:
+        d = bfs(e, s).select(
+            F.lit(s).alias("seed"), "vid", F.col("level").alias("d")
+        )
+        parts = d if parts is None else parts.unionAll(d)
+    sp = parts.where(F.col("d") > 0)
+    return (
+        sp.groupBy("vid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_landmarks_reaching"),
+            F.round(
+                F.sum(
+                    F.round(1.0 / F.col("d"), 10).cast("decimal(28,10)")
+                ).cast("double"),
+                4,
+            ).alias("harmonic_score"),
+        )
+        .orderBy(F.desc("harmonic_score"), "vid")
+        .limit(25)
+    )

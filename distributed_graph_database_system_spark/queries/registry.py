@@ -119,7 +119,7 @@ def oracle_of(name: str) -> str:
 # events_burstiness_fano embed_geometric_median graph_local_clustering
 # agg_weighted_median text_langid_confusion orders_cohort_ltv_curve
 # events_changepoint_cusum basket_association_rules embed_outlier_robust
-# orders_price_psi_drift.
+# orders_price_psi_drift graph_harmonic_centrality.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

@@ -81,14 +81,18 @@ def oracle_of(name: str) -> str:
 # Covers all 30 SURVEY §2.2 rows (see tests/test_registry_window.py for the
 # row → query mapping). Order within the window is thematic, not semantic.
 #
-# Round-6 rotation: 33 of the 50 entries have NEVER appeared in any
-# CORRECTNESS_r* file (cumulative driver coverage 137/183 → 170 once this
-# window is recorded), including the two queries new this round
-# (agg_group_quantiles_scalable, events_rfm_segments_scalable). 17
-# driver-seen anchors stay — one per §2.2 row whose family has no
-# never-checked member (sources, python datasource, theta/semi/anti/skew
-# joins, set ops, math/json scalars, layout, streaming, DFS golden,
-# minhash dedup, ANN similarity, q8/q19 TPC-H shapes). Every rotated-out
+# Round-6 rotation (late-session update): 39 of the 50 entries have NEVER
+# appeared in any CORRECTNESS_r* file (cumulative driver coverage 137 →
+# 176 once this window is recorded). The session's own additions made six
+# more rows swappable: join_semi→join_bloom_reduced,
+# json_funcs→variant_semi_structured,
+# source_roundtrips→replica_consistency_check (a round-2 query already
+# claimed the source_orc_roundtrip name in CORRECTNESS_r02),
+# layout_zorder_scan→layout_dpp_join, dedup_minhash_lsh→dedup_substring_grams,
+# sim_radius_search→sim_mmr_rerank. 11 driver-seen anchors stay — one per
+# §2.2 row whose family still has no never-checked member (python
+# datasource, theta/anti/skew joins, set ops, math scalars, streaming
+# twins, DFS golden, q8/q19 TPC-H shapes). Every rotated-out
 # name keeps local parity-sweep coverage. Still never-driver-graded after
 # this window (next rotation's pool): inverted_index_postings
 # linkage_blocked_best_match events_mad_outliers join_hash_hinted
@@ -136,7 +140,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scd2_apply_segment_change",
     "case_when_buckets",
     "join_theta",
-    "join_semi",
+    "join_bloom_reduced",
     "join_anti",
     "join_salted_skew",
     # aggregation family — all first-time, incl. this round's scalable
@@ -159,15 +163,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "math_funcs",
     "embed_norm_stats",
     "embed_standardize",
-    "json_funcs",
+    "variant_semi_structured",
     # streaming twins (sessionize is the first-time session-window twin)
     "sessionize",
     "stream_session_window",
     "stream_dedup_keys",
     # sources + layout anchors
-    "source_roundtrips",
+    "replica_consistency_check",
     "source_refgraph_roundtrip",
-    "layout_zorder_scan",
+    "layout_dpp_join",
     # graph — landmark BFS, two-hop, motif, link prediction first-time;
     # DFS golden anchor stays
     "graph_landmark_bfs_g2",
@@ -177,8 +181,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_link_prediction",
     # LLM-data-pipeline operators — splits/packing/sampling/BM25/token
     # histogram first-time + the scalable RFM twin new this round
-    "dedup_minhash_lsh",
-    "sim_radius_search",
+    "dedup_substring_grams",
+    "sim_mmr_rerank",
     "split_train_holdout",
     "pack_sequences",
     "sample_stratified",

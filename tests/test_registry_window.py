@@ -16,8 +16,8 @@ from distributed_graph_database_system_spark.queries.registry import (
 # (rows 20/24 — streaming watermarks and the graph write path — are
 # pytest-covered because driver queries must be read-only batch).
 ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
-    "scans_sources": ("source_roundtrips",),
-    "sinks": ("source_roundtrips",),
+    "scans_sources": ("replica_consistency_check",),  # parquet write+read-back
+    "sinks": ("replica_consistency_check",),
     "projection": ("case_when_buckets",),  # projection_compute driver-seen r5
     "filter": ("q6_forecast_revenue",),  # filter_predicates driver-seen r5
     "join_equi": ("q12_shipmode_priority",),  # q3 driver-seen r5
@@ -25,7 +25,7 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "join_outer": ("join_left_outer",),
     "join_theta": ("join_theta",),  # cross_join_dims driver-seen r5
     "join_range_asof": ("scd2_apply_segment_change",),  # interval seen r5
-    "join_semi_anti": ("join_semi", "join_anti"),
+    "join_semi_anti": ("join_bloom_reduced", "join_anti"),  # bloom IS a semi join
     "join_skew": ("join_salted_skew",),
     "aggregation": (
         "agg_stats",
@@ -46,8 +46,8 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "scalar_datetime": ("resample_hourly_ohlc", "sessionize"),  # date seen r5
     "scalar_math": ("math_funcs",),
     "scalar_array_hof": ("embed_norm_stats", "embed_standardize"),
-    "scalar_json": ("json_funcs",),
-    "data_layout": ("layout_zorder_scan",),  # bucketed/pruned driver-seen r4
+    "scalar_json": ("variant_semi_structured",),
+    "data_layout": ("layout_dpp_join",),  # zorder/bucketed/pruned driver-seen
     "streaming_windows": ("sessionize", "stream_session_window"),
     "streaming_stateful_join": ("stream_dedup_keys",),  # join twin seen r5
     "udf_pandas": ("multimodal_resize_plan",),  # decode/frame seen r5
@@ -59,8 +59,8 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
         "graph_link_prediction",
     ),
     "python_datasource": ("source_refgraph_roundtrip",),
-    "llm_dedup": ("dedup_minhash_lsh",),  # ngram/clusters driver-seen r4
-    "llm_similarity": ("sim_radius_search",),  # knn/persisted seen r4
+    "llm_dedup": ("dedup_substring_grams",),  # minhash/ngram driver-seen
+    "llm_similarity": ("sim_mmr_rerank",),  # radius/knn/persisted seen
     "llm_pipeline": (
         "split_train_holdout",
         "pack_sequences",

@@ -2089,3 +2089,112 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("yr_rev").cast("double").alias("year_revenue"),
         F.sum("yr_rev").over(w).cast("double").alias("cumulative_ltv"),
     ).orderBy("cohort_year", "year_index")
+
+
+@query(
+    "events_retention_curve",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ), cohort AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM fs
+    ), active AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', fs.first_day, CAST(e.ts AS DATE)) AS day_n
+      FROM events e JOIN fs ON e.user_id = fs.user_id
+    )
+    SELECT CAST(day_n AS BIGINT) AS day_n,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / cohort.n_users, 4) AS retention
+    FROM active CROSS JOIN cohort
+    WHERE day_n <= 14
+    GROUP BY day_n, cohort.n_users ORDER BY day_n
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def events_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention curve: fraction of all users active exactly N days
+    after their own first activity (N ≤ 14) — the product-health curve the
+    weekly cohort MATRIX (cohort_weekly_retention) summarizes per cohort;
+    this is the pooled per-day view. Two aggregates + one distinct
+    (user, offset) projection; the cohort size broadcasts into the final
+    division."""
+    e = load_table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    cohort = fs.agg(F.count(F.lit(1)).alias("n_users"))
+    active = (
+        e.join(fs, "user_id")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.col("first_day")).alias("day_n"),
+        )
+        .distinct()
+    )
+    return (
+        active.where(F.col("day_n") <= 14)
+        .groupBy("day_n")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .crossJoin(F.broadcast(cohort))
+        .select(
+            F.col("day_n").cast("bigint").alias("day_n"),
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.round(
+                F.col("active_users").cast("double") / F.col("n_users"), 4
+            ).alias("retention"),
+        )
+        .orderBy("day_n")
+    )
+
+
+@query(
+    "orders_benford_screen",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+    SELECT c.d AS leading_digit, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / tot.t, 4) AS observed,
+           ROUND(ln(1.0 + 1.0 / c.d) / ln(10.0), 4) AS benford_expected,
+           ROUND(CAST(c.n AS DOUBLE) / tot.t
+                 - ln(1.0 + 1.0 / c.d) / ln(10.0), 4) AS deviation
+    FROM c CROSS JOIN tot ORDER BY leading_digit
+    """,
+    tags=("analytics", "benford", "forensic"),
+)
+def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic screen: the leading-digit distribution of
+    order amounts against the log10(1 + 1/d) expectation — fabricated or
+    systematically generated amounts betray themselves by flat or spiky
+    first digits (here the TPC-H uniform price generator visibly violates
+    Benford — the deviation column IS the finding). One digit-extraction
+    projection + a 9-row aggregate; expectation and deviation are single
+    identical IEEE expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    c = d.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("t"))
+    expected = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("t"), 4).alias("observed"),
+            F.round(expected, 4).alias("benford_expected"),
+            F.round(
+                F.col("n").cast("double") / F.col("t") - expected, 4
+            ).alias("deviation"),
+        )
+        .orderBy("leading_digit")
+    )

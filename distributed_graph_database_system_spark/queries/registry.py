@@ -123,7 +123,9 @@ def oracle_of(name: str) -> str:
 # events_burstiness_fano embed_geometric_median graph_local_clustering
 # agg_weighted_median text_langid_confusion orders_cohort_ltv_curve
 # events_changepoint_cusum basket_association_rules embed_outlier_robust
-# orders_price_psi_drift graph_harmonic_centrality.
+# orders_price_psi_drift graph_harmonic_centrality events_retention_curve
+# orders_benford_screen source_orc_roundtrip (r2 name collision — see
+# rotation note; still locally-sweep-verified).
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

@@ -3130,3 +3130,132 @@ def orders_price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bands"),
         F.round(F.sum("psi_term").cast("double"), 4).alias("psi"),
     )
+
+
+@query(
+    "graph_reciprocity",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS src,
+             LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS dst
+      FROM lineitem
+    ), ed AS (
+      SELECT src, dst FROM e WHERE dst IS NOT NULL AND src <> dst
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM ed r WHERE r.src = ed.dst AND r.dst = ed.src
+             ) THEN 1 ELSE 0 END) AS BIGINT) AS n_recip
+      FROM ed
+    )
+    SELECT n_edges, n_recip,
+           ROUND(CAST(n_recip AS DOUBLE) / n_edges, 4) AS reciprocity
+    FROM m
+    """,
+    tags=("graph", "reciprocity", "directed"),
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the DIRECTED co-purchase sequence graph: the
+    fraction of edges whose reverse also exists (mutual A→B→A purchase
+    ordering) — the directed-structure statistic that separates
+    feed-forward pipelines (near 0) from mutual-exchange networks. The
+    existence check is a self semi-join on the swapped key — one hash
+    join, exact integers, one division."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nxt = F.lead("l_partkey").over(
+        W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    )
+    ed = (
+        li.select(F.col("l_partkey").alias("src"), nxt.alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = ed.join(rev, ["src", "dst"], "leftsemi")
+    n_edges = ed.count()
+    n_recip = recip.count()
+    return spark.createDataFrame(
+        [(n_edges, n_recip, round(n_recip / n_edges, 4))],
+        "n_edges BIGINT, n_recip BIGINT, reciprocity DOUBLE",
+    )
+
+
+@query(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), lagd AS (
+      SELECT event_type, x,
+             LAG(x) OVER (PARTITION BY event_type ORDER BY day) AS px
+      FROM d
+    ), pairs AS (
+      SELECT event_type,
+             CAST(ROUND(x, 6) AS DECIMAL(28,6)) AS x,
+             CAST(ROUND(px, 6) AS DECIMAL(28,6)) AS y,
+             CAST(ROUND(x * px, 6) AS DECIMAL(38,6)) AS xy,
+             CAST(ROUND(x * x, 6) AS DECIMAL(38,6)) AS xx,
+             CAST(ROUND(px * px, 6) AS DECIMAL(38,6)) AS yy
+      FROM lagd WHERE px IS NOT NULL
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                 / sqrt((COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                        * (COUNT(*) * CAST(SUM(yy) AS DOUBLE)
+                           - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))),
+                 4) AS autocorr_lag1
+    FROM pairs GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("analytics", "time-series", "autocorrelation"),
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event-type daily series — the
+    persistence statistic (near 0 = memoryless noise, high = trending/
+    momentum, negative = oscillation) that decides whether the EWMA
+    baseline (events_anomaly_ewma) or a plain mean is the right monitor.
+    Pearson over (x_t, x_{t−1}) pairs from one LAG window; every moment is
+    rounded then decimal-summed so the correlation is one deterministic
+    closing expression (the regression-stats discipline on a
+    self-lagged join-free pairing)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lagd = d.withColumn("px", F.lag("x").over(w)).where(F.col("px").isNotNull())
+    pairs = lagd.select(
+        "event_type",
+        F.round("x", 6).cast("decimal(28,6)").alias("x"),
+        F.round("px", 6).cast("decimal(28,6)").alias("y"),
+        F.round(F.col("x") * F.col("px"), 6).cast("decimal(38,6)").alias("xy"),
+        F.round(F.col("x") * F.col("x"), 6).cast("decimal(38,6)").alias("xx"),
+        F.round(F.col("px") * F.col("px"), 6).cast("decimal(38,6)").alias("yy"),
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.round(num / den, 4).alias("autocorr_lag1"),
+    ).orderBy("event_type")

@@ -125,7 +125,8 @@ def oracle_of(name: str) -> str:
 # events_changepoint_cusum basket_association_rules embed_outlier_robust
 # orders_price_psi_drift graph_harmonic_centrality events_retention_curve
 # orders_benford_screen source_orc_roundtrip (r2 name collision — see
-# rotation note; still locally-sweep-verified).
+# rotation note; still locally-sweep-verified) graph_reciprocity
+# events_autocorr_lag1.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
     # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19

@@ -55,7 +55,18 @@ def asof_join(
     ``on`` value (as ``{on}{suffix}``) and each of ``right_cols`` (as
     ``{col}{suffix}``), NULL where no match exists within ``direction`` /
     ``tolerance``. ``tolerance`` is in SECONDS for timestamp keys, same
-    units as the column for numeric keys."""
+    units as the column for numeric keys.
+
+    Duplicate right keys: when ``right`` holds SEVERAL rows with the same
+    ``(by, on)`` pair, pandas ``merge_asof`` picks the positionally last
+    of them (input file order) — an order a shuffled DataFrame does not
+    have. This operator instead breaks such ties DETERMINISTICALLY by the
+    right payload struct's value order (max under backward, min under
+    forward), so results are stable across partitionings but may differ
+    from pandas row-for-row on duplicate-key inputs. Pre-aggregate the
+    right side to one row per ``(by, on)`` if the pandas row is required;
+    the merge_asof parity suite (tests/test_asof.py) generates unique
+    pairs for exactly this reason."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     by = list(by)

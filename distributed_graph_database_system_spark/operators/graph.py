@@ -1493,6 +1493,14 @@ def maximal_independent_set(edges: DataFrame, max_iter: int = 200) -> DataFrame:
     Returns ``(vid)`` — the MIS members. Independence and maximality are
     asserted as properties in tests/test_graph.py.
 
+    Self-loops are IGNORED (stripped with the ``a != b`` canonicalization,
+    consistent with every undirected operator in this module): a vertex
+    whose only incident edges are self-loops counts as isolated and is
+    admitted unconditionally. Under strict semantics a self-adjacent
+    vertex can never belong to an independent set — callers needing that
+    reading should drop self-looped vertices (and their edges) before
+    calling.
+
     Reference parity: no analogue (reference analytics are R3/R4 only);
     north-star analytics extension.
     """
@@ -1814,10 +1822,16 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     ≥ k−2 triangles (a cohesion notion strictly between k-core and clique
     — the standard community-core extractor). Distributed peeling on
     EDGES: per round, count each surviving edge's triangle support with
-    the degree-ordered wedge join (the triangle_count shape — hub skew
-    bounded by orientation), drop every edge below k−2 support, repeat
-    until stable. The edge set only shrinks; lineage cut per round.
-    Returns surviving ``(a, b, support)`` rows.
+    a degree-ordered wedge join — every edge is oriented from its
+    lower-``(degree, id)`` endpoint to the higher, wedges form only at the
+    LOW end, and a triangle closes iff the oriented edge between the two
+    wedge tips exists. Wedge fan-out per vertex is bounded by its
+    out-degree under this orientation (≤ O(sqrt(|E|)) per the standard
+    arboricity argument), so a high-degree hub never expands
+    quadratically, whatever its vertex id. Degrees are recomputed per
+    round on the SURVIVING edges. Drop every edge below k−2 support,
+    repeat until stable. The edge set only shrinks; lineage cut per
+    round. Returns surviving ``(a, b, support)`` rows (a < b).
 
     Reference parity: no analogue; north-star analytics extension
     (clique/cycle golden + brute-force-reference test in
@@ -1835,26 +1849,62 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     for _ in range(max_iter):
         if e.isEmpty():
             return e.withColumn("support", F.lit(0).cast("bigint"))
-        # triangle support per edge: wedges (a<b<c) with (a,b),(a,c),(b,c)
-        ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        # orient each surviving edge low→high by (degree, id): wedges fan
+        # out only at the low end, so a hub's expansion is bounded by its
+        # orientation out-degree, not its raw degree
+        deg = (
+            e.select(F.col("a").alias("vid"))
+            .unionAll(e.select(F.col("b").alias("vid")))
+            .groupBy("vid")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        ed = e.join(
+            deg.select(F.col("vid").alias("a"), F.col("dg").alias("da")), "a"
+        ).join(deg.select(F.col("vid").alias("b"), F.col("dg").alias("db")), "b")
+        a_low = F.struct(F.col("da"), F.col("a")) < F.struct(
+            F.col("db"), F.col("b")
+        )
+        oriented = ed.select(
+            F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("x"),
+            F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("y"),
+            # the tip's (degree, id) key orders the wedge pair so each
+            # triangle materializes exactly once
+            F.when(
+                a_low,
+                F.struct(F.col("db").alias("d"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("v")))
+            .alias("ky"),
+        ).localCheckpoint()
         wedges = (
-            ab.alias("e1")
+            oriented.alias("e1")
             .join(
-                ab.alias("e2"),
-                (F.col("e1.x") == F.col("e2.x")) & (F.col("e1.y") < F.col("e2.y")),
+                oriented.alias("e2"),
+                (F.col("e1.x") == F.col("e2.x"))
+                & (F.col("e1.ky") < F.col("e2.ky")),
             )
             .select(
-                F.col("e1.x").alias("a"),
-                F.col("e1.y").alias("b"),
-                F.col("e2.y").alias("c"),
+                F.col("e1.x").alias("wa"),
+                F.col("e1.y").alias("wb"),
+                F.col("e2.y").alias("wc"),
             )
         )
+        # closing edge: oriented wb→wc exists by construction iff the
+        # undirected edge {wb, wc} survives (ky(wb) < ky(wc) in the wedge)
         tri = wedges.join(
-            e.select(F.col("a").alias("b"), F.col("b").alias("c")), ["b", "c"]
+            oriented.select(F.col("x").alias("wb"), F.col("y").alias("wc")),
+            ["wb", "wc"],
         ).localCheckpoint()
-        sup_ab = tri.select("a", "b")
-        sup_ac = tri.select("a", F.col("c").alias("b"))
-        sup_bc = tri.select(F.col("b").alias("a"), F.col("c").alias("b"))
+
+        def canon(u: str, v: str):
+            return [
+                F.least(F.col(u), F.col(v)).alias("a"),
+                F.greatest(F.col(u), F.col(v)).alias("b"),
+            ]
+
+        sup_ab = tri.select(*canon("wa", "wb"))
+        sup_ac = tri.select(*canon("wa", "wc"))
+        sup_bc = tri.select(*canon("wb", "wc"))
         support = (
             sup_ab.unionAll(sup_ac)
             .unionAll(sup_bc)

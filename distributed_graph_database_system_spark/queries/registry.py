@@ -81,93 +81,82 @@ def oracle_of(name: str) -> str:
 # Covers all 30 SURVEY §2.2 rows (see tests/test_registry_window.py for the
 # row → query mapping). Order within the window is thematic, not semantic.
 #
-# Round-6 rotation (late-session update): 39 of the 50 entries have NEVER
-# appeared in any CORRECTNESS_r* file (cumulative driver coverage 137 →
-# 176 once this window is recorded). The session's own additions made six
-# more rows swappable: join_semi→join_bloom_reduced,
-# json_funcs→variant_semi_structured,
-# source_roundtrips→replica_consistency_check (a round-2 query already
-# claimed the source_orc_roundtrip name in CORRECTNESS_r02),
-# layout_zorder_scan→layout_dpp_join, dedup_minhash_lsh→dedup_substring_grams,
-# sim_radius_search→sim_mmr_rerank. 11 driver-seen anchors stay — one per
-# §2.2 row whose family still has no never-checked member (python
-# datasource, theta/anti/skew joins, set ops, math scalars, streaming
-# twins, DFS golden, q8/q19 TPC-H shapes). Every rotated-out
+# Round-7 rotation: 32 of the 50 entries have NEVER appeared in any
+# CORRECTNESS_r* file (cumulative driver coverage 176 → 208 once this
+# window is recorded). 18 driver-seen anchors stay — one per §2.2 row
+# whose family has no never-checked member (filter q6, decorrelation q11,
+# 8-table q8, disjunctive q19, theta/anti/skew joins, rollup, set ops,
+# conditional projection, VARIANT, streaming twins, replica source/sink
+# check, python datasource, DFS golden, DPP layout). Every rotated-out
 # name keeps local parity-sweep coverage. Still never-driver-graded after
-# this window (next rotation's pool): inverted_index_postings
-# linkage_blocked_best_match events_mad_outliers join_hash_hinted
-# embed_covariance join_full_outer pivot_status_by_priority
-# distinct_pairs q13_order_count_distribution q14_promo_revenue_pct
-# embed_centroids events_rfm_segments outlier_zscore_events — plus the
-# round-6 late registrations: text_perplexity_unigram join_asof_nearest
-# chunk_documents_overlap dedup_survivor_quality multimodal_deep_audio
-# basket_part_pairs linkage_name_editdist intervals_merge
-# dedup_substring_grams dedup_substring_docfrac join_bloom_reduced
-# featurize_hashing_trick embed_pca_project skyline_by_brand
-# replica_consistency_check sample_weighted_priority
-# events_cumulative_distinct events_audience_overlap
-# multimodal_audio_segments bpe_train_merges corpus_kl_divergence
-# graph_mis_g6 graph_random_walks text_compression_ratio
-# analyze_column_stats events_pattern_match coreset_kcenter
-# orders_seasonality_index events_anomaly_ewma bpe_encode_tokens
-# graph_msf_g6w dedup_containment lineitem_active_shipments_daily
-# supplier_return_rate_wilson layout_dpp_join events_trend_mannkendall
-# graph_coreness_g6 multimodal_image_phash text_readability_flesch
-# graph_bipartite_projection text_winnowing_pairs events_survival_km
-# graph_degree_assortativity events_markov_stationary
-# supplier_revenue_gini text_lexical_diversity dedup_funnel_report
-# events_topk_trending orders_duplicate_payment_screen graph_rich_club
-# corpus_zipf_slope events_user_entropy source_orc_roundtrip
-# graph_ktruss_g6 text_code_detection events_ab_lift_ztest
-# sim_mmr_rerank pii_luhn_validation agg_mode_exact
-# events_burstiness_fano embed_geometric_median graph_local_clustering
-# agg_weighted_median text_langid_confusion orders_cohort_ltv_curve
-# events_changepoint_cusum basket_association_rules embed_outlier_robust
-# orders_price_psi_drift graph_harmonic_centrality events_retention_curve
-# orders_benford_screen source_orc_roundtrip (r2 name collision — see
-# rotation note; still locally-sweep-verified) graph_reciprocity
-# events_autocorr_lag1.
+# this window (next rotation's pool): agg_value_histogram
+# conversion-adjacent stats (events_chisq_type_dow events_mad_outliers
+# outlier_zscore_events events_rfm_segments events_anomaly_ewma
+# events_trend_mannkendall events_survival_km events_markov_stationary
+# events_changepoint_cusum events_retention_curve events_autocorr_lag1
+# events_burstiness_fano events_user_entropy events_ab_lift_ztest
+# events_pattern_match) join_hash_hinted join_full-outer-adjacent shapes
+# (pivot_status_by_priority distinct_pairs intervals_merge
+# lineitem_active_shipments_daily) linkage_name_editdist
+# linkage_blocked_best_match basket_part_pairs basket_association_rules
+# orders_seasonality_index orders_cohort_ltv_curve orders_benford_screen
+# orders_price_psi_drift supplier_revenue_gini corpus_source_entropy
+# corpus_kl_divergence embed_covariance embed_pca_project
+# embed_geometric_median embed_outlier_robust sample_weighted_priority
+# featurize_hashing_trick bpe_train_merges analyze_column_stats
+# graph_random_walks graph_degree_assortativity graph_rich_club
+# graph_local_clustering graph_reciprocity graph_bipartite_projection
+# text_winnowing_pairs text_lexical_diversity text_code_detection
+# text_langid_confusion text_repetition_score multimodal_deep_audio
+# multimodal_audio_segments dedup_substring_docfrac
+# dedup_survivor_quality inverted_index_postings.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # TPC-H: first-time witnesses for filter (q6), broadcast+equi join
-    # breadth (q10, q12), scalar-subquery decorrelation (q11); q8/q19
-    # stay as the 8-table-join and disjunctive-predicate anchors.
+    # TPC-H: first-time outer-join count-distribution (q13) and
+    # conditional-aggregate ratio join (q14); q6/q8/q11/q19 stay as the
+    # filter, 8-table-join, decorrelation and disjunctive anchors.
     "q6_forecast_revenue",
-    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_pct",
     "q11_important_parts",
-    "q12_shipmode_priority",
     "q8_market_share",
     "q19_disjunctive_revenue",
-    # core relational — outer joins, SCD2 as-of ranges, conditional
-    # projection; theta/semi/anti/skew anchors stay
-    "join_left_outer",
-    "scd2_apply_segment_change",
+    # core relational — first-time full-outer, nearest as-of, equi
+    # self-join screen, broadcast-dim overlap; theta/anti/skew/projection
+    # anchors stay
+    "join_full_outer",
+    "join_asof_nearest",
+    "orders_duplicate_payment_screen",
+    "events_audience_overlap",
     "case_when_buckets",
     "join_theta",
-    "join_bloom_reduced",
     "join_anti",
     "join_salted_skew",
-    # aggregation family — all first-time, incl. this round's scalable
-    # exact-quantile path
-    "agg_stats",
-    "agg_listagg_ordered",
-    "agg_bitwise_bool",
-    "agg_group_quantiles_scalable",
+    # aggregation family — first-time exact mode, weighted median,
+    # HLL sliding-7d; rollup anchor stays
+    "agg_mode_exact",
+    "agg_weighted_median",
+    "agg_hll_sliding7",
     "agg_rollup",
-    "agg_cube",
-    # window functions — first-time trio
-    "window_rank",
-    "window_lag_lead",
-    "window_running",
-    # sort/top-k, sets, scalar families
-    "text_ngram_topk",
+    # window / sort / top-k — all first-time
+    "events_cumulative_distinct",
+    "skyline_by_brand",
+    "events_topk_trending",
+    # scalar families — first-time readability (string), conversion time
+    # deltas (datetime), Zipf OLS + Wilson bound (math), Luhn HOF
+    # (array); VARIANT and set-op anchors stay
+    "text_readability_flesch",
+    "conversion_time_stats",
+    "corpus_zipf_slope",
+    "supplier_return_rate_wilson",
+    "pii_luhn_validation",
     "set_ops",
-    "text_clean_normalize",
-    "resample_hourly_ohlc",
-    "math_funcs",
-    "embed_norm_stats",
-    "embed_standardize",
     "variant_semi_structured",
-    # streaming twins (sessionize is the first-time session-window twin)
+    # UDF surfaces — first-time SQL UDF (catalog function, codegen
+    # inlined), zlib pandas UDF, real-PNG dHash pandas UDF
+    "sql_udf_revenue",
+    "text_compression_ratio",
+    "multimodal_image_phash",
+    # streaming twins (anchors: driver queries must be read-only batch)
     "sessionize",
     "stream_session_window",
     "stream_dedup_keys",
@@ -175,24 +164,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "replica_consistency_check",
     "source_refgraph_roundtrip",
     "layout_dpp_join",
-    # graph — landmark BFS, two-hop, motif, link prediction first-time;
-    # DFS golden anchor stays
-    "graph_landmark_bfs_g2",
+    # graph — first-time harmonic centrality (landmark BFS), k-truss,
+    # Borůvka MSF, coreness, Luby MIS; DFS golden anchor stays
+    "graph_harmonic_centrality",
     "graph_dfs_goldens",
-    "graph_two_hop_counts",
-    "graph_motif_feedforward",
-    "graph_link_prediction",
-    # LLM-data-pipeline operators — splits/packing/sampling/BM25/token
-    # histogram first-time + the scalable RFM twin new this round
-    "dedup_substring_grams",
-    "sim_mmr_rerank",
-    "split_train_holdout",
-    "pack_sequences",
-    "sample_stratified",
-    "text_bm25_rank",
-    "token_length_histogram",
-    "events_rfm_segments_scalable",
-    "multimodal_resize_plan",
+    "graph_ktruss_g6",
+    "graph_msf_g6w",
+    "graph_coreness_g6",
+    "graph_mis_g6",
+    # LLM-data-pipeline operators — all first-time: dedup capstone +
+    # containment, k-center coreset + centroid assignment (similarity),
+    # chunking + BPE encode (pipeline), unigram perplexity (text)
+    "dedup_funnel_report",
+    "dedup_containment",
+    "coreset_kcenter",
+    "embed_centroids",
+    "chunk_documents_overlap",
+    "text_perplexity_unigram",
+    "bpe_encode_tokens",
 )
 
 

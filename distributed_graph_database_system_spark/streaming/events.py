@@ -15,6 +15,7 @@ modes exactly as they would on an unbounded production stream.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -173,6 +174,83 @@ def _dynamic_overwrite(*sessions: SparkSession):
             s.conf.set(key, prevs[k])
 
 
+def _ledger_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _fold_hwm_path(contrib_path: str) -> str:
+    # underscore prefix: invisible to Spark's file index, so ledger reads
+    # never see it; lives INSIDE the contrib dir so a dir-level rename
+    # (compact's swap) carries or retires it with the data it describes
+    return contrib_path.rstrip("/") + "/_fold_hwm"
+
+
+def read_fold_hwm(spark: SparkSession, contrib_path: str) -> int | None:
+    """The ledger's fold high-water mark: every ``batch_id`` strictly below
+    it has been folded into the ``batch_id=-1`` checkpoint cell. ``None``
+    on a never-folded (or pre-hwm legacy) ledger."""
+    fs, p, jvm = _ledger_fs(spark, _fold_hwm_path(contrib_path))
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(json.loads(txt)["fold_hwm"])
+
+
+def _write_fold_hwm(spark: SparkSession, contrib_path: str, hwm: int) -> None:
+    fs, p, _ = _ledger_fs(spark, _fold_hwm_path(contrib_path))
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps({"fold_hwm": int(hwm)}), "utf-8"))
+    finally:
+        out.close()
+
+
+def _guard_ledger_epoch(
+    spark: SparkSession, contrib_path: str, rollup_path: str, batch_id: int
+) -> None:
+    """Refuse the two silent-corruption scenarios a restarted stream can
+    cause (shared by all three incremental rollups):
+
+    1. rollup exists but the contrib ledger is GONE — the mid-swap crash
+       window of compact_contrib_ledger (ledger parked at ``__fold_bak``),
+       or an operator deleting the ledger by hand. Writing batch cells
+       into a fresh near-empty ledger would rebuild under-counted rollups
+       for every touched day; fail instead (restore the ``__fold_bak``
+       sibling or delete the rollup to start over).
+    2. the incoming ``batch_id`` sits BELOW the fold high-water mark —
+       a stream restarted with a fresh checkpoint dir restarts ids at 0,
+       so its live batches would collide with already-folded cells and be
+       treated as committed by the next fold. Replaying the hwm batch
+       itself (== hwm) is the normal at-least-once path and stays allowed.
+    """
+    fs, contrib_p, _ = _ledger_fs(spark, contrib_path)
+    if not fs.exists(contrib_p):
+        fs_r, rollup_p, _ = _ledger_fs(spark, rollup_path)
+        if fs_r.exists(rollup_p):
+            raise IOError(
+                f"rollup upsert: {rollup_path} exists but its contrib "
+                f"ledger {contrib_path} is missing — a compact() crash "
+                "window or manual delete; restore the __fold_bak sibling "
+                "or remove the rollup before restarting the stream"
+            )
+        return
+    hwm = read_fold_hwm(spark, contrib_path)
+    if hwm is not None and int(batch_id) < hwm:
+        raise ValueError(
+            f"rollup upsert: batch_id={batch_id} is below the ledger's "
+            f"fold high-water mark {hwm} — the stream restarted with a "
+            "fresh checkpoint dir (ids restarted at 0) against a ledger "
+            "whose ids < hwm are already folded as committed; point the "
+            "stream at its original checkpoint or start a new ledger"
+        )
+
+
 def run_incremental_daily_rollup(
     spark: SparkSession, stream: DataFrame, rollup_path: str
 ) -> None:
@@ -210,6 +288,7 @@ def run_incremental_daily_rollup(
     contrib_path = rollup_path.rstrip("/") + "_contrib"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_ledger_epoch(spark, contrib_path, rollup_path, batch_id)
         contrib_rows = (
             # DATE partition column: date-typed directory values round-trip
             # through hive partition inference; timestamps don't reliably.
@@ -290,6 +369,7 @@ def run_incremental_distinct_rollup(
     contrib_path = rollup_path.rstrip("/") + "_contrib"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_ledger_epoch(spark, contrib_path, rollup_path, batch_id)
         contrib = (
             batch_df.groupBy(
                 F.to_date(F.col("ts")).alias("day"), F.col("event_type")
@@ -355,6 +435,7 @@ def run_incremental_cms_rollup(
     contrib_path = rollup_path.rstrip("/") + "_contrib"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_ledger_epoch(spark, contrib_path, rollup_path, batch_id)
         from distributed_graph_database_system_spark.operators.sketch import (
             cm_sketch,
         )
@@ -452,6 +533,14 @@ def compact_contrib_ledger(
     Do NOT fold a ledger whose stream is mid-batch — run it from
     maintenance, not inside upsert.
 
+    Batch-id epochs: folding assumes ids are monotone from ONE checkpoint
+    lineage. The fold records ``max(batch_id)`` as a high-water mark
+    (``_fold_hwm`` inside the ledger dir); a stream restarted with a fresh
+    checkpoint dir (ids restart at 0) is rejected both here (refuses to
+    fold an epoch whose max id sits below the mark) and at upsert time
+    (``_guard_ledger_epoch``), instead of silently folding live batches
+    as committed.
+
     Swap order is compact()'s crash-safe one: stage to a tmp sibling,
     originals aside to a recoverable ``__fold_bak``, staged dir in, only
     then drop the backup. A mid-swap crash leaves the ledger absent →
@@ -471,6 +560,15 @@ def compact_contrib_ledger(
         )
     parts_before = led.select("day", "batch_id").distinct().count()
     max_bid = led.agg(F.max("batch_id")).first()[0]
+    prev_hwm = read_fold_hwm(spark, contrib_path)
+    if prev_hwm is not None and max_bid < prev_hwm:
+        raise ValueError(
+            f"compact_contrib_ledger: live max batch_id {max_bid} is below "
+            f"the recorded fold high-water mark {prev_hwm} — the stream "
+            "restarted with a fresh checkpoint dir, so these ids belong to "
+            "a NEW epoch and folding them would commit live batches; "
+            "refusing (see _guard_ledger_epoch)"
+        )
     group_cols = [
         c for c in led.columns if c != "batch_id" and c not in value_aggs
     ]
@@ -503,6 +601,11 @@ def compact_contrib_ledger(
         fs.rename(bak_p, hpath)  # roll back; ledger restored
         raise IOError(f"ledger fold: swap-in failed for {contrib_path}")
     fs.delete(bak_p, True)
+    # record the fold epoch INSIDE the new dir: every id < max_bid is now
+    # committed-and-folded; _guard_ledger_epoch rejects upserts below it
+    # (fresh-checkpoint id restarts). A crash before this write loses only
+    # the guard, never data — the next fold re-stamps it.
+    _write_fold_hwm(spark, contrib_path, int(max_bid))
     after = spark.read.parquet(contrib_path)
     parts_after = after.select("day", "batch_id").distinct().count()
     return {

@@ -20,57 +20,62 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "sinks": ("replica_consistency_check",),
     "projection": ("case_when_buckets",),  # projection_compute driver-seen r5
     "filter": ("q6_forecast_revenue",),  # filter_predicates driver-seen r5
-    "join_equi": ("q12_shipmode_priority",),  # q3 driver-seen r5
-    "join_broadcast": ("q10_returned_items",),  # q5 driver-seen r5
-    "join_outer": ("join_left_outer",),
+    "join_equi": (
+        "q14_promo_revenue_pct",  # lineitem⋈part conditional-agg ratio
+        "orders_duplicate_payment_screen",  # equi self-join + residual pred
+    ),
+    "join_broadcast": ("events_audience_overlap",),  # broadcast dim counts
+    "join_outer": ("join_full_outer", "q13_order_count_distribution"),
     "join_theta": ("join_theta",),  # cross_join_dims driver-seen r5
-    "join_range_asof": ("scd2_apply_segment_change",),  # interval seen r5
-    "join_semi_anti": ("join_bloom_reduced", "join_anti"),  # bloom IS a semi join
+    "join_range_asof": ("join_asof_nearest",),  # backward/forward seen r6
+    "join_semi_anti": ("join_anti",),  # semi/bloom-semi driver-seen r5/r6
     "join_skew": ("join_salted_skew",),
     "aggregation": (
-        "agg_stats",
-        "agg_listagg_ordered",
-        "agg_bitwise_bool",
-        "agg_group_quantiles_scalable",  # new this round: scalable exact
+        "agg_mode_exact",
+        "agg_weighted_median",
+        "agg_hll_sliding7",  # sketch-merge sliding window
     ),
     "subquery_decorrelation": (
         "q11_important_parts",  # scalar subquery in HAVING; q4/q15 seen r5
     ),
     "multi_join_breadth": ("q8_market_share",),
     "disjunctive_predicates": ("q19_disjunctive_revenue",),
-    "grouping_sets": ("agg_rollup", "agg_cube"),  # grouping_sets seen r5
-    "window_functions": ("window_rank", "window_lag_lead", "window_running"),
-    "sort_limit_topk": ("text_ngram_topk",),  # sort_limit driver-seen r5
+    "grouping_sets": ("agg_rollup",),  # cube/grouping_sets driver-seen r5/r6
+    "window_functions": ("events_cumulative_distinct", "skyline_by_brand"),
+    "sort_limit_topk": ("events_topk_trending",),  # per-window rank top-3
     "set_operations": ("set_ops",),
-    "scalar_string": ("text_clean_normalize",),  # string_funcs seen r5
-    "scalar_datetime": ("resample_hourly_ohlc", "sessionize"),  # date seen r5
-    "scalar_math": ("math_funcs",),
-    "scalar_array_hof": ("embed_norm_stats", "embed_standardize"),
+    "scalar_string": ("text_readability_flesch",),  # string_funcs seen r5
+    "scalar_datetime": ("conversion_time_stats", "sessionize"),
+    "scalar_math": ("corpus_zipf_slope", "supplier_return_rate_wilson"),
+    "scalar_array_hof": ("pii_luhn_validation",),  # Luhn as JVM HOF expr
     "scalar_json": ("variant_semi_structured",),
     "data_layout": ("layout_dpp_join",),  # zorder/bucketed/pruned driver-seen
     "streaming_windows": ("sessionize", "stream_session_window"),
     "streaming_stateful_join": ("stream_dedup_keys",),  # join twin seen r5
-    "udf_pandas": ("multimodal_resize_plan",),  # decode/frame seen r5
-    "graph_bfs": ("graph_landmark_bfs_g2",),  # goldens driver-seen r5
+    "udf_pandas": (
+        "text_compression_ratio",  # zlib pandas UDF
+        "multimodal_image_phash",  # real-PNG dHash pandas UDF
+        "sql_udf_revenue",  # catalog SQL UDF (codegen-inlined)
+    ),
+    "graph_bfs": ("graph_harmonic_centrality",),  # landmark BFS distances
     "graph_dfs": ("graph_dfs_goldens",),
     "graph_analytics": (
-        "graph_two_hop_counts",
-        "graph_motif_feedforward",
-        "graph_link_prediction",
+        "graph_ktruss_g6",
+        "graph_msf_g6w",
+        "graph_coreness_g6",
+        "graph_mis_g6",
     ),
     "python_datasource": ("source_refgraph_roundtrip",),
-    "llm_dedup": ("dedup_substring_grams",),  # minhash/ngram driver-seen
-    "llm_similarity": ("sim_mmr_rerank",),  # radius/knn/persisted seen
+    "llm_dedup": ("dedup_containment", "dedup_funnel_report"),
+    "llm_similarity": ("coreset_kcenter", "embed_centroids"),
     "llm_pipeline": (
-        "split_train_holdout",
-        "pack_sequences",
-        "sample_stratified",
-        "events_rfm_segments_scalable",  # new this round: cut-table RFM
+        "chunk_documents_overlap",
+        "bpe_encode_tokens",
+        "dedup_funnel_report",  # split/pack/sample driver-seen r6
     ),
     "llm_text_multimodal": (
-        "text_bm25_rank",
-        "token_length_histogram",
-        "multimodal_resize_plan",
+        "text_perplexity_unigram",
+        "multimodal_image_phash",
     ),
 }
 

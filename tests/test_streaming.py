@@ -685,6 +685,67 @@ def test_contrib_ledger_fold_preserves_rollup_and_replay(
     assert rows_set(EV.read_distinct_rollup(spark, path2), dcols) == before2
 
 
+def test_ledger_epoch_guard_rejects_restarted_streams(spark, sf_dir, tmp_path):
+    """Batch-id epochs: folding stamps a `_fold_hwm` inside the ledger, and
+    both the fold and the rollup upsert refuse ids from a NEW epoch (a
+    stream restarted with a fresh checkpoint dir restarts ids at 0, which
+    would collide with already-folded cells and be silently committed by
+    the next fold). Also pins the compact-crash window: a rollup whose
+    contrib ledger is missing fails the next upsert loudly instead of
+    rebuilding under-counted rollups from a near-empty ledger."""
+    import shutil
+
+    import distributed_graph_database_system_spark.streaming.events as EV
+
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "cms_epoch")
+    contrib = path + "_contrib"
+    captured = {}
+    orig = EV.run_foreach_batch
+    EV.run_foreach_batch = lambda stream, fn, mode="update": captured.update(fn=fn)
+    try:
+        EV.run_incremental_cms_rollup(spark, None, path, depth=5, width=256)
+    finally:
+        EV.run_foreach_batch = orig
+    upsert = captured["fn"]
+
+    batches = [e.where(F.col("event_id") % 4 == i) for i in range(4)]
+    for i, b in enumerate(batches):
+        upsert(b, i)
+
+    assert EV.read_fold_hwm(spark, contrib) is None  # never folded
+    EV.compact_contrib_ledger(spark, contrib, {"cnt": "sum"})
+    assert EV.read_fold_hwm(spark, contrib) == 3
+
+    cols = ("day", "d", "bucket", "cnt", "w")
+    rollup_before = rows_set(EV.read_cms_rollup(spark, path), cols)
+
+    # replaying the hwm batch itself is the normal at-least-once path
+    upsert(batches[3], 3)
+    assert rows_set(EV.read_cms_rollup(spark, path), cols) == rollup_before
+    # new-epoch live batch (fresh checkpoint restarts ids at 0): refused
+    with pytest.raises(ValueError, match="fold high-water mark"):
+        upsert(batches[0], 0)
+    # folding a ledger whose live max id sits below the mark: refused too
+    EV._write_fold_hwm(spark, contrib, 99)
+    with pytest.raises(ValueError, match="NEW epoch"):
+        EV.compact_contrib_ledger(spark, contrib, {"cnt": "sum"})
+    EV._write_fold_hwm(spark, contrib, 3)  # restore
+
+    # rollup values untouched by all the refusals
+    upsert(batches[3], 3)
+    assert rows_set(EV.read_cms_rollup(spark, path), cols) == rollup_before
+
+    # compact-crash window: ledger gone (parked at __fold_bak), rollup
+    # present — the next upsert must fail loudly, not rebuild from empty
+    shutil.move(contrib, contrib + "__fold_bak")
+    with pytest.raises(IOError, match="contrib .*ledger .*missing|ledger"):
+        upsert(batches[3], 3)
+    shutil.move(contrib + "__fold_bak", contrib)  # operator restores
+    upsert(batches[3], 3)
+    assert rows_set(EV.read_cms_rollup(spark, path), cols) == rollup_before
+
+
 def test_cdc_apply_converges_and_replays_idempotently(spark, tmp_path):
     """Change batches (upserts + deletes, op-tagged) applied through the
     partition-pruned MERGE sink: the target converges to the net state,

@@ -1919,3 +1919,52 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
             return scored
         e = scored.where(F.col("support") >= k - 2).select("a", "b").localCheckpoint()
     raise RuntimeError(f"k_truss: did not stabilize within {max_iter} rounds")
+
+
+def diameter_double_sweep(edges: DataFrame) -> DataFrame:
+    """Diameter LOWER BOUND by the classic double BFS sweep (Magnien,
+    Latapy & Habib, ACM JEA 2009): BFS from the smallest vertex id, hop to
+    a farthest vertex u (ties → smallest id), BFS again from u — u's
+    eccentricity bounds the diameter from below, and on most real graphs
+    equals it. Edges are treated as UNDIRECTED (symmetrized, self-loops
+    dropped); the bound covers the start vertex's connected component.
+
+    Returns one row ``(start_vid BIGINT, peripheral_vid BIGINT,
+    antipode_vid BIGINT, diameter_lb INT)`` — the deterministic sweep
+    witness pair and the bound.
+
+    Scale shape: exactly two runs of the level-synchronous ``bfs``
+    operator (frontier-checkpointed, one src-keyed shuffle per level) plus
+    two single-row argmax reductions — no per-pair work, unlike exact
+    diameter's all-pairs BFS. Reference parity: no analogue (reference
+    analytics are R3/R4 only); north-star analytics extension.
+    """
+    spark = edges.sparkSession
+    und = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    first = und.agg(F.min("src").alias("m")).first()
+    if first["m"] is None:
+        return spark.createDataFrame(
+            [],
+            "start_vid BIGINT, peripheral_vid BIGINT, "
+            "antipode_vid BIGINT, diameter_lb INT",
+        )
+    s0 = int(first["m"])
+
+    def _farthest(levels: DataFrame) -> tuple[int, int]:
+        r = levels.orderBy(F.desc("level"), "vid").first()
+        return int(r["vid"]), int(r["level"])
+
+    u, _ = _farthest(bfs(und, start=s0))
+    w, ecc = _farthest(bfs(und, start=u))
+    return spark.createDataFrame(
+        [(s0, u, w, ecc)],
+        "start_vid BIGINT, peripheral_vid BIGINT, "
+        "antipode_vid BIGINT, diameter_lb INT",
+    )

@@ -3259,3 +3259,155 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("bigint").alias("n_pairs"),
         F.round(num / den, 4).alias("autocorr_lag1"),
     ).orderBy("event_type")
+
+
+# --- Data-quality audits -----------------------------------------------------
+
+
+@query(
+    "ri_orphan_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'nation.n_regionkey->region',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    ) ORDER BY fk
+    """,
+    tags=("quality", "referential-integrity", "audit"),
+)
+def ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the schema: per
+    edge, total child rows and orphan rows (child key with no parent) —
+    the pre-ingest gate any warehouse load runs. Each edge is one left
+    join counted in a single pass (no anti-join + count double-scan);
+    parent key sides are dimension-sized or shrink to the distinct key
+    column, so at 100 TB the fact-side edges run as broadcast or
+    AQE-planned shuffle joins and the seven audits share nothing —
+    they parallelize as independent stages of one job."""
+    fks = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for child, ckey, parent, pkey in fks:
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        one = c.join(p, "k", "left").agg(
+            F.lit(f"{child}.{ckey}->{parent}").alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.col("_hit").isNull().cast("int")).cast("bigint").alias(
+                "n_orphans"
+            ),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("fk")
+
+
+@query(
+    "fd_violation_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders: o_orderkey->o_custkey' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_lhs,
+             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS n
+            FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'nation: n_nationkey->n_regionkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0
+      FROM (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS n
+            FROM nation GROUP BY n_nationkey)
+      UNION ALL
+      SELECT 'customer: c_nationkey->c_mktsegment',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0
+      FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n
+            FROM customer GROUP BY c_nationkey)
+      UNION ALL
+      SELECT 'lineitem: l_orderkey->l_returnflag',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0
+      FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS n
+            FROM lineitem GROUP BY l_orderkey)
+    ) ORDER BY fd
+    """,
+    tags=("quality", "functional-dependency", "audit"),
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does A determine B? Per candidate FD,
+    the number of LHS values, how many map to more than one RHS value,
+    and the verdict — key/constraint discovery for schema inference and
+    the denormalization-safety check before collapsing a join. The mix is
+    deliberate: two true FDs (PK-derived) and two that fail on real data,
+    so the query demonstrates both verdicts. Shape per FD: one partial-agg
+    groupBy on the LHS with a distinct-count, then a constant-size
+    summary — no joins, fully parallel, skew-tolerant (a hot LHS key is
+    just one group)."""
+    fds = [
+        ("orders", "o_orderkey", "o_custkey"),
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+    ]
+    out = None
+    for table, lhs, rhs in fds:
+        t = load_table(spark, sf_dir, table)
+        per = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("n"))
+        one = per.agg(
+            F.lit(f"{table}: {lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            F.sum((F.col("n") > 1).cast("int")).cast("bigint").alias(
+                "n_violating"
+            ),
+            (F.sum((F.col("n") > 1).cast("int")) == 0).alias("holds"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("fd")

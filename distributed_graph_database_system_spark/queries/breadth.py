@@ -2198,3 +2198,138 @@ def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leading_digit")
     )
+
+
+@query(
+    "events_overlap_kmv",
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM s
+    ), sk AS (SELECT event_type, h FROM rk WHERE rn <= 256),
+    st AS (
+      SELECT event_type,
+             CASE WHEN COUNT(*) < 256 THEN 1152921504606846976
+                  ELSE MAX(h) END AS theta
+      FROM sk GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             LEAST(a.theta, b.theta) AS theta
+      FROM st a JOIN st b ON a.event_type < b.event_type
+    ), ra AS (
+      SELECT p.type_a, p.type_b, p.theta, s.h
+      FROM pairs p JOIN sk s ON s.event_type = p.type_a AND s.h < p.theta
+    ), rb AS (
+      SELECT p.type_a, p.type_b, p.theta, s.h
+      FROM pairs p JOIN sk s ON s.event_type = p.type_b AND s.h < p.theta
+    ), ix AS (
+      SELECT ra.type_a, ra.type_b, ra.theta, COUNT(*) AS n_inter
+      FROM ra JOIN rb ON ra.type_a = rb.type_a AND ra.type_b = rb.type_b
+                     AND ra.h = rb.h
+      GROUP BY ra.type_a, ra.type_b, ra.theta
+    ), un AS (
+      SELECT type_a, type_b, theta, COUNT(*) AS n_union FROM (
+        SELECT type_a, type_b, theta, h FROM ra
+        UNION
+        SELECT type_a, type_b, theta, h FROM rb
+      ) GROUP BY type_a, type_b, theta
+    )
+    SELECT p.type_a AS type_a, p.type_b AS type_b,
+           CAST(COALESCE(ix.n_inter, 0) AS BIGINT) AS n_sample_inter,
+           ROUND(CAST(COALESCE(ix.n_inter, 0) AS DOUBLE)
+                 * 1152921504606846976.0 / CAST(p.theta AS DOUBLE), 1)
+             AS est_inter,
+           ROUND(CAST(COALESCE(ix.n_inter, 0) AS DOUBLE)
+                 / CAST(COALESCE(un.n_union, 1) AS DOUBLE), 4)
+             AS est_jaccard
+    FROM pairs p
+    LEFT JOIN ix ON ix.type_a = p.type_a AND ix.type_b = p.type_b
+    LEFT JOIN un ON un.type_a = p.type_a AND un.type_b = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+    tags=("events", "sketch", "kmv", "overlap"),
+)
+def events_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch audience overlap: pairwise distinct-user
+    INTERSECTION and Jaccard estimates between event types from bottom-k
+    hash sketches (operators/sketch.py kmv_sketch) — the set-algebra
+    question HLL registers cannot answer (HLL unions cleanly but has no
+    intersection). events_audience_overlap is the exact twin this
+    estimates: there the distinct self-join touches every (type, user)
+    row per pair; here everything after the one sketch build runs on
+    ≤ k = 256 rows per type, whatever the user count — the 100 TB shape.
+    The md5-60bit hash is engine-portable, so the DuckDB oracle
+    reproduces every estimate bit-for-bit (no tolerance, no pinning);
+    accuracy against the exact twin is asserted in tests/test_sketch.py
+    (relative error ~1/sqrt(k-1))."""
+    from distributed_graph_database_system_spark.operators.sketch import (
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(e, "user_id", k=256, group_cols=("event_type",))
+    out = kmv_pair_overlap(sk, "event_type", k=256)
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_sample_inter",
+        F.round("est_inter", 1).alias("est_inter"),
+        F.round("est_jaccard", 4).alias("est_jaccard"),
+    ).orderBy("type_a", "type_b")
+
+
+@query(
+    "events_sliding7_bitmap_exact",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_7d
+    FROM days d
+    JOIN events e ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    ORDER BY day
+    """,
+    tags=("events", "bitmap", "sliding-window", "distinct"),
+)
+def events_sliding7_bitmap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day sliding distinct users via Spark 4 bitmap aggregates —
+    the precise twin of agg_hll_sliding7: per (day, 32768-value bucket)
+    the user set compresses to one bitmap with bitmap_construct_agg (a
+    map-side partial aggregate; ≤ 4 KB state per bucket however many
+    events hit it), each daily bitmap then contributes to its 7 covering
+    windows by an explode(0..6) date shift, and the per-window union is
+    bitmap_or_agg + bitmap_count summed over buckets. Nothing leaves the
+    JVM and no (day × user) pair is ever re-shuffled raw: the shuffle
+    volume is bitmaps, compressed ~32768:1 against user-id rows for dense
+    buckets. The oracle is the plain COUNT(DISTINCT) range join — exact
+    equality, not an estimate tolerance."""
+    e = load_table(spark, sf_dir, "events")
+    day_bm = (
+        e.select(
+            F.to_date("ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("day", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    contrib = day_bm.select(
+        F.expr("explode(sequence(0, 6))").alias("i"), "day", "bkt", "bm"
+    ).select(F.date_add("day", F.col("i")).alias("day"), "bkt", "bm")
+    observed = e.select(F.to_date("ts").alias("day")).distinct()
+    return (
+        contrib.join(observed, "day", "left_semi")
+        .groupBy("day", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("users_7d"))
+        .select(F.col("day").cast("string").alias("day"), "users_7d")
+        .orderBy("day")
+    )

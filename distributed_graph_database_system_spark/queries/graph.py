@@ -915,3 +915,25 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("harmonic_score"), "vid")
         .limit(25)
     )
+
+
+@query(
+    "graph_diameter_g6",
+    oracle="""
+    SELECT CAST(s AS BIGINT) AS start_vid, CAST(p AS BIGINT) AS peripheral_vid,
+           CAST(a AS BIGINT) AS antipode_vid, CAST(d AS INT) AS diameter_lb
+    FROM (VALUES (1, 10, 1, 5)) AS t(s, p, a, d)
+    """,
+    tags=("graph", "diameter", "double-sweep"),
+)
+def graph_diameter_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound on the G6 fixture (clique +
+    bridged 5-cycle + pendant): sweep 1 from vid 1 peaks at the pendant
+    10 (level 5), sweep 2 from 10 reaches 1 at distance 5 — the true
+    diameter here (hand-verified: 10→8→9→5→4→1). Golden VALUES oracle,
+    brute-force all-pairs parity in tests/test_graph.py."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        diameter_double_sweep,
+    )
+
+    return diameter_double_sweep(_edges(spark, G6))

@@ -1243,3 +1243,66 @@ def test_ktruss_matches_bruteforce(spark, sf_dir):
     for k in (3, 4):
         got = {(r["a"], r["b"]): r["support"] for r in k_truss(ed, k=k).collect()}
         assert got == ref_truss(base, k), f"k={k} mismatch"
+
+
+def test_diameter_double_sweep_brute_force_parity(spark):
+    """The double-sweep bound is (a) ≤ the true diameter, (b) an actual
+    eccentricity (witnessed by the returned pair), and (c) equal to the
+    true diameter on trees (where double sweep is provably exact). Checked
+    against an all-pairs python BFS on a deterministic random graph and a
+    deterministic random tree."""
+    import collections
+    import random
+
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+        diameter_double_sweep,
+    )
+
+    def py_bfs(adj, s):
+        dist = {s: 0}
+        dq = collections.deque([s])
+        while dq:
+            v = dq.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+        return dist
+
+    rng = random.Random(7)
+    # connected random graph: spanning chain + extra chords
+    n = 40
+    edges = [(i, i + 1) for i in range(1, n)]
+    edges += [
+        (rng.randint(1, n), rng.randint(1, n)) for _ in range(25)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    comp = py_bfs(adj, 1)
+    true_diam = max(
+        max(py_bfs(adj, s).values()) for s in comp
+    )
+    row = diameter_double_sweep(
+        spark.createDataFrame(edges, EDGE_SCHEMA)
+    ).first()
+    assert row.start_vid == 1
+    assert row.diameter_lb <= true_diam
+    d2 = py_bfs(adj, row.peripheral_vid)
+    assert d2[row.antipode_vid] == row.diameter_lb  # witnessed distance
+    assert row.diameter_lb == max(d2.values())  # IS u's eccentricity
+
+    # random tree: double sweep is exact
+    tree = [(i, rng.randint(1, i - 1)) for i in range(2, 60)]
+    tadj = collections.defaultdict(set)
+    for a, b in tree:
+        tadj[a].add(b)
+        tadj[b].add(a)
+    t_diam = max(max(py_bfs(tadj, s).values()) for s in tadj)
+    trow = diameter_double_sweep(
+        spark.createDataFrame(tree, EDGE_SCHEMA)
+    ).first()
+    assert trow.diameter_lb == t_diam

@@ -127,3 +127,131 @@ def test_cm_estimate_null_w_rows(spark, sf_dir):
         cm_estimate(legacy, truth, "tok")
     for r in cm_estimate(legacy, truth, "tok", width=256).collect():
         assert r.est >= r.true_cnt
+
+
+# --- KMV (bottom-k distinct) sketch -----------------------------------------
+
+
+def test_kmv_distinct_estimate_accuracy_and_exact_small_groups(spark, sf_dir):
+    """Unbiased-estimator sanity: per event type the KMV estimate lands
+    within 5/sqrt(k-1) relative error of the exact distinct count (wide
+    confidence: md5 is fixed, so this is a deterministic regression, not
+    a flaky statistical assertion), and a group with < k distinct values
+    is returned EXACTLY (the sketch is the whole set)."""
+    from distributed_graph_database_system_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = 256
+    sk = kmv_sketch(e, "user_id", k=k, group_cols=("event_type",))
+    est = {
+        r.event_type: r.est_distinct
+        for r in kmv_distinct_estimate(sk, k=k, group_cols=("event_type",)).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    tol = 5.0 / (k - 1) ** 0.5
+    for t, n in exact.items():
+        if n < k:
+            assert est[t] == float(n), f"{t}: small group must be exact"
+        else:
+            rel = abs(est[t] - n) / n
+            assert rel < tol, f"{t}: rel err {rel:.3f} exceeds {tol:.3f}"
+
+
+def test_kmv_merge_equals_sketch_of_union_exactly(spark, sf_dir):
+    """Bottom-k is a semilattice: merging the sketches of two disjoint
+    slices is row-identical to sketching the union."""
+    from distributed_graph_database_system_spark.operators.sketch import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = e.where(F.col("event_id") % 2 == 0)
+    b = e.where(F.col("event_id") % 2 == 1)
+    k = 64
+    merged = kmv_merge(
+        kmv_sketch(a, "user_id", k=k, group_cols=("event_type",)),
+        kmv_sketch(b, "user_id", k=k, group_cols=("event_type",)),
+        k=k,
+        group_cols=("event_type",),
+    )
+    whole = kmv_sketch(e, "user_id", k=k, group_cols=("event_type",))
+    got = {(r.event_type, r.h) for r in merged.collect()}
+    want = {(r.event_type, r.h) for r in whole.collect()}
+    assert got == want
+
+
+def test_kmv_presieve_matches_unsieved_and_guards_small_groups(spark, sf_dir):
+    """A generously-sized presieve returns the IDENTICAL sketch (the
+    bottom-k never reaches the cut), and a sieve too tight for a group's
+    cardinality raises instead of returning a silently biased sketch."""
+    import pytest
+
+    from distributed_graph_database_system_spark.operators.sketch import (
+        KMV_SPACE,
+        kmv_sketch,
+    )
+
+    k = 64
+    big = spark.range(20000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )  # two 10k-distinct groups
+    sieve = 8.0 * k / 10000
+    plain = kmv_sketch(big, "v", k=k, group_cols=("g",))
+    sieved = kmv_sketch(big, "v", k=k, group_cols=("g",), presieve=sieve)
+    assert {(r.g, r.h) for r in plain.collect()} == {
+        (r.g, r.h) for r in sieved.collect()
+    }
+    # presieve == 1.0 filters nothing: small groups stay legal (the
+    # fixture's 15-distinct event types would otherwise trip the guard)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kmv_sketch(e, "user_id", k=k, group_cols=("event_type",), presieve=1.0)
+    # a sieve too tight for the group's cardinality → raise, not bias
+    with pytest.raises(ValueError, match="presieve kept fewer"):
+        kmv_sketch(big, "v", k=k, group_cols=("g",), presieve=1e-12)
+    with pytest.raises(ValueError, match="not in"):
+        kmv_sketch(big, "v", k=k, presieve=0.0)
+    assert KMV_SPACE == 1 << 60
+
+
+def test_kmv_pair_overlap_tracks_exact_jaccard(spark, sf_dir):
+    """The pairwise θ-sample overlap estimates track the exact
+    intersection and Jaccard within the k=256 error regime (deterministic
+    given md5 — a regression pin, not a statistical test)."""
+    from distributed_graph_database_system_spark.operators.sketch import (
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = 256
+    sk = kmv_sketch(e, "user_id", k=k, group_cols=("event_type",))
+    got = {
+        (r.type_a, r.type_b): (r.est_inter, r.est_jaccard)
+        for r in kmv_pair_overlap(sk, "event_type", k=k).collect()
+    }
+    s = e.select("event_type", "user_id").distinct()
+    a = s.toDF("type_a", "user_id")
+    b = s.toDF("type_b", "user_id")
+    ix = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sz = {r.event_type: r.n for r in s.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for r in ix.collect():
+        est_i, est_j = got[(r.type_a, r.type_b)]
+        union = sz[r.type_a] + sz[r.type_b] - r.n_both
+        exact_j = r.n_both / union
+        assert abs(est_i - r.n_both) / r.n_both < 0.35
+        assert abs(est_j - exact_j) < 0.1

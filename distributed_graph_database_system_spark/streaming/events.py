@@ -503,6 +503,112 @@ def run_incremental_cms_rollup(
     run_foreach_batch(stream, upsert, mode="append")
 
 
+def run_incremental_kmv_rollup(
+    spark: SparkSession,
+    stream: DataFrame,
+    rollup_path: str,
+    k: int = 256,
+) -> None:
+    """Incremental per-day KMV (bottom-k distinct-hash) rollup — the
+    SET-ALGEBRA twin of the HLL distinct rollup: HLL registers answer
+    "how many distinct users per (day, type)" but cannot intersect; the
+    KMV sketch store answers overlap questions (day-over-day retention of
+    a type's audience, cross-type intersection on any day) from ≤ k-row
+    sketches via operators/sketch.py kmv_pair_overlap.
+
+    Same exactly-once ledger design as the other three rollups: the
+    batch's per-(day, event_type) bottom-k hash ARRAY lands in a
+    ``(day, batch_id)``-keyed ledger cell (idempotent overwrite — the
+    sketch is a deterministic function of the batch rows), and touched
+    days rebuild by bottom-k-of-union over their cells. Bottom-k is a
+    semilattice (associative, commutative, idempotent — asserted in
+    tests/test_sketch.py), so replays and refolds are safe by
+    construction. The sketch k rides along as the stamped ``kk`` column
+    (the CMS ``w`` self-description pattern); fold via
+    ``compact_contrib_ledger(path, {"hs": "kmv_union"})``.
+
+    Per batch the state is O(days × event_types × k) hashes; the rollup
+    stores BOTH the day sketch (for set algebra) and the point estimate
+    ``est_users`` ((k-1)·2^60/h_k, exact below k)."""
+    from distributed_graph_database_system_spark.operators.sketch import (
+        KMV_SPACE,
+        kmv_sketch,
+    )
+
+    contrib_path = rollup_path.rstrip("/") + "_contrib"
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_ledger_epoch(spark, contrib_path, rollup_path, batch_id)
+        contrib = (
+            kmv_sketch(
+                batch_df.select(
+                    F.to_date(F.col("ts")).alias("day"), "event_type", "user_id"
+                ),
+                "user_id",
+                k=k,
+                group_cols=("day", "event_type"),
+            )
+            .groupBy("day", "event_type")
+            .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+            .withColumn("kk", F.lit(int(k)).cast("int"))
+            .localCheckpoint()
+        )
+        days = [r["day"] for r in contrib.select("day").distinct().collect()]
+        if not days:
+            return
+        with _dynamic_overwrite(spark, contrib.sparkSession):
+            contrib.withColumn("batch_id", F.lit(int(batch_id))).write.partitionBy(
+                "day", "batch_id"
+            ).mode("overwrite").parquet(contrib_path)
+            ledger = spark.read.parquet(contrib_path)
+            ks = ledger.agg(F.min("kk"), F.max("kk")).first()
+            if ks[0] != ks[1] or ks[0] != k:
+                raise ValueError(
+                    f"kmv rollup: ledger stamped kk={ks[0]}..{ks[1]} but "
+                    f"this rollup runs k={k} — k is fixed per ledger"
+                )
+            merged = (
+                ledger.where(F.col("day").isin(days))
+                .groupBy("day", "event_type", "kk")
+                .agg(
+                    F.expr(
+                        "slice(array_sort(array_distinct("
+                        "flatten(collect_list(hs)))), 1, kk)"
+                    ).alias("hs")
+                )
+                .withColumn(
+                    "est_users",
+                    F.when(
+                        F.size("hs") < F.col("kk"),
+                        F.size("hs").cast("double"),
+                    ).otherwise(
+                        (F.col("kk") - 1).cast("double")
+                        * F.lit(float(KMV_SPACE))
+                        / F.element_at("hs", F.col("kk")).cast("double")
+                    ),
+                )
+                .select("day", "event_type", "hs", "kk", "est_users")
+            )
+            merged.write.partitionBy("day").mode("overwrite").parquet(
+                rollup_path
+            )
+
+    run_foreach_batch(stream, upsert, mode="append")
+
+
+def read_kmv_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The per-day sketch table ``(day, event_type, hs, kk, est_users)``;
+    ``hs`` rows explode back to (group, h) form for
+    operators/sketch.py kmv_pair_overlap / kmv_merge set algebra."""
+    return spark.read.parquet(rollup_path).select(
+        F.col("day").cast("timestamp").alias("day"),
+        "event_type",
+        "hs",
+        "kk",
+        "est_users",
+    )
+
+
 def compact_contrib_ledger(
     spark: SparkSession,
     contrib_path: str,
@@ -520,9 +626,11 @@ def compact_contrib_ledger(
     ``value_aggs`` maps each value column to its merge function —
     ``"sum"`` (additive counters: counts, CM cells, decimal sums),
     ``"max"`` (register-max merges), ``"hll_union"`` (HLL sketch
-    binaries). Every other non-``batch_id`` column is a group key. All
-    three merge functions are associative+commutative, so the folded
-    ledger rebuilds BIT-identical rollups.
+    binaries), ``"kmv_union"`` (bottom-k hash arrays; requires the
+    stamped ``kk`` column, which is a group key, as the truncation
+    bound). Every other non-``batch_id`` column is a group key. All
+    four merge functions are associative+commutative (bottom-k is also
+    idempotent), so the folded ledger rebuilds BIT-identical rollups.
 
     Replay safety: checkpointed foreachBatch redelivers at most the
     LATEST (uncommitted) batch after a crash; committed earlier batches
@@ -548,7 +656,18 @@ def compact_contrib_ledger(
 
     Returns ``{"folded_cells", "partitions_before", "partitions_after"}``.
     """
-    _AGGS = {"sum": F.sum, "max": F.max, "hll_union": F.hll_union_agg}
+    _AGGS = {
+        "sum": F.sum,
+        "max": F.max,
+        "hll_union": F.hll_union_agg,
+        # kk is a grouping column (constant per ledger), so referencing it
+        # inside the aggregate expression is legal and truncates the folded
+        # union back to the sketch bound
+        "kmv_union": lambda c: F.expr(
+            f"slice(array_sort(array_distinct(flatten(collect_list({c})))), "
+            "1, kk)"
+        ),
+    }
     unknown = {a for a in value_aggs.values() if a not in _AGGS}
     if unknown:
         raise ValueError(f"compact_contrib_ledger: unknown agg(s) {unknown}")
@@ -575,7 +694,7 @@ def compact_contrib_ledger(
     folded = (
         led.where(F.col("batch_id") < max_bid)
         .groupBy(*group_cols)
-        .agg(*[_AGGS[a](F.col(c)).alias(c) for c, a in value_aggs.items()])
+        .agg(*[_AGGS[a](c).alias(c) for c, a in value_aggs.items()])
         .withColumn("batch_id", F.lit(-1))
         .select(*led.columns)
     )

@@ -746,6 +746,96 @@ def test_ledger_epoch_guard_rejects_restarted_streams(spark, sf_dir, tmp_path):
     assert rows_set(EV.read_cms_rollup(spark, path), cols) == rollup_before
 
 
+def test_incremental_kmv_rollup_converges_folds_and_intersects(
+    spark, sf_dir, tmp_path
+):
+    """The KMV sketch store: (1) incremental per-day sketches converge to
+    the one-shot batch sketch EXACTLY (bottom-k is a semilattice), so
+    est_users matches the batch estimate bit-for-bit; (2) replaying the
+    latest batch changes nothing; (3) kmv_union ledger folding preserves
+    the rebuilt rollup row-for-row; (4) the stored sketches answer a
+    cross-type intersection question via kmv_pair_overlap."""
+    import distributed_graph_database_system_spark.streaming.events as EV
+    from distributed_graph_database_system_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "kmv_roll")
+    contrib = path + "_contrib"
+    k = 64
+    captured = {}
+    orig = EV.run_foreach_batch
+    EV.run_foreach_batch = lambda stream, fn, mode="update": captured.update(fn=fn)
+    try:
+        EV.run_incremental_kmv_rollup(spark, None, path, k=k)
+    finally:
+        EV.run_foreach_batch = orig
+    upsert = captured["fn"]
+
+    batches = [e.where(F.col("event_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        upsert(b, i)
+
+    rolled = EV.read_kmv_rollup(spark, path)
+    # batch twin: sketch the whole fixture per (day, type) in one shot
+    whole = kmv_sketch(
+        e.select(F.to_date("ts").alias("day"), "event_type", "user_id"),
+        "user_id",
+        k=k,
+        group_cols=("day", "event_type"),
+    )
+    want_est = {
+        (str(r.day), r.event_type): r.est_distinct
+        for r in kmv_distinct_estimate(
+            whole, k=k, group_cols=("day", "event_type")
+        ).collect()
+    }
+    got_est = {
+        (str(r.day.date()), r.event_type): r.est_users
+        for r in rolled.collect()
+    }
+    assert got_est == want_est
+    got_sketch = {
+        (str(r.day.date()), r.event_type): tuple(r.hs) for r in rolled.collect()
+    }
+    want_sketch = {}
+    for r in whole.collect():
+        want_sketch.setdefault((str(r.day), r.event_type), []).append(r.h)
+    assert got_sketch == {kk: tuple(sorted(v)) for kk, v in want_sketch.items()}
+
+    # replay latest batch → unchanged
+    upsert(batches[2], 2)
+    assert {
+        (str(r.day.date()), r.event_type): r.est_users
+        for r in EV.read_kmv_rollup(spark, path).collect()
+    } == want_est
+
+    # fold the ledger, rebuild via a replay: still identical
+    stats = EV.compact_contrib_ledger(spark, contrib, {"hs": "kmv_union"})
+    assert stats["partitions_after"] < stats["partitions_before"]
+    upsert(batches[2], 2)
+    assert {
+        (str(r.day.date()), r.event_type): r.est_users
+        for r in EV.read_kmv_rollup(spark, path).collect()
+    } == want_est
+
+    # set algebra from the persisted store: one day's cross-type overlap
+    # (re-read: `rolled` caches the pre-rewrite file listing)
+    day0 = EV.read_kmv_rollup(spark, path).orderBy("day").first()["day"]
+    day_sk = (
+        EV.read_kmv_rollup(spark, path)
+        .where(F.col("day") == day0)
+        .select("event_type", F.explode("hs").alias("h"))
+    )
+    ov = kmv_pair_overlap(day_sk, "event_type", k=k)
+    assert ov.count() > 0
+    for r in ov.collect():
+        assert 0.0 <= r.est_jaccard <= 1.0
+
+
 def test_cdc_apply_converges_and_replays_idempotently(spark, tmp_path):
     """Change batches (upserts + deletes, op-tagged) applied through the
     partition-pruned MERGE sink: the target converges to the net state,

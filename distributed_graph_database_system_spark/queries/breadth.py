@@ -2333,3 +2333,78 @@ def events_sliding7_bitmap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("day").cast("string").alias("day"), "users_7d")
         .orderBy("day")
     )
+
+
+# Multivariate OLS via distributed normal equations. ONE SQL template
+# instantiated for BOTH engines (only the table name differs), so the
+# double-precision expression trees are textually identical — the exact
+# decimal moments feed the same IEEE operations in the same order.
+_OLS_SQL = """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS s1y,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS s2y,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS syy
+      FROM {table}
+    ), c AS (
+      SELECT n, s1, s2, sy, s1y, s2y, syy,
+        (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+           + s2*(s1*s12 - s11*s2)) AS det,
+        (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+           + s2*(s1y*s12 - s11*s2y)) AS det0,
+        (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+           + s2*(s1*s2y - s1y*s2)) AS det1,
+        (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+           + sy*(s1*s12 - s11*s2)) AS det2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(det0/det, 2) AS b0,
+           ROUND(det1/det, 4) AS b1,
+           ROUND(det2/det, 4) AS b2,
+           ROUND(1.0 - (syy - ((det0/det)*sy + (det1/det)*s1y
+                               + (det2/det)*s2y))
+                     / (syy - sy*sy/n), 6) AS r2
+    FROM c
+"""
+
+
+@query(
+    "lineitem_ols_normal_eq",
+    oracle=_OLS_SQL.format(table="lineitem"),
+    tags=("ml", "regression", "normal-equations"),
+)
+def lineitem_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS fit by DISTRIBUTED NORMAL EQUATIONS — the
+    trains-on-100-TB regression shape: l_extendedprice regressed on
+    (l_quantity, l_discount) with intercept. One scan accumulates the
+    nine exact-decimal moments (n, Σx, Σxxᵀ, Σxy, Σyy) with map-side
+    partial aggregation — X'X is 3×3 however many rows — and the closed
+    Cramer solve + R² run on that single row. No gradient steps, no
+    driver-side data, no iteration: the entire fit is one aggregate plus
+    scalar arithmetic, which is why the normal-equation path is THE
+    distributed formulation for small-feature-count linear models. The
+    Spark and DuckDB sides instantiate the SAME SQL template, so every
+    double operation matches bit-for-bit."""
+    from distributed_graph_database_system_spark.queries.helpers import sf_view
+
+    view = sf_view(
+        spark, load_table(spark, sf_dir, "lineitem"), "ols_li", sf_dir
+    )
+    return spark.sql(_OLS_SQL.format(table=view))

@@ -234,3 +234,34 @@ def test_full_audit_catches_page_corruption_under_intact_footer(spark, tmp_path)
         for r in audit_parquet_files(spark, path, level="full").collect()
     }
     assert full[parts[0]] is False and full[parts[1]] is True
+
+
+def test_ols_normal_eq_matches_numpy_lstsq(spark, sf_dir):
+    """The Cramer-solved normal equations agree with numpy's QR-based
+    lstsq on the same fixture rows — algebra check independent of the
+    DuckDB oracle (which shares the SQL template by construction)."""
+    import numpy as np
+
+    from distributed_graph_database_system_spark.queries.breadth import (
+        lineitem_ols_normal_eq,
+    )
+
+    row = lineitem_ols_normal_eq(spark, sf_dir).first()
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(li)), li.l_quantity.values, li.l_discount.values]
+    )
+    y = li.l_extendedprice.values
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row.n_rows == len(li)
+    assert abs(row.b0 - beta[0]) < max(1e-6 * abs(beta[0]), 0.02)
+    assert abs(row.b1 - beta[1]) < max(1e-6 * abs(beta[1]), 1e-3)
+    assert abs(row.b2 - beta[2]) < max(1e-6 * abs(beta[2]), 1e-2)
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert abs(row.r2 - (1.0 - ss_res / ss_tot)) < 1e-5

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from distributed_graph_database_system_spark.queries.llm_goldens import (
     EVENTS_MARKOV_STATIONARY_GOLDEN,
+    TEXT_KEYWORDS_TEXTRANK_GOLDEN,
 )
 from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources.catalog import load_table
@@ -3411,3 +3412,155 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionAll(one)
     return out.orderBy("fd")
+
+
+@query(
+    "events_heavy_hitters_rescan",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id HAVING COUNT(*) >= 30
+    ORDER BY n_events DESC, user_id
+    """,
+    tags=("events", "sketch", "heavy-hitters", "rescan"),
+)
+def events_heavy_hitters_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-prefiltered EXACT heavy hitters: users with ≥ 30 events,
+    found without ever aggregating the full user domain. Phase 1 builds a
+    count-min sketch (constant d×w state, map-side combine) and estimates
+    each distinct user via a BROADCAST join against the sketch — no
+    shuffle keyed on user_id at all. Because CM never undercounts, the
+    candidate set {est ≥ T} provably contains every true heavy hitter;
+    phase 2 then exact-counts ONLY the candidates (a left-semi join
+    shrinks the fact stream before the one real aggregation). The result
+    is EXACT — the oracle is the plain GROUP BY/HAVING — but at 100 TB the
+    expensive full-domain aggregate is replaced by sketch-broadcast +
+    an aggregation over the filtered sliver. The same two-phase shape
+    backs every "top abusers / hot keys / trending ids" production query.
+    CM guarantee tested in tests/test_sketch.py; threshold 30 keeps the
+    fixture's candidate sliver non-trivial at every SF."""
+    from distributed_graph_database_system_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    sk = cm_sketch(e, "user_id", depth=5, width=4096)
+    users = e.distinct()
+    candidates = cm_estimate(sk, users, "user_id").where(F.col("est") >= 30)
+    return (
+        e.join(candidates.select("user_id"), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .where(F.col("n_events") >= 30)
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
+@query(
+    "text_keywords_textrank",
+    oracle=TEXT_KEYWORDS_TEXTRANK_GOLDEN,
+    oracle_sf="0.01",
+    tags=("text", "keywords", "textrank", "iterative"),
+)
+def text_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED TextRank keyword extraction (Mihalcea & Tarau, EMNLP
+    2004): PageRank over the token co-occurrence graph with adjacency
+    COUNTS as edge weights — each vertex distributes its score to
+    neighbors proportionally to w_uv/W_u. (The unweighted variant is
+    degenerate on this corpus: the synthetic vocabulary co-occurs
+    completely, making the 0/1 graph regular and every score exactly
+    1/N; weights are what carry the signal.) The iteration is ORDER-FREE
+    fixed-point decimal (the queries/helpers.py float-determinism
+    discipline applied to an iterative algorithm): per round, new score
+    = 0.15/N + 0.85·Σ(score_u·w_uv/W_u), the per-edge share division
+    rounded to a fixed decimal scale and the sum exact — 12 rounds give
+    byte-identical scores under any partitioning (asserted by running
+    under two shuffle-partition settings in tests), which is what makes
+    the sf0.01 golden pinnable; plain double PageRank sums would drift
+    in the last ulp with shuffle order.
+
+    Scale shape: tokenization streams; the graph is capped to the
+    top-300 vocabulary (count-desc, token tiebreak — the cap is standard
+    TextRank practice, not a shortcut), so the 12 join rounds run on a
+    broadcast-sized weighted edge set however large the corpus; the one
+    big aggregate is the vocabulary count."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias("pos", "tok"),
+    ).where(F.length("tok") >= 4)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("n"), "tok")),
+        )
+        .where(F.col("rk") <= 300)
+        .select("tok")
+    )
+    nxt = F.lead("tok").over(W.partitionBy("doc_id").orderBy("pos"))
+    grams = toks.withColumn("nxt", nxt).where(
+        F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt"))
+    )
+    e0 = (
+        grams.join(vocab, "tok", "left_semi")
+        .join(vocab.withColumnRenamed("tok", "nxt"), "nxt", "left_semi")
+        .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # symmetrize: w{a,b} = count(a→b) + count(b→a), present in both rows
+    edges = (
+        e0.select("a", "b", "w")
+        .unionAll(
+            e0.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    verts = edges.select(F.col("a").alias("tok")).distinct()
+    n = verts.count()
+    od = edges.groupBy("a").agg(F.sum("w").alias("wd"))
+    q12 = Decimal(1).scaleb(-12)
+    base = (Decimal("0.15") / Decimal(n)).quantize(q12, rounding=ROUND_HALF_UP)
+    init = (Decimal(1) / Decimal(n)).quantize(q12, rounding=ROUND_HALF_UP)
+    score = verts.select(
+        "tok", F.lit(str(init)).cast("decimal(28,12)").alias("s")
+    )
+    for i in range(12):
+        contrib = (
+            edges.join(score.withColumnRenamed("tok", "a"), "a")
+            .join(od, "a")
+            .select(
+                F.col("b").alias("tok"),
+                (F.col("s") * F.col("w") / F.col("wd"))
+                .cast("decimal(28,12)")
+                .alias("sh"),
+            )
+        )
+        agg = contrib.groupBy("tok").agg(F.sum("sh").alias("insum"))
+        score = verts.join(agg, "tok", "left").select(
+            "tok",
+            (
+                F.lit(str(base)).cast("decimal(28,12)")
+                + (
+                    F.lit("0.85").cast("decimal(3,2)")
+                    * F.coalesce(
+                        F.col("insum"), F.lit(0).cast("decimal(28,12)")
+                    )
+                ).cast("decimal(28,12)")
+            )
+            .cast("decimal(28,12)")
+            .alias("s"),
+        )
+        if i % 4 == 3:
+            score = score.localCheckpoint()
+    return (
+        score.orderBy(F.desc("s"), "tok")
+        .limit(15)
+        .select("tok", F.col("s").cast("double").alias("textrank"))
+    )

@@ -107,6 +107,11 @@ SPECS = {
         "7-day sliding distinct users: register-max union of each day's and "
         "the six prior days' HLL sketches (lgConfigK=12)",
     ),
+    "text_keywords_textrank": (
+        [("tok", "VARCHAR"), ("textrank", "DOUBLE")],
+        "weighted TextRank top-15 keywords: 12 damped rounds over the "
+        "co-occurrence graph in order-free fixed-point decimal",
+    ),
 }
 
 

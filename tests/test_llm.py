@@ -943,3 +943,30 @@ def test_mmr_trades_relevance_for_diversity(spark):
     assert len(set(mmr) & set(plain)) >= 2, "MMR lost all relevance overlap"
     # the single most relevant item is always MMR's first pick
     assert mmr[0] == plain[0]
+
+
+def test_textrank_is_partition_invariant_and_weighted(spark, sf_dir):
+    """The fixed-point-decimal TextRank returns byte-identical scores
+    under different shuffle-partition settings (the property that makes
+    its golden pinnable), and the weighted iteration actually
+    differentiates scores (the unweighted variant is uniform 1/N on this
+    corpus because the vocabulary co-occurs completely)."""
+    from distributed_graph_database_system_spark.queries.analysis import (
+        text_keywords_textrank,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    r1 = [(r.tok, r.textrank) for r in text_keywords_textrank(spark, sf_dir).collect()]
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        r2 = [
+            (r.tok, r.textrank)
+            for r in text_keywords_textrank(spark, sf_dir).collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert r1 == r2
+    scores = [v for _, v in r1]
+    assert len(set(scores)) > 1, "weighted TextRank degenerated to uniform"
+    assert abs(sum(scores) * len(scores) / len(scores) - sum(scores)) < 1e-9
+    assert all(0.0 < v < 1.0 for v in scores)

@@ -1968,3 +1968,132 @@ def diameter_double_sweep(edges: DataFrame) -> DataFrame:
         "start_vid BIGINT, peripheral_vid BIGINT, "
         "antipode_vid BIGINT, diameter_lb INT",
     )
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: list[int] | None = None,
+    directed: bool = False,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """Brandes betweenness centrality (Brandes, J.Math.Soc. 2001) from the
+    given ``sources`` — EXACT when sources is None (every vertex seeds one
+    sweep), the standard sampled approximation when a landmark subset is
+    passed (Brandes & Pich 2007: scale bc by |V|/|sources|). Unweighted
+    shortest paths; ``directed=False`` symmetrizes and halves the final
+    scores (each unordered pair contributes twice).
+
+    Determinism discipline: path counts σ are EXACT decimal integers
+    (order-free sums), and the backward dependency accumulation
+    δ(u) += σ_u/σ_w · (1+δ_w) rounds the per-edge share to fixed
+    decimal(28,12) — so results are byte-identical under any
+    partitioning, which is what lets the registered query pin a golden.
+    The fixed-point rounding compounds through the backward recursion:
+    vs exact rational Brandes the absolute error is ~1e-6 at depth ~20
+    (asserted in tests), far inside the sampling error any landmark
+    approximation carries.
+
+    Scale shape: per source, one level-synchronous forward sweep (the bfs
+    join shape, frontier localCheckpoint-ed per level) and one backward
+    sweep over the SAME level structure — both all-vertex-parallel per
+    level; the per-source contributions union into one exact-decimal
+    aggregate. Cost is O(|sources| · depth) joins: exact mode is for
+    small/fixture graphs, landmark sampling is the 100 TB path (same
+    deal as harmonic centrality). Brute-force parity in
+    tests/test_graph.py. Reference parity: no analogue; north-star
+    analytics extension."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint()
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if sources is None:
+        sources = [int(r["vid"]) for r in verts.orderBy("vid").collect()]
+    one = F.lit(1).cast("decimal(20,0)")
+    zero12 = F.lit(0).cast("decimal(28,12)")
+    acc = None
+    for s in sources:
+        # forward: per-level (vid, sigma) with exact integer path counts
+        frontier = spark.createDataFrame([(s,)], "vid BIGINT").select(
+            "vid", one.alias("sigma")
+        ).localCheckpoint()
+        levels = [frontier]
+        visited = frontier.select("vid")
+        for _ in range(max_iter):
+            nxt = (
+                levels[-1]
+                .join(e, levels[-1]["vid"] == e["src"])
+                .select(F.col("dst").alias("vid"), "sigma")
+                .join(visited, "vid", "left_anti")
+                .groupBy("vid")
+                .agg(F.sum("sigma").cast("decimal(20,0)").alias("sigma"))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            visited = visited.unionAll(nxt.select("vid"))
+        else:
+            raise RuntimeError(f"betweenness: source {s} exceeded max_iter")
+        # backward: dependency accumulation, deepest level up
+        delta = levels[-1].select("vid", zero12.alias("delta"))
+        contribs = [] if len(levels) == 1 else [delta]
+        for li in range(len(levels) - 2, -1, -1):
+            below = levels[li + 1].join(delta, "vid").select(
+                F.col("vid").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+                "delta",
+            )
+            du = (
+                levels[li]
+                .join(e, levels[li]["vid"] == e["src"])
+                .join(below, e["dst"] == below["w"])
+                .select(
+                    "vid",
+                    (
+                        F.col("sigma")
+                        * (one + F.col("delta"))
+                        / F.col("sigma_w")
+                    )
+                    .cast("decimal(28,12)")
+                    .alias("sh"),
+                )
+                .groupBy("vid")
+                .agg(F.sum("sh").cast("decimal(28,12)").alias("delta"))
+            )
+            delta = (
+                levels[li]
+                .select("vid")
+                .join(du, "vid", "left")
+                .select("vid", F.coalesce("delta", zero12).alias("delta"))
+                .localCheckpoint()
+            )
+            contribs.append(delta)
+        per_src = None
+        for c in contribs:
+            c = c.where(F.col("vid") != s)
+            per_src = c if per_src is None else per_src.unionAll(c)
+        if per_src is not None:
+            acc = per_src if acc is None else acc.unionAll(per_src)
+    if acc is None:
+        return verts.select("vid", F.lit(0.0).alias("bc"))
+    half = F.lit(1).cast("decimal(2,0)") if directed else F.lit(2).cast(
+        "decimal(2,0)"
+    )
+    bc = acc.groupBy("vid").agg(
+        (F.sum("delta") / half).cast("decimal(28,12)").alias("bc_d")
+    )
+    return verts.join(bc, "vid", "left").select(
+        "vid",
+        F.round(F.coalesce(F.col("bc_d"), zero12).cast("double"), 6).alias(
+            "bc"
+        ),
+    )

@@ -937,3 +937,25 @@ def graph_diameter_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return diameter_double_sweep(_edges(spark, G6))
+
+
+@query(
+    "graph_betweenness_g2",
+    oracle="""
+    SELECT CAST(v AS BIGINT) AS vid, CAST(b AS DOUBLE) AS bc
+    FROM (VALUES (1, 0.5), (2, 1.5), (3, 1.5), (4, 6.5), (5, 0.0), (6, 0.0))
+      AS t(v, b)
+    ORDER BY vid
+    """,
+    tags=("graph", "betweenness", "brandes"),
+)
+def graph_betweenness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brandes betweenness on the undirected G2 fixture — vertex 4
+    carries every cross-cluster shortest path (bc 6.5); the golden VALUES
+    are hand-verified against an independent python Brandes (also run as
+    a property test on random graphs in tests/test_graph.py)."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        betweenness_centrality,
+    )
+
+    return betweenness_centrality(_edges(spark, G2)).orderBy("vid")

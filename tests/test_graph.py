@@ -1306,3 +1306,80 @@ def test_diameter_double_sweep_brute_force_parity(spark):
         spark.createDataFrame(tree, EDGE_SCHEMA)
     ).first()
     assert trow.diameter_lb == t_diam
+
+
+def test_betweenness_matches_python_brandes(spark):
+    """Distributed level-synchronous Brandes equals an independent python
+    Brandes (Fraction-exact) on a deterministic random connected graph,
+    undirected and directed, within the decimal(28,12) rounding the
+    operator documents."""
+    import collections
+    import random
+    from fractions import Fraction
+
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+        betweenness_centrality,
+    )
+
+    def brandes(adj, nodes, halve):
+        bc = {v: Fraction(0) for v in nodes}
+        for s in nodes:
+            dist = {s: 0}
+            sigma = {v: Fraction(0) for v in nodes}
+            sigma[s] = Fraction(1)
+            order = [s]
+            preds = collections.defaultdict(list)
+            dq = collections.deque([s])
+            while dq:
+                v = dq.popleft()
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        dq.append(w)
+                        order.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds[w].append(v)
+            delta = {v: Fraction(0) for v in nodes}
+            for w in reversed(order):
+                for v in preds[w]:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                if w != s:
+                    bc[w] += delta[w]
+        return {v: float(x / (2 if halve else 1)) for v, x in bc.items()}
+
+    rng = random.Random(11)
+    n = 18
+    edges = [(i, i + 1) for i in range(1, n)] + [
+        (rng.randint(1, n), rng.randint(1, n)) for _ in range(14)
+    ]
+    edges = sorted({(a, b) for a, b in edges if a != b})
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+
+    # undirected
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = brandes(adj, sorted(adj), halve=True)
+    got = {r.vid: r.bc for r in betweenness_centrality(df).collect()}
+    assert got.keys() == want.keys()
+    for v in want:
+        # decimal(28,12) per-edge share rounding compounds through the
+        # backward recursion: ~1e-6 absolute on depth-20 graphs
+        assert abs(got[v] - want[v]) < 1e-4, (v, got[v], want[v])
+
+    # directed (no halving; reachability-limited sweeps)
+    dadj = collections.defaultdict(set)
+    for a, b in edges:
+        dadj[a].add(b)
+    for v in list(adj):
+        dadj.setdefault(v, set())
+    want_d = brandes(dadj, sorted(adj), halve=False)
+    got_d = {
+        r.vid: r.bc
+        for r in betweenness_centrality(df, directed=True).collect()
+    }
+    for v in want_d:
+        assert abs(got_d[v] - want_d[v]) < 1e-4, (v, got_d[v], want_d[v])

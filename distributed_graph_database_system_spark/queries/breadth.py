@@ -2408,3 +2408,125 @@ def lineitem_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, load_table(spark, sf_dir, "lineitem"), "ols_li", sf_dir
     )
     return spark.sql(_OLS_SQL.format(table=view))
+
+
+@query(
+    "events_dod_retention_kmv",
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), rk AS (
+      SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM s
+    ), sk AS (SELECT day, h FROM rk WHERE rn <= 256),
+    st AS (
+      SELECT day,
+             CASE WHEN COUNT(*) < 256 THEN 1152921504606846976
+                  ELSE MAX(h) END AS theta
+      FROM sk GROUP BY day
+    ), pairs AS (
+      SELECT a.day AS day, b.day AS day_next, LEAST(a.theta, b.theta) AS theta
+      FROM st a JOIN st b ON b.day = a.day + 1
+    ), ra AS (
+      SELECT p.day, p.day_next, p.theta, s.h
+      FROM pairs p JOIN sk s ON s.day = p.day AND s.h < p.theta
+    ), rb AS (
+      SELECT p.day, p.day_next, p.theta, s.h
+      FROM pairs p JOIN sk s ON s.day = p.day_next AND s.h < p.theta
+    ), ix AS (
+      SELECT ra.day, ra.day_next, COUNT(*) AS n_inter
+      FROM ra JOIN rb ON ra.day = rb.day AND ra.day_next = rb.day_next
+                     AND ra.h = rb.h
+      GROUP BY ra.day, ra.day_next
+    ), na AS (
+      SELECT day, day_next, COUNT(*) AS n_prev FROM ra GROUP BY day, day_next
+    )
+    SELECT CAST(p.day AS VARCHAR) AS day,
+           CAST(p.day_next AS VARCHAR) AS day_next,
+           CAST(COALESCE(na.n_prev, 0) AS BIGINT) AS n_sample_prev,
+           CAST(COALESCE(ix.n_inter, 0) AS BIGINT) AS n_sample_inter,
+           ROUND(CAST(COALESCE(ix.n_inter, 0) AS DOUBLE)
+                 / CAST(CASE WHEN COALESCE(na.n_prev, 0) = 0 THEN 1
+                             ELSE na.n_prev END AS DOUBLE), 4) AS retention
+    FROM pairs p
+    LEFT JOIN ix ON ix.day = p.day AND ix.day_next = p.day_next
+    LEFT JOIN na ON na.day = p.day AND na.day_next = p.day_next
+    ORDER BY day
+    """,
+    tags=("events", "sketch", "kmv", "retention"),
+)
+def events_dod_retention_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience retention ESTIMATED from per-day KMV
+    sketches — the production use-case for the KMV sketch store
+    (streaming/events.py run_incremental_kmv_rollup): what fraction of
+    day d's users return on day d+1, answered from two ≤ 256-row
+    sketches per pair instead of a (day, user)-grain self-join over raw
+    events. θ-restriction per pair makes both samples uniform θ-samples
+    of their day audiences, so the sample ratio n_inter/n_prev IS the
+    retention estimate (θ cancels). The md5-60bit hash is engine-portable
+    — the oracle reproduces every estimate bit-for-bit."""
+    from distributed_graph_database_system_spark.operators.sketch import (
+        KMV_SPACE,
+        kmv_sketch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    k = 256
+    sk = kmv_sketch(
+        e.select(F.to_date("ts").alias("day"), "user_id"),
+        "user_id",
+        k=k,
+        group_cols=("day",),
+    ).localCheckpoint()
+    st = sk.groupBy("day").agg(
+        F.when(F.count("*") < k, F.lit(KMV_SPACE))
+        .otherwise(F.max("h"))
+        .alias("theta")
+    )
+    pairs = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            F.col("b.day") == F.date_add(F.col("a.day"), 1),
+        )
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("b.day").alias("day_next"),
+            F.least("a.theta", "b.theta").alias("theta"),
+        )
+    )
+    ra = pairs.join(sk, "day").where(F.col("h") < F.col("theta"))
+    rb = pairs.join(
+        sk.withColumnRenamed("day", "day_next"), "day_next"
+    ).where(F.col("h") < F.col("theta"))
+    ix = ra.join(rb.select("day", "day_next", "h"), ["day", "day_next", "h"]).groupBy(
+        "day", "day_next"
+    ).agg(F.count("*").alias("n_inter"))
+    na = ra.groupBy("day", "day_next").agg(F.count("*").alias("n_prev"))
+    return (
+        pairs.join(ix, ["day", "day_next"], "left")
+        .join(na, ["day", "day_next"], "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("day_next").cast("string").alias("day_next"),
+            F.coalesce("n_prev", F.lit(0)).cast("bigint").alias(
+                "n_sample_prev"
+            ),
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias(
+                "n_sample_inter"
+            ),
+            F.round(
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / F.when(
+                    F.coalesce("n_prev", F.lit(0)) == 0, F.lit(1)
+                )
+                .otherwise(F.col("n_prev"))
+                .cast("double"),
+                4,
+            ).alias("retention"),
+        )
+        .orderBy("day")
+    )

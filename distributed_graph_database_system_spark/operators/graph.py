@@ -2097,3 +2097,69 @@ def betweenness_centrality(
             "bc"
         ),
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a vertex partition: the standard community
+    quality score Q = Σ_c (e_c/m − (d_c/2m)²) over communities c, with
+    e_c = within-community edges, d_c = total degree, m = |E| (undirected,
+    self-loops dropped, one row per unordered edge).
+
+    Exactness: the whole sum collapses algebraically to
+    (4m·Σe_c − Σd_c²) / (4m²) — integer numerator, one final double
+    division — so Q is bit-exact with NO rounding discipline needed at
+    all (the rare float metric where the distributed sum is avoidable).
+
+    ``labels``: (vid, label). Vertices missing a label are treated as
+    singleton communities (contributing only their −(d/2m)² term), same
+    as every community-metric convention here. Scale: two broadcast-able
+    joins against the label table + integer aggregates; no iteration.
+    Reference parity: no analogue; north-star analytics extension."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    m = und.count()
+    if m == 0:
+        return und.sparkSession.createDataFrame(
+            [(0, 0, 0.0)], "n_communities BIGINT, within_edges BIGINT, q DOUBLE"
+        )
+    lab = labels.select("vid", "label")
+    la = lab.select(F.col("vid").alias("a"), F.col("label").alias("la"))
+    lb = lab.select(F.col("vid").alias("b"), F.col("label").alias("lb"))
+    joined = und.join(la, "a", "left").join(lb, "b", "left")
+    # unlabeled vertices: synthesize unique singleton labels (negative ids
+    # can collide with real labels only if the caller uses -vid labels —
+    # use a struct key instead so the namespace cannot clash)
+    eff_a = F.when(
+        F.col("la").isNotNull(), F.struct(F.lit(0).alias("t"), F.col("la").alias("k"))
+    ).otherwise(F.struct(F.lit(1).alias("t"), F.col("a").alias("k")))
+    eff_b = F.when(
+        F.col("lb").isNotNull(), F.struct(F.lit(0).alias("t"), F.col("lb").alias("k"))
+    ).otherwise(F.struct(F.lit(1).alias("t"), F.col("b").alias("k")))
+    within = joined.where(eff_a == eff_b).count()
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionAll(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .join(lab, "vid", "left")
+    )
+    eff = F.when(
+        F.col("label").isNotNull(),
+        F.struct(F.lit(0).alias("t"), F.col("label").alias("k")),
+    ).otherwise(F.struct(F.lit(1).alias("t"), F.col("vid").alias("k")))
+    per_c = deg.groupBy(eff.alias("c")).agg(F.sum("dg").alias("dc"))
+    row = per_c.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(F.col("dc") * F.col("dc")).alias("sum_dc2"),
+    ).first()
+    q = (4.0 * m * within - float(row["sum_dc2"])) / (4.0 * m * m)
+    return und.sparkSession.createDataFrame(
+        [(int(row["n_communities"]), int(within), round(q, 6))],
+        "n_communities BIGINT, within_edges BIGINT, q DOUBLE",
+    )

@@ -3564,3 +3564,75 @@ def text_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("tok", F.col("s").cast("double").alias("textrank"))
     )
+
+
+@query(
+    "privacy_kanonymity_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'customer: nation x segment' AS qi_set,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(MIN(n) AS BIGINT) AS k_min,
+             CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+             ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                   / SUM(n), 4) AS frac_rows_at_risk
+      FROM (SELECT COUNT(*) AS n FROM customer
+            GROUP BY c_nationkey, c_mktsegment)
+      UNION ALL
+      SELECT 'orders: priority x year',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(MIN(n) AS BIGINT),
+             CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+             ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                   / SUM(n), 4)
+      FROM (SELECT COUNT(*) AS n FROM orders
+            GROUP BY o_orderpriority, CAST(EXTRACT(YEAR FROM o_orderdate)
+                                           AS INTEGER))
+    ) ORDER BY qi_set
+    """,
+    tags=("quality", "privacy", "k-anonymity", "audit"),
+)
+def privacy_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over candidate quasi-identifier sets: group the
+    table by the QI columns and report the smallest equivalence class
+    (k_min — the table IS k_min-anonymous), how many classes fall below
+    k=5, and the row fraction those classes expose — the release gate any
+    privacy review runs before publishing micro-data or training
+    extracts. One partial-agg groupBy per QI set plus a constant-size
+    summary; skew-free by construction (a huge class is one group)."""
+    qi_sets = [
+        (
+            "customer: nation x segment",
+            load_table(spark, sf_dir, "customer"),
+            [F.col("c_nationkey"), F.col("c_mktsegment")],
+        ),
+        (
+            "orders: priority x year",
+            load_table(spark, sf_dir, "orders"),
+            [
+                F.col("o_orderpriority"),
+                F.year("o_orderdate").cast("int"),
+            ],
+        ),
+    ]
+    out = None
+    for name, t, cols in qi_sets:
+        per = t.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        one = per.agg(
+            F.lit(name).alias("qi_set"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.min("n").cast("bigint").alias("k_min"),
+            F.sum((F.col("n") < 5).cast("int")).cast("bigint").alias(
+                "n_violating_groups"
+            ),
+            F.round(
+                F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("n"),
+                4,
+            ).alias("frac_rows_at_risk"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("qi_set")

@@ -959,3 +959,43 @@ def graph_betweenness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return betweenness_centrality(_edges(spark, G2)).orderBy("vid")
+
+
+@query(
+    "graph_modularity_g6",
+    oracle="""
+    SELECT p AS partition, CAST(n AS BIGINT) AS n_communities,
+           CAST(w AS BIGINT) AS within_edges, CAST(q AS DOUBLE) AS q
+    FROM (VALUES ('clique-vs-cycle', 2, 12, 0.423077),
+                 ('lpa', 2, 10, -0.026627)) AS t(p, n, w, q)
+    ORDER BY partition
+    """,
+    tags=("graph", "modularity", "community"),
+)
+def graph_modularity_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of two G6 partitions — LPA's min-label flood
+    (which merges the clique with most of the cycle: Q < 0, worse than
+    random) vs the natural clique/cycle split (Q = 286/676 ≈ 0.4231).
+    Q reduces to (4m·Σe_c − Σd_c²)/(4m²) — integer numerator, one
+    division — so the goldens are exact rationals verified by hand in
+    the operator docstring and independently in tests/test_graph.py."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    e = _edges(spark, G6)
+    lpa = modularity(e, label_propagation(e, max_iter=10)).select(
+        F.lit("lpa").alias("partition"), "n_communities", "within_edges", "q"
+    )
+    nat_labels = spark.createDataFrame(
+        [(v, 1 if v <= 4 else 2) for v in range(1, 11)],
+        "vid BIGINT, label BIGINT",
+    )
+    nat = modularity(e, nat_labels).select(
+        F.lit("clique-vs-cycle").alias("partition"),
+        "n_communities",
+        "within_edges",
+        "q",
+    )
+    return nat.unionByName(lpa).orderBy("partition")

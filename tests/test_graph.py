@@ -1383,3 +1383,57 @@ def test_betweenness_matches_python_brandes(spark):
     }
     for v in want_d:
         assert abs(got_d[v] - want_d[v]) < 1e-4, (v, got_d[v], want_d[v])
+
+
+def test_modularity_matches_python_reference(spark):
+    """Q = (4m·Σe_c − Σd_c²)/(4m²) vs the textbook per-community sum on a
+    deterministic random graph with random labels, plus the singleton
+    convention for unlabeled vertices and the empty-graph zero."""
+    import collections
+    import random
+
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+        modularity,
+    )
+
+    rng = random.Random(23)
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                (rng.randint(1, 30), rng.randint(1, 30)) for _ in range(80)
+            )
+            if a != b
+        }
+    )
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    verts = sorted({v for e in und for v in e})
+    labels = {v: rng.randint(1, 4) for v in verts if v % 5 != 0}  # some miss
+    m = len(und)
+    deg = collections.Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    eff = {v: labels.get(v, ("s", v)) for v in verts}
+    within = collections.Counter()
+    for a, b in und:
+        if eff[a] == eff[b]:
+            within[eff[a]] += 1
+    dc = collections.Counter()
+    for v in verts:
+        dc[eff[v]] += deg[v]
+    want = sum(
+        within.get(c, 0) / m - (dc[c] / (2 * m)) ** 2 for c in dc
+    )
+    df = spark.createDataFrame([(a, b) for a, b in edges], EDGE_SCHEMA)
+    lab = spark.createDataFrame(
+        [(v, l) for v, l in labels.items()], "vid BIGINT, label BIGINT"
+    )
+    row = modularity(df, lab).first()
+    assert row.n_communities == len(dc)
+    assert abs(row.q - want) < 1e-6
+    empty = modularity(
+        spark.createDataFrame([], EDGE_SCHEMA), lab
+    ).first()
+    assert empty.q == 0.0

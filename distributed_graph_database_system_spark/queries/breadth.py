@@ -2530,3 +2530,47 @@ def events_dod_retention_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Recursive CTE (Spark 4 WITH RECURSIVE): same shared-template discipline
+# as _OLS_SQL — both engines execute the identical recursive SQL.
+_RECURSIVE_TREE_SQL = """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS k, p_partkey AS cur, 0 AS depth
+      FROM {table} WHERE p_partkey <= 500
+      UNION ALL
+      SELECT k, CAST(FLOOR(cur / 2) AS BIGINT) AS cur, depth + 1
+      FROM anc WHERE cur > 1
+    ), d AS (
+      SELECT k, MAX(depth) AS depth_to_root FROM anc GROUP BY k
+    )
+    SELECT CAST(depth_to_root AS INT) AS depth_to_root,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(k) AS BIGINT) AS first_key,
+           CAST(MAX(k) AS BIGINT) AS last_key
+    FROM d GROUP BY depth_to_root ORDER BY depth_to_root
+"""
+
+
+@query(
+    "recursive_cte_part_tree",
+    oracle=_RECURSIVE_TREE_SQL.format(table="part"),
+    tags=("sql", "recursive-cte", "hierarchy"),
+)
+def recursive_cte_part_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (new in Spark 4): transitive parent-chain
+    walk over the implicit binary tree parent(k) = floor(k/2) on part
+    keys — the BOM/org-chart traversal pattern expressed declaratively
+    and executed by the engine's own recursion (Catalyst plans each
+    iteration as a union step with the same distributed operators as the
+    hand-rolled bfs loop in operators/graph.py — this query is the
+    SQL-surface witness that the engine covers recursive queries without
+    driver-side loops). Depth distribution = floor(log2(k)) bucket sizes,
+    pure integers; the oracle runs the identical recursive SQL in
+    DuckDB."""
+    from distributed_graph_database_system_spark.queries.helpers import sf_view
+
+    view = sf_view(
+        spark, load_table(spark, sf_dir, "part"), "rcte_part", sf_dir
+    )
+    return spark.sql(_RECURSIVE_TREE_SQL.format(table=view))

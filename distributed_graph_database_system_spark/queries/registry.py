@@ -81,7 +81,15 @@ def oracle_of(name: str) -> str:
 # Covers all 30 SURVEY §2.2 rows (see tests/test_registry_window.py for the
 # row → query mapping). Order within the window is thematic, not semantic.
 #
-# Round-7 rotation: 32 of the 50 entries have NEVER appeared in any
+# Round-7 rotation (late-session update: nine slots re-swapped toward the
+# round's own additions — KMV overlap, exact bitmap sliding, OLS normal
+# equations, recursive CTE, betweenness, modularity, heavy-hitter rescan,
+# RI audit, TextRank; the displaced nine stay in the never-graded pool:
+# conversion_time_stats corpus_zipf_slope agg_weighted_median graph_mis_g6
+# orders_duplicate_payment_screen embed_centroids chunk_documents_overlap
+# dedup_containment skyline_by_brand — plus the other round-7 additions
+# events_dod_retention_kmv fd_violation_audit privacy_kanonymity_audit
+# graph_diameter_g6). 32 of the 50 entries have NEVER appeared in any
 # CORRECTNESS_r* file (cumulative driver coverage 176 → 208 once this
 # window is recorded). 18 driver-seen anchors stay — one per §2.2 row
 # whose family has no never-checked member (filter q6, decorrelation q11,
@@ -120,33 +128,34 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q11_important_parts",
     "q8_market_share",
     "q19_disjunctive_revenue",
-    # core relational — first-time full-outer, nearest as-of, equi
-    # self-join screen, broadcast-dim overlap; theta/anti/skew/projection
-    # anchors stay
+    # core relational — first-time full-outer, nearest as-of,
+    # sketch-prefiltered exact heavy hitters, broadcast-dim overlap;
+    # theta/anti/skew/projection anchors stay
     "join_full_outer",
     "join_asof_nearest",
-    "orders_duplicate_payment_screen",
+    "events_heavy_hitters_rescan",
     "events_audience_overlap",
     "case_when_buckets",
     "join_theta",
     "join_anti",
     "join_salted_skew",
-    # aggregation family — first-time exact mode, weighted median,
-    # HLL sliding-7d; rollup anchor stays
+    # aggregation family — first-time exact mode, KMV pairwise-overlap
+    # sketch estimates, HLL sliding-7d; rollup anchor stays
     "agg_mode_exact",
-    "agg_weighted_median",
+    "events_overlap_kmv",
     "agg_hll_sliding7",
     "agg_rollup",
-    # window / sort / top-k — all first-time
+    # window / distinct / top-k — first-time cumulative-distinct window,
+    # exact bitmap sliding-7d, trending rank
     "events_cumulative_distinct",
-    "skyline_by_brand",
+    "events_sliding7_bitmap_exact",
     "events_topk_trending",
-    # scalar families — first-time readability (string), conversion time
-    # deltas (datetime), Zipf OLS + Wilson bound (math), Luhn HOF
+    # scalar/SQL families — first-time readability (string), OLS normal
+    # equations, native recursive CTE, Wilson bound (math), Luhn HOF
     # (array); VARIANT and set-op anchors stay
     "text_readability_flesch",
-    "conversion_time_stats",
-    "corpus_zipf_slope",
+    "lineitem_ols_normal_eq",
+    "recursive_cte_part_tree",
     "supplier_return_rate_wilson",
     "pii_luhn_validation",
     "set_ops",
@@ -165,21 +174,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_refgraph_roundtrip",
     "layout_dpp_join",
     # graph — first-time harmonic centrality (landmark BFS), k-truss,
-    # Borůvka MSF, coreness, Luby MIS; DFS golden anchor stays
+    # Borůvka MSF, coreness, Brandes betweenness; DFS golden anchor stays
     "graph_harmonic_centrality",
     "graph_dfs_goldens",
     "graph_ktruss_g6",
     "graph_msf_g6w",
     "graph_coreness_g6",
-    "graph_mis_g6",
-    # LLM-data-pipeline operators — all first-time: dedup capstone +
-    # containment, k-center coreset + centroid assignment (similarity),
-    # chunking + BPE encode (pipeline), unigram perplexity (text)
+    "graph_betweenness_g2",
+    # LLM-pipeline + quality — all first-time: dedup capstone, RI orphan
+    # audit, k-center coreset (similarity), modularity, TextRank keywords,
+    # unigram perplexity, BPE encode
     "dedup_funnel_report",
-    "dedup_containment",
+    "ri_orphan_audit",
     "coreset_kcenter",
-    "embed_centroids",
-    "chunk_documents_overlap",
+    "graph_modularity_g6",
+    "text_keywords_textrank",
     "text_perplexity_unigram",
     "bpe_encode_tokens",
 )

@@ -22,7 +22,6 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "filter": ("q6_forecast_revenue",),  # filter_predicates driver-seen r5
     "join_equi": (
         "q14_promo_revenue_pct",  # lineitem⋈part conditional-agg ratio
-        "orders_duplicate_payment_screen",  # equi self-join + residual pred
     ),
     "join_broadcast": ("events_audience_overlap",),  # broadcast dim counts
     "join_outer": ("join_full_outer", "q13_order_count_distribution"),
@@ -32,8 +31,10 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "join_skew": ("join_salted_skew",),
     "aggregation": (
         "agg_mode_exact",
-        "agg_weighted_median",
         "agg_hll_sliding7",  # sketch-merge sliding window
+        "events_overlap_kmv",  # KMV bottom-k sketch estimates
+        "events_sliding7_bitmap_exact",  # bitmap_construct/or_agg exact
+        "lineitem_ols_normal_eq",  # exact-decimal moment aggregation
     ),
     "subquery_decorrelation": (
         "q11_important_parts",  # scalar subquery in HAVING; q4/q15 seen r5
@@ -41,12 +42,12 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "multi_join_breadth": ("q8_market_share",),
     "disjunctive_predicates": ("q19_disjunctive_revenue",),
     "grouping_sets": ("agg_rollup",),  # cube/grouping_sets driver-seen r5/r6
-    "window_functions": ("events_cumulative_distinct", "skyline_by_brand"),
+    "window_functions": ("events_cumulative_distinct",),
     "sort_limit_topk": ("events_topk_trending",),  # per-window rank top-3
     "set_operations": ("set_ops",),
     "scalar_string": ("text_readability_flesch",),  # string_funcs seen r5
-    "scalar_datetime": ("conversion_time_stats", "sessionize"),
-    "scalar_math": ("corpus_zipf_slope", "supplier_return_rate_wilson"),
+    "scalar_datetime": ("sessionize",),
+    "scalar_math": ("supplier_return_rate_wilson",),
     "scalar_array_hof": ("pii_luhn_validation",),  # Luhn as JVM HOF expr
     "scalar_json": ("variant_semi_structured",),
     "data_layout": ("layout_dpp_join",),  # zorder/bucketed/pruned driver-seen
@@ -63,18 +64,19 @@ ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
         "graph_ktruss_g6",
         "graph_msf_g6w",
         "graph_coreness_g6",
-        "graph_mis_g6",
+        "graph_betweenness_g2",
+        "graph_modularity_g6",
     ),
     "python_datasource": ("source_refgraph_roundtrip",),
-    "llm_dedup": ("dedup_containment", "dedup_funnel_report"),
-    "llm_similarity": ("coreset_kcenter", "embed_centroids"),
+    "llm_dedup": ("dedup_funnel_report",),
+    "llm_similarity": ("coreset_kcenter",),
     "llm_pipeline": (
-        "chunk_documents_overlap",
         "bpe_encode_tokens",
         "dedup_funnel_report",  # split/pack/sample driver-seen r6
     ),
     "llm_text_multimodal": (
         "text_perplexity_unigram",
+        "text_keywords_textrank",
         "multimodal_image_phash",
     ),
 }

@@ -1205,3 +1205,99 @@ def pii_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planted.select("doc_id", "num", luhn_ok.alias("luhn_ok")).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "embed_centroid_classifier_eval",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label AS true_label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ), cs AS (
+      SELECT true_label AS cent_label, dim, SUM(qv) AS s, COUNT(*) AS n
+      FROM q GROUP BY true_label, dim
+    ), cent AS (
+      SELECT cent_label, dim, CAST(s AS DOUBLE) / n / 1000000 AS c FROM cs
+    ), t AS (
+      SELECT q.vec_id, q.true_label, cent.cent_label,
+             SUM(CAST(ROUND(
+                   (CAST(q.qv AS DOUBLE) / 1000000 - cent.c)
+                   * (CAST(q.qv AS DOUBLE) / 1000000 - cent.c), 12)
+                 AS DECIMAL(24,12))) AS dist2
+      FROM q JOIN cent ON q.dim = cent.dim
+      GROUP BY q.vec_id, q.true_label, cent.cent_label
+    ), p AS (
+      SELECT vec_id, true_label, cent_label AS pred_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cent_label) AS rk
+      FROM t
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM p WHERE rk = 1
+    GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """,
+    tags=("llm", "embedding", "classifier", "evaluation"),
+)
+def embed_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier evaluation — the confusion matrix of
+    predicting each vector's label by its closest per-label centroid
+    (Rocchio / class-prototype classification, the standard first
+    baseline over any labeled embedding table). Determinism discipline
+    end-to-end: components quantize to integer micro-units (the
+    embed_centroids precedent) so centroid means are one identical IEEE
+    division; each squared-difference term rounds to 12 decimals into
+    exact DECIMAL sums, so distances compare identically in both engines;
+    argmin breaks ties by (distance, label) total order via row_number.
+
+    Scale shape: the centroid table is |labels|×dims rows (broadcast at
+    any corpus size); the distance pass is one explode + broadcast join +
+    partial-agg groupBy — no vector ever meets another vector, unlike
+    kNN eval (which needs the ANN index path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "true_label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("bigint").alias(
+            "qv"
+        ),
+    )
+    cs = q.groupBy(
+        F.col("true_label").alias("cent_label"), "dim"
+    ).agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+    cent = cs.select(
+        "cent_label",
+        "dim",
+        (F.col("s").cast("double") / F.col("n") / 1000000).alias("c"),
+    )
+    dv = F.col("qv").cast("double") / 1000000 - F.col("c")
+    t = (
+        q.join(F.broadcast(cent), "dim")
+        .select(
+            "vec_id",
+            "true_label",
+            "cent_label",
+            F.round(dv * dv, 12).cast("decimal(24,12)").alias("term"),
+        )
+        .groupBy("vec_id", "true_label", "cent_label")
+        .agg(F.sum("term").alias("dist2"))
+    )
+    p = t.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("vec_id").orderBy("dist2", "cent_label")
+        ),
+    ).where(F.col("rk") == 1)
+    return (
+        p.groupBy("true_label", F.col("cent_label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )

@@ -1301,3 +1301,105 @@ def embed_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
         .orderBy("true_label", "pred_label")
     )
+
+
+@query(
+    "embed_knn_classifier_eval",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings WHERE vec_id < 200
+    ), d AS (
+      SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb, b.label AS lb,
+             SUM((a.qv - b.qv) * (a.qv - b.qv)) AS dist2
+      FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, a.label, b.vec_id, b.label
+    ), nn AS (
+      SELECT va, la, lb,
+             row_number() OVER (PARTITION BY va ORDER BY dist2, vb) AS rk
+      FROM d
+    ), votes AS (
+      SELECT va, la AS true_label, lb AS cand, COUNT(*) AS nv
+      FROM nn WHERE rk <= 5 GROUP BY va, la, lb
+    ), pick AS (
+      SELECT va, true_label, cand AS pred_label,
+             row_number() OVER (PARTITION BY va
+                                ORDER BY nv DESC, cand) AS pr
+      FROM votes
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM pick WHERE pr = 1
+    GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """,
+    tags=("llm", "embedding", "knn", "evaluation"),
+)
+def embed_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN classifier confusion matrix on a deterministic
+    200-vector evaluation slice — the standard label-quality /
+    embedding-quality diagnostic. EXACT integer arithmetic end-to-end:
+    components quantize to micro-units, squared L2 distances are integer
+    sums (no float comparison anywhere), neighbor rank ties break by
+    vec_id and vote ties by smallest label — every step totally ordered,
+    so both engines agree bit-for-bit at every SF (this oracle is a real
+    cross-engine SQL program, not a pinned golden; the fixed eval slice
+    is what bounds the pair join). At corpus scale the same eval swaps
+    the brute-force pair join for the ANN path
+    (operators/similarity.py knn_join / IVF) — this query is the exact
+    ground-truth twin those approximations are measured against in
+    tests/test_llm.py recall tests."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("bigint").alias(
+            "qv"
+        ),
+    )
+    a = q.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        "dim",
+        F.col("qv").alias("qa"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        "dim",
+        F.col("qv").alias("qb"),
+    )
+    d = (
+        a.join(b, "dim")
+        .where(F.col("va") != F.col("vb"))
+        .groupBy("va", "la", "vb", "lb")
+        .agg(
+            F.sum(
+                (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+            ).alias("dist2")
+        )
+    )
+    nn = d.withColumn(
+        "rk", F.row_number().over(W.partitionBy("va").orderBy("dist2", "vb"))
+    ).where(F.col("rk") <= 5)
+    votes = nn.groupBy(
+        "va", F.col("la").alias("true_label"), F.col("lb").alias("cand")
+    ).agg(F.count(F.lit(1)).alias("nv"))
+    pick = votes.withColumn(
+        "pr",
+        F.row_number().over(
+            W.partitionBy("va").orderBy(F.desc("nv"), "cand")
+        ),
+    ).where(F.col("pr") == 1)
+    return (
+        pick.groupBy("true_label", F.col("cand").alias("pred_label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )

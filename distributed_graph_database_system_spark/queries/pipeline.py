@@ -1403,3 +1403,89 @@ def embed_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
         .orderBy("true_label", "pred_label")
     )
+
+
+@query(
+    "corpus_mix_plan",
+    oracle="""
+    WITH w(lang, wt) AS (
+      VALUES ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+             ('fr', CAST(0.15 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE)),
+             ('zh', CAST(0.1 AS DOUBLE))
+    ), n AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), j AS (
+      SELECT w.lang, w.wt, n.n_docs FROM w JOIN n ON n.lang = w.lang
+    ), t AS (
+      SELECT MIN(CAST(n_docs AS DOUBLE) / wt) AS cap FROM j
+    ), r AS (
+      SELECT j.lang, j.wt, j.n_docs, (t.cap * j.wt) / j.n_docs AS rate
+      FROM j, t
+    ), sel AS (
+      SELECT d.lang, COUNT(*) AS n_selected
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0 < r.rate
+      GROUP BY d.lang
+    )
+    SELECT r.lang AS lang, r.wt AS weight,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           ROUND(r.rate, 6) AS rate,
+           CAST(COALESCE(sel.n_selected, 0) AS BIGINT) AS n_selected
+    FROM r LEFT JOIN sel ON sel.lang = r.lang
+    ORDER BY lang
+    """,
+    tags=("llm", "pipeline", "mixing", "sampling"),
+)
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planner: given target language weights (the Pile /
+    DoReMi-style mixture spec), compute the largest downsample-only
+    corpus honoring them — cap = min_l(n_l / w_l) sets the achievable
+    total, rate_l = cap·w_l / n_l the per-language keep rate — then
+    materialize the per-language selection with the md5_uniform
+    deterministic coin (membership is a pure function of doc_id, so the
+    mix is reproducible and decontamination-stable across reruns and
+    engines). One groupBy for the histogram, a broadcast of the
+    |languages|-row rate table, one filtered count — at 100 TB the plan
+    costs a scan, and the selection filter fuses into whatever consumes
+    it (no materialized intermediate)."""
+    from distributed_graph_database_system_spark.queries.helpers import (
+        md5_uniform,
+    )
+
+    weights = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+    d = load_table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        "lang STRING, wt DOUBLE",
+    )
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    j = w.join(n, "lang")
+    cap = j.agg(
+        F.min(F.col("n_docs").cast("double") / F.col("wt")).alias("cap")
+    )
+    r = j.crossJoin(F.broadcast(cap)).select(
+        "lang",
+        "wt",
+        "n_docs",
+        ((F.col("cap") * F.col("wt")) / F.col("n_docs")).alias("rate"),
+    )
+    sel = (
+        d.join(F.broadcast(r.select("lang", "rate")), "lang")
+        .where(md5_uniform("doc_id") < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    return (
+        r.join(sel, "lang", "left")
+        .select(
+            "lang",
+            F.col("wt").alias("weight"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_selected", F.lit(0)).cast("bigint").alias(
+                "n_selected"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -1979,7 +1979,9 @@ def betweenness_centrality(
     """Brandes betweenness centrality (Brandes, J.Math.Soc. 2001) from the
     given ``sources`` — EXACT when sources is None (every vertex seeds one
     sweep), the standard sampled approximation when a landmark subset is
-    passed (Brandes & Pich 2007: scale bc by |V|/|sources|). Unweighted
+    passed — per Brandes & Pich (2007) the sampled dependency sum is
+    extrapolated by |V|/|sources|, so landmark scores estimate the exact
+    all-source betweenness (factor 1 in exact mode). Unweighted
     shortest paths; ``directed=False`` symmetrizes and halves the final
     scores (each unordered pair contributes twice).
 
@@ -2017,6 +2019,11 @@ def betweenness_centrality(
     )
     if sources is None:
         sources = [int(r["vid"]) for r in verts.orderBy("vid").collect()]
+        n_verts = len(sources)
+    else:
+        n_verts = verts.count()
+    if not sources:
+        return verts.select("vid", F.lit(0.0).alias("bc"))
     one = F.lit(1).cast("decimal(20,0)")
     zero12 = F.lit(0).cast("decimal(28,12)")
     acc = None
@@ -2085,11 +2092,19 @@ def betweenness_centrality(
             acc = per_src if acc is None else acc.unionAll(per_src)
     if acc is None:
         return verts.select("vid", F.lit(0.0).alias("bc"))
-    half = F.lit(1).cast("decimal(2,0)") if directed else F.lit(2).cast(
-        "decimal(2,0)"
-    )
+    # Brandes & Pich extrapolation: sampled sweeps estimate the all-source
+    # sum as (|V| / |sources|) x the sampled sum; exact mode (all vertices
+    # seeded) makes the factor 1 so goldens are unaffected. Undirected
+    # graphs halve (each unordered pair contributes from both endpoints).
+    denom = len(sources) * (1 if directed else 2)
     bc = acc.groupBy("vid").agg(
-        (F.sum("delta") / half).cast("decimal(28,12)").alias("bc_d")
+        (
+            F.sum("delta")
+            * F.lit(int(n_verts)).cast("decimal(20,0)")
+            / F.lit(int(denom)).cast("decimal(20,0)")
+        )
+        .cast("decimal(28,12)")
+        .alias("bc_d")
     )
     return verts.join(bc, "vid", "left").select(
         "vid",

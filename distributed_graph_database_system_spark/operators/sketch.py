@@ -394,3 +394,17 @@ def kmv_pair_overlap(
         )
     )
     return j
+
+
+def kmv_union_expr(col: str, k_col: str = "kk"):
+    """The bottom-k-of-union AGGREGATE expression over array-form sketches:
+    ``slice(array_sort(array_distinct(flatten(collect_list(col)))), 1, k)``
+    with the truncation bound read from the stamped ``k_col`` (which must
+    be a grouping column). ONE definition shared by the incremental KMV
+    rollup rebuild and compact_contrib_ledger's ``kmv_union`` fold — the
+    fold==rebuild bit-identity contract depends on the two sites never
+    drifting, so they both call this."""
+    return F.expr(
+        f"slice(array_sort(array_distinct(flatten(collect_list({col})))), "
+        f"1, {k_col})"
+    )

@@ -3424,34 +3424,59 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "sketch", "heavy-hitters", "rescan"),
 )
 def events_heavy_hitters_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-prefiltered EXACT heavy hitters: users with ≥ 30 events,
-    found without ever aggregating the full user domain. Phase 1 builds a
-    count-min sketch (constant d×w state, map-side combine) and estimates
-    each distinct user via a BROADCAST join against the sketch — no
-    shuffle keyed on user_id at all. Because CM never undercounts, the
-    candidate set {est ≥ T} provably contains every true heavy hitter;
-    phase 2 then exact-counts ONLY the candidates (a left-semi join
-    shrinks the fact stream before the one real aggregation). The result
-    is EXACT — the oracle is the plain GROUP BY/HAVING — but at 100 TB the
-    expensive full-domain aggregate is replaced by sketch-broadcast +
-    an aggregation over the filtered sliver. The same two-phase shape
-    backs every "top abusers / hot keys / trending ids" production query.
-    CM guarantee tested in tests/test_sketch.py; threshold 30 keeps the
-    fixture's candidate sliver non-trivial at every SF."""
+    """Sketch-prefiltered EXACT heavy hitters: users with ≥ 30 events.
+    Phase 1 builds a count-min sketch (one aggregation whose key space is
+    the CONSTANT d×w counter grid — never the user domain) and flattens
+    it to a single d·w-long array broadcast via a one-row crossJoin;
+    phase 2 rescans events computing each row's estimate INLINE
+    (least-of-d array lookups with the same xxhash64 bucketing the sketch
+    was built with — pure map-side, no shuffle keyed on user_id) and
+    keeps only rows whose estimate clears the threshold. Because CM never
+    undercounts, that sliver provably contains every true heavy hitter's
+    rows; the one user-keyed aggregation then runs on the sliver alone,
+    and HAVING re-applies the threshold exactly. The result is EXACT —
+    the oracle is the plain GROUP BY/HAVING — but the full-domain
+    user-keyed shuffle is replaced by a 20k-cell counter exchange plus an
+    aggregation over the filtered rows. The d·w counter collect is
+    bounded constant state (the centroid-table discipline). CM guarantee
+    tested in tests/test_sketch.py; threshold 30 keeps the fixture's
+    sliver non-trivial at every SF."""
     from distributed_graph_database_system_spark.operators.sketch import (
-        cm_estimate,
         cm_sketch,
     )
 
+    depth, width, thresh = 5, 4096, 30
     e = load_table(spark, sf_dir, "events").select("user_id")
-    sk = cm_sketch(e, "user_id", depth=5, width=4096)
-    users = e.distinct()
-    candidates = cm_estimate(sk, users, "user_id").where(F.col("est") >= 30)
+    sk = cm_sketch(e, "user_id", depth=depth, width=width)
+    flat = [0] * (depth * width)
+    for r in sk.collect():  # ≤ d*w = 20480 rows: constant, never data-sized
+        flat[r["d"] * width + r["bucket"]] = r["cnt"]
+    arr = spark.createDataFrame([(flat,)], "arr ARRAY<BIGINT>")
+    est = F.least(
+        *[
+            F.coalesce(
+                F.element_at(
+                    "arr",
+                    (
+                        F.lit(d * width)
+                        + F.pmod(F.xxhash64("user_id", F.lit(d)), F.lit(width))
+                        + 1
+                    ).cast("int"),
+                ),
+                F.lit(0),
+            )
+            for d in range(depth)
+        ]
+    )
+    sliver = (
+        e.crossJoin(F.broadcast(arr))
+        .where(est >= thresh)
+        .select("user_id")
+    )
     return (
-        e.join(candidates.select("user_id"), "user_id", "left_semi")
-        .groupBy("user_id")
+        sliver.groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-        .where(F.col("n_events") >= 30)
+        .where(F.col("n_events") >= thresh)
         .orderBy(F.desc("n_events"), "user_id")
     )
 

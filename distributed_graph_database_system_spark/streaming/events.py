@@ -533,6 +533,7 @@ def run_incremental_kmv_rollup(
     from distributed_graph_database_system_spark.operators.sketch import (
         KMV_SPACE,
         kmv_sketch,
+        kmv_union_expr,
     )
 
     contrib_path = rollup_path.rstrip("/") + "_contrib"
@@ -556,26 +557,29 @@ def run_incremental_kmv_rollup(
         days = [r["day"] for r in contrib.select("day").distinct().collect()]
         if not days:
             return
-        with _dynamic_overwrite(spark, contrib.sparkSession):
-            contrib.withColumn("batch_id", F.lit(int(batch_id))).write.partitionBy(
-                "day", "batch_id"
-            ).mode("overwrite").parquet(contrib_path)
-            ledger = spark.read.parquet(contrib_path)
-            ks = ledger.agg(F.min("kk"), F.max("kk")).first()
+        # validate the EXISTING ledger's k BEFORE writing this batch's
+        # cells: a misconfigured upsert must refuse without side effects,
+        # or its committed wrong-k cells would brick every later
+        # correct-k upsert against the same ledger
+        fs, contrib_p, _ = _ledger_fs(spark, contrib_path)
+        if fs.exists(contrib_p):
+            ks = spark.read.parquet(contrib_path).agg(
+                F.min("kk"), F.max("kk")
+            ).first()
             if ks[0] != ks[1] or ks[0] != k:
                 raise ValueError(
                     f"kmv rollup: ledger stamped kk={ks[0]}..{ks[1]} but "
                     f"this rollup runs k={k} — k is fixed per ledger"
                 )
+        with _dynamic_overwrite(spark, contrib.sparkSession):
+            contrib.withColumn("batch_id", F.lit(int(batch_id))).write.partitionBy(
+                "day", "batch_id"
+            ).mode("overwrite").parquet(contrib_path)
             merged = (
-                ledger.where(F.col("day").isin(days))
+                spark.read.parquet(contrib_path)
+                .where(F.col("day").isin(days))
                 .groupBy("day", "event_type", "kk")
-                .agg(
-                    F.expr(
-                        "slice(array_sort(array_distinct("
-                        "flatten(collect_list(hs)))), 1, kk)"
-                    ).alias("hs")
-                )
+                .agg(kmv_union_expr("hs").alias("hs"))
                 .withColumn(
                     "est_users",
                     F.when(
@@ -656,17 +660,19 @@ def compact_contrib_ledger(
 
     Returns ``{"folded_cells", "partitions_before", "partitions_after"}``.
     """
+    from distributed_graph_database_system_spark.operators.sketch import (
+        kmv_union_expr as _kmv_union_expr,
+    )
+
     _AGGS = {
         "sum": F.sum,
         "max": F.max,
         "hll_union": F.hll_union_agg,
         # kk is a grouping column (constant per ledger), so referencing it
         # inside the aggregate expression is legal and truncates the folded
-        # union back to the sketch bound
-        "kmv_union": lambda c: F.expr(
-            f"slice(array_sort(array_distinct(flatten(collect_list({c})))), "
-            "1, kk)"
-        ),
+        # union back to the sketch bound; the expression is THE shared
+        # definition (operators/sketch.py) the rollup rebuild also uses
+        "kmv_union": _kmv_union_expr,
     }
     unknown = {a for a in value_aggs.values() if a not in _AGGS}
     if unknown:

@@ -1437,3 +1437,34 @@ def test_modularity_matches_python_reference(spark):
         spark.createDataFrame([], EDGE_SCHEMA), lab
     ).first()
     assert empty.q == 0.0
+
+
+def test_betweenness_sampled_extrapolates_to_exact_on_cycle(spark):
+    """On a vertex-transitive graph every source's dependency vector is a
+    rotation of the same one, so each source contributes the SAME total
+    mass — the |V|/|sources| extrapolation therefore reproduces the exact
+    TOTAL betweenness from any source subset (per-vertex values remain
+    estimates, since a subset's offsets need not tile the cycle)."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+        betweenness_centrality,
+    )
+
+    n = 9
+    cycle = [(i, i % n + 1) for i in range(1, n + 1)]
+    df = spark.createDataFrame(cycle, EDGE_SCHEMA)
+    exact = {r.vid: r.bc for r in betweenness_centrality(df).collect()}
+    sampled = {
+        r.vid: r.bc
+        for r in betweenness_centrality(df, sources=[1, 4, 7]).collect()
+    }
+    assert set(exact.values()) == {exact[1]} and exact[1] > 0
+    assert abs(sum(sampled.values()) - sum(exact.values())) < 1e-6
+    # and with ALL sources passed explicitly, factor is 1: exact values
+    full = {
+        r.vid: r.bc
+        for r in betweenness_centrality(
+            df, sources=list(range(1, 10))
+        ).collect()
+    }
+    assert full == exact

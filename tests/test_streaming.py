@@ -822,6 +822,27 @@ def test_incremental_kmv_rollup_converges_folds_and_intersects(
         for r in EV.read_kmv_rollup(spark, path).collect()
     } == want_est
 
+    # a misconfigured k is refused BEFORE any write — the wrong-k batch
+    # must leave no cells behind (they would brick every later correct-k
+    # upsert), and the correct-k stream keeps working afterwards
+    captured_bad = {}
+    EV.run_foreach_batch = lambda stream, fn, mode="update": captured_bad.update(
+        fn=fn
+    )
+    try:
+        EV.run_incremental_kmv_rollup(spark, None, path, k=32)
+    finally:
+        EV.run_foreach_batch = orig
+    with pytest.raises(ValueError, match="k is fixed per ledger"):
+        captured_bad["fn"](batches[2], 3)
+    kks = {r.kk for r in spark.read.parquet(contrib).select("kk").distinct().collect()}
+    assert kks == {k}, "wrong-k upsert left cells behind"
+    upsert(batches[2], 2)
+    assert {
+        (str(r.day.date()), r.event_type): r.est_users
+        for r in EV.read_kmv_rollup(spark, path).collect()
+    } == want_est
+
     # set algebra from the persisted store: one day's cross-type overlap
     # (re-read: `rolled` caches the pre-rewrite file listing)
     day0 = EV.read_kmv_rollup(spark, path).orderBy("day").first()["day"]

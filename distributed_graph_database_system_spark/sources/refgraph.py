@@ -32,7 +32,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _RowBlock(InputPartition):
@@ -114,6 +120,77 @@ class ReferenceGraphDataSource(DataSource):
 
     def reader(self, schema) -> ReferenceGraphReader:
         return ReferenceGraphReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "ReferenceGraphWriter":
+        return ReferenceGraphWriter(self.options, overwrite)
+
+
+class _EdgeBatch(WriterCommitMessage):
+    """Per-task edge list. The reference format is a DENSE n×n matrix —
+    bounded by the format itself (the reference caps graphs at 30
+    vertices, ``primaryServer.c``), so task payloads are tiny by
+    construction and driver-side assembly in ``commit`` is the correct
+    topology (a dense matrix cannot be written row-block-parallel without
+    knowing every row's edges anyway)."""
+
+    def __init__(self, edges: list):
+        self.edges = edges
+
+
+class ReferenceGraphWriter(DataSourceWriter):
+    """Writer half of the source API:
+    ``df.write.format("reference_graph").option("n", 6).mode(...)
+    .save(path)`` emits the reference's vertex-count + 0/1-matrix file
+    from ``(src, dst)`` rows — the exact bytes ``client.c:77-94`` sends.
+    Tasks stream their partitions into commit messages; ``commit``
+    validates ids against ``n`` (or infers n as max id when the option is
+    absent) and writes the file once, atomically via a temp sibling.
+    ``abort`` leaves the target untouched. Spark's Python writer API only
+    exposes Append and Overwrite modes; a dense-matrix file cannot be
+    appended to, so Append means CREATE-IF-ABSENT here — refusing an
+    existing file exactly like the reference's AddGraph, with Overwrite
+    as ModifyGraph."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("reference_graph writer: path option required")
+        self.n_opt = options.get("n")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _EdgeBatch:
+        edges = [(int(r[0]), int(r[1])) for r in iterator]
+        return _EdgeBatch(edges)
+
+    def commit(self, messages) -> None:
+        import os
+
+        edges: list[tuple[int, int]] = []
+        for m in messages:
+            edges.extend(m.edges)
+        if os.path.exists(self.path) and not self.overwrite:
+            raise FileExistsError(
+                f"reference_graph writer: {self.path} exists (use "
+                "mode('overwrite') — the reference's ModifyGraph semantics)"
+            )
+        n = int(self.n_opt) if self.n_opt is not None else max(
+            (max(s, d) for s, d in edges), default=0
+        )
+        bad = [(s, d) for s, d in edges if not (1 <= s <= n and 1 <= d <= n)]
+        if bad:
+            raise ValueError(
+                f"reference_graph writer: edge ids outside 1..{n}: {bad[:3]}"
+            )
+        tmp = self.path + "._tmp"
+        write_reference_file(tmp, n, edges)
+        os.replace(tmp, self.path)
+
+    def abort(self, messages) -> None:
+        import os
+
+        tmp = self.path + "._tmp"
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def write_reference_file(path: str, n: int, edges: Sequence[tuple[int, int]]) -> None:

@@ -114,3 +114,41 @@ def test_block_local_parse_on_large_synthetic_file(spark, tmp_path):
     last = max(r2.partitions(), key=lambda b: b.end)
     with pytest.raises(ValueError, match="railing"):
         list(r2.read(last))
+
+
+def test_writer_roundtrips_through_source_api(spark, tmp_path):
+    """The writer half of the Python DataSource: df.write.format(
+    'reference_graph') emits the reference's vertex-count + 0/1-matrix
+    bytes, mode('errorifexists') mirrors AddGraph-vs-ModifyGraph, id
+    validation refuses out-of-range edges, and read-back through the
+    reader half returns the exact edge set."""
+    spark.dataSource.register(ReferenceGraphDataSource)
+    path = str(tmp_path / "g.txt")
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    df.write.format("reference_graph").option("n", "4").mode("append").save(
+        path
+    )
+    lines = open(path).read().splitlines()
+    assert lines[0] == "4" and len(lines) == 5
+    assert lines[1].split() == ["0", "1", "0", "1"]
+    back = spark.read.format("reference_graph").load(path)
+    assert sorted((r.src, r.dst) for r in back.collect()) == sorted(edges)
+
+    # AddGraph semantics: the Python writer API only exposes append /
+    # overwrite, so append == create-if-absent → existing file refused
+    with pytest.raises(Exception, match="exists"):
+        df.write.format("reference_graph").option("n", "4").mode(
+            "append"
+        ).save(path)
+    # ModifyGraph semantics: overwrite replaces; n inferred when omitted
+    df2 = spark.createDataFrame([(1, 2)], "src BIGINT, dst BIGINT")
+    df2.write.format("reference_graph").mode("overwrite").save(path)
+    assert open(path).read().splitlines()[0] == "2"  # n = max id
+    # out-of-range ids refused, file left as-is
+    bad = spark.createDataFrame([(1, 9)], "src BIGINT, dst BIGINT")
+    with pytest.raises(Exception, match="outside"):
+        bad.write.format("reference_graph").option("n", "4").mode(
+            "overwrite"
+        ).save(path)
+    assert open(path).read().splitlines()[0] == "2"  # untouched

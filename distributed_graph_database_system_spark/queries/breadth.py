@@ -2574,3 +2574,128 @@ def recursive_cte_part_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, load_table(spark, sf_dir, "part"), "rcte_part", sf_dir
     )
     return spark.sql(_RECURSIVE_TREE_SQL.format(table=view))
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT n_nationkey AS k, NULLIF(n_nationkey % 5, 0) AS cohort
+      FROM nation
+    ), ns AS (
+      SELECT a.cohort, COUNT(*) AS n_pairs_nullsafe
+      FROM c a JOIN c b
+        ON a.cohort IS NOT DISTINCT FROM b.cohort AND a.k < b.k
+      GROUP BY a.cohort
+    ), eq AS (
+      SELECT a.cohort, COUNT(*) AS n_pairs_eq
+      FROM c a JOIN c b ON a.cohort = b.cohort AND a.k < b.k
+      GROUP BY a.cohort
+    )
+    SELECT CAST(ns.cohort AS INT) AS cohort,
+           CAST(ns.n_pairs_nullsafe AS BIGINT) AS n_pairs_nullsafe,
+           CAST(COALESCE(eq.n_pairs_eq, 0) AS BIGINT) AS n_pairs_eq
+    FROM ns LEFT JOIN eq ON ns.cohort IS NOT DISTINCT FROM eq.cohort
+    ORDER BY ns.cohort NULLS FIRST
+    """,
+    tags=("join", "null-safe", "semantics"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM) vs plain
+    `=`: pair counts per nullable cohort show the standard join silently
+    DROPPING the NULL cohort while the null-safe join matches it — the
+    semantics every SCD merge / dedup reconciliation on optional keys
+    depends on (Spark plans `<=>` as a hash join on a null-wrapped key,
+    not a nested loop, so the null bucket costs the same as any other)."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.expr("nullif(n_nationkey % 5, 0)").cast("int").alias("cohort"),
+    )
+    a = n.select(F.col("k").alias("ka"), F.col("cohort").alias("ca"))
+    b = n.select(F.col("k").alias("kb"), F.col("cohort").alias("cb"))
+    ns = (
+        a.join(b, a["ca"].eqNullSafe(b["cb"]) & (a["ka"] < b["kb"]))
+        .groupBy(F.col("ca").alias("cohort"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_nullsafe"))
+    )
+    eq = (
+        a.join(b, (a["ca"] == b["cb"]) & (a["ka"] < b["kb"]))
+        .groupBy(F.col("ca").alias("cohort"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_eq"))
+    )
+    return (
+        ns.join(eq, ns["cohort"].eqNullSafe(eq["cohort"]), "left")
+        .select(
+            ns["cohort"].alias("cohort"),
+            "n_pairs_nullsafe",
+            F.coalesce("n_pairs_eq", F.lit(0)).cast("bigint").alias(
+                "n_pairs_eq"
+            ),
+        )
+        .orderBy(F.col("cohort").asc_nulls_first())
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed
+      FROM events
+    ), conv AS (
+      SELECT COALESCE(attributed, 'none') AS attributed_type
+      FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 4) AS share
+    FROM conv GROUP BY attributed_type
+    ORDER BY attributed_type
+    """,
+    tags=("events", "attribution", "window"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    user's most recent strictly-earlier non-purchase event ('none' when
+    the purchase opens the history) — the marketing-analytics primitive,
+    expressed as one IGNORE NULLS last_value window over (ts, event_id)
+    total order (the LEAD/LAG tie-break discipline). State per user is
+    one running value; no self-join, no sessionization needed."""
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        .alias("attributed"),
+    )
+    conv = seq.where(F.col("event_type") == "purchase").select(
+        F.coalesce("attributed", F.lit("none")).alias("attributed_type")
+    )
+    return (
+        conv.groupBy("attributed_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+        .withColumn(
+            "share",
+            F.round(
+                F.col("n_conversions").cast("double")
+                / F.sum("n_conversions").over(W.partitionBy()),
+                4,
+            ),
+        )
+        .orderBy("attributed_type")
+    )

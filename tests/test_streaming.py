@@ -968,3 +968,89 @@ def test_cdc_random_sequence_matches_reference_model(spark, tmp_path):
     assert state() == ref
     apply(last, 5)  # replay the final batch
     assert state() == ref
+
+
+def test_stream_stream_left_outer_join_flushes_unmatched(
+    spark, sf_dir, tmp_path
+):
+    """Watermarked stream-stream LEFT OUTER join: purchases with no
+    same-user view in the preceding hour must eventually emit with NULL
+    view columns — but ONLY once the watermark passes their window, so a
+    drained replay withholds the trailing unmatched rows forever unless
+    time advances. The test pins both semantics: a future-ts sentinel
+    slice pushes the watermark past every real event, after which the
+    emitted set equals the batch LEFT join exactly."""
+    import distributed_graph_database_system_spark.streaming.events as EV
+
+    src = EV.replay_dir(spark, sf_dir, str(tmp_path / "s"), slices=4)
+    # sentinel slice: one future view + one future purchase advance BOTH
+    # sides' watermarks (the outer flush gates on the join's combined
+    # watermark, i.e. the min of the two inputs')
+    maxts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    sent = spark.createDataFrame(
+        [
+            (-1, maxts, -1, "view", 0.0, "{}"),
+            (-2, maxts, -2, "purchase", 0.0, "{}"),
+        ],
+        EV.EVENTS_SCHEMA,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+    sent.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_sent"))
+    import glob as pyglob
+    import shutil
+
+    part = pyglob.glob(str(tmp_path / "_sent" / "part-*.parquet"))[0]
+    shutil.move(part, f"{src}/slice-999.parquet")
+
+    def sides(df):
+        views = (
+            df.where(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_uid"),
+                F.col("ts").alias("v_ts"),
+                F.col("event_id").alias("v_id"),
+            )
+        )
+        purchases = (
+            df.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_uid"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"),
+            )
+        )
+        return views, purchases
+
+    sviews, spurch = sides(EV.events_stream(spark, src))
+    joined = (
+        spurch.withWatermark("p_ts", "1 hour")
+        .join(
+            sviews.withWatermark("v_ts", "1 hour"),
+            (F.col("p_uid") == F.col("v_uid"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") < F.col("p_ts")),
+            "leftOuter",
+        )
+        .select("p_id", "v_id")
+    )
+    run_to_memory(joined, "t_ssoj", mode="append")
+    got = {
+        (r.p_id, r.v_id)
+        for r in spark.table("t_ssoj").collect()
+        if r.p_id > 0
+    }
+
+    bviews, bpurch = sides(load_table(spark, sf_dir, "events"))
+    want = {
+        (r.p_id, r.v_id)
+        for r in bpurch.join(
+            bviews,
+            (F.col("p_uid") == F.col("v_uid"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") < F.col("p_ts")),
+            "left",
+        )
+        .select("p_id", "v_id")
+        .collect()
+    }
+    assert got == want
+    assert any(v is None for _, v in want), "fixture lost its unmatched rows"

@@ -1523,6 +1523,8 @@ def maximal_independent_set(edges: DataFrame, max_iter: int = 200) -> DataFrame:
     mis_parts: list[DataFrame] = []
     for r in range(max_iter):
         if undecided.isEmpty():
+            if not mis_parts:  # empty graph: the MIS is empty
+                return undecided.select("vid")
             out = mis_parts[0]
             for p in mis_parts[1:]:
                 out = out.unionAll(p)
@@ -2178,3 +2180,87 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         [(int(row["n_communities"]), int(within), round(q, 6))],
         "n_communities BIGINT, within_edges BIGINT, q DOUBLE",
     )
+
+
+def greedy_coloring(edges: DataFrame, max_colors: int = 64) -> DataFrame:
+    """Proper vertex coloring by ITERATED LUBY MIS (the Jones–Plassmann
+    family): round c takes a maximal independent set of the still-
+    uncolored subgraph, assigns it color c, removes it, repeats. Every
+    MIS is independent ⇒ the coloring is proper; every MIS is maximal ⇒
+    each round shrinks the graph, and the color count is bounded by
+    degeneracy+1 in practice (not optimal — graph coloring is NP-hard;
+    this is the standard distributed heuristic). Determinism comes free:
+    maximal_independent_set breaks ties by fixed hash priorities, so the
+    full color assignment is a pure function of the edge set.
+
+    Self-loops are stripped (the module-wide undirected convention — see
+    maximal_independent_set). Returns ``(vid, color INT)`` covering every
+    vertex. Scale: one MIS (itself O(log n) rounds) per color; lineage
+    cut per round via the MIS operator's own checkpoints plus the
+    shrinking edge relation's. Reference parity: no analogue; north-star
+    analytics extension."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    # vertex universe from the RAW edges: a vertex whose only edges are
+    # self-loops must still receive a color (it is isolated after the
+    # strip, consistent with maximal_independent_set's documented reading)
+    remaining_v = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining_e = und
+    out = None
+    for color in range(max_colors):
+        if remaining_v.isEmpty():
+            break
+        if remaining_e.isEmpty():
+            # every remaining vertex is isolated: one final color class
+            colored = remaining_v.select(
+                "vid", F.lit(color).cast("int").alias("color")
+            ).localCheckpoint()
+            out = colored if out is None else out.unionAll(colored)
+            remaining_v = remaining_v.join(
+                colored, "vid", "left_anti"
+            ).localCheckpoint()
+            break
+        mis = maximal_independent_set(
+            remaining_e.select(
+                F.col("a").alias("src"), F.col("b").alias("dst")
+            )
+        ).localCheckpoint()
+        # isolated vertices (no surviving edge) aren't in remaining_e;
+        # they are trivially independent — add them to this round's set
+        edge_verts = (
+            remaining_e.select(F.col("a").alias("vid"))
+            .unionAll(remaining_e.select(F.col("b").alias("vid")))
+            .distinct()
+        )
+        isolated = remaining_v.join(edge_verts, "vid", "left_anti")
+        colored = mis.select("vid").unionAll(isolated).distinct().select(
+            "vid", F.lit(color).cast("int").alias("color")
+        ).localCheckpoint()
+        out = colored if out is None else out.unionAll(colored)
+        remaining_v = remaining_v.join(colored, "vid", "left_anti").localCheckpoint()
+        picked = colored.select("vid")
+        remaining_e = (
+            remaining_e.join(
+                picked.withColumnRenamed("vid", "a"), "a", "left_anti"
+            )
+            .join(picked.withColumnRenamed("vid", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(f"greedy_coloring: exceeded {max_colors} colors")
+    if out is None:
+        return spark.createDataFrame([], "vid BIGINT, color INT")
+    return out

@@ -999,3 +999,26 @@ def graph_modularity_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
     )
     return nat.unionByName(lpa).orderBy("partition")
+
+
+@query(
+    "graph_coloring_g6",
+    oracle="""
+    SELECT CAST(v AS BIGINT) AS vid, CAST(c AS INT) AS color
+    FROM (VALUES (1, 2), (2, 3), (3, 1), (4, 0), (5, 1), (6, 0), (7, 1),
+                 (8, 2), (9, 0), (10, 0)) AS t(v, c)
+    ORDER BY vid
+    """,
+    tags=("graph", "coloring", "mis"),
+)
+def graph_coloring_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy vertex coloring of G6 by iterated Luby MIS — lands exactly
+    4 colors, which is optimal here (the 4-clique {1..4} forces χ ≥ 4).
+    Deterministic because each MIS round breaks ties by fixed hash
+    priorities; properness and the clique lower bound are property-tested
+    in tests/test_graph.py."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        greedy_coloring,
+    )
+
+    return greedy_coloring(_edges(spark, G6)).orderBy("vid")

@@ -1468,3 +1468,58 @@ def test_betweenness_sampled_extrapolates_to_exact_on_cycle(spark):
         ).collect()
     }
     assert full == exact
+
+
+def test_greedy_coloring_is_proper_and_total(spark):
+    """Iterated-MIS coloring on a deterministic random graph: every
+    vertex colored exactly once, no edge monochromatic, color count at
+    least the clique number witnessed by any triangle, and the empty
+    graph / isolated-vertices edge cases hold."""
+    import random
+
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+        greedy_coloring,
+        maximal_independent_set,
+    )
+
+    rng = random.Random(31)
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                (rng.randint(1, 40), rng.randint(1, 40)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    col = {r.vid: r.color for r in greedy_coloring(df).collect()}
+    verts = {v for e in edges for v in e}
+    assert col.keys() == verts
+    for a, b in edges:
+        assert col[a] != col[b], f"edge ({a},{b}) monochromatic"
+    # triangle forces >= 3 colors
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    has_tri = any(
+        c in nbr.get(b, ()) and c != a
+        for a in nbr
+        for b in nbr[a]
+        for c in nbr[a]
+    )
+    if has_tri:
+        assert len(set(col.values())) >= 3
+
+    # empty graph: empty result, and empty-graph MIS no longer crashes
+    assert greedy_coloring(spark.createDataFrame([], EDGE_SCHEMA)).count() == 0
+    assert (
+        maximal_independent_set(spark.createDataFrame([], EDGE_SCHEMA)).count()
+        == 0
+    )
+    # pure self-loop graph: vertices isolated after stripping → one class
+    loops = spark.createDataFrame([(7, 7), (9, 9)], EDGE_SCHEMA)
+    got = {(r.vid, r.color) for r in greedy_coloring(loops).collect()}
+    assert got == {(7, 0), (9, 0)}

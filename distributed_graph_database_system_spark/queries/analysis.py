@@ -3661,3 +3661,133 @@ def privacy_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionAll(one)
     return out.orderBy("qi_set")
+
+
+@query(
+    "orders_bootstrap_ci_mean",
+    oracle="""
+    WITH reps AS (SELECT unnest(generate_series(1, 50)) AS b),
+    w AS (
+      SELECT r.b, o.o_totalprice,
+             CASE
+               WHEN u < 0.3678794411714423 THEN 0
+               WHEN u < 0.7357588823428846 THEN 1
+               WHEN u < 0.9196986029286058 THEN 2
+               WHEN u < 0.9810118431238462 THEN 3
+               WHEN u < 0.9963401531726563 THEN 4
+               WHEN u < 0.9994058151824183 THEN 5
+               WHEN u < 0.9999167588507119 THEN 6
+               ELSE 7
+             END AS wt
+      FROM orders o CROSS JOIN reps r
+      CROSS JOIN LATERAL (
+        SELECT CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                                        || '|' || CAST(r.b AS VARCHAR)),
+                            1, 8)) AS BIGINT) / 4294967296.0 AS u
+      ) h
+    ), means AS (
+      SELECT b,
+             ROUND(CAST(SUM(wt * CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) / SUM(wt), 4) AS m
+      FROM w GROUP BY b HAVING SUM(wt) > 0
+    ), ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rk,
+             COUNT(*) OVER () AS nb
+      FROM means
+    )
+    SELECT CAST(MAX(nb) AS BIGINT) AS n_replicates,
+           (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / COUNT(*), 4) FROM orders)
+             AS mean_full,
+           MAX(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+           MAX(CASE WHEN rk = 49 THEN m END) AS ci_hi
+    FROM ranked
+    """,
+    tags=("statistics", "bootstrap", "resampling"),
+)
+def orders_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean order value —
+    the distributed bootstrap (Chamandy et al., Google 2012): classical
+    resampling needs a sample of exactly n rows (a global operation), but
+    Poisson(1) per-row weights approximate multinomial resampling with NO
+    coordination — each row draws its replicate weights independently, so
+    the whole B-replicate bootstrap is one explode + one aggregation,
+    embarrassingly parallel at any scale. Weights come from the inverse
+    Poisson CDF applied to the md5_uniform coin on (orderkey, replicate)
+    — deterministic, engine-portable, reproducible. Replicate means use
+    exact decimal sums (one rounded division each); the 95% CI is
+    nearest-rank over the B = 50 sorted means (ranks 2 and 49), totally
+    ordered by (mean, replicate id)."""
+    B = 50
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    thresholds = [
+        0.3678794411714423,
+        0.7357588823428846,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+        0.9994058151824183,
+        0.9999167588507119,
+    ]
+    wt = F.lit(7)
+    for k in range(len(thresholds) - 1, -1, -1):
+        wt = F.when(u < thresholds[k], F.lit(k)).otherwise(wt)
+    means = (
+        reps.withColumn("wt", wt)
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("wt")
+                    * F.col("o_totalprice").cast("decimal(18,2)")
+                ).cast("double")
+                / F.sum("wt"),
+                4,
+            ).alias("m"),
+            F.sum("wt").alias("tw"),
+        )
+        .where(F.col("tw") > 0)
+        .select("b", "m")
+    )
+    ranked = means.select(
+        "m",
+        F.row_number().over(W.orderBy("m", "b")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nb"),
+    )
+    full = load_table(spark, sf_dir, "orders").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_full")
+    )
+    return ranked.agg(
+        F.max("nb").cast("bigint").alias("n_replicates"),
+        F.max(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == 49, F.col("m"))).alias("ci_hi"),
+    ).crossJoin(full).select("n_replicates", "mean_full", "ci_lo", "ci_hi")

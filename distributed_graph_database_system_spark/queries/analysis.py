@@ -3791,3 +3791,82 @@ def orders_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
         F.max(F.when(F.col("rk") == 49, F.col("m"))).alias("ci_hi"),
     ).crossJoin(full).select("n_replicates", "mean_full", "ci_lo", "ci_hi")
+
+
+@query(
+    "events_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), joined AS (
+      SELECT a.event_type, a.day, a.n,
+             w.n AS pred_weekly, p.n AS pred_persist
+      FROM daily a
+      JOIN daily w ON w.event_type = a.event_type AND w.day = a.day - 7
+      JOIN daily p ON p.event_type = a.event_type AND p.day = a.day - 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(ABS(n - pred_weekly)) AS DOUBLE) / COUNT(*), 4)
+             AS mae_weekly,
+           ROUND(CAST(SUM(ABS(n - pred_persist)) AS DOUBLE) / COUNT(*), 4)
+             AS mae_persist,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(ABS(n - pred_weekly) AS DOUBLE)
+                                     / n, 8) AS DECIMAL(18,8))) AS DOUBLE)
+                 / COUNT(*), 4) AS mape_weekly
+    FROM joined GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "forecast", "backtest", "timeseries"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST: score the two standard zero-parameter baselines
+    every forecasting system must beat — seasonal-naive (same weekday
+    last week) and persistence (yesterday) — over the daily event-count
+    series, per type. MAE from exact integer error sums; MAPE terms
+    rounded to 8dp into an exact decimal sum (the rounded-term
+    discipline), one final division each. The join-against-shifted-self
+    shape is the scalable backtest harness: predictions at ANY horizon
+    are self-joins on (series, day - h), no per-series state, no loops —
+    at 100 TB the daily aggregate is tiny relative to raw events and the
+    backtest is three broadcast-able joins over it."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.alias("a")
+    w = daily.select(
+        F.col("event_type").alias("event_type"),
+        F.date_add("day", 7).alias("day"),
+        F.col("n").alias("pred_weekly"),
+    ).alias("w")
+    p = daily.select(
+        F.col("event_type").alias("event_type"),
+        F.date_add("day", 1).alias("day"),
+        F.col("n").alias("pred_persist"),
+    ).alias("p")
+    joined = a.join(w, ["event_type", "day"]).join(p, ["event_type", "day"])
+    abs_w = F.abs(F.col("n") - F.col("pred_weekly"))
+    abs_p = F.abs(F.col("n") - F.col("pred_persist"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum(abs_w).cast("double") / F.count(F.lit(1)), 4
+            ).alias("mae_weekly"),
+            F.round(
+                F.sum(abs_p).cast("double") / F.count(F.lit(1)), 4
+            ).alias("mae_persist"),
+            F.round(
+                F.sum(
+                    F.round(
+                        abs_w.cast("double") / F.col("n"), 8
+                    ).cast("decimal(18,8)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mape_weekly"),
+        )
+        .orderBy("event_type")
+    )

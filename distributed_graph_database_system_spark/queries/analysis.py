@@ -3870,3 +3870,97 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_periodogram",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_diff('hour', TIMESTAMP '2020-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS BIGINT) AS t,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), terms AS (
+      SELECT h.event_type, p.period,
+             CAST(ROUND(COS(2 * PI() * h.t / p.period), 8)
+                  AS DECIMAL(12,8)) * h.x AS c_term,
+             CAST(ROUND(SIN(2 * PI() * h.t / p.period), 8)
+                  AS DECIMAL(12,8)) * h.x AS s_term
+      FROM hourly h
+      CROSS JOIN (SELECT unnest([24, 168, 17]) AS period) p
+    ), comps AS (
+      SELECT event_type, period,
+             CAST(SUM(c_term) AS DOUBLE) AS c,
+             CAST(SUM(s_term) AS DOUBLE) AS s,
+             COUNT(*) AS n
+      FROM terms GROUP BY event_type, period
+    )
+    SELECT event_type, CAST(period AS INT) AS period_hours,
+           ROUND((c * c + s * s) / (n * n), 6) AS power
+    FROM comps ORDER BY event_type, period_hours
+    """,
+    tags=("events", "spectral", "periodogram", "timeseries"),
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power of the hourly event-count series at candidate
+    periods (daily 24h, weekly 168h, and a 17h control that no real
+    process follows) — the spectral screen behind seasonality detection:
+    power_p = (Σx·cos(2πt/p))² + (Σx·sin(2πt/p))² normalized by n². The
+    trig terms are rounded to 8dp into exact decimal sums (the
+    rounded-term discipline extended to transcendentals: Spark and DuckDB
+    run different libm implementations, and per-term rounding absorbs
+    their last-ulp disagreement), then two identical double squarings.
+    One hourly aggregate + a 3-period explode — a full FFT is pointless
+    at analytic scale when the candidate set is known; this is O(periods)
+    scans of the tiny per-hour series."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                - F.unix_timestamp(F.lit("2020-01-01 00:00:00").cast("timestamp"))
+            )
+            / 3600
+        )
+        .cast("bigint")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    terms = hourly.select(
+        "event_type",
+        "t",
+        "x",
+        F.explode(F.array(F.lit(24), F.lit(168), F.lit(17))).alias("period"),
+    ).select(
+        "event_type",
+        "period",
+        (
+            F.round(
+                F.cos(F.lit(2) * F.lit(3.141592653589793) * F.col("t") / F.col("period")),
+                8,
+            ).cast("decimal(12,8)")
+            * F.col("x")
+        ).alias("c_term"),
+        (
+            F.round(
+                F.sin(F.lit(2) * F.lit(3.141592653589793) * F.col("t") / F.col("period")),
+                8,
+            ).cast("decimal(12,8)")
+            * F.col("x")
+        ).alias("s_term"),
+    )
+    comps = terms.groupBy("event_type", "period").agg(
+        F.sum("c_term").cast("double").alias("c"),
+        F.sum("s_term").cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return comps.select(
+        "event_type",
+        F.col("period").cast("int").alias("period_hours"),
+        F.round(
+            (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / (F.col("n") * F.col("n")),
+            6,
+        ).alias("power"),
+    ).orderBy("event_type", "period_hours")

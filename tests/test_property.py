@@ -81,3 +81,89 @@ def test_shingle_hash_udf_matches_python(spark, texts):
     }
     for i, t in rows:
         assert got[i] == _py_shingle_hashes(t), (i, t)
+
+
+@st.composite
+def grouped_int_sets(draw):
+    """Two slices of grouped integer values with overlap."""
+    vals_a = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.integers(min_value=0, max_value=5000),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    vals_b = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.integers(min_value=0, max_value=5000),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    k = draw(st.sampled_from([1, 4, 16]))
+    return vals_a, vals_b, k
+
+
+@given(g=grouped_int_sets())
+@SPARK_SETTINGS
+def test_kmv_semilattice_and_exactness_property(spark, g):
+    """Bottom-k is a semilattice: merge(sketch(A), sketch(B)) equals
+    sketch(A ∪ B) row-for-row on arbitrary grouped slices; and a group
+    with < k distinct values is represented EXACTLY (its estimate is the
+    true distinct count). Reference model is pure python over the same
+    md5-60bit hash."""
+    import hashlib
+
+    from distributed_graph_database_system_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    vals_a, vals_b, k = g
+    df_a = spark.createDataFrame(vals_a, "g INT, v BIGINT")
+    df_b = spark.createDataFrame(vals_b, "g INT, v BIGINT")
+    sk_a = kmv_sketch(df_a, "v", k=k, group_cols=("g",))
+    sk_b = kmv_sketch(df_b, "v", k=k, group_cols=("g",))
+    merged = {
+        (r.g, r.h)
+        for r in kmv_merge(sk_a, sk_b, k=k, group_cols=("g",)).collect()
+    }
+    whole = {
+        (r.g, r.h)
+        for r in kmv_sketch(
+            df_a.unionAll(df_b), "v", k=k, group_cols=("g",)
+        ).collect()
+    }
+    assert merged == whole
+
+    def h60(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    model: dict[int, set[int]] = {}
+    for gg, v in vals_a + vals_b:
+        model.setdefault(gg, set()).add(h60(v))
+    want = {
+        (gg, h)
+        for gg, hs in model.items()
+        for h in sorted(hs)[:k]
+    }
+    assert whole == want
+
+    est = {
+        r.g: r.est_distinct
+        for r in kmv_distinct_estimate(
+            kmv_sketch(df_a.unionAll(df_b), "v", k=k, group_cols=("g",)),
+            k=k,
+            group_cols=("g",),
+        ).collect()
+    }
+    for gg, hs in model.items():
+        if len(hs) < k:
+            assert est[gg] == float(len(hs))

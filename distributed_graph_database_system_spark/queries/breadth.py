@@ -2699,3 +2699,88 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("attributed_type")
     )
+
+
+@query(
+    "events_sliding7_quantiles_hist",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 100) AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), days AS (SELECT DISTINCT day FROM daily),
+    win AS (
+      SELECT d.day, h.bucket, SUM(h.cnt) AS cnt
+      FROM days d JOIN daily h ON h.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day, h.bucket
+    ), tot AS (SELECT day, SUM(cnt) AS n FROM win GROUP BY day),
+    cum AS (
+      SELECT w.day, w.bucket, t.n,
+             SUM(w.cnt) OVER (PARTITION BY w.day ORDER BY w.bucket
+                              ROWS UNBOUNDED PRECEDING) AS c
+      FROM win w JOIN tot t ON t.day = w.day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           MIN(CASE WHEN c >= CEIL(0.50 * n) THEN bucket END) / 100.0 AS p50,
+           MIN(CASE WHEN c >= CEIL(0.95 * n) THEN bucket END) / 100.0 AS p95,
+           MIN(CASE WHEN c >= CEIL(0.99 * n) THEN bucket END) / 100.0 AS p99
+    FROM cum GROUP BY day ORDER BY day
+    """,
+    tags=("events", "histogram", "quantile", "sliding-window"),
+)
+def events_sliding7_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding p50/p95/p99 from ADDITIVE fixed-width histograms —
+    the mergeable-state quantile path completing the sliding-window
+    trilogy (distinct = bitmap/HLL/KMV, frequency = CMS, quantiles =
+    histogram): per (day, 0.01-wide bucket) counts merge across windows
+    by plain addition, so the sliding series costs O(days × buckets) tiny
+    sums, never a re-sort of raw values — the HDR-histogram production
+    pattern for latency dashboards. Nearest-rank quantiles resolve to
+    bucket lower bounds (exact to the 0.01 granularity; closeness to
+    percentile() asserted in tests/test_breadth.py). All arithmetic is
+    integer counts plus one identical floor/ceil per engine."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+        "bucket",
+        "cnt",
+    ).select(F.date_add("day", F.col("i")).alias("day"), "bucket", "cnt")
+    observed = e.select(F.to_date("ts").alias("day")).distinct()
+    win = (
+        contrib.join(observed, "day", "left_semi")
+        .groupBy("day", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    tot = win.groupBy("day").agg(F.sum("cnt").alias("n"))
+    cum = win.join(tot, "day").withColumn(
+        "c",
+        F.sum("cnt").over(
+            W.partitionBy("day").orderBy("bucket").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+
+    def q(p: float):
+        return (
+            F.min(
+                F.when(
+                    F.col("c") >= F.ceil(F.lit(p) * F.col("n")),
+                    F.col("bucket"),
+                )
+            )
+            / 100.0
+        )
+
+    return (
+        cum.groupBy("day")
+        .agg(q(0.50).alias("p50"), q(0.95).alias("p95"), q(0.99).alias("p99"))
+        .select(F.col("day").cast("string").alias("day"), "p50", "p95", "p99")
+        .orderBy("day")
+    )

@@ -265,3 +265,48 @@ def test_ols_normal_eq_matches_numpy_lstsq(spark, sf_dir):
     ss_res = float(((y - pred) ** 2).sum())
     ss_tot = float(((y - y.mean()) ** 2).sum())
     assert abs(row.r2 - (1.0 - ss_res / ss_tot)) < 1e-5
+
+
+def test_sliding_quantile_histogram_tracks_exact_percentiles(spark, sf_dir):
+    """The 0.01-bucket histogram quantiles sit within one bucket width of
+    Spark's exact percentile() on every window (nearest-rank vs
+    interpolated can differ by at most the local gap, which uniform 0.01
+    granularity bounds)."""
+    from distributed_graph_database_system_spark.queries.breadth import (
+        events_sliding7_quantiles_hist,
+    )
+
+    got = {
+        r.day: (r.p50, r.p95, r.p99)
+        for r in events_sliding7_quantiles_hist(spark, sf_dir).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = [
+        r.day for r in e.select(F.to_date("ts").alias("day")).distinct().collect()
+    ]
+    import datetime
+
+    for day in sorted(days)[:5]:  # spot-check a handful of windows
+        lo = day - datetime.timedelta(days=6)
+        vals = (
+            e.where(
+                (F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") <= F.lit(day))
+            )
+            .selectExpr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) p50",
+                "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) p95",
+                "percentile_disc(0.99) WITHIN GROUP (ORDER BY value) p99",
+            )
+            .first()
+        )
+        g = got[str(day)]
+        for i, name in enumerate(("p50", "p95", "p99")):
+            # same nearest-rank definition: the histogram answer is the
+            # bucket FLOOR of the exact discrete percentile — within one
+            # 0.01 bucket below it, never above
+            assert vals[name] - 0.0100001 <= g[i] <= vals[name] + 1e-9, (
+                day,
+                name,
+                g[i],
+                vals[name],
+            )

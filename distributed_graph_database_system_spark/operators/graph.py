@@ -2264,3 +2264,99 @@ def greedy_coloring(edges: DataFrame, max_colors: int = 64) -> DataFrame:
     if out is None:
         return spark.createDataFrame([], "vid BIGINT, color INT")
     return out
+
+
+def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999): mutually
+    recursive scores on a DIRECTED graph — a good authority is pointed at
+    by good hubs, a good hub points at good authorities. Per iteration:
+    auth(v) = Σ hub(u) over in-edges, then L1-normalize; hub(u) = Σ
+    auth(v) over out-edges, then L1-normalize. Where PageRank models a
+    random surfer, HITS separates citation roles — the right centrality
+    for bipartite-ish link analysis (buyers/products, papers/venues).
+
+    Determinism discipline: scores live in fixed-point decimal(28,12);
+    each normalization is one division per vertex by the exact decimal
+    sum — byte-identical under any partitioning (the TextRank approach).
+    L1 (not the classical L2) normalization keeps the arithmetic inside
+    exact decimals — no square roots — and scales scores identically, so
+    rankings match the classical formulation. Returns ``(vid, hub,
+    authority)`` as rounded doubles. Self-loops dropped; lineage cut per
+    iteration. Reference parity: no analogue; north-star extension."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select(
+            "vid", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    init = (Decimal(1) / Decimal(n)).quantize(
+        Decimal(1).scaleb(-12), rounding=ROUND_HALF_UP
+    )
+    hub = verts.select(
+        "vid", F.lit(str(init)).cast("decimal(28,12)").alias("s")
+    )
+    auth = hub
+    for i in range(iterations):
+        a_raw = (
+            e.join(hub.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("t"))
+        auth = (
+            verts.join(a_raw, "vid", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "vid",
+                (
+                    F.coalesce(F.col("raw"), F.lit(0).cast("decimal(28,12)"))
+                    / F.col("t")
+                )
+                .cast("decimal(28,12)")
+                .alias("s"),
+            )
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("vid", "dst"), "dst")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("t"))
+        hub = (
+            verts.join(h_raw, "vid", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "vid",
+                (
+                    F.coalesce(F.col("raw"), F.lit(0).cast("decimal(28,12)"))
+                    / F.col("t")
+                )
+                .cast("decimal(28,12)")
+                .alias("s"),
+            )
+        )
+        if i % 3 == 2:
+            hub = hub.localCheckpoint()
+            auth = auth.localCheckpoint()
+    return (
+        verts.join(hub.withColumnRenamed("s", "h"), "vid")
+        .join(auth.withColumnRenamed("s", "a"), "vid")
+        .select(
+            "vid",
+            F.round(F.col("h").cast("double"), 6).alias("hub"),
+            F.round(F.col("a").cast("double"), 6).alias("authority"),
+        )
+    )

@@ -3964,3 +3964,81 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("power"),
     ).orderBy("event_type", "period_hours")
+
+
+@query(
+    "events_twap_daily",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS t_next
+      FROM events
+    ), seg AS (
+      SELECT event_type, day,
+             CAST(ROUND(value, 6) AS DECIMAL(18,6)) * (t_next - t) AS wv,
+             t_next - t AS w
+      FROM seq WHERE t_next IS NOT NULL
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           ROUND(CAST(SUM(wv) AS DOUBLE) / SUM(w), 4) AS twap
+    FROM seg GROUP BY event_type, day
+    HAVING SUM(w) > 0
+    ORDER BY event_type, day
+    """,
+    tags=("events", "twap", "time-weighted", "window"),
+)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (type, day) — the TWAP/metrics
+    convention for irregularly sampled series, where a plain mean
+    over-weights bursts: each observation holds until the next one, so
+    its weight is the microsecond gap to the successor (zero-length
+    last-of-day segments drop out; days whose samples all share one
+    timestamp drop via HAVING). Weights are exact epoch-microsecond
+    integers (the load_table µs discipline — never float time math);
+    value·weight terms are rounded-value decimals summed exactly, one
+    final division. One window over (ts, event_id) total order per
+    series-day, then a partial-agg groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts"))
+        .over(
+            W.partitionBy("event_type", F.to_date("ts")).orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    seg = seq.select(
+        "event_type",
+        "day",
+        (
+            F.round("value", 6).cast("decimal(18,6)")
+            * (F.col("t_next") - F.col("t"))
+        ).alias("wv"),
+        (F.col("t_next") - F.col("t")).alias("w"),
+    )
+    return (
+        seg.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.round(F.sum("wv").cast("double") / F.sum("w"), 4).alias("twap"),
+            F.sum("w").alias("_tw"),
+        )
+        .where(F.col("_tw") > 0)
+        .drop("_tw")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n_segments",
+            "twap",
+        )
+        .orderBy("event_type", "day")
+    )

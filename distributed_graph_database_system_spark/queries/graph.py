@@ -1022,3 +1022,27 @@ def graph_coloring_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return greedy_coloring(_edges(spark, G6)).orderBy("vid")
+
+
+@query(
+    "graph_hits_g2",
+    oracle="""
+    SELECT CAST(v AS BIGINT) AS vid, CAST(h AS DOUBLE) AS hub,
+           CAST(a AS DOUBLE) AS authority
+    FROM (VALUES (1, 0.012838, 0.0), (2, 0.329021, 0.018771),
+                 (3, 0.329021, 0.018771), (4, 0.00005, 0.962164),
+                 (5, 0.00005, 0.000147), (6, 0.329021, 0.000147))
+      AS t(v, h, a)
+    ORDER BY vid
+    """,
+    tags=("graph", "hits", "centrality"),
+)
+def graph_hits_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on directed G2 after 8 L1-normalized rounds: vertex 4 is the
+    dominant authority (pointed at by the hub set {2, 3, 6}), and the
+    hubs split the hub mass. Golden pinned from the fixed-point decimal
+    iteration (byte-identical under any partitioning); numpy
+    power-iteration parity in tests/test_graph.py."""
+    from distributed_graph_database_system_spark.operators.graph import hits
+
+    return hits(_edges(spark, G2)).orderBy("vid")

@@ -1523,3 +1523,55 @@ def test_greedy_coloring_is_proper_and_total(spark):
     loops = spark.createDataFrame([(7, 7), (9, 9)], EDGE_SCHEMA)
     got = {(r.vid, r.color) for r in greedy_coloring(loops).collect()}
     assert got == {(7, 0), (9, 0)}
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """The fixed-point-decimal HITS agrees with a float64 numpy power
+    iteration (same L1 normalization, same iteration count) to well
+    inside the decimal rounding, on G2 and on a random digraph."""
+    import random
+
+    import numpy as np
+
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+        hits,
+    )
+
+    def np_hits(edges, iters=8):
+        vs = sorted({v for e in edges for v in e})
+        ix = {v: i for i, v in enumerate(vs)}
+        A = np.zeros((len(vs), len(vs)))
+        for s, d in edges:
+            if s != d:
+                A[ix[s], ix[d]] = 1.0
+        h = np.full(len(vs), 1.0 / len(vs))
+        a = h.copy()
+        for _ in range(iters):
+            a = A.T @ h
+            a = a / a.sum() if a.sum() else a
+            h = A @ a
+            h = h / h.sum() if h.sum() else h
+        return {v: (h[ix[v]], a[ix[v]]) for v in vs}
+
+    rng = random.Random(13)
+    graphs = [
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 4)],
+        sorted(
+            {
+                (rng.randint(1, 15), rng.randint(1, 15))
+                for _ in range(40)
+            }
+        ),
+    ]
+    for edges in graphs:
+        edges = [(a, b) for a, b in edges if a != b]
+        want = np_hits(edges)
+        got = {
+            r.vid: (r.hub, r.authority)
+            for r in hits(spark.createDataFrame(edges, EDGE_SCHEMA)).collect()
+        }
+        assert got.keys() == want.keys()
+        for v, (wh, wa) in want.items():
+            assert abs(got[v][0] - wh) < 1e-5, (v, got[v], wh)
+            assert abs(got[v][1] - wa) < 1e-5, (v, got[v], wa)

@@ -1489,3 +1489,79 @@ def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "embed_similarity_histogram",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings WHERE vec_id < 200
+    ), d AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             SUM(a.qv * b.qv) AS dot,
+             SUM(a.qv * a.qv) AS na,
+             SUM(b.qv * b.qv) AS nb
+      FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ), c AS (
+      SELECT CAST(FLOOR(CAST(dot AS DOUBLE)
+                        / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+                        * 10) AS INT) AS bin
+      FROM d WHERE na > 0 AND nb > 0
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM c GROUP BY bin ORDER BY bin
+    """,
+    tags=("llm", "embedding", "diagnostics", "histogram"),
+)
+def embed_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine-similarity histogram over the fixed 200-vector
+    eval slice — the embedding-collapse diagnostic: a healthy space
+    spreads mass across bins, a collapsed one piles into the top bin
+    (anisotropy/cone effect). Cross-engine float story: quantized-integer
+    dot products and squared norms are EXACT; the only float ops are one
+    division, two square roots and a multiply — all IEEE correctly-
+    rounded operations, so both engines produce bit-identical cosines and
+    the 0.1-bin floor needs no rounding guard at all (unlike libm
+    transcendentals — see events_periodogram). Bin index =
+    floor(cos·10) ∈ [-10, 9]."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("bigint").alias(
+            "qv"
+        ),
+    )
+    a = q.select(
+        F.col("vec_id").alias("va"), "dim", F.col("qv").alias("qa")
+    )
+    b = q.select(
+        F.col("vec_id").alias("vb"), "dim", F.col("qv").alias("qb")
+    )
+    d = (
+        a.join(b, "dim")
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(F.col("qa") * F.col("qb")).alias("dot"),
+            F.sum(F.col("qa") * F.col("qa")).alias("na"),
+            F.sum(F.col("qb") * F.col("qb")).alias("nb"),
+        )
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        d.select(F.floor(cos * 10).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("bin")
+    )

@@ -92,7 +92,9 @@ def oracle_of(name: str) -> str:
 # graph_diameter_g6 — and the post-rotation round-7 registrations:
 # embed_centroid_classifier_eval embed_knn_classifier_eval corpus_mix_plan
 # join_null_safe events_attribution_last_touch graph_coloring_g6
-# orders_bootstrap_ci_mean events_forecast_backtest events_periodogram). 32 of the 50 entries have NEVER appeared in any
+# orders_bootstrap_ci_mean events_forecast_backtest events_periodogram
+# events_sliding7_quantiles_hist graph_hits_g2 events_twap_daily
+# embed_similarity_histogram). 32 of the 50 entries have NEVER appeared in any
 # CORRECTNESS_r* file (cumulative driver coverage 176 → 208 once this
 # window is recorded). 18 driver-seen anchors stay — one per §2.2 row
 # whose family has no never-checked member (filter q6, decorrelation q11,

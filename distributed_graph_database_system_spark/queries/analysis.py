@@ -4042,3 +4042,81 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "part_xyz_classification",
+    oracle="""
+    WITH weekly AS (
+      SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+      FROM lineitem GROUP BY l_partkey, date_trunc('week', l_shipdate)
+    ), m AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             CAST(SUM(w) AS DOUBLE) AS s1,
+             CAST(SUM(w * w) AS DOUBLE) AS s2
+      FROM weekly GROUP BY l_partkey HAVING COUNT(*) >= 2
+    ), cv AS (
+      SELECT l_partkey,
+             ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n), 4) AS cv
+      FROM m WHERE s1 > 0
+    )
+    SELECT CASE WHEN cv < 0.5 THEN 'X'
+                WHEN cv < 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(MIN(cv), 4) AS cv_min,
+           ROUND(MAX(cv), 4) AS cv_max
+    FROM cv GROUP BY 1 ORDER BY xyz_class
+    """,
+    tags=("inventory", "xyz", "classification", "statistics"),
+)
+def part_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — the planning segmentation
+    that pairs with ABC revenue concentration (orders_abc_pareto): per
+    part, the coefficient of variation of WEEKLY shipped quantity sorts
+    parts into X (steady, cv < 0.5), Y (variable, < 1.0), Z (erratic).
+    Variance comes from exact decimal moments ((Σw², Σw) summed exactly,
+    one identical double expression — never the engine's stddev_samp,
+    whose internal accumulation order differs), cv is rounded BEFORE
+    classification so the class boundaries compare identical values in
+    both engines. Two partial-agg groupBys; no window, no sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("wk")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w"))
+    m = (
+        weekly.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").cast("double").alias("s1"),
+            F.sum(F.col("w") * F.col("w")).cast("double").alias("s2"),
+        )
+        .where(F.col("n") >= 2)
+        .where(F.col("s1") > 0)
+    )
+    cv = m.select(
+        "l_partkey",
+        F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+            / (F.col("s1") / F.col("n")),
+            4,
+        ).alias("cv"),
+    )
+    cls = (
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+    )
+    return (
+        cv.groupBy(cls.alias("xyz_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.min("cv"), 4).alias("cv_min"),
+            F.round(F.max("cv"), 4).alias("cv_max"),
+        )
+        .orderBy("xyz_class")
+    )

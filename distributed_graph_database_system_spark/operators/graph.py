@@ -2289,9 +2289,12 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # vertex universe from the RAW edges (the greedy_coloring convention):
+    # a vertex whose only edges are self-loops still appears, scored 0/0
+    # mass share like any other sink/source without the relevant edges
     verts = (
-        e.select(F.col("src").alias("vid"))
-        .unionAll(e.select(F.col("dst").alias("vid")))
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
         .distinct()
         .localCheckpoint()
     )
@@ -2316,6 +2319,10 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
             .agg(F.sum("s").alias("raw"))
         )
         a_tot = a_raw.agg(F.sum("raw").alias("t"))
+        # operands cast to decimal(26,12) so Spark's division typing keeps
+        # scale 12 (decimal(38,12)/decimal(38,12) would adjust to scale 6,
+        # silently quantizing scores — fatal once per-vertex mass ~1/n
+        # drops below 1e-6 on large graphs)
         auth = (
             verts.join(a_raw, "vid", "left")
             .crossJoin(F.broadcast(a_tot))
@@ -2323,7 +2330,8 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
                 "vid",
                 (
                     F.coalesce(F.col("raw"), F.lit(0).cast("decimal(28,12)"))
-                    / F.col("t")
+                    .cast("decimal(26,12)")
+                    / F.col("t").cast("decimal(26,12)")
                 )
                 .cast("decimal(28,12)")
                 .alias("s"),
@@ -2342,7 +2350,8 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
                 "vid",
                 (
                     F.coalesce(F.col("raw"), F.lit(0).cast("decimal(28,12)"))
-                    / F.col("t")
+                    .cast("decimal(26,12)")
+                    / F.col("t").cast("decimal(26,12)")
                 )
                 .cast("decimal(28,12)")
                 .alias("s"),

@@ -3663,10 +3663,17 @@ def privacy_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("qi_set")
 
 
+_BOOTSTRAP_B = 50
+# nearest-rank 95% CI positions derived from B (not hardcoded next to a
+# tunable B): lo = ceil(0.025·B), hi = ceil(0.975·B)
+_BOOT_LO = -(-25 * _BOOTSTRAP_B // 1000)
+_BOOT_HI = -(-975 * _BOOTSTRAP_B // 1000)
+
+
 @query(
     "orders_bootstrap_ci_mean",
-    oracle="""
-    WITH reps AS (SELECT unnest(generate_series(1, 50)) AS b),
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(1, {_BOOTSTRAP_B})) AS b),
     w AS (
       SELECT r.b, o.o_totalprice,
              CASE
@@ -3699,8 +3706,8 @@ def privacy_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                               AS DOUBLE) / COUNT(*), 4) FROM orders)
              AS mean_full,
-           MAX(CASE WHEN rk = 2 THEN m END) AS ci_lo,
-           MAX(CASE WHEN rk = 49 THEN m END) AS ci_hi
+           MAX(CASE WHEN rk = {_BOOT_LO} THEN m END) AS ci_lo,
+           MAX(CASE WHEN rk = {_BOOT_HI} THEN m END) AS ci_hi
     FROM ranked
     """,
     tags=("statistics", "bootstrap", "resampling"),
@@ -3718,7 +3725,11 @@ def orders_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal sums (one rounded division each); the 95% CI is
     nearest-rank over the B = 50 sorted means (ranks 2 and 49), totally
     ordered by (mean, replicate id)."""
-    B = 50
+    from distributed_graph_database_system_spark.queries.helpers import (
+        md5_uniform,
+    )
+
+    B = _BOOTSTRAP_B
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
@@ -3727,23 +3738,12 @@ def orders_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("o_orderkey").cast("string"),
-                        F.lit("|"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
+    u = md5_uniform(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("b").cast("string"),
+        )
     )
     thresholds = [
         0.3678794411714423,
@@ -3788,8 +3788,8 @@ def orders_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.max("nb").cast("bigint").alias("n_replicates"),
-        F.max(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
-        F.max(F.when(F.col("rk") == 49, F.col("m"))).alias("ci_hi"),
+        F.max(F.when(F.col("rk") == _BOOT_LO, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == _BOOT_HI, F.col("m"))).alias("ci_hi"),
     ).crossJoin(full).select("n_replicates", "mean_full", "ci_lo", "ci_hi")
 
 

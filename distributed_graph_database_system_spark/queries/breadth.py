@@ -2751,7 +2751,9 @@ def events_sliding7_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFram
         "bucket",
         "cnt",
     ).select(F.date_add("day", F.col("i")).alias("day"), "bucket", "cnt")
-    observed = e.select(F.to_date("ts").alias("day")).distinct()
+    # observed days come from the daily aggregate (identical day values),
+    # not a second scan of the raw fact table
+    observed = daily.select("day").distinct()
     win = (
         contrib.join(observed, "day", "left_semi")
         .groupBy("day", "bucket")

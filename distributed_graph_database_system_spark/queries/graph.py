@@ -1030,7 +1030,7 @@ def graph_coloring_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(v AS BIGINT) AS vid, CAST(h AS DOUBLE) AS hub,
            CAST(a AS DOUBLE) AS authority
     FROM (VALUES (1, 0.012838, 0.0), (2, 0.329021, 0.018771),
-                 (3, 0.329021, 0.018771), (4, 0.00005, 0.962164),
+                 (3, 0.329021, 0.018771), (4, 0.00005, 0.962165),
                  (5, 0.00005, 0.000147), (6, 0.329021, 0.000147))
       AS t(v, h, a)
     ORDER BY vid

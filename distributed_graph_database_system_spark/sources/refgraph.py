@@ -152,11 +152,26 @@ class ReferenceGraphWriter(DataSourceWriter):
     as ModifyGraph."""
 
     def __init__(self, options: dict, overwrite: bool):
+        import os
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("reference_graph writer: path option required")
         self.n_opt = options.get("n")
         self.overwrite = overwrite
+        # fail FAST on create-if-absent: the check needs no task output,
+        # so refuse before any cluster work runs (commit re-checks as the
+        # final race guard)
+        if os.path.exists(self.path) and not overwrite:
+            raise FileExistsError(
+                f"reference_graph writer: {self.path} exists (use "
+                "mode('overwrite') — the reference's ModifyGraph semantics)"
+            )
+        # per-writer unique temp sibling: a fixed '._tmp' name would let
+        # two concurrent writes to the same target publish each other's
+        # half-written bytes through os.replace
+        self._tmp = f"{self.path}._tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
 
     def write(self, iterator) -> _EdgeBatch:
         edges = [(int(r[0]), int(r[1])) for r in iterator]
@@ -181,16 +196,14 @@ class ReferenceGraphWriter(DataSourceWriter):
             raise ValueError(
                 f"reference_graph writer: edge ids outside 1..{n}: {bad[:3]}"
             )
-        tmp = self.path + "._tmp"
-        write_reference_file(tmp, n, edges)
-        os.replace(tmp, self.path)
+        write_reference_file(self._tmp, n, edges)
+        os.replace(self._tmp, self.path)
 
     def abort(self, messages) -> None:
         import os
 
-        tmp = self.path + "._tmp"
-        if os.path.exists(tmp):
-            os.remove(tmp)
+        if os.path.exists(self._tmp):
+            os.remove(self._tmp)
 
 
 def write_reference_file(path: str, n: int, edges: Sequence[tuple[int, int]]) -> None:

@@ -34,6 +34,9 @@ def main() -> int:
     spark = get_spark(app_name="determinism-sweep")
     qs = all_queries()
     todo = names or list(qs)
+    unknown = [n for n in todo if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown query name(s): {unknown}")
     base = spark.conf.get("spark.sql.shuffle.partitions")
     alt = "7"
     failed = []

@@ -283,6 +283,78 @@ def main() -> int:
         )
         return 0
 
+    if sys.argv[1:] == ["hist7"]:
+        # 50M values over 60 days through the additive-histogram sliding
+        # quantile shape (events_sliding7_quantiles_hist): per-day 0.01
+        # buckets merge by addition, so the full p50/p95/p99 series costs
+        # seconds and the exchange carries (day × distinct-bucket) counts,
+        # never raw values. Spot-checked against percentile_disc on one
+        # window.
+        n, days = 50_000_000, 60
+        ev = spark.range(n).select(
+            F.pmod(F.xxhash64("id"), F.lit(days)).alias("day_i"),
+            (F.pmod(F.xxhash64(F.col("id") + 11), F.lit(50_000)) / 100.0).alias(
+                "value"
+            ),
+        )
+        t0 = time.perf_counter()
+        daily = ev.groupBy(
+            "day_i", F.floor(F.col("value") * 100).cast("bigint").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        contrib = daily.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "day_i",
+            "bucket",
+            "cnt",
+        ).select((F.col("day_i") + F.col("i")).alias("day_i"), "bucket", "cnt")
+        win = (
+            contrib.where(F.col("day_i") < days)
+            .groupBy("day_i", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        tot = win.groupBy("day_i").agg(F.sum("cnt").alias("n"))
+        from pyspark.sql import Window as PW
+
+        cum = win.join(tot, "day_i").withColumn(
+            "c",
+            F.sum("cnt").over(
+                PW.partitionBy("day_i").orderBy("bucket").rowsBetween(
+                    PW.unboundedPreceding, 0
+                )
+            ),
+        )
+        qs = (
+            cum.groupBy("day_i")
+            .agg(
+                (
+                    F.min(
+                        F.when(
+                            F.col("c") >= F.ceil(F.lit(0.99) * F.col("n")),
+                            F.col("bucket"),
+                        )
+                    )
+                    / 100.0
+                ).alias("p99")
+            )
+            .collect()
+        )
+        dt = round(time.perf_counter() - t0, 2)
+        probe = (
+            ev.where((F.col("day_i") >= 24) & (F.col("day_i") <= 30))
+            .selectExpr(
+                "percentile_disc(0.99) WITHIN GROUP (ORDER BY value) p"
+            )
+            .first()["p"]
+        )
+        got = {r.day_i: r.p99 for r in qs}[30]
+        assert probe - 0.0100001 <= got <= probe + 1e-9, (got, probe)
+        print(
+            f"additive-histogram sliding-7d quantiles: 50M values / {days} "
+            f"days → full p99 series in {dt}s, day-30 p99={got} within one "
+            f"bucket of percentile_disc={probe}"
+        )
+        return 0
+
     if sys.argv[1:] == ["betweenness"]:
         from distributed_graph_database_system_spark.operators.graph import (
             betweenness_centrality,

@@ -283,6 +283,53 @@ def main() -> int:
         )
         return 0
 
+    if sys.argv[1:] == ["hitscolor"]:
+        from distributed_graph_database_system_spark.operators.graph import (
+            greedy_coloring,
+            hits,
+        )
+
+        # HITS: 8 L1-normalized decimal rounds on 500k directed edges /
+        # 100k vertices. The claim: per-round cost is two grouped joins,
+        # independent of score magnitudes (the decimal(26,12) division fix
+        # keeps 12 digits even at 1e-5 per-vertex mass).
+        n_v, n_e = 100_000, 500_000
+        g = spark.range(n_e).select(
+            (F.pmod(F.xxhash64("id"), F.lit(n_v)) + 1).alias("src"),
+            (F.pmod(F.xxhash64(F.col("id") + 3), F.lit(n_v)) + 1).alias("dst"),
+        )
+        t0 = time.perf_counter()
+        top = (
+            hits(g)
+            .orderBy(F.desc("authority"), "vid")
+            .limit(3)
+            .collect()
+        )
+        t_hits = round(time.perf_counter() - t0, 2)
+        assert top[0].authority > 0
+        # Greedy coloring: bounded-degree graph (ring + 2 chord sets),
+        # max degree ~6 ⇒ few MIS rounds per color, few colors total.
+        n_c = 200_000
+        ring = spark.range(1, n_c).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        chords = spark.range(n_c).select(
+            (F.pmod(F.xxhash64("id"), F.lit(n_c)) + 1).alias("src"),
+            (F.pmod(F.xxhash64(F.col("id") + 5), F.lit(n_c)) + 1).alias("dst"),
+        ).limit(200_000)
+        cg = ring.unionAll(chords).where(F.col("src") != F.col("dst"))
+        t0 = time.perf_counter()
+        cols = greedy_coloring(cg, max_colors=32)
+        n_colors = cols.agg(F.max("color")).first()[0] + 1
+        n_colored = cols.count()
+        t_color = round(time.perf_counter() - t0, 2)
+        print(
+            f"hits 100k-vertex/500k-edge 8 rounds: {t_hits}s, top authority "
+            f"{top[0].authority:.6f}; greedy_coloring 200k-vertex/~400k-edge: "
+            f"{n_colors} colors over {n_colored} vertices in {t_color}s"
+        )
+        return 0
+
     if sys.argv[1:] == ["hist7"]:
         # 50M values over 60 days through the additive-histogram sliding
         # quantile shape (events_sliding7_quantiles_hist): per-day 0.01

@@ -4120,3 +4120,66 @@ def part_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("xyz_class")
     )
+
+
+@query(
+    "orders_hill_tail_index",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rk
+      FROM orders
+    ), topk AS (
+      SELECT rk, o_totalprice,
+             MAX(CASE WHEN rk = 201 THEN o_totalprice END) OVER ()
+               AS x_k
+      FROM ranked WHERE rk <= 201
+    )
+    SELECT CAST(200 AS BIGINT) AS k,
+           ROUND(MAX(x_k), 2) AS x_k,
+           ROUND(200.0 / CAST(SUM(CAST(ROUND(LN(o_totalprice / x_k), 8)
+                                       AS DECIMAL(18,8))) AS DOUBLE), 4)
+             AS hill_alpha
+    FROM topk WHERE rk <= 200
+    """,
+    tags=("statistics", "tail-index", "hill", "power-law"),
+)
+def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (Hill, Ann.Stat. 1975) on order values:
+    α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the top-k order statistics —
+    the standard heavy-tail diagnostic (α below ~2 ⇒ infinite variance:
+    means/CIs are unreliable and the pipeline should switch to
+    quantile-based monitors; complements corpus_zipf_slope, which
+    measures the rank-frequency exponent of tokens rather than a value
+    tail). Only the top k+1 = 201 rows leave the scan
+    (TakeOrderedAndProject shape — a total sort never happens); ln terms
+    round to 8dp into an exact decimal sum (the libm discipline), one
+    final division."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    k = 200
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number()
+        .over(W.orderBy(F.desc("o_totalprice"), "o_orderkey"))
+        .alias("rk"),
+    ).where(F.col("rk") <= k + 1)
+    xk = ranked.where(F.col("rk") == k + 1).select(
+        F.col("o_totalprice").alias("x_k")
+    )
+    top = ranked.where(F.col("rk") <= k).crossJoin(F.broadcast(xk))
+    return top.agg(
+        F.lit(k).cast("bigint").alias("k"),
+        F.round(F.max("x_k"), 2).alias("x_k"),
+        F.round(
+            F.lit(float(k))
+            / F.sum(
+                F.round(
+                    F.log(F.col("o_totalprice") / F.col("x_k")), 8
+                ).cast("decimal(18,8)")
+            ).cast("double"),
+            4,
+        ).alias("hill_alpha"),
+    )

@@ -4183,3 +4183,68 @@ def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hill_alpha"),
     )
+
+
+@query(
+    "orders_interpurchase_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate,
+                                                       o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders
+    ), gaps AS (SELECT gap FROM seq WHERE gap IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+             AS p25_days,
+           CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+             AS p50_days,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+             AS p75_days,
+           CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+             AS p90_days,
+           CAST(MAX(gap) AS BIGINT) AS max_days
+    FROM gaps
+    """,
+    tags=("orders", "recency", "cadence", "window"),
+)
+def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence distribution: day gaps between each customer's
+    consecutive orders, summarized by nearest-rank percentiles — the
+    replenishment-cycle baseline that re-engagement triggers and churn
+    definitions calibrate against (RFM's R uses only the LAST gap; this
+    is the full cadence curve). Gaps are exact integer day diffs from one
+    lag window over the (orderdate, orderkey) total order;
+    percentile_disc over integers is engine-exact — no float anywhere.
+    The discrete percentile runs on |gaps| values; at 100 TB scale the
+    same statistic comes from an additive day-gap histogram (the
+    events_sliding7_quantiles_hist pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"),
+            F.lag("o_orderdate").over(
+                W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            ),
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    return seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY gap)")
+        .cast("bigint")
+        .alias("p25_days"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY gap)")
+        .cast("bigint")
+        .alias("p50_days"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY gap)")
+        .cast("bigint")
+        .alias("p75_days"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY gap)")
+        .cast("bigint")
+        .alias("p90_days"),
+        F.max("gap").cast("bigint").alias("max_days"),
+    )

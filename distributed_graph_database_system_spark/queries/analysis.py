@@ -4248,3 +4248,100 @@ def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_days"),
         F.max("gap").cast("bigint").alias("max_days"),
     )
+
+
+@query(
+    "nation_trade_balance",
+    oracle="""
+    WITH flows AS (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(8,2))
+                    - CAST(l.l_discount AS DECIMAL(8,2)))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE ns.n_name <> nc.n_name
+      GROUP BY ns.n_name, nc.n_name
+    ), ex AS (
+      SELECT supp_nation AS nation, SUM(rev) AS exports FROM flows GROUP BY 1
+    ), im AS (
+      SELECT cust_nation AS nation, SUM(rev) AS imports FROM flows GROUP BY 1
+    )
+    SELECT COALESCE(ex.nation, im.nation) AS nation,
+           CAST(COALESCE(ex.exports, 0) AS DOUBLE) AS exports,
+           CAST(COALESCE(im.imports, 0) AS DOUBLE) AS imports,
+           CAST(COALESCE(ex.exports, 0) AS DOUBLE)
+             - CAST(COALESCE(im.imports, 0) AS DOUBLE) AS net_balance
+    FROM ex FULL OUTER JOIN im ON ex.nation = im.nation
+    ORDER BY nation
+    """,
+    tags=("relational", "trade", "multi-join", "decimal"),
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border trade balance: discounted revenue flowing from each
+    supplier nation to each (different) customer nation, folded to
+    per-nation exports, imports, and net balance — the q7 join spine
+    turned into the flow-matrix economics view. All money stays exact
+    DECIMAL until the final casts (the q1 discipline; sums of flows are
+    order-free), both nation dims broadcast, and the full-outer fold
+    covers nations that only ever sell or only ever buy."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)")
+    )
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                 F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                 F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    ex = flows.groupBy(F.col("supp_nation").alias("nation")).agg(
+        F.sum("rev").alias("exports")
+    )
+    im = flows.groupBy(F.col("cust_nation").alias("nation")).agg(
+        F.sum("rev").alias("imports")
+    )
+    # zero literal at the SUM's own scale: a scale-2 zero would force a
+    # COALESCE common type whose integer digits overflow precision 38 and
+    # Spark would silently truncate the money scale back to 2; the net
+    # subtraction runs in double on BOTH engines (decimal subtraction at
+    # precision 38 would lose another scale digit the same way)
+    z = F.lit(0).cast("decimal(38,4)")
+    exports_d = F.coalesce("exports", z).cast("double")
+    imports_d = F.coalesce("imports", z).cast("double")
+    return (
+        ex.join(im, "nation", "full_outer")
+        .select(
+            "nation",
+            exports_d.alias("exports"),
+            imports_d.alias("imports"),
+            (exports_d - imports_d).alias("net_balance"),
+        )
+        .orderBy("nation")
+    )

@@ -2046,7 +2046,21 @@ def betweenness_centrality(
                 .agg(F.sum("sigma").cast("decimal(20,0)").alias("sigma"))
                 .localCheckpoint()
             )
-            if nxt.isEmpty():
+            # one action doing double duty: frontier-exhaustion check and
+            # a loud overflow guard — path counts past 10^20 turn the
+            # non-ANSI decimal(20,0) cast into NULL, which would silently
+            # corrupt bc scores instead of failing (docstring scopes exact
+            # mode to small graphs; this enforces it)
+            stats = nxt.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("sigma").isNull(), 1)).alias("overflowed"),
+            ).first()
+            if stats["overflowed"]:
+                raise ArithmeticError(
+                    "betweenness: sigma path-count overflow past decimal(20,0)"
+                    f" at source {s} — graph too dense for exact mode"
+                )
+            if stats["n"] == 0:
                 break
             levels.append(nxt)
             visited = visited.unionAll(nxt.select("vid"))
@@ -2159,11 +2173,25 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         F.col("lb").isNotNull(), F.struct(F.lit(0).alias("t"), F.col("lb").alias("k"))
     ).otherwise(F.struct(F.lit(1).alias("t"), F.col("b").alias("k")))
     within = joined.where(eff_a == eff_b).count()
-    deg = (
+    # vertex universe from the RAW edges (the greedy_coloring/hits
+    # convention): a vertex whose only incident edges are self-loops has
+    # degree 0 after the strip but still counts toward n_communities (as
+    # a singleton or under its label, per the documented convention); its
+    # degree term contributes 0 to q either way
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    deg_e = (
         und.select(F.col("a").alias("vid"))
         .unionAll(und.select(F.col("b").alias("vid")))
         .groupBy("vid")
         .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    deg = (
+        verts.join(deg_e, "vid", "left")
+        .select("vid", F.coalesce("dg", F.lit(0)).alias("dg"))
         .join(lab, "vid", "left")
     )
     eff = F.when(
@@ -2250,6 +2278,11 @@ def greedy_coloring(edges: DataFrame, max_colors: int = 64) -> DataFrame:
         ).localCheckpoint()
         out = colored if out is None else out.unionAll(colored)
         remaining_v = remaining_v.join(colored, "vid", "left_anti").localCheckpoint()
+        # break as soon as the graph is fully colored — the top-of-loop
+        # check alone would misreport a coloring that completes in exactly
+        # max_colors rounds as "exceeded" (the for/else raise below)
+        if remaining_v.isEmpty():
+            break
         picked = colored.select("vid")
         remaining_e = (
             remaining_e.join(
@@ -2300,6 +2333,14 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
     )
     n = verts.count()
     if n == 0:
+        return verts.select(
+            "vid", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    if e.isEmpty():
+        # every edge was a self-loop: without the short-circuit a_raw /
+        # h_raw are empty, the totals aggregate to NULL, and every
+        # normalized score becomes NULL via division by NULL — the
+        # documented convention is 0/0 scores for such vertices
         return verts.select(
             "vid", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
         )

@@ -1251,23 +1251,25 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) >= 3
     ORDER BY n_users DESC, segment
     """,
-    tags=("analytics", "rfm", "segmentation"),
+    tags=("analytics", "rfm", "segmentation", "fixture-only"),
 )
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM (recency / frequency / monetary) user segmentation: quartile
-    scores per dimension via ntile windows, concatenated into segment
-    labels, segment sizes reported for segments of ≥3 users — the CRM
-    cohorting workhorse.
+    """FIXTURE-ONLY (registry tag ``fixture-only``): RFM (recency /
+    frequency / monetary) user segmentation via three GLOBAL ntile
+    windows over the per-user aggregate — ntile is ordinal (equal-size
+    buckets) and inherently needs a global sort, so this formulation is
+    a single-partition window over all users and must NOT run at data-
+    sized cardinality. The production formulation is
+    ``events_rfm_segments_scalable`` (exact quantile cut tables from
+    operators/quantile.py, broadcast comparison — no global window);
+    this twin exists as the oracle-exact ordinal-ntile contrast and for
+    fixture-scale parity.
 
     ntile assignment is ordinal, so every window ORDER BY carries the
     unique user_id tie-break (the same discipline as
     window_distribution_funcs) — quartile membership is then identical
     across engines regardless of partitioning. Monetary uses the exact
-    decimal sum. The three global ntile windows are the fixture-scale,
-    oracle-exact formulation; the cluster-scale path is implemented in
-    operators/quantile.py (one percentile_approx pass → broadcast cut
-    table, no global window) with its ntile-agreement bound asserted in
-    tests/test_quantile.py."""
+    decimal sum."""
     from distributed_graph_database_system_spark.queries.helpers import dsum
 
     e = load_table(spark, sf_dir, "events")
@@ -2654,13 +2656,19 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and, in the LLM pipeline, 'how concentrated is the corpus by
     source'). The rank-weighted closed form G = 2Σi·xᵢ/(nΣxᵢ) − (n+1)/n
     over revenues sorted ascending: per-supplier revenue is an exact
-    decimal sum, ranks come from one window with a supplier-id tie-break
-    (total order), and the weighted sum is again exact decimal × integer
-    — one final expression produces the coefficient. The global sort is
-    over the SUPPLIER aggregate (|suppliers| rows), not line items; at
-    unbounded cardinality the two-pass distributed rank
-    (operators/prefix.py) replaces the window, same as orders_abc_pareto."""
-    from pyspark.sql import Window as W
+    decimal sum, the rank i is the DISTRIBUTED two-pass prefix COUNT
+    (operators/prefix.py partitioned_prefix_sum over a constant 1 in the
+    (rev, suppkey) total order — range repartition → per-partition
+    running counts → broadcast offsets), and the weighted sum is again
+    exact decimal × integer — one final expression produces the
+    coefficient. No single-partition window anywhere in the plan (the
+    oracle's ROW_NUMBER is the semantic spec, not the plan), the same
+    rewrite orders_abc_pareto uses; integer counts are exact, so the
+    rank is invariant to the range partitioner's sample-based boundary
+    placement."""
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     s = li.groupBy("l_suppkey").agg(
@@ -2668,8 +2676,11 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev")
     )
-    r = s.withColumn(
-        "i", F.row_number().over(W.orderBy("rev", "l_suppkey"))
+    r = partitioned_prefix_sum(
+        s,
+        [F.col("rev"), F.col("l_suppkey")],
+        F.lit(1).cast("bigint"),
+        out_col="i",
     )
     agg = r.agg(
         F.count(F.lit(1)).alias("n"),
@@ -3418,7 +3429,8 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_heavy_hitters_rescan",
     oracle="""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events GROUP BY user_id HAVING COUNT(*) >= 30
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id HAVING COUNT(*) >= 30
     ORDER BY n_events DESC, user_id
     """,
     tags=("events", "sketch", "heavy-hitters", "rescan"),
@@ -3446,7 +3458,15 @@ def events_heavy_hitters_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     depth, width, thresh = 5, 4096, 30
-    e = load_table(spark, sf_dir, "events").select("user_id")
+    # NULL user_ids are excluded SYMMETRICALLY with the oracle's WHERE:
+    # the sketch build drops nulls, so an unfiltered rescan would bucket
+    # NULL rows by xxhash64(NULL, d) arbitrarily and the never-undercount
+    # guarantee would not hold for a NULL cohort.
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .where(F.col("user_id").isNotNull())
+    )
     sk = cm_sketch(e, "user_id", depth=depth, width=width)
     flat = [0] * (depth * width)
     for r in sk.collect():  # ≤ d*w = 20480 rows: constant, never data-sized

@@ -121,6 +121,17 @@ def graph_dfs_g5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs_leaves(_edges(spark, []), start=1)
 
 
+@query("graph_dfs_g6", oracle=_vid_oracle([9, 10]), tags=("graph", "dfs", "bridged"))
+def graph_dfs_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS leaf-set on the G6 bridged clique+cycle fixture (directed as
+    listed): from 1 the walk burrows 1→2→3→4→5→6→7→8, where 9 closes the
+    cycle back to the visited 5 (zero spawns → leaf) and the pendant 10
+    has no out-edges (leaf). Golden verified against tests'
+    py_dfs_leaves pure-python reference (ascending-neighbor canonical
+    order, FIXTURES.md §B)."""
+    return dfs_leaves(_edges(spark, G6), start=1)
+
+
 # --- Connected components / degrees (north-star analytics) -----------------
 
 

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from distributed_graph_database_system_spark.queries.helpers import davg, dec, dsum
+from distributed_graph_database_system_spark.queries.helpers import (
+    davg,
+    dec,
+    dsum,
+    sf_view,
+)
 from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources.catalog import load_table
 
@@ -1436,4 +1441,324 @@ def join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("revenue"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 driver-window additions: first-time evidence for SURVEY §2.2 rows
+# whose previous window members were all already driver-graded (grouping
+# sets, correlated scalar subquery, JSON scalars, anti join, full outer).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_sets_returnflag_year",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT l_returnflag, ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM t
+    GROUP BY GROUPING SETS ((l_returnflag, ship_year), (l_returnflag),
+                            (ship_year), ())
+    """,
+    tags=("aggregation", "grouping-sets"),
+)
+def agg_sets_returnflag_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over a COMPUTED grouping column (ship year): the
+    mode×year matrix plus both marginals plus the grand total in ONE
+    aggregation pass — Catalyst expands the sets into a single Expand +
+    partial/final HashAggregate, so the fact table is scanned once, not
+    four times (the whole point vs UNION ALL of four GROUP BYs at 100 TB).
+    Revenue is the exact decimal sum; the count/grouping columns are
+    integers, so the marginal rows' NULL group keys hash identically in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        "l_extendedprice",
+    )
+    return li.groupingSets(
+        [["l_returnflag", "ship_year"], ["l_returnflag"], ["ship_year"], []],
+        "l_returnflag",
+        "ship_year",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+
+
+@query(
+    "orders_customer_max_correlated",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("relational", "subquery", "decorrelation"),
+)
+def orders_customer_max_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — each customer's largest order(s),
+    written as the textbook correlated MAX so Catalyst's decorrelation
+    (RewriteCorrelatedScalarSubquery) turns the per-row probe into one
+    aggregate + equi join; the plan never nested-loops the subquery. The
+    comparison is raw-double EQUALITY against a MAX of the same parquet
+    values — no arithmetic, so no float discipline is needed, and ties
+    (two equal-priced orders) surface both rows in both engines
+    deterministically."""
+    o = sf_view(
+        spark,
+        load_table(spark, sf_dir, "orders"),
+        "orders_cmax",
+        sf_dir,
+    )
+    return spark.sql(f"""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM {o} o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM {o} o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_custkey, o_orderkey
+    """)
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(COUNT(*) FILTER (json_extract_string(props, '$.k') IS NULL)
+                AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("scalar", "json", "semi-structured"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events ``props`` payload column:
+    get_json_object pulls ``$.k`` per row (JVM-side Jackson parse — no
+    Python), cast to BIGINT so the aggregates are exact integers in both
+    engines; the n_missing guard shows NULL-path semantics agree (missing
+    key → NULL, counted symmetrically). At scale the parse is a map-side
+    scalar inside whole-stage codegen — the shuffle moves only the 5
+    event_type groups' partial aggregates, never raw JSON."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+            F.count(F.when(k.isNull(), 1)).cast("bigint").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "parts_quarter_no_shipment",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey
+        AND l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+    )
+    ORDER BY p_partkey
+    """,
+    tags=("join", "anti", "not-exists"),
+)
+def parts_quarter_no_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a LEFT ANTI join: parts with no shipment in 1995Q1.
+    The date filter lands on the lineitem SCAN (pushed predicate) before
+    the anti join, so the build side is the quarter's slice, not the
+    whole fact table; the anti join itself is a hash join on l_partkey.
+    NOT IN would carry the null-semantics trap (any NULL key empties the
+    result) — NOT EXISTS/left_anti is the null-safe formulation and the
+    one that plans identically in both engines."""
+    p = load_table(spark, sf_dir, "part")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_shipdate").between("1995-01-01", "1995-03-31")
+        )
+        .select("l_partkey")
+    )
+    return (
+        p.join(li, p["p_partkey"] == li["l_partkey"], "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "full_outer_hourly_signup_error",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             COUNT(*) AS n_signup
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    ), e AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             COUNT(*) AS n_error
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    )
+    SELECT CAST(COALESCE(s.d, e.d) AS TIMESTAMP) AS d,
+           COALESCE(s.hr, e.hr) AS hr,
+           CAST(COALESCE(n_signup, 0) AS BIGINT) AS n_signup,
+           CAST(COALESCE(n_error, 0) AS BIGINT) AS n_error
+    FROM s FULL JOIN e ON s.d = e.d AND s.hr = e.hr
+    ORDER BY d, hr
+    """,
+    tags=("join", "full-outer", "sparse-grid"),
+)
+def full_outer_hourly_signup_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse hourly grids (signup vs error
+    activity): at hourly grain each side genuinely has hours the other
+    lacks (the fixture has ~70 one-sided hours), so both null-extension
+    directions are exercised, then COALESCE folds the composite key and
+    zero-fills the counts — the canonical align-two-aggregates shape.
+    Both inputs pre-aggregate BEFORE the join (counts, not raw events,
+    move through the outer join's shuffle); the join key is the compact
+    (date, hour) pair."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = lambda typ, out: (  # noqa: E731
+        ev.where(F.col("event_type") == typ)
+        .groupBy(
+            F.to_date("ts").alias("d"), F.hour("ts").cast("int").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+    )
+    s = hourly("signup", "n_signup")
+    e = hourly("error", "n_error")
+    return (
+        s.withColumnsRenamed({"d": "sd", "hr": "shr"})
+        .join(
+            e,
+            (F.col("sd") == e["d"]) & (F.col("shr") == e["hr"]),
+            "full_outer",
+        )
+        .select(
+            # surfaced as TIMESTAMP (the repo-wide day-column convention:
+            # pandas renders DATE and TIMESTAMP differently per engine)
+            F.coalesce(F.col("sd"), e["d"]).cast("timestamp").alias("d"),
+            F.coalesce(F.col("shr"), e["hr"]).alias("hr"),
+            F.coalesce("n_signup", F.lit(0).cast("bigint")).alias("n_signup"),
+            F.coalesce("n_error", F.lit(0).cast("bigint")).alias("n_error"),
+        )
+        .orderBy("d", "hr")
+    )
+
+
+@query(
+    "orders_disjunctive_screen",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE (o_orderpriority = '1-URGENT' AND o_totalprice < 50000)
+       OR (o_orderpriority = '5-LOW' AND o_totalprice > 250000)
+       OR (o_orderstatus = 'F' AND o_orderdate >= DATE '1999-01-01')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("relational", "disjunctive", "filter"),
+)
+def orders_disjunctive_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate screen (the q19 shape on the orders table):
+    three disjoint review rules unioned by OR in ONE scan — Catalyst
+    keeps the disjunction as a single pushed filter (no triple scan, no
+    union), and the common-subexpression branches short-circuit inside
+    codegen. Counts are exact integers, the total is the exact decimal
+    sum."""
+    o = load_table(spark, sf_dir, "orders")
+    keep = (
+        ((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") < 50000))
+        | ((F.col("o_orderpriority") == "5-LOW") & (F.col("o_totalprice") > 250000))
+        | (
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= F.lit("1999-01-01").cast("date"))
+        )
+    )
+    return (
+        o.where(keep)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_asof_forward_error",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    w AS (
+      SELECT *,
+        first_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY ts, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
+                         event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_id,
+        first_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY ts, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
+                         event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ts
+      FROM t
+    )
+    SELECT event_id, user_id, ts,
+      CASE WHEN epoch_us(f_ts) - epoch_us(ts) <= 600000000
+           THEN f_id END AS next_error_id
+    FROM w WHERE event_type = 'click'
+    """,
+    tags=("join", "asof", "forward"),
+)
+def join_asof_forward_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with exact matches allowed: for every click,
+    the same user's first error at-or-after the click within 10 minutes
+    (the click→crash attribution query). Exercises the asof operator's
+    forward direction + allow_exact_matches=True corner (the nearest
+    variant covers exclusion): at equal timestamps the error IS eligible,
+    so the oracle's forward window sorts errors after clicks at the same
+    ts (visible from CURRENT ROW), and duplicate same-(user, ts) errors
+    break ties by MIN event_id in both formulations. Gap arithmetic is
+    exact epoch microseconds."""
+    from distributed_graph_database_system_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id"],
+        direction="forward",
+        tolerance=600.0,
+        allow_exact_matches=True,
+        suffix="_err",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("event_id_err").alias("next_error_id")
     )

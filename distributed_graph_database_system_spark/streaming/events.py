@@ -149,6 +149,27 @@ def run_foreach_batch(df: DataFrame, batch_fn, mode: str = "update") -> None:
         q.stop()
 
 
+def run_foreach_batch_available_now(
+    df: DataFrame, batch_fn, checkpoint: str, mode: str = "update"
+) -> None:
+    """The production run-shape of the foreachBatch pipelines:
+    Trigger.AvailableNow + a durable checkpoint. Each invocation drains
+    everything currently available (in maxFilesPerTrigger-sized
+    micro-batches), commits source offsets to the checkpoint, and
+    TERMINATES — the scheduled-batch pattern. A later invocation with the
+    same checkpoint resumes AFTER the last committed offset with
+    CONTINUING batch ids, which is exactly what the ledger epoch guard
+    (_guard_ledger_epoch) requires of a restart."""
+    q = (
+        df.writeStream.foreachBatch(batch_fn)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 from contextlib import contextmanager
 
 

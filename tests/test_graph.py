@@ -1575,3 +1575,60 @@ def test_hits_matches_numpy_power_iteration(spark):
         for v, (wh, wa) in want.items():
             assert abs(got[v][0] - wh) < 1e-5, (v, got[v], wh)
             assert abs(got[v][1] - wa) < 1e-5, (v, got[v], wa)
+
+
+def test_greedy_coloring_completes_in_exactly_max_colors(spark):
+    """A triangle needs exactly 3 colors and iterated MIS colors one
+    vertex per round; max_colors=3 must SUCCEED (the completion check
+    runs after the round's removal, not only at the top of the next
+    iteration — previously this raised a spurious 'exceeded' error)."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+        greedy_coloring,
+    )
+
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], EDGE_SCHEMA)
+    col = {r.vid: r.color for r in greedy_coloring(tri, max_colors=3).collect()}
+    assert col.keys() == {1, 2, 3}
+    assert len(set(col.values())) == 3
+
+
+def test_hits_all_self_loops_returns_zero_scores(spark):
+    """When every edge is a self-loop the stripped edge set is empty;
+    the documented convention is 0/0 scores (previously NULL via
+    aggregate-of-empty totals dividing the normalization)."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+        hits,
+    )
+
+    loops = spark.createDataFrame([(1, 1), (2, 2)], EDGE_SCHEMA)
+    got = {r.vid: (r.hub, r.authority) for r in hits(loops).collect()}
+    assert got == {1: (0.0, 0.0), 2: (0.0, 0.0)}
+
+
+def test_modularity_counts_self_loop_only_vertices(spark):
+    """A vertex whose only incident edge is a self-loop has degree 0
+    after the strip but still belongs to the community census: as a
+    singleton when unlabeled, under its label when labeled. Its degree
+    term is 0 so q itself is unchanged."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+        modularity,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (3, 3)], EDGE_SCHEMA)
+    lab_partial = spark.createDataFrame([(1, 10), (2, 10)], "vid BIGINT, label BIGINT")
+    r = modularity(edges, lab_partial).first()
+    # community {1,2} plus the unlabeled singleton {3}
+    assert r["n_communities"] == 2
+    assert r["within_edges"] == 1
+    assert r["q"] == 0.0  # (4*1*1 - 2^2) / 4
+
+    lab_full = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "vid BIGINT, label BIGINT"
+    )
+    r2 = modularity(edges, lab_full).first()
+    assert r2["n_communities"] == 1
+    assert r2["within_edges"] == 1
+    assert r2["q"] == 0.0

@@ -247,3 +247,17 @@ def test_chunking_is_shuffle_free_fanout(plans):
     p = plans("chunk_documents_overlap")
     assert "hashpartitioning" not in p.lower(), p[:1500]
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_rank_filter_topk_shapes_keep_limit_pushdown(plans):
+    """The global rank-then-filter top-k shapes are scale-safe ONLY
+    because Catalyst rewrites them to TakeOrderedAndProject(limit=k)
+    feeding the single-partition window (k rows, not the table). That
+    property is one optimizer-rule change away from silently becoming a
+    full single-partition sort — pin it."""
+    for name in (
+        "orders_hill_tail_index",  # Hill estimator over top-k tail
+        "corpus_zipf_slope",  # OLS over top-k token ranks
+        "text_keywords_textrank",  # top-300 vocabulary cap
+    ):
+        assert "TakeOrderedAndProject" in plans(name), name

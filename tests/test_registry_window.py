@@ -18,66 +18,71 @@ from distributed_graph_database_system_spark.queries.registry import (
 ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "scans_sources": ("replica_consistency_check",),  # parquet write+read-back
     "sinks": ("replica_consistency_check",),
-    "projection": ("case_when_buckets",),  # projection_compute driver-seen r5
-    "filter": ("q6_forecast_revenue",),  # filter_predicates driver-seen r5
+    "projection": ("pivot_status_by_priority",),  # pivoted conditional cols
+    "filter": ("outlier_zscore_events",),  # z-score predicate over events
     "join_equi": (
-        "q14_promo_revenue_pct",  # lineitem⋈part conditional-agg ratio
+        "join_hash_hinted",  # SHUFFLE_HASH-hinted equi join
+        "orders_duplicate_payment_screen",  # equi self-join prefix
     ),
-    "join_broadcast": ("events_audience_overlap",),  # broadcast dim counts
-    "join_outer": ("join_full_outer", "q13_order_count_distribution"),
-    "join_theta": ("join_theta",),  # cross_join_dims driver-seen r5
-    "join_range_asof": ("join_asof_nearest",),  # backward/forward seen r6
-    "join_semi_anti": ("join_anti",),  # semi/bloom-semi driver-seen r5/r6
+    "join_broadcast": ("events_retention_curve",),  # explicit F.broadcast
+    "join_outer": ("full_outer_hourly_signup_error",),
+    "join_theta": ("orders_duplicate_payment_screen",),  # date-band residual
+    "join_range_asof": ("join_asof_forward_error",),  # forward + exact-match
+    "join_semi_anti": ("parts_quarter_no_shipment",),  # NOT EXISTS → anti
     "join_skew": ("join_salted_skew",),
     "aggregation": (
-        "agg_mode_exact",
-        "agg_hll_sliding7",  # sketch-merge sliding window
-        "events_overlap_kmv",  # KMV bottom-k sketch estimates
-        "events_sliding7_bitmap_exact",  # bitmap_construct/or_agg exact
-        "lineitem_ols_normal_eq",  # exact-decimal moment aggregation
+        "agg_weighted_median",
+        "agg_approx_distinct",  # HLL sketch aggregate (pinned golden)
+        "supplier_revenue_gini",  # prefix-sum rank + exact decimal sums
     ),
     "subquery_decorrelation": (
-        "q11_important_parts",  # scalar subquery in HAVING; q4/q15 seen r5
+        "orders_customer_max_correlated",  # correlated scalar MAX
     ),
-    "multi_join_breadth": ("q8_market_share",),
-    "disjunctive_predicates": ("q19_disjunctive_revenue",),
-    "grouping_sets": ("agg_rollup",),  # cube/grouping_sets driver-seen r5/r6
-    "window_functions": ("events_cumulative_distinct",),
-    "sort_limit_topk": ("events_topk_trending",),  # per-window rank top-3
-    "set_operations": ("set_ops",),
-    "scalar_string": ("text_readability_flesch",),  # string_funcs seen r5
-    "scalar_datetime": ("sessionize",),
-    "scalar_math": ("supplier_return_rate_wilson",),
-    "scalar_array_hof": ("pii_luhn_validation",),  # Luhn as JVM HOF expr
-    "scalar_json": ("variant_semi_structured",),
+    "multi_join_breadth": ("nation_trade_balance",),
+    "disjunctive_predicates": ("orders_disjunctive_screen",),
+    "grouping_sets": ("agg_sets_returnflag_year",),
+    "window_functions": ("intervals_merge", "events_twap_daily"),
+    "sort_limit_topk": ("orders_hill_tail_index", "skyline_by_brand"),
+    "set_operations": ("distinct_pairs",),
+    "scalar_string": ("linkage_name_editdist",),  # editdist + q-grams
+    "scalar_datetime": ("orders_seasonality_index", "sessionize"),
+    "scalar_math": ("orders_benford_screen",),  # log10 leading digits
+    "scalar_array_hof": ("featurize_hashing_trick",),
+    "scalar_json": ("json_props_extract",),  # get_json_object path extract
     "data_layout": ("layout_dpp_join",),  # zorder/bucketed/pruned driver-seen
     "streaming_windows": ("sessionize", "stream_session_window"),
     "streaming_stateful_join": ("stream_dedup_keys",),  # join twin seen r5
     "udf_pandas": (
-        "text_compression_ratio",  # zlib pandas UDF
-        "multimodal_image_phash",  # real-PNG dHash pandas UDF
-        "sql_udf_revenue",  # catalog SQL UDF (codegen-inlined)
+        "multimodal_deep_audio",  # WAV PCM16 decode pandas UDF
+        "multimodal_audio_segments",
     ),
-    "graph_bfs": ("graph_harmonic_centrality",),  # landmark BFS distances
-    "graph_dfs": ("graph_dfs_goldens",),
+    "graph_bfs": ("graph_diameter_g6",),  # double-sweep BFS
+    "graph_dfs": ("graph_dfs_g6",),
     "graph_analytics": (
-        "graph_ktruss_g6",
-        "graph_msf_g6w",
-        "graph_coreness_g6",
-        "graph_betweenness_g2",
-        "graph_modularity_g6",
+        "graph_mis_g6",
+        "graph_coloring_g6",
+        "graph_hits_g2",
+        "graph_bipartite_projection",
     ),
     "python_datasource": ("source_refgraph_roundtrip",),
-    "llm_dedup": ("dedup_funnel_report",),
-    "llm_similarity": ("coreset_kcenter",),
+    "llm_dedup": (
+        "dedup_simhash",
+        "dedup_containment",
+        "dedup_substring_docfrac",
+        "dedup_survivor_quality",
+    ),
+    "llm_similarity": (
+        "sim_topk_ann_ivf",
+        "embed_knn_classifier_eval",
+        "embed_pca_project",
+    ),
     "llm_pipeline": (
-        "bpe_encode_tokens",
-        "dedup_funnel_report",  # split/pack/sample driver-seen r6
+        "corpus_mix_plan",
+        "bpe_train_merges",
     ),
     "llm_text_multimodal": (
-        "text_perplexity_unigram",
-        "text_keywords_textrank",
-        "multimodal_image_phash",
+        "text_code_detection",
+        "multimodal_deep_audio",
     ),
 }
 

@@ -1054,3 +1054,120 @@ def test_stream_stream_left_outer_join_flushes_unmatched(
     }
     assert got == want
     assert any(v is None for _, v in want), "fixture lost its unmatched rows"
+
+
+def test_incremental_rollup_available_now_stop_restart(
+    spark, sf_dir, stream_src, tmp_path
+):
+    """End-to-end STOP/RESTART through Trigger.AvailableNow: run the
+    day-rollup over the first half of the replay files, let the query
+    TERMINATE (offsets committed to the checkpoint), land the second
+    half, and re-invoke with the SAME checkpoint. The restart must
+    resume after the committed offsets with continuing batch ids (the
+    ledger epoch guard allows it) and the final rollup must equal the
+    one-shot batch aggregate exactly — nothing dropped at the seam,
+    nothing double-counted."""
+    import glob
+    import shutil
+
+    from distributed_graph_database_system_spark.streaming.events import (
+        read_rollup,
+        run_foreach_batch_available_now,
+        run_incremental_daily_rollup as _unused,  # noqa: F401
+    )
+    from distributed_graph_database_system_spark.streaming import events as ev_mod
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rollup = str(tmp_path / "rollup")
+    slices = sorted(glob.glob(stream_src + "/slice-*.parquet"))
+    assert len(slices) >= 4
+    half = len(slices) // 2
+
+    # the rollup runner is foreachBatch logic; rebind its driver to the
+    # AvailableNow + checkpoint shape by inlining the same upsert through
+    # the module's public pieces: reuse run_incremental_daily_rollup's
+    # batch_fn by extracting it via a tiny adapter stream run.
+    def run_once():
+        stream = ev_mod.events_stream(spark, src)
+        # replicate run_incremental_daily_rollup but with the AvailableNow
+        # driver: same upsert, durable checkpoint, terminating trigger.
+        contrib_path = rollup.rstrip("/") + "_contrib"
+
+        def upsert(batch_df, batch_id):
+            ev_mod._guard_ledger_epoch(spark, contrib_path, rollup, batch_id)
+            contrib_rows = (
+                batch_df.groupBy(
+                    F.to_date(F.col("ts")).alias("day"), F.col("event_type")
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,2)")).alias(
+                        "dec_value"
+                    ),
+                )
+                .collect()
+            )
+            if not contrib_rows:
+                return
+            days = sorted({r["day"] for r in contrib_rows})
+            contrib = spark.createDataFrame(
+                contrib_rows,
+                "day DATE, event_type STRING, n BIGINT, dec_value DECIMAL(28,2)",
+            )
+            with ev_mod._dynamic_overwrite(spark):
+                contrib.withColumn(
+                    "batch_id", F.lit(int(batch_id))
+                ).write.partitionBy("day", "batch_id").mode("overwrite").parquet(
+                    contrib_path
+                )
+                merged = (
+                    spark.read.parquet(contrib_path)
+                    .where(F.col("day").isin(days))
+                    .groupBy("day", "event_type")
+                    .agg(
+                        F.sum("n").alias("n"),
+                        F.sum("dec_value").alias("dec_value"),
+                    )
+                )
+                merged.write.partitionBy("day").mode("overwrite").parquet(rollup)
+
+        run_foreach_batch_available_now(stream, upsert, ckpt, mode="append")
+
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    for s in slices[:half]:
+        shutil.copy(s, src)
+    run_once()  # drains the first half, then terminates
+
+    cols = ("day", "event_type", "n", "sum_value")
+    e = load_table(spark, sf_dir, "events")
+
+    def want_for(ev_df):
+        return rows_set(
+            ev_df.groupBy(
+                F.to_date("ts").cast("timestamp").alias("day"), "event_type"
+            ).agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            ),
+            cols,
+        )
+
+    first_half = spark.read.parquet(*[src + "/" + s.split("/")[-1] for s in slices[:half]])
+    assert rows_set(read_rollup(spark, rollup), cols) == want_for(first_half)
+
+    for s in slices[half:]:
+        shutil.copy(s, src)
+    run_once()  # restart from the same checkpoint: only the new files
+
+    assert rows_set(read_rollup(spark, rollup), cols) == want_for(e)
+
+    # continuing batch ids: the ledger must contain MORE batches than the
+    # restart alone produced, with no id reset (epoch guard stayed silent)
+    batch_dirs = glob.glob(rollup + "_contrib/day=*/batch_id=*")
+    ids = {int(d.rsplit("batch_id=", 1)[1]) for d in batch_dirs}
+    assert max(ids) >= half  # ids continued past the first run's count

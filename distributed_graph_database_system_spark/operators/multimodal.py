@@ -10,15 +10,18 @@ are real here:
   / JPEG images and WAV / AVI containers. No Pillow/ffmpeg needed — image
   dimensions live in fixed header fields and audio/video duration is
   arithmetic over RIFF chunk sizes.
-- ``decode_media(deep=True)`` additionally decodes the PAYLOAD for the
-  formats whose encodings are stdlib-reachable: PCM16 WAV samples
-  (``struct``/``array``), 8-bit grayscale PNG scanlines (``zlib`` inflate +
-  the five standard filter reconstructions), and uncompressed 24-bit BMP
-  pixel rows — emitting exact-integer stats (sample count / peak / sum of
-  squares, pixel sum / min / max) so downstream aggregation is
-  float-determinism-free by construction. GIF (LZW), JPEG (DCT entropy
-  coding) and AVI movi streams stay out of scope — those genuinely need a
-  media library, and their deep columns come back NULL.
+- ``decode_media(deep=True)`` additionally decodes the PAYLOAD: PCM16 WAV
+  samples (``struct``/``array``), 8-bit grayscale PNG scanlines (``zlib``
+  inflate + the five standard filter reconstructions), uncompressed 24-bit
+  BMP pixel rows, BASELINE grayscale JPEG (full segment walk, standard-DHT
+  Huffman decoding of the entropy stream, dequantize + IDCT + level shift —
+  pure python/numpy), and GIF (sub-block reassembly + complete
+  variable-width LZW with clear codes and the 4096-entry reset) — emitting
+  exact-integer stats (sample count / peak / sum of squares, pixel sum /
+  min / max) so downstream aggregation is float-determinism-free by
+  construction. Remaining NULL-deep formats: progressive/color JPEG,
+  interlaced GIF, and AVI movi streams — those genuinely need a media
+  library (the one remaining extension point).
 
 For testability without fixture media files, ``synth`` helpers emit fully
 valid minimal files (PNG with correct CRCs via ``zlib``, WAV/BMP/GIF/AVI via
@@ -388,7 +391,275 @@ def _deep_bmp(b: bytes) -> dict | None:
     return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": n}
 
 
-_DEEP_DECODERS = {"wav": _deep_wav, "png": _deep_png, "bmp": _deep_bmp}
+def _jpeg_decode_table(bits, vals):
+    """DHT (bits, vals) -> {(length, code): symbol}, canonical ordering."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first reader over unstuffed entropy bytes."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("jpeg: truncated entropy stream")
+            self.acc = self.d[self.i]
+            self.i += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid huffman code")
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    """Inverse of the one's-complement amplitude encoding (F.12 EXTEND)."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _deep_jpeg(b: bytes) -> dict | None:
+    """REAL baseline-JPEG payload decode, pure python + numpy: segment
+    walk (DQT / SOF0 / DHT / SOS), Huffman-decode the entropy stream
+    (differential DC, run-length AC, byte unstuffing), dequantize,
+    de-zigzag, float IDCT with the +128 level shift, clamp, and crop to
+    the frame dimensions for the exact-integer pixel stats. Scope:
+    baseline sequential (SOF0), 8-bit, SINGLE component, no restart
+    markers — grayscale training corpora; progressive/color returns None
+    (quarantine-to-NULL, the module contract)."""
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dims = comp_q = None
+    sos_dc = sos_ac = None
+    scan_start = None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        seg = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT: possibly several tables per segment
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:  # 16-bit tables: out of scope
+                    return None
+                qt[tq] = list(seg[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or ncomp != 1 or seg[7] != 0x11:
+                return None  # color / subsampled: documented out of scope
+            dims = (w, h)
+            comp_q = seg[8]
+        elif marker in _JPEG_SOF:  # any other SOF (progressive...): bail
+            return None
+        elif marker == 0xC4:  # DHT: possibly several tables
+            j = 0
+            while j + 17 <= len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1 : j + 17])
+                nvals = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nvals])
+                huff[(cls, tid)] = _jpeg_decode_table(bits, vals)
+                j += 17 + nvals
+        elif marker == 0xDD:  # DRI: restart intervals unsupported
+            if struct.unpack(">H", seg[:2])[0] != 0:
+                return None
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                return None
+            sos_dc, sos_ac = seg[2] >> 4, seg[2] & 15
+            scan_start = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if dims is None or scan_start is None or comp_q not in qt:
+        return None
+    dc_table = huff.get((0, sos_dc))
+    ac_table = huff.get((1, sos_ac))
+    if dc_table is None or ac_table is None:
+        return None
+    # unstuff entropy bytes up to EOI
+    data = bytearray()
+    j = scan_start
+    while j < len(b):
+        c = b[j]
+        if c == 0xFF:
+            nxt = b[j + 1] if j + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                data.append(0xFF)
+                j += 2
+                continue
+            if nxt == 0xD9:
+                break
+            return None  # restart marker / desync
+        data.append(c)
+        j += 1
+
+    w, h = dims
+    q = qt[comp_q]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    # IDCT basis: M[v, y] = a(v) cos((2y+1) v pi / 16); P = .25 M^T F M
+    ys = np.arange(8)
+    vs = np.arange(8).reshape(-1, 1)
+    m = np.cos((2 * ys + 1) * vs * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    reader = _JpegBits(bytes(data))
+    total = 0
+    mn, mx = 255, 0
+    prev_dc = 0
+    try:
+        for byi in range(bh):
+            for bxi in range(bw):
+                coef = np.zeros(64)
+                cat = reader.huff(dc_table)
+                prev_dc += _jpeg_extend(reader.bits(cat), cat)
+                coef[0] = prev_dc * q[0]
+                k = 1
+                while k < 64:
+                    sym = reader.huff(ac_table)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, cat = sym >> 4, sym & 15
+                    if cat == 0:
+                        if run != 15:  # only ZRL carries cat 0
+                            return None
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        return None
+                    coef[k] = _jpeg_extend(reader.bits(cat), cat) * q[k]
+                    k += 1
+                block = np.zeros((8, 8))
+                for zi, (r, c_) in enumerate(_ZIGZAG):
+                    block[r, c_] = coef[zi]
+                px = np.clip(
+                    np.round(0.25 * (m.T @ block @ m)) + 128, 0, 255
+                ).astype(np.int64)
+                vh = min(8, h - byi * 8)
+                vw = min(8, w - bxi * 8)
+                vis = px[:vh, :vw]
+                total += int(vis.sum())
+                mn = min(mn, int(vis.min()))
+                mx = max(mx, int(vis.max()))
+    except ValueError:
+        return None
+    return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": w * h}
+
+
+def _deep_gif(b: bytes) -> dict | None:
+    """REAL GIF payload decode: global/local palette, sub-block
+    reassembly, full variable-width LZW (clear codes, KwKwK, the early
+    width change, 4096-entry reset), pixel value = the palette entry's
+    red channel (grayscale palettes — the training-corpus case; for color
+    the red channel is still a deterministic, documented projection).
+    First image frame only; interlaced frames return None."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w0, h0 = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    i = 13
+    palette: bytes | None = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = b[i : i + 3 * n]
+        i += 3 * n
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x3B:  # trailer
+            return None  # no image frame
+        if blk == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if blk != 0x2C:
+            return None
+        _, _, iw, ih, iflags = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+        i += 10
+        if iflags & 0x40:  # interlace: out of scope
+            return None
+        pal = palette
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = b[i : i + 3 * n]
+            i += 3 * n
+        if pal is None:
+            return None
+        min_code = b[i]
+        i += 1
+        lzw = bytearray()
+        while i < len(b) and b[i] != 0:
+            size = b[i]
+            lzw.extend(b[i + 1 : i + 1 + size])
+            i += 1 + size
+        try:
+            idx = _lzw_decode(bytes(lzw), min_code, iw * ih)
+        except ValueError:
+            return None
+        if len(idx) < iw * ih:
+            return None
+        total = 0
+        mn, mx = 255, 0
+        npal = len(pal) // 3
+        for v in idx[: iw * ih]:
+            if v >= npal:
+                return None
+            g = pal[3 * v]
+            total += g
+            mn = min(mn, g)
+            mx = max(mx, g)
+        return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": iw * ih}
+    return None
+
+
+_DEEP_DECODERS = {
+    "wav": _deep_wav,
+    "png": _deep_png,
+    "bmp": _deep_bmp,
+    "jpeg": _deep_jpeg,
+    "gif": _deep_gif,
+}
 
 
 def _fake_decode(digest: bytes, kind: str) -> dict:
@@ -417,13 +688,14 @@ def decode_media(
       WAV/AVI, nulls for unrecognized bytes;
     - ``fake=True``: deterministic digest-derived dims for opaque stand-in
       blobs (fixture text bytes);
-    - ``deep=True``: REAL payload decode for the stdlib-reachable formats
-      (PCM16 WAV samples, 8-bit grayscale PNG scanlines, uncompressed
-      24-bit BMP rows) — adds DEEP_SCHEMA's exact-integer stats columns,
-      NULL for gif/jpeg/avi whose payload encodings genuinely need a media
-      library (the documented extension point, now narrowed to only them).
-      A malformed payload past a valid header quarantines to NULL stats,
-      same contract as parse_media.
+    - ``deep=True``: REAL payload decode (PCM16 WAV samples, 8-bit
+      grayscale PNG scanlines, uncompressed 24-bit BMP rows, baseline
+      grayscale JPEG via Huffman + IDCT, GIF via full LZW) — adds
+      DEEP_SCHEMA's exact-integer stats columns. NULL remains only for
+      progressive/color JPEG, interlaced GIF and AVI movi payloads, which
+      genuinely need a media library (the documented extension point,
+      now narrowed to those). A malformed payload past a valid header
+      quarantines to NULL stats, same contract as parse_media.
     """
     schema = DEEP_SCHEMA if deep else DECODED_SCHEMA
     deep_nulls = {
@@ -493,12 +765,142 @@ def make_png(width: int, height: int) -> bytes:
     )
 
 
-def make_gif(width: int, height: int) -> bytes:
-    """GIF89a with a 2-color global palette and trailer (no image data —
-    dimensions live in the logical screen descriptor)."""
-    lsd = struct.pack("<HHBBB", width, height, 0x80, 0, 0)
-    palette = b"\x00\x00\x00\xff\xff\xff"
-    return b"GIF89a" + lsd + palette + b"\x3b"
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (MSB of stream = LSB-first bit
+    packing per GIF), explicit CLEAR at start, EOI at end, dictionary reset
+    at 4096. Inverse of _lzw_decode; conformance of the pair is anchored by
+    the canonical externally-produced 1x1 GIF in tests."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    put(clear, width)
+    w = b""
+    for idx in indices:
+        c = bytes([idx])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # the encoder widens as soon as the NEXT code it could emit no
+        # longer fits: after assigning code (1<<width)-1, subsequent codes
+        # need width+1 bits (the decoder mirrors this exactly)
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            put(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = c
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """Decode a GIF LZW stream to palette indices (≤ max_pixels)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit position, LSB-first within each byte
+
+    def read(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(width):
+            byte_i, bit_i = divmod(pos, 8)
+            if byte_i >= len(data):
+                raise ValueError("lzw: truncated stream")
+            v |= ((data[byte_i] >> bit_i) & 1) << i
+            pos += 1
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("lzw: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("lzw: code beyond table")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # decoder widens when the table's NEXT assignable code would not
+        # fit in the current width (mirrors the encoder's early change)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        out.extend(entry)
+        if len(out) >= max_pixels:
+            # enough pixels for the descriptor: done. Real-world streams
+            # (e.g. the canonical 1x1 GIF) may pad the final EOI into the
+            # byte boundary where it is not cleanly readable — robust
+            # decoders stop at the pixel count, not the EOI.
+            return out[:max_pixels]
+        prev = entry
+
+
+_GIF_GRAYS = (0, 85, 170, 255)
+
+
+def make_gif(width: int, height: int, row_fn=None) -> bytes:
+    """A COMPLETE GIF89a: 4-entry grayscale global palette, image
+    descriptor, REAL LZW-coded pixel data, trailer. ``row_fn(y) -> int``
+    gives each row's constant palette index 0..3 (default 0) — per-row
+    constants keep the driver oracle closed-form in (doc_id, y) while the
+    LZW stream still exercises dictionary growth across rows."""
+    lsd = struct.pack("<HHBBB", width, height, 0x81, 0, 0)  # 4-entry GCT
+    palette = b"".join(bytes([g, g, g]) for g in _GIF_GRAYS)
+    indices = bytearray()
+    for y in range(height):
+        idx = (int(row_fn(y)) & 3) if row_fn else 0
+        indices.extend([idx] * width)
+    lzw = _lzw_encode(indices, 2)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    return b"GIF89a" + lsd + palette + img + b"\x02" + bytes(blocks) + b"\x3b"
 
 
 def make_bmp(width: int, height: int) -> bytes:
@@ -545,12 +947,176 @@ def make_avi(width: int, height: int, total_frames: int, usec_per_frame: int = 4
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def make_jpeg(width: int, height: int) -> bytes:
-    """Minimal JPEG marker stream: SOI, a COM segment (exercises segment
-    walking), an SOF0 frame header carrying the dimensions, EOI."""
+# --- Baseline JPEG (grayscale, single component) ---------------------------
+#
+# Standard Huffman tables from ISO/IEC 10918-1 Annex K.3 (the tables every
+# camera and libjpeg emit by default). The ENCODER below hardcodes them into
+# DHT segments; the DECODER builds its code tables from whatever DHT
+# segments the file actually carries — it is a general baseline decoder,
+# not a mirror of this synthesizer.
+
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+# zigzag scan order: zigzag index -> (row, col) in the 8x8 block
+_ZIGZAG = (
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+)
+
+
+def _huff_codes(bits, vals):
+    """(bits, vals) -> {symbol: (code, length)} per JPEG canonical order."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.n = 0
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    """Magnitude category: number of bits of |v| (0 for v == 0)."""
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _jpeg_amplitude(v: int, cat: int) -> int:
+    """One's-complement amplitude encoding of a JPEG coefficient."""
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def make_jpeg(
+    width: int,
+    height: int,
+    dc_fn=None,
+    ac_fn=None,
+    q0: int = 16,
+) -> bytes:
+    """A COMPLETE baseline grayscale JPEG: DQT (flat quant table, all
+    ``q0``), SOF0, the Annex-K standard DHT tables, SOS and a real
+    entropy-coded scan (differential DC + run-length AC, byte-stuffed),
+    plus a COM segment so segment walking stays exercised.
+
+    ``dc_fn(bx, by) -> int`` supplies each 8x8 block's QUANTIZED DC
+    coefficient (default 0 → flat mid-gray 128); ``ac_fn(bx, by) ->
+    {zigzag_index: int}`` optionally injects quantized AC coefficients.
+    With AC absent, the decoded block is exactly
+    ``clamp(round(dc*q0/8) + 128)`` — closed-form in the block index, which
+    is what makes the driver oracle SQL-expressible."""
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            dc = int(dc_fn(bx, by)) if dc_fn else 0
+            diff = dc - prev_dc
+            prev_dc = dc
+            cat = _jpeg_category(diff)
+            code, ln = dc_codes[cat]
+            w.put(code, ln)
+            if cat:
+                w.put(_jpeg_amplitude(diff, cat), cat)
+            ac = dict(ac_fn(bx, by)) if ac_fn else {}
+            run = 0
+            for zi in range(1, 64):
+                v = int(ac.get(zi, 0))
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                cat = _jpeg_category(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                w.put(code, ln)
+                w.put(_jpeg_amplitude(v, cat), cat)
+                run = 0
+            if run:  # trailing zeros -> EOB
+                code, ln = ac_codes[0x00]
+                w.put(code, ln)
+    scan = w.flush()
+
+    def _dht(cls: int, bits, vals) -> bytes:
+        payload = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
     com = b"\xff\xfe" + struct.pack(">H", 2 + 9) + b"synthetic"
-    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3, 8, height, width, 1) + b"\x01\x11\x00"
-    return b"\xff\xd8" + com + sof + b"\xff\xd9"
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes([q0] * 64)
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + 3, 8, height, width, 1)
+        + b"\x01\x11\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">HB", 6 + 2, 1) + b"\x01\x00\x00\x3f\x00"
+    return (
+        b"\xff\xd8"
+        + com
+        + dqt
+        + sof
+        + _dht(0, _JPEG_DC_BITS, _JPEG_DC_VALS)
+        + _dht(1, _JPEG_AC_BITS, _JPEG_AC_VALS)
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -649,6 +1215,24 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
                     )
                 elif fmt == "avi":
                     blob = make_avi(16 + i % 97, 16 + (i * 7) % 89, 10 + i % 50)
+                elif fmt == "jpeg":
+                    # DC-only blocks: decoded block value is exactly
+                    # 128 + 2*dc (q0=16), closed-form in (doc_id, bx, by)
+                    # for multimodal_deep_jpeg's SQL oracle
+                    blob = make_jpeg(
+                        16 + i % 97,
+                        16 + (i * 7) % 89,
+                        dc_fn=lambda bx, by, i=i: ((i + 3 * bx + 5 * by) % 25) - 12,
+                    )
+                elif fmt == "gif":
+                    # per-row constant palette index: decoded row value is
+                    # exactly 85*((doc_id + y) % 4), closed-form in
+                    # (doc_id, y) for multimodal_deep_gif's SQL oracle
+                    blob = make_gif(
+                        16 + i % 97,
+                        16 + (i * 7) % 89,
+                        row_fn=lambda y, i=i: (i + y) % 4,
+                    )
                 else:
                     blob = makers[fmt](16 + i % 97, 16 + (i * 7) % 89)
                 rows.append(

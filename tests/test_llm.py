@@ -335,17 +335,29 @@ def test_multimodal_real_decode_distributed(spark, sf_dir):
         else:
             assert r.width == 16 + i % 97 and r.height == 16 + (i * 7) % 89
 
-    # deep=True now REALLY decodes the stdlib-reachable payloads: synth
-    # WAVs carry a deterministic ramp (nonzero sqsum), synth PNG/BMP are
-    # zero pixels, gif/jpeg/avi deep columns stay NULL
+    # deep=True now REALLY decodes every payload but AVI movi: synth WAVs
+    # carry a deterministic ramp (nonzero sqsum), synth PNG/BMP are zero
+    # pixels, JPEG blocks decode to exactly 128+2*dc (DC-only, q0=16), GIF
+    # rows to 85*((i+y)%4); only AVI deep columns stay NULL
     deep = {r.media_id: r for r in decode_media(media, deep=True).collect()}
     for i, r in deep.items():
+        w, h = 16 + i % 97, 16 + (i * 7) % 89
         if r.fmt == "wav":
             assert r.n_samples == 800 + (i % 100) * 16
             assert r.audio_sqsum > 0
         elif r.fmt in ("png", "bmp"):
             assert r.px_sum == 0 and r.n_px > 0
-        else:
+        elif r.fmt == "jpeg":
+            want = 0
+            for by in range((h + 7) // 8):
+                for bx in range((w + 7) // 8):
+                    v = 128 + 2 * (((i + 3 * bx + 5 * by) % 25) - 12)
+                    want += v * min(8, w - bx * 8) * min(8, h - by * 8)
+            assert (r.px_sum, r.n_px) == (want, w * h), (i, r)
+        elif r.fmt == "gif":
+            want = sum(85 * ((i + y) % 4) * w for y in range(h))
+            assert (r.px_sum, r.n_px) == (want, w * h), (i, r)
+        else:  # avi: movi payload decode is the remaining extension point
             assert r.px_sum is None and r.n_samples is None
 
 
@@ -977,3 +989,106 @@ def test_textrank_is_partition_invariant_and_weighted(spark, sf_dir):
     assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(
         scores
     )  # ordered by score desc (ties break by token)
+
+
+def test_jpeg_codec_roundtrip_against_independent_idct():
+    """The baseline-JPEG decoder recovers EXACTLY the pixels that an
+    independent numpy IDCT computes from the coefficients the synthesizer
+    was given — Huffman tables, bitstream packing/unstuffing, run-length
+    AC coding, dequantization and the level shift all inverse-match. AC
+    coefficients exercise ZRL runs (gap > 16) and EOB; DC deltas cross
+    zero and category boundaries."""
+    import numpy as np
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _ZIGZAG,
+        _deep_jpeg,
+        make_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    w, h = 21, 14  # ragged edges: 3x2 blocks with 5/6-pixel crops
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    dcs = {(bx, by): int(rng.randint(-40, 41)) for bx in range(bw) for by in range(bh)}
+    acs = {
+        (bx, by): {
+            1: int(rng.randint(-9, 10)),
+            20: int(rng.randint(-9, 10)),  # >16 zigzag gap → ZRL path
+            63: int(rng.randint(1, 5)),  # last coefficient: no EOB
+        }
+        for bx in range(bw)
+        for by in range(bh)
+    }
+    blob = make_jpeg(
+        w, h, dc_fn=lambda bx, by: dcs[(bx, by)], ac_fn=lambda bx, by: acs[(bx, by)]
+    )
+    got = _deep_jpeg(blob)
+
+    ys = np.arange(8)
+    vs = np.arange(8).reshape(-1, 1)
+    m = np.cos((2 * ys + 1) * vs * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    total, mn, mx = 0, 255, 0
+    for by in range(bh):
+        for bx in range(bw):
+            F = np.zeros((8, 8))
+            F[0, 0] = dcs[(bx, by)] * 16
+            for zi, v in acs[(bx, by)].items():
+                r, c = _ZIGZAG[zi]
+                F[r, c] = v * 16
+            px = np.clip(np.round(0.25 * (m.T @ F @ m)) + 128, 0, 255).astype(int)
+            vis = px[: min(8, h - by * 8), : min(8, w - bx * 8)]
+            total += int(vis.sum())
+            mn = min(mn, int(vis.min()))
+            mx = max(mx, int(vis.max()))
+    assert got == {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": w * h}
+
+
+def test_jpeg_decoder_quarantines_out_of_scope_variants():
+    """Progressive (SOF2) and restart-interval streams return None (NULL
+    deep stats), never raise — the corpus quarantine contract."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_jpeg,
+        make_jpeg,
+    )
+
+    blob = bytearray(make_jpeg(16, 16))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    assert _deep_jpeg(bytes(blob)) is None
+    # truncated entropy stream: also quarantined
+    ok = make_jpeg(64, 64, dc_fn=lambda bx, by: bx + by)
+    assert _deep_jpeg(ok[: len(ok) - 10]) is None
+
+
+def test_gif_lzw_property_roundtrip_and_conformance():
+    """LZW encoder/decoder inverse property across width growth and the
+    4096-entry dictionary reset (large varied stream), plus conformance
+    against an externally-produced stream (the canonical 1x1 GIF, which
+    pads its EOI past the readable byte boundary)."""
+    import base64
+    import random
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_gif,
+        _lzw_decode,
+        _lzw_encode,
+        make_gif,
+    )
+
+    rng = random.Random(11)
+    for n in (1, 7, 255, 6000, 70000):  # 70k forces dictionary resets
+        seq = bytes(rng.randrange(4) for _ in range(n))
+        enc = _lzw_encode(seq, 2)
+        assert bytes(_lzw_decode(enc, 2, n)) == seq, n
+
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert _deep_gif(tiny) == {"px_sum": 0, "px_min": 0, "px_max": 0, "n_px": 1}
+
+    # interlaced frames are out of scope: flag bit 0x40 in the descriptor
+    g = bytearray(make_gif(9, 5, row_fn=lambda y: y % 4))
+    img = g.find(b"\x2c")
+    g[img + 9] |= 0x40
+    assert _deep_gif(bytes(g)) is None

@@ -16,12 +16,14 @@ are real here:
   BMP pixel rows, BASELINE grayscale JPEG (full segment walk, standard-DHT
   Huffman decoding of the entropy stream, dequantize + IDCT + level shift —
   pure python/numpy), and GIF (sub-block reassembly + complete
-  variable-width LZW with clear codes and the 4096-entry reset) — emitting
-  exact-integer stats (sample count / peak / sum of squares, pixel sum /
-  min / max) so downstream aggregation is float-determinism-free by
-  construction. Remaining NULL-deep formats: progressive/color JPEG,
-  interlaced GIF, and AVI movi streams — those genuinely need a media
-  library (the one remaining extension point).
+  variable-width LZW with clear codes and the 4096-entry reset), and AVI
+  movi streams of uncompressed 8-bit DIB frames (palette-mapped, all
+  frames) — emitting exact-integer stats (sample count / peak / sum of
+  squares, pixel sum / min / max) so downstream aggregation is
+  float-determinism-free by construction. Remaining NULL-deep formats:
+  progressive/color JPEG, interlaced GIF, and compressed AVI streams —
+  those genuinely need a codec library (the one remaining extension
+  point).
 
 For testability without fixture media files, ``synth`` helpers emit fully
 valid minimal files (PNG with correct CRCs via ``zlib``, WAV/BMP/GIF/AVI via
@@ -690,12 +692,14 @@ def decode_media(
       blobs (fixture text bytes);
     - ``deep=True``: REAL payload decode (PCM16 WAV samples, 8-bit
       grayscale PNG scanlines, uncompressed 24-bit BMP rows, baseline
-      grayscale JPEG via Huffman + IDCT, GIF via full LZW) — adds
-      DEEP_SCHEMA's exact-integer stats columns. NULL remains only for
-      progressive/color JPEG, interlaced GIF and AVI movi payloads, which
-      genuinely need a media library (the documented extension point,
-      now narrowed to those). A malformed payload past a valid header
-      quarantines to NULL stats, same contract as parse_media.
+      grayscale JPEG via Huffman + IDCT, GIF via full LZW, AVI movi
+      streams of uncompressed 8-bit DIB frames) — adds DEEP_SCHEMA's
+      exact-integer stats columns. NULL remains only for
+      progressive/color JPEG, interlaced GIF and compressed AVI
+      payloads, which genuinely need a codec library (the documented
+      extension point, now narrowed to those). A malformed payload past
+      a valid header quarantines to NULL stats, same contract as
+      parse_media.
     """
     schema = DEEP_SCHEMA if deep else DECODED_SCHEMA
     deep_nulls = {
@@ -935,16 +939,124 @@ def make_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def make_avi(width: int, height: int, total_frames: int, usec_per_frame: int = 40000) -> bytes:
-    """RIFF/AVI with a real LIST/hdrl → avih main header (no movi data)."""
+def make_avi(
+    width: int,
+    height: int,
+    total_frames: int,
+    usec_per_frame: int = 40000,
+    frame_fn=None,
+) -> bytes:
+    """RIFF/AVI with a real LIST/hdrl → avih main header. With
+    ``frame_fn(f) -> int`` (each frame's constant 0–255 gray value), the
+    file additionally carries a spec-proper video stream: LIST/strl with
+    strh ('vids', BI_RGB) + strf (8-bit BITMAPINFOHEADER + identity gray
+    palette) and a LIST/movi of '00db' uncompressed DIB frames (4-byte
+    aligned rows, bottom-up) — the one AVI flavor that is honestly
+    decodable without a codec library."""
     avih = struct.pack(
         "<14I", usec_per_frame, 0, 0, 0, total_frames, 0, 1, 0, width, height, 0, 0, 0, 0
     )
     avih_chunk = b"avih" + struct.pack("<I", len(avih)) + avih
     hdrl = b"hdrl" + avih_chunk
+    if frame_fn is not None:
+        strh = (
+            b"vids"
+            + b"DIB "
+            + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, 25, 0, total_frames, 0, 0, 0, 0, 0, width, height)
+        )
+        stride = (width + 3) & ~3
+        bih = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 8, 0, stride * height, 2835, 2835, 256, 0
+        )
+        palette = b"".join(bytes([g, g, g, 0]) for g in range(256))
+        strf = bih + palette
+        strl = (
+            b"strl"
+            + b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf
+        )
+        hdrl += b"LIST" + struct.pack("<I", len(strl)) + strl
     list_chunk = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
     body = b"AVI " + list_chunk
+    if frame_fn is not None:
+        stride = (width + 3) & ~3
+        movi = bytearray(b"movi")
+        for f in range(total_frames):
+            v = int(frame_fn(f)) & 0xFF
+            frame = (bytes([v] * width) + b"\x00" * (stride - width)) * height
+            movi += b"00db" + struct.pack("<I", len(frame)) + frame
+            if len(frame) & 1:
+                movi += b"\x00"
+        body += b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _deep_avi(b: bytes) -> dict | None:
+    """REAL AVI movi payload decode for the codec-free flavor:
+    uncompressed 8-bit DIB ('00db') frames, palette-mapped through the
+    strf BITMAPINFOHEADER's gray table. Exact-integer pixel stats over
+    ALL frames (n_px = w·h·frames). Compressed streams ('00dc' /
+    non-BI_RGB strf) return None — those genuinely need a codec library
+    (the one remaining extension point)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    dims = None
+    palette = None
+    bitcount = compression = None
+    movi_bounds = None
+    queue = [(12, len(b))]
+    qi = 0
+    while qi < len(queue):
+        start, end = queue[qi]
+        qi += 1
+        for cid, off, size in _riff_chunks(b, start, end):
+            if cid == b"LIST":
+                if b[off : off + 4] == b"movi":
+                    movi_bounds = (off + 4, off + size)
+                else:
+                    queue.append((off + 4, off + size))
+            elif cid == b"avih" and size >= 40:
+                w, h = struct.unpack("<II", b[off + 32 : off + 40])
+                dims = (w, h)
+            elif cid == b"strf" and size >= 40:
+                (_, bw, bh, _, bitcount, compression, _, _, _, clr, _) = struct.unpack(
+                    "<IiiHHIIiiII", b[off : off + 40]
+                )
+                n = clr or 256
+                if size >= 40 + 4 * n:
+                    palette = b[off + 40 : off + 40 + 4 * n]
+    if dims is None or movi_bounds is None:
+        return None
+    if bitcount != 8 or compression != 0:
+        return None  # compressed / non-8-bit: codec territory
+    w, h = dims
+    stride = (w + 3) & ~3
+    total = 0
+    mn, mx = 255, 0
+    frames = 0
+    for cid, off, size in _riff_chunks(b, *movi_bounds):
+        if cid[2:] != b"db":  # only uncompressed DIB frames
+            if cid[2:] == b"dc":
+                return None  # a compressed frame poisons the stats
+            continue
+        if size < stride * h:
+            return None
+        for r in range(h):
+            row = b[off + r * stride : off + r * stride + w]
+            for idx in row:
+                g = palette[4 * idx + 2] if palette else idx
+                total += g
+                mn = min(mn, g)
+                mx = max(mx, g)
+        frames += 1
+    if frames == 0:
+        return None
+    return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": w * h * frames}
+
+
+# registered here (not in the dict literal above) because _deep_avi lives
+# with the AVI synthesizer, after the dict's definition point
+_DEEP_DECODERS["avi"] = _deep_avi
 
 
 # --- Baseline JPEG (grayscale, single component) ---------------------------
@@ -1214,7 +1326,15 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
                         sample_fn=lambda k, i=i: ((i * 31 + k * 7) % 201) - 100,
                     )
                 elif fmt == "avi":
-                    blob = make_avi(16 + i % 97, 16 + (i * 7) % 89, 10 + i % 50)
+                    # per-frame constant gray: decoded frame f is exactly
+                    # (doc_id*5 + 3f) % 256, closed-form in (doc_id, f)
+                    # for multimodal_deep_avi's SQL oracle
+                    blob = make_avi(
+                        16 + i % 97,
+                        16 + (i * 7) % 89,
+                        10 + i % 50,
+                        frame_fn=lambda f, i=i: (i * 5 + 3 * f) % 256,
+                    )
                 elif fmt == "jpeg":
                     # DC-only blocks: decoded block value is exactly
                     # 128 + 2*dc (q0=16), closed-form in (doc_id, bx, by)

@@ -674,6 +674,53 @@ def multimodal_deep_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_deep_avi",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 16 + doc_id % 97 AS w, 16 + (doc_id * 7) % 89 AS h,
+             10 + doc_id % 50 AS nf
+      FROM documents WHERE doc_id % 6 = 5
+    ),
+    frames AS (
+      SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
+      FROM g
+    ),
+    vals AS (
+      SELECT doc_id, w, h, nf, (doc_id * 5 + 3 * f) % 256 AS v FROM frames
+    )
+    SELECT doc_id AS media_id,
+           CAST(SUM(v) * MAX(w) * MAX(h) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max,
+           CAST(MAX(w) * MAX(h) * MAX(nf) AS BIGINT) AS n_px
+    FROM vals GROUP BY doc_id ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "codec", "deep", "avi", "video"),
+)
+def multimodal_deep_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI movi payload decode, driver-verified: the synth AVIs
+    carry spec-proper strl/strh/strf stream headers and a LIST/movi of
+    uncompressed 8-bit DIB '00db' frames (frame f of doc i a constant
+    gray (5i+3f) mod 256, rows 4-byte aligned, palette-mapped), and
+    decode_media(deep=True) walks the RIFF tree, validates BI_RGB 8-bit
+    in strf, and aggregates exact pixel stats over ALL frames; the
+    oracle recomputes them closed-form in (doc_id, f). Compressed
+    ('00dc') streams quarantine to NULL — the codec-library boundary."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    media = documents_as_synth_media(
+        load_table(spark, sf_dir, "documents")
+    ).where(F.col("media_id") % 6 == 5)
+    return (
+        decode_media(media, deep=True)
+        .select("media_id", "px_sum", "px_min", "px_max", "n_px")
+        .orderBy("media_id")
+    )
+
+
+@query(
     "multimodal_resize_plan",
     oracle="""
     WITH dims AS (

@@ -335,10 +335,10 @@ def test_multimodal_real_decode_distributed(spark, sf_dir):
         else:
             assert r.width == 16 + i % 97 and r.height == 16 + (i * 7) % 89
 
-    # deep=True now REALLY decodes every payload but AVI movi: synth WAVs
-    # carry a deterministic ramp (nonzero sqsum), synth PNG/BMP are zero
-    # pixels, JPEG blocks decode to exactly 128+2*dc (DC-only, q0=16), GIF
-    # rows to 85*((i+y)%4); only AVI deep columns stay NULL
+    # deep=True now REALLY decodes EVERY synth payload: WAVs carry a
+    # deterministic ramp (nonzero sqsum), synth PNG/BMP are zero pixels,
+    # JPEG blocks decode to exactly 128+2*dc (DC-only, q0=16), GIF rows to
+    # 85*((i+y)%4), AVI frames to (5i+3f)%256 over all frames
     deep = {r.media_id: r for r in decode_media(media, deep=True).collect()}
     for i, r in deep.items():
         w, h = 16 + i % 97, 16 + (i * 7) % 89
@@ -357,8 +357,15 @@ def test_multimodal_real_decode_distributed(spark, sf_dir):
         elif r.fmt == "gif":
             want = sum(85 * ((i + y) % 4) * w for y in range(h))
             assert (r.px_sum, r.n_px) == (want, w * h), (i, r)
-        else:  # avi: movi payload decode is the remaining extension point
-            assert r.px_sum is None and r.n_samples is None
+        else:  # avi: uncompressed 8-bit DIB frames, stats over all frames
+            nf = 10 + i % 50
+            vals = [(i * 5 + 3 * f) % 256 for f in range(nf)]
+            assert (r.px_sum, r.px_min, r.px_max, r.n_px) == (
+                w * h * sum(vals),
+                min(vals),
+                max(vals),
+                w * h * nf,
+            ), (i, r)
 
 
 def test_minhash_udf_matches_jvm_reference(spark):
@@ -1092,3 +1099,28 @@ def test_gif_lzw_property_roundtrip_and_conformance():
     img = g.find(b"\x2c")
     g[img + 9] |= 0x40
     assert _deep_gif(bytes(g)) is None
+
+
+def test_avi_dib_decode_and_codec_quarantine():
+    """Uncompressed 8-bit DIB AVI decodes exactly (all frames, palette
+    mapped, 4-byte row alignment); a compressed ('00dc') frame or a
+    header-only AVI quarantines to None — the codec-library boundary."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_avi,
+        make_avi,
+    )
+
+    w, h, nf = 21, 13, 7  # stride 24 > width: alignment padding exercised
+    blob = make_avi(w, h, nf, frame_fn=lambda f: 30 + 11 * f)
+    vals = [30 + 11 * f for f in range(nf)]
+    assert _deep_avi(blob) == {
+        "px_sum": w * h * sum(vals),
+        "px_min": min(vals),
+        "px_max": max(vals),
+        "n_px": w * h * nf,
+    }
+    assert _deep_avi(make_avi(w, h, nf)) is None  # header-only: no movi
+    corrupt = bytearray(blob)
+    i = corrupt.find(b"00db")
+    corrupt[i : i + 4] = b"00dc"  # pretend one frame is compressed
+    assert _deep_avi(bytes(corrupt)) is None

@@ -2156,8 +2156,24 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
     m = und.count()
     if m == 0:
+        # even with no surviving edges the vertex census applies (raw-edge
+        # universe: self-loop-only vertices count as singletons or under
+        # their labels); q is 0 by convention when m = 0
+        lab0 = labels.select("vid", "label")
+        verts0 = (
+            edges.select(F.col("src").alias("vid"))
+            .unionAll(edges.select(F.col("dst").alias("vid")))
+            .distinct()
+            .join(lab0, "vid", "left")
+        )
+        eff0 = F.when(
+            F.col("label").isNotNull(),
+            F.struct(F.lit(0).alias("t"), F.col("label").alias("k")),
+        ).otherwise(F.struct(F.lit(1).alias("t"), F.col("vid").alias("k")))
+        n_comm = verts0.select(eff0.alias("c")).distinct().count()
         return und.sparkSession.createDataFrame(
-            [(0, 0, 0.0)], "n_communities BIGINT, within_edges BIGINT, q DOUBLE"
+            [(int(n_comm), 0, 0.0)],
+            "n_communities BIGINT, within_edges BIGINT, q DOUBLE",
         )
     lab = labels.select("vid", "label")
     la = lab.select(F.col("vid").alias("a"), F.col("label").alias("la"))

@@ -621,6 +621,10 @@ def _deep_gif(b: bytes) -> dict | None:
         i += 10
         if iflags & 0x40:  # interlace: out of scope
             return None
+        if iw == 0 or ih == 0:
+            # degenerate descriptor: quarantine rather than emit the
+            # impossible {px_min: 255, px_max: 0, n_px: 0} sentinel row
+            return None
         pal = palette
         if iflags & 0x80:
             n = 2 << (iflags & 7)
@@ -806,9 +810,12 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
         put(table[w], width)
         table[wc] = next_code
         next_code += 1
-        # the encoder widens as soon as the NEXT code it could emit no
-        # longer fits: after assigning code (1<<width)-1, subsequent codes
-        # need width+1 bits (the decoder mirrors this exactly)
+        # widen AFTER assigning code (1<<width) — i.e. when next_code has
+        # just become (1<<width)+1. The decoder learns each entry one code
+        # later, so its mirror condition len(table) == (1<<width) fires at
+        # exactly the same stream position (verified by simulation and the
+        # width-boundary roundtrips in tests). Do NOT change one side
+        # without the other.
         if next_code == (1 << width) + 1 and width < 12:
             width += 1
         if next_code > 4095:
@@ -1030,25 +1037,45 @@ def _deep_avi(b: bytes) -> dict | None:
     if bitcount != 8 or compression != 0:
         return None  # compressed / non-8-bit: codec territory
     w, h = dims
+    if w == 0 or h == 0:
+        return None
     stride = (w + 3) & ~3
+    # palette lookup as one bytes.translate table (red channel), then
+    # builtin sum/min/max over the translated row bytes — C-speed, exact
+    # integers, no per-pixel Python loop
+    trans = (
+        bytes(palette[4 * i + 2] if 4 * i + 2 < len(palette) else 0 for i in range(256))
+        if palette
+        else None
+    )
     total = 0
     mn, mx = 255, 0
     frames = 0
-    for cid, off, size in _riff_chunks(b, *movi_bounds):
-        if cid[2:] != b"db":  # only uncompressed DIB frames
-            if cid[2:] == b"dc":
-                return None  # a compressed frame poisons the stats
-            continue
-        if size < stride * h:
-            return None
-        for r in range(h):
-            row = b[off + r * stride : off + r * stride + w]
-            for idx in row:
-                g = palette[4 * idx + 2] if palette else idx
-                total += g
-                mn = min(mn, g)
-                mx = max(mx, g)
-        frames += 1
+    # frames may sit directly in movi or inside spec-valid 'LIST rec '
+    # interleave groupings — walk both; anything from a stream other than
+    # 00, or any compressed ('dc') frame, poisons the stats -> quarantine
+    stack = [movi_bounds]
+    while stack:
+        bounds = stack.pop()
+        for cid, off, size in _riff_chunks(b, *bounds):
+            if cid == b"LIST":
+                if b[off : off + 4] == b"rec ":
+                    stack.append((off + 4, off + size))
+                continue
+            if cid[2:] == b"dc" or (cid[2:] == b"db" and cid[:2] != b"00"):
+                return None  # compressed frame / second video stream
+            if cid != b"00db":
+                continue  # index/audio chunks: not pixel data
+            if size < stride * h:
+                return None
+            for r in range(h):
+                row = b[off + r * stride : off + r * stride + w]
+                if trans is not None:
+                    row = row.translate(trans)
+                total += sum(row)
+                mn = min(mn, min(row))
+                mx = max(mx, max(row))
+            frames += 1
     if frames == 0:
         return None
     return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": w * h * frames}

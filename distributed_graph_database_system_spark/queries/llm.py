@@ -550,9 +550,12 @@ def multimodal_deep_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
+    # pre-synth filter (doc_id % 6 == 4 IS the audio cohort): Catalyst
+    # cannot push the kind filter through mapInPandas, so filtering after
+    # would synthesize all six formats' blobs to keep one
     media = documents_as_synth_media(
-        load_table(spark, sf_dir, "documents")
-    ).where(F.col("kind") == "audio")
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 4)
+    )
     deep = decode_media(media, deep=True)
     return deep.select(
         "media_id",
@@ -617,9 +620,12 @@ def multimodal_deep_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
+    # filter BEFORE the synth mapInPandas (media_id == doc_id): Catalyst
+    # cannot push a filter through mapInPandas, and synthesizing the other
+    # five formats' blobs just to discard them costs ~6x
     media = documents_as_synth_media(
-        load_table(spark, sf_dir, "documents")
-    ).where(F.col("media_id") % 6 == 3)
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 3)
+    )
     return (
         decode_media(media, deep=True)
         .select("media_id", "px_sum", "px_min", "px_max", "n_px")
@@ -663,9 +669,10 @@ def multimodal_deep_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
+    # pre-synth filter: see multimodal_deep_jpeg
     media = documents_as_synth_media(
-        load_table(spark, sf_dir, "documents")
-    ).where(F.col("media_id") % 6 == 1)
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 1)
+    )
     return (
         decode_media(media, deep=True)
         .select("media_id", "px_sum", "px_min", "px_max", "n_px")
@@ -710,9 +717,10 @@ def multimodal_deep_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
+    # pre-synth filter: see multimodal_deep_jpeg
     media = documents_as_synth_media(
-        load_table(spark, sf_dir, "documents")
-    ).where(F.col("media_id") % 6 == 5)
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 5)
+    )
     return (
         decode_media(media, deep=True)
         .select("media_id", "px_sum", "px_min", "px_max", "n_px")

@@ -167,7 +167,14 @@ def run_foreach_batch_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # an interrupted wait must not leak a live query against the
+        # DURABLE checkpoint — it would keep committing offsets in the
+        # background and conflict with the next invocation
+        if q.isActive:
+            q.stop()
 
 
 from contextlib import contextmanager

@@ -1632,3 +1632,19 @@ def test_modularity_counts_self_loop_only_vertices(spark):
     assert r2["n_communities"] == 1
     assert r2["within_edges"] == 1
     assert r2["q"] == 0.0
+
+
+def test_modularity_all_self_loops_still_censuses_vertices(spark):
+    """m == 0 (every edge a self-loop) must still report the community
+    census of the raw-edge vertex universe — the convention the non-empty
+    path follows — with within_edges = 0 and q = 0."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+        modularity,
+    )
+
+    edges = spark.createDataFrame([(3, 3), (4, 4)], EDGE_SCHEMA)
+    r = modularity(
+        edges, spark.createDataFrame([(3, 10)], "vid BIGINT, label BIGINT")
+    ).first()
+    assert (r["n_communities"], r["within_edges"], r["q"]) == (2, 0, 0.0)

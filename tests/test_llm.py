@@ -1124,3 +1124,52 @@ def test_avi_dib_decode_and_codec_quarantine():
     i = corrupt.find(b"00db")
     corrupt[i : i + 4] = b"00dc"  # pretend one frame is compressed
     assert _deep_avi(bytes(corrupt)) is None
+
+
+def test_avi_rec_lists_and_stream_hygiene():
+    """'00db' frames inside spec-valid LIST/'rec ' interleave groupings
+    are decoded; a second video stream ('01db') or zero-dim GIF
+    quarantines instead of producing partial/impossible stats."""
+    import struct
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_avi,
+        _deep_gif,
+        make_avi,
+        make_gif,
+    )
+
+    blob = make_avi(9, 5, 3, frame_fn=lambda f: 10 * (f + 1))
+    # rewrap the movi frames into a LIST/'rec ' grouping
+    movi_at = blob.find(b"LIST", blob.find(b"movi") - 8)
+    movi_size = struct.unpack("<I", blob[movi_at + 4 : movi_at + 8])[0]
+    inner = blob[movi_at + 12 : movi_at + 8 + movi_size]  # frames only
+    rec = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"rec " + inner
+    new_movi = b"movi" + rec
+    rebuilt = (
+        blob[: movi_at + 4]
+        + struct.pack("<I", len(new_movi))
+        + new_movi
+        + blob[movi_at + 8 + movi_size :]
+    )
+    # RIFF size field must track the rewrap
+    rebuilt = (
+        rebuilt[:4] + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    )
+    vals = [10, 20, 30]
+    assert _deep_avi(rebuilt) == {
+        "px_sum": 9 * 5 * sum(vals),
+        "px_min": 10,
+        "px_max": 30,
+        "n_px": 9 * 5 * 3,
+    }
+
+    second_stream = bytearray(blob)
+    i = second_stream.find(b"00db")
+    second_stream[i : i + 2] = b"01"  # frame from another stream
+    assert _deep_avi(bytes(second_stream)) is None
+
+    zero = bytearray(make_gif(5, 4, row_fn=lambda y: y % 4))
+    img = zero.find(b"\x2c")
+    zero[img + 5 : img + 7] = struct.pack("<H", 0)  # width 0
+    assert _deep_gif(bytes(zero)) is None

@@ -21,9 +21,10 @@ are real here:
   frames) — emitting exact-integer stats (sample count / peak / sum of
   squares, pixel sum / min / max) so downstream aggregation is
   float-determinism-free by construction. Remaining NULL-deep formats:
-  progressive/color JPEG, interlaced GIF, and compressed AVI streams —
-  those genuinely need a codec library (the one remaining extension
-  point).
+  progressive/color JPEG and compressed AVI streams — those genuinely
+  need a codec library (the one remaining extension point). Interlaced
+  GIF decodes too: interlacing only permutes row order and every deep
+  stat is row-permutation-invariant.
 
 For testability without fixture media files, ``synth`` helpers emit fully
 valid minimal files (PNG with correct CRCs via ``zlib``, WAV/BMP/GIF/AVI via
@@ -594,7 +595,8 @@ def _deep_gif(b: bytes) -> dict | None:
     width change, 4096-entry reset), pixel value = the palette entry's
     red channel (grayscale palettes — the training-corpus case; for color
     the red channel is still a deterministic, documented projection).
-    First image frame only; interlaced frames return None."""
+    First image frame only; interlaced frames decode (stats are
+    row-permutation-invariant)."""
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w0, h0 = struct.unpack("<HH", b[6:10])
@@ -619,8 +621,10 @@ def _deep_gif(b: bytes) -> dict | None:
             return None
         _, _, iw, ih, iflags = struct.unpack("<HHHHB", b[i + 1 : i + 10])
         i += 10
-        if iflags & 0x40:  # interlace: out of scope
-            return None
+        # interlace (0x40) needs NO special handling HERE: it only permutes
+        # row order (the LZW index stream is identical), and every emitted
+        # stat is row-permutation-invariant. A positional extension (e.g.
+        # perceptual hashing) would need the 4-pass reorder.
         if iw == 0 or ih == 0:
             # degenerate descriptor: quarantine rather than emit the
             # impossible {px_min: 255, px_max: 0, n_px: 0} sentinel row
@@ -699,8 +703,8 @@ def decode_media(
       grayscale JPEG via Huffman + IDCT, GIF via full LZW, AVI movi
       streams of uncompressed 8-bit DIB frames) — adds DEEP_SCHEMA's
       exact-integer stats columns. NULL remains only for
-      progressive/color JPEG, interlaced GIF and compressed AVI
-      payloads, which genuinely need a codec library (the documented
+      progressive/color JPEG and compressed AVI payloads, which
+      genuinely need a codec library (the documented
       extension point, now narrowed to those). A malformed payload past
       a valid header quarantines to NULL stats, same contract as
       parse_media.

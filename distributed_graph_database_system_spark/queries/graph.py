@@ -121,6 +121,15 @@ def graph_dfs_g5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs_leaves(_edges(spark, []), start=1)
 
 
+@query("graph_dfs_g4", oracle=_vid_oracle([2, 3]), tags=("graph", "dfs", "disconnected"))
+def graph_dfs_g4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS leaf-set on the disconnected G4 fixture from vertex 1: both
+    neighbors 2 and 3 see only the already-visited start (zero spawns →
+    leaves); the {4,5,6} component is unreachable and contributes
+    nothing. Golden verified against py_dfs_leaves (FIXTURES.md §B)."""
+    return dfs_leaves(_edges(spark, G4), start=1)
+
+
 @query("graph_dfs_g6", oracle=_vid_oracle([9, 10]), tags=("graph", "dfs", "bridged"))
 def graph_dfs_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFS leaf-set on the G6 bridged clique+cycle fixture (directed as

@@ -1035,9 +1035,11 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # pre-synth filter (doc_id % 6 == 4 IS the audio cohort): filtering
+    # after the synth mapInPandas would build all six formats' blobs
     media = documents_as_synth_media(
-        load_table(spark, sf_dir, "documents")
-    ).where(F.col("kind") == "audio")
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 4)
+    )
     e = audio_energy_windows(media, window=100)
     active = e.where(F.col("energy") > 340000).withColumn(
         "grp",

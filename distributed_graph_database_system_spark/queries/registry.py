@@ -119,9 +119,17 @@ def oracle_of(name: str) -> str:
 # chunk_documents_overlap embed_centroids text_repetition_score
 # sample_weighted_priority embed_centroid_classifier_eval
 # corpus_kl_divergence embed_similarity_histogram agg_value_histogram
-# text_langid_confusion (held for r9: its golden moves with the planned
-# zh lexicon). The set difference vs CORRECTNESS_r*.json is the
-# authoritative list.
+# text_langid_confusion — plus the round-8 late registrations seeded
+# specifically as r9 first-time evidence for rows this window consumed:
+# multimodal_deep_jpeg/gif/avi (udf_pandas + multimodal),
+# orders_price_components (projection), lineitem_multi_predicate_screen
+# (filter), join_broadcast_expensive_parts (broadcast),
+# supplier_acctbal_band_pairs (theta), customers_without_1995_orders_outer
+# (outer), division_all_priority_customers (anti/for-all),
+# users_views_except_purchases_all (set ops), orders_latest3_per_customer
+# (top-k per group), agg_cube3_flag_status_year (cube), graph_dfs_g4
+# (DFS). The set difference vs CORRECTNESS_r*.json is the authoritative
+# list.
 #
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- graded anchors (7): rows whose driver evidence cannot be

@@ -1762,3 +1762,359 @@ def join_asof_forward_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", F.col("event_id_err").alias("next_error_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 late additions: seed the round-9 first-time pool for §2.2 rows
+# whose never-graded members the round-8 window consumed.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_price_components",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS gross,
+           CAST(CAST(ROUND(o_totalprice / 1.08, 2) AS DECIMAL(18,2)) AS DOUBLE)
+             AS net_of_tax,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                - CAST(ROUND(o_totalprice / 1.08, 2) AS DECIMAL(18,2))
+                AS DOUBLE) AS tax_part,
+           substr(o_orderpriority, 1, 1) AS priority_code
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("relational", "projection", "compute"),
+)
+def orders_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure computed PROJECTION at table cardinality (no aggregate, no
+    join): decompose each order's gross into net-of-tax + tax at a fixed
+    rate, plus a string projection. The decimal discipline makes every
+    derived column exact: round-to-cents first, then decimal subtraction —
+    both engines produce identical bytes. Plan: one scan, one Project,
+    nothing else (the projection row's cleanest possible evidence)."""
+    o = load_table(spark, sf_dir, "orders")
+    net = F.round(F.col("o_totalprice") / 1.08, 2).cast("decimal(18,2)")
+    return o.select(
+        "o_orderkey",
+        dec("o_totalprice").cast("double").alias("gross"),
+        net.cast("double").alias("net_of_tax"),
+        (dec("o_totalprice") - net).cast("double").alias("tax_part"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "lineitem_multi_predicate_screen",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_shipdate BETWEEN DATE '1997-03-01' AND DATE '1998-06-30'
+      AND l_quantity IN (1, 2, 3, 5, 8, 13, 21, 34)
+      AND l_discount <> 0.0
+      AND NOT (l_linestatus = 'O' AND l_tax > 0.07)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "filter", "predicates"),
+)
+def lineitem_multi_predicate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound FILTER evidence: BETWEEN + IN-list + inequality + a
+    negated conjunction, all expressed on raw columns so every leg
+    reaches the parquet scan as a pushed filter (IN becomes an In
+    predicate, NOT(...) distributes via De Morgan in Catalyst). The
+    aggregate on top just makes the result compact; the row under test is
+    the filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keep = (
+        F.col("l_shipdate").between("1997-03-01", "1998-06-30")
+        & F.col("l_quantity").isin(1, 2, 3, 5, 8, 13, 21, 34)
+        & (F.col("l_discount") != 0.0)
+        & ~((F.col("l_linestatus") == "O") & (F.col("l_tax") > 0.07))
+    )
+    return (
+        li.where(keep)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum("l_quantity").alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "join_broadcast_expensive_parts",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_retailprice > 1800
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("join", "broadcast", "selective-dim"),
+)
+def join_broadcast_expensive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT broadcast of a filtered dimension: the expensive-parts
+    slice is selective enough to broadcast however large the part table
+    grows relative to the AQE threshold, so the fact side joins with no
+    shuffle at all (map-side hash probe). The F.broadcast hint is the
+    point — at 100 TB, relying on the autobroadcast threshold for a
+    FILTERED dim is a regression waiting for a stats refresh; the hint
+    pins the strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_retailprice") > 1800)
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "supplier_acctbal_band_pairs",
+    oracle="""
+    SELECT a.s_suppkey AS sup_a, b.s_suppkey AS sup_b,
+           ROUND(ABS(a.s_acctbal - b.s_acctbal), 2) AS bal_gap
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND a.s_nationkey <> b.s_nationkey
+     AND ABS(a.s_acctbal - b.s_acctbal) < 10
+    ORDER BY sup_a, sup_b
+    """,
+    tags=("join", "theta", "band", "self-join"),
+)
+def supplier_acctbal_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure THETA self-join (no equi key at all): cross-nation supplier
+    pairs whose account balances sit within a ±10 band — a peer-matching
+    shape. With no equi conjunct Spark plans a broadcast nested loop over
+    the (bounded) supplier table, which is the honest physical strategy
+    for a pure inequality join at dim cardinality; at fact cardinality
+    the band would be bucketized first (the join_range_bucketed pattern).
+    The |gap| is a single rounded double op, identical cross-engine."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("sup_a"),
+        F.col("s_nationkey").alias("nat_a"),
+        F.col("s_acctbal").alias("bal_a"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("sup_b"),
+        F.col("s_nationkey").alias("nat_b"),
+        F.col("s_acctbal").alias("bal_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("sup_a") < F.col("sup_b"))
+            & (F.col("nat_a") != F.col("nat_b"))
+            & (F.abs(F.col("bal_a") - F.col("bal_b")) < 10),
+        )
+        .select(
+            "sup_a",
+            "sup_b",
+            F.round(F.abs(F.col("bal_a") - F.col("bal_b")), 2).alias("bal_gap"),
+        )
+        .orderBy("sup_a", "sup_b")
+    )
+
+
+@query(
+    "customers_without_1995_orders_outer",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) FILTER (o.o_custkey IS NULL) AS BIGINT) AS n_idle
+    FROM customer c
+    LEFT JOIN (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    ) o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    tags=("join", "left-outer", "null-extension"),
+)
+def customers_without_1995_orders_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join whose NULL-extended side carries the answer: per
+    market segment, how many customers placed no 1995 order — the
+    null-extension is counted, not discarded (COUNT FILTER over the
+    probe-side key). The orders side pre-aggregates to DISTINCT custkeys
+    before the join, so the outer join's build input is the small
+    distinct set, not raw orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.count(F.when(F.col("o_custkey").isNull(), 1))
+            .cast("bigint")
+            .alias("n_idle"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "division_all_priority_customers",
+    oracle="""
+    SELECT DISTINCT o1.o_custkey
+    FROM orders o1
+    WHERE o1.o_orderdate >= DATE '1998-01-01'
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_custkey = o1.o_custkey
+          AND o2.o_orderdate >= DATE '1998-01-01'
+          AND o2.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      )
+    ORDER BY o_custkey
+    """,
+    tags=("relational", "division", "anti", "for-all"),
+)
+def division_all_priority_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION (the FOR-ALL quantifier): customers whose
+    EVERY 1998 order is urgent/high priority, expressed as the canonical
+    double negation — candidates ANTI-joined against their own violating
+    rows. Both the candidate set and the violator set are one filtered
+    scan each; the anti join is hash-planned on o_custkey. This is the
+    textbook shape whose naive form is a correlated NOT EXISTS per row —
+    Catalyst and this formulation meet at the same plan."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    )
+    violators = o.where(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_custkey").alias("v_custkey"))
+    return (
+        o.select("o_custkey")
+        .distinct()
+        .join(violators, o["o_custkey"] == violators["v_custkey"], "left_anti")
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "users_views_except_purchases_all",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS surplus_views
+    FROM (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("setops", "except-all", "multiset"),
+)
+def users_views_except_purchases_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — the MULTISET difference (bag semantics): each user's
+    view rows minus one view per purchase row, i.e. per-user surplus of
+    views over purchases, something plain EXCEPT (set semantics) cannot
+    express. Spark's exceptAll and DuckDB's EXCEPT ALL implement the same
+    SQL:2003 bag rule (max(m−n, 0) copies), and the follow-up GROUP BY
+    folds the surviving multiplicities into a checkable count."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select("user_id")
+    buys = e.where(F.col("event_type") == "purchase").select("user_id")
+    return (
+        views.exceptAll(buys)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("surplus_views"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "orders_latest3_per_customer",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice
+    FROM r WHERE rn <= 3 ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "topk-per-group", "recent-n"),
+)
+def orders_latest3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-per-group at data-sized group count: each customer's three
+    most recent orders via a PARTITIONED row_number (per-partition state
+    is one counter per customer — scale-safe, unlike a global rank), with
+    the (date DESC, orderkey) total order making ties deterministic. The
+    canonical 'latest N events per entity' query of every activity
+    store."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    rn = F.row_number().over(
+        W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), "o_orderkey")
+    )
+    return (
+        o.withColumn("rn", rn)
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "agg_cube3_flag_status_year",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus, ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM t
+    GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)
+    """,
+    tags=("aggregation", "cube", "three-dim"),
+)
+def agg_cube3_flag_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-dimensional CUBE (2³ = 8 grouping combinations in ONE scan):
+    flag × status × ship-year with all marginals and the grand total —
+    the slice-and-dice backbone. Catalyst expands to a single
+    Expand+HashAggregate, so the fact table is read once; quantity is the
+    exact decimal sum so every one of the 8 aggregation lattices hashes
+    identically cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        "l_quantity",
+    )
+    return li.cube("l_returnflag", "l_linestatus", "ship_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("l_quantity").alias("qty"),
+    )

@@ -773,9 +773,10 @@ def test_deep_payload_decode_against_reference(spark):
     sample stats vs numpy; PNG pixel stats through ALL FIVE standard
     filters (a hand-built encoder filters each row differently — the
     decoder must invert Sub/Up/Average/Paeth exactly); BMP 24-bit with
-    row padding that must NOT leak into the stats; gif/jpeg/avi rows keep
-    NULL deep columns; a corrupt payload past a valid header quarantines
-    to NULL stats instead of failing the task."""
+    row padding that must NOT leak into the stats; the default GIF
+    (all-zero indices) LZW-decodes to exact zero-sum stats; a corrupt
+    payload past a valid header quarantines to NULL stats instead of
+    failing the task."""
     import struct
     import zlib
 
@@ -869,7 +870,8 @@ def test_deep_payload_decode_against_reference(spark):
     got = {r.media_id: r for r in mm.decode_media(media, deep=True).collect()}
     assert got[0].audio_sqsum == dw["audio_sqsum"]
     assert got[1].px_sum == dp["px_sum"] and got[1].n_px == w * h
-    assert got[2].fmt == "gif" and got[2].px_sum is None
+    # default make_gif rows are palette index 0 (gray 0): real decode
+    assert got[2].fmt == "gif" and got[2].px_sum == 0 and got[2].n_px == 81
     assert got[3].fmt == "png" and got[3].px_sum is None  # quarantined
 
 
@@ -1094,11 +1096,13 @@ def test_gif_lzw_property_roundtrip_and_conformance():
     )
     assert _deep_gif(tiny) == {"px_sum": 0, "px_min": 0, "px_max": 0, "n_px": 1}
 
-    # interlaced frames are out of scope: flag bit 0x40 in the descriptor
+    # interlace only permutes row order; the stats are invariant, so an
+    # interlace-flagged frame decodes to the SAME stats
     g = bytearray(make_gif(9, 5, row_fn=lambda y: y % 4))
+    plain = _deep_gif(bytes(g))
     img = g.find(b"\x2c")
     g[img + 9] |= 0x40
-    assert _deep_gif(bytes(g)) is None
+    assert _deep_gif(bytes(g)) == plain and plain is not None
 
 
 def test_avi_dib_decode_and_codec_quarantine():

@@ -21,10 +21,11 @@ are real here:
   frames) — emitting exact-integer stats (sample count / peak / sum of
   squares, pixel sum / min / max) so downstream aggregation is
   float-determinism-free by construction. Remaining NULL-deep formats:
-  progressive/color JPEG and compressed AVI streams — those genuinely
-  need a codec library (the one remaining extension point). Interlaced
-  GIF decodes too: interlacing only permutes row order and every deep
-  stat is row-permutation-invariant.
+  progressive and chroma-SUBSAMPLED (4:2:x) JPEG, and compressed AVI
+  streams — those genuinely need a codec library (the one remaining
+  extension point). 4:4:4 color JPEG decodes (stats over the luma
+  component); interlaced GIF decodes too (interlacing only permutes row
+  order and every deep stat is row-permutation-invariant).
 
 For testability without fixture media files, ``synth`` helpers emit fully
 valid minimal files (PNG with correct CRCs via ``zlib``, WAV/BMP/GIF/AVI via
@@ -452,20 +453,25 @@ def _jpeg_extend(v: int, cat: int) -> int:
 def _deep_jpeg(b: bytes) -> dict | None:
     """REAL baseline-JPEG payload decode, pure python + numpy: segment
     walk (DQT / SOF0 / DHT / SOS), Huffman-decode the entropy stream
-    (differential DC, run-length AC, byte unstuffing), dequantize,
-    de-zigzag, float IDCT with the +128 level shift, clamp, and crop to
-    the frame dimensions for the exact-integer pixel stats. Scope:
-    baseline sequential (SOF0), 8-bit, SINGLE component, no restart
-    markers — grayscale training corpora; progressive/color returns None
-    (quarantine-to-NULL, the module contract)."""
+    (differential DC per component, run-length AC, byte unstuffing),
+    dequantize, de-zigzag, float IDCT with the +128 level shift, clamp,
+    and crop to the frame dimensions for the exact-integer pixel stats.
+    Scope: baseline sequential (SOF0), 8-bit, grayscale OR 4:4:4
+    interleaved color (for color frames the stats are over the LUMA
+    component — the brightness statistics a curation pipeline wants; the
+    chroma blocks are entropy-decoded to keep bitstream position but not
+    reconstructed). No restart markers, no subsampling — progressive /
+    4:2:x return None (quarantine-to-NULL, the module contract)."""
     import numpy as np
 
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
-    dims = comp_q = None
-    sos_dc = sos_ac = None
+    dims = None
+    comps: list[tuple[int, int]] = []  # SOF order: (comp_id, qtable)
+    sos_tables: dict[int, tuple[int, int]] = {}  # comp_id -> (dc_id, ac_id)
+    sos_order: list[int] = []
     scan_start = None
     i = 2
     while i + 4 <= len(b):
@@ -489,10 +495,14 @@ def _deep_jpeg(b: bytes) -> dict | None:
                 j += 65
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8 or ncomp != 1 or seg[7] != 0x11:
-                return None  # color / subsampled: documented out of scope
+            if prec != 8 or ncomp not in (1, 3):
+                return None
+            for k in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * k : 9 + 3 * k]
+                if sampling != 0x11:  # subsampled chroma: out of scope
+                    return None
+                comps.append((cid, tq))
             dims = (w, h)
-            comp_q = seg[8]
         elif marker in _JPEG_SOF:  # any other SOF (progressive...): bail
             return None
         elif marker == 0xC4:  # DHT: possibly several tables
@@ -508,18 +518,29 @@ def _deep_jpeg(b: bytes) -> dict | None:
             if struct.unpack(">H", seg[:2])[0] != 0:
                 return None
         elif marker == 0xDA:  # SOS
-            if seg[0] != 1:
+            ns = seg[0]
+            if ns != len(comps) or ns == 0:
                 return None
-            sos_dc, sos_ac = seg[2] >> 4, seg[2] & 15
+            for k in range(ns):
+                cid = seg[1 + 2 * k]
+                tbl = seg[2 + 2 * k]
+                sos_tables[cid] = (tbl >> 4, tbl & 15)
+                sos_order.append(cid)
             scan_start = i + 2 + seg_len
             break
         i += 2 + seg_len
-    if dims is None or scan_start is None or comp_q not in qt:
+    if dims is None or scan_start is None or not comps:
         return None
-    dc_table = huff.get((0, sos_dc))
-    ac_table = huff.get((1, sos_ac))
-    if dc_table is None or ac_table is None:
-        return None
+    comp_qt = dict(comps)
+    tables = []
+    for cid in sos_order:
+        if cid not in comp_qt or comp_qt[cid] not in qt:
+            return None
+        dc_t = huff.get((0, sos_tables[cid][0]))
+        ac_t = huff.get((1, sos_tables[cid][1]))
+        if dc_t is None or ac_t is None:
+            return None
+        tables.append((dc_t, ac_t, qt[comp_qt[cid]]))
     # unstuff entropy bytes up to EOI
     data = bytearray()
     j = scan_start
@@ -538,7 +559,6 @@ def _deep_jpeg(b: bytes) -> dict | None:
         j += 1
 
     w, h = dims
-    q = qt[comp_q]
     bw, bh = (w + 7) // 8, (h + 7) // 8
     # IDCT basis: M[v, y] = a(v) cos((2y+1) v pi / 16); P = .25 M^T F M
     ys = np.arange(8)
@@ -548,30 +568,42 @@ def _deep_jpeg(b: bytes) -> dict | None:
     reader = _JpegBits(bytes(data))
     total = 0
     mn, mx = 255, 0
-    prev_dc = 0
+    preds = [0] * len(tables)
+
+    def read_block(ci: int) -> "np.ndarray":
+        """Huffman-decode one block of component ci → dequantized coefs."""
+        dc_t, ac_t, q = tables[ci]
+        coef = np.zeros(64)
+        cat = reader.huff(dc_t)
+        preds[ci] += _jpeg_extend(reader.bits(cat), cat)
+        coef[0] = preds[ci] * q[0]
+        k = 1
+        while k < 64:
+            sym = reader.huff(ac_t)
+            if sym == 0x00:  # EOB
+                break
+            run, cat = sym >> 4, sym & 15
+            if cat == 0:
+                if run != 15:  # only ZRL carries cat 0
+                    raise ValueError("jpeg: bad AC symbol")
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("jpeg: AC index overrun")
+            coef[k] = _jpeg_extend(reader.bits(cat), cat) * q[k]
+            k += 1
+        return coef
+
     try:
         for byi in range(bh):
             for bxi in range(bw):
-                coef = np.zeros(64)
-                cat = reader.huff(dc_table)
-                prev_dc += _jpeg_extend(reader.bits(cat), cat)
-                coef[0] = prev_dc * q[0]
-                k = 1
-                while k < 64:
-                    sym = reader.huff(ac_table)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, cat = sym >> 4, sym & 15
-                    if cat == 0:
-                        if run != 15:  # only ZRL carries cat 0
-                            return None
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        return None
-                    coef[k] = _jpeg_extend(reader.bits(cat), cat) * q[k]
-                    k += 1
+                # MCU at 1x1 sampling = one block per component, in SOS
+                # order; stats come from component 0 (gray / luma), the
+                # chroma blocks are decoded only to advance the bitstream
+                coef = read_block(0)
+                for ci in range(1, len(tables)):
+                    read_block(ci)
                 block = np.zeros((8, 8))
                 for zi, (r, c_) in enumerate(_ZIGZAG):
                     block[r, c_] = coef[zi]
@@ -700,11 +732,12 @@ def decode_media(
       blobs (fixture text bytes);
     - ``deep=True``: REAL payload decode (PCM16 WAV samples, 8-bit
       grayscale PNG scanlines, uncompressed 24-bit BMP rows, baseline
-      grayscale JPEG via Huffman + IDCT, GIF via full LZW, AVI movi
-      streams of uncompressed 8-bit DIB frames) — adds DEEP_SCHEMA's
+      grayscale AND 4:4:4-color JPEG via Huffman + IDCT (color stats
+      over the luma component), GIF via full LZW, AVI movi streams of
+      uncompressed 8-bit DIB frames) — adds DEEP_SCHEMA's
       exact-integer stats columns. NULL remains only for
-      progressive/color JPEG and compressed AVI payloads, which
-      genuinely need a codec library (the documented
+      progressive / chroma-subsampled JPEG and compressed AVI payloads,
+      which genuinely need a codec library (the documented
       extension point, now narrowed to those). A malformed payload past
       a valid header quarantines to NULL stats, same contract as
       parse_media.
@@ -1118,6 +1151,27 @@ _JPEG_AC_VALS = (
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 )
 
+# Annex K.3 CHROMINANCE tables (for the color=True 3-component path)
+_JPEG_DC_BITS_C = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS_C = tuple(range(12))
+_JPEG_AC_BITS_C = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_JPEG_AC_VALS_C = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
 # zigzag scan order: zigzag index -> (row, col) in the 8x8 block
 _ZIGZAG = (
     (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
@@ -1183,83 +1237,117 @@ def _jpeg_amplitude(v: int, cat: int) -> int:
     return v if v >= 0 else v + (1 << cat) - 1
 
 
+def _put_block(w: _BitWriter, dc_diff: int, ac: dict, dc_codes, ac_codes) -> None:
+    """Entropy-code one 8x8 block: Huffman DC category+amplitude for the
+    PREDICTION DIFFERENCE, then run-length AC with ZRL/EOB."""
+    cat = _jpeg_category(dc_diff)
+    code, ln = dc_codes[cat]
+    w.put(code, ln)
+    if cat:
+        w.put(_jpeg_amplitude(dc_diff, cat), cat)
+    run = 0
+    for zi in range(1, 64):
+        v = int(ac.get(zi, 0))
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        cat = _jpeg_category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        w.put(code, ln)
+        w.put(_jpeg_amplitude(v, cat), cat)
+        run = 0
+    if run:  # trailing zeros -> EOB
+        code, ln = ac_codes[0x00]
+        w.put(code, ln)
+
+
 def make_jpeg(
     width: int,
     height: int,
     dc_fn=None,
     ac_fn=None,
     q0: int = 16,
+    color: bool = False,
+    chroma_dc_fn=None,
 ) -> bytes:
-    """A COMPLETE baseline grayscale JPEG: DQT (flat quant table, all
-    ``q0``), SOF0, the Annex-K standard DHT tables, SOS and a real
-    entropy-coded scan (differential DC + run-length AC, byte-stuffed),
-    plus a COM segment so segment walking stays exercised.
+    """A COMPLETE baseline JPEG: DQT (flat quant tables, all ``q0``),
+    SOF0, the Annex-K standard DHT tables, SOS and a real entropy-coded
+    scan (differential DC + run-length AC, byte-stuffed), plus a COM
+    segment so segment walking stays exercised.
 
     ``dc_fn(bx, by) -> int`` supplies each 8x8 block's QUANTIZED DC
     coefficient (default 0 → flat mid-gray 128); ``ac_fn(bx, by) ->
     {zigzag_index: int}`` optionally injects quantized AC coefficients.
     With AC absent, the decoded block is exactly
     ``clamp(round(dc*q0/8) + 128)`` — closed-form in the block index, which
-    is what makes the driver oracle SQL-expressible."""
-    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    is what makes the driver oracle SQL-expressible.
+
+    ``color=True`` emits a THREE-component 4:4:4 YCbCr frame: Y uses the
+    luminance tables and ``dc_fn``/``ac_fn``; Cb/Cr use the Annex-K
+    chrominance tables and ``chroma_dc_fn(bx, by) -> (cb_dc, cr_dc)``
+    (default flat 0 → neutral chroma). MCUs interleave Y,Cb,Cr blocks
+    with per-component DC predictors, exactly the layout every 4:4:4
+    encoder writes."""
+    dc_l = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
     bw, bh = (width + 7) // 8, (height + 7) // 8
     w = _BitWriter()
-    prev_dc = 0
+    pred = [0, 0, 0]  # per-component DC predictors
     for by in range(bh):
         for bx in range(bw):
             dc = int(dc_fn(bx, by)) if dc_fn else 0
-            diff = dc - prev_dc
-            prev_dc = dc
-            cat = _jpeg_category(diff)
-            code, ln = dc_codes[cat]
-            w.put(code, ln)
-            if cat:
-                w.put(_jpeg_amplitude(diff, cat), cat)
-            ac = dict(ac_fn(bx, by)) if ac_fn else {}
-            run = 0
-            for zi in range(1, 64):
-                v = int(ac.get(zi, 0))
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    w.put(code, ln)
-                    run -= 16
-                cat = _jpeg_category(v)
-                code, ln = ac_codes[(run << 4) | cat]
-                w.put(code, ln)
-                w.put(_jpeg_amplitude(v, cat), cat)
-                run = 0
-            if run:  # trailing zeros -> EOB
-                code, ln = ac_codes[0x00]
-                w.put(code, ln)
+            _put_block(w, dc - pred[0], dict(ac_fn(bx, by)) if ac_fn else {}, dc_l, ac_l)
+            pred[0] = dc
+            if color:
+                cb, cr = chroma_dc_fn(bx, by) if chroma_dc_fn else (0, 0)
+                _put_block(w, int(cb) - pred[1], {}, dc_c, ac_c)
+                pred[1] = int(cb)
+                _put_block(w, int(cr) - pred[2], {}, dc_c, ac_c)
+                pred[2] = int(cr)
     scan = w.flush()
 
-    def _dht(cls: int, bits, vals) -> bytes:
-        payload = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    def _dht(cls: int, tid: int, bits, vals) -> bytes:
+        payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
 
     com = b"\xff\xfe" + struct.pack(">H", 2 + 9) + b"synthetic"
     dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes([q0] * 64)
-    sof = (
-        b"\xff\xc0"
-        + struct.pack(">HBHHB", 8 + 3, 8, height, width, 1)
-        + b"\x01\x11\x00"
+    dht = _dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS) + _dht(
+        1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS
     )
-    sos = b"\xff\xda" + struct.pack(">HB", 6 + 2, 1) + b"\x01\x00\x00\x3f\x00"
-    return (
-        b"\xff\xd8"
-        + com
-        + dqt
-        + sof
-        + _dht(0, _JPEG_DC_BITS, _JPEG_DC_VALS)
-        + _dht(1, _JPEG_AC_BITS, _JPEG_AC_VALS)
-        + sos
-        + scan
-        + b"\xff\xd9"
-    )
+    if not color:
+        sof = (
+            b"\xff\xc0"
+            + struct.pack(">HBHHB", 8 + 3, 8, height, width, 1)
+            + b"\x01\x11\x00"
+        )
+        sos = b"\xff\xda" + struct.pack(">HB", 6 + 2, 1) + b"\x01\x00\x00\x3f\x00"
+    else:
+        dqt += (
+            b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01" + bytes([q0] * 64)
+        )
+        dht += _dht(0, 1, _JPEG_DC_BITS_C, _JPEG_DC_VALS_C) + _dht(
+            1, 1, _JPEG_AC_BITS_C, _JPEG_AC_VALS_C
+        )
+        sof = (
+            b"\xff\xc0"
+            + struct.pack(">HBHHB", 8 + 9, 8, height, width, 3)
+            + b"\x01\x11\x00"  # Y: sampling 1x1, qt 0
+            + b"\x02\x11\x01"  # Cb: qt 1
+            + b"\x03\x11\x01"  # Cr: qt 1
+        )
+        sos = (
+            b"\xff\xda"
+            + struct.pack(">HB", 6 + 6, 3)
+            + b"\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+        )
+    return b"\xff\xd8" + com + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
 # --------------------------------------------------------------------------

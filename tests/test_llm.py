@@ -1177,3 +1177,34 @@ def test_avi_rec_lists_and_stream_hygiene():
     img = zero.find(b"\x2c")
     zero[img + 5 : img + 7] = struct.pack("<H", 0)  # width 0
     assert _deep_gif(bytes(zero)) is None
+
+
+def test_jpeg_color_444_decodes_luma_stats():
+    """4:4:4 three-component color JPEG decodes: MCUs interleave Y,Cb,Cr
+    blocks with per-component DC predictors and the Annex-K chroma
+    Huffman tables; stats are over the LUMA component, so they equal the
+    grayscale encoding of the same Y plane whatever the chroma carries.
+    Chroma-subsampled (4:2:0-style) frames quarantine."""
+    import struct
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_jpeg,
+        make_jpeg,
+    )
+
+    dc = lambda bx, by: (3 * bx - 2 * by) % 11 - 5  # noqa: E731
+    ac = lambda bx, by: {2: 4, 17: -3}  # noqa: E731
+    gray = _deep_jpeg(make_jpeg(21, 14, dc_fn=dc, ac_fn=ac))
+    color = _deep_jpeg(
+        make_jpeg(
+            21, 14, dc_fn=dc, ac_fn=ac,
+            color=True, chroma_dc_fn=lambda bx, by: (bx % 5 - 2, by % 3 - 1),
+        )
+    )
+    assert color == gray and gray is not None
+
+    blob = bytearray(make_jpeg(16, 16, dc_fn=dc, color=True))
+    sof = blob.find(b"\xff\xc0")
+    # component 1 sampling byte: 4 + (len,prec,h,w,ncomp)=2+1+2+2+1, +1 id
+    blob[sof + 2 + 2 + 1 + 2 + 2 + 1 + 1] = 0x22  # pretend 2x2 sampling
+    assert _deep_jpeg(bytes(blob)) is None

@@ -21,11 +21,12 @@ are real here:
   frames) — emitting exact-integer stats (sample count / peak / sum of
   squares, pixel sum / min / max) so downstream aggregation is
   float-determinism-free by construction. Remaining NULL-deep formats:
-  progressive and chroma-SUBSAMPLED (4:2:x) JPEG, and compressed AVI
-  streams — those genuinely need a codec library (the one remaining
-  extension point). 4:4:4 color JPEG decodes (stats over the luma
-  component); interlaced GIF decodes too (interlacing only permutes row
-  order and every deep stat is row-permutation-invariant).
+  PROGRESSIVE JPEG and compressed AVI streams — those genuinely need a
+  codec library (the one remaining extension point). Color baseline JPEG
+  decodes in every common MCU geometry (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0,
+  stats over the luma component); interlaced GIF decodes too (interlacing
+  only permutes row order and every deep stat is row-permutation-
+  invariant).
 
 For testability without fixture media files, ``synth`` helpers emit fully
 valid minimal files (PNG with correct CRCs via ``zlib``, WAV/BMP/GIF/AVI via
@@ -456,12 +457,14 @@ def _deep_jpeg(b: bytes) -> dict | None:
     (differential DC per component, run-length AC, byte unstuffing),
     dequantize, de-zigzag, float IDCT with the +128 level shift, clamp,
     and crop to the frame dimensions for the exact-integer pixel stats.
-    Scope: baseline sequential (SOF0), 8-bit, grayscale OR 4:4:4
-    interleaved color (for color frames the stats are over the LUMA
-    component — the brightness statistics a curation pipeline wants; the
-    chroma blocks are entropy-decoded to keep bitstream position but not
-    reconstructed). No restart markers, no subsampling — progressive /
-    4:2:x return None (quarantine-to-NULL, the module contract)."""
+    Scope: baseline sequential (SOF0), 8-bit, grayscale or interleaved
+    color in every common MCU geometry (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 —
+    luma sampling up to 2x2, chroma 1x1). For color frames the stats are
+    over the LUMA component — the brightness statistics a curation
+    pipeline wants; chroma and MCU-padding blocks are entropy-decoded to
+    keep bitstream position but not reconstructed. No restart markers —
+    progressive and exotic sampling return None (quarantine-to-NULL, the
+    module contract)."""
     import numpy as np
 
     if len(b) < 4 or b[:2] != b"\xff\xd8":
@@ -469,6 +472,7 @@ def _deep_jpeg(b: bytes) -> dict | None:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     dims = None
+    luma_samp = (1, 1)
     comps: list[tuple[int, int]] = []  # SOF order: (comp_id, qtable)
     sos_tables: dict[int, tuple[int, int]] = {}  # comp_id -> (dc_id, ac_id)
     sos_order: list[int] = []
@@ -497,11 +501,20 @@ def _deep_jpeg(b: bytes) -> dict | None:
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or ncomp not in (1, 3):
                 return None
+            samps = []
             for k in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * k : 9 + 3 * k]
-                if sampling != 0x11:  # subsampled chroma: out of scope
-                    return None
+                hs, vs_ = sampling >> 4, sampling & 15
                 comps.append((cid, tq))
+                samps.append((hs, vs_))
+            # supported MCU geometries: luma up to 2x2 with 1x1 chroma —
+            # covers 4:4:4, 4:2:2, 4:4:0 and 4:2:0, i.e. every common
+            # baseline layout; anything else quarantines
+            if samps[0][0] not in (1, 2) or samps[0][1] not in (1, 2):
+                return None
+            if any(s != (1, 1) for s in samps[1:]):
+                return None
+            luma_samp = samps[0]
             dims = (w, h)
         elif marker in _JPEG_SOF:  # any other SOF (progressive...): bail
             return None
@@ -559,7 +572,6 @@ def _deep_jpeg(b: bytes) -> dict | None:
         j += 1
 
     w, h = dims
-    bw, bh = (w + 7) // 8, (h + 7) // 8
     # IDCT basis: M[v, y] = a(v) cos((2y+1) v pi / 16); P = .25 M^T F M
     ys = np.arange(8)
     vs = np.arange(8).reshape(-1, 1)
@@ -595,27 +607,36 @@ def _deep_jpeg(b: bytes) -> dict | None:
             k += 1
         return coef
 
+    h0, v0 = luma_samp
+    mcux = (w + 8 * h0 - 1) // (8 * h0)
+    mcuy = (h + 8 * v0 - 1) // (8 * v0)
     try:
-        for byi in range(bh):
-            for bxi in range(bw):
-                # MCU at 1x1 sampling = one block per component, in SOS
-                # order; stats come from component 0 (gray / luma), the
-                # chroma blocks are decoded only to advance the bitstream
-                coef = read_block(0)
+        for my in range(mcuy):
+            for mx_ in range(mcux):
+                # one MCU: h0*v0 luma blocks (raster order within the MCU)
+                # then one block per chroma component. Stats come from
+                # component 0 (gray / luma); chroma and MCU-padding luma
+                # blocks are decoded only to advance the bitstream.
+                for vy in range(v0):
+                    for vx in range(h0):
+                        coef = read_block(0)
+                        bxi, byi = mx_ * h0 + vx, my * v0 + vy
+                        if bxi * 8 >= w or byi * 8 >= h:
+                            continue  # MCU padding block: no visible pixels
+                        block = np.zeros((8, 8))
+                        for zi, (r, c_) in enumerate(_ZIGZAG):
+                            block[r, c_] = coef[zi]
+                        px = np.clip(
+                            np.round(0.25 * (m.T @ block @ m)) + 128, 0, 255
+                        ).astype(np.int64)
+                        vh = min(8, h - byi * 8)
+                        vw = min(8, w - bxi * 8)
+                        vis = px[:vh, :vw]
+                        total += int(vis.sum())
+                        mn = min(mn, int(vis.min()))
+                        mx = max(mx, int(vis.max()))
                 for ci in range(1, len(tables)):
                     read_block(ci)
-                block = np.zeros((8, 8))
-                for zi, (r, c_) in enumerate(_ZIGZAG):
-                    block[r, c_] = coef[zi]
-                px = np.clip(
-                    np.round(0.25 * (m.T @ block @ m)) + 128, 0, 255
-                ).astype(np.int64)
-                vh = min(8, h - byi * 8)
-                vw = min(8, w - bxi * 8)
-                vis = px[:vh, :vw]
-                total += int(vis.sum())
-                mn = min(mn, int(vis.min()))
-                mx = max(mx, int(vis.max()))
     except ValueError:
         return None
     return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": w * h}
@@ -732,12 +753,13 @@ def decode_media(
       blobs (fixture text bytes);
     - ``deep=True``: REAL payload decode (PCM16 WAV samples, 8-bit
       grayscale PNG scanlines, uncompressed 24-bit BMP rows, baseline
-      grayscale AND 4:4:4-color JPEG via Huffman + IDCT (color stats
-      over the luma component), GIF via full LZW, AVI movi streams of
+      grayscale AND color JPEG in every common subsampling (4:4:4 /
+      4:2:2 / 4:4:0 / 4:2:0) via Huffman + IDCT (color stats over the
+      luma component), GIF via full LZW, AVI movi streams of
       uncompressed 8-bit DIB frames) — adds DEEP_SCHEMA's
       exact-integer stats columns. NULL remains only for
-      progressive / chroma-subsampled JPEG and compressed AVI payloads,
-      which genuinely need a codec library (the documented
+      progressive JPEG and compressed AVI payloads, which genuinely
+      need a codec library (the documented
       extension point, now narrowed to those). A malformed payload past
       a valid header quarantines to NULL stats, same contract as
       parse_media.
@@ -1273,6 +1295,7 @@ def make_jpeg(
     q0: int = 16,
     color: bool = False,
     chroma_dc_fn=None,
+    subsampling: str = "444",
 ) -> bytes:
     """A COMPLETE baseline JPEG: DQT (flat quant tables, all ``q0``),
     SOF0, the Annex-K standard DHT tables, SOS and a real entropy-coded
@@ -1286,26 +1309,48 @@ def make_jpeg(
     ``clamp(round(dc*q0/8) + 128)`` — closed-form in the block index, which
     is what makes the driver oracle SQL-expressible.
 
-    ``color=True`` emits a THREE-component 4:4:4 YCbCr frame: Y uses the
+    ``color=True`` emits a THREE-component YCbCr frame: Y uses the
     luminance tables and ``dc_fn``/``ac_fn``; Cb/Cr use the Annex-K
     chrominance tables and ``chroma_dc_fn(bx, by) -> (cb_dc, cr_dc)``
-    (default flat 0 → neutral chroma). MCUs interleave Y,Cb,Cr blocks
-    with per-component DC predictors, exactly the layout every 4:4:4
-    encoder writes."""
+    (default flat 0 → neutral chroma; called with MCU coords). MCUs
+    interleave blocks with per-component DC predictors.
+
+    ``subsampling`` (color only): '444' (default), '422', '440' or '420'
+    — the Y sampling factors; chroma is always 1x1 per MCU, exactly the
+    layouts real encoders write (4:2:0 is the camera/web default). MCU
+    geometry: (h0·v0) luma blocks in raster order then Cb, Cr; MCU
+    padding blocks beyond the frame edge are encoded (spec requires
+    them) and carry whatever ``dc_fn`` returns for their coordinates —
+    the decoder discards their pixels."""
+    h0, v0 = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}[
+        subsampling
+    ]
+    if not color:
+        h0 = v0 = 1
     dc_l = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_l = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     dc_c = _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
     ac_c = _huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
+    mcux = (width + 8 * h0 - 1) // (8 * h0)
+    mcuy = (height + 8 * v0 - 1) // (8 * v0)
     w = _BitWriter()
     pred = [0, 0, 0]  # per-component DC predictors
-    for by in range(bh):
-        for bx in range(bw):
-            dc = int(dc_fn(bx, by)) if dc_fn else 0
-            _put_block(w, dc - pred[0], dict(ac_fn(bx, by)) if ac_fn else {}, dc_l, ac_l)
-            pred[0] = dc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for vy in range(v0):
+                for vx in range(h0):
+                    bx, by = mx * h0 + vx, my * v0 + vy
+                    dc = int(dc_fn(bx, by)) if dc_fn else 0
+                    _put_block(
+                        w,
+                        dc - pred[0],
+                        dict(ac_fn(bx, by)) if ac_fn else {},
+                        dc_l,
+                        ac_l,
+                    )
+                    pred[0] = dc
             if color:
-                cb, cr = chroma_dc_fn(bx, by) if chroma_dc_fn else (0, 0)
+                cb, cr = chroma_dc_fn(mx, my) if chroma_dc_fn else (0, 0)
                 _put_block(w, int(cb) - pred[1], {}, dc_c, ac_c)
                 pred[1] = int(cb)
                 _put_block(w, int(cr) - pred[2], {}, dc_c, ac_c)
@@ -1338,9 +1383,9 @@ def make_jpeg(
         sof = (
             b"\xff\xc0"
             + struct.pack(">HBHHB", 8 + 9, 8, height, width, 3)
-            + b"\x01\x11\x00"  # Y: sampling 1x1, qt 0
-            + b"\x02\x11\x01"  # Cb: qt 1
-            + b"\x03\x11\x01"  # Cr: qt 1
+            + bytes([0x01, (h0 << 4) | v0, 0x00])  # Y: sampling, qt 0
+            + b"\x02\x11\x01"  # Cb: 1x1, qt 1
+            + b"\x03\x11\x01"  # Cr: 1x1, qt 1
         )
         sos = (
             b"\xff\xda"

@@ -1183,8 +1183,9 @@ def test_jpeg_color_444_decodes_luma_stats():
     """4:4:4 three-component color JPEG decodes: MCUs interleave Y,Cb,Cr
     blocks with per-component DC predictors and the Annex-K chroma
     Huffman tables; stats are over the LUMA component, so they equal the
-    grayscale encoding of the same Y plane whatever the chroma carries.
-    Chroma-subsampled (4:2:0-style) frames quarantine."""
+    grayscale encoding of the same Y plane whatever the chroma carries —
+    across 4:4:4, 4:2:2, 4:4:0 and 4:2:0 MCU geometries. Unsupported
+    sampling factors quarantine."""
     import struct
 
     from distributed_graph_database_system_spark.operators.multimodal import (
@@ -1203,8 +1204,22 @@ def test_jpeg_color_444_decodes_luma_stats():
     )
     assert color == gray and gray is not None
 
+    # every real-world baseline subsampling decodes to the SAME luma stats
+    # (MCU padding blocks are decoded and discarded; 4:2:0 is the
+    # camera/web default)
+    for sub in ("420", "422", "440"):
+        subbed = _deep_jpeg(
+            make_jpeg(
+                21, 14, dc_fn=dc, ac_fn=ac,
+                color=True, subsampling=sub,
+                chroma_dc_fn=lambda mx, my: (mx % 5 - 2, my % 3 - 1),
+            )
+        )
+        assert subbed == gray, sub
+
+    # unsupported geometry (3x1 luma sampling) quarantines
     blob = bytearray(make_jpeg(16, 16, dc_fn=dc, color=True))
     sof = blob.find(b"\xff\xc0")
-    # component 1 sampling byte: 4 + (len,prec,h,w,ncomp)=2+1+2+2+1, +1 id
-    blob[sof + 2 + 2 + 1 + 2 + 2 + 1 + 1] = 0x22  # pretend 2x2 sampling
+    # Y sampling byte: marker(2)+len(2)+prec(1)+h(2)+w(2)+ncomp(1)+id(1)
+    blob[sof + 11] = 0x31
     assert _deep_jpeg(bytes(blob)) is None

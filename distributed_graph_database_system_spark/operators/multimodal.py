@@ -509,12 +509,19 @@ def _deep_jpeg(b: bytes) -> dict | None:
                 samps.append((hs, vs_))
             # supported MCU geometries: luma up to 2x2 with 1x1 chroma —
             # covers 4:4:4, 4:2:2, 4:4:0 and 4:2:0, i.e. every common
-            # baseline layout; anything else quarantines
-            if samps[0][0] not in (1, 2) or samps[0][1] not in (1, 2):
-                return None
-            if any(s != (1, 1) for s in samps[1:]):
-                return None
-            luma_samp = samps[0]
+            # baseline layout; anything else quarantines. A SINGLE-
+            # component scan is NON-interleaved per spec (A.2.2): blocks
+            # come in plain raster order and the declared sampling factors
+            # do NOT define MCUs — so grayscale files declaring 2x2
+            # sampling (some encoders do) still decode block-by-block.
+            if ncomp == 1:
+                luma_samp = (1, 1)
+            else:
+                if samps[0][0] not in (1, 2) or samps[0][1] not in (1, 2):
+                    return None
+                if any(s != (1, 1) for s in samps[1:]):
+                    return None
+                luma_samp = samps[0]
             dims = (w, h)
         elif marker in _JPEG_SOF:  # any other SOF (progressive...): bail
             return None

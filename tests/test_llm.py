@@ -1223,3 +1223,21 @@ def test_jpeg_color_444_decodes_luma_stats():
     # Y sampling byte: marker(2)+len(2)+prec(1)+h(2)+w(2)+ncomp(1)+id(1)
     blob[sof + 11] = 0x31
     assert _deep_jpeg(bytes(blob)) is None
+
+
+def test_jpeg_single_component_scan_is_noninterleaved():
+    """A single-component scan is non-interleaved per JPEG A.2.2: blocks
+    come in plain raster order and the SOF sampling factors do NOT define
+    MCUs — a grayscale file declaring 2x2 sampling (some encoders do)
+    must decode identically to the 1x1 declaration."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_jpeg,
+        make_jpeg,
+    )
+
+    dc = lambda bx, by: (3 * bx - 2 * by) % 11 - 5  # noqa: E731
+    plain = make_jpeg(21, 14, dc_fn=dc)
+    declared = bytearray(plain)
+    sof = declared.find(b"\xff\xc0")
+    declared[sof + 11] = 0x22  # Y sampling byte
+    assert _deep_jpeg(bytes(declared)) == _deep_jpeg(plain) is not None

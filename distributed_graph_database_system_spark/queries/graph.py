@@ -90,6 +90,21 @@ def graph_bfs_g4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs(_edges(spark, G4), start=4)
 
 
+@query(
+    "graph_bfs_g6",
+    oracle=_bfs_oracle(
+        [(1, 0), (2, 1), (3, 1), (4, 1), (5, 2), (6, 3), (7, 4), (8, 5), (9, 6), (10, 6)]
+    ),
+    tags=("graph", "bfs", "bridged"),
+)
+def graph_bfs_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS level-order on the G6 bridged clique+cycle fixture (directed as
+    listed): the clique is level 1, the bridge 4→5 starts the cycle walk,
+    and the pendant 10 shares level 6 with the cycle-closing 9. Golden
+    computed by an independent queue BFS over the edge list."""
+    return bfs(_edges(spark, G6), start=1)
+
+
 @query("graph_bfs_g5", oracle=_bfs_oracle([(1, 0)]), tags=("graph", "bfs", "singleton"))
 def graph_bfs_g5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single vertex, no edges: BFS emits the start at level 0

@@ -128,8 +128,13 @@ def oracle_of(name: str) -> str:
 # (outer), division_all_priority_customers (anti/for-all),
 # users_views_except_purchases_all (set ops), orders_latest3_per_customer
 # (top-k per group), agg_cube3_flag_status_year (cube), graph_dfs_g4
-# (DFS). The set difference vs CORRECTNESS_r*.json is the authoritative
-# list.
+# (DFS), join_asof_backward_click (as-of backward/exact),
+# json_props_bucketized (JSON grouping key),
+# customer_order_counts_correlated (projection-list scalar subquery,
+# COUNT-bug decorrelation), lineitem_disjunctive_quality_flags
+# (disjunctive), region_brand_trade_matrix (5-table star), graph_bfs_g6
+# (BFS golden). The set difference vs CORRECTNESS_r*.json is the
+# authoritative list.
 #
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- graded anchors (7): rows whose driver evidence cannot be

@@ -2118,3 +2118,222 @@ def agg_cube3_flag_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         dsum("l_quantity").alias("qty"),
     )
+
+
+@query(
+    "join_asof_backward_click",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                         event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_id
+      FROM t
+    )
+    SELECT event_id, user_id, ts, b_id AS prior_click_id
+    FROM w WHERE event_type = 'purchase'
+    """,
+    tags=("join", "asof", "backward", "unbounded"),
+)
+def join_asof_backward_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKWARD as-of with exact matches and NO tolerance — the third
+    corner of the merge_asof parameter space the driver grades (nearest
+    r7, forward r8): each purchase attributed to the same user's most
+    recent click at-or-before it, however long ago. At equal timestamps
+    the click IS eligible (clicks sort before purchases in the oracle's
+    backward window) and duplicate same-(user, ts) clicks resolve to the
+    MAX event_id in both formulations (the operator's backward
+    payload-max tie-break = the window's last_value)."""
+    from distributed_graph_database_system_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id"],
+        direction="backward",
+        allow_exact_matches=True,
+        suffix="_clk",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("event_id_clk").alias("prior_click_id")
+    )
+
+
+@query(
+    "json_props_bucketized",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+                AS BIGINT) AS k_decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type, k_decile ORDER BY event_type, k_decile
+    """,
+    tags=("scalar", "json", "grouping"),
+)
+def json_props_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON value as a GROUPING key: the extracted ``$.k`` drives the
+    decile bucket the row aggregates under — the parse feeds the shuffle
+    key, not just a projected column, so the whole path (extract → cast →
+    integer floor-division → hash partition) must agree across engines.
+    All-integer arithmetic; NULL-path rows are filtered symmetrically."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.where(k.isNotNull())
+        .groupBy(
+            "event_type", F.floor(k / 10).cast("bigint").alias("k_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(k).cast("bigint").alias("k_min"),
+            F.max(k).cast("bigint").alias("k_max"),
+        )
+        .orderBy("event_type", "k_decile")
+    )
+
+
+@query(
+    "customer_order_counts_correlated",
+    oracle="""
+    SELECT c_custkey,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+    FROM customer c
+    ORDER BY c_custkey
+    """,
+    tags=("relational", "subquery", "decorrelation", "projection-subquery"),
+)
+def customer_order_counts_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the PROJECTION list (not the WHERE):
+    every customer annotated with their order count. Decorrelation here
+    must preserve COUNT's empty-group semantics — a customer with no
+    orders gets 0, not NULL, which forces the rewrite to a LEFT join +
+    coalesced aggregate rather than an inner one (the classic
+    COUNT-bug of naive unnesting). Spark SQL's RewriteCorrelatedScalarSubquery
+    handles it; the result is exact integers at customer cardinality."""
+    c = sf_view(
+        spark,
+        load_table(spark, sf_dir, "customer"),
+        "cust_corr",
+        sf_dir,
+    )
+    o = sf_view(
+        spark,
+        load_table(spark, sf_dir, "orders"),
+        "orders_corr",
+        sf_dir,
+    )
+    return spark.sql(f"""
+        SELECT c_custkey,
+               CAST((SELECT COUNT(*) FROM {o} o
+                     WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        FROM {c} c
+        ORDER BY c_custkey
+    """)
+
+
+@query(
+    "lineitem_disjunctive_quality_flags",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_flagged,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE (l_returnflag = 'R' AND l_discount > 0.08)
+       OR (l_quantity >= 45 AND l_tax < 0.02)
+       OR (l_shipdate < DATE '1996-01-01' AND l_extendedprice > 80000)
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    tags=("relational", "disjunctive", "screen"),
+)
+def lineitem_disjunctive_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs review screen on the FACT table (the q19 shape at
+    lineitem grain): three independent flag rules in one scan, one pushed
+    disjunctive filter, one aggregate — never three scans unioned. The
+    branches share no common conjunct, so this exercises the pure
+    disjunction path of predicate pushdown."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keep = (
+        ((F.col("l_returnflag") == "R") & (F.col("l_discount") > 0.08))
+        | ((F.col("l_quantity") >= 45) & (F.col("l_tax") < 0.02))
+        | (
+            (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+            & (F.col("l_extendedprice") > 80000)
+        )
+    )
+    return (
+        li.where(keep)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_flagged"),
+            dsum("l_quantity").alias("qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "region_brand_trade_matrix",
+    oracle="""
+    SELECT r_name, p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY r_name, p_brand ORDER BY r_name, p_brand
+    """,
+    tags=("relational", "multi-join", "star"),
+)
+def region_brand_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star breadth: revenue by supplier region × part brand —
+    lineitem joined through supplier→nation→region on one arm and part on
+    the other, every dimension broadcast (the fact table never shuffles
+    for the joins; the only exchange is the final group-by). Money uses
+    the q1 exact-decimal discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = F.sum(
+        dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(8,2)") - dec("l_discount", 8, 2))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            rev.alias("revenue"),
+        )
+        .orderBy("r_name", "p_brand")
+    )

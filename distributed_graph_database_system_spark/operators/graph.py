@@ -1288,6 +1288,74 @@ def multi_source_bfs(
     return visited.orderBy("level", "vid")
 
 
+def multi_source_bfs_all(
+    edges: DataFrame,
+    sources: Sequence[int],
+    max_iter: int = 10_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Distances from EVERY landmark to every vertex it reaches, in ONE
+    level-synchronous traversal: returns ``(seed, vid, level)`` — the
+    full landmark-distance table behind harmonic/closeness centrality
+    estimates and shortest-path sketches. Unlike :func:`multi_source_bfs`
+    (which keeps only the NEAREST landmark per vertex), the frontier key
+    here is the ``(seed, vid)`` pair, so each landmark's BFS tree is
+    carried independently inside the same per-level join — the total
+    round count is max-eccentricity of the landmark set, NOT
+    |landmarks| × depth (the sequential per-landmark loop this operator
+    replaces). State size is Σ|reach(seed)| rows, the size of the answer
+    itself.
+
+    Same per-level frontier-join + lazy-union + localCheckpoint
+    discipline as :func:`bfs`. When ``stats`` is passed, the executed
+    join-round count is recorded under ``stats["rounds"]`` (= max level
+    + 1 final empty probe) — pinned by tests/test_graph.py so a refactor
+    back to a per-landmark loop fails loudly."""
+    if not sources:
+        raise ValueError("multi_source_bfs_all: need at least one source")
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").persist()
+    exhausted = True
+    try:
+        first = spark.createDataFrame(
+            [(int(s), int(s), 0) for s in sorted(set(sources))],
+            "seed BIGINT, vid BIGINT, level INT",
+        ).localCheckpoint()
+        visited = first
+        frontier = first.select("seed", "vid")
+        level = 0
+        while level < max_iter:
+            level += 1
+            expanded = (
+                frontier.join(e, frontier["vid"] == e["src"])
+                .select("seed", e["dst"].alias("vid"))
+                .distinct()
+                .join(
+                    visited.select("seed", "vid"), ["seed", "vid"], "left_anti"
+                )
+                .withColumn("level", F.lit(level))
+                .select("seed", "vid", "level")
+                .localCheckpoint()
+            )
+            if not expanded.take(1):
+                exhausted = False
+                break
+            visited = visited.unionByName(expanded)
+            if level % 64 == 0:
+                visited = visited.localCheckpoint()
+            frontier = expanded.select("seed", "vid")
+        if stats is not None:
+            stats["rounds"] = level
+    finally:
+        e.unpersist()
+    if exhausted:
+        raise RuntimeError(
+            f"multi_source_bfs_all did not exhaust the frontier within "
+            f"max_iter={max_iter} levels"
+        )
+    return visited
+
+
 def temporal_bfs(
     edges: DataFrame,
     start: int,

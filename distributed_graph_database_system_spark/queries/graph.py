@@ -883,7 +883,8 @@ def graph_ktruss_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem a JOIN lineitem b
         ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
     ), lm AS (
-      SELECT DISTINCT src AS s FROM e WHERE src % 40 = 0
+      SELECT s FROM (SELECT DISTINCT src AS s FROM e WHERE src % 40 = 0)
+      ORDER BY s LIMIT 16
     ), walk(seed, vid, level) AS (
       SELECT s, s, 0 FROM lm
       UNION
@@ -905,15 +906,21 @@ def graph_ktruss_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-approximated harmonic centrality on the co-supply graph:
     Σ 1/d(landmark, v) over a deterministic landmark set (suppkey % 40 =
-    0) — the all-pairs statistic made tractable by sampling sources, the
-    standard scale trick (full harmonic centrality is |V| BFS runs; the
-    landmark estimate is |L|, with error bounds from sampling theory).
-    One multi-source level-synchronous BFS carrying the SEED in the
-    frontier key (operators/graph.py multi-source machinery shape —
-    frontier rows are (seed, vid)); per-landmark distances then fold as
-    rounded-decimal 1/d sums so the score is order-free. The oracle
-    re-walks all landmarks with a recursive CTE."""
-    from distributed_graph_database_system_spark.operators.graph import bfs
+    0, capped at the 16 smallest — a FIXED cap, so the landmark count is
+    a constant at any data scale, the same Brandes-&-Pich sampling bound
+    graph_betweenness_g2 uses) — the all-pairs statistic made tractable
+    by sampling sources (full harmonic centrality is |V| BFS runs; the
+    landmark estimate is |L| ≤ 16). ONE multi-source level-synchronous
+    BFS carries the SEED in the frontier key — frontier rows are
+    (seed, vid), so the executed round count is the landmark set's
+    max-eccentricity, not landmarks × depth (operators/graph.py
+    multi_source_bfs_all; round count pinned by tests/test_graph.py).
+    Per-landmark distances fold as rounded-decimal 1/d sums so the score
+    is order-free. The oracle re-walks the capped landmark set with a
+    recursive CTE."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        multi_source_bfs_all,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("src"))
@@ -927,15 +934,16 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     landmarks = [
         int(r["src"])
-        for r in e.select("src").distinct().where(F.col("src") % 40 == 0).collect()
+        for r in e.select("src")
+        .distinct()
+        .where(F.col("src") % 40 == 0)
+        .orderBy("src")
+        .limit(16)
+        .collect()
     ]
-    parts = None
-    for s in landmarks:
-        d = bfs(e, s).select(
-            F.lit(s).alias("seed"), "vid", F.col("level").alias("d")
-        )
-        parts = d if parts is None else parts.unionAll(d)
-    sp = parts.where(F.col("d") > 0)
+    sp = multi_source_bfs_all(e, landmarks).select(
+        "seed", "vid", F.col("level").alias("d")
+    ).where(F.col("d") > 0)
     return (
         sp.groupBy("vid")
         .agg(

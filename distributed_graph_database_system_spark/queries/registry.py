@@ -81,60 +81,31 @@ def oracle_of(name: str) -> str:
 # Covers all 30 SURVEY §2.2 rows (see tests/test_registry_window.py for the
 # row → query mapping). Order within the window is thematic, not semantic.
 #
-# Round-8 rotation: 43 of 50 entries are FIRST-TIME (never in any
-# CORRECTNESS_r*.json — 40 strictly-never-seen names plus the three r02
-# `no_oracle` records re-graded with pinned goldens; cumulative
-# driver-GREEN coverage 208 → 248+ once this window records). 7 graded
-# anchors stay, each because its §2.2 row's driver evidence cannot be
-# first-time: replica_consistency_check (scans+sinks),
-# source_refgraph_roundtrip (python datasource), layout_dpp_join,
+# Round-9 rotation: 43 of 50 entries are FIRST-TIME (never present in any
+# CORRECTNESS_r*.json), drawn from the 73-name never-graded pool the
+# round-8 verdict enumerated; cumulative driver-graded coverage goes
+# 248 → 291 once this window records. The same 7 graded anchors stay,
+# each because its §2.2 row's driver evidence cannot be first-time:
+# replica_consistency_check (scans+sinks), source_refgraph_roundtrip
+# (python datasource), layout_dpp_join (data layout / DPP),
 # sessionize/stream_session_window/stream_dedup_keys (streaming twins —
-# driver queries must be read-only batch), join_salted_skew. Eight rows
-# whose members were ALL already graded got new round-8 queries instead
-# of anchors: agg_sets_returnflag_year (grouping sets),
-# orders_customer_max_correlated (correlated scalar subquery),
-# json_props_extract (JSON scalars), parts_quarter_no_shipment (anti),
-# full_outer_hourly_signup_error (full outer), orders_disjunctive_screen
-# (disjunctive), join_asof_forward_error (as-of forward/exact-match),
-# graph_dfs_g6 (DFS golden). The three r02 `no_oracle` names
-# (agg_approx_distinct, dedup_simhash, sim_topk_ann_ivf) are re-windowed
-# now that they carry pinned sf0.01 goldens. Still
-# never-driver-graded after this window (next rotation's pool, ~46):
-# conversion_time_stats corpus_source_entropy events_chisq_type_dow
-# basket_part_pairs inverted_index_postings linkage_blocked_best_match
+# driver queries must be read-only batch), join_salted_skew (skew join).
+# Still never-driver-graded after this window (the round-10 pool, 30 from
+# the r8 registry + every round-9 registration): corpus_source_entropy
+# events_chisq_type_dow basket_part_pairs inverted_index_postings
 # events_rfm_segments(fixture-only) embed_covariance events_mad_outliers
-# lineitem_active_shipments_daily events_anomaly_ewma
-# events_trend_mannkendall events_survival_km graph_degree_assortativity
-# events_markov_stationary graph_rich_club graph_local_clustering
-# events_changepoint_cusum basket_association_rules orders_price_psi_drift
-# graph_reciprocity events_autocorr_lag1 fd_violation_audit
-# privacy_kanonymity_audit orders_bootstrap_ci_mean
-# events_forecast_backtest events_periodogram part_xyz_classification
-# orders_interpurchase_gaps analyze_column_stats events_pattern_match
-# events_user_entropy events_ab_lift_ztest events_burstiness_fano
-# orders_cohort_ltv_curve events_dod_retention_kmv join_null_safe
-# events_attribution_last_touch events_sliding7_quantiles_hist
-# graph_random_walks text_winnowing_pairs text_lexical_diversity
-# corpus_zipf_slope embed_geometric_median embed_outlier_robust
-# chunk_documents_overlap embed_centroids text_repetition_score
-# sample_weighted_priority embed_centroid_classifier_eval
-# corpus_kl_divergence embed_similarity_histogram agg_value_histogram
-# text_langid_confusion — plus the round-8 late registrations seeded
-# specifically as r9 first-time evidence for rows this window consumed:
-# multimodal_deep_jpeg/gif/avi (udf_pandas + multimodal),
-# orders_price_components (projection), lineitem_multi_predicate_screen
-# (filter), join_broadcast_expensive_parts (broadcast),
-# supplier_acctbal_band_pairs (theta), customers_without_1995_orders_outer
-# (outer), division_all_priority_customers (anti/for-all),
-# users_views_except_purchases_all (set ops), orders_latest3_per_customer
-# (top-k per group), agg_cube3_flag_status_year (cube), graph_dfs_g4
-# (DFS), join_asof_backward_click (as-of backward/exact),
-# json_props_bucketized (JSON grouping key),
-# customer_order_counts_correlated (projection-list scalar subquery,
-# COUNT-bug decorrelation), lineitem_disjunctive_quality_flags
-# (disjunctive), region_brand_trade_matrix (5-table star), graph_bfs_g6
-# (BFS golden). The set difference vs CORRECTNESS_r*.json is the
-# authoritative list.
+# events_anomaly_ewma lineitem_active_shipments_daily
+# events_trend_mannkendall events_survival_km events_markov_stationary
+# graph_reciprocity events_changepoint_cusum basket_association_rules
+# orders_price_psi_drift events_autocorr_lag1 fd_violation_audit
+# privacy_kanonymity_audit events_forecast_backtest
+# part_xyz_classification analyze_column_stats events_ab_lift_ztest
+# events_burstiness_fano orders_cohort_ltv_curve events_dod_retention_kmv
+# join_null_safe embed_centroids text_repetition_score
+# embed_outlier_robust — plus round-9 registrations seeded as r10
+# first-time evidence (see the "round-9 seeds" note at the end of this
+# comment block; the set difference vs CORRECTNESS_r*.json is the
+# authoritative list).
 #
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- graded anchors (7): rows whose driver evidence cannot be
@@ -147,56 +118,53 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "replica_consistency_check",  # scans + sinks (write + read-back)
     "source_refgraph_roundtrip",  # python datasource
     "layout_dpp_join",  # data layout / dynamic partition pruning
-    # --- round-8 NEW queries (8): first-time by construction, freeing
-    # rows whose members were all graded ---
-    "agg_sets_returnflag_year",  # grouping sets over a computed column
-    "orders_customer_max_correlated",  # correlated scalar subquery
-    "json_props_extract",  # JSON path scalars
-    "parts_quarter_no_shipment",  # NOT EXISTS → left anti
-    "full_outer_hourly_signup_error",  # full outer, both null sides live
-    "orders_disjunctive_screen",  # OR-of-ANDs single-scan screen
-    "join_asof_forward_error",  # forward as-of, exact matches allowed
-    "graph_dfs_g6",  # DFS golden on the bridged clique+cycle fixture
-    # --- stale r02 `no_oracle` records, re-graded with pinned goldens ---
-    "agg_approx_distinct",
-    "dedup_simhash",
-    "sim_topk_ann_ivf",
-    # --- never-graded pool (32): relational / aggregation ---
-    "pivot_status_by_priority",  # projection (pivoted conditional cols)
-    "outlier_zscore_events",  # filter (z-score predicate)
-    "join_hash_hinted",  # equi join via SHUFFLE_HASH hint
-    "events_retention_curve",  # explicit broadcast join
-    "orders_duplicate_payment_screen",  # equi + date-band theta residual
-    "agg_weighted_median",
-    "supplier_revenue_gini",  # round-8 prefix-sum rewrite
-    "nation_trade_balance",  # multi-join breadth
-    "intervals_merge",  # window: gaps-and-islands
-    "events_twap_daily",  # window: time-weighted average
-    "orders_hill_tail_index",  # top-k (limit-pushdown rank)
-    "skyline_by_brand",  # pareto frontier top-k
-    "distinct_pairs",  # set operations
-    "linkage_name_editdist",  # scalar string (edit distance, q-grams)
-    "orders_seasonality_index",  # scalar date/time
-    "orders_benford_screen",  # scalar math (log10 leading digit)
-    "featurize_hashing_trick",  # array / higher-order functions
-    # --- never-graded pool: pandas-UDF + multimodal ---
-    "multimodal_deep_audio",
-    "multimodal_audio_segments",
-    # --- never-graded pool: graph ---
-    "graph_diameter_g6",  # double-sweep BFS
-    "graph_mis_g6",  # Luby MIS
-    "graph_coloring_g6",  # iterated-MIS coloring
-    "graph_hits_g2",  # HITS fixed-point decimal
-    "graph_bipartite_projection",
-    # --- never-graded pool: LLM pipeline ---
-    "dedup_containment",
-    "dedup_substring_docfrac",
-    "dedup_survivor_quality",
-    "embed_knn_classifier_eval",
-    "embed_pca_project",
-    "corpus_mix_plan",
-    "bpe_train_merges",
-    "text_code_detection",
+    # --- first-time (43): relational rows ---
+    "orders_price_components",  # projection (expression arithmetic)
+    "lineitem_multi_predicate_screen",  # filter (conjunctive pushdown)
+    "region_brand_trade_matrix",  # equi join, 5-table star breadth
+    "join_broadcast_expensive_parts",  # explicit broadcast join
+    "customers_without_1995_orders_outer",  # left outer + null probe
+    "supplier_acctbal_band_pairs",  # theta (band) join
+    "join_asof_backward_click",  # backward as-of, exact matches allowed
+    "division_all_priority_customers",  # relational division via anti
+    "customer_order_counts_correlated",  # COUNT-bug decorrelation
+    "lineitem_disjunctive_quality_flags",  # OR-of-ANDs single scan
+    "agg_cube3_flag_status_year",  # 3-dim CUBE
+    "orders_latest3_per_customer",  # top-k per group
+    "users_views_except_purchases_all",  # EXCEPT ALL bag semantics
+    "json_props_bucketized",  # JSON value as grouping key
+    "agg_value_histogram",  # width-bucket histogram aggregate
+    "orders_bootstrap_ci_mean",  # Poisson bootstrap CI aggregate
+    "events_user_entropy",  # Shannon entropy aggregate
+    "orders_interpurchase_gaps",  # window: LAG gaps
+    "events_attribution_last_touch",  # window: last-touch attribution
+    "events_sliding7_quantiles_hist",  # window: sliding quantiles
+    "conversion_time_stats",  # scalar date/time deltas
+    "corpus_zipf_slope",  # scalar math (ln OLS slope)
+    "events_periodogram",  # scalar math (cos/sin, rounded terms)
+    "events_pattern_match",  # scalar string (listagg + regex funnel)
+    "linkage_blocked_best_match",  # scalar string (blocked editdist)
+    # --- first-time: pandas-UDF + multimodal deep decodes ---
+    "multimodal_deep_jpeg",
+    "multimodal_deep_gif",
+    "multimodal_deep_avi",
+    # --- first-time: graph ---
+    "graph_bfs_g6",  # BFS golden on the bridged fixture
+    "graph_dfs_g4",  # DFS golden
+    "graph_degree_assortativity",
+    "graph_rich_club",
+    "graph_local_clustering",
+    "graph_random_walks",  # md5 walks, recursive-CTE oracle
+    # --- first-time: LLM pipeline ---
+    "text_winnowing_pairs",  # MOSS winnowing near-dup pairs
+    "chunk_documents_overlap",
+    "embed_geometric_median",  # Weiszfeld
+    "embed_similarity_histogram",  # posexplode + quantized cosines
+    "embed_centroid_classifier_eval",
+    "sample_weighted_priority",  # md5-deterministic priority sampling
+    "corpus_kl_divergence",
+    "text_langid_confusion",
+    "text_lexical_diversity",
 )
 
 

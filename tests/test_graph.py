@@ -878,6 +878,55 @@ def test_multi_source_bfs_matches_per_source_min(spark, seed=7):
     assert got == per
 
 
+def test_multi_source_bfs_all_matches_per_seed_bfs(spark, seed=11):
+    from distributed_graph_database_system_spark.operators.graph import (
+        bfs,
+        multi_source_bfs_all,
+    )
+
+    rng = random.Random(seed)
+    n = 30
+    edges = sorted(
+        {(rng.randint(1, n), rng.randint(1, n)) for _ in range(70)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    landmarks = [3, 11, 19]
+    per = {}
+    for s in landmarks:
+        for r in bfs(_edge_df(spark, edges), s).collect():
+            per[(s, r.vid)] = r.level
+    got = {
+        (r.seed, r.vid): r.level
+        for r in multi_source_bfs_all(
+            _edge_df(spark, edges), landmarks
+        ).collect()
+    }
+    assert got == per
+
+
+def test_multi_source_bfs_all_round_count_is_max_depth(spark):
+    # The whole point of the operator: |landmarks| BFS trees in ONE
+    # frontier. Executed join rounds = max per-seed eccentricity + 1
+    # (final empty probe) — NOT landmarks × depth, which is what the
+    # sequential per-landmark loop it replaced would cost.
+    from distributed_graph_database_system_spark.operators.graph import (
+        multi_source_bfs_all,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G2
+
+    stats: dict = {}
+    rows = multi_source_bfs_all(
+        _edge_df(spark, G2), [1, 5], stats=stats
+    ).collect()
+    max_depth = max(r.level for r in rows)
+    assert max_depth == 4  # seed 1: 1→2/3→4→5→6 (6 at level 4)
+    assert stats["rounds"] == max_depth + 1
+    # per-seed distances preserved independently (4 is at level 2 from
+    # seed 1 AND level 2 from seed 5 via 5→6→4 — both rows survive)
+    got = {(r.seed, r.vid): r.level for r in rows}
+    assert got[(1, 4)] == 2 and got[(5, 4)] == 2
+
+
 def test_multi_source_bfs_rejects_empty(spark):
     import pytest as _pytest
 

@@ -18,71 +18,78 @@ from distributed_graph_database_system_spark.queries.registry import (
 ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
     "scans_sources": ("replica_consistency_check",),  # parquet write+read-back
     "sinks": ("replica_consistency_check",),
-    "projection": ("pivot_status_by_priority",),  # pivoted conditional cols
-    "filter": ("outlier_zscore_events",),  # z-score predicate over events
+    "projection": ("orders_price_components",),  # expression arithmetic
+    "filter": ("lineitem_multi_predicate_screen",),  # conjunctive pushdown
     "join_equi": (
-        "join_hash_hinted",  # SHUFFLE_HASH-hinted equi join
-        "orders_duplicate_payment_screen",  # equi self-join prefix
+        "region_brand_trade_matrix",  # 5-table star equi chain
     ),
-    "join_broadcast": ("events_retention_curve",),  # explicit F.broadcast
-    "join_outer": ("full_outer_hourly_signup_error",),
-    "join_theta": ("orders_duplicate_payment_screen",),  # date-band residual
-    "join_range_asof": ("join_asof_forward_error",),  # forward + exact-match
-    "join_semi_anti": ("parts_quarter_no_shipment",),  # NOT EXISTS → anti
+    "join_broadcast": ("join_broadcast_expensive_parts",),  # F.broadcast
+    "join_outer": ("customers_without_1995_orders_outer",),
+    "join_theta": ("supplier_acctbal_band_pairs",),  # band predicate
+    "join_range_asof": ("join_asof_backward_click",),  # backward + exact
+    "join_semi_anti": ("division_all_priority_customers",),  # division/anti
     "join_skew": ("join_salted_skew",),
     "aggregation": (
-        "agg_weighted_median",
-        "agg_approx_distinct",  # HLL sketch aggregate (pinned golden)
-        "supplier_revenue_gini",  # prefix-sum rank + exact decimal sums
+        "agg_value_histogram",  # width-bucket histogram
+        "orders_bootstrap_ci_mean",  # Poisson bootstrap CI
+        "events_user_entropy",  # Shannon entropy
     ),
     "subquery_decorrelation": (
-        "orders_customer_max_correlated",  # correlated scalar MAX
+        "customer_order_counts_correlated",  # COUNT-bug decorrelation
     ),
-    "multi_join_breadth": ("nation_trade_balance",),
-    "disjunctive_predicates": ("orders_disjunctive_screen",),
-    "grouping_sets": ("agg_sets_returnflag_year",),
-    "window_functions": ("intervals_merge", "events_twap_daily"),
-    "sort_limit_topk": ("orders_hill_tail_index", "skyline_by_brand"),
-    "set_operations": ("distinct_pairs",),
-    "scalar_string": ("linkage_name_editdist",),  # editdist + q-grams
-    "scalar_datetime": ("orders_seasonality_index", "sessionize"),
-    "scalar_math": ("orders_benford_screen",),  # log10 leading digits
-    "scalar_array_hof": ("featurize_hashing_trick",),
-    "scalar_json": ("json_props_extract",),  # get_json_object path extract
+    "multi_join_breadth": ("region_brand_trade_matrix",),
+    "disjunctive_predicates": ("lineitem_disjunctive_quality_flags",),
+    "grouping_sets": ("agg_cube3_flag_status_year",),  # 3-dim CUBE
+    "window_functions": (
+        "orders_interpurchase_gaps",  # LAG gaps
+        "events_attribution_last_touch",
+        "events_sliding7_quantiles_hist",
+    ),
+    "sort_limit_topk": ("orders_latest3_per_customer",),  # top-k per group
+    "set_operations": ("users_views_except_purchases_all",),  # EXCEPT ALL
+    "scalar_string": (
+        "linkage_blocked_best_match",  # blocked edit distance
+        "events_pattern_match",  # listagg + regex funnel
+    ),
+    "scalar_datetime": ("conversion_time_stats", "sessionize"),
+    "scalar_math": ("corpus_zipf_slope", "events_periodogram"),
+    "scalar_array_hof": ("embed_similarity_histogram",),  # posexplode dims
+    "scalar_json": ("json_props_bucketized",),  # JSON value grouping key
     "data_layout": ("layout_dpp_join",),  # zorder/bucketed/pruned driver-seen
     "streaming_windows": ("sessionize", "stream_session_window"),
     "streaming_stateful_join": ("stream_dedup_keys",),  # join twin seen r5
     "udf_pandas": (
-        "multimodal_deep_audio",  # WAV PCM16 decode pandas UDF
-        "multimodal_audio_segments",
+        "multimodal_deep_jpeg",  # real Huffman+IDCT decode pandas UDF
+        "multimodal_deep_gif",
+        "multimodal_deep_avi",
     ),
-    "graph_bfs": ("graph_diameter_g6",),  # double-sweep BFS
-    "graph_dfs": ("graph_dfs_g6",),
+    "graph_bfs": ("graph_bfs_g6",),  # BFS golden on bridged fixture
+    "graph_dfs": ("graph_dfs_g4",),
     "graph_analytics": (
-        "graph_mis_g6",
-        "graph_coloring_g6",
-        "graph_hits_g2",
-        "graph_bipartite_projection",
+        "graph_degree_assortativity",
+        "graph_rich_club",
+        "graph_local_clustering",
+        "graph_random_walks",
     ),
     "python_datasource": ("source_refgraph_roundtrip",),
     "llm_dedup": (
-        "dedup_simhash",
-        "dedup_containment",
-        "dedup_substring_docfrac",
-        "dedup_survivor_quality",
+        "text_winnowing_pairs",  # MOSS winnowing fingerprint pairs
+        "linkage_blocked_best_match",
     ),
     "llm_similarity": (
-        "sim_topk_ann_ivf",
-        "embed_knn_classifier_eval",
-        "embed_pca_project",
+        "embed_geometric_median",
+        "embed_similarity_histogram",
+        "embed_centroid_classifier_eval",
     ),
     "llm_pipeline": (
-        "corpus_mix_plan",
-        "bpe_train_merges",
+        "sample_weighted_priority",
+        "corpus_kl_divergence",
+        "chunk_documents_overlap",
     ),
     "llm_text_multimodal": (
-        "text_code_detection",
-        "multimodal_deep_audio",
+        "text_langid_confusion",
+        "text_lexical_diversity",
+        "multimodal_deep_jpeg",
     ),
 }
 

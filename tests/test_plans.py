@@ -261,3 +261,20 @@ def test_rank_filter_topk_shapes_keep_limit_pushdown(plans):
         "text_keywords_textrank",  # top-300 vocabulary cap
     ):
         assert "TakeOrderedAndProject" in plans(name), name
+
+
+def test_gini_prefix_sum_has_no_data_sized_global_window(plans):
+    """supplier_revenue_gini ranks via the two-pass partitioned prefix
+    sum (operators/prefix.py): the ONLY Window in the visible plan runs
+    over per-partition totals (<= #shuffle-partitions rows, summing
+    _ptotal), offsets come back via a broadcast join, and the data-sized
+    local running count is pinned behind the localCheckpoint barrier
+    (Scan ExistingRDD). A regression to ROW_NUMBER over the global
+    (rev, suppkey) order — a single-partition window over all suppliers
+    — would surface as a row_number Window here and fail loudly."""
+    p = plans("supplier_revenue_gini")
+    assert p.count(") Window") == 1, p
+    assert "sum(_ptotal" in p  # the one window is over per-partition totals
+    assert "row_number" not in p.lower()  # no global-order rank window
+    assert "BroadcastHashJoin" in p  # offsets join is broadcast
+    assert "Scan ExistingRDD" in p  # checkpoint barrier pins the pairing

@@ -318,6 +318,65 @@ def test_rate_source_smoke(spark):
     assert vals and vals == sorted(vals) and vals[0] == 0
 
 
+def test_rate_micro_batch_windowed_count_is_deterministic(spark):
+    """Windowed aggregation over the non-file rate family: the
+    rate-micro-batch source emits exactly rowsPerBatch rows per
+    micro-batch with timestamps advancing advanceMillisPerBatch from a
+    pinned startTimestamp — fully deterministic, so the tumbling-window
+    counts are asserted EXACTLY, not just 'some rows arrived'. 40 rows
+    per batch at 500 ms/batch from t0 → every completed 1 s tumbling
+    window holds exactly two batches = 80 rows; the first two windows
+    are asserted once ≥5 batches have landed (immutable from then on —
+    later batches only append newer windows)."""
+    start_ms = 1_700_000_000_000  # pinned epoch millis (not wall clock)
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 40)
+        .option("numPartitions", 2)
+        .option("startTimestamp", start_ms)
+        .option("advanceMillisPerBatch", 500)
+        .load()
+    )
+    counts = (
+        stream.groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_rate_win")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        # wait until the three batches (120 rows → 80+40 split) have landed
+        while time.time() < deadline:
+            rows = {
+                (r.w_start.isoformat(), r.n)
+                for r in spark.table("t_rate_win").collect()
+            }
+            if sum(n for _, n in rows) >= 200:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    import datetime as dt
+
+    t0 = dt.datetime.fromtimestamp(start_ms / 1000, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    w0, w1 = t0.isoformat(), (t0 + dt.timedelta(seconds=1)).isoformat()
+    got = {
+        (r.w_start.isoformat(), r.n)
+        for r in spark.table("t_rate_win").collect()
+        if r.w_start.isoformat() in (w0, w1)
+    }
+    assert (w0, 80) in got and (w1, 80) in got, got
+
+
 def test_incremental_rollup_converges_to_batch_groundtruth(
     spark, sf_dir, stream_src, tmp_path
 ):
@@ -1159,6 +1218,10 @@ def test_incremental_rollup_available_now_stop_restart(
 
     first_half = spark.read.parquet(*[src + "/" + s.split("/")[-1] for s in slices[:half]])
     assert rows_set(read_rollup(spark, rollup), cols) == want_for(first_half)
+    first_run_ids = {
+        int(d.rsplit("batch_id=", 1)[1])
+        for d in glob.glob(rollup + "_contrib/day=*/batch_id=*")
+    }
 
     for s in slices[half:]:
         shutil.copy(s, src)
@@ -1166,8 +1229,10 @@ def test_incremental_rollup_available_now_stop_restart(
 
     assert rows_set(read_rollup(spark, rollup), cols) == want_for(e)
 
-    # continuing batch ids: the ledger must contain MORE batches than the
-    # restart alone produced, with no id reset (epoch guard stayed silent)
+    # continuing batch ids: the restart's ids must strictly exceed the
+    # first run's max — no id reset (epoch guard stayed silent). Asserted
+    # against the RECORDED first-run max, not a files-per-batch ratio
+    # (AvailableNow may batch several replay files into one micro-batch).
     batch_dirs = glob.glob(rollup + "_contrib/day=*/batch_id=*")
     ids = {int(d.rsplit("batch_id=", 1)[1]) for d in batch_dirs}
-    assert max(ids) >= half  # ids continued past the first run's count
+    assert max(ids) > max(first_run_ids)  # ids continued past run 1

@@ -148,6 +148,10 @@ def _parse_jpeg(b: bytes) -> dict | None:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             return None  # desynced — treat as unparseable, not an error
+        while i + 1 < len(b) and b[i + 1] == 0xFF:  # B.1.1.2 fill bytes
+            i += 1
+        if i + 4 > len(b):
+            break
         marker = b[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -481,6 +485,10 @@ def _deep_jpeg(b: bytes) -> dict | None:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             return None
+        while i + 1 < len(b) and b[i + 1] == 0xFF:  # B.1.1.2 fill bytes
+            i += 1
+        if i + 4 > len(b):
+            break
         marker = b[i + 1]
         if marker == 0xD9:
             break
@@ -523,7 +531,9 @@ def _deep_jpeg(b: bytes) -> dict | None:
                     return None
                 luma_samp = samps[0]
             dims = (w, h)
-        elif marker in _JPEG_SOF:  # any other SOF (progressive...): bail
+        elif marker == 0xC2:  # SOF2 progressive: dedicated multi-scan path
+            return _deep_jpeg_progressive(b)
+        elif marker in _JPEG_SOF:  # other SOFs (lossless/arithmetic): bail
             return None
         elif marker == 0xC4:  # DHT: possibly several tables
             j = 0
@@ -546,6 +556,11 @@ def _deep_jpeg(b: bytes) -> dict | None:
                 tbl = seg[2 + 2 * k]
                 sos_tables[cid] = (tbl >> 4, tbl & 15)
                 sos_order.append(cid)
+            # the MCU loop applies SOF sampling factors positionally, so a
+            # legal-but-reordered SOS would pair sampling with the wrong
+            # component — quarantine instead of decoding wrong stats
+            if sos_order != [cid for cid, _ in comps]:
+                return None
             scan_start = i + 2 + seg_len
             break
         i += 2 + seg_len
@@ -647,6 +662,325 @@ def _deep_jpeg(b: bytes) -> dict | None:
     except ValueError:
         return None
     return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": w * h}
+
+
+def _deep_jpeg_progressive(b: bytes) -> dict | None:
+    """REAL progressive-JPEG (SOF2) payload decode: the multi-scan
+    successive-approximation protocol of ITU-T T.81 Annex G — DC first
+    scans (interleaved or not, point-transformed by Al), DC refinement
+    (one raw bit per block, OR'd at bit Al — two's complement, so
+    negative predictors refine correctly), AC first scans per band with
+    EOBRUN run-length coding, and AC refinement scans (the G.1.2.3
+    correction-bit algorithm: buffered bits ride behind the EOB/ZRL/
+    newly-significant symbol that covers them). Coefficients accumulate
+    per block across scans; dequantize + IDCT + stats run once at EOI.
+
+    Scope mirrors the baseline decoder: 8-bit, grayscale or YCbCr with
+    luma sampling ≤ 2x2 and 1x1 chroma, no restart intervals. Stats are
+    over the LUMA plane, so chroma AC scans are skipped wholesale (each
+    scan's entropy segment is self-delimiting — a real scale win: a
+    typical progressive file is mostly chroma+refinement bytes); chroma
+    DC is entropy-decoded only inside interleaved DC scans to keep the
+    bit position. Any unsupported shape or bitstream error returns None
+    (quarantine-to-NULL, the module contract)."""
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    n = len(b)
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dims = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq) SOF order
+    h0 = v0 = 1
+    bw = bh = mcux = mcuy = 0
+    coefs = None  # luma (padded-grid) coefficients, zigzag order
+    luma_cid = None
+    got_scan = False
+
+    def comp_blocks(cid: int) -> tuple[int, int]:
+        """Non-interleaved block grid of a component (A.2.2): its own
+        scaled dimensions, NOT the MCU-padded frame grid."""
+        for c, hs, vs_c, _tq in comps:
+            if c == cid:
+                cw = (dims[0] * hs + h0 - 1) // h0
+                ch = (dims[1] * vs_c + v0 - 1) // v0
+                return (ch + 7) // 8, (cw + 7) // 8
+        raise ValueError("jpeg: scan names unknown component")
+
+    i = 2
+    while i + 2 <= n:
+        if b[i] != 0xFF:
+            return None
+        while i + 1 < n and b[i + 1] == 0xFF:  # B.1.1.2 fill bytes
+            i += 1
+        if i + 2 > n:
+            break
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        seg = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq_id = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    return None
+                qt[tq_id] = list(seg[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC2:
+            if dims is not None:
+                return None
+            prec, hh, ww, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or ncomp not in (1, 3) or ww == 0 or hh == 0:
+                return None
+            for k in range(ncomp):
+                cid, sampling, tq_id = seg[6 + 3 * k : 9 + 3 * k]
+                comps.append((cid, sampling >> 4, sampling & 15, tq_id))
+            if ncomp == 3:
+                if comps[0][1] not in (1, 2) or comps[0][2] not in (1, 2):
+                    return None
+                if any((c[1], c[2]) != (1, 1) for c in comps[1:]):
+                    return None
+                h0, v0 = comps[0][1], comps[0][2]
+            luma_cid = comps[0][0]
+            dims = (ww, hh)
+            bw, bh = (ww + 7) // 8, (hh + 7) // 8
+            mcux = (ww + 8 * h0 - 1) // (8 * h0)
+            mcuy = (hh + 8 * v0 - 1) // (8 * v0)
+            pw, ph = (mcux * h0, mcuy * v0) if ncomp == 3 else (bw, bh)
+            coefs = np.zeros((ph, pw, 64), dtype=np.int64)
+        elif marker in _JPEG_SOF:
+            return None  # second frame / non-progressive SOF: corrupt
+        elif marker == 0xC4:
+            j = 0
+            while j + 17 <= len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 15
+                bits_ = list(seg[j + 1 : j + 17])
+                nvals = sum(bits_)
+                huff[(cls, tid)] = _jpeg_decode_table(
+                    bits_, list(seg[j + 17 : j + 17 + nvals])
+                )
+                j += 17 + nvals
+        elif marker == 0xDD:
+            if struct.unpack(">H", seg[:2])[0] != 0:
+                return None
+        elif marker == 0xDA:
+            if dims is None or coefs is None:
+                return None
+            ns = seg[0]
+            if ns == 0 or ns > len(comps):
+                return None
+            scomps = []
+            for k in range(ns):
+                cid = seg[1 + 2 * k]
+                tbl = seg[2 + 2 * k]
+                scomps.append((cid, tbl >> 4, tbl & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            # self-delimiting entropy segment: unstuff to the next marker
+            j = i + 2 + seg_len
+            data = bytearray()
+            while j < n:
+                c = b[j]
+                if c == 0xFF:
+                    nxt = b[j + 1] if j + 1 < n else 0xD9
+                    if nxt == 0x00:
+                        data.append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        return None  # restart marker with DRI=0: corrupt
+                    break
+                data.append(c)
+                j += 1
+            try:
+                _jpeg_progressive_scan(
+                    bytes(data), scomps, ss, se, ah, al, comps, huff,
+                    coefs, luma_cid, (h0, v0), (mcux, mcuy), comp_blocks,
+                )
+            except (ValueError, IndexError):
+                return None
+            got_scan = True
+            i = j
+            continue
+        i += 2 + seg_len
+
+    if dims is None or coefs is None or not got_scan:
+        return None
+    q = qt.get(comps[0][3])
+    if q is None:
+        return None
+    w_, h_ = dims
+    cz = coefs[:bh, :bw] * np.array(q, dtype=np.int64)
+    f = np.zeros((bh, bw, 8, 8))
+    rr = [r for r, _ in _ZIGZAG]
+    cc = [c for _, c in _ZIGZAG]
+    f[:, :, rr, cc] = cz
+    ys = np.arange(8)
+    vs_ = np.arange(8).reshape(-1, 1)
+    m = np.cos((2 * ys + 1) * vs_ * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    px = np.clip(
+        np.round(0.25 * np.einsum("vy,ijvw,wz->ijyz", m, f, m)) + 128, 0, 255
+    ).astype(np.int64)
+    img = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h_, :w_]
+    return {
+        "px_sum": int(img.sum()),
+        "px_min": int(img.min()),
+        "px_max": int(img.max()),
+        "n_px": w_ * h_,
+    }
+
+
+def _jpeg_progressive_scan(
+    data: bytes,
+    scomps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    comps: list[tuple[int, int, int, int]],
+    huff: dict,
+    coefs,
+    luma_cid: int,
+    luma_samp: tuple[int, int],
+    mcu_grid: tuple[int, int],
+    comp_blocks,
+) -> None:
+    """Decode ONE progressive scan into the luma coefficient store
+    (Annex G decoding procedures; raises ValueError on any bitstream or
+    shape violation — the caller quarantines)."""
+    reader = _JpegBits(data)
+    samp = {c[0]: (c[1], c[2]) for c in comps}
+    if ss == 0:
+        # ---- DC scan (first or refinement) ----
+        if se != 0:
+            raise ValueError("jpeg: DC scan with nonzero Se")
+        dctabs = {}
+        if ah == 0:
+            for cid, dci, _aci in scomps:
+                t = huff.get((0, dci))
+                if t is None:
+                    raise ValueError("jpeg: missing DC table")
+                dctabs[cid] = t
+        pred = {cid: 0 for cid, _, _ in scomps}
+
+        def dc_block(cid: int, byi: int, bxi: int) -> None:
+            if ah == 0:
+                cat = reader.huff(dctabs[cid])
+                pred[cid] += _jpeg_extend(reader.bits(cat), cat)
+                if cid == luma_cid:
+                    coefs[byi, bxi, 0] = pred[cid] << al
+            else:
+                if reader.bit() and cid == luma_cid:
+                    coefs[byi, bxi, 0] |= 1 << al
+
+        if len(scomps) > 1:
+            mcux, mcuy = mcu_grid
+            for my in range(mcuy):
+                for mx_ in range(mcux):
+                    for cid, _dci, _aci in scomps:
+                        if cid not in samp:
+                            raise ValueError("jpeg: unknown scan comp")
+                        hs, vs_c = samp[cid]
+                        for vy in range(vs_c):
+                            for vx in range(hs):
+                                dc_block(cid, my * vs_c + vy, mx_ * hs + vx)
+        else:
+            cid = scomps[0][0]
+            cbh, cbw = comp_blocks(cid)
+            for byi in range(cbh):
+                for bxi in range(cbw):
+                    dc_block(cid, byi, bxi)
+        return
+
+    # ---- AC scan: always single-component (G.1.1.1.1) ----
+    if len(scomps) != 1 or ss > se or se > 63:
+        raise ValueError("jpeg: bad AC scan header")
+    cid, _dci, aci = scomps[0]
+    if cid != luma_cid:
+        return  # chroma AC: stats don't need it; segment is self-delimited
+    actab = huff.get((1, aci))
+    if actab is None:
+        raise ValueError("jpeg: missing AC table")
+    cbh, cbw = comp_blocks(cid)
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+
+    def refine_nonzero(row, k: int) -> None:
+        for kk in range(k, se + 1):
+            if row[kk]:
+                if reader.bit():
+                    row[kk] += p1 if row[kk] > 0 else m1
+
+    for byi in range(cbh):
+        for bxi in range(cbw):
+            row = coefs[byi, bxi]
+            if eobrun > 0:
+                eobrun -= 1
+                if ah != 0:
+                    refine_nonzero(row, ss)
+                continue
+            if ah == 0:
+                # first pass over this band (G.1.2.2)
+                k = ss
+                while k <= se:
+                    sym = reader.huff(actab)
+                    r, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC band overrun")
+                    row[k] = _jpeg_extend(reader.bits(s), s) << al
+                    k += 1
+            else:
+                # refinement pass (G.1.2.3 correction-bit algorithm)
+                k = ss
+                while k <= se:
+                    sym = reader.huff(actab)
+                    r, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            refine_nonzero(row, k)
+                            break
+                        newval = 0  # ZRL: skip 16 zero-history coefs
+                    else:
+                        if s != 1:
+                            raise ValueError("jpeg: refine size != 1")
+                        newval = p1 if reader.bit() else m1
+                    while k <= se:
+                        if row[k]:
+                            if reader.bit():
+                                row[k] += p1 if row[k] > 0 else m1
+                            k += 1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                            k += 1
+                    if k <= se:
+                        if newval:
+                            row[k] = newval
+                        k += 1
+                    elif newval:
+                        raise ValueError("jpeg: refine band overrun")
 
 
 def _deep_gif(b: bytes) -> dict | None:
@@ -1018,14 +1352,22 @@ def make_avi(
     total_frames: int,
     usec_per_frame: int = 40000,
     frame_fn=None,
+    codec: str | None = None,
 ) -> bytes:
     """RIFF/AVI with a real LIST/hdrl → avih main header. With
     ``frame_fn(f) -> int`` (each frame's constant 0–255 gray value), the
     file additionally carries a spec-proper video stream: LIST/strl with
-    strh ('vids', BI_RGB) + strf (8-bit BITMAPINFOHEADER + identity gray
-    palette) and a LIST/movi of '00db' uncompressed DIB frames (4-byte
-    aligned rows, bottom-up) — the one AVI flavor that is honestly
-    decodable without a codec library."""
+    strh ('vids') + strf + a LIST/movi of frames.
+
+    ``codec=None`` (default): uncompressed 8-bit DIB '00db' frames
+    (BI_RGB BITMAPINFOHEADER + identity gray palette, 4-byte aligned
+    bottom-up rows). ``codec="mjpg"``: a REAL Motion-JPEG stream —
+    compression fourcc 'MJPG', each '00dc' chunk a complete baseline
+    JPEG (make_jpeg) whose DC-only blocks carry ``frame_fn(f)`` as the
+    per-frame QUANTIZED DC value (decoded gray = 128 + 2·dc at q0=16) —
+    the most common legacy-camera AVI codec, honestly decodable with the
+    in-repo JPEG machinery."""
+    mjpg = codec == "mjpg"
     avih = struct.pack(
         "<14I", usec_per_frame, 0, 0, 0, total_frames, 0, 1, 0, width, height, 0, 0, 0, 0
     )
@@ -1034,15 +1376,22 @@ def make_avi(
     if frame_fn is not None:
         strh = (
             b"vids"
-            + b"DIB "
+            + (b"MJPG" if mjpg else b"DIB ")
             + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, 25, 0, total_frames, 0, 0, 0, 0, 0, width, height)
         )
         stride = (width + 3) & ~3
-        bih = struct.pack(
-            "<IiiHHIIiiII", 40, width, height, 1, 8, 0, stride * height, 2835, 2835, 256, 0
-        )
-        palette = b"".join(bytes([g, g, g, 0]) for g in range(256))
-        strf = bih + palette
+        if mjpg:
+            bih = struct.pack(
+                "<IiiHHIIiiII", 40, width, height, 1, 24,
+                0x47504A4D, 0, 2835, 2835, 0, 0,  # biCompression = 'MJPG'
+            )
+            strf = bih
+        else:
+            bih = struct.pack(
+                "<IiiHHIIiiII", 40, width, height, 1, 8, 0, stride * height, 2835, 2835, 256, 0
+            )
+            palette = b"".join(bytes([g, g, g, 0]) for g in range(256))
+            strf = bih + palette
         strl = (
             b"strl"
             + b"strh" + struct.pack("<I", len(strh)) + strh
@@ -1055,9 +1404,14 @@ def make_avi(
         stride = (width + 3) & ~3
         movi = bytearray(b"movi")
         for f in range(total_frames):
-            v = int(frame_fn(f)) & 0xFF
-            frame = (bytes([v] * width) + b"\x00" * (stride - width)) * height
-            movi += b"00db" + struct.pack("<I", len(frame)) + frame
+            if mjpg:
+                dc = int(frame_fn(f))
+                frame = make_jpeg(width, height, dc_fn=lambda bx, by, d=dc: d)
+                movi += b"00dc" + struct.pack("<I", len(frame)) + frame
+            else:
+                v = int(frame_fn(f)) & 0xFF
+                frame = (bytes([v] * width) + b"\x00" * (stride - width)) * height
+                movi += b"00db" + struct.pack("<I", len(frame)) + frame
             if len(frame) & 1:
                 movi += b"\x00"
         body += b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
@@ -1065,12 +1419,16 @@ def make_avi(
 
 
 def _deep_avi(b: bytes) -> dict | None:
-    """REAL AVI movi payload decode for the codec-free flavor:
-    uncompressed 8-bit DIB ('00db') frames, palette-mapped through the
-    strf BITMAPINFOHEADER's gray table. Exact-integer pixel stats over
-    ALL frames (n_px = w·h·frames). Compressed streams ('00dc' /
-    non-BI_RGB strf) return None — those genuinely need a codec library
-    (the one remaining extension point)."""
+    """REAL AVI movi payload decode for the honestly-decodable flavors:
+    uncompressed 8-bit DIB ('00db') frames palette-mapped through the
+    strf BITMAPINFOHEADER's gray table, and Motion-JPEG (biCompression
+    'MJPG'): each '00dc' chunk a complete baseline JPEG, decoded by the
+    in-repo _deep_jpeg. Exact-integer pixel stats over ALL frames
+    (n_px = w·h·frames). DECIDED boundary (not an open extension point):
+    every other codec (cinepak, MPEG-4, H.264, ...) requires an
+    interframe codec library that is out of scope for this engine —
+    those streams return None; the Spark-side plumbing (schema,
+    quarantine semantics, rec-list walk) is identical either way."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
     dims = None
@@ -1079,9 +1437,15 @@ def _deep_avi(b: bytes) -> dict | None:
     movi_bounds = None
     queue = [(12, len(b))]
     qi = 0
+    video_bound = False
     while qi < len(queue):
         start, end = queue[qi]
         qi += 1
+        # stream format binds to the stream HEADER that precedes it inside
+        # the same strl LIST: only a strf following a 'vids' strh is the
+        # video format (an audio stream's >=40-byte strf — e.g.
+        # WAVEFORMATEXTENSIBLE — must not clobber it)
+        last_strh_type = None
         for cid, off, size in _riff_chunks(b, start, end):
             if cid == b"LIST":
                 if b[off : off + 4] == b"movi":
@@ -1091,7 +1455,15 @@ def _deep_avi(b: bytes) -> dict | None:
             elif cid == b"avih" and size >= 40:
                 w, h = struct.unpack("<II", b[off + 32 : off + 40])
                 dims = (w, h)
-            elif cid == b"strf" and size >= 40:
+            elif cid == b"strh" and size >= 4:
+                last_strh_type = b[off : off + 4]
+            elif (
+                cid == b"strf"
+                and size >= 40
+                and last_strh_type == b"vids"
+                and not video_bound
+            ):
+                video_bound = True
                 (_, bw, bh, _, bitcount, compression, _, _, _, clr, _) = struct.unpack(
                     "<IiiHHIIiiII", b[off : off + 40]
                 )
@@ -1100,11 +1472,12 @@ def _deep_avi(b: bytes) -> dict | None:
                     palette = b[off + 40 : off + 40 + 4 * n]
     if dims is None or movi_bounds is None:
         return None
-    if bitcount != 8 or compression != 0:
-        return None  # compressed / non-8-bit: codec territory
     w, h = dims
     if w == 0 or h == 0:
         return None
+    mjpg = compression == 0x47504A4D  # 'MJPG': per-frame baseline JPEGs
+    if not mjpg and (bitcount != 8 or compression != 0):
+        return None  # other codecs (cinepak/h264/...): codec-library territory
     stride = (w + 3) & ~3
     # palette lookup as one bytes.translate table (red channel), then
     # builtin sum/min/max over the translated row bytes — C-speed, exact
@@ -1119,7 +1492,9 @@ def _deep_avi(b: bytes) -> dict | None:
     frames = 0
     # frames may sit directly in movi or inside spec-valid 'LIST rec '
     # interleave groupings — walk both; anything from a stream other than
-    # 00, or any compressed ('dc') frame, poisons the stats -> quarantine
+    # 00, or a frame flavor not matching the declared codec, poisons the
+    # stats -> quarantine
+    want = b"00dc" if mjpg else b"00db"
     stack = [movi_bounds]
     while stack:
         bounds = stack.pop()
@@ -1128,10 +1503,21 @@ def _deep_avi(b: bytes) -> dict | None:
                 if b[off : off + 4] == b"rec ":
                     stack.append((off + 4, off + size))
                 continue
-            if cid[2:] == b"dc" or (cid[2:] == b"db" and cid[:2] != b"00"):
-                return None  # compressed frame / second video stream
-            if cid != b"00db":
+            if cid[2:] in (b"dc", b"db") and cid != want:
+                return None  # wrong codec flavor / second video stream
+            if cid != want:
                 continue  # index/audio chunks: not pixel data
+            if mjpg:
+                # each chunk is a complete baseline JPEG: reuse the real
+                # decoder; any undecodable frame quarantines the file
+                s = _deep_jpeg(b[off : off + size])
+                if s is None or s["n_px"] != w * h:
+                    return None
+                total += s["px_sum"]
+                mn = min(mn, s["px_min"])
+                mx = max(mx, s["px_max"])
+                frames += 1
+                continue
             if size < stride * h:
                 return None
             for r in range(h):
@@ -1402,6 +1788,296 @@ def make_jpeg(
     return b"\xff\xd8" + com + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+# Progressive AC scans need EOBn symbols (0x10..0xE0) that the baseline
+# Annex-K tables don't carry — real progressive encoders always ship custom
+# DHTs. This synthetic table assigns every progressive AC symbol (EOB/EOBn,
+# ZRL, all run/size pairs) a flat 8-bit code: 176 symbols, canonical codes
+# 0..175, none all-ones — a legal, decoder-agnostic table.
+_JPEG_AC_PROG_VALS = tuple(
+    [0x00]
+    + [r << 4 for r in range(1, 15)]
+    + [0xF0]
+    + [(run << 4) | s for run in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_PROG_BITS = (0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0)
+
+
+def _emit_ac_scan(blocks, ss, se, ah, al, ac_codes) -> bytes:
+    """Entropy-code one progressive AC scan (band ss..se, point transform
+    al) over ``blocks`` (each a {zigzag_index: full quantized value}
+    dict in scan order). ``ah == 0`` → first pass (G.1.2.2, EOBRUN
+    accumulated across blocks); ``ah > 0`` → refinement (G.1.2.3:
+    correction bits buffered behind the covering EOB/ZRL/newly-
+    significant symbol)."""
+    w = _BitWriter()
+    eobrun = 0
+    pending_bits: list[int] = []
+
+    def put_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            w.put(code, ln)
+            if r:
+                w.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for bit_ in pending_bits:
+            w.put(bit_, 1)
+        pending_bits.clear()
+
+    for blk in blocks:
+        if ah == 0:
+            ke = max(
+                (k for k in range(ss, se + 1) if abs(blk.get(k, 0)) >> al),
+                default=None,
+            )
+            if ke is None:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    put_eobrun()
+                continue
+            put_eobrun()
+            r = 0
+            for k in range(ss, ke + 1):
+                v = int(blk.get(k, 0))
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    w.put(code, ln)
+                    r -= 16
+                s = t.bit_length()
+                tv = t if v >= 0 else -t
+                code, ln = ac_codes[(r << 4) | s]
+                w.put(code, ln)
+                w.put(_jpeg_amplitude(tv, s), s)
+                r = 0
+            if ke < se:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    put_eobrun()
+        else:
+            absn = {k: abs(int(blk.get(k, 0))) >> al for k in range(ss, se + 1)}
+            newly = [k for k in range(ss, se + 1) if absn[k] == 1]
+            if not newly:
+                # nothing newly significant: whole block rides the EOB run,
+                # its correction bits buffer behind the eventual EOB symbol
+                eobrun += 1
+                pending_bits.extend(
+                    absn[k] & 1 for k in range(ss, se + 1) if absn[k] > 1
+                )
+                if eobrun == 0x7FFF:
+                    put_eobrun()
+                continue
+            ke = newly[-1]
+            put_eobrun()
+            r = 0
+            br: list[int] = []
+            for k in range(ss, ke + 1):
+                t = absn[k]
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRL check runs at EVERY nonzero — corrections included —
+                # BEFORE buffering, so every buffered correction bit stays
+                # inside the 16-zero span its covering ZRL walks (the
+                # decoder consumes correction bits positionally)
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    w.put(code, ln)
+                    for bit_ in br:
+                        w.put(bit_, 1)
+                    br = []
+                    r -= 16
+                if t > 1:  # already significant: correction bit
+                    br.append(t & 1)
+                    continue
+                code, ln = ac_codes[(r << 4) | 1]
+                w.put(code, ln)
+                w.put(1 if int(blk.get(k, 0)) > 0 else 0, 1)
+                for bit_ in br:
+                    w.put(bit_, 1)
+                br = []
+                r = 0
+            if ke < se:
+                eobrun += 1
+                pending_bits.extend(
+                    absn[k] & 1 for k in range(ke + 1, se + 1) if absn[k] > 1
+                )
+                if eobrun == 0x7FFF:
+                    put_eobrun()
+    put_eobrun()
+    return w.flush()
+
+
+def make_jpeg_progressive(
+    width: int,
+    height: int,
+    dc_fn=None,
+    ac_fn=None,
+    q0: int = 16,
+    color: bool = False,
+    chroma_dc_fn=None,
+    subsampling: str = "444",
+) -> bytes:
+    """A COMPLETE progressive JPEG (SOF2) carrying the SAME image as
+    ``make_jpeg(width, height, dc_fn, ac_fn, q0, ...)`` — identical
+    quantized coefficients delivered through the full successive-
+    approximation protocol, so the decoded pixel stats must equal the
+    baseline file's (the cross-check tests/test_multimodal.py pins).
+
+    Scan script (the libjpeg-style default shape):
+      1. DC first, Al=1 (interleaved when color)
+      2. AC luma 1..5 first, Al=2
+      3/4. (color) AC Cb / Cr 1..63 first, Al=0 — all-zero bands in this
+         synthesizer, i.e. one long EOBRUN each
+      5. AC luma 6..63 first, Al=2
+      6. AC luma 1..63 refinement Ah=2 → Al=1
+      7. DC refinement Ah=1 → Al=0
+      8. AC luma 1..63 refinement Ah=1 → Al=0
+    — exercising interleaved + non-interleaved DC, banded AC first
+    passes, EOBRUN, ZRL and two levels of correction-bit refinement."""
+    h0, v0 = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}[
+        subsampling
+    ]
+    if not color:
+        h0 = v0 = 1
+    dc_l = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_p = _huff_codes(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    dc_c = _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    mcux = (width + 8 * h0 - 1) // (8 * h0)
+    mcuy = (height + 8 * v0 - 1) // (8 * v0)
+
+    def dc_at(bx: int, by: int) -> int:
+        return int(dc_fn(bx, by)) if dc_fn else 0
+
+    def ac_at(bx: int, by: int) -> dict:
+        return dict(ac_fn(bx, by)) if ac_fn else {}
+
+    def chroma_at(mx: int, my: int) -> tuple[int, int]:
+        cb, cr = chroma_dc_fn(mx, my) if chroma_dc_fn else (0, 0)
+        return int(cb), int(cr)
+
+    # --- DC scans ---
+    def dc_blocks_interleaved():
+        """(cid_index, bx, by) in MCU order: luma raster then Cb, Cr."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for vy in range(v0):
+                    for vx in range(h0):
+                        yield 0, mx * h0 + vx, my * v0 + vy
+                if color:
+                    yield 1, mx, my
+                    yield 2, mx, my
+
+    def dc_value(ci: int, bx: int, by: int) -> int:
+        if ci == 0:
+            return dc_at(bx, by)
+        return chroma_at(bx, by)[ci - 1]
+
+    def emit_dc_first(al: int) -> bytes:
+        w = _BitWriter()
+        pred = [0, 0, 0]
+        it = (
+            dc_blocks_interleaved()
+            if color
+            else ((0, bx, by) for by in range(bh) for bx in range(bw))
+        )
+        for ci, bx, by in it:
+            v = dc_value(ci, bx, by) >> al  # arithmetic shift: G.1.2.1
+            diff = v - pred[ci]
+            pred[ci] = v
+            codes = dc_l if ci == 0 else dc_c
+            cat = _jpeg_category(diff)
+            code, ln = codes[cat]
+            w.put(code, ln)
+            if cat:
+                w.put(_jpeg_amplitude(diff, cat), cat)
+        return w.flush()
+
+    def emit_dc_refine(al: int) -> bytes:
+        w = _BitWriter()
+        it = (
+            dc_blocks_interleaved()
+            if color
+            else ((0, bx, by) for by in range(bh) for bx in range(bw))
+        )
+        for ci, bx, by in it:
+            w.put((dc_value(ci, bx, by) >> al) & 1, 1)
+        return w.flush()
+
+    luma_ac = [ac_at(bx, by) for by in range(bh) for bx in range(bw)]
+    cbw = ((width + h0 - 1) // h0 + 7) // 8
+    cbh = ((height + v0 - 1) // v0 + 7) // 8
+    zero_chroma = [{} for _ in range(cbh * cbw)]
+
+    def sos(comp_tbls: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_tbls)])
+        for cid, dci, aci in comp_tbls:
+            body += bytes([cid, (dci << 4) | aci])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    all_dc = (
+        [(1, 0, 0), (2, 1, 0), (3, 1, 0)] if color else [(1, 0, 0)]
+    )
+    scans: list[bytes] = [
+        sos(all_dc, 0, 0, 0, 1) + emit_dc_first(1),
+        sos([(1, 0, 0)], 1, 5, 0, 2) + _emit_ac_scan(luma_ac, 1, 5, 0, 2, ac_p),
+    ]
+    if color:
+        scans += [
+            sos([(2, 0, 1)], 1, 63, 0, 0)
+            + _emit_ac_scan(zero_chroma, 1, 63, 0, 0, ac_p),
+            sos([(3, 0, 1)], 1, 63, 0, 0)
+            + _emit_ac_scan(zero_chroma, 1, 63, 0, 0, ac_p),
+        ]
+    scans += [
+        sos([(1, 0, 0)], 6, 63, 0, 2)
+        + _emit_ac_scan(luma_ac, 6, 63, 0, 2, ac_p),
+        sos([(1, 0, 0)], 1, 63, 2, 1)
+        + _emit_ac_scan(luma_ac, 1, 63, 2, 1, ac_p),
+        sos(all_dc, 0, 0, 1, 0) + emit_dc_refine(0),
+        sos([(1, 0, 0)], 1, 63, 1, 0)
+        + _emit_ac_scan(luma_ac, 1, 63, 1, 0, ac_p),
+    ]
+
+    def _dht(cls: int, tid: int, bits, vals) -> bytes:
+        payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 11) + b"progressive"
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes([q0] * 64)
+    dht = _dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS) + _dht(
+        1, 0, _JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS
+    )
+    if not color:
+        sof = (
+            b"\xff\xc2"
+            + struct.pack(">HBHHB", 8 + 3, 8, height, width, 1)
+            + b"\x01\x11\x00"
+        )
+    else:
+        dqt += (
+            b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01" + bytes([q0] * 64)
+        )
+        dht += _dht(0, 1, _JPEG_DC_BITS_C, _JPEG_DC_VALS_C) + _dht(
+            1, 1, _JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS
+        )
+        sof = (
+            b"\xff\xc2"
+            + struct.pack(">HBHHB", 8 + 9, 8, height, width, 3)
+            + bytes([0x01, (h0 << 4) | v0, 0x00])
+            + b"\x02\x11\x01"
+            + b"\x03\x11\x01"
+        )
+    return b"\xff\xd8" + com + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
+
+
 # --------------------------------------------------------------------------
 # Plan-level transforms over decoded metadata (pure column math).
 # --------------------------------------------------------------------------
@@ -1497,20 +2173,41 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
                         sample_fn=lambda k, i=i: ((i * 31 + k * 7) % 201) - 100,
                     )
                 elif fmt == "avi":
-                    # per-frame constant gray: decoded frame f is exactly
-                    # (doc_id*5 + 3f) % 256, closed-form in (doc_id, f)
-                    # for multimodal_deep_avi's SQL oracle
-                    blob = make_avi(
-                        16 + i % 97,
-                        16 + (i * 7) % 89,
-                        10 + i % 50,
-                        frame_fn=lambda f, i=i: (i * 5 + 3 * f) % 256,
-                    )
+                    # per-frame constant gray. Uncompressed-DIB slice
+                    # (doc_id % 12 == 5): frame f decodes to exactly
+                    # (doc_id*5 + 3f) % 256. Motion-JPEG slice
+                    # (doc_id % 12 == 11): frame f is a DC-only baseline
+                    # JPEG with dc = ((doc_id*5 + 3f) % 25) - 12, decoding
+                    # to exactly 128 + 2·dc — both closed-form in
+                    # (doc_id, f) for the two deep-AVI SQL oracles
+                    if (i // 6) % 2 == 1:
+                        blob = make_avi(
+                            16 + i % 97,
+                            16 + (i * 7) % 89,
+                            10 + i % 50,
+                            frame_fn=lambda f, i=i: ((i * 5 + 3 * f) % 25) - 12,
+                            codec="mjpg",
+                        )
+                    else:
+                        blob = make_avi(
+                            16 + i % 97,
+                            16 + (i * 7) % 89,
+                            10 + i % 50,
+                            frame_fn=lambda f, i=i: (i * 5 + 3 * f) % 256,
+                        )
                 elif fmt == "jpeg":
                     # DC-only blocks: decoded block value is exactly
                     # 128 + 2*dc (q0=16), closed-form in (doc_id, bx, by)
-                    # for multimodal_deep_jpeg's SQL oracle
-                    blob = make_jpeg(
+                    # for multimodal_deep_jpeg's SQL oracle. Every other
+                    # JPEG doc (doc_id % 12 == 9) ships the SAME
+                    # coefficients as a PROGRESSIVE (SOF2) multi-scan
+                    # stream — identical decoded stats by construction,
+                    # exercised separately by
+                    # multimodal_deep_jpeg_progressive
+                    maker = (
+                        make_jpeg_progressive if (i // 6) % 2 == 1 else make_jpeg
+                    )
+                    blob = maker(
                         16 + i % 97,
                         16 + (i * 7) % 89,
                         dc_fn=lambda bx, by, i=i: ((i + 3 * bx + 5 * by) % 25) - 12,

@@ -634,6 +634,66 @@ def multimodal_deep_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_deep_jpeg_progressive",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 16 + doc_id % 97 AS w, 16 + (doc_id * 7) % 89 AS h
+      FROM documents WHERE doc_id % 12 = 9
+    ),
+    bxs AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, (w + 7) // 8 - 1)) AS bx
+      FROM g
+    ),
+    blocks AS (
+      SELECT doc_id, w, h, bx,
+             unnest(generate_series(0, (h + 7) // 8 - 1)) AS by
+      FROM bxs
+    ),
+    vals AS (
+      SELECT doc_id, w, h,
+             128 + 2 * (((doc_id + 3 * bx + 5 * by) % 25) - 12) AS v,
+             LEAST(8, w - bx * 8) * LEAST(8, h - by * 8) AS npx
+      FROM blocks
+    )
+    SELECT doc_id AS media_id,
+           CAST(SUM(v * npx) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max,
+           CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px
+    FROM vals GROUP BY doc_id ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "codec", "deep", "jpeg", "progressive"),
+)
+def multimodal_deep_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2) payload decode, driver-verified: the
+    doc_id % 12 == 9 slice of the synth corpus ships its DC-only
+    coefficient field as a genuine multi-scan successive-approximation
+    stream (DC first scan at Al=1, banded AC first passes, EOBRUN runs
+    across the all-zero AC bands, DC + AC refinement scans — the Annex G
+    protocol), and decode_media(deep=True) reconstructs it through
+    operators/multimodal.py _deep_jpeg_progressive. The oracle recomputes
+    the stats closed-form: a DC-only block still decodes to exactly
+    128 + 2·dc with q0=16, so a wrong point transform, refinement bit,
+    EOBRUN length, or scan-order bug hash-mismatches immediately. (AC
+    spectral selection and the correction-bit algorithm are pinned by
+    the pytest property sweep against the baseline decoder on identical
+    coefficients.)"""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    # pre-synth filter: see multimodal_deep_jpeg
+    media = documents_as_synth_media(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 12 == 9)
+    )
+    return (
+        decode_media(media, deep=True)
+        .select("media_id", "px_sum", "px_min", "px_max", "n_px")
+        .orderBy("media_id")
+    )
+
+
+@query(
     "multimodal_deep_gif",
     oracle="""
     WITH g AS (
@@ -686,7 +746,7 @@ def multimodal_deep_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT doc_id, 16 + doc_id % 97 AS w, 16 + (doc_id * 7) % 89 AS h,
              10 + doc_id % 50 AS nf
-      FROM documents WHERE doc_id % 6 = 5
+      FROM documents WHERE doc_id % 12 = 5
     ),
     frames AS (
       SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
@@ -705,21 +765,75 @@ def multimodal_deep_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal", "codec", "deep", "avi", "video"),
 )
 def multimodal_deep_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL AVI movi payload decode, driver-verified: the synth AVIs
-    carry spec-proper strl/strh/strf stream headers and a LIST/movi of
-    uncompressed 8-bit DIB '00db' frames (frame f of doc i a constant
-    gray (5i+3f) mod 256, rows 4-byte aligned, palette-mapped), and
-    decode_media(deep=True) walks the RIFF tree, validates BI_RGB 8-bit
-    in strf, and aggregates exact pixel stats over ALL frames; the
-    oracle recomputes them closed-form in (doc_id, f). Compressed
-    ('00dc') streams quarantine to NULL — the codec-library boundary."""
+    """REAL AVI movi payload decode (uncompressed slice, doc_id % 12 ==
+    5), driver-verified: the synth AVIs carry spec-proper strl/strh/strf
+    stream headers and a LIST/movi of uncompressed 8-bit DIB '00db'
+    frames (frame f of doc i a constant gray (5i+3f) mod 256, rows
+    4-byte aligned, palette-mapped), and decode_media(deep=True) walks
+    the RIFF tree, validates BI_RGB 8-bit in strf, and aggregates exact
+    pixel stats over ALL frames; the oracle recomputes them closed-form
+    in (doc_id, f). The Motion-JPEG slice is exercised separately by
+    multimodal_deep_avi_mjpeg; other codecs quarantine to NULL — the
+    decided codec-library boundary."""
     from distributed_graph_database_system_spark.operators.multimodal import (
         decode_media,
     )
 
     # pre-synth filter: see multimodal_deep_jpeg
     media = documents_as_synth_media(
-        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 5)
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 12 == 5)
+    )
+    return (
+        decode_media(media, deep=True)
+        .select("media_id", "px_sum", "px_min", "px_max", "n_px")
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "multimodal_deep_avi_mjpeg",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 16 + doc_id % 97 AS w, 16 + (doc_id * 7) % 89 AS h,
+             10 + doc_id % 50 AS nf
+      FROM documents WHERE doc_id % 12 = 11
+    ),
+    frames AS (
+      SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
+      FROM g
+    ),
+    vals AS (
+      SELECT doc_id, w, h, nf,
+             128 + 2 * (((doc_id * 5 + 3 * f) % 25) - 12) AS v
+      FROM frames
+    )
+    SELECT doc_id AS media_id,
+           CAST(SUM(v) * MAX(w) * MAX(h) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max,
+           CAST(MAX(w) * MAX(h) * MAX(nf) AS BIGINT) AS n_px
+    FROM vals GROUP BY doc_id ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "codec", "deep", "avi", "mjpeg", "video"),
+)
+def multimodal_deep_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Motion-JPEG AVI decode, driver-verified: the doc_id % 12 ==
+    11 slice ships a biCompression='MJPG' video stream whose '00dc'
+    chunks are complete baseline JPEGs (frame f of doc i DC-only with
+    dc = ((5i+3f) mod 25) - 12), and decode_media(deep=True) feeds each
+    frame through the in-repo baseline JPEG decoder (Huffman + IDCT) and
+    aggregates exact pixel stats across frames — a COMPRESSED video
+    codec decoded end-to-end, no codec library. The oracle recomputes
+    the stats closed-form: a DC-only frame decodes to exactly 128 + 2·dc
+    at q0=16. Interframe codecs (cinepak/MPEG-4/H.264) remain the
+    decided out-of-scope boundary."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    # pre-synth filter: see multimodal_deep_jpeg
+    media = documents_as_synth_media(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 12 == 11)
     )
     return (
         decode_media(media, deep=True)

@@ -357,9 +357,14 @@ def test_multimodal_real_decode_distributed(spark, sf_dir):
         elif r.fmt == "gif":
             want = sum(85 * ((i + y) % 4) * w for y in range(h))
             assert (r.px_sum, r.n_px) == (want, w * h), (i, r)
-        else:  # avi: uncompressed 8-bit DIB frames, stats over all frames
+        else:  # avi: DIB (i%12==5) or Motion-JPEG (i%12==11), all frames
             nf = 10 + i % 50
-            vals = [(i * 5 + 3 * f) % 256 for f in range(nf)]
+            if i % 12 == 11:  # MJPEG: DC-only JPEG frames → 128+2*dc
+                vals = [
+                    128 + 2 * (((i * 5 + 3 * f) % 25) - 12) for f in range(nf)
+                ]
+            else:  # uncompressed 8-bit DIB
+                vals = [(i * 5 + 3 * f) % 256 for f in range(nf)]
             assert (r.px_sum, r.px_min, r.px_max, r.n_px) == (
                 w * h * sum(vals),
                 min(vals),
@@ -1054,8 +1059,10 @@ def test_jpeg_codec_roundtrip_against_independent_idct():
 
 
 def test_jpeg_decoder_quarantines_out_of_scope_variants():
-    """Progressive (SOF2) and restart-interval streams return None (NULL
-    deep stats), never raise — the corpus quarantine contract."""
+    """Corrupt / out-of-scope streams return None (NULL deep stats),
+    never raise — the corpus quarantine contract. A baseline stream
+    mislabeled SOF2 routes to the progressive decoder, whose scan-header
+    validation (DC scan with Se != 0) quarantines it."""
     from distributed_graph_database_system_spark.operators.multimodal import (
         _deep_jpeg,
         make_jpeg,
@@ -1068,6 +1075,228 @@ def test_jpeg_decoder_quarantines_out_of_scope_variants():
     # truncated entropy stream: also quarantined
     ok = make_jpeg(64, 64, dc_fn=lambda bx, by: bx + by)
     assert _deep_jpeg(ok[: len(ok) - 10]) is None
+
+
+def test_jpeg_progressive_matches_baseline_across_geometries():
+    """The progressive (SOF2) decode path is pinned against the already-
+    golden baseline decoder: make_jpeg_progressive carries the IDENTICAL
+    quantized coefficients through the full successive-approximation
+    protocol (banded AC first passes, two refinement levels, DC
+    refinement), so the pixel stats must be byte-for-byte equal — an
+    independent cross-check, since the two decode paths share only the
+    IDCT."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_jpeg,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    def dc(bx, by):
+        return ((bx * 7 + by * 13) % 63) - 31
+
+    def ac(bx, by):
+        out = {}
+        if (bx + by) % 2 == 0:
+            out[1] = ((bx - by) % 9) - 4
+        if (bx * by) % 3 == 0:
+            out[5] = ((bx + 2 * by) % 11) - 5
+        if (bx + by) % 5 == 0:
+            out[17] = 6
+        if (bx + by) % 7 == 0:
+            out[63] = -3
+        return {k: v for k, v in out.items() if v}
+
+    def cdc(mx, my):
+        return ((mx % 5) - 2, (my % 7) - 3)
+
+    for w, h in [(8, 8), (24, 17), (31, 9), (64, 48), (1, 1)]:
+        kw = dict(width=w, height=h, dc_fn=dc, ac_fn=ac, q0=16)
+        base = _deep_jpeg(make_jpeg(**kw))
+        prog = _deep_jpeg(make_jpeg_progressive(**kw))
+        assert base is not None and base == prog, (w, h, base, prog)
+    for sub in ("444", "422", "440", "420"):
+        kw = dict(
+            width=37, height=29, dc_fn=dc, ac_fn=ac, q0=16,
+            color=True, chroma_dc_fn=cdc, subsampling=sub,
+        )
+        base = _deep_jpeg(make_jpeg(**kw))
+        prog = _deep_jpeg(make_jpeg_progressive(**kw))
+        assert base is not None and base == prog, (sub, base, prog)
+
+
+def test_jpeg_progressive_random_coefficients_property():
+    """Randomized coefficient fields (three densities, color and gray,
+    all subsamplings) stress every refinement branch — EOBRUN spans,
+    ZRL-with-buffered-correction-bits, newly-significant placement. The
+    deterministic seeds keep the sweep reproducible."""
+    import random
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_jpeg,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        w, h = rng.randint(1, 90), rng.randint(1, 70)
+        density = rng.choice([0.02, 0.3, 0.8])
+
+        def dc(bx, by, s=seed):
+            return random.Random(f"{s}-{bx}-{by}-dc").randint(-200, 200)
+
+        def ac(bx, by, d=density, s=seed):
+            r = random.Random(f"{s}-{bx}-{by}-ac")
+            out = {}
+            for k in range(1, 64):
+                if r.random() < d:
+                    v = r.randint(-40, 40)
+                    if v:
+                        out[k] = v
+            return out
+
+        def cdc(mx, my, s=seed):
+            r = random.Random(f"{s}-{mx}-{my}-c")
+            return (r.randint(-60, 60), r.randint(-60, 60))
+
+        kw = dict(width=w, height=h, dc_fn=dc, ac_fn=ac, q0=rng.choice([8, 16]))
+        if seed % 3 == 0:
+            kw.update(
+                color=True,
+                chroma_dc_fn=cdc,
+                subsampling=["444", "422", "440", "420"][seed % 4],
+            )
+        base = _deep_jpeg(make_jpeg(**kw))
+        prog = _deep_jpeg(make_jpeg_progressive(**kw))
+        assert base is not None and base == prog, (seed, kw["width"], kw["height"])
+
+
+def test_jpeg_progressive_eobrun_and_fill_bytes():
+    """EOBn symbols spanning thousands of flat blocks decode (512x512 =
+    4096 blocks covered by a handful of EOB runs), and B.1.1.2 fill
+    bytes (any number of 0xFF before a marker) are tolerated by both
+    walks instead of desyncing the segment length read."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_jpeg,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    kw = dict(width=512, height=512, dc_fn=lambda bx, by: 40, ac_fn=None)
+    assert _deep_jpeg(make_jpeg_progressive(**kw)) == _deep_jpeg(make_jpeg(**kw))
+    # single AC coefficient in the very last block: one EOBRUN covers
+    # 4095 blocks before it
+    def ac_last(bx, by):
+        return {63: 7} if (bx, by) == (63, 63) else {}
+
+    kw = dict(width=512, height=512, dc_fn=None, ac_fn=ac_last)
+    assert _deep_jpeg(make_jpeg_progressive(**kw)) == _deep_jpeg(make_jpeg(**kw))
+
+    base = make_jpeg(16, 16, dc_fn=lambda bx, by: 5)
+    filled = base[:2] + b"\xff\xff" + base[2:]
+    assert _deep_jpeg(filled) == _deep_jpeg(base) is not None
+    prog = make_jpeg_progressive(16, 16, dc_fn=lambda bx, by: 5)
+    pfilled = prog[:2] + b"\xff" + prog[2:]
+    assert _deep_jpeg(pfilled) == _deep_jpeg(prog) is not None
+
+
+def test_jpeg_sos_order_mismatch_quarantines():
+    """A legal-but-reordered SOS (components listed in a different order
+    than SOF) would pair the positional sampling factors with the wrong
+    component — the decoder must quarantine, not emit wrong stats."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_jpeg,
+        make_jpeg,
+    )
+
+    blob = bytearray(
+        make_jpeg(
+            32, 32, dc_fn=lambda bx, by: 10, color=True, subsampling="420"
+        )
+    )
+    sos = blob.find(b"\xff\xda")
+    # components are at sos+5 (cid, tbl) * 3: swap Y and Cb declarations
+    blob[sos + 5 : sos + 9] = bytes(
+        [blob[sos + 7], blob[sos + 8], blob[sos + 5], blob[sos + 6]]
+    )
+    assert _deep_jpeg(bytes(blob)) is None
+
+
+def test_avi_mjpeg_decodes_and_guards_codec_flavor():
+    """Motion-JPEG AVI: '00dc' chunks are complete baseline JPEGs and
+    decode through the in-repo JPEG decoder (a real compressed codec,
+    end-to-end); a frame flavor not matching the declared codec
+    quarantines; interframe codecs stay NULL."""
+    import struct as _s
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_avi,
+        make_avi,
+    )
+
+    w, h, nf = 25, 18, 4
+    blob = make_avi(w, h, nf, frame_fn=lambda f: 5 - 3 * f, codec="mjpg")
+    vals = [128 + 2 * (5 - 3 * f) for f in range(nf)]
+    assert _deep_avi(blob) == {
+        "px_sum": w * h * sum(vals),
+        "px_min": min(vals),
+        "px_max": max(vals),
+        "n_px": w * h * nf,
+    }
+    # a '00db' chunk inside a declared-MJPG stream: flavor mismatch
+    bad = bytearray(blob)
+    i = bad.find(b"00dc")
+    bad[i : i + 4] = b"00db"
+    assert _deep_avi(bytes(bad)) is None
+    # an unknown compression fourcc (e.g. cinepak 'cvid') stays NULL
+    other = bytearray(blob)
+    strf_at = other.find(b"strf")
+    comp_at = strf_at + 8 + 16  # biCompression offset inside BITMAPINFOHEADER
+    other[comp_at : comp_at + 4] = b"cvid"
+    assert _deep_avi(bytes(other)) is None
+    # corrupted JPEG payload in one frame: whole file quarantines
+    trunc = bytearray(blob)
+    j = trunc.find(b"00dc")
+    size = _s.unpack("<I", trunc[j + 4 : j + 8])[0]
+    trunc[j + 8 + size - 6 : j + 8 + size] = b"\x00" * 6  # stomp EOI area
+    assert _deep_avi(bytes(trunc)) is None
+
+
+def test_avi_audio_strf_does_not_clobber_video_format():
+    """An AVI carrying an audio stream whose strf is >= 40 bytes (e.g.
+    WAVEFORMATEXTENSIBLE) must not overwrite the video format — the strf
+    binds to the strh ('vids') that precedes it in the same strl."""
+    import struct as _s
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_avi,
+        make_avi,
+    )
+
+    blob = make_avi(9, 5, 2, frame_fn=lambda f: 50 + f)
+    want = _deep_avi(blob)
+    assert want is not None
+    # append an audio strl AFTER the video one, inside hdrl
+    strh_a = b"auds" + b"\x00" * 52
+    strf_a = b"\x01\x00\x02\x00" + b"\x00" * 44  # 48-byte fake wave fmt
+    strl_a = (
+        b"strl"
+        + b"strh" + _s.pack("<I", len(strh_a)) + strh_a
+        + b"strf" + _s.pack("<I", len(strf_a)) + strf_a
+    )
+    audio_list = b"LIST" + _s.pack("<I", len(strl_a)) + strl_a
+    hdrl_at = blob.find(b"hdrl") - 8
+    hdrl_size = _s.unpack("<I", blob[hdrl_at + 4 : hdrl_at + 8])[0]
+    insert_at = hdrl_at + 8 + hdrl_size
+    rebuilt = (
+        blob[:hdrl_at + 4]
+        + _s.pack("<I", hdrl_size + len(audio_list))
+        + blob[hdrl_at + 8 : insert_at]
+        + audio_list
+        + blob[insert_at:]
+    )
+    rebuilt = rebuilt[:4] + _s.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    assert _deep_avi(rebuilt) == want
 
 
 def test_gif_lzw_property_roundtrip_and_conformance():

@@ -1089,3 +1089,94 @@ def graph_hits_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_graph_database_system_spark.operators.graph import hits
 
     return hits(_edges(spark, G2)).orderBy("vid")
+
+
+# Symmetrized G6 VALUES list shared by the two multi-source oracles below
+# (the undirected view of the fixture: every edge in both directions).
+_G6_SYM_VALUES = """(VALUES
+      (1,2),(2,1),(1,3),(3,1),(1,4),(4,1),(2,3),(3,2),(2,4),(4,2),
+      (3,4),(4,3),(5,6),(6,5),(6,7),(7,6),(7,8),(8,7),(8,9),(9,8),
+      (9,5),(5,9),(4,5),(5,4),(8,10),(10,8)) AS t(src, dst)"""
+
+
+@query(
+    "graph_multi_source_bfs_g6",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT src, dst FROM {_G6_SYM_VALUES}
+    ), walk(seed, vid, level) AS (
+      SELECT s, s, 0 FROM (VALUES (1), (10)) AS lm(s)
+      UNION
+      SELECT w.seed, e.dst, w.level + 1
+      FROM walk w JOIN e ON e.src = w.vid WHERE w.level < 20
+    )
+    SELECT CAST(seed AS BIGINT) AS seed, CAST(vid AS BIGINT) AS vid,
+           CAST(MIN(level) AS INT) AS level
+    FROM walk GROUP BY seed, vid ORDER BY seed, vid
+    """,
+    tags=("graph", "bfs", "multi-source"),
+)
+def graph_multi_source_bfs_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed distance table from TWO landmarks (the clique corner 1
+    and the pendant 10) over undirected G6 in ONE level-synchronous
+    frontier — the operator behind the round-9 harmonic-centrality
+    rewrite (operators/graph.py multi_source_bfs_all: frontier rows are
+    (seed, vid) pairs, round count = max eccentricity of the seed set,
+    not seeds x depth). The oracle re-walks both seeds with a recursive
+    CTE taking MIN(level) per (seed, vid)."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        multi_source_bfs_all,
+    )
+
+    sym = G6 + [(b, a) for a, b in G6]
+    return (
+        multi_source_bfs_all(_edges(spark, sym), [1, 10])
+        .select("seed", "vid", "level")
+        .orderBy("seed", "vid")
+    )
+
+
+@query(
+    "graph_eccentricity_g6",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT src, dst FROM {_G6_SYM_VALUES}
+    ), walk(seed, vid, level) AS (
+      SELECT s, s, 0 FROM (SELECT DISTINCT src AS s FROM e)
+      UNION
+      SELECT w.seed, e.dst, w.level + 1
+      FROM walk w JOIN e ON e.src = w.vid WHERE w.level < 20
+    ), sp AS (
+      SELECT seed, vid, MIN(level) AS d FROM walk GROUP BY seed, vid
+    )
+    SELECT CAST(seed AS BIGINT) AS vid, CAST(MAX(d) AS INT) AS eccentricity,
+           CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM sp WHERE d > 0 GROUP BY seed ORDER BY vid
+    """,
+    tags=("graph", "eccentricity", "multi-source"),
+)
+def graph_eccentricity_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT eccentricity of every G6 vertex — all |V| BFS trees carried
+    in one multi_source_bfs_all frontier (every vertex a seed), then one
+    aggregation: ecc(v) = max distance, n_reached the connectivity
+    census. The all-sources special case is the textbook diameter/radius
+    primitive; the double-sweep estimate (graph_diameter_g6) lower-bounds
+    the true diameter = max eccentricity asserted here. Recursive-CTE
+    oracle recomputes all shortest paths."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        multi_source_bfs_all,
+    )
+
+    sym = G6 + [(b, a) for a, b in G6]
+    e = _edges(spark, sym)
+    seeds = sorted({a for a, _ in sym})
+    return (
+        multi_source_bfs_all(e, seeds)
+        .where(F.col("level") > 0)
+        .groupBy(F.col("seed").alias("vid"))
+        .agg(
+            F.max("level").cast("int").alias("eccentricity"),
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        )
+        .orderBy("vid")
+    )

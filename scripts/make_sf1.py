@@ -11,9 +11,23 @@ untouched except documents.text, which gets a per-copy suffix so the 10x
 corpus is a NEAR-duplicate family (minhash still clusters it) instead of
 10x byte-identical rows that exact dedup would trivialize.
 
-Usage: python scripts/make_sf1.py [out_dir] [copies]
-  out_dir default: /root/repo/.bench_sf1/sf1  (gitignored)
-  copies  default: 10
+Usage: python scripts/make_sf1.py [out_dir] [copies] [doc_mode]
+  out_dir  default: /root/repo/.bench_sf1/sf1  (gitignored)
+  copies   default: 10
+  doc_mode default: neardup — per-copy " v{i}" suffix, so every document
+           gains copies-1 cross-copy near-duplicates (the duplicate RATE
+           grows with the clone count; minhash candidates grow ~copies×).
+           "disjoint": copy i is passed through a per-copy SUBSTITUTION
+           CIPHER (letters rotated by i) — a bijection on characters, so
+           every within-copy shingle set maps bijectively (within-copy
+           Jaccard EXACTLY preserved, near-dup families intact) while
+           cross-copy shingle overlap collapses. The duplicate rate is
+           then CONSTANT as the corpus grows — the honest scale curve
+           for the banding cost itself (BASELINE.md round-9 minhash
+           scale table). (A separator-token variant was tried first and
+           rejected: injecting the same token between every word makes
+           all docs of a copy share high-frequency shingles, inflating
+           candidates ~3.5x with no real pairs behind them.)
 
 Then: SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
 """
@@ -53,6 +67,9 @@ KEYS = {
 def main() -> int:
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.bench_sf1/sf1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    doc_mode = sys.argv[3] if len(sys.argv) > 3 else "neardup"
+    if doc_mode not in ("neardup", "disjoint"):
+        raise SystemExit(f"doc_mode must be neardup|disjoint, got {doc_mode!r}")
     spark = get_spark(app_name="make_sf1")
     for table, keys in KEYS.items():
         src = spark.read.parquet(f"{SRC}/{table}.parquet")
@@ -65,9 +82,21 @@ def main() -> int:
                 for k in keys:
                     df = df.withColumn(k, F.col(k) + F.lit(i * STRIDE))
                 if table == "documents" and i > 0:
+                    if doc_mode == "neardup":
+                        df = df.withColumn(
+                            "text", F.concat(F.col("text"), F.lit(f" v{i}"))
+                        )
+                    else:  # disjoint: per-copy substitution cipher
+                        lo = "abcdefghijklmnopqrstuvwxyz"
+                        up = lo.upper()
+                        rl = lo[i:] + lo[:i]
+                        ru = up[i:] + up[:i]
+                        df = df.withColumn(
+                            "text", F.translate("text", lo + up, rl + ru)
+                        )
                     df = df.withColumn(
-                        "text", F.concat(F.col("text"), F.lit(f" v{i}"))
-                    ).withColumn("n_chars", F.length("text").cast("bigint"))
+                        "n_chars", F.length("text").cast("bigint")
+                    )
                 parts.append(df)
             out_df = parts[0]
             for p in parts[1:]:

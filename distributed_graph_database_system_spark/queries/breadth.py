@@ -2786,3 +2786,331 @@ def events_sliding7_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.col("day").cast("string").alias("day"), "p50", "p95", "p99")
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-9 seeds: SQL surfaces not yet driver-covered (LATERAL, UNPIVOT,
+# regr_* aggregates, bit aggregates, percentile_disc, try_* error handling,
+# max_by). Each is a distinct engine feature a migrating user would reach
+# for, with an exact or rounded-decimal cross-engine story.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_recent_orders_lateral",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(CAST(o.o_orderdate AS TIMESTAMP) AS TIMESTAMP) AS o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2
+    ) o
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey % 10 = 0
+    ORDER BY c.c_custkey, o.o_orderkey
+    """,
+    tags=("lateral", "correlated", "topk-per-group"),
+)
+def customer_recent_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 4 supports the SQL-standard
+    form): each BUILDING-segment customer joins its own 2 most recent
+    orders — the per-row parameterized-subquery surface, distinct from
+    window top-k (orders_latest3_per_customer) because the inner query
+    references the outer row directly. Catalyst decorrelates the LATERAL
+    into a ranked window under the hood — same scale shape as the window
+    formulation, so no per-customer re-execution. Unique (date, orderkey)
+    tie-break keeps the pick total-ordered; DATE is cast to TIMESTAMP on
+    both sides (the parity canonicalization never compares raw DATE)."""
+    from distributed_graph_database_system_spark.queries.helpers import sf_view
+
+    cust = sf_view(spark, load_table(spark, sf_dir, "customer"), "lat_cust", sf_dir)
+    orders = sf_view(spark, load_table(spark, sf_dir, "orders"), "lat_ord", sf_dir)
+    return spark.sql(f"""
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM {cust} c,
+        LATERAL (
+          SELECT o_orderkey, o_orderdate, o_totalprice
+          FROM {orders}
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey % 10 = 0
+        ORDER BY c.c_custkey, o.o_orderkey
+    """)
+
+
+@query(
+    "orders_unpivot_price_components",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+               AS discount_amt,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS tax_amt
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'base_price' AS component,
+           ROUND(base_price, 2) AS amount FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'discount_amt', ROUND(discount_amt, 2) FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'tax_amt', ROUND(tax_amt, 2) FROM agg
+    ORDER BY l_returnflag, component
+    """,
+    tags=("unpivot", "melt", "relational"),
+)
+def orders_unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-returnflag money breakdown folds into
+    tidy (flag, component, amount) rows via the SQL-standard UNPIVOT
+    clause — the inverse of pivot_status_by_priority's surface. Money is
+    summed as exact rounded-term decimals BEFORE the unpivot (both
+    engines see identical doubles — the q1 exact-decimal-product
+    idiom), so the melt itself is pure reshaping
+    — zero float risk. At scale UNPIVOT is a map-side generator (one
+    output row per cell), no shuffle beyond the feeding aggregate's."""
+    from distributed_graph_database_system_spark.queries.helpers import sf_view
+
+    li = sf_view(spark, load_table(spark, sf_dir, "lineitem"), "unpiv_li", sf_dir)
+    return spark.sql(f"""
+        WITH agg AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS base_price,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                   AS discount_amt,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS tax_amt
+          FROM {li} GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, component, ROUND(amount, 2) AS amount
+        FROM agg
+        UNPIVOT (amount FOR component IN (base_price, discount_amt, tax_amt))
+        ORDER BY l_returnflag, component
+    """)
+
+
+@query(
+    "lineitem_price_qty_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(REGR_SLOPE(CAST(l_extendedprice AS DOUBLE),
+                            CAST(l_quantity AS DOUBLE)), 4) AS slope,
+           ROUND(REGR_INTERCEPT(CAST(l_extendedprice AS DOUBLE),
+                                CAST(l_quantity AS DOUBLE)), 4) AS intercept,
+           ROUND(REGR_R2(CAST(l_extendedprice AS DOUBLE),
+                         CAST(l_quantity AS DOUBLE)), 6) AS r2,
+           ROUND(CORR(CAST(l_extendedprice AS DOUBLE),
+                      CAST(l_quantity AS DOUBLE)), 6) AS price_qty_corr
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "regression", "statistics"),
+)
+def lineitem_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in linear-regression aggregates (REGR_SLOPE / INTERCEPT /
+    R2, CORR) of extended price on quantity per return flag — the
+    one-pass OLS surface both engines implement as merge-able moment
+    sketches (partial+final, constant state per group: the 100 TB shape
+    for 'fit a line' without collecting anything). Rounded to 4/6 dp:
+    both engines accumulate the same population moments in different
+    orders, and the statistics are smooth functions of them — the
+    rounding absorbs the last-ulp summation differences (same discipline
+    as events_autocorr_lag1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice").cast("double")
+    x = F.col("l_quantity").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.corr(y, x), 6).alias("price_qty_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "orders_key_bitops_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(BIT_AND(o_orderkey) AS BIGINT) AS key_and,
+           CAST(BIT_OR(o_orderkey) AS BIGINT) AS key_or,
+           CAST(BIT_XOR(o_orderkey) AS BIGINT) AS key_xor,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("aggregation", "bitwise"),
+)
+def orders_key_bitops_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (BIT_AND / BIT_OR / BIT_XOR) over the order
+    keys per status — the checksum/bitmask folding surface (XOR-fold is
+    the classic replica-diff trick: equal sets XOR to 0). All three are
+    commutative + associative on exact BIGINTs, hence bit-identical
+    under any partitioning with zero float discipline needed, and
+    partial+final aggregation keeps 8 bytes of state per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("o_orderkey").cast("bigint").alias("key_and"),
+            F.bit_or("o_orderkey").cast("bigint").alias("key_or"),
+            F.bit_xor("o_orderkey").cast("bigint").alias("key_xor"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "orders_price_percentile_disc",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                AS DOUBLE) AS p25,
+           CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                AS DOUBLE) AS p50,
+           CAST(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                AS DOUBLE) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("aggregation", "percentile", "order-statistics"),
+)
+def orders_price_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (SQL-standard PERCENTILE_DISC WITHIN GROUP):
+    the smallest actual order price whose cumulative distribution reaches
+    p — an order statistic, NOT an interpolation, so the result is an
+    exact value from the column and the cross-engine float minefield of
+    interpolating percentiles (see the r6 percentile() lesson in
+    queries/helpers.py) does not exist: no rounding guard at all."""
+    from distributed_graph_database_system_spark.queries.helpers import sf_view
+
+    o = sf_view(spark, load_table(spark, sf_dir, "orders"), "pdisc_ord", sf_dir)
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                    AS DOUBLE) AS p25,
+               CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                    AS DOUBLE) AS p50,
+               CAST(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                    AS DOUBLE) AS p75,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM {o} GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+
+
+@query(
+    "events_props_try_arithmetic",
+    oracle="""
+    WITH k AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(kv) AS BIGINT) AS n_k,
+           CAST(COUNT(*) FILTER (kv IS NOT NULL AND kv % 5 = 0)
+                AS BIGINT) AS n_div_null,
+           ROUND(CAST(SUM(CASE WHEN kv IS NOT NULL AND kv % 5 <> 0
+                    THEN CAST(ROUND(1.0 / (kv % 5), 10) AS DECIMAL(28,10))
+               END) AS DOUBLE), 6) AS sum_inv
+    FROM k GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("scalar", "try", "error-handling", "json"),
+)
+def events_props_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe TRY_* arithmetic: TRY_CAST parses the JSON payload value
+    (NULL, never an error, on absent/malformed keys) and TRY_DIVIDE
+    yields NULL on the k % 5 == 0 zero divisors instead of failing the
+    job — the error-handling surface a curation pipeline needs when one
+    poisoned row must not kill a 100 TB pass. The NULL bookkeeping
+    (n_k / n_div_null) is asserted exactly; the surviving reciprocals
+    fold as rounded-term decimals (order-free exact sum, one final
+    double)."""
+    e = load_table(spark, sf_dir, "events")
+    kv = F.try_to_number(F.get_json_object("props", "$.k"), F.lit("999999999")).cast("bigint")
+    inv = F.try_divide(F.lit(1.0), (kv % 5).cast("double"))
+    return (
+        e.select("event_type", kv.alias("kv"), inv.alias("inv"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("kv").cast("bigint").alias("n_k"),
+            F.count(F.when(F.col("kv").isNotNull() & (F.col("kv") % 5 == 0), 1))
+            .cast("bigint")
+            .alias("n_div_null"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("inv").isNotNull(),
+                        F.round(F.col("inv"), 10).cast("decimal(28,10)"),
+                    )
+                ).cast("double"),
+                6,
+            ).alias("sum_inv"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "supplier_best_part_maxby",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ), ranked AS (
+      SELECT l_suppkey, l_partkey, rev,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY rev DESC, l_partkey DESC) AS rn
+      FROM rev
+    )
+    SELECT l_suppkey, l_partkey AS best_partkey,
+           ROUND(rev, 2) AS best_rev
+    FROM ranked WHERE rn = 1 ORDER BY l_suppkey
+    """,
+    tags=("aggregation", "argmax", "max_by"),
+)
+def supplier_best_part_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY with a composite total-order key: each supplier's highest-
+    revenue part, ties broken by the larger part key (the struct ordering
+    (rev, partkey) makes the argmax deterministic — bare MAX_BY on a
+    tied metric is engine-arbitrary, the same discipline as
+    agg_mode_exact). One partial+final aggregation, no window over the
+    fact table; the oracle states the same pick as a ROW_NUMBER spec.
+    Revenue is the exact decimal sum cast to double per group (no float
+    accumulation order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    return (
+        rev.groupBy("l_suppkey")
+        .agg(
+            F.max_by(
+                F.col("l_partkey"), F.struct(F.col("rev"), F.col("l_partkey"))
+            ).alias("best_partkey"),
+            F.round(F.max(F.struct(F.col("rev"), F.col("l_partkey"))).getField("rev"), 2).alias(
+                "best_rev"
+            ),
+        )
+        .orderBy("l_suppkey")
+    )

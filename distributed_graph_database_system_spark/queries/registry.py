@@ -102,10 +102,16 @@ def oracle_of(name: str) -> str:
 # part_xyz_classification analyze_column_stats events_ab_lift_ztest
 # events_burstiness_fano orders_cohort_ltv_curve events_dod_retention_kmv
 # join_null_safe embed_centroids text_repetition_score
-# embed_outlier_robust — plus round-9 registrations seeded as r10
-# first-time evidence (see the "round-9 seeds" note at the end of this
-# comment block; the set difference vs CORRECTNESS_r*.json is the
-# authoritative list).
+# embed_outlier_robust — plus 11 round-9 registrations seeded as r10
+# first-time evidence: multimodal_deep_jpeg_progressive (SOF2 decode),
+# multimodal_deep_avi_mjpeg (Motion-JPEG), graph_multi_source_bfs_g6 +
+# graph_eccentricity_g6 (multi_source_bfs_all, recursive-CTE oracles),
+# customer_recent_orders_lateral (LATERAL), orders_unpivot_price_components
+# (UNPIVOT), lineitem_price_qty_regression (regr_* aggregates),
+# orders_key_bitops_by_status (bit aggregates), orders_price_percentile_disc
+# (discrete percentiles), events_props_try_arithmetic (TRY_* arithmetic),
+# supplier_best_part_maxby (max_by composite key). The set difference vs
+# CORRECTNESS_r*.json is the authoritative list.
 #
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- graded anchors (7): rows whose driver evidence cannot be

@@ -278,3 +278,17 @@ def test_gini_prefix_sum_has_no_data_sized_global_window(plans):
     assert "row_number" not in p.lower()  # no global-order rank window
     assert "BroadcastHashJoin" in p  # offsets join is broadcast
     assert "Scan ExistingRDD" in p  # checkpoint barrier pins the pairing
+
+
+def test_lateral_decorrelates_to_window_group_limit(plans):
+    """The LATERAL correlated top-2 subquery must decorrelate: Catalyst
+    rewrites it to WindowGroupLimit (partial on the map side, final after
+    one exchange — per-group top-k without ranking whole partitions) plus
+    a broadcast join against the filtered customer side. A regression to
+    per-outer-row re-execution would surface as a nested-loop/cartesian
+    shape here."""
+    p = plans("customer_recent_orders_lateral")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p

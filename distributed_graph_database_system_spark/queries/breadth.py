@@ -3114,3 +3114,55 @@ def supplier_best_part_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@query(
+    "events_xml_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("scalar", "xml", "semi-structured", "roundtrip"),
+)
+def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a semi-structured column (Spark 4 to_xml/from_xml): each
+    event serializes to an XML fragment, the fragments are parsed BACK
+    with an explicit schema, and the aggregates run over the re-extracted
+    fields — a serialization-identity check, so the oracle is simply the
+    same aggregate over the RAW columns (any XML writer/parser asymmetry
+    — escaping, whitespace, type coercion — breaks the hash). Both
+    directions are JVM-side StaxXML, no Python; value survives the text
+    roundtrip via round-to-2dp before the exact decimal sum on BOTH
+    sides (XML carries the double's full repr, so the parse is exact —
+    the rounding is the usual cross-engine sum discipline, not a
+    roundtrip patch)."""
+    e = load_table(spark, sf_dir, "events")
+    xml = e.select(
+        F.to_xml(
+            F.struct(
+                F.col("event_type"),
+                F.col("user_id"),
+                F.col("value"),
+            )
+        ).alias("x")
+    )
+    back = xml.select(
+        F.from_xml(
+            F.col("x"), "event_type STRING, user_id BIGINT, value DOUBLE"
+        ).alias("r")
+    ).select("r.event_type", "r.user_id", "r.value")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("user_id").cast("bigint").alias("sum_uid"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

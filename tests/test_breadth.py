@@ -310,3 +310,36 @@ def test_sliding_quantile_histogram_tracks_exact_percentiles(spark, sf_dir):
                 g[i],
                 vals[name],
             )
+
+
+def test_hll_datasketches_bounds_and_union(spark, sf_dir):
+    """Spark 4's native Apache DataSketches HLL (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate): estimates within the lgk=12
+    error envelope and the cross-group union consistent with the exact
+    global distinct. Pytest-only, NOT a driver query: unlike
+    approx_count_distinct (register-max HLL++, partitioning-invariant,
+    pinned in agg_approx_distinct), the DataSketches sketch promotes a
+    coupon list to dense HLL in a merge-order-dependent way — measured
+    here as different estimates under different shuffle layouts — so no
+    deterministic golden exists (same class of boundary as
+    agg_median_approx)."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey", 12).alias("sk"),
+        F.count_distinct("o_custkey").alias("exact"),
+    )
+    rows = per.select(
+        "o_orderstatus", F.hll_sketch_estimate("sk").alias("est"), "exact"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est - r.exact) <= max(3, 0.03 * r.exact), tuple(r)
+    union_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0].e
+    exact_all = o.select(F.count_distinct("o_custkey")).collect()[0][0]
+    assert abs(union_est - exact_all) <= max(3, 0.03 * exact_all)

@@ -1236,3 +1236,53 @@ def test_incremental_rollup_available_now_stop_restart(
     batch_dirs = glob.glob(rollup + "_contrib/day=*/batch_id=*")
     ids = {int(d.rsplit("batch_id=", 1)[1]) for d in batch_dirs}
     assert max(ids) > max(first_run_ids)  # ids continued past run 1
+
+
+def test_transform_with_state_counts_match_batch(spark, sf_dir, stream_src):
+    """Spark 4 transformWithStateInPandas (StatefulProcessor + named
+    ValueState, RocksDB state store): the running per-user counter's
+    final emitted state must equal the batch groupBy count — the same
+    convergence contract as the applyInPandasWithState twin. The state
+    API client speaks protobuf to the JVM state server, so the test
+    skips where the protobuf package isn't installed (this container);
+    the operator itself is cluster-ready."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state API client requires protobuf",
+    )
+    from distributed_graph_database_system_spark.streaming.events import (
+        stateful_user_counts_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(
+            stateful_user_counts_tws(events_stream(spark, stream_src)),
+            "t_tws",
+            mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    final = {
+        r.user_id: r.n_events
+        for r in spark.table("t_tws")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    want = {
+        r.user_id: r["count"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    }
+    assert final == want

@@ -594,15 +594,10 @@ def _deep_jpeg(b: bytes) -> dict | None:
         j += 1
 
     w, h = dims
-    # IDCT basis: M[v, y] = a(v) cos((2y+1) v pi / 16); P = .25 M^T F M
-    ys = np.arange(8)
-    vs = np.arange(8).reshape(-1, 1)
-    m = np.cos((2 * ys + 1) * vs * np.pi / 16)
-    m[0, :] *= 1 / np.sqrt(2)
     reader = _JpegBits(bytes(data))
-    total = 0
-    mn, mx = 255, 0
     preds = [0] * len(tables)
+    bw_r, bh_r = (w + 7) // 8, (h + 7) // 8
+    luma_coefs = np.zeros((bh_r, bw_r, 64))
 
     def read_block(ci: int) -> "np.ndarray":
         """Huffman-decode one block of component ci → dequantized coefs."""
@@ -645,23 +640,43 @@ def _deep_jpeg(b: bytes) -> dict | None:
                         bxi, byi = mx_ * h0 + vx, my * v0 + vy
                         if bxi * 8 >= w or byi * 8 >= h:
                             continue  # MCU padding block: no visible pixels
-                        block = np.zeros((8, 8))
-                        for zi, (r, c_) in enumerate(_ZIGZAG):
-                            block[r, c_] = coef[zi]
-                        px = np.clip(
-                            np.round(0.25 * (m.T @ block @ m)) + 128, 0, 255
-                        ).astype(np.int64)
-                        vh = min(8, h - byi * 8)
-                        vw = min(8, w - bxi * 8)
-                        vis = px[:vh, :vw]
-                        total += int(vis.sum())
-                        mn = min(mn, int(vis.min()))
-                        mx = max(mx, int(vis.max()))
+                        luma_coefs[byi, bxi] = coef
                 for ci in range(1, len(tables)):
                     read_block(ci)
     except ValueError:
         return None
-    return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": w * h}
+    # one vectorized einsum IDCT over ALL blocks (shared with the
+    # progressive path) instead of a per-block matmul: the Huffman walk
+    # above is inherently serial, but the transform isn't
+    return _jpeg_stats_from_zigzag(luma_coefs, w, h)
+
+
+def _jpeg_stats_from_zigzag(coefs, w: int, h: int) -> dict:
+    """Pixel stats from a (block_rows, block_cols, 64) array of
+    DEQUANTIZED zigzag-order coefficients: de-zigzag, one batched
+    einsum IDCT (P = .25 Mᵀ F M per block), +128 level shift, clamp,
+    crop to the frame, exact-integer stats."""
+    import numpy as np
+
+    bh, bw = coefs.shape[:2]
+    f = np.zeros((bh, bw, 8, 8))
+    rr = [r for r, _ in _ZIGZAG]
+    cc = [c for _, c in _ZIGZAG]
+    f[:, :, rr, cc] = coefs
+    ys = np.arange(8)
+    vs_ = np.arange(8).reshape(-1, 1)
+    m = np.cos((2 * ys + 1) * vs_ * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    px = np.clip(
+        np.round(0.25 * np.einsum("vy,ijvw,wz->ijyz", m, f, m)) + 128, 0, 255
+    ).astype(np.int64)
+    img = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w]
+    return {
+        "px_sum": int(img.sum()),
+        "px_min": int(img.min()),
+        "px_max": int(img.max()),
+        "n_px": w * h,
+    }
 
 
 def _deep_jpeg_progressive(b: bytes) -> dict | None:
@@ -818,25 +833,9 @@ def _deep_jpeg_progressive(b: bytes) -> dict | None:
     if q is None:
         return None
     w_, h_ = dims
-    cz = coefs[:bh, :bw] * np.array(q, dtype=np.int64)
-    f = np.zeros((bh, bw, 8, 8))
-    rr = [r for r, _ in _ZIGZAG]
-    cc = [c for _, c in _ZIGZAG]
-    f[:, :, rr, cc] = cz
-    ys = np.arange(8)
-    vs_ = np.arange(8).reshape(-1, 1)
-    m = np.cos((2 * ys + 1) * vs_ * np.pi / 16)
-    m[0, :] *= 1 / np.sqrt(2)
-    px = np.clip(
-        np.round(0.25 * np.einsum("vy,ijvw,wz->ijyz", m, f, m)) + 128, 0, 255
-    ).astype(np.int64)
-    img = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h_, :w_]
-    return {
-        "px_sum": int(img.sum()),
-        "px_min": int(img.min()),
-        "px_max": int(img.max()),
-        "n_px": w_ * h_,
-    }
+    return _jpeg_stats_from_zigzag(
+        coefs[:bh, :bw] * np.array(q, dtype=np.int64), w_, h_
+    )
 
 
 def _jpeg_progressive_scan(

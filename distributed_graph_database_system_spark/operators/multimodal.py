@@ -481,6 +481,7 @@ def _deep_jpeg(b: bytes) -> dict | None:
     sos_tables: dict[int, tuple[int, int]] = {}  # comp_id -> (dc_id, ac_id)
     sos_order: list[int] = []
     scan_start = None
+    restart_interval = 0
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -544,9 +545,8 @@ def _deep_jpeg(b: bytes) -> dict | None:
                 vals = list(seg[j + 17 : j + 17 + nvals])
                 huff[(cls, tid)] = _jpeg_decode_table(bits, vals)
                 j += 17 + nvals
-        elif marker == 0xDD:  # DRI: restart intervals unsupported
-            if struct.unpack(">H", seg[:2])[0] != 0:
-                return None
+        elif marker == 0xDD:  # DRI: MCUs between restart markers (0 = off)
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             if ns != len(comps) or ns == 0:
@@ -576,7 +576,10 @@ def _deep_jpeg(b: bytes) -> dict | None:
         if dc_t is None or ac_t is None:
             return None
         tables.append((dc_t, ac_t, qt[comp_qt[cid]]))
-    # unstuff entropy bytes up to EOI
+    # unstuff entropy bytes up to EOI, splitting at restart markers:
+    # each RSTn ends a byte-aligned restart segment (predictors reset,
+    # fresh bit phase in the next one — B.2.1.2)
+    segments: list[bytes] = []
     data = bytearray()
     j = scan_start
     while j < len(b):
@@ -589,12 +592,19 @@ def _deep_jpeg(b: bytes) -> dict | None:
                 continue
             if nxt == 0xD9:
                 break
-            return None  # restart marker / desync
+            if 0xD0 <= nxt <= 0xD7 and restart_interval:
+                segments.append(bytes(data))
+                data = bytearray()
+                j += 2
+                continue
+            return None  # unexpected marker / desync
         data.append(c)
         j += 1
+    segments.append(bytes(data))
 
     w, h = dims
-    reader = _JpegBits(bytes(data))
+    seg_idx = 0
+    reader = _JpegBits(segments[0])
     preds = [0] * len(tables)
     bw_r, bh_r = (w + 7) // 8, (h + 7) // 8
     luma_coefs = np.zeros((bh_r, bw_r, 64))
@@ -627,9 +637,19 @@ def _deep_jpeg(b: bytes) -> dict | None:
     h0, v0 = luma_samp
     mcux = (w + 8 * h0 - 1) // (8 * h0)
     mcuy = (h + 8 * v0 - 1) // (8 * v0)
+    mcu_n = 0
     try:
         for my in range(mcuy):
             for mx_ in range(mcux):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    # restart boundary: next byte-aligned segment, DC
+                    # predictors reset (B.2.1.2)
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        return None  # fewer RSTn than DRI promises
+                    reader = _JpegBits(segments[seg_idx])
+                    preds = [0] * len(tables)
+                mcu_n += 1
                 # one MCU: h0*v0 luma blocks (raster order within the MCU)
                 # then one block per chroma component. Stats come from
                 # component 0 (gray / luma); chroma and MCU-padding luma
@@ -1688,6 +1708,7 @@ def make_jpeg(
     color: bool = False,
     chroma_dc_fn=None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """A COMPLETE baseline JPEG: DQT (flat quant tables, all ``q0``),
     SOF0, the Annex-K standard DHT tables, SOS and a real entropy-coded
@@ -1726,9 +1747,21 @@ def make_jpeg(
     mcux = (width + 8 * h0 - 1) // (8 * h0)
     mcuy = (height + 8 * v0 - 1) // (8 * v0)
     w = _BitWriter()
+    chunks: list[bytes] = []
     pred = [0, 0, 0]  # per-component DC predictors
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # byte-align (1-padded), emit RSTn (cycling 0-7), reset
+                # the DC predictors — B.2.1.2
+                chunks.append(w.flush())
+                chunks.append(
+                    bytes([0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8])
+                )
+                w = _BitWriter()
+                pred = [0, 0, 0]
+            mcu_n += 1
             for vy in range(v0):
                 for vx in range(h0):
                     bx, by = mx * h0 + vx, my * v0 + vy
@@ -1747,13 +1780,16 @@ def make_jpeg(
                 pred[1] = int(cb)
                 _put_block(w, int(cr) - pred[2], {}, dc_c, ac_c)
                 pred[2] = int(cr)
-    scan = w.flush()
+    chunks.append(w.flush())
+    scan = b"".join(chunks)
 
     def _dht(cls: int, tid: int, bits, vals) -> bytes:
         payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
 
     com = b"\xff\xfe" + struct.pack(">H", 2 + 9) + b"synthetic"
+    if restart_interval:
+        com += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes([q0] * 64)
     dht = _dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS) + _dht(
         1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS
@@ -2203,14 +2239,22 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
                     # stream — identical decoded stats by construction,
                     # exercised separately by
                     # multimodal_deep_jpeg_progressive
-                    maker = (
-                        make_jpeg_progressive if (i // 6) % 2 == 1 else make_jpeg
-                    )
-                    blob = maker(
-                        16 + i % 97,
-                        16 + (i * 7) % 89,
-                        dc_fn=lambda bx, by, i=i: ((i + 3 * bx + 5 * by) % 25) - 12,
-                    )
+                    if (i // 6) % 2 == 1:
+                        blob = make_jpeg_progressive(
+                            16 + i % 97,
+                            16 + (i * 7) % 89,
+                            dc_fn=lambda bx, by, i=i: ((i + 3 * bx + 5 * by) % 25) - 12,
+                        )
+                    else:
+                        # half the baseline slice (doc_id % 24 == 15)
+                        # additionally carries restart intervals — the
+                        # camera-default DRI flavor; identical stats
+                        blob = make_jpeg(
+                            16 + i % 97,
+                            16 + (i * 7) % 89,
+                            dc_fn=lambda bx, by, i=i: ((i + 3 * bx + 5 * by) % 25) - 12,
+                            restart_interval=4 if i % 24 == 15 else 0,
+                        )
                 elif fmt == "gif":
                     # per-row constant palette index: decoded row value is
                     # exactly 85*((doc_id + y) % 4), closed-form in

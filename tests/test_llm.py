@@ -1470,3 +1470,50 @@ def test_jpeg_single_component_scan_is_noninterleaved():
     sof = declared.find(b"\xff\xc0")
     declared[sof + 11] = 0x22  # Y sampling byte
     assert _deep_jpeg(bytes(declared)) == _deep_jpeg(plain) is not None
+
+
+def test_jpeg_restart_intervals_decode_and_guard():
+    """DRI restart intervals (the camera default): RSTn-split entropy
+    segments decode to the SAME stats as the unrestarted stream (byte
+    realignment + DC predictor reset per B.2.1.2), including color MCU
+    geometries; a stream that promises an interval but is missing its
+    restart markers quarantines."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_jpeg,
+        make_jpeg,
+    )
+
+    def dc(bx, by):
+        return ((bx * 7 + by * 13) % 63) - 31
+
+    def ac(bx, by):
+        return {1: ((bx - by) % 9) - 4, 17: 6} if (bx + by) % 2 == 0 else {}
+
+    def cdc(mx, my):
+        return ((mx % 5) - 2, (my % 7) - 3)
+
+    for w, h in [(24, 17), (64, 48), (129, 65)]:
+        for ri in (1, 3, 7):
+            plain = _deep_jpeg(make_jpeg(w, h, dc_fn=dc, ac_fn=ac))
+            dri = _deep_jpeg(
+                make_jpeg(w, h, dc_fn=dc, ac_fn=ac, restart_interval=ri)
+            )
+            assert plain is not None and plain == dri, (w, h, ri)
+            col = dict(color=True, chroma_dc_fn=cdc, subsampling="420")
+            pc = _deep_jpeg(make_jpeg(w, h, dc_fn=dc, ac_fn=ac, **col))
+            dc_ = _deep_jpeg(
+                make_jpeg(w, h, dc_fn=dc, ac_fn=ac, restart_interval=ri, **col)
+            )
+            assert pc is not None and pc == dc_, (w, h, ri, "420")
+
+    # strip the RSTn markers but keep the DRI promise: quarantine
+    blob = bytearray(make_jpeg(64, 48, dc_fn=dc, restart_interval=2))
+    out = bytearray()
+    i = 0
+    while i < len(blob):
+        if blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7 and i > 20:
+            i += 2
+            continue
+        out.append(blob[i])
+        i += 1
+    assert _deep_jpeg(bytes(out)) is None

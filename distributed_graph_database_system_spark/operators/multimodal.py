@@ -1008,8 +1008,12 @@ def _deep_gif(b: bytes) -> dict | None:
     width change, 4096-entry reset), pixel value = the palette entry's
     red channel (grayscale palettes — the training-corpus case; for color
     the red channel is still a deterministic, documented projection).
-    First image frame only; interlaced frames decode (stats are
-    row-permutation-invariant)."""
+    ALL image frames decode (animated GIFs accumulate raw per-frame
+    stats, n_px = Σ frame pixels — codec-level output; disposal-method
+    COMPOSITING is deliberately out of scope: stats need pixels, not the
+    animation's on-screen state). Interlaced frames decode (stats are
+    row-permutation-invariant); after the first frame, the walk stops at
+    the 0x3B trailer."""
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w0, h0 = struct.unpack("<HH", b[6:10])
@@ -1020,10 +1024,14 @@ def _deep_gif(b: bytes) -> dict | None:
         n = 2 << (flags & 7)
         palette = b[i : i + 3 * n]
         i += 3 * n
+    total = 0
+    mn, mx = 255, 0
+    n_px = 0
+    frames = 0
     while i < len(b):
         blk = b[i]
         if blk == 0x3B:  # trailer
-            return None  # no image frame
+            break
         if blk == 0x21:  # extension: label + sub-blocks
             i += 2
             while i < len(b) and b[i] != 0:
@@ -1056,14 +1064,13 @@ def _deep_gif(b: bytes) -> dict | None:
             size = b[i]
             lzw.extend(b[i + 1 : i + 1 + size])
             i += 1 + size
+        i += 1  # the frame's sub-block terminator
         try:
             idx = _lzw_decode(bytes(lzw), min_code, iw * ih)
         except ValueError:
             return None
         if len(idx) < iw * ih:
             return None
-        total = 0
-        mn, mx = 255, 0
         npal = len(pal) // 3
         for v in idx[: iw * ih]:
             if v >= npal:
@@ -1072,8 +1079,11 @@ def _deep_gif(b: bytes) -> dict | None:
             total += g
             mn = min(mn, g)
             mx = max(mx, g)
-        return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": iw * ih}
-    return None
+        n_px += iw * ih
+        frames += 1
+    if frames == 0:
+        return None
+    return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": n_px}
 
 
 _DEEP_DECODERS = {
@@ -1310,27 +1320,42 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
 _GIF_GRAYS = (0, 85, 170, 255)
 
 
-def make_gif(width: int, height: int, row_fn=None) -> bytes:
+def make_gif(width: int, height: int, row_fn=None, frames: int = 1) -> bytes:
     """A COMPLETE GIF89a: 4-entry grayscale global palette, image
-    descriptor, REAL LZW-coded pixel data, trailer. ``row_fn(y) -> int``
-    gives each row's constant palette index 0..3 (default 0) — per-row
-    constants keep the driver oracle closed-form in (doc_id, y) while the
-    LZW stream still exercises dictionary growth across rows."""
+    descriptor(s), REAL LZW-coded pixel data, trailer. ``row_fn(y) ->
+    int`` gives each row's constant palette index 0..3 (default 0) — or
+    ``row_fn(y, f)`` when ``frames > 1``, making an ANIMATED GIF: each
+    frame a full image descriptor preceded by a Graphic Control
+    Extension (delay 10 cs), the real multi-frame layout browsers emit.
+    Per-row constants keep the driver oracles closed-form in
+    (doc_id, y[, f]) while the LZW stream still exercises dictionary
+    growth across rows."""
     lsd = struct.pack("<HHBBB", width, height, 0x81, 0, 0)  # 4-entry GCT
     palette = b"".join(bytes([g, g, g]) for g in _GIF_GRAYS)
-    indices = bytearray()
-    for y in range(height):
-        idx = (int(row_fn(y)) & 3) if row_fn else 0
-        indices.extend([idx] * width)
-    lzw = _lzw_encode(indices, 2)
-    blocks = bytearray()
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        blocks.append(len(chunk))
-        blocks.extend(chunk)
-    blocks.append(0)  # block terminator
-    img = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
-    return b"GIF89a" + lsd + palette + img + b"\x02" + bytes(blocks) + b"\x3b"
+    body = bytearray()
+    for f in range(frames):
+        if frames > 1:
+            # Graphic Control Extension: the animated-GIF marker
+            body += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        indices = bytearray()
+        for y in range(height):
+            if row_fn is None:
+                idx = 0
+            elif frames > 1:
+                idx = int(row_fn(y, f)) & 3
+            else:
+                idx = int(row_fn(y)) & 3
+            indices.extend([idx] * width)
+        lzw = _lzw_encode(indices, 2)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blocks.append(len(chunk))
+            blocks.extend(chunk)
+        blocks.append(0)  # block terminator
+        body += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        body += b"\x02" + bytes(blocks)
+    return b"GIF89a" + lsd + palette + bytes(body) + b"\x3b"
 
 
 def make_bmp(width: int, height: int) -> bytes:
@@ -2256,14 +2281,25 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
                             restart_interval=4 if i % 24 == 15 else 0,
                         )
                 elif fmt == "gif":
-                    # per-row constant palette index: decoded row value is
-                    # exactly 85*((doc_id + y) % 4), closed-form in
-                    # (doc_id, y) for multimodal_deep_gif's SQL oracle
-                    blob = make_gif(
-                        16 + i % 97,
-                        16 + (i * 7) % 89,
-                        row_fn=lambda y, i=i: (i + y) % 4,
-                    )
+                    # per-row constant palette index. Single-frame slice
+                    # (doc_id % 12 == 1): row y decodes to exactly
+                    # 85*((doc_id + y) % 4). ANIMATED slice (doc_id % 12
+                    # == 7): 3 + doc_id % 4 frames, frame f row y =
+                    # 85*((doc_id + y + f) % 4) — closed-form in
+                    # (doc_id, y, f) for the two deep-GIF SQL oracles
+                    if (i // 6) % 2 == 1:
+                        blob = make_gif(
+                            16 + i % 97,
+                            16 + (i * 7) % 89,
+                            row_fn=lambda y, f, i=i: (i + y + f) % 4,
+                            frames=3 + i % 4,
+                        )
+                    else:
+                        blob = make_gif(
+                            16 + i % 97,
+                            16 + (i * 7) % 89,
+                            row_fn=lambda y, i=i: (i + y) % 4,
+                        )
                 else:
                     blob = makers[fmt](16 + i % 97, 16 + (i * 7) % 89)
                 rows.append(

@@ -698,7 +698,7 @@ def multimodal_deep_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFr
     oracle="""
     WITH g AS (
       SELECT doc_id, 16 + doc_id % 97 AS w, 16 + (doc_id * 7) % 89 AS h
-      FROM documents WHERE doc_id % 6 = 1
+      FROM documents WHERE doc_id % 12 = 1
     ),
     rws AS (
       SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM g
@@ -719,7 +719,9 @@ def multimodal_deep_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF payload decode, driver-verified: the synth GIFs carry
     LZW-coded per-row-constant indices (row y of doc i = (i+y) mod 4 over
     a 4-gray palette), decode_media(deep=True) reassembles the data
-    sub-blocks and runs the complete variable-width LZW (clear codes,
+    sub-blocks and runs the complete variable-width LZW (single-frame
+    slice doc_id % 12 == 1; the animated slice is
+    multimodal_deep_gif_animated) (clear codes,
     early width change, KwKwK, 4096-entry reset — conformance anchored by
     the canonical externally-produced 1x1 GIF in pytest), and the oracle
     recomputes the stats closed-form in (doc_id, y). A wrong bit order,
@@ -731,7 +733,60 @@ def multimodal_deep_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # pre-synth filter: see multimodal_deep_jpeg
     media = documents_as_synth_media(
-        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 1)
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 12 == 1)
+    )
+    return (
+        decode_media(media, deep=True)
+        .select("media_id", "px_sum", "px_min", "px_max", "n_px")
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "multimodal_deep_gif_animated",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 16 + doc_id % 97 AS w, 16 + (doc_id * 7) % 89 AS h,
+             3 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id % 12 = 7
+    ),
+    fr AS (
+      SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
+      FROM g
+    ),
+    rws AS (
+      SELECT doc_id, w, h, nf, f, unnest(generate_series(0, h - 1)) AS y
+      FROM fr
+    ),
+    vals AS (
+      SELECT doc_id, w, h, nf, 85 * ((doc_id + y + f) % 4) AS v FROM rws
+    )
+    SELECT doc_id AS media_id,
+           CAST(SUM(v * w) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max,
+           CAST(MAX(w) * MAX(h) * MAX(nf) AS BIGINT) AS n_px
+    FROM vals GROUP BY doc_id ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "codec", "deep", "gif", "animated"),
+)
+def multimodal_deep_gif_animated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF decode, driver-verified: the doc_id % 12 == 7 slice
+    carries 3–6 full image frames (each with a Graphic Control Extension,
+    the browser-emitted multi-frame layout), every frame LZW-decoded and
+    the raw per-frame stats accumulated (n_px = w·h·frames — codec
+    output; disposal compositing is deliberately out of scope, stats
+    need pixels not on-screen animation state). The oracle recomputes
+    closed-form in (doc_id, y, f). A real crawled corpus is full of
+    animated GIFs — before this query they silently contributed only
+    their first frame."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    # pre-synth filter: see multimodal_deep_jpeg
+    media = documents_as_synth_media(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 12 == 7)
     )
     return (
         decode_media(media, deep=True)

@@ -355,8 +355,17 @@ def test_multimodal_real_decode_distributed(spark, sf_dir):
                     want += v * min(8, w - bx * 8) * min(8, h - by * 8)
             assert (r.px_sum, r.n_px) == (want, w * h), (i, r)
         elif r.fmt == "gif":
-            want = sum(85 * ((i + y) % 4) * w for y in range(h))
-            assert (r.px_sum, r.n_px) == (want, w * h), (i, r)
+            if i % 12 == 7:  # animated slice: 3 + i%4 raw frames
+                nf = 3 + i % 4
+                want = sum(
+                    85 * ((i + y + f) % 4) * w
+                    for f in range(nf)
+                    for y in range(h)
+                )
+                assert (r.px_sum, r.n_px) == (want, w * h * nf), (i, r)
+            else:
+                want = sum(85 * ((i + y) % 4) * w for y in range(h))
+                assert (r.px_sum, r.n_px) == (want, w * h), (i, r)
         else:  # avi: DIB (i%12==5) or Motion-JPEG (i%12==11), all frames
             nf = 10 + i % 50
             if i % 12 == 11:  # MJPEG: DC-only JPEG frames → 128+2*dc
@@ -1517,3 +1526,32 @@ def test_jpeg_restart_intervals_decode_and_guard():
         out.append(blob[i])
         i += 1
     assert _deep_jpeg(bytes(out)) is None
+
+
+def test_gif_animated_multi_frame_decode():
+    """Animated GIFs: every frame decodes and the raw per-frame stats
+    accumulate (n_px = w*h*frames); a single-frame file keeps the
+    original semantics; per-frame local palettes and GCE extensions
+    between frames walk cleanly."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_gif,
+        make_gif,
+    )
+
+    w, h, nf = 9, 5, 4
+    blob = make_gif(w, h, row_fn=lambda y, f: (y + f) % 4, frames=nf)
+    vals = [85 * ((y + f) % 4) for f in range(nf) for y in range(h)]
+    assert _deep_gif(blob) == {
+        "px_sum": w * sum(vals),
+        "px_min": min(vals),
+        "px_max": max(vals),
+        "n_px": w * h * nf,
+    }
+    single = make_gif(w, h, row_fn=lambda y: y % 4)
+    svals = [85 * (y % 4) for y in range(h)]
+    assert _deep_gif(single) == {
+        "px_sum": w * sum(svals),
+        "px_min": min(svals),
+        "px_max": max(svals),
+        "n_px": w * h,
+    }

@@ -303,32 +303,37 @@ def _deep_wav(b: bytes) -> dict | None:
     }
 
 
-def _png_unfilter(raw: bytes, width: int, height: int) -> bytearray | None:
-    """Reconstruct 8-bit grayscale scanlines from the five standard PNG
-    filters (None/Sub/Up/Average/Paeth), bpp=1."""
+def _png_unfilter(
+    raw: bytes, width: int, height: int, bpp: int = 1
+) -> bytearray | None:
+    """Reconstruct 8-bit scanlines from the five standard PNG filters
+    (None/Sub/Up/Average/Paeth). PNG filters operate on BYTES with the
+    left-neighbor at offset ``bpp`` (bytes per pixel), so the same loop
+    serves grayscale (1), gray+alpha (2), RGB (3) and RGBA (4)."""
     out = bytearray()
-    stride = width + 1
+    rb = width * bpp  # row bytes
+    stride = rb + 1
     if len(raw) < stride * height:
         return None
-    prev = bytearray(width)
+    prev = bytearray(rb)
     for r in range(height):
         row = raw[r * stride : (r + 1) * stride]
         ftype, cur = row[0], bytearray(row[1:])
         if ftype == 1:  # Sub
-            for i in range(1, width):
-                cur[i] = (cur[i] + cur[i - 1]) & 0xFF
+            for i in range(bpp, rb):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
-            for i in range(width):
+            for i in range(rb):
                 cur[i] = (cur[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
-            for i in range(width):
-                left = cur[i - 1] if i else 0
+            for i in range(rb):
+                left = cur[i - bpp] if i >= bpp else 0
                 cur[i] = (cur[i] + (left + prev[i]) // 2) & 0xFF
         elif ftype == 4:  # Paeth
-            for i in range(width):
-                a = cur[i - 1] if i else 0
+            for i in range(rb):
+                a = cur[i - bpp] if i >= bpp else 0
                 bb = prev[i]
-                c = prev[i - 1] if i else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + bb - c
                 pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
@@ -340,26 +345,56 @@ def _png_unfilter(raw: bytes, width: int, height: int) -> bytearray | None:
     return out
 
 
+# PNG color type -> bytes per pixel (bit depth 8). Stats channel is byte 0
+# of each pixel: the gray value for 0/4, the RED channel for 2/6 — the
+# same deterministic projection _deep_gif documents; palette (3) maps the
+# index through PLTE's red column.
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def _deep_png(b: bytes) -> dict | None:
-    """8-bit grayscale pixel stats via zlib inflate + filter reconstruction."""
+    """Pixel stats via zlib inflate + filter reconstruction for every
+    8-bit color type: grayscale (0), RGB (2), palette (3, mapped through
+    PLTE), gray+alpha (4), RGBA (6). Stats are over the first channel
+    (gray / red — see _PNG_BPP). 16-bit and sub-byte depths, and Adam7
+    INTERLACED files, quarantine to NULL — interlacing restructures the
+    scanline layout into seven sub-images, so decoding it as sequential
+    rows would emit wrong stats, not just reordered ones."""
     if len(b) < 33 or not b.startswith(_PNG_SIG):
         return None
     w, h = struct.unpack(">II", b[16:24])
-    bit_depth, color_type = b[24], b[25]
-    if bit_depth != 8 or color_type != 0:
-        return None  # palettes/truecolor need per-type handling; keep honest
+    bit_depth, color_type, _comp, _filt, interlace = b[24:29]
+    if bit_depth != 8 or color_type not in _PNG_BPP or interlace != 0:
+        return None
+    bpp = _PNG_BPP[color_type]
+    plte = None
+    if color_type == 3:
+        chunks = list(_png_chunks_of(b, b"PLTE"))
+        if not chunks:
+            return None
+        off, size = chunks[0]
+        plte = b[off + 8 : off + 8 + size]
     idat = b"".join(
         b[off + 8 : off + 8 + size]
         for off, size in _png_chunks_of(b, b"IDAT")
     )
-    px = _png_unfilter(zlib.decompress(idat), w, h)
+    try:
+        px = _png_unfilter(zlib.decompress(idat), w, h, bpp)
+    except zlib.error:
+        return None
     if px is None or not len(px):
         return None
+    chan = px[::bpp] if bpp > 1 else px
+    if plte is not None:
+        npal = len(plte) // 3
+        if any(v >= npal for v in chan):
+            return None
+        chan = bytes(plte[3 * v] for v in chan)
     return {
-        "px_sum": sum(px),
-        "px_min": min(px),
-        "px_max": max(px),
-        "n_px": len(px),
+        "px_sum": sum(chan),
+        "px_min": min(chan),
+        "px_max": max(chan),
+        "n_px": len(chan),
     }
 
 
@@ -1198,6 +1233,68 @@ def make_png(width: int, height: int) -> bytes:
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_row(cur: bytes, prev: bytes, ftype: int, bpp: int) -> bytes:
+    """Forward-apply one PNG filter (the encoder side of _png_unfilter)."""
+    rb = len(cur)
+    out = bytearray(rb)
+    for i in range(rb):
+        a = cur[i - bpp] if i >= bpp else 0
+        bb = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = bb
+        elif ftype == 3:
+            pred = (a + bb) // 2
+        else:  # Paeth
+            p = a + bb - c
+            pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+        out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def make_png_color(
+    width: int,
+    height: int,
+    color_type: int = 2,
+    px_fn=None,
+    palette: bytes | None = None,
+) -> bytes:
+    """A fully valid 8-bit PNG of any supported color type (0 gray,
+    2 RGB, 3 palette — pass ``palette`` as raw RGB triples —, 4
+    gray+alpha, 6 RGBA): ``px_fn(x, y) -> tuple`` supplies each pixel's
+    channel bytes (or the palette index for type 3). Rows cycle through
+    ALL FIVE filter types (y mod 5), so a decoder with any bpp-offset
+    filter bug fails loudly rather than only on filter-0 files."""
+    bpp = _PNG_BPP[color_type]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        cur = bytearray()
+        for x in range(width):
+            v = px_fn(x, y) if px_fn else (0,) * bpp
+            if isinstance(v, int):
+                v = (v,)
+            cur.extend(byte & 0xFF for byte in v)
+        ftype = y % 5
+        raw.append(ftype)
+        raw.extend(_png_filter_row(bytes(cur), prev, ftype, bpp))
+        prev = bytes(cur)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += _png_chunk(b"PLTE", palette or bytes(768))
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -2300,6 +2397,22 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
                             16 + (i * 7) % 89,
                             row_fn=lambda y, i=i: (i + y) % 4,
                         )
+                elif fmt == "png" and (i // 6) % 2 == 1:
+                    # RGB slice (doc_id % 12 == 6): per-row constant RED
+                    # channel (3*doc_id + 7y) % 256 — closed-form in
+                    # (doc_id, y) for multimodal_deep_png_rgb's oracle;
+                    # G/B vary per pixel so every filter type sees real
+                    # byte variation at bpp=3
+                    blob = make_png_color(
+                        16 + i % 97,
+                        16 + (i * 7) % 89,
+                        2,
+                        lambda x, y, i=i: (
+                            (3 * i + 7 * y) % 256,
+                            (x * 11) % 256,
+                            (x + y) % 256,
+                        ),
+                    )
                 else:
                     blob = makers[fmt](16 + i % 97, 16 + (i * 7) % 89)
                 rows.append(

@@ -694,6 +694,56 @@ def multimodal_deep_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "multimodal_deep_png_rgb",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 16 + doc_id % 97 AS w, 16 + (doc_id * 7) % 89 AS h
+      FROM documents WHERE doc_id % 12 = 6
+    ),
+    rws AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM g
+    ),
+    vals AS (
+      SELECT doc_id, w, h, (3 * doc_id + 7 * y) % 256 AS v FROM rws
+    )
+    SELECT doc_id AS media_id,
+           CAST(SUM(v * w) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max,
+           CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px
+    FROM vals GROUP BY doc_id ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "codec", "deep", "png", "rgb"),
+)
+def multimodal_deep_png_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUECOLOR (RGB) PNG decode, driver-verified: the doc_id % 12 == 6
+    slice carries 8-bit RGB scanlines whose rows cycle through ALL FIVE
+    PNG filter types at bpp=3 (the byte-offset-3 left neighbor — a
+    grayscale-only filter implementation decodes these wrong, not just
+    differently), reconstructed by the generalized _png_unfilter and
+    reduced over the RED channel (the documented first-channel
+    projection, same as GIF). The oracle recomputes the per-row-constant
+    red stats closed-form in (doc_id, y). Palette / gray+alpha / RGBA
+    variants are pinned in pytest; 16-bit and Adam7-interlaced files
+    quarantine (interlacing restructures scanlines — decoding it as
+    sequential rows would be silently WRONG, the one thing the module
+    never does)."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    # pre-synth filter: see multimodal_deep_jpeg
+    media = documents_as_synth_media(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 12 == 6)
+    )
+    return (
+        decode_media(media, deep=True)
+        .select("media_id", "px_sum", "px_min", "px_max", "n_px")
+        .orderBy("media_id")
+    )
+
+
+@query(
     "multimodal_deep_gif",
     oracle="""
     WITH g AS (

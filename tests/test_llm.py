@@ -345,7 +345,13 @@ def test_multimodal_real_decode_distributed(spark, sf_dir):
         if r.fmt == "wav":
             assert r.n_samples == 800 + (i % 100) * 16
             assert r.audio_sqsum > 0
-        elif r.fmt in ("png", "bmp"):
+        elif r.fmt == "png":
+            if i % 12 == 6:  # RGB slice: per-row constant red channel
+                want = sum((3 * i + 7 * y) % 256 for y in range(h)) * w
+                assert (r.px_sum, r.n_px) == (want, w * h), (i, r)
+            else:
+                assert r.px_sum == 0 and r.n_px > 0
+        elif r.fmt == "bmp":
             assert r.px_sum == 0 and r.n_px > 0
         elif r.fmt == "jpeg":
             want = 0
@@ -1555,3 +1561,45 @@ def test_gif_animated_multi_frame_decode():
         "px_max": max(svals),
         "n_px": w * h,
     }
+
+
+def test_png_color_types_decode_and_interlace_quarantines():
+    """The generalized PNG path: RGB/RGBA/gray+alpha/palette all decode
+    with rows cycling through all five filters at their true bpp offsets
+    (first-channel stats); Adam7-interlaced files quarantine — decoding
+    their restructured scanlines as sequential rows would emit WRONG
+    stats, not merely reordered ones."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_png,
+        make_png_color,
+        make_png_pattern,
+    )
+
+    w, h = 23, 17
+    reds = [(x * 7 + y * 13) % 256 for y in range(h) for x in range(w)]
+    rgb = make_png_color(
+        w, h, 2, lambda x, y: ((x * 7 + y * 13) % 256, x % 256, y % 256)
+    )
+    assert _deep_png(rgb) == {
+        "px_sum": sum(reds),
+        "px_min": min(reds),
+        "px_max": max(reds),
+        "n_px": w * h,
+    }
+    vals = [(x + y) % 256 for y in range(h) for x in range(w)]
+    rgba = make_png_color(w, h, 6, lambda x, y: ((x + y) % 256, 9, 9, 255))
+    assert _deep_png(rgba)["px_sum"] == sum(vals)
+    ga = make_png_color(w, h, 4, lambda x, y: ((x + y) % 256, 200))
+    assert _deep_png(ga)["px_sum"] == sum(vals)
+    pal = bytes(v for g in range(16) for v in (g * 16, 0, 0))
+    p3 = make_png_color(w, h, 3, lambda x, y: (x + y) % 16, palette=pal)
+    assert _deep_png(p3)["px_sum"] == sum(((x + y) % 16) * 16
+                                          for y in range(h) for x in range(w))
+    # Adam7 flag set: quarantine (IHDR interlace byte at offset 28)
+    blob = bytearray(make_png_pattern(9, 5, 3))
+    blob[28] = 1
+    assert _deep_png(bytes(blob)) is None
+    # 16-bit depth: quarantine
+    blob = bytearray(make_png_pattern(9, 5, 3))
+    blob[24] = 16
+    assert _deep_png(bytes(blob)) is None

@@ -267,10 +267,16 @@ def parse_media(content: bytes) -> dict:
 # --------------------------------------------------------------------------
 
 
-def _deep_wav(b: bytes) -> dict | None:
-    """PCM16 sample stats: frame count, peak |sample|, exact Σ sample²."""
-    import array
-    import sys
+def _wav_samples16(b: bytes):
+    """Decode an uncompressed-PCM WAV payload to samples in the 16-BIT
+    DOMAIN: 16-bit passes through; 8-bit (unsigned, 128-centered) shifts
+    up 8; 24/32-bit shift down to 16 — the standard peak-preserving
+    projection, and the reason the exact-integer Σ sample² stays safely
+    inside int64 at any depth and file length (a raw 32-bit sqsum
+    overflows int64 after FOUR full-scale samples). Returns
+    (int32 ndarray, channels) or None for float/compressed/odd-depth
+    streams."""
+    import numpy as np
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -282,24 +288,57 @@ def _deep_wav(b: bytes) -> dict | None:
             bits = struct.unpack("<H", b[off + 14 : off + 16])[0]
         elif cid == b"data":
             data = b[off : off + size]
-    if data is None or audio_fmt != 1 or bits != 16 or not channels:
-        return None  # only uncompressed PCM16 is stdlib-decodable
-    a = array.array("h")
-    a.frombytes(data[: len(data) // 2 * 2])
-    if sys.byteorder == "big":
-        a.byteswap()  # WAV payloads are little-endian
+    if data is None or audio_fmt != 1 or not channels:
+        return None  # float (fmt 3) / compressed: not integer-decodable
+    if bits == 16:
+        a = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+            np.int32
+        )
+    elif bits == 8:
+        a = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+        ) << 8
+    elif bits == 32:
+        a = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4") >> 16
+        a = a.astype(np.int32)
+    elif bits == 24:
+        raw = np.frombuffer(
+            data[: len(data) // 3 * 3], dtype=np.uint8
+        ).reshape(-1, 3)
+        v = (
+            raw[:, 0].astype(np.int32)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | (raw[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
+        a = (v >> 8).astype(np.int32)
+    else:
+        return None
+    return a, int(channels)
+
+
+def _deep_wav(b: bytes) -> dict | None:
+    """PCM sample stats at 8/16/24/32-bit depth, all in the 16-bit
+    domain (see _wav_samples16): frame count, peak |sample|, exact
+    Σ sample²."""
+    import numpy as np
+
+    dec = _wav_samples16(b)
+    if dec is None:
+        return None
+    a, channels = dec
     if not len(a):
         return {
             "n_samples": 0,
-            "audio_channels": int(channels),
+            "audio_channels": channels,
             "audio_peak": 0,
             "audio_sqsum": 0,
         }
     return {
         "n_samples": len(a) // channels,
-        "audio_channels": int(channels),
-        "audio_peak": max(abs(x) for x in a),
-        "audio_sqsum": sum(x * x for x in a),  # ints: exact, order-free
+        "audio_channels": channels,
+        "audio_peak": int(np.abs(a).max()),
+        "audio_sqsum": int((a.astype(np.int64) ** 2).sum()),  # exact ints
     }
 
 
@@ -1469,19 +1508,36 @@ def make_wav(
     sample_rate: int = 8000,
     channels: int = 1,
     sample_fn=None,
+    bits: int = 16,
 ) -> bytes:
-    """PCM16 WAV of ``n_samples`` frames: duration is exactly
-    ``n_samples / sample_rate``. ``sample_fn(k) -> int16`` fills frame k
-    (replicated across channels); default is silence."""
+    """Uncompressed-PCM WAV of ``n_samples`` frames at 8/16/24/32-bit
+    depth: duration is exactly ``n_samples / sample_rate``.
+    ``sample_fn(k) -> int`` fills frame k with the RAW stored sample at
+    that depth (replicated across channels); default is silence (128 for
+    the unsigned 8-bit convention)."""
+    bwidth = bits // 8
     if sample_fn is None:
-        data = b"\x00" * (n_samples * channels * 2)
+        frames = [128 if bits == 8 else 0] * n_samples
     else:
         frames = [int(sample_fn(k)) for k in range(n_samples)]
-        data = struct.pack(f"<{n_samples * channels}h", *(
-            v for v in frames for _ in range(channels)
-        ))
-    byte_rate = sample_rate * channels * 2
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    vals = (v for v in frames for _ in range(channels))
+    if bits == 8:
+        data = bytes((v & 0xFF) for v in vals)
+    elif bits == 16:
+        data = struct.pack(f"<{n_samples * channels}h", *vals)
+    elif bits == 24:
+        data = b"".join(
+            (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+        )
+    elif bits == 32:
+        data = struct.pack(f"<{n_samples * channels}i", *vals)
+    else:
+        raise ValueError(f"unsupported PCM depth {bits}")
+    byte_rate = sample_rate * channels * bwidth
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate,
+        channels * bwidth, bits,
+    )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -2324,11 +2380,19 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
                 if fmt == "wav":
                     # deterministic nonzero ramp: the deep sample stats are
                     # arithmetic in (doc_id, k), so the SQL oracle of
-                    # multimodal_deep_audio recomputes them exactly
-                    blob = make_wav(
-                        800 + (i % 100) * 16,
-                        sample_fn=lambda k, i=i: ((i * 31 + k * 7) % 201) - 100,
-                    )
+                    # multimodal_deep_audio recomputes them exactly. Half
+                    # the slice (doc_id % 12 == 10) stores the SAME signal
+                    # at 24-bit depth (samples << 8) — the 16-bit-domain
+                    # projection makes the stats identical by construction
+                    s16 = lambda k, i=i: ((i * 31 + k * 7) % 201) - 100
+                    if (i // 6) % 2 == 1:
+                        blob = make_wav(
+                            800 + (i % 100) * 16,
+                            sample_fn=lambda k, f=s16: f(k) << 8,
+                            bits=24,
+                        )
+                    else:
+                        blob = make_wav(800 + (i % 100) * 16, sample_fn=s16)
                 elif fmt == "avi":
                     # per-frame constant gray. Uncompressed-DIB slice
                     # (doc_id % 12 == 5): frame f decodes to exactly
@@ -2430,29 +2494,12 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(synth_batches, schema=MEDIA_SCHEMA)
 
 
-def _wav_pcm16(b: bytes) -> "array.array | None":
-    """Raw little-endian PCM16 samples of an uncompressed WAV, or None if
-    the blob isn't stdlib-decodable (same gate as _deep_wav)."""
-    import array
-    import sys
-
-    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-        return None
-    channels = bits = audio_fmt = None
-    data = None
-    for cid, off, size in _riff_chunks(b, 12):
-        if cid == b"fmt " and size >= 16:
-            audio_fmt, channels = struct.unpack("<HH", b[off : off + 4])
-            bits = struct.unpack("<H", b[off + 14 : off + 16])[0]
-        elif cid == b"data":
-            data = b[off : off + size]
-    if data is None or audio_fmt != 1 or bits != 16 or not channels:
-        return None
-    a = array.array("h")
-    a.frombytes(data[: len(data) // 2 * 2])
-    if sys.byteorder == "big":
-        a.byteswap()
-    return a
+def _wav_pcm16(b: bytes):
+    """Samples of an uncompressed-PCM WAV in the 16-bit domain (any
+    integer depth — see _wav_samples16), or None if not decodable
+    (same gate as _deep_wav)."""
+    dec = _wav_samples16(b)
+    return None if dec is None else dec[0]
 
 
 def audio_energy_windows(media: DataFrame, window: int = 100) -> DataFrame:

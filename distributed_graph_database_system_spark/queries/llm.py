@@ -573,6 +573,52 @@ def multimodal_deep_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_deep_audio_24bit",
+    oracle="""
+    WITH wavs AS (
+      SELECT doc_id, 800 + (doc_id % 100) * 16 AS n FROM documents
+      WHERE doc_id % 12 = 10
+    ),
+    s AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM wavs
+    ),
+    x AS (
+      SELECT doc_id, n, ((doc_id * 31 + k * 7) % 201) - 100 AS v FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(v)) AS BIGINT) AS audio_peak,
+           CAST(SUM(v * v) AS BIGINT) AS audio_sqsum
+    FROM x GROUP BY doc_id ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "codec", "deep", "audio", "pcm24"),
+)
+def multimodal_deep_audio_24bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-BIT PCM decode, driver-verified: the doc_id % 12 == 10 slice
+    stores the deterministic ramp left-shifted to 24-bit depth
+    (3-byte little-endian signed frames), and _wav_samples16's sign
+    extension + 16-bit-domain projection must land on exactly the same
+    integers the 16-bit twin decodes — so the oracle is the SAME
+    closed form in (doc_id, k). A wrong sign extension, byte order, or
+    projection shift hash-mismatches immediately. The projection is also
+    why the exact Σ sample² stays inside int64 at any depth/length (a
+    raw 32-bit sqsum overflows int64 after four full-scale samples)."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    # pre-synth filter: see multimodal_deep_jpeg
+    media = documents_as_synth_media(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 12 == 10)
+    )
+    return (
+        decode_media(media, deep=True)
+        .select("media_id", "n_samples", "audio_peak", "audio_sqsum")
+        .orderBy("media_id")
+    )
+
+
+@query(
     "multimodal_deep_jpeg",
     oracle="""
     WITH g AS (

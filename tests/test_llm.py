@@ -1603,3 +1603,37 @@ def test_png_color_types_decode_and_interlace_quarantines():
     blob = bytearray(make_png_pattern(9, 5, 3))
     blob[24] = 16
     assert _deep_png(bytes(blob)) is None
+
+
+def test_wav_depths_project_to_16bit_domain():
+    """8/24/32-bit PCM decode through the 16-bit-domain projection: the
+    same signal stored at any depth produces identical stats; float
+    (fmt 3) and odd depths quarantine."""
+    import struct as _s
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_wav,
+        make_wav,
+    )
+
+    n = 400
+    sf = lambda k: ((k * 37) % 201) - 100  # noqa: E731
+    ref = _deep_wav(make_wav(n, sample_fn=sf))
+    assert ref is not None and ref["audio_sqsum"] > 0
+    assert ref == _deep_wav(
+        make_wav(n, sample_fn=lambda k: sf(k) << 8, bits=24)
+    )
+    assert ref == _deep_wav(
+        make_wav(n, sample_fn=lambda k: sf(k) << 16, bits=32)
+    )
+    w8 = _deep_wav(make_wav(n, sample_fn=lambda k: 128 + sf(k) // 2, bits=8))
+    assert w8["audio_peak"] == max(abs(sf(k) // 2) for k in range(n)) << 8
+    # float WAV (fmt 3): quarantine
+    blob = bytearray(make_wav(16, sample_fn=sf))
+    fmt_at = blob.find(b"fmt ") + 8
+    blob[fmt_at : fmt_at + 2] = _s.pack("<H", 3)
+    assert _deep_wav(bytes(blob)) is None
+    # 12-bit depth: quarantine
+    blob = bytearray(make_wav(16, sample_fn=sf))
+    blob[fmt_at + 14 : fmt_at + 16] = _s.pack("<H", 12)
+    assert _deep_wav(bytes(blob)) is None

@@ -1232,8 +1232,66 @@ def strongly_connected_components(
     raise RuntimeError(f"scc: did not finish within {max_iter} outer rounds")
 
 
+def _frontier_traversal(
+    edges: DataFrame,
+    first: DataFrame,
+    row_cols: list[str],
+    dedup_keys: list[str],
+    expand,
+    op_name: str,
+    max_iter: int = 10_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Shared level-synchronous traversal discipline for the multi-source
+    walkers: per-level ``expand(frontier, e)`` → anti-join against
+    visited ``dedup_keys`` → localCheckpoint, lazy unionByName with a %64
+    compaction, empty-``take(1)`` stop probe, and the exhausted guard.
+    ``first`` must carry ``row_cols`` plus ``level``; ``expand`` returns
+    next-candidate rows with exactly ``row_cols``. ``dedup_keys`` ⊆
+    ``row_cols`` decides what "already visited" means: ``["vid"]`` gives
+    visit-once-per-vertex (nearest-landmark) semantics, the full row
+    gives per-seed trees. When ``stats`` is passed, the executed
+    join-round count lands in ``stats["rounds"]`` (= max level + 1 final
+    empty probe)."""
+    e = edges.select("src", "dst").persist()
+    exhausted = True
+    try:
+        visited = first.localCheckpoint()
+        frontier = visited.select(*row_cols)
+        level = 0
+        while level < max_iter:
+            level += 1
+            expanded = (
+                expand(frontier, e)
+                .join(visited.select(*dedup_keys), dedup_keys, "left_anti")
+                .withColumn("level", F.lit(level))
+                .select(*row_cols, "level")
+                .localCheckpoint()
+            )
+            if not expanded.take(1):
+                exhausted = False
+                break
+            visited = visited.unionByName(expanded)
+            if level % 64 == 0:
+                visited = visited.localCheckpoint()
+            frontier = expanded.select(*row_cols)
+        if stats is not None:
+            stats["rounds"] = level
+    finally:
+        e.unpersist()
+    if exhausted:
+        raise RuntimeError(
+            f"{op_name} did not exhaust the frontier within "
+            f"max_iter={max_iter} levels"
+        )
+    return visited
+
+
 def multi_source_bfs(
-    edges: DataFrame, sources: Sequence[int], max_iter: int = 10_000
+    edges: DataFrame,
+    sources: Sequence[int],
+    max_iter: int = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distances to the NEAREST of several landmark sources in one pass:
     returns ``(vid, level, landmark)`` where ``landmark`` is the source
@@ -1243,49 +1301,30 @@ def multi_source_bfs(
     separate traversals — the landmark-distance primitive behind
     shortest-path sketches and nearest-facility queries.
 
-    Same per-level frontier-join + localCheckpoint discipline as
-    :func:`bfs`; the frontier rows are (vid, landmark) pairs, and a
-    vertex is visited once — by its winning landmark."""
+    Built on the shared :func:`_frontier_traversal` discipline; the
+    frontier rows are (vid, landmark) pairs and a vertex is VISITED ONCE
+    — the dedup key is ``vid`` alone, the landmark column rides along as
+    the per-level argmin payload (deterministic MIN inside ``expand``),
+    so the traversal state stays O(|V|)."""
     if not sources:
         raise ValueError("multi_source_bfs: need at least one source")
-    spark = edges.sparkSession
-    e = edges.select("src", "dst").persist()
-    exhausted = True
-    try:
-        first = spark.createDataFrame(
-            [(int(s), 0, int(s)) for s in sorted(set(sources))],
-            "vid BIGINT, level INT, landmark BIGINT",
-        ).localCheckpoint()
-        visited = first
-        frontier = first.select("vid", "landmark")
-        level = 0
-        while level < max_iter:
-            level += 1
-            expanded = (
-                frontier.join(e, frontier["vid"] == e["src"])
-                .select(e["dst"].alias("vid"), "landmark")
-                .groupBy("vid")
-                .agg(F.min("landmark").alias("landmark"))  # deterministic tie
-                .join(visited.select("vid"), "vid", "left_anti")
-                .withColumn("level", F.lit(level))
-                .select("vid", "level", "landmark")
-                .localCheckpoint()
-            )
-            if not expanded.take(1):
-                exhausted = False
-                break
-            visited = visited.unionByName(expanded)
-            if level % 64 == 0:
-                visited = visited.localCheckpoint()
-            frontier = expanded.select("vid", "landmark")
-    finally:
-        e.unpersist()
-    if exhausted:
-        raise RuntimeError(
-            f"multi_source_bfs did not exhaust the frontier within "
-            f"max_iter={max_iter} levels"
+    first = edges.sparkSession.createDataFrame(
+        [(int(s), int(s), 0) for s in sorted(set(sources))],
+        "vid BIGINT, landmark BIGINT, level INT",
+    )
+
+    def expand(frontier: DataFrame, e: DataFrame) -> DataFrame:
+        return (
+            frontier.join(e, frontier["vid"] == e["src"])
+            .select(e["dst"].alias("vid"), "landmark")
+            .groupBy("vid")
+            .agg(F.min("landmark").alias("landmark"))  # deterministic tie
         )
-    return visited.orderBy("level", "vid")
+
+    return _frontier_traversal(
+        edges, first, ["vid", "landmark"], ["vid"], expand,
+        "multi_source_bfs", max_iter, stats,
+    ).select("vid", "level", "landmark").orderBy("level", "vid")
 
 
 def multi_source_bfs_all(
@@ -1306,54 +1345,28 @@ def multi_source_bfs_all(
     replaces). State size is Σ|reach(seed)| rows, the size of the answer
     itself.
 
-    Same per-level frontier-join + lazy-union + localCheckpoint
-    discipline as :func:`bfs`. When ``stats`` is passed, the executed
-    join-round count is recorded under ``stats["rounds"]`` (= max level
-    + 1 final empty probe) — pinned by tests/test_graph.py so a refactor
+    Built on the shared :func:`_frontier_traversal` discipline. When
+    ``stats`` is passed, the executed join-round count is recorded under
+    ``stats["rounds"]`` — pinned by tests/test_graph.py so a refactor
     back to a per-landmark loop fails loudly."""
     if not sources:
         raise ValueError("multi_source_bfs_all: need at least one source")
-    spark = edges.sparkSession
-    e = edges.select("src", "dst").persist()
-    exhausted = True
-    try:
-        first = spark.createDataFrame(
-            [(int(s), int(s), 0) for s in sorted(set(sources))],
-            "seed BIGINT, vid BIGINT, level INT",
-        ).localCheckpoint()
-        visited = first
-        frontier = first.select("seed", "vid")
-        level = 0
-        while level < max_iter:
-            level += 1
-            expanded = (
-                frontier.join(e, frontier["vid"] == e["src"])
-                .select("seed", e["dst"].alias("vid"))
-                .distinct()
-                .join(
-                    visited.select("seed", "vid"), ["seed", "vid"], "left_anti"
-                )
-                .withColumn("level", F.lit(level))
-                .select("seed", "vid", "level")
-                .localCheckpoint()
-            )
-            if not expanded.take(1):
-                exhausted = False
-                break
-            visited = visited.unionByName(expanded)
-            if level % 64 == 0:
-                visited = visited.localCheckpoint()
-            frontier = expanded.select("seed", "vid")
-        if stats is not None:
-            stats["rounds"] = level
-    finally:
-        e.unpersist()
-    if exhausted:
-        raise RuntimeError(
-            f"multi_source_bfs_all did not exhaust the frontier within "
-            f"max_iter={max_iter} levels"
+    first = edges.sparkSession.createDataFrame(
+        [(int(s), int(s), 0) for s in sorted(set(sources))],
+        "seed BIGINT, vid BIGINT, level INT",
+    )
+
+    def expand(frontier: DataFrame, e: DataFrame) -> DataFrame:
+        return (
+            frontier.join(e, frontier["vid"] == e["src"])
+            .select("seed", e["dst"].alias("vid"))
+            .distinct()
         )
-    return visited
+
+    return _frontier_traversal(
+        edges, first, ["seed", "vid"], ["seed", "vid"], expand,
+        "multi_source_bfs_all", max_iter, stats,
+    ).select("seed", "vid", "level")
 
 
 def temporal_bfs(

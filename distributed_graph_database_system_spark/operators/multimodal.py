@@ -540,9 +540,11 @@ def _deep_jpeg(b: bytes) -> dict | None:
     luma sampling up to 2x2, chroma 1x1). For color frames the stats are
     over the LUMA component — the brightness statistics a curation
     pipeline wants; chroma and MCU-padding blocks are entropy-decoded to
-    keep bitstream position but not reconstructed. No restart markers —
-    progressive and exotic sampling return None (quarantine-to-NULL, the
-    module contract)."""
+    keep bitstream position but not reconstructed. Restart intervals
+    (DRI — the camera default) decode: entropy segments split at RSTn,
+    DC predictors reset, byte phase realigned per B.2.1.2. Progressive
+    (SOF2) routes to _deep_jpeg_progressive; exotic sampling returns
+    None (quarantine-to-NULL, the module contract)."""
     import numpy as np
 
     if len(b) < 4 or b[:2] != b"\xff\xd8":
@@ -852,6 +854,12 @@ def _deep_jpeg_progressive(b: bytes) -> dict | None:
             for k in range(ncomp):
                 cid, sampling, tq_id = seg[6 + 3 * k : 9 + 3 * k]
                 comps.append((cid, sampling >> 4, sampling & 15, tq_id))
+            if ncomp == 1:
+                # single-component scans are NON-interleaved per A.2.2:
+                # declared sampling factors do not define MCUs (mirrors
+                # the baseline decoder — some encoders declare 2x2 on
+                # grayscale frames)
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             if ncomp == 3:
                 if comps[0][1] not in (1, 2) or comps[0][2] not in (1, 2):
                     return None
@@ -2522,6 +2530,8 @@ def audio_energy_windows(media: DataFrame, window: int = 100) -> DataFrame:
     )
 
     def win_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
@@ -2539,7 +2549,13 @@ def audio_energy_windows(media: DataFrame, window: int = 100) -> DataFrame:
                             "media_id": media_id,
                             "w_idx": w,
                             "n_in_w": len(chunk),
-                            "energy": sum(x * x for x in chunk),
+                            # int64-accumulated: a numpy int32 chunk
+                            # would WRAP under NEP-50 promotion on a
+                            # near-full-scale window (same fix as
+                            # _deep_wav's sqsum)
+                            "energy": int(
+                                (np.asarray(chunk, dtype=np.int64) ** 2).sum()
+                            ),
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
@@ -2595,7 +2611,11 @@ def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
                     if len(blob) < 33 or not blob.startswith(_PNG_SIG):
                         continue
                     w, h = struct.unpack(">II", blob[16:24])
-                    if blob[24] != 8 or blob[25] != 0:
+                    # 8-bit grayscale, NON-interlaced only: Adam7
+                    # restructures scanlines, and a positional hash over
+                    # sequentially-unfiltered bytes would be silently
+                    # wrong, not merely reordered
+                    if blob[24] != 8 or blob[25] != 0 or blob[28] != 0:
                         continue
                     idat = b"".join(
                         blob[off + 8 : off + 8 + size]

@@ -70,6 +70,11 @@ def main() -> int:
     doc_mode = sys.argv[3] if len(sys.argv) > 3 else "neardup"
     if doc_mode not in ("neardup", "disjoint"):
         raise SystemExit(f"doc_mode must be neardup|disjoint, got {doc_mode!r}")
+    if doc_mode == "disjoint" and copies > 26:
+        # a rotation cipher has only 26 distinct classes — beyond that,
+        # copies would silently alias earlier ones and the constant-
+        # duplicate-rate property would quietly break
+        raise SystemExit("disjoint mode supports at most 26 copies")
     spark = get_spark(app_name="make_sf1")
     for table, keys in KEYS.items():
         src = spark.read.parquet(f"{SRC}/{table}.parquet")
@@ -89,8 +94,11 @@ def main() -> int:
                     else:  # disjoint: per-copy substitution cipher
                         lo = "abcdefghijklmnopqrstuvwxyz"
                         up = lo.upper()
-                        rl = lo[i:] + lo[:i]
-                        ru = up[i:] + up[:i]
+                        # rotation 1..25, never 0 mod 26: copy 26 of a
+                        # large clone must not silently alias copy 0
+                        rot = 1 + (i - 1) % 25
+                        rl = lo[rot:] + lo[:rot]
+                        ru = up[rot:] + up[:rot]
                         df = df.withColumn(
                             "text", F.translate("text", lo + up, rl + ru)
                         )

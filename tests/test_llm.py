@@ -1637,3 +1637,26 @@ def test_wav_depths_project_to_16bit_domain():
     blob = bytearray(make_wav(16, sample_fn=sf))
     blob[fmt_at + 14 : fmt_at + 16] = _s.pack("<H", 12)
     assert _deep_wav(bytes(blob)) is None
+
+
+def test_jpeg_progressive_grayscale_ignores_declared_sampling():
+    """A.2.2: single-component scans are non-interleaved, so declared
+    sampling factors must not define the block grid — some encoders
+    stamp 2x2 on grayscale frames. The progressive path must decode
+    these identically to a 1x1 declaration (the baseline twin already
+    pins this), not quarantine."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_jpeg,
+        make_jpeg_progressive,
+    )
+
+    def dc(bx, by):
+        return ((bx * 7 + by * 13) % 63) - 31
+
+    blob = bytearray(make_jpeg_progressive(40, 33, dc_fn=dc))
+    want = _deep_jpeg(bytes(blob))
+    assert want is not None
+    sof = blob.find(b"\xff\xc2")
+    assert blob[sof + 11] == 0x11  # the single component's sampling byte
+    blob[sof + 11] = 0x22  # declare 2x2 on the grayscale frame
+    assert _deep_jpeg(bytes(blob)) == want

@@ -102,15 +102,22 @@ def oracle_of(name: str) -> str:
 # part_xyz_classification analyze_column_stats events_ab_lift_ztest
 # events_burstiness_fano orders_cohort_ltv_curve events_dod_retention_kmv
 # join_null_safe embed_centroids text_repetition_score
-# embed_outlier_robust — plus 11 round-9 registrations seeded as r10
-# first-time evidence: multimodal_deep_jpeg_progressive (SOF2 decode),
-# multimodal_deep_avi_mjpeg (Motion-JPEG), graph_multi_source_bfs_g6 +
-# graph_eccentricity_g6 (multi_source_bfs_all, recursive-CTE oracles),
-# customer_recent_orders_lateral (LATERAL), orders_unpivot_price_components
-# (UNPIVOT), lineitem_price_qty_regression (regr_* aggregates),
-# orders_key_bitops_by_status (bit aggregates), orders_price_percentile_disc
-# (discrete percentiles), events_props_try_arithmetic (TRY_* arithmetic),
-# supplier_best_part_maxby (max_by composite key). The set difference vs
+# embed_outlier_robust — plus 15 round-9 registrations seeded as r10
+# first-time evidence (pool = 45): multimodal_deep_jpeg_progressive
+# (SOF2 successive approximation), multimodal_deep_avi_mjpeg
+# (Motion-JPEG), multimodal_deep_gif_animated (all-frames GIF),
+# multimodal_deep_png_rgb (truecolor PNG, all five filters at bpp=3),
+# multimodal_deep_audio_24bit (PCM24 via the 16-bit-domain projection),
+# graph_multi_source_bfs_g6 + graph_eccentricity_g6
+# (multi_source_bfs_all, recursive-CTE oracles),
+# customer_recent_orders_lateral (LATERAL → WindowGroupLimit),
+# orders_unpivot_price_components (UNPIVOT),
+# lineitem_price_qty_regression (regr_* aggregates),
+# orders_key_bitops_by_status (bit aggregates),
+# orders_price_percentile_disc (discrete percentiles),
+# events_props_try_arithmetic (TRY_* arithmetic),
+# supplier_best_part_maxby (max_by composite key),
+# events_xml_roundtrip (to_xml/from_xml identity). The set difference vs
 # CORRECTNESS_r*.json is the authoritative list.
 #
 DRIVER_WINDOW: tuple[str, ...] = (

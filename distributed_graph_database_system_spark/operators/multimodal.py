@@ -449,29 +449,65 @@ def _png_chunks_of(b: bytes, ctype: bytes):
 
 
 def _deep_bmp(b: bytes) -> dict | None:
-    """Uncompressed 24-bit pixel-byte stats (all channels), honoring the
-    4-byte row alignment and bottom-up row order (order is irrelevant to
-    the stats, but the padding bytes must NOT be counted)."""
+    """Uncompressed BMP pixel stats: 24-bit (all channel bytes) or 8-bit
+    palette-mapped (the legacy-common flavor — indices map through the
+    BITMAPINFOHEADER color table's red column via one bytes.translate,
+    same projection as _deep_avi's DIB frames). Honors the 4-byte row
+    alignment and bottom-up row order (order is irrelevant to the stats,
+    but the padding bytes must NOT be counted)."""
     if len(b) < 54 or b[:2] != b"BM":
         return None
     px_off = struct.unpack("<I", b[10:14])[0]
     w, h = struct.unpack("<ii", b[18:26])
     bpp = struct.unpack("<H", b[28:30])[0]
     compression = struct.unpack("<I", b[30:34])[0]
-    if bpp != 24 or compression != 0 or w <= 0:
+    if bpp not in (8, 24) or compression != 0 or w <= 0:
         return None
-    stride = (w * 3 + 3) & ~3
+    bypp = bpp // 8
+    trans = None
+    if bpp == 8:
+        clr = struct.unpack("<I", b[46:50])[0] or 256
+        pal_off = 14 + struct.unpack("<I", b[14:18])[0]
+        pal = b[pal_off : pal_off + 4 * clr]  # BGRX quads
+        if len(pal) < 4 * clr:
+            return None
+        trans = bytes(
+            pal[4 * i + 2] if i < clr else 0 for i in range(256)
+        )
+    stride = (w * bypp + 3) & ~3
     rows = abs(h)
     if px_off + stride * rows > len(b):
         return None
     total, mn, mx, n = 0, 255, 0, 0
     for r in range(rows):
-        row = b[px_off + r * stride : px_off + r * stride + w * 3]
+        row = b[px_off + r * stride : px_off + r * stride + w * bypp]
+        if trans is not None:
+            row = row.translate(trans)
         total += sum(row)
         mn = min(mn, min(row))
         mx = max(mx, max(row))
         n += len(row)
     return {"px_sum": total, "px_min": mn, "px_max": mx, "n_px": n}
+
+
+def make_bmp8(width: int, height: int, px_fn=None) -> bytes:
+    """8-bit palette BMP: identity gray color table (BGRX quads),
+    ``px_fn(x, y) -> 0..255`` palette indices, 4-byte-aligned bottom-up
+    rows — the legacy flavor _deep_bmp maps through the palette."""
+    stride = (width + 3) & ~3
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        for x in range(width):
+            rows.append(int(px_fn(x, y)) & 0xFF if px_fn else 0)
+        rows.extend(b"\x00" * (stride - width))
+    palette = b"".join(bytes([g, g, g, 0]) for g in range(256))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, stride * height,
+        2835, 2835, 256, 0,
+    )
+    px_off = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", px_off + len(rows), 0, 0, px_off)
+    return header + info + palette + bytes(rows)
 
 
 def _jpeg_decode_table(bits, vals):

@@ -1660,3 +1660,30 @@ def test_jpeg_progressive_grayscale_ignores_declared_sampling():
     assert blob[sof + 11] == 0x11  # the single component's sampling byte
     blob[sof + 11] = 0x22  # declare 2x2 on the grayscale frame
     assert _deep_jpeg(bytes(blob)) == want
+
+
+def test_bmp_8bit_palette_decodes():
+    """8-bit palette BMP (the legacy flavor): indices map through the
+    color table's red column; 24-bit files keep the all-channel stats;
+    RLE-compressed BMPs quarantine."""
+    import struct as _s
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_bmp,
+        make_bmp,
+        make_bmp8,
+    )
+
+    w, h = 23, 9
+    blob = make_bmp8(w, h, px_fn=lambda x, y: (x * 7 + y * 13) % 256)
+    vals = [(x * 7 + y * 13) % 256 for y in range(h) for x in range(w)]
+    assert _deep_bmp(blob) == {
+        "px_sum": sum(vals),
+        "px_min": min(vals),
+        "px_max": max(vals),
+        "n_px": w * h,
+    }
+    assert _deep_bmp(make_bmp(9, 5))["px_sum"] == 0
+    rle = bytearray(blob)
+    rle[30:34] = _s.pack("<I", 1)  # BI_RLE8
+    assert _deep_bmp(bytes(rle)) is None

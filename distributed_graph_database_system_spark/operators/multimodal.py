@@ -390,20 +390,40 @@ def _png_unfilter(
 # index through PLTE's red column.
 _PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 interlace passes: (x0, y0, dx, dy). Each pass is its own group of
+# filtered scanlines (the filter's "previous row" resets at every pass
+# boundary), concatenated in this order inside the single zlib stream.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(w: int, h: int) -> list[tuple[int, int]]:
+    """(pass_width, pass_height) for each Adam7 pass; zero-sized passes
+    contribute NO scanlines at all (not even filter bytes)."""
+    return [
+        (max(0, -(-(w - x0) // dx)), max(0, -(-(h - y0) // dy)))
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
 
 def _deep_png(b: bytes) -> dict | None:
     """Pixel stats via zlib inflate + filter reconstruction for every
     8-bit color type: grayscale (0), RGB (2), palette (3, mapped through
     PLTE), gray+alpha (4), RGBA (6). Stats are over the first channel
-    (gray / red — see _PNG_BPP). 16-bit and sub-byte depths, and Adam7
-    INTERLACED files, quarantine to NULL — interlacing restructures the
-    scanline layout into seven sub-images, so decoding it as sequential
-    rows would emit wrong stats, not just reordered ones."""
+    (gray / red — see _PNG_BPP), for sequential AND Adam7-interlaced
+    layouts: each of the seven interlace passes unfilters independently
+    (its own scanline group, previous-row state reset) and the stats
+    accumulate over the concatenated passes — POSITION-free statistics
+    need only the pixel multiset, which the passes partition exactly.
+    (image_dhash, which IS positional, still skips interlaced files.)
+    16-bit and sub-byte depths quarantine to NULL."""
     if len(b) < 33 or not b.startswith(_PNG_SIG):
         return None
     w, h = struct.unpack(">II", b[16:24])
     bit_depth, color_type, _comp, _filt, interlace = b[24:29]
-    if bit_depth != 8 or color_type not in _PNG_BPP or interlace != 0:
+    if bit_depth != 8 or color_type not in _PNG_BPP or interlace > 1:
         return None
     bpp = _PNG_BPP[color_type]
     plte = None
@@ -418,9 +438,25 @@ def _deep_png(b: bytes) -> dict | None:
         for off, size in _png_chunks_of(b, b"IDAT")
     )
     try:
-        px = _png_unfilter(zlib.decompress(idat), w, h, bpp)
+        raw = zlib.decompress(idat)
     except zlib.error:
         return None
+    if interlace == 0:
+        px = _png_unfilter(raw, w, h, bpp)
+    else:
+        px = bytearray()
+        pos = 0
+        for pw, ph in _adam7_pass_dims(w, h):
+            if pw == 0 or ph == 0:
+                continue
+            span = (pw * bpp + 1) * ph
+            part = _png_unfilter(raw[pos : pos + span], pw, ph, bpp)
+            if part is None:
+                return None
+            px += part
+            pos += span
+        if pos > len(raw):
+            return None
     if px is None or not len(px):
         return None
     chan = px[::bpp] if bpp > 1 else px
@@ -1350,28 +1386,52 @@ def make_png_color(
     color_type: int = 2,
     px_fn=None,
     palette: bytes | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """A fully valid 8-bit PNG of any supported color type (0 gray,
     2 RGB, 3 palette — pass ``palette`` as raw RGB triples —, 4
     gray+alpha, 6 RGBA): ``px_fn(x, y) -> tuple`` supplies each pixel's
     channel bytes (or the palette index for type 3). Rows cycle through
     ALL FIVE filter types (y mod 5), so a decoder with any bpp-offset
-    filter bug fails loudly rather than only on filter-0 files."""
+    filter bug fails loudly rather than only on filter-0 files.
+    ``interlace=True`` emits the real Adam7 layout: seven pass groups of
+    independently-filtered scanlines over each pass's sub-grid, with the
+    previous-row state reset at every pass boundary."""
     bpp = _PNG_BPP[color_type]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+
+    def px_bytes(x: int, y: int) -> bytes:
+        v = px_fn(x, y) if px_fn else (0,) * bpp
+        if isinstance(v, int):
+            v = (v,)
+        return bytes(byte & 0xFF for byte in v)
+
     raw = bytearray()
-    prev = bytes(width * bpp)
-    for y in range(height):
-        cur = bytearray()
-        for x in range(width):
-            v = px_fn(x, y) if px_fn else (0,) * bpp
-            if isinstance(v, int):
-                v = (v,)
-            cur.extend(byte & 0xFF for byte in v)
-        ftype = y % 5
-        raw.append(ftype)
-        raw.extend(_png_filter_row(bytes(cur), prev, ftype, bpp))
-        prev = bytes(cur)
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            prev = None
+            for y in range(y0, height, dy):
+                cur = bytearray()
+                for x in range(x0, width, dx):
+                    cur.extend(px_bytes(x, y))
+                if not cur:
+                    continue  # zero-width pass: no scanlines at all
+                if prev is None:
+                    prev = bytes(len(cur))
+                ftype = (y // dy) % 5
+                raw.append(ftype)
+                raw.extend(_png_filter_row(bytes(cur), prev, ftype, bpp))
+                prev = bytes(cur)
+    else:
+        prev = bytes(width * bpp)
+        for y in range(height):
+            cur = bytearray(b"".join(px_bytes(x, y) for x in range(width)))
+            ftype = y % 5
+            raw.append(ftype)
+            raw.extend(_png_filter_row(bytes(cur), prev, ftype, bpp))
+            prev = bytes(cur)
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += _png_chunk(b"PLTE", palette or bytes(768))

@@ -770,10 +770,9 @@ def multimodal_deep_png_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced over the RED channel (the documented first-channel
     projection, same as GIF). The oracle recomputes the per-row-constant
     red stats closed-form in (doc_id, y). Palette / gray+alpha / RGBA
-    variants are pinned in pytest; 16-bit and Adam7-interlaced files
-    quarantine (interlacing restructures scanlines — decoding it as
-    sequential rows would be silently WRONG, the one thing the module
-    never does)."""
+    variants and Adam7-interlaced decode (passes partition the pixel
+    multiset, so position-free stats accumulate exactly) are pinned in
+    pytest; 16-bit files quarantine."""
     from distributed_graph_database_system_spark.operators.multimodal import (
         decode_media,
     )

@@ -1566,9 +1566,10 @@ def test_gif_animated_multi_frame_decode():
 def test_png_color_types_decode_and_interlace_quarantines():
     """The generalized PNG path: RGB/RGBA/gray+alpha/palette all decode
     with rows cycling through all five filters at their true bpp offsets
-    (first-channel stats); Adam7-interlaced files quarantine — decoding
-    their restructured scanlines as sequential rows would emit WRONG
-    stats, not merely reordered ones."""
+    (first-channel stats); REAL Adam7-interlaced files decode to the
+    same stats as their sequential twins (the passes partition the pixel
+    multiset); a sequential stream mislabeled interlaced is wrong-shaped
+    and quarantines instead of emitting garbage."""
     from distributed_graph_database_system_spark.operators.multimodal import (
         _deep_png,
         make_png_color,
@@ -1595,7 +1596,14 @@ def test_png_color_types_decode_and_interlace_quarantines():
     p3 = make_png_color(w, h, 3, lambda x, y: (x + y) % 16, palette=pal)
     assert _deep_png(p3)["px_sum"] == sum(((x + y) % 16) * 16
                                           for y in range(h) for x in range(w))
-    # Adam7 flag set: quarantine (IHDR interlace byte at offset 28)
+    # REAL Adam7 files decode identically to their sequential twins
+    for ct, fn in ((2, lambda x, y: ((x * 7 + y * 13) % 256, x, y)),
+                   (0, lambda x, y: (x * 3 + y * 11) % 256)):
+        seq = _deep_png(make_png_color(23, 17, ct, fn))
+        il = _deep_png(make_png_color(23, 17, ct, fn, interlace=True))
+        assert seq is not None and seq == il, (ct, seq, il)
+    # a SEQUENTIAL stream mislabeled interlaced is wrong-shaped (Adam7
+    # needs a different scanline byte layout): quarantine, never garbage
     blob = bytearray(make_png_pattern(9, 5, 3))
     blob[28] = 1
     assert _deep_png(bytes(blob)) is None

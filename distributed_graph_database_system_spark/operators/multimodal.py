@@ -2570,7 +2570,10 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
                     # channel (3*doc_id + 7y) % 256 — closed-form in
                     # (doc_id, y) for multimodal_deep_png_rgb's oracle;
                     # G/B vary per pixel so every filter type sees real
-                    # byte variation at bpp=3
+                    # byte variation at bpp=3. Half the slice (doc_id %
+                    # 24 == 18) ships the SAME pixels Adam7-INTERLACED —
+                    # identical stats by construction, so the one oracle
+                    # verifies both layouts
                     blob = make_png_color(
                         16 + i % 97,
                         16 + (i * 7) % 89,
@@ -2580,6 +2583,7 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
                             (x * 11) % 256,
                             (x + y) % 256,
                         ),
+                        interlace=(i % 24 == 18),
                     )
                 else:
                     blob = makers[fmt](16 + i % 97, 16 + (i * 7) % 89)

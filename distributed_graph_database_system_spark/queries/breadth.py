@@ -3166,3 +3166,113 @@ def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_gap_fill_forward",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+    ), bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+    ), cal AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), joined AS (
+      SELECT cal.day, d.n,
+             CAST(SUM(CASE WHEN d.n IS NOT NULL THEN 1 ELSE 0 END)
+                  OVER (ORDER BY cal.day) AS BIGINT) AS grp
+      FROM cal LEFT JOIN d ON d.day = cal.day
+    ), filled AS (
+      SELECT day, n, MAX(n) OVER (PARTITION BY grp) AS n_filled,
+             n IS NULL AS was_gap
+      FROM joined
+    )
+    SELECT CAST(CAST(day AS TIMESTAMP) AS TIMESTAMP) AS day,
+           CAST(n_filled AS BIGINT) AS n_filled,
+           was_gap
+    FROM filled ORDER BY day
+    """,
+    tags=("window", "gap-fill", "time-series"),
+)
+def events_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling with forward fill (LOCF): the daily purchase
+    counts join onto a complete generated calendar (sequence over the
+    observed [min, max] span) and missing days carry the LAST OBSERVED
+    value via last_value(..., ignoreNulls) — the standard
+    time-series-densification op every warehouse needs before rolling
+    metrics. Spark side: one sequence+explode (map-side fan-out), one
+    left join, one ordered window. The oracle expresses the same fill as
+    a grouped running MAX over gap-group ids (DuckDB's last_value lacks
+    IGNORE NULLS in the window form — two spellings, one semantic). DATE
+    is cast to TIMESTAMP on both sides per the parity canonicalization."""
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    bounds = d.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    joined = cal.join(d, "day", "left")
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        joined.select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.last("n", ignorenulls=True).over(w).alias("n_filled"),
+            F.col("n").isNull().alias("was_gap"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "orders_price_ntile_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT o_orderpriority, decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM t GROUP BY o_orderpriority, decile
+    ORDER BY o_orderpriority, decile
+    """,
+    tags=("window", "ntile", "quantile-bucketing"),
+)
+def orders_price_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile bucketing per priority — the SQL-standard equal-count
+    binning both engines implement with the identical floor/remainder
+    rule, made deterministic by the (price, orderkey) total order
+    (NTILE over a tied prefix is engine-arbitrary otherwise — the same
+    tie-break discipline as agg_mode_exact). Decile boundaries (lo/hi)
+    are exact column values, no interpolation. NOTE the window partition
+    is the 5-value priority key at fixture scale; at 100 TB the same
+    query partitions by a higher-cardinality key or pre-aggregates — the
+    operator surface, not the partition count, is what this pins."""
+    from distributed_graph_database_system_spark.queries.helpers import sf_view
+
+    o = sf_view(spark, load_table(spark, sf_dir, "orders"), "ntile_ord", sf_dir)
+    return spark.sql(f"""
+        WITH t AS (
+          SELECT o_orderpriority, o_totalprice,
+                 NTILE(10) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey) AS decile
+          FROM {o}
+        )
+        SELECT o_orderpriority, decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        FROM t GROUP BY o_orderpriority, decile
+        ORDER BY o_orderpriority, decile
+    """)

@@ -2530,10 +2530,22 @@ def documents_as_synth_media(docs: DataFrame) -> DataFrame:
                     # exercised separately by
                     # multimodal_deep_jpeg_progressive
                     if (i // 6) % 2 == 1:
+                        # half the progressive slice (doc_id % 24 == 21)
+                        # is COLOR 4:2:0 — interleaved DC scans + skipped
+                        # chroma AC scans; stats are the luma plane, so
+                        # the SAME closed-form oracle verifies both
+                        color = i % 24 == 21
                         blob = make_jpeg_progressive(
                             16 + i % 97,
                             16 + (i * 7) % 89,
                             dc_fn=lambda bx, by, i=i: ((i + 3 * bx + 5 * by) % 25) - 12,
+                            color=color,
+                            chroma_dc_fn=(
+                                (lambda mx, my, i=i: ((i + mx) % 9 - 4, (i + my) % 9 - 4))
+                                if color
+                                else None
+                            ),
+                            subsampling="420",
                         )
                     else:
                         # half the baseline slice (doc_id % 24 == 15)

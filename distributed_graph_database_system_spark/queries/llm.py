@@ -2428,3 +2428,117 @@ def embed_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1, thresh)], "vec_id BIGINT, value DOUBLE"
     )
     return header.unionByName(flagged).orderBy("vec_id")
+
+
+def _register_multimodal_corpus_report() -> None:
+    """Registered via a function so the composed oracle can read the
+    per-format oracles AFTER they are all declared above (oracle_of
+    requires registration order)."""
+    from distributed_graph_database_system_spark.queries.registry import (
+        oracle_of,
+    )
+
+    oracle = f"""
+    WITH jpeg_rows AS ({oracle_of("multimodal_deep_jpeg")}),
+    gif_rows AS (
+      SELECT * FROM ({oracle_of("multimodal_deep_gif")})
+      UNION ALL
+      SELECT * FROM ({oracle_of("multimodal_deep_gif_animated")})
+    ),
+    png_rows AS (
+      SELECT * FROM ({oracle_of("multimodal_deep_png_rgb")})
+      UNION ALL
+      SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS px_sum,
+             0 AS px_min, 0 AS px_max,
+             CAST((16 + doc_id % 97) * (16 + (doc_id * 7) % 89) AS BIGINT)
+               AS n_px
+      FROM documents WHERE doc_id % 12 = 0
+    ),
+    bmp_rows AS (
+      SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS px_sum,
+             0 AS px_min, 0 AS px_max,
+             CAST(3 * (16 + doc_id % 97) * (16 + (doc_id * 7) % 89)
+                  AS BIGINT) AS n_px
+      FROM documents WHERE doc_id % 6 = 2
+    ),
+    avi_rows AS (
+      SELECT * FROM ({oracle_of("multimodal_deep_avi")})
+      UNION ALL
+      SELECT * FROM ({oracle_of("multimodal_deep_avi_mjpeg")})
+    ),
+    wav_rows AS ({oracle_of("multimodal_deep_audio")})
+    SELECT 'avi' AS fmt, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_deep_ok,
+           CAST(SUM(n_px) AS BIGINT) AS units,
+           CAST(MIN(px_min) AS BIGINT) AS lo,
+           CAST(MAX(px_max) AS BIGINT) AS hi
+    FROM avi_rows
+    UNION ALL
+    SELECT 'bmp', COUNT(*), COUNT(*), CAST(SUM(n_px) AS BIGINT),
+           CAST(MIN(px_min) AS BIGINT), CAST(MAX(px_max) AS BIGINT)
+    FROM bmp_rows
+    UNION ALL
+    SELECT 'gif', COUNT(*), COUNT(*), CAST(SUM(n_px) AS BIGINT),
+           CAST(MIN(px_min) AS BIGINT), CAST(MAX(px_max) AS BIGINT)
+    FROM gif_rows
+    UNION ALL
+    SELECT 'jpeg', COUNT(*), COUNT(*), CAST(SUM(n_px) AS BIGINT),
+           CAST(MIN(px_min) AS BIGINT), CAST(MAX(px_max) AS BIGINT)
+    FROM jpeg_rows
+    UNION ALL
+    SELECT 'png', COUNT(*), COUNT(*), CAST(SUM(n_px) AS BIGINT),
+           CAST(MIN(px_min) AS BIGINT), CAST(MAX(px_max) AS BIGINT)
+    FROM png_rows
+    UNION ALL
+    SELECT 'wav', COUNT(*), COUNT(*), CAST(SUM(n_samples) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(MAX(audio_peak) AS BIGINT)
+    FROM wav_rows
+    ORDER BY fmt
+    """
+
+    @query(
+        "multimodal_corpus_report",
+        oracle=oracle,
+        tags=("llm", "multimodal", "codec", "deep", "capstone"),
+    )
+    def multimodal_corpus_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """CAPSTONE: one per-format quality report over the ENTIRE synth
+        media corpus — every deep-decode path this engine owns lands in a
+        single driver hash: baseline + DRI + progressive (gray and color
+        4:2:0) JPEG, single-frame + interlaced + animated GIF, gray +
+        truecolor + Adam7 PNG, 24-bit BMP, 16/24-bit PCM WAV,
+        uncompressed-DIB + Motion-JPEG AVI. n_deep_ok == n_docs asserts
+        ZERO quarantines across the corpus (every slice honestly
+        decodable must decode); units/lo/hi fold each format's exact
+        integer stats. The oracle is COMPOSED from the per-format
+        oracles already verified individually (merged.py discipline:
+        reuse the proven SQL, never restate it)."""
+        from distributed_graph_database_system_spark.operators.multimodal import (
+            decode_media,
+            documents_as_synth_media,
+        )
+
+        media = documents_as_synth_media(load_table(spark, sf_dir, "documents"))
+        deep = decode_media(media, deep=True)
+        return (
+            deep.groupBy("fmt")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.count(F.coalesce("px_sum", "audio_sqsum"))
+                .cast("bigint")
+                .alias("n_deep_ok"),
+                F.sum(F.coalesce("n_px", "n_samples"))
+                .cast("bigint")
+                .alias("units"),
+                F.min("px_min").cast("bigint").alias("lo"),
+                F.max(F.coalesce("px_max", "audio_peak"))
+                .cast("bigint")
+                .alias("hi"),
+            )
+            .orderBy("fmt")
+        )
+
+
+_register_multimodal_corpus_report()

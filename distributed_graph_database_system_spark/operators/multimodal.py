@@ -462,9 +462,12 @@ def _deep_png(b: bytes) -> dict | None:
     chan = px[::bpp] if bpp > 1 else px
     if plte is not None:
         npal = len(plte) // 3
-        if any(v >= npal for v in chan):
+        chan = bytes(chan)
+        if max(chan) >= npal:
             return None
-        chan = bytes(plte[3 * v] for v in chan)
+        chan = chan.translate(
+            bytes(plte[3 * i] if i < npal else 0 for i in range(256))
+        )
     return {
         "px_sum": sum(chan),
         "px_min": min(chan),
@@ -1226,13 +1229,17 @@ def _deep_gif(b: bytes) -> dict | None:
         if len(idx) < iw * ih:
             return None
         npal = len(pal) // 3
-        for v in idx[: iw * ih]:
-            if v >= npal:
-                return None
-            g = pal[3 * v]
-            total += g
-            mn = min(mn, g)
-            mx = max(mx, g)
+        vis = bytes(idx[: iw * ih])
+        if max(vis) >= npal:
+            return None
+        # palette lookup as one bytes.translate (red channel) + builtin
+        # sum/min/max — C speed, no per-pixel Python loop (same idiom as
+        # _deep_avi's DIB rows)
+        trans = bytes(pal[3 * i] if i < npal else 0 for i in range(256))
+        g = vis.translate(trans)
+        total += sum(g)
+        mn = min(mn, min(g))
+        mx = max(mx, max(g))
         n_px += iw * ih
         frames += 1
     if frames == 0:

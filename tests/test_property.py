@@ -167,3 +167,55 @@ def test_kmv_semilattice_and_exactness_property(spark, g):
     for gg, hs in model.items():
         if len(hs) < k:
             assert est[gg] == float(len(hs))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 40),
+    q0=st.sampled_from([8, 16, 24]),
+    density=st.floats(0.0, 0.9),
+    seed=st.integers(0, 10_000),
+    color=st.booleans(),
+    sub=st.sampled_from(["444", "422", "440", "420"]),
+    dri=st.sampled_from([0, 0, 1, 3]),
+)
+def test_jpeg_progressive_equals_baseline_property(
+    w, h, q0, density, seed, color, sub, dri
+):
+    """Pure-python property (no Spark): for ANY coefficient field, the
+    progressive (SOF2) encoding decodes to exactly the baseline stats —
+    the two decode paths share only the IDCT, so agreement pins the
+    whole successive-approximation protocol (and, via dri, the restart
+    machinery on the baseline side)."""
+    import random
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_jpeg,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    def dc(bx, by):
+        return random.Random(f"{seed}-{bx}-{by}-d").randint(-200, 200)
+
+    def ac(bx, by):
+        r = random.Random(f"{seed}-{bx}-{by}-a")
+        out = {}
+        for k in range(1, 64):
+            if r.random() < density:
+                v = r.randint(-40, 40)
+                if v:
+                    out[k] = v
+        return out
+
+    def cdc(mx, my):
+        r = random.Random(f"{seed}-{mx}-{my}-c")
+        return (r.randint(-60, 60), r.randint(-60, 60))
+
+    kw = dict(width=w, height=h, dc_fn=dc, ac_fn=ac, q0=q0)
+    if color:
+        kw.update(color=True, chroma_dc_fn=cdc, subsampling=sub)
+    base = _deep_jpeg(make_jpeg(restart_interval=dri, **kw))
+    prog = _deep_jpeg(make_jpeg_progressive(**kw))
+    assert base is not None and base == prog

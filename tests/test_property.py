@@ -219,3 +219,49 @@ def test_jpeg_progressive_equals_baseline_property(
     base = _deep_jpeg(make_jpeg(restart_interval=dri, **kw))
     prog = _deep_jpeg(make_jpeg_progressive(**kw))
     assert base is not None and base == prog
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 32),
+    ct=st.sampled_from([0, 2, 3, 4, 6]),
+    seed=st.integers(0, 10_000),
+    interlace=st.booleans(),
+)
+def test_png_decode_matches_expected_property(w, h, ct, seed, interlace):
+    """Pure-python property: for ANY pixel field, color type and layout
+    (sequential or Adam7), _deep_png's first-channel stats equal the
+    directly-computed expectation — pinning the bpp-offset filters, the
+    pass partition and the PLTE mapping in one sweep."""
+    import random
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _PNG_BPP,
+        _deep_png,
+        make_png_color,
+    )
+
+    bpp = _PNG_BPP[ct]
+    rng = random.Random(seed)
+    pal = bytes(rng.randrange(256) for _ in range(3 * 64)) if ct == 3 else None
+
+    def px(x, y):
+        r = random.Random(f"{seed}-{x}-{y}")
+        if ct == 3:
+            return r.randrange(64)
+        return tuple(r.randrange(256) for _ in range(bpp))
+
+    blob = make_png_color(w, h, ct, px, palette=pal, interlace=interlace)
+    chan = []
+    for y in range(h):
+        for x in range(w):
+            v = px(x, y)
+            chan.append(pal[3 * v] if ct == 3 else v[0])
+    got = _deep_png(blob)
+    assert got == {
+        "px_sum": sum(chan),
+        "px_min": min(chan),
+        "px_max": max(chan),
+        "n_px": w * h,
+    }

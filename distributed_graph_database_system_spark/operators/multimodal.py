@@ -455,8 +455,8 @@ def _deep_png(b: bytes) -> dict | None:
                 return None
             px += part
             pos += span
-        if pos > len(raw):
-            return None
+        # truncation is caught per pass inside _png_unfilter (its input
+        # slice can never exceed span), so no post-loop length guard
     if px is None or not len(px):
         return None
     chan = px[::bpp] if bpp > 1 else px
@@ -500,10 +500,11 @@ def _deep_bmp(b: bytes) -> dict | None:
     w, h = struct.unpack("<ii", b[18:26])
     bpp = struct.unpack("<H", b[28:30])[0]
     compression = struct.unpack("<I", b[30:34])[0]
-    if bpp not in (8, 24) or compression != 0 or w <= 0:
+    if bpp not in (8, 24) or compression != 0 or w <= 0 or h == 0:
         return None
     bypp = bpp // 8
     trans = None
+    clr = 256
     if bpp == 8:
         clr = struct.unpack("<I", b[46:50])[0] or 256
         pal_off = 14 + struct.unpack("<I", b[14:18])[0]
@@ -521,6 +522,8 @@ def _deep_bmp(b: bytes) -> dict | None:
     for r in range(rows):
         row = b[px_off + r * stride : px_off + r * stride + w * bypp]
         if trans is not None:
+            if max(row) >= clr:
+                return None  # index beyond the color table: quarantine
             row = row.translate(trans)
         total += sum(row)
         mn = min(mn, min(row))

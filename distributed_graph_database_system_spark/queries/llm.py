@@ -2472,27 +2472,27 @@ def _register_multimodal_corpus_report() -> None:
            CAST(SUM(n_px) AS BIGINT) AS units,
            CAST(MIN(px_min) AS BIGINT) AS lo,
            CAST(MAX(px_max) AS BIGINT) AS hi
-    FROM avi_rows
+    FROM avi_rows HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'bmp', COUNT(*), COUNT(*), CAST(SUM(n_px) AS BIGINT),
            CAST(MIN(px_min) AS BIGINT), CAST(MAX(px_max) AS BIGINT)
-    FROM bmp_rows
+    FROM bmp_rows HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'gif', COUNT(*), COUNT(*), CAST(SUM(n_px) AS BIGINT),
            CAST(MIN(px_min) AS BIGINT), CAST(MAX(px_max) AS BIGINT)
-    FROM gif_rows
+    FROM gif_rows HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'jpeg', COUNT(*), COUNT(*), CAST(SUM(n_px) AS BIGINT),
            CAST(MIN(px_min) AS BIGINT), CAST(MAX(px_max) AS BIGINT)
-    FROM jpeg_rows
+    FROM jpeg_rows HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'png', COUNT(*), COUNT(*), CAST(SUM(n_px) AS BIGINT),
            CAST(MIN(px_min) AS BIGINT), CAST(MAX(px_max) AS BIGINT)
-    FROM png_rows
+    FROM png_rows HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'wav', COUNT(*), COUNT(*), CAST(SUM(n_samples) AS BIGINT),
            CAST(NULL AS BIGINT), CAST(MAX(audio_peak) AS BIGINT)
-    FROM wav_rows
+    FROM wav_rows HAVING COUNT(*) > 0
     ORDER BY fmt
     """
 
@@ -2512,7 +2512,9 @@ def _register_multimodal_corpus_report() -> None:
         uncompressed-DIB + Motion-JPEG AVI. n_deep_ok == n_docs asserts
         ZERO quarantines across the corpus (every slice honestly
         decodable must decode); units/lo/hi fold each format's exact
-        integer stats. The oracle is COMPOSED from the per-format
+        integer stats. Each oracle branch carries HAVING COUNT(*) > 0 so
+        an empty format cohort (a filtered fixture) emits NO row on
+        either side — Spark's groupBy produces none. The oracle is COMPOSED from the per-format
         oracles already verified individually (merged.py discipline:
         reuse the proven SQL, never restate it)."""
         from distributed_graph_database_system_spark.operators.multimodal import (

@@ -1695,3 +1695,29 @@ def test_bmp_8bit_palette_decodes():
     rle = bytearray(blob)
     rle[30:34] = _s.pack("<I", 1)  # BI_RLE8
     assert _deep_bmp(bytes(rle)) is None
+
+
+def test_bmp_quarantines_degenerate_and_out_of_range():
+    """BMP quarantine discipline matches GIF/PNG: an index beyond the
+    color table and a zero-height header both return None instead of
+    emitting wrong or impossible stats."""
+    import struct as _s
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _deep_bmp,
+        make_bmp8,
+    )
+
+    blob = bytearray(make_bmp8(9, 5, px_fn=lambda x, y: (x + y) % 16))
+    # declare a 16-entry color table: pixel indices stay in range -> ok
+    blob[46:50] = _s.pack("<I", 16)
+    assert _deep_bmp(bytes(blob)) is not None
+    # inject an out-of-range index
+    px_off = _s.unpack("<I", blob[10:14])[0]
+    bad = bytearray(blob)
+    bad[px_off] = 200
+    assert _deep_bmp(bytes(bad)) is None
+    # zero height
+    zero = bytearray(make_bmp8(9, 5, px_fn=lambda x, y: 1))
+    zero[22:26] = _s.pack("<i", 0)
+    assert _deep_bmp(bytes(zero)) is None

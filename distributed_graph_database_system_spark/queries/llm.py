@@ -2544,3 +2544,114 @@ def _register_multimodal_corpus_report() -> None:
 
 
 _register_multimodal_corpus_report()
+
+
+@query(
+    "pii_redaction_census",
+    oracle="""
+    WITH scans AS (
+      SELECT doc_id,
+             length(regexp_replace(text,
+               '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '', 'g')) AS len_no_email,
+             length(text) AS len_raw,
+             length(regexp_replace(text,
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '', 'g')) AS len_no_ssn
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN len_no_email < len_raw THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_email,
+           CAST(SUM(CASE WHEN len_no_ssn < len_raw THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_ssn,
+           CAST(SUM(len_raw - len_no_email) AS BIGINT) AS email_chars,
+           CAST(SUM(len_raw - len_no_ssn) AS BIGINT) AS ssn_chars
+    FROM scans
+    """,
+    tags=("llm", "pii", "redaction", "privacy"),
+)
+def pii_redaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-redaction census: how many documents carry email-like or
+    SSN-like spans and how many characters redaction would remove — the
+    sizing pass a privacy scrub runs before committing to a rewrite of a
+    100 TB corpus. Patterns are deliberately restricted to the regex
+    subset Java and RE2/DuckDB interpret identically (explicit classes,
+    bounded quantifiers — no \\b, no lookaround, no shorthand classes
+    whose unicode semantics diverge); detection is measured as
+    length(text) - length(regexp_replace(text, p, '')), a pure JVM-side
+    scalar — counts and char deltas are exact integers. The fixture
+    corpus may contain zero true PII; the census is the operator surface
+    (zero counts are still hash-compared)."""
+    d = load_table(spark, sf_dir, "documents")
+    email = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+    ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    scans = d.select(
+        F.length("text").alias("len_raw"),
+        F.length(F.regexp_replace("text", email, "")).alias("len_no_email"),
+        F.length(F.regexp_replace("text", ssn, "")).alias("len_no_ssn"),
+    )
+    return scans.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("len_no_email") < F.col("len_raw"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("docs_with_email"),
+        F.sum(F.when(F.col("len_no_ssn") < F.col("len_raw"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_ssn"),
+        F.sum(F.col("len_raw") - F.col("len_no_email"))
+        .cast("bigint")
+        .alias("email_chars"),
+        F.sum(F.col("len_raw") - F.col("len_no_ssn"))
+        .cast("bigint")
+        .alias("ssn_chars"),
+    )
+
+
+@query(
+    "boilerplate_line_census",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, unnest(string_split(text, '. ')) AS line
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, trim(line) AS line FROM lines WHERE trim(line) <> ''
+    ), freq AS (
+      SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM norm GROUP BY line
+    )
+    SELECT doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(line)) AS BIGINT) AS sum_chars
+    FROM freq WHERE doc_freq >= 2
+    GROUP BY doc_freq ORDER BY doc_freq DESC LIMIT 50
+    """,
+    tags=("llm", "boilerplate", "dedup", "lines"),
+)
+def boilerplate_line_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line detection (the CCNet/RefinedWeb line-dedup
+    front end): sentences appearing in MANY documents are template
+    boilerplate (headers, footers, licenses) that line-level filtering
+    strips before model training. One explode + one exchange on the
+    line key + a distinct-doc count per line — at 100 TB the groupBy
+    key would be a line HASH (xxhash64) instead of the raw string, the
+    only change. The census histograms line doc-frequency (how much
+    text a doc_freq >= k filter would remove); fixture sentences are
+    '. '-delimited."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.explode(F.split("text", "\\. ")).alias("line")
+    ).select("doc_id", F.trim("line").alias("line")).where(F.col("line") != "")
+    freq = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("doc_freq")
+    )
+    return (
+        freq.where(F.col("doc_freq") >= 2)
+        .groupBy("doc_freq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.length("line")).cast("bigint").alias("sum_chars"),
+        )
+        .orderBy(F.desc("doc_freq"))
+        .limit(50)
+    )

@@ -102,8 +102,8 @@ def oracle_of(name: str) -> str:
 # part_xyz_classification analyze_column_stats events_ab_lift_ztest
 # events_burstiness_fano orders_cohort_ltv_curve events_dod_retention_kmv
 # join_null_safe embed_centroids text_repetition_score
-# embed_outlier_robust — plus 18 round-9 registrations seeded as r10
-# first-time evidence (pool = 48): multimodal_deep_jpeg_progressive
+# embed_outlier_robust — plus 20 round-9 registrations seeded as r10
+# first-time evidence (pool = 50 — exactly one full window): multimodal_deep_jpeg_progressive
 # (SOF2 successive approximation), multimodal_deep_avi_mjpeg
 # (Motion-JPEG), multimodal_deep_gif_animated (all-frames GIF),
 # multimodal_deep_png_rgb (truecolor PNG, all five filters at bpp=3),
@@ -121,7 +121,9 @@ def oracle_of(name: str) -> str:
 # events_gap_fill_forward (LOCF over a generated calendar),
 # orders_price_ntile_deciles (NTILE bucketing),
 # multimodal_corpus_report (capstone: every codec path in one
-# composed-oracle hash). The set difference vs
+# composed-oracle hash), pii_redaction_census (privacy scrub sizing),
+# boilerplate_line_census (line-level dedup front end). The set
+# difference vs
 # CORRECTNESS_r*.json is the authoritative list.
 #
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -1286,3 +1286,55 @@ def test_transform_with_state_counts_match_batch(spark, sf_dir, stream_src):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_media_decode_matches_batch(spark, sf_dir, tmp_path):
+    """decode_media (Arrow mapInPandas) runs unchanged inside Structured
+    Streaming: a file-stream of media blobs deep-decodes per micro-batch
+    and the accumulated sink equals the one-shot batch decode — the
+    streaming-ingest shape of a media curation pipeline (new crawl
+    shards decode as they land)."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        decode_media,
+        documents_as_synth_media,
+    )
+
+    media = documents_as_synth_media(
+        load_table(spark, sf_dir, "documents").limit(36)
+    )
+    src = str(tmp_path / "media_src")
+    # two landing shards → two micro-batches (maxFilesPerTrigger=1)
+    media.where(F.col("media_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    media.where(F.col("media_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        decode_media(stream, deep=True)
+        .select("media_id", "fmt", "px_sum", "n_px", "n_samples")
+        .writeStream.format("memory")
+        .queryName("t_media_decode")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.media_id: (r.fmt, r.px_sum, r.n_px, r.n_samples)
+        for r in spark.table("t_media_decode").collect()
+    }
+    want = {
+        r.media_id: (r.fmt, r.px_sum, r.n_px, r.n_samples)
+        for r in decode_media(media, deep=True)
+        .select("media_id", "fmt", "px_sum", "n_px", "n_samples")
+        .collect()
+    }
+    assert got == want and len(got) == 36

@@ -78,112 +78,85 @@ def oracle_of(name: str) -> str:
 
 
 # The driver-checked window: first 50 entries of queries()/oracle_sql().
-# Covers all 30 SURVEY §2.2 rows (see tests/test_registry_window.py for the
-# row → query mapping). Order within the window is thematic, not semantic.
+# Covers the SURVEY §2.2 rows that still have window-expressible pool
+# members (see tests/test_registry_window.py for the row → query mapping;
+# rows whose remaining evidence is historical are asserted against the
+# on-disk CORRECTNESS_r*.json ledger there). Order is thematic.
 #
-# Round-9 rotation: 43 of 50 entries are FIRST-TIME (never present in any
-# CORRECTNESS_r*.json), drawn from the 73-name never-graded pool the
-# round-8 verdict enumerated; cumulative driver-graded coverage goes
-# 248 → 291 once this window records. The same 7 graded anchors stay,
-# each because its §2.2 row's driver evidence cannot be first-time:
-# replica_consistency_check (scans+sinks), source_refgraph_roundtrip
-# (python datasource), layout_dpp_join (data layout / DPP),
-# sessionize/stream_session_window/stream_dedup_keys (streaming twins —
-# driver queries must be read-only batch), join_salted_skew (skew join).
-# Still never-driver-graded after this window (the round-10 pool, 30 from
-# the r8 registry + every round-9 registration): corpus_source_entropy
-# events_chisq_type_dow basket_part_pairs inverted_index_postings
-# events_rfm_segments(fixture-only) embed_covariance events_mad_outliers
-# events_anomaly_ewma lineitem_active_shipments_daily
-# events_trend_mannkendall events_survival_km events_markov_stationary
-# graph_reciprocity events_changepoint_cusum basket_association_rules
-# orders_price_psi_drift events_autocorr_lag1 fd_violation_audit
-# privacy_kanonymity_audit events_forecast_backtest
-# part_xyz_classification analyze_column_stats events_ab_lift_ztest
-# events_burstiness_fano orders_cohort_ltv_curve events_dod_retention_kmv
-# join_null_safe embed_centroids text_repetition_score
-# embed_outlier_robust — plus 20 round-9 registrations seeded as r10
-# first-time evidence (pool = 50 — exactly one full window): multimodal_deep_jpeg_progressive
-# (SOF2 successive approximation), multimodal_deep_avi_mjpeg
-# (Motion-JPEG), multimodal_deep_gif_animated (all-frames GIF),
-# multimodal_deep_png_rgb (truecolor PNG, all five filters at bpp=3),
-# multimodal_deep_audio_24bit (PCM24 via the 16-bit-domain projection),
-# graph_multi_source_bfs_g6 + graph_eccentricity_g6
-# (multi_source_bfs_all, recursive-CTE oracles),
-# customer_recent_orders_lateral (LATERAL → WindowGroupLimit),
-# orders_unpivot_price_components (UNPIVOT),
-# lineitem_price_qty_regression (regr_* aggregates),
-# orders_key_bitops_by_status (bit aggregates),
-# orders_price_percentile_disc (discrete percentiles),
-# events_props_try_arithmetic (TRY_* arithmetic),
-# supplier_best_part_maxby (max_by composite key),
-# events_xml_roundtrip (to_xml/from_xml identity),
-# events_gap_fill_forward (LOCF over a generated calendar),
-# orders_price_ntile_deciles (NTILE bucketing),
-# multimodal_corpus_report (capstone: every codec path in one
-# composed-oracle hash), pii_redaction_census (privacy scrub sizing),
-# boilerplate_line_census (line-level dedup front end). The set
-# difference vs
-# CORRECTNESS_r*.json is the authoritative list.
+# Round-10 rotation: ALL 50 entries are FIRST-TIME (never present in any
+# CORRECTNESS_r*.json) — this window empties the never-graded pool, taking
+# cumulative driver-graded coverage 291 → 341 of 341 registered queries.
+# The 7 round-9 anchors (replica_consistency_check,
+# source_refgraph_roundtrip, layout_dpp_join, join_salted_skew, and the
+# three streaming twins) rotate OUT: each of their §2.2 rows already has
+# multi-round driver evidence (r2–r9), which the window test now checks
+# directly against the CORRECTNESS files instead of window membership.
+#
+# Round-11 pool (first-time candidates; each must be parity-green before
+# the next rotation): see the R11_POOL comment block at the bottom of
+# this file — new registrations made in round 10 specifically so round 11
+# has ≥10 strictly-new names.
 #
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- graded anchors (7): rows whose driver evidence cannot be
-    # first-time (streaming twins are the only read-only batch probes of
-    # those rows; the source/sink/layout contracts are singletons) ---
-    "join_salted_skew",  # skew join
-    "sessionize",  # streaming twin (batch side)
-    "stream_session_window",  # streaming windows
-    "stream_dedup_keys",  # streaming stateful
-    "replica_consistency_check",  # scans + sinks (write + read-back)
-    "source_refgraph_roundtrip",  # python datasource
-    "layout_dpp_join",  # data layout / dynamic partition pruning
-    # --- first-time (43): relational rows ---
-    "orders_price_components",  # projection (expression arithmetic)
-    "lineitem_multi_predicate_screen",  # filter (conjunctive pushdown)
-    "region_brand_trade_matrix",  # equi join, 5-table star breadth
-    "join_broadcast_expensive_parts",  # explicit broadcast join
-    "customers_without_1995_orders_outer",  # left outer + null probe
-    "supplier_acctbal_band_pairs",  # theta (band) join
-    "join_asof_backward_click",  # backward as-of, exact matches allowed
-    "division_all_priority_customers",  # relational division via anti
-    "customer_order_counts_correlated",  # COUNT-bug decorrelation
-    "lineitem_disjunctive_quality_flags",  # OR-of-ANDs single scan
-    "agg_cube3_flag_status_year",  # 3-dim CUBE
-    "orders_latest3_per_customer",  # top-k per group
-    "users_views_except_purchases_all",  # EXCEPT ALL bag semantics
-    "json_props_bucketized",  # JSON value as grouping key
-    "agg_value_histogram",  # width-bucket histogram aggregate
-    "orders_bootstrap_ci_mean",  # Poisson bootstrap CI aggregate
-    "events_user_entropy",  # Shannon entropy aggregate
-    "orders_interpurchase_gaps",  # window: LAG gaps
-    "events_attribution_last_touch",  # window: last-touch attribution
-    "events_sliding7_quantiles_hist",  # window: sliding quantiles
-    "conversion_time_stats",  # scalar date/time deltas
-    "corpus_zipf_slope",  # scalar math (ln OLS slope)
-    "events_periodogram",  # scalar math (cos/sin, rounded terms)
-    "events_pattern_match",  # scalar string (listagg + regex funnel)
-    "linkage_blocked_best_match",  # scalar string (blocked editdist)
-    # --- first-time: pandas-UDF + multimodal deep decodes ---
-    "multimodal_deep_jpeg",
-    "multimodal_deep_gif",
-    "multimodal_deep_avi",
-    # --- first-time: graph ---
-    "graph_bfs_g6",  # BFS golden on the bridged fixture
-    "graph_dfs_g4",  # DFS golden
-    "graph_degree_assortativity",
-    "graph_rich_club",
-    "graph_local_clustering",
-    "graph_random_walks",  # md5 walks, recursive-CTE oracle
-    # --- first-time: LLM pipeline ---
-    "text_winnowing_pairs",  # MOSS winnowing near-dup pairs
-    "chunk_documents_overlap",
-    "embed_geometric_median",  # Weiszfeld
-    "embed_similarity_histogram",  # posexplode + quantized cosines
-    "embed_centroid_classifier_eval",
-    "sample_weighted_priority",  # md5-deterministic priority sampling
-    "corpus_kl_divergence",
-    "text_langid_confusion",
-    "text_lexical_diversity",
+    # --- relational: joins / subqueries / shape ---
+    "join_null_safe",  # <=> vs = pair counts, NULL cohort kept
+    "basket_part_pairs",  # self equi-join co-occurrence (+ < theta conjunct)
+    "basket_association_rules",  # multi-join breadth + explicit broadcasts
+    "customer_recent_orders_lateral",  # LATERAL → WindowGroupLimit top-k
+    "orders_unpivot_price_components",  # UNPIVOT = map-side Expand
+    "lineitem_active_shipments_daily",  # UNION ALL boundary sweep + prefix sum
+    "events_gap_fill_forward",  # calendar left join + LOCF window
+    # --- relational: aggregation ---
+    "lineitem_price_qty_regression",  # regr_* aggregates
+    "orders_key_bitops_by_status",  # bit_and/or/xor aggregates
+    "orders_price_percentile_disc",  # discrete percentiles (order statistic)
+    "supplier_best_part_maxby",  # max_by composite struct key
+    "events_dod_retention_kmv",  # KMV sketch day-over-day retention
+    # --- relational: windows / time series ---
+    "events_autocorr_lag1",  # LAG autocorrelation
+    "orders_price_ntile_deciles",  # NTILE bucketing (fixture-only; twin below)
+    "events_rfm_segments",  # RFM segmentation (fixture-only; twin graded r6)
+    "events_anomaly_ewma",  # closed-form EWMA anomaly bands
+    "events_changepoint_cusum",  # CUSUM changepoint
+    "events_trend_mannkendall",  # Mann-Kendall trend
+    "events_forecast_backtest",  # rolling-origin forecast backtest
+    "events_survival_km",  # Kaplan-Meier product-limit
+    "events_markov_stationary",  # stationary distribution (pinned golden)
+    "orders_cohort_ltv_curve",  # cohort LTV prefix-sum curve
+    "orders_price_psi_drift",  # PSI drift monitor
+    # --- scalar math / stats ---
+    "events_chisq_type_dow",  # chi-squared independence
+    "events_ab_lift_ztest",  # two-proportion z-test
+    "events_burstiness_fano",  # Fano factor burstiness
+    "events_mad_outliers",  # MAD robust outlier screen (filter row)
+    "part_xyz_classification",  # coefficient-of-variation classes
+    "analyze_column_stats",  # per-column profiling (ops)
+    # --- scalar semi-structured ---
+    "events_props_try_arithmetic",  # TRY_* arithmetic over JSON props
+    "events_xml_roundtrip",  # to_xml/from_xml identity
+    # --- data quality / audits ---
+    "fd_violation_audit",  # functional-dependency audit
+    "privacy_kanonymity_audit",  # k-anonymity audit
+    # --- graph ---
+    "graph_multi_source_bfs_g6",  # multi-source frontier BFS
+    "graph_eccentricity_g6",  # per-seed eccentricity
+    "graph_reciprocity",  # directed reciprocity
+    # --- multimodal deep decodes (Arrow pandas-UDF row) ---
+    "multimodal_deep_jpeg_progressive",  # SOF2 successive approximation
+    "multimodal_deep_png_rgb",  # truecolor PNG, all five filters
+    "multimodal_deep_gif_animated",  # all-frames GIF
+    "multimodal_deep_avi_mjpeg",  # Motion-JPEG AVI
+    "multimodal_deep_audio_24bit",  # PCM24 WAV
+    "multimodal_corpus_report",  # capstone: every codec path, composed oracle
+    # --- LLM pipeline / text / embeddings ---
+    "corpus_source_entropy",  # corpus mix entropy
+    "inverted_index_postings",  # postings-list construction
+    "text_repetition_score",  # n-gram repetition quality score
+    "pii_redaction_census",  # PII scrub sizing census
+    "boilerplate_line_census",  # line-level dedup front end
+    "embed_covariance",  # distributed covariance moments
+    "embed_centroids",  # per-label centroids
+    "embed_outlier_robust",  # Weiszfeld + MAD screen (pinned golden)
 )
 
 

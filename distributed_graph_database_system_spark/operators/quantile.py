@@ -117,50 +117,8 @@ def group_quantiles_exact(
     get arbitrary relative ranks, but every rank in a tie run holds the
     same value, so the bracketed statistics are deterministic.
     """
-    if not quantiles or not all(0.0 <= q <= 1.0 for q in quantiles):
-        raise ValueError(f"quantiles must be in [0, 1], got {quantiles!r}")
-    names = [_qcolname(q) for q in quantiles]
-    if len(set(names)) != len(names):
-        raise ValueError(
-            "quantiles must be unique and distinguishable at 6 decimal "
-            f"places (column names {names!r} collide)"
-        )
-    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
-        "double"
-    )
-    d = df.select(*group_cols, v.alias("_v")).where(F.col("_v").isNotNull())
-    n_parts = (
-        num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    )
-    ranged = d.repartitionByRange(n_parts, *group_cols, "_v").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # pass 1: local rank within (partition, group) — parallel, bounded by
-    # partition size. Pinned (localCheckpoint): the range partitioner's
-    # sample-based boundaries feed BOTH the ranked rows and the offsets
-    # table; recomputing the subtree could place rows differently and pair
-    # ranks with offsets from a different partitioning (same hazard
-    # partitioned_prefix_sum documents).
-    local_w = W.partitionBy("_pid", *group_cols).orderBy("_v")
-    local = ranged.withColumn(
-        "_lrn", F.row_number().over(local_w) - 1
-    ).localCheckpoint()
-    counts = local.groupBy("_pid", *group_cols).agg(
-        F.count("*").alias("_c")
-    )
-    span_w = (
-        W.partitionBy(*group_cols)
-        .orderBy("_pid")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    offsets = counts.select(
-        "_pid",
-        *group_cols,
-        (F.sum("_c").over(span_w) - F.col("_c")).alias("_off"),
-    )
-    ranked = local.join(
-        F.broadcast(offsets), ["_pid", *group_cols]
-    ).select(*group_cols, "_v", (F.col("_lrn") + F.col("_off")).alias("_rn0"))
+    _validate_quantiles(quantiles)
+    ranked, counts = _global_ranks(df, value_col, group_cols, num_partitions)
 
     # per-group totals → the two bracketing indices per quantile, exploded
     # to (group, qi, part, idx) — |groups| × |quantiles| × 2 rows, broadcast
@@ -211,6 +169,120 @@ def group_quantiles_exact(
             for i, q in enumerate(quantiles)
         ]
     )
+
+
+def group_quantiles_disc(
+    df: DataFrame,
+    value_col: str | Column,
+    quantiles: list[float],
+    group_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT DISCRETE quantiles (SQL-standard ``PERCENTILE_DISC WITHIN
+    GROUP``) per group with bounded per-task state: the smallest actual
+    value whose cumulative fraction reaches q — the value at 1-based rank
+    ``ceil(q·n)`` (rank 1 for q=0), which is how both Spark and DuckDB
+    define it. An order statistic, never an interpolation, so the result
+    is an exact column value with ZERO cross-engine float risk — the
+    right cut-table source when the cuts feed comparisons (bucketing),
+    where a 1-ULP interpolated difference could flip a row's bucket.
+
+    Shares the two-pass global-rank machinery of group_quantiles_exact
+    (range repartition → partition-bounded local rank → broadcast span
+    offsets), so per-task state is bounded by the PARTITION size, never
+    the group size — unlike the builtin ``percentile_disc`` aggregate,
+    whose buffer grows with the group's distinct-value count. Returns one
+    row per group with one ``q_<q>`` DOUBLE column per quantile (same
+    naming as group_quantiles_exact); all-NULL groups drop out."""
+    _validate_quantiles(quantiles)
+    ranked, counts = _global_ranks(df, value_col, group_cols, num_partitions)
+    totals = counts.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
+    # 0-based pick index: ceil(q*n) - 1, clamped to 0 for q=0.
+    targets = totals.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("qi"),
+                        F.greatest(
+                            F.ceil(F.col("_n") * F.lit(q)) - 1, F.lit(0)
+                        ).alias("_rn0"),
+                    )
+                    for i, q in enumerate(quantiles)
+                ]
+            )
+        ).alias("t"),
+    ).select(*group_cols, "t.qi", "t._rn0")
+    picked = ranked.join(F.broadcast(targets), [*group_cols, "_rn0"])
+    return picked.groupBy(*group_cols).agg(
+        *[
+            F.max(F.when(F.col("qi") == i, F.col("_v"))).alias(_qcolname(q))
+            for i, q in enumerate(quantiles)
+        ]
+    )
+
+
+def _validate_quantiles(quantiles: list[float]) -> None:
+    if not quantiles or not all(0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError(f"quantiles must be in [0, 1], got {quantiles!r}")
+    names = [_qcolname(q) for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            "quantiles must be unique and distinguishable at 6 decimal "
+            f"places (column names {names!r} collide)"
+        )
+
+
+def _global_ranks(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str],
+    num_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared two-pass global-rank pass: returns ``(ranked, counts)``
+    where ranked is ``(*group_cols, _v DOUBLE, _rn0 BIGINT)`` (0-based
+    rank of _v within its group, NULLs excluded) and counts is the
+    per-(partition, group) row-count table the offsets were derived from.
+    Per-task window state is bounded by the physical PARTITION size —
+    a giant group spans many range partitions."""
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    d = df.select(*group_cols, v.alias("_v")).where(F.col("_v").isNotNull())
+    n_parts = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = d.repartitionByRange(n_parts, *group_cols, "_v").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # pass 1: local rank within (partition, group) — parallel, bounded by
+    # partition size. Pinned (localCheckpoint): the range partitioner's
+    # sample-based boundaries feed BOTH the ranked rows and the offsets
+    # table; recomputing the subtree could place rows differently and pair
+    # ranks with offsets from a different partitioning (same hazard
+    # partitioned_prefix_sum documents).
+    local_w = W.partitionBy("_pid", *group_cols).orderBy("_v")
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(local_w) - 1
+    ).localCheckpoint()
+    counts = local.groupBy("_pid", *group_cols).agg(
+        F.count("*").alias("_c")
+    )
+    span_w = (
+        W.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        (F.sum("_c").over(span_w) - F.col("_c")).alias("_off"),
+    )
+    ranked = local.join(
+        F.broadcast(offsets), ["_pid", *group_cols]
+    ).select(*group_cols, "_v", (F.col("_lrn") + F.col("_off")).alias("_rn0"))
+    return ranked, counts
 
 
 def _qcolname(q: float) -> str:

@@ -3247,18 +3247,22 @@ def events_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY o_orderpriority, decile
     ORDER BY o_orderpriority, decile
     """,
-    tags=("window", "ntile", "quantile-bucketing"),
+    tags=("window", "ntile", "quantile-bucketing", "fixture-only"),
 )
 def orders_price_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE decile bucketing per priority — the SQL-standard equal-count
-    binning both engines implement with the identical floor/remainder
-    rule, made deterministic by the (price, orderkey) total order
-    (NTILE over a tied prefix is engine-arbitrary otherwise — the same
-    tie-break discipline as agg_mode_exact). Decile boundaries (lo/hi)
-    are exact column values, no interpolation. NOTE the window partition
-    is the 5-value priority key at fixture scale; at 100 TB the same
-    query partitions by a higher-cardinality key or pre-aggregates — the
-    operator surface, not the partition count, is what this pins."""
+    """FIXTURE-ONLY (registry tag ``fixture-only``): NTILE decile
+    bucketing per priority — the SQL-standard equal-count binning both
+    engines implement with the identical floor/remainder rule, made
+    deterministic by the (price, orderkey) total order (NTILE over a tied
+    prefix is engine-arbitrary otherwise — the same tie-break discipline
+    as agg_mode_exact). Decile boundaries (lo/hi) are exact column
+    values, no interpolation. The window partition is the 5-value
+    priority key, so each window task sorts ~|orders|/5 rows — a
+    single-task 20%-of-table sort at scale; the production formulation is
+    ``orders_price_decile_buckets_scalable`` (exact PERCENTILE_DISC cut
+    table from operators/quantile.py group_quantiles_disc, broadcast
+    comparison — no data-sized window), the same twin discipline as
+    events_rfm_segments / events_rfm_segments_scalable."""
     from distributed_graph_database_system_spark.queries.helpers import sf_view
 
     o = sf_view(spark, load_table(spark, sf_dir, "orders"), "ntile_ord", sf_dir)
@@ -3276,3 +3280,82 @@ def orders_price_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t GROUP BY o_orderpriority, decile
         ORDER BY o_orderpriority, decile
     """)
+
+
+@query(
+    "orders_price_decile_buckets_scalable",
+    oracle="""
+    WITH cuts AS (
+      SELECT o_orderpriority,
+             PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY o_totalprice) AS c1,
+             PERCENTILE_DISC(0.2) WITHIN GROUP (ORDER BY o_totalprice) AS c2,
+             PERCENTILE_DISC(0.3) WITHIN GROUP (ORDER BY o_totalprice) AS c3,
+             PERCENTILE_DISC(0.4) WITHIN GROUP (ORDER BY o_totalprice) AS c4,
+             PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS c5,
+             PERCENTILE_DISC(0.6) WITHIN GROUP (ORDER BY o_totalprice) AS c6,
+             PERCENTILE_DISC(0.7) WITHIN GROUP (ORDER BY o_totalprice) AS c7,
+             PERCENTILE_DISC(0.8) WITHIN GROUP (ORDER BY o_totalprice) AS c8,
+             PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS c9
+      FROM orders GROUP BY o_orderpriority
+    ), scored AS (
+      SELECT o.o_orderpriority, o.o_totalprice,
+             1 + CAST(o_totalprice > c1 AS INT) + CAST(o_totalprice > c2 AS INT)
+               + CAST(o_totalprice > c3 AS INT) + CAST(o_totalprice > c4 AS INT)
+               + CAST(o_totalprice > c5 AS INT) + CAST(o_totalprice > c6 AS INT)
+               + CAST(o_totalprice > c7 AS INT) + CAST(o_totalprice > c8 AS INT)
+               + CAST(o_totalprice > c9 AS INT) AS decile
+      FROM orders o JOIN cuts USING (o_orderpriority)
+    )
+    SELECT o_orderpriority, decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM scored GROUP BY o_orderpriority, decile
+    ORDER BY o_orderpriority, decile
+    """,
+    tags=("aggregation", "quantile-bucketing", "scalable"),
+)
+def orders_price_decile_buckets_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The cluster-scale twin of orders_price_ntile_deciles: VALUE-decile
+    bucketing against an exact per-priority PERCENTILE_DISC cut table
+    instead of a data-sized NTILE window. Semantics differ deliberately —
+    NTILE is ordinal (equal bucket SIZES, ties split across buckets by
+    the tie-break column) and inherently sorts each window partition in
+    one task; value deciles (decile = 1 + #cuts strictly below the
+    price) depend only on the nine cut points, so the assignment pass is
+    an embarrassingly parallel comparison against a broadcast 5×9 cut
+    table — no data-sized window anywhere. The cuts come from
+    group_quantiles_disc (operators/quantile.py): exact ORDER STATISTICS
+    (the value at rank ceil(q·n), both engines' PERCENTILE_DISC
+    definition — verified rank-by-rank in tests/test_quantile.py) computed
+    with the two-pass global-rank machinery whose per-task state is
+    bounded by the physical partition size, never the group size. Order
+    statistics are exact column values, so the cut comparisons carry ZERO
+    cross-engine float risk — no rounding guard at all (the reason disc,
+    not interpolated, cuts feed bucketing)."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        group_quantiles_disc,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = group_quantiles_disc(o, "price", qs, ["o_orderpriority"])
+    cut_cols = [f"q_0_{i}" for i in range(1, 10)]
+    decile = F.lit(1)
+    for c in cut_cols:
+        decile = decile + (F.col("price") > F.col(c)).cast("int")
+    return (
+        o.join(F.broadcast(cuts), "o_orderpriority")
+        .select("o_orderpriority", "price", decile.alias("decile"))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("price").cast("double").alias("lo"),
+            F.max("price").cast("double").alias("hi"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )

@@ -204,3 +204,108 @@ def test_group_quantiles_exact_random_sweep(spark, seed):
             ).collect()
         }
         assert got == want, (seed, nparts)
+
+
+def _via_percentile_disc(df, group_cols, qs):
+    """Reference: the builtin SQL-standard PERCENTILE_DISC aggregate."""
+    df.createOrReplaceTempView("_pdisc_ref")
+    g = ", ".join(group_cols)
+    sel = ", ".join(
+        f"PERCENTILE_DISC({q}) WITHIN GROUP (ORDER BY v) AS p{i}"
+        for i, q in enumerate(qs)
+    )
+    return df.sparkSession.sql(
+        f"SELECT {g}, {sel} FROM _pdisc_ref WHERE v IS NOT NULL GROUP BY {g}"
+    )
+
+
+def _assert_disc_identical(got_df, ref_df, group_cols, qs):
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+    )
+
+    cols = [_qcolname(q) for q in qs]
+    got = {
+        tuple(r[g] for g in group_cols): [r[c] for c in cols]
+        for r in got_df.collect()
+    }
+    want = {
+        tuple(r[g] for g in group_cols): [float(r[f"p{i}"]) for i in range(len(qs))]
+        for r in ref_df.collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_group_quantiles_disc_matches_builtin_on_fixture(spark, sf_dir):
+    from distributed_graph_database_system_spark.operators.quantile import (
+        group_quantiles_disc,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("value").alias("v")
+    )
+    qs = [0.1, 0.25, 0.5, 0.9, 0.999]
+    got = group_quantiles_disc(e, "v", qs, ["event_type"])
+    _assert_disc_identical(
+        got, _via_percentile_disc(e, ["event_type"], qs), ["event_type"], qs
+    )
+
+
+def test_group_quantiles_disc_edge_cases(spark):
+    """Ties, single-row groups, all-NULL groups (drop out), q=0 and q=1
+    endpoints (first and last order statistic), and awkward group sizes
+    where ceil(q*n) vs other definitions diverge (n=7, q=0.9 → rank 7)."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        group_quantiles_disc,
+    )
+
+    rows = (
+        [("ties", float(v)) for v in [5, 5, 5, 5, 1, 1, 9]]
+        + [("single", 42.0)]
+        + [("allnull", None), ("allnull", None)]
+        + [("mixed", None), ("mixed", 1.0), ("mixed", 2.0), ("mixed", 4.0)]
+        + [("seven", float(v)) for v in [1, 2, 3, 4, 5, 6, 7]]
+    )
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = group_quantiles_disc(df, "v", qs, ["g"], num_partitions=5)
+    groups = {r.g for r in got.select("g").collect()}
+    assert "allnull" not in groups
+    _assert_disc_identical(
+        got,
+        _via_percentile_disc(df.where(F.col("v").isNotNull()), ["g"], qs),
+        ["g"],
+        qs,
+    )
+    # the ceil(q*n) pin: n=7, q=0.9 → 1-based rank ceil(6.3)=7 → value 7
+    seven = {r.g: r for r in got.collect()}["seven"]
+    assert seven["q_0_9"] == 7.0 and seven["q_0_1"] == 1.0
+    assert seven["q_0"] == 1.0 and seven["q_1"] == 7.0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_group_quantiles_disc_random_sweep(spark, seed):
+    """Seeded random multisets across partition counts must stay
+    identical to the builtin PERCENTILE_DISC."""
+    import random
+
+    from distributed_graph_database_system_spark.operators.quantile import (
+        group_quantiles_disc,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for g in range(5):
+        n = rng.choice([1, 3, 10, 11, 257])
+        rows += [
+            (f"g{g}", float(rng.choice([-5, -1, 0, 2, 2, 2, 7, 100])))
+            for _ in range(n)
+        ]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    qs = [0.01, 1 / 3, 0.9, 0.999]
+    ref = _via_percentile_disc(df, ["g"], qs)
+    for nparts in (2, 9):
+        got = group_quantiles_disc(df, "v", qs, ["g"], num_partitions=nparts)
+        _assert_disc_identical(got, ref, ["g"], qs)

@@ -2058,6 +2058,7 @@ def betweenness_centrality(
     sources: list[int] | None = None,
     directed: bool = False,
     max_iter: int = 10_000,
+    max_sources: int = 4096,
 ) -> DataFrame:
     """Brandes betweenness centrality (Brandes, J.Math.Soc. 2001) from the
     given ``sources`` — EXACT when sources is None (every vertex seeds one
@@ -2101,9 +2102,28 @@ def betweenness_centrality(
         .localCheckpoint()
     )
     if sources is None:
+        # Exact mode collects EVERY vertex id and runs one sweep per
+        # vertex — a fixture-scale verification mode. The guard stops an
+        # unbounded collect+loop on a large graph: raise before collecting
+        # anything data-sized, pointing at landmark sampling (the scale
+        # path, Brandes & Pich 2007 extrapolation above).
+        n_verts = verts.count()
+        if n_verts > max_sources:
+            raise ValueError(
+                f"betweenness exact mode would sweep {n_verts} sources "
+                f"(> max_sources={max_sources}); pass a landmark `sources`"
+                " subset for the sampled approximation, or raise"
+                " max_sources explicitly for a verification run"
+            )
         sources = [int(r["vid"]) for r in verts.orderBy("vid").collect()]
-        n_verts = len(sources)
     else:
+        if len(sources) > max_sources:
+            raise ValueError(
+                f"{len(sources)} landmark sources (> max_sources="
+                f"{max_sources}); each source costs one full forward+"
+                "backward sweep — sample fewer landmarks or raise"
+                " max_sources explicitly"
+            )
         n_verts = verts.count()
     if not sources:
         return verts.select("vid", F.lit(0.0).alias("bc"))

@@ -1519,6 +1519,29 @@ def test_betweenness_sampled_extrapolates_to_exact_on_cycle(spark):
     assert full == exact
 
 
+def test_betweenness_max_sources_guard(spark):
+    """Exact mode (sources=None) collects every vertex id and loops one
+    sweep per source — the guard must refuse before collecting anything
+    data-sized, in BOTH spellings (implicit exact mode and an oversized
+    explicit landmark list), and an explicit raise must still work."""
+    import pytest as _pytest
+
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+        betweenness_centrality,
+    )
+
+    path = [(i, i + 1) for i in range(1, 7)]  # 7 vertices
+    df = spark.createDataFrame(path, EDGE_SCHEMA)
+    with _pytest.raises(ValueError, match="max_sources"):
+        betweenness_centrality(df, max_sources=3)
+    with _pytest.raises(ValueError, match="max_sources"):
+        betweenness_centrality(df, sources=[1, 2, 3, 4], max_sources=3)
+    # raising the cap explicitly re-enables the verification run
+    got = betweenness_centrality(df, max_sources=7)
+    assert got.count() == 7
+
+
 def test_greedy_coloring_is_proper_and_total(spark):
     """Iterated-MIS coloring on a deterministic random graph: every
     vertex colored exactly once, no edge monochromatic, color count at

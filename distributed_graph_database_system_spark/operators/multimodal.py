@@ -417,7 +417,8 @@ def _deep_png(b: bytes) -> dict | None:
     (its own scanline group, previous-row state reset) and the stats
     accumulate over the concatenated passes — POSITION-free statistics
     need only the pixel multiset, which the passes partition exactly.
-    (image_dhash, which IS positional, still skips interlaced files.)
+    (image_dhash, which IS positional, deinterlaces the full grid via
+    _png_gray_pixels instead.)
     16-bit and sub-byte depths quarantine to NULL."""
     if len(b) < 33 or not b.startswith(_PNG_SIG):
         return None
@@ -2685,25 +2686,88 @@ def audio_energy_windows(media: DataFrame, window: int = 100) -> DataFrame:
     return media.mapInPandas(win_batches, schema=out_schema)
 
 
-def make_png_pattern(width: int, height: int, key: int) -> bytes:
+def make_png_pattern(
+    width: int, height: int, key: int, interlace: bool = False
+) -> bytes:
     """A valid 8-bit grayscale PNG whose pixels carry a deterministic
     gradient pattern p(x, y) = (31·key + 7x + 13y) mod 251 — same container
     as make_png but with CONTENT, so perceptual hashing has structure to
-    fingerprint. Two images share a pattern iff they share ``key``."""
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    rows = []
-    for y in range(height):
-        rows.append(
-            b"\x00"
-            + bytes(((31 * key + 7 * x + 13 * y) % 251) for x in range(width))
-        )
-    raw = b"".join(rows)
+    fingerprint. Two images share a pattern iff they share ``key``.
+    ``interlace=True`` ships the SAME pixels Adam7-interlaced (seven pass
+    groups, each pass its own filter-type-0 scanlines), so a decoder that
+    deinterlaces correctly must recover the identical grid."""
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 0, 0, 0, 1 if interlace else 0
+    )
+
+    def pix(x: int, y: int) -> int:
+        return (31 * key + 7 * x + 13 * y) % 251
+
+    raw = bytearray()
+    if interlace:
+        for (x0, y0, dx, dy), (pw, ph) in zip(
+            _ADAM7, _adam7_pass_dims(width, height)
+        ):
+            if pw == 0 or ph == 0:
+                continue
+            for j in range(ph):
+                y = y0 + j * dy
+                raw += b"\x00" + bytes(
+                    pix(x0 + i * dx, y) for i in range(pw)
+                )
+    else:
+        for y in range(height):
+            raw += b"\x00" + bytes(pix(x, y) for x in range(width))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def _png_gray_pixels(blob: bytes) -> tuple[int, int, bytearray] | None:
+    """The FULL row-major pixel grid of an 8-bit grayscale PNG, for
+    sequential AND Adam7-interlaced layouts: each interlace pass
+    unfilters independently (previous-row state resets per pass — the
+    same pass walk as _deep_png) and its rows scatter back to their
+    ``(x0 + i·dx, y0 + j·dy)`` grid positions, so POSITIONAL consumers
+    (image_dhash) see the deinterlaced image, not the pass-concatenated
+    byte order. Returns ``(w, h, pixels)`` or None (quarantine)."""
+    if len(blob) < 33 or not blob.startswith(_PNG_SIG):
+        return None
+    w, h = struct.unpack(">II", blob[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = blob[24:29]
+    if bit_depth != 8 or color_type != 0 or interlace > 1 or not w or not h:
+        return None
+    idat = b"".join(
+        blob[off + 8 : off + 8 + size]
+        for off, size in _png_chunks_of(blob, b"IDAT")
+    )
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if interlace == 0:
+        px = _png_unfilter(raw, w, h)
+        return None if px is None else (w, h, bytearray(px))
+    grid = bytearray(w * h)
+    pos = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_pass_dims(w, h)):
+        if pw == 0 or ph == 0:
+            continue
+        span = (pw + 1) * ph
+        part = _png_unfilter(raw[pos : pos + span], pw, ph)
+        if part is None:
+            return None
+        pos += span
+        for j in range(ph):
+            y = y0 + j * dy
+            base = y * w + x0
+            grid[base : base + (pw - 1) * dx + 1 : dx] = part[
+                j * pw : (j + 1) * pw
+            ]
+    return (w, h, grid)
 
 
 def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
@@ -2730,21 +2794,16 @@ def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
                 try:
-                    if len(blob) < 33 or not blob.startswith(_PNG_SIG):
+                    # 8-bit grayscale, sequential OR Adam7-interlaced:
+                    # _png_gray_pixels deinterlaces to the full row-major
+                    # grid, so the positional hash is layout-independent
+                    # (dhash(interlaced) == dhash(sequential), asserted in
+                    # tests)
+                    decoded = _png_gray_pixels(blob)
+                    if decoded is None:
                         continue
-                    w, h = struct.unpack(">II", blob[16:24])
-                    # 8-bit grayscale, NON-interlaced only: Adam7
-                    # restructures scanlines, and a positional hash over
-                    # sequentially-unfiltered bytes would be silently
-                    # wrong, not merely reordered
-                    if blob[24] != 8 or blob[25] != 0 or blob[28] != 0:
-                        continue
-                    idat = b"".join(
-                        blob[off + 8 : off + 8 + size]
-                        for off, size in _png_chunks_of(blob, b"IDAT")
-                    )
-                    px = _png_unfilter(zlib.decompress(idat), w, h)
-                    if px is None or w < grid + 1 or h < grid:
+                    w, h, px = decoded
+                    if w < grid + 1 or h < grid:
                         continue
                 except Exception:  # noqa: BLE001 — quarantine
                     continue

@@ -1613,11 +1613,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup end-to-end on REAL pixels: every 6th doc
     becomes a patterned grayscale PNG (pattern key = doc_id mod 30, so
-    distinct docs share imagery), image_dhash decodes the actual
-    scanlines and fingerprints them, and a groupBy on the 64-bit dHash
-    recovers the duplicate-image clusters — the multimodal analogue of
-    exact text dedup, with the SimHash chunk-band join as the near-dup
-    extension. One Arrow decode pass + one hash-keyed aggregate."""
+    distinct docs share imagery; every doc_id % 36 == 6 member ships the
+    SAME pixels Adam7-INTERLACED — image_dhash deinterlaces the full
+    grid, so interlaced crawl images join their sequential twins'
+    clusters instead of silently dropping out, and the pinned golden is
+    unchanged by construction), image_dhash decodes the actual scanlines
+    and fingerprints them, and a groupBy on the 64-bit dHash recovers the
+    duplicate-image clusters — the multimodal analogue of exact text
+    dedup, with the SimHash chunk-band join as the near-dup extension.
+    One Arrow decode pass + one hash-keyed aggregate."""
     from distributed_graph_database_system_spark.operators.multimodal import (
         image_dhash,
         make_png_pattern,
@@ -1650,7 +1654,10 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "media_id": d,
                         "kind": "image",
                         "content": make_png_pattern(
-                            32 + d % 7, 32 + (d * 3) % 5, key=d % 30
+                            32 + d % 7,
+                            32 + (d * 3) % 5,
+                            key=d % 30,
+                            interlace=(d % 36 == 6),
                         ),
                     }
                 )

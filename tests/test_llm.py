@@ -1613,6 +1613,39 @@ def test_png_color_types_decode_and_interlace_quarantines():
     assert _deep_png(bytes(blob)) is None
 
 
+def test_image_dhash_is_interlace_invariant(spark):
+    """Perceptual hashing must cover interlaced PNGs: the SAME pattern
+    shipped Adam7-interlaced and sequential produces the IDENTICAL
+    64-bit dHash (the deinterlacer places every pass pixel at its true
+    position), different patterns still differ, and a mislabeled-
+    interlaced stream quarantines rather than hashing garbage."""
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        image_dhash,
+        make_png_pattern,
+    )
+
+    rows = []
+    for key in (3, 4, 5):
+        for i, inter in enumerate((False, True)):
+            rows.append(
+                (key * 10 + i, "image", make_png_pattern(33, 29, key, inter))
+            )
+    # mislabeled: sequential bytes, interlaced header → quarantine
+    bad = bytearray(make_png_pattern(33, 29, 3))
+    bad[28] = 1
+    rows.append((99, "image", bytes(bad)))
+    media = spark.createDataFrame(
+        rows, "media_id BIGINT, kind STRING, content BINARY"
+    )
+    got = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert 99 not in got and len(got) == 6
+    hashes = set()
+    for key in (3, 4, 5):
+        assert got[key * 10] == got[key * 10 + 1], key
+        hashes.add(got[key * 10])
+    assert len(hashes) == 3  # distinct patterns stay distinct
+
+
 def test_wav_depths_project_to_16bit_domain():
     """8/24/32-bit PCM decode through the 16-bit-domain projection: the
     same signal stored at any depth produces identical stats; float

@@ -265,3 +265,35 @@ def test_png_decode_matches_expected_property(w, h, ct, seed, interlace):
         "px_max": max(chan),
         "n_px": w * h,
     }
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 10_000),
+    interlace=st.booleans(),
+)
+def test_png_gray_full_grid_property(w, h, seed, interlace):
+    """Pure-python property: _png_gray_pixels recovers the EXACT
+    row-major pixel grid for any pixel field under BOTH layouts — the
+    positional contract image_dhash rests on (deinterlacing must place
+    every Adam7 pass pixel at its true (x, y), not merely preserve the
+    multiset the stats path needs)."""
+    import random
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _png_gray_pixels,
+        make_png_color,
+    )
+
+    def px(x, y):
+        return (random.Random(f"{seed}-{x}-{y}").randrange(256),)
+
+    blob = make_png_color(w, h, 0, px, interlace=interlace)
+    got = _png_gray_pixels(blob)
+    assert got is not None
+    gw, gh, grid = got
+    assert (gw, gh) == (w, h)
+    want = bytes(px(x, y)[0] for y in range(h) for x in range(w))
+    assert bytes(grid) == want

@@ -171,6 +171,7 @@ def all_queries() -> dict[str, QuerySpec]:
         merged,
         pipeline,
         relational,
+        seeds_r11,
         streaming_batch,
         tpch_extra,
     )
@@ -192,3 +193,24 @@ def oracle_map() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in all_queries().items() if spec.oracle
     }
+
+
+# R11_POOL — first-time candidates for the round-11 window rotation (every
+# name below has never appeared in any CORRECTNESS_r*.json; each was
+# parity-verified at registration). Registered in round 10, mostly in
+# queries/seeds_r11.py, deliberately refreshing the §2.2 rows whose driver
+# evidence went historical with the round-10 rotation:
+#   orders_price_decile_buckets_scalable (broadcast-cut-table decile twin)
+#   agg_rollup_priority_year_revenue    (grouping sets / ROLLUP)
+#   customers_repeat_9495_intersect_all (INTERSECT ALL bag semantics)
+#   suppliers_without_returns_anti      (NOT EXISTS → left anti)
+#   region_segment_revenue_broadcast    (explicit broadcast star join)
+#   parts_price_band_within_brand       (blocked theta band self-join)
+#   join_asof_tolerance_click           (as-of backward + tolerance)
+#   lineitem_disjunctive_margin_screen  (OR-of-ANDs single scan)
+#   sink_partitioned_pruned_roundtrip   (partitioned sink + pruned read)
+#   agg_distinct_salted_exact           (salted exact COUNT DISTINCT)
+#   sample_stratified_topk_events       (md5 stratified WindowGroupLimit)
+#   graph_bfs_g7 / graph_dfs_g7         (new tree-with-back-edge fixture)
+#   multimodal_phash_layout_census      (dhash over mixed PNG layouts)
+# The authoritative list remains the set difference vs CORRECTNESS_r*.json.

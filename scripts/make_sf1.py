@@ -17,17 +17,26 @@ Usage: python scripts/make_sf1.py [out_dir] [copies] [doc_mode]
   doc_mode default: neardup — per-copy " v{i}" suffix, so every document
            gains copies-1 cross-copy near-duplicates (the duplicate RATE
            grows with the clone count; minhash candidates grow ~copies×).
-           "disjoint": copy i is passed through a per-copy SUBSTITUTION
-           CIPHER (letters rotated by i) — a bijection on characters, so
-           every within-copy shingle set maps bijectively (within-copy
-           Jaccard EXACTLY preserved, near-dup families intact) while
-           cross-copy shingle overlap collapses. The duplicate rate is
-           then CONSTANT as the corpus grows — the honest scale curve
-           for the banding cost itself (BASELINE.md round-9 minhash
-           scale table). (A separator-token variant was tried first and
-           rejected: injecting the same token between every word makes
-           all docs of a copy share high-frequency shingles, inflating
-           candidates ~3.5x with no real pairs behind them.)
+           "disjoint": EVERY whitespace token of copy i (including copy
+           0) gains the fixed-width tag "q{i:03d}". Appending one
+           constant suffix is an INJECTIVE map on the token vocabulary,
+           so every within-copy word-shingle set maps bijectively
+           (within-copy Jaccard EXACTLY preserved — the dedup shingles
+           are word 3-grams, operators/dedup.py — so near-dup families
+           stay intact) while cross-copy token sets are structurally
+           DISJOINT (equal-length distinct suffixes cannot alias, and
+           tagging copy 0 too removes even the original-corpus-collision
+           edge). The duplicate rate is then CONSTANT as the corpus
+           grows — the honest scale curve for the banding cost itself
+           (BASELINE.md round-9/round-10 minhash scale tables) — and,
+           unlike the round-9 rotation cipher this replaces, there is no
+           26-class cap, so the clone extends to 100 copies (sf10); the
+           cipher also silently aliased non-letter tokens across copies,
+           which the suffix does not. (A separator-token variant was
+           tried first and rejected: injecting the same token between
+           every word makes all docs of a copy share high-frequency
+           shingles, inflating candidates ~3.5x with no real pairs
+           behind them.)
 
 Then: SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
 """
@@ -70,11 +79,10 @@ def main() -> int:
     doc_mode = sys.argv[3] if len(sys.argv) > 3 else "neardup"
     if doc_mode not in ("neardup", "disjoint"):
         raise SystemExit(f"doc_mode must be neardup|disjoint, got {doc_mode!r}")
-    if doc_mode == "disjoint" and copies > 26:
-        # a rotation cipher has only 26 distinct classes — beyond that,
-        # copies would silently alias earlier ones and the constant-
-        # duplicate-rate property would quietly break
-        raise SystemExit("disjoint mode supports at most 26 copies")
+    if doc_mode == "disjoint" and copies > 1000:
+        # the "q{i:03d}" tag is fixed-width for i < 1000; wider clones
+        # need a wider tag or suffixes start aliasing across copies
+        raise SystemExit("disjoint mode supports at most 1000 copies")
     spark = get_spark(app_name="make_sf1")
     for table, keys in KEYS.items():
         src = spark.read.parquet(f"{SRC}/{table}.parquet")
@@ -86,21 +94,19 @@ def main() -> int:
                 df = src
                 for k in keys:
                     df = df.withColumn(k, F.col(k) + F.lit(i * STRIDE))
-                if table == "documents" and i > 0:
+                if table == "documents" and (
+                    doc_mode == "disjoint" or i > 0
+                ):
                     if doc_mode == "neardup":
                         df = df.withColumn(
                             "text", F.concat(F.col("text"), F.lit(f" v{i}"))
                         )
-                    else:  # disjoint: per-copy substitution cipher
-                        lo = "abcdefghijklmnopqrstuvwxyz"
-                        up = lo.upper()
-                        # rotation 1..25, never 0 mod 26: copy 26 of a
-                        # large clone must not silently alias copy 0
-                        rot = 1 + (i - 1) % 25
-                        rl = lo[rot:] + lo[:rot]
-                        ru = up[rot:] + up[:rot]
+                    else:  # disjoint: fixed-width per-copy token tag
                         df = df.withColumn(
-                            "text", F.translate("text", lo + up, rl + ru)
+                            "text",
+                            F.regexp_replace(
+                                "text", r"(\S+)", f"$1q{i:03d}"
+                            ),
                         )
                     df = df.withColumn(
                         "n_chars", F.length("text").cast("bigint")

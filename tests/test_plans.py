@@ -292,3 +292,45 @@ def test_lateral_decorrelates_to_window_group_limit(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_stratified_sample_uses_window_group_limit(plans):
+    """The md5-stratified sampler's rank filter must plan as partial+final
+    WindowGroupLimit (per-partition top-40, then final) — never a full
+    per-stratum sort, which would single-task each stratum at scale."""
+    p = plans("sample_stratified_topk_events")
+    # formatted plans list nodes in both the tree and the details section;
+    # partial+final shows as ≥2 distinct WindowGroupLimit mentions and the
+    # Partial marker must be present
+    assert p.count("WindowGroupLimit") >= 2, p
+    assert "Partial" in p, p
+
+
+def test_anti_join_build_side_is_prefiltered(plans):
+    """suppliers_without_returns_anti: the returnflag predicate must reach
+    the lineitem SCAN (PushedFilters), so the anti join's build input is
+    the returned-rows subset, not the full fact table."""
+    p = plans("suppliers_without_returns_anti")
+    assert "LeftAnti" in p
+    assert "EqualTo(l_returnflag,R)" in p, p
+
+
+def test_band_self_join_rides_the_brand_equi_key(plans):
+    """parts_price_band_within_brand: the band predicate must ride a hash
+    join on the brand equi-conjunct — never a cartesian/nested-loop over
+    the part table."""
+    p = plans("parts_price_band_within_brand")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_decile_twin_has_no_data_sized_window(plans):
+    """orders_price_decile_buckets_scalable: the bucket-assignment pass
+    must be comparisons against a broadcast cut table; the only windows
+    allowed are the cut computation's partition-bounded local ranks and
+    span offsets (group_quantiles_disc), never a window partitioned by
+    the 5-value priority key over the raw orders rows."""
+    p = plans("orders_price_decile_buckets_scalable")
+    # ntile would appear if the twin regressed to the fixture-only shape
+    assert "ntile" not in p.lower()
+    assert "BroadcastHashJoin" in p  # broadcast cut-table join

@@ -213,4 +213,5 @@ def oracle_map() -> dict[str, str]:
 #   sample_stratified_topk_events       (md5 stratified WindowGroupLimit)
 #   graph_bfs_g7 / graph_dfs_g7         (new tree-with-back-edge fixture)
 #   multimodal_phash_layout_census      (dhash over mixed PNG layouts)
+#   stream_hopping_type_counts          (hopping-window streaming twin)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

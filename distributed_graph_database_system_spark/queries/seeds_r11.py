@@ -675,3 +675,50 @@ def multimodal_phash_layout_census(
         .orderBy(F.desc("n_images"), "dhash")
         .limit(30)
     )
+
+
+# --- streaming twin: hopping windows ------------------------------------------
+
+
+@query(
+    "stream_hopping_type_counts",
+    oracle="""
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL 2 HOUR, ts) AS window_start,
+             event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 2 HOUR, ts, INTERVAL 30 MINUTE)
+               AS window_start, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 2 HOUR, ts, INTERVAL 60 MINUTE)
+               AS window_start, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 2 HOUR, ts, INTERVAL 90 MINUTE)
+               AS window_start, event_type, value FROM events
+    ) GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "window", "hopping"),
+)
+def stream_hopping_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/events.py hopping_type_counts: 2-hour
+    windows every 30 minutes per event_type — each row lands in FOUR
+    overlapping windows. The oracle reconstructs the four epoch-aligned
+    bucketings (offsets 0/30/60/90 min) Spark's hop assignment expands
+    each row into; the streaming side runs the identical aggregation over
+    the file-replay stream and converges to this result
+    (tests/test_streaming.py). Exact-decimal value sums on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").cast("bigint").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

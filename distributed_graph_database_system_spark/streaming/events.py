@@ -108,6 +108,23 @@ def sliding_value_sum(stream: DataFrame, watermark: str = "1 hour") -> DataFrame
     )
 
 
+def hopping_type_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """HOPPING 2-hour windows every 30 minutes, keyed by event_type: each
+    row lands in 4 overlapping windows (the generic hop shape between
+    tumbling's slide==width and sliding_value_sum's 2-bucket case). State
+    per key is 4 open windows × |event_type|, GC'd by the watermark."""
+    from distributed_graph_database_system_spark.queries.helpers import dsum
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
 def session_window_stats(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user session windows (gap-merged incrementally by the state
     store) — the streaming twin of the batch ``sessionize`` query."""

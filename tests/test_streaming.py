@@ -15,6 +15,7 @@ from distributed_graph_database_system_spark.queries.streaming_batch import (
 from distributed_graph_database_system_spark.sources.catalog import load_table
 from distributed_graph_database_system_spark.streaming.events import (
     events_stream,
+    hopping_type_counts,
     replay_dir,
     run_foreach_batch,
     run_to_memory,
@@ -45,6 +46,30 @@ def test_tumbling_counts_converge_to_batch(spark, sf_dir, stream_src):
     # final open window(s) must match the batch twin exactly
     assert got <= want
     assert len(got) >= len(want) - 10  # only the stream tail can be open
+
+
+def test_hopping_type_counts_converge_to_batch(spark, sf_dir, stream_src):
+    """The generic hop shape (width 2h, slide 30min → 4 windows/row) over
+    the replayed file stream must converge to the batch twin exactly on
+    every watermark-closed (window, type) cell; only the open tail may be
+    missing. Exact-decimal sums make the comparison bit-identical."""
+    from distributed_graph_database_system_spark.queries.seeds_r11 import (
+        stream_hopping_type_counts,
+    )
+
+    run_to_memory(
+        hopping_type_counts(events_stream(spark, stream_src)),
+        "t_hop",
+        mode="append",
+    )
+    cols = ("window_start", "event_type", "n", "sum_value")
+    got = rows_set(spark.table("t_hop"), cols)
+    want = rows_set(stream_hopping_type_counts(spark, sf_dir), cols)
+    assert got <= want
+    # each row belongs to 4 overlapping windows, so up to 4 windows per
+    # event_type can still be open at the stream tail
+    n_types = 5
+    assert len(got) >= len(want) - 4 * n_types
 
 
 def test_session_windows_converge_to_batch(spark, sf_dir, stream_src):

@@ -2751,9 +2751,18 @@ def _png_gray_pixels(blob: bytes) -> tuple[int, int, bytearray] | None:
     if interlace == 0:
         px = _png_unfilter(raw, w, h)
         return None if px is None else (w, h, bytearray(px))
+    dims = _adam7_pass_dims(w, h)
+    # Guard BEFORE allocating the w*h grid: header dims are untrusted, and
+    # a hostile blob (huge IHDR w/h, tiny valid zlib stream) must
+    # quarantine cheaply instead of committing a multi-GB bytearray — the
+    # allocation below is only reached when the inflated stream really
+    # carries w*h worth of pass scanlines (cost proportional to input).
+    expected = sum((pw + 1) * ph for pw, ph in dims if pw and ph)
+    if len(raw) < expected:
+        return None
     grid = bytearray(w * h)
     pos = 0
-    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_pass_dims(w, h)):
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
         if pw == 0 or ph == 0:
             continue
         span = (pw + 1) * ph

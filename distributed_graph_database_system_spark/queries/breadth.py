@@ -3336,6 +3336,7 @@ def orders_price_decile_buckets_scalable(
     cross-engine float risk — no rounding guard at all (the reason disc,
     not interpolated, cuts feed bucketing)."""
     from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
         group_quantiles_disc,
     )
 
@@ -3344,7 +3345,7 @@ def orders_price_decile_buckets_scalable(
     )
     qs = [i / 10 for i in range(1, 10)]
     cuts = group_quantiles_disc(o, "price", qs, ["o_orderpriority"])
-    cut_cols = [f"q_0_{i}" for i in range(1, 10)]
+    cut_cols = [_qcolname(q) for q in qs]  # one naming source of truth
     decile = F.lit(1)
     for c in cut_cols:
         decile = decile + (F.col("price") > F.col(c)).cast("int")

@@ -84,8 +84,11 @@ def oracle_of(name: str) -> str:
 # on-disk CORRECTNESS_r*.json ledger there). Order is thematic.
 #
 # Round-10 rotation: ALL 50 entries are FIRST-TIME (never present in any
-# CORRECTNESS_r*.json) — this window empties the never-graded pool, taking
-# cumulative driver-graded coverage 291 → 341 of 341 registered queries.
+# CORRECTNESS_r*.json) — this window empties the pool of queries never
+# graded as of the rotation, taking cumulative driver-graded coverage
+# 291 → 341 of the 341 queries registered AT ROTATION TIME (the round-10
+# seeds registered after the rotation are the R11_POOL at the bottom of
+# this file — the never-graded set going into round 11).
 # The 7 round-9 anchors (replica_consistency_check,
 # source_refgraph_roundtrip, layout_dpp_join, join_salted_skew, and the
 # three streaming twins) rotate OUT: each of their §2.2 rows already has

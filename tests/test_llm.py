@@ -1646,6 +1646,35 @@ def test_image_dhash_is_interlace_invariant(spark):
     assert len(hashes) == 3  # distinct patterns stay distinct
 
 
+def test_png_gray_pixels_hostile_dims_quarantine_cheaply():
+    """A blob whose IHDR claims huge interlaced dimensions but whose zlib
+    stream is tiny must quarantine BEFORE the w*h grid allocation — the
+    untrusted-header hazard the interlace path must not reintroduce."""
+    import struct as _s
+    import zlib as _z
+
+    from distributed_graph_database_system_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_gray_pixels,
+    )
+
+    ihdr = _s.pack(">IIBBBBB", 65535, 65535, 8, 0, 0, 0, 1)  # interlaced
+    blob = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 16))
+        + _png_chunk(b"IEND", b"")
+    )
+    import tracemalloc
+
+    tracemalloc.start()
+    assert _png_gray_pixels(blob) is None
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 50_000_000, peak  # never the ~4.3 GB w*h grid
+
+
 def test_wav_depths_project_to_16bit_domain():
     """8/24/32-bit PCM decode through the 16-bit-domain projection: the
     same signal stored at any depth produces identical stats; float

@@ -187,6 +187,16 @@ def group_quantiles_disc(
     right cut-table source when the cuts feed comparisons (bucketing),
     where a 1-ULP interpolated difference could flip a row's bucket.
 
+    Float-boundary note: the rank is computed as ``ceil(q·n)`` in IEEE
+    doubles — at exact-rational boundaries where the double PRODUCT
+    rounds above the true integer (e.g. q = 9/11, n = 77: exact 63,
+    double 63.000000000000014 → rank 64), BOTH engines' builtins sit on
+    the same product side, so the three implementations agree even at
+    the adversarial cases (pinned on real data in
+    tests/test_property.py::test_percentile_disc_rank_rule_at_adversarial_float_boundaries;
+    the textbook cume_dist rule "smallest r with r/n ≥ q" is the one
+    that diverges there).
+
     Shares the two-pass global-rank machinery of group_quantiles_exact
     (range repartition → partition-bounded local rank → broadcast span
     offsets), so per-task state is bounded by the PARTITION size, never

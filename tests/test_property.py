@@ -297,3 +297,41 @@ def test_png_gray_full_grid_property(w, h, seed, interlace):
     assert (gw, gh) == (w, h)
     want = bytes(px(x, y)[0] for y in range(h) for x in range(w))
     assert bytes(grid) == want
+
+
+def test_percentile_disc_rank_rule_at_adversarial_float_boundaries(spark):
+    """The one soft spot of group_quantiles_disc's rank rule is the IEEE
+    product q·n at exact-rational boundaries: for q = 9/11 and n = 77 the
+    exact product is 63 but the double product is 63.000000000000014, so
+    the ceil(q·n) rule picks rank 64 while the textbook cume_dist rule
+    (smallest r with r/n ≥ q) picks 63. Both Spark's builtin
+    PERCENTILE_DISC and DuckDB's sit on the PRODUCT side of every such
+    boundary (verified here on real data), which is exactly the
+    expression group_quantiles_disc evaluates — so all three agree at the
+    adversarial cases, and the cume_dist mental model is the one that's
+    wrong. Cases chosen from an exhaustive sweep of q = j/denom,
+    denom ≤ 40, n ≤ 2000 where the two rules diverge."""
+    import duckdb
+
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
+    )
+
+    cases = [(9 / 11, 77), (7 / 12, 108), (9 / 14, 42), (3 / 17, 85)]
+    con = duckdb.connect()
+    for q, n in cases:
+        df = spark.range(1, n + 1).selectExpr(
+            "'g' AS g", "CAST(id AS DOUBLE) AS v"
+        )
+        mine = group_quantiles_disc(df, "v", [q], ["g"]).first()[_qcolname(q)]
+        df.createOrReplaceTempView("t_adv")
+        builtin = spark.sql(
+            f"SELECT PERCENTILE_DISC({q!r}) WITHIN GROUP (ORDER BY v) "
+            "FROM t_adv"
+        ).first()[0]
+        duck = con.execute(
+            f"SELECT PERCENTILE_DISC({q!r}) WITHIN GROUP (ORDER BY v) "
+            f"FROM (SELECT unnest(range(1, {n + 1})) AS v)"
+        ).fetchone()[0]
+        assert mine == builtin == float(duck), (q, n, mine, builtin, duck)

@@ -217,4 +217,7 @@ def oracle_map() -> dict[str, str]:
 #   graph_bfs_g7 / graph_dfs_g7         (new tree-with-back-edge fixture)
 #   multimodal_phash_layout_census      (dhash over mixed PNG layouts)
 #   stream_hopping_type_counts          (hopping-window streaming twin)
+#   source_refgraph_degree_census       (agg over partitioned custom source)
+#   source_json_nested_roundtrip        (nested-struct JSON, explicit schema)
+#   events_hour_dow_heatmap             (calendar extraction grouping)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

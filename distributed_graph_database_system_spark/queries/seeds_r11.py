@@ -722,3 +722,147 @@ def stream_hopping_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --- python datasource: aggregation over a partitioned read -------------------
+
+
+@query(
+    "source_refgraph_degree_census",
+    oracle="""
+    WITH e AS (
+      SELECT i + 1 AS src, j + 1 AS dst
+      FROM (SELECT unnest(range(0, 60)) AS i)
+      CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+      WHERE (i * 17 + j * 3) % 11 = 0 AND i <> j
+    ), d AS (
+      SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+    )
+    SELECT CAST(deg AS BIGINT) AS out_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(MIN(src) AS BIGINT) AS min_vertex
+    FROM d GROUP BY deg ORDER BY out_degree
+    """,
+    tags=("sources", "datasource-api", "reference-format", "aggregation"),
+)
+def source_refgraph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation ON TOP of the Spark 4 Python DataSource — the
+    composition the roundtrip query doesn't exercise: a 60-vertex
+    reference-format adjacency matrix (edge i+1→j+1 iff (17i+3j) mod 11
+    = 0, i≠j) is read through spark.read.format('reference_graph') split
+    into 8 REAL input partitions (each task parses only its matrix-row
+    block), and the out-degree census groups straight over the source
+    rows — proving the custom format feeds the ordinary shuffle/agg
+    machinery like any native source. The oracle regenerates the matrix
+    arithmetically."""
+    import os
+
+    from distributed_graph_database_system_spark.sources.refgraph import (
+        ReferenceGraphDataSource,
+        write_reference_file,
+    )
+
+    n = 60
+    edges = [
+        (i + 1, j + 1)
+        for i in range(n)
+        for j in range(n)
+        if (i * 17 + j * 3) % 11 == 0 and i != j
+    ]
+    path = scratch_dir("refgraph", sf_dir, "census_graph.txt")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_reference_file(path, n, edges)
+    spark.dataSource.register(ReferenceGraphDataSource)
+    src = (
+        spark.read.format("reference_graph")
+        .option("numPartitions", "8")
+        .load(path)
+    )
+    deg = src.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.groupBy(F.col("deg").cast("bigint").alias("out_degree"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+            F.min("src").cast("bigint").alias("min_vertex"),
+        )
+        .orderBy("out_degree")
+    )
+
+
+# --- sources: nested-struct JSON roundtrip ------------------------------------
+
+
+@query(
+    "source_json_nested_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("sources", "json", "nested", "roundtrip"),
+)
+def source_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink/source roundtrip with a NESTED payload (the flat
+    roundtrip's missing half): events are re-shaped into
+    (event_id, payload STRUCT<event_type, value>), written as JSON
+    lines, read back with an EXPLICIT nested schema (no inference — the
+    production contract at 100 TB, where schema inference means an extra
+    full scan), and aggregated from the nested fields. The oracle reads
+    the original table — matching hashes prove the nested encode/decode
+    changed nothing."""
+    e = load_table(spark, sf_dir, "events")
+    path = scratch_dir("jsonnest", sf_dir, "events_nested_json")
+    e.select(
+        "event_id",
+        F.struct("event_type", "value").alias("payload"),
+    ).write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id BIGINT, payload STRUCT<event_type: STRING, value: DOUBLE>"
+    ).json(path)
+    return (
+        back.groupBy(F.col("payload.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("payload.value").alias("sum_value"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- scalar datetime: activity heatmap ----------------------------------------
+
+
+@query(
+    "events_hour_dow_heatmap",
+    oracle="""
+    SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY dow, hour
+    """,
+    tags=("scalar", "datetime", "heatmap", "grouping"),
+)
+def events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-extraction grouping (the ops-dashboard heatmap): events
+    bucketed by (day-of-week, hour-of-day) with per-cell distinct users.
+    Cross-engine day-numbering is the trap this pins: Spark's
+    dayofweek() is 1=Sunday..7 while DuckDB's EXTRACT(dow) is
+    0=Sunday..6 — the Spark side subtracts 1 so both agree; hour
+    extraction is identical. Both extractions run on the UTC-pinned
+    session timestamps, so the cells are engine-portable."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -220,4 +220,6 @@ def oracle_map() -> dict[str, str]:
 #   source_refgraph_degree_census       (agg over partitioned custom source)
 #   source_json_nested_roundtrip        (nested-struct JSON, explicit schema)
 #   events_hour_dow_heatmap             (calendar extraction grouping)
+#   events_mannwhitney_purchase_view    (exact-integer rank-sum U test)
+#   supplier_market_hhi                 (Herfindahl concentration index)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -866,3 +866,146 @@ def events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+# --- rank statistics: Mann-Whitney U ------------------------------------------
+
+
+@query(
+    "events_mannwhitney_purchase_view",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v,
+             CAST(event_type = 'purchase' AS INT) AS isp
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), g AS (
+      SELECT v, SUM(isp) AS n1v, COUNT(*) AS cnt FROM x GROUP BY v
+    ), c AS (
+      SELECT v, n1v, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM g
+    ), s AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(cnt) - SUM(n1v) AS BIGINT) AS n2,
+             CAST(SUM(n1v * (2 * cum + cnt + 1)) AS BIGINT) AS r1_x2
+      FROM c
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           ROUND(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2) - 1.0, 6) AS rank_biserial
+    FROM s
+    """,
+    tags=("analytics", "stats", "rank", "mann-whitney"),
+)
+def events_mannwhitney_purchase_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the purchase and view
+    value distributions, in EXACT INTEGER arithmetic: average ranks over
+    the merged sample are computed per DISTINCT (rounded) value as
+    doubled ranks 2·cum_below + cnt + 1 — integers even at ties — so the
+    doubled rank sum R1×2, and with it U1×2 = R1×2 − n1(n1+1), is an
+    exact BIGINT on both engines; the only float is the final
+    rank-biserial effect size 2U1/(n1·n2) − 1, one division rounded at
+    6dp. Scale shape: one aggregation onto distinct values, then a
+    window over the DISTINCT-value table (bounded by value cardinality,
+    never row count — the same bounded-window argument as the daily
+    prefix sums), then one scalar fold."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    x = e.select(
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("isp"),
+    )
+    g = x.groupBy("v").agg(
+        F.sum("isp").alias("n1v"), F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    c = g.withColumn("cum", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    s = c.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        (F.sum("cnt") - F.sum("n1v")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("cum") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r1_x2"),
+    )
+    return s.select(
+        "n1",
+        "n2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("bigint")
+        .alias("u1_x2"),
+        F.round(
+            (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (F.col("n1").cast("double") * F.col("n2"))
+            - 1.0,
+            6,
+        ).alias("rank_biserial"),
+    )
+
+
+# --- market concentration: Herfindahl index -------------------------------------
+
+
+@query(
+    "supplier_market_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ), nat AS (
+      SELECT nationkey, SUM(CAST(r AS DECIMAL(28,2))) AS nr,
+             COUNT(*) AS n_suppliers
+      FROM rev GROUP BY nationkey
+    )
+    SELECT rev.nationkey AS nationkey,
+           CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(ROUND(
+             POW(rev.r / CAST(nat.nr AS DOUBLE) * 100, 2), 8)
+           AS DECIMAL(28,8))) AS DOUBLE), 4) AS hhi
+    FROM rev JOIN nat ON rev.nationkey = nat.nationkey
+    GROUP BY rev.nationkey ORDER BY nationkey
+    """,
+    tags=("analytics", "concentration", "hhi"),
+)
+def supplier_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per nation: the
+    sum of squared supplier revenue shares (shares in percent, so the
+    0–10,000 antitrust scale). Revenues are exact decimal sums; each
+    share is ONE double division of two exact decimals (deterministic);
+    the squared-share terms round to 8dp and fold as DECIMAL(28,8) so
+    the per-nation sum is order-free — the rounded-term discipline every
+    float aggregate in this repo uses (queries/helpers.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    rev = (
+        li.join(F.broadcast(s), "l_suppkey")
+        .groupBy("nationkey", "l_suppkey")
+        .agg(dsum("l_extendedprice").alias("r"))
+    )
+    nat = rev.groupBy("nationkey").agg(
+        F.sum(F.col("r").cast("decimal(28,2)")).alias("nr"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share_pct = F.col("r") / F.col("nr").cast("double") * 100
+    term = F.round(F.pow(share_pct, 2), 8).cast("decimal(28,8)")
+    return (
+        rev.join(F.broadcast(nat), "nationkey")
+        .groupBy("nationkey")
+        .agg(
+            F.max("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(term).cast("double"), 4).alias("hhi"),
+        )
+        .orderBy("nationkey")
+    )

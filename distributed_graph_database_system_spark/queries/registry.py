@@ -222,4 +222,5 @@ def oracle_map() -> dict[str, str]:
 #   events_hour_dow_heatmap             (calendar extraction grouping)
 #   events_mannwhitney_purchase_view    (exact-integer rank-sum U test)
 #   supplier_market_hhi                 (Herfindahl concentration index)
+#   events_brown_double_smoothing       (closed-form double EWMA + trend)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

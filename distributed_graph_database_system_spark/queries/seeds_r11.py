@@ -1009,3 +1009,90 @@ def supplier_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --- time series: Brown's double exponential smoothing --------------------------
+
+
+@query(
+    "events_brown_double_smoothing",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+    ), t AS (
+      SELECT day, x,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS INT) AS i
+      FROM d
+    ), terms AS (
+      SELECT a.day, a.i, a.x,
+             CAST(ROUND(b.x * 0.2 * POW(0.8, a.i - b.i), 8)
+                  AS DECIMAL(28,8)) AS s1_term,
+             CAST(ROUND(b.x * 0.04 * (a.i - b.i + 1) * POW(0.8, a.i - b.i), 8)
+                  AS DECIMAL(28,8)) AS s2_term
+      FROM t a JOIN t b ON b.i <= a.i
+    ), sm AS (
+      SELECT day, MAX(x) AS x,
+             CAST(SUM(s1_term) AS DOUBLE) AS s1,
+             CAST(SUM(s2_term) AS DOUBLE) AS s2
+      FROM terms GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, ROUND(x, 4) AS daily_total,
+           ROUND(2 * s1 - s2, 4) AS level,
+           ROUND(0.25 * (s1 - s2), 4) AS trend
+    FROM sm ORDER BY day
+    """,
+    tags=("analytics", "time-series", "smoothing", "forecast"),
+)
+def events_brown_double_smoothing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown's double exponential smoothing (the trend-aware extension of
+    events_anomaly_ewma's single EWMA): s1 is the EWMA of the daily
+    series and s2 the EWMA of s1; level = 2s1 − s2 and trend =
+    (α/(1−α))(s1 − s2) give the one-step linear forecast components.
+    Both smoothers expand to CLOSED FORMS over the raw series — s1's
+    coefficient is α·β^k and s2's is α²·(k+1)·β^k for lag k (the
+    convolution of two geometric kernels) — so instead of a sequential
+    recurrence, each (day, lag) contributes one 8dp-rounded decimal term
+    and the per-day sums are order-free. The pair join is over the
+    per-day AGGREGATE (|days|² pairs at bounded day counts — the same
+    shape as the EWMA oracle); at unbounded horizons the kernel
+    truncates (β^k < 1e-9 after ~93 lags at α=0.2), which caps the join
+    fan-out at a constant."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    t = d.withColumn(
+        "i", F.row_number().over(W.orderBy("day")).cast("int")
+    )
+    a = t.select(F.col("day").alias("day_a"), F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = t.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    k = F.col("ia") - F.col("ib")
+    terms = a.join(b, F.col("ib") <= F.col("ia")).select(
+        "day_a",
+        "xa",
+        F.round(F.col("xb") * 0.2 * F.pow(F.lit(0.8), k), 8)
+        .cast("decimal(28,8)")
+        .alias("s1_term"),
+        F.round(F.col("xb") * 0.04 * (k + 1) * F.pow(F.lit(0.8), k), 8)
+        .cast("decimal(28,8)")
+        .alias("s2_term"),
+    )
+    sm = terms.groupBy("day_a").agg(
+        F.max("xa").alias("x"),
+        F.sum("s1_term").cast("double").alias("s1"),
+        F.sum("s2_term").cast("double").alias("s2"),
+    )
+    return sm.select(
+        F.col("day_a").cast("string").alias("day"),
+        F.round("x", 4).alias("daily_total"),
+        F.round(2 * F.col("s1") - F.col("s2"), 4).alias("level"),
+        F.round(0.25 * (F.col("s1") - F.col("s2")), 4).alias("trend"),
+    ).orderBy("day")

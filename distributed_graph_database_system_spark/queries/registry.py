@@ -224,4 +224,7 @@ def oracle_map() -> dict[str, str]:
 #   supplier_market_hhi                 (Herfindahl concentration index)
 #   events_brown_double_smoothing       (closed-form double EWMA + trend)
 #   orders_runs_test_daily_revenue      (Wald-Wolfowitz randomness screen)
+#   supplier_nation_theil_index         (decomposable inequality index)
+#   customer_order_streaks              (gaps-and-islands day streaks)
+#   part_size_price_spearman            (exact-integer-moment rank corr)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

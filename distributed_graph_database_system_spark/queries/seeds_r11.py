@@ -1208,3 +1208,228 @@ def orders_runs_test_daily_revenue(
             "z"
         ),
     )
+
+
+# --- inequality: Theil index ------------------------------------------------
+
+
+@query(
+    "supplier_nation_theil_index",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS x
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ), nat AS (
+      SELECT nationkey, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM rev GROUP BY nationkey
+    )
+    SELECT rev.nationkey AS nationkey, CAST(MAX(nat.n) AS BIGINT)
+             AS n_suppliers,
+           ROUND(CAST(SUM(CAST(ROUND(
+             (rev.x / (nat.total / nat.n)) * LN(rev.x / (nat.total / nat.n)),
+           8) AS DECIMAL(28,8))) AS DOUBLE) / MAX(nat.n), 4) AS theil_t
+    FROM rev JOIN nat ON rev.nationkey = nat.nationkey
+    WHERE rev.x > 0
+    GROUP BY rev.nationkey ORDER BY nationkey
+    """,
+    tags=("analytics", "inequality", "theil"),
+)
+def supplier_nation_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of supplier revenues within each nation —
+    the decomposable complement of the Gini queries (Theil splits
+    exactly into within/between components; Gini does not). Revenues are
+    exact decimal sums; each supplier's (x/μ)·ln(x/μ) term rounds at 8dp
+    and folds as decimal so the per-nation sum is order-free (the
+    rounded-term libm discipline of events_periodogram / corpus_zipf);
+    the final /N division is one float. Zero-revenue suppliers drop out
+    (ln 0); μ = total/n is the same double in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    rev = (
+        li.join(F.broadcast(s), "l_suppkey")
+        .groupBy("nationkey", "l_suppkey")
+        .agg(dsum("l_extendedprice").alias("x"))
+    )
+    nat = rev.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,2)")).cast("double").alias("total"),
+    )
+    mu = F.col("total") / F.col("n")
+    term = F.round((F.col("x") / mu) * F.log(F.col("x") / mu), 8).cast(
+        "decimal(28,8)"
+    )
+    return (
+        rev.where(F.col("x") > 0)
+        .join(F.broadcast(nat), "nationkey")
+        .groupBy("nationkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n_suppliers"),
+            F.round(
+                F.sum(term).cast("double") / F.max("n"), 4
+            ).alias("theil_t"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --- gaps and islands: consecutive-day streaks --------------------------------
+
+
+@query(
+    "customer_order_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+      FROM orders
+    ), r AS (
+      SELECT o_custkey, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY day) AS INTEGER)
+               * INTERVAL 1 DAY AS island
+      FROM d
+    ), streaks AS (
+      SELECT o_custkey, island, COUNT(*) AS len FROM r
+      GROUP BY o_custkey, island
+    )
+    SELECT o_custkey AS custkey,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_order_days
+    FROM streaks GROUP BY o_custkey
+    ORDER BY longest_streak DESC, custkey LIMIT 20
+    """,
+    tags=("analytics", "gaps-and-islands", "streaks", "window"),
+)
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-order-day streak per customer — the canonical
+    gaps-and-islands shape (day − row_number is constant exactly within
+    a run of consecutive days, so one subtraction turns runs into group
+    keys; no self-join, no recursive walk). The ranking window is
+    per-customer over that customer's DISTINCT order days — bounded by a
+    single customer's history, never the table. Top-20 with a total-order
+    tie-break; day arithmetic stays integer (DATE − days)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    ).distinct()
+    rn = F.row_number().over(
+        W.partitionBy("o_custkey").orderBy("day")
+    )
+    r = d.select(
+        "o_custkey", "day", F.date_sub("day", rn).alias("island")
+    )
+    streaks = r.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.sum("len").cast("bigint").alias("n_order_days"),
+        )
+        .orderBy(F.desc("longest_streak"), "custkey")
+        .limit(20)
+    )
+
+
+# --- rank correlation: Spearman with exact integer moments ---------------------
+
+
+@query(
+    "part_size_price_spearman",
+    oracle="""
+    WITH p AS (
+      SELECT p_size AS a, CAST(p_retailprice AS DECIMAL(18,2)) AS b
+      FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+    ),
+    ga AS (
+      SELECT a, COUNT(*) AS cnt,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM p GROUP BY a
+    ),
+    gb AS (
+      SELECT b, COUNT(*) AS cnt,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM p GROUP BY b
+    ),
+    ranked AS (
+      SELECT CAST(2 * ga.cum + ga.cnt + 1 AS DECIMAL(38,0)) AS ra,
+             CAST(2 * gb.cum + gb.cnt + 1 AS DECIMAL(38,0)) AS rb
+      FROM p JOIN ga ON p.a = ga.a JOIN gb ON p.b = gb.b
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(ra) AS sx, SUM(rb) AS sy,
+             SUM(ra * rb) AS sxy, SUM(ra * ra) AS sxx, SUM(rb * rb) AS syy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           ROUND((CAST(n * sxy - sx * sy AS DOUBLE))
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS spearman_rho
+    FROM m
+    """,
+    tags=("analytics", "stats", "rank", "spearman"),
+)
+def part_size_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between part size and retail price with
+    EXACT INTEGER moments: tie-averaged ranks are computed per DISTINCT
+    value as doubled ranks 2·cum + cnt + 1 (integers even at ties, the
+    Mann-Whitney trick), and because Pearson correlation is invariant
+    under the affine map r → 2r, Spearman's ρ equals the Pearson of the
+    doubled ranks — so every moment (Σx, Σxy, Σx², n) folds as an exact
+    DECIMAL(38,0) and the only float is ONE final expression, rounded at
+    6dp. The ranking windows run over the DISTINCT-value tables (bounded
+    by value cardinality); the rank join keys are values, broadcast-sized
+    in both engines."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_size").alias("a"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("b"),
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+
+    def ranks2(col: str) -> DataFrame:
+        g = p.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return g.select(
+            col,
+            (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+             + F.col("cnt") + 1)
+            .cast("decimal(38,0)")
+            .alias(f"r_{col}"),
+        )
+
+    ranked = (
+        p.join(F.broadcast(ranks2("a")), "a")
+        .join(F.broadcast(ranks2("b")), "b")
+        .select(F.col("r_a").alias("ra"), F.col("r_b").alias("rb"))
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("ra").alias("sx"),
+        F.sum("rb").alias("sy"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+        F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+        F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.round(num / F.sqrt(dx * dy), 6).alias("spearman_rho"),
+    )

@@ -1144,10 +1144,10 @@ def events_brown_double_smoothing(
     SELECT n_up, n_down, runs,
            ROUND((CAST(runs AS DOUBLE)
                   - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
-                 / SQRT(2.0 * n_up * n_down
+                 / NULLIF(SQRT(2.0 * n_up * n_down
                         * (2.0 * n_up * n_down - n_up - n_down)
                         / (CAST(n_up + n_down AS DOUBLE)
-                           * (n_up + n_down) * (n_up + n_down - 1))),
+                           * (n_up + n_down) * (n_up + n_down - 1))), 0),
                  6) AS z
     FROM agg
     """,
@@ -1165,7 +1165,10 @@ def orders_runs_test_daily_revenue(
     argument), and μ/σ come from the standard 2·n1·n2 formulas — one
     composite double expression per engine, identical shape, rounded at
     6dp (products of counts stay < 2^53 exact; division and sqrt are
-    correctly rounded IEEE). Zero diffs drop out per the standard test."""
+    correctly rounded IEEE). Zero diffs drop out per the standard test;
+    a degenerate all-up/all-down series has σ = 0 and yields z = NULL on
+    BOTH sides (NULLIF guard — without it Spark's IEEE division would
+    emit ±Infinity while an engine that errors or NULLs on /0 diverges)."""
     o = load_table(spark, sf_dir, "orders")
     d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
@@ -1200,13 +1203,16 @@ def orders_runs_test_daily_revenue(
         2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
         / (n.cast("double") * n * (n - 1))
     )
+    sigma = F.sqrt(var)
     return agg.select(
         "n_up",
         "n_down",
         "runs",
-        F.round((F.col("runs").cast("double") - mu) / F.sqrt(var), 6).alias(
-            "z"
-        ),
+        F.round(
+            (F.col("runs").cast("double") - mu)
+            / F.when(sigma != 0, sigma),
+            6,
+        ).alias("z"),
     )
 
 

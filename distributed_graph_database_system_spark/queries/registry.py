@@ -175,6 +175,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline,
         relational,
         seeds_r11,
+        seeds_r12,
         streaming_batch,
         tpch_extra,
     )

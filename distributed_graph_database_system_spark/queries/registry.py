@@ -176,6 +176,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         seeds_r11,
         seeds_r12,
+        seeds_r12b,
         streaming_batch,
         tpch_extra,
     )

@@ -177,6 +177,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r11,
         seeds_r12,
         seeds_r12b,
+        seeds_r12c,
         streaming_batch,
         tpch_extra,
     )

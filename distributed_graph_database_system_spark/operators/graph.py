@@ -2527,3 +2527,169 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
             F.round(F.col("a").cast("double"), 6).alias("authority"),
         )
     )
+
+
+def _all_vertices(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+
+
+def excluded_vertex_reach(
+    edges: DataFrame,
+    candidates: Sequence[int] | None = None,
+    max_candidates: int = 4096,
+    max_iter: int = 10_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """What-if reachability with one vertex removed: for every candidate
+    vertex ``x``, BFS over the graph minus ``x`` from the smallest
+    remaining vertex, ALL candidates carried in ONE level-synchronous
+    frontier keyed by ``(excl, vid)`` — the same batched-trees trick as
+    :func:`multi_source_bfs_all`, with the exclusion enforced as a
+    ``dst != excl`` filter inside the expansion join. Returns
+    ``(excl, vid, level)``.
+
+    Undirected input expected (both edge directions listed), as in every
+    traversal here. Frontier state is O(candidates × V): the honest
+    cost of |candidates| simultaneous BFS trees, which is why
+    ``max_candidates`` guards the all-vertices default — for large
+    graphs pass an explicit candidate sample (cut-vertex screening over
+    high-degree vertices is the usual 100 TB play; exact linear-time
+    articulation algorithms are DFS-order-dependent and inherently
+    sequential, so batched what-if BFS is the distributed trade)."""
+    verts = _all_vertices(edges)
+    if candidates is None:
+        cand_rows = [int(r["vid"]) for r in verts.collect()]
+        if len(cand_rows) > max_candidates:
+            raise ValueError(
+                f"excluded_vertex_reach: {len(cand_rows)} vertices exceed "
+                f"max_candidates={max_candidates}; pass an explicit "
+                "candidate sample"
+            )
+    else:
+        cand_rows = sorted({int(c) for c in candidates})
+    vids = sorted(int(r["vid"]) for r in verts.collect())
+    first_rows = []
+    for x in cand_rows:
+        root = next((v for v in vids if v != x), None)
+        if root is not None:
+            first_rows.append((x, root, 0))
+    first = edges.sparkSession.createDataFrame(
+        first_rows, "excl BIGINT, vid BIGINT, level INT"
+    )
+
+    def expand(frontier: DataFrame, e: DataFrame) -> DataFrame:
+        return (
+            frontier.join(e, frontier["vid"] == e["src"])
+            .where(e["dst"] != frontier["excl"])
+            .select("excl", e["dst"].alias("vid"))
+            .distinct()
+        )
+
+    return _frontier_traversal(
+        edges, first, ["excl", "vid"], ["excl", "vid"], expand,
+        "excluded_vertex_reach", max_iter, stats,
+    ).select("excl", "vid", "level")
+
+
+def articulation_points(
+    edges: DataFrame,
+    candidates: Sequence[int] | None = None,
+    max_candidates: int = 4096,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """Articulation (cut) vertices of an undirected graph by batched
+    what-if reachability: ``x`` is an articulation point iff removing it
+    leaves fewer than |V| − 1 vertices reachable from any survivor
+    (assumes the input component is connected, the fixture contract;
+    for multi-component graphs run per component). Returns
+    ``(vid, n_reached, is_articulation)`` for every candidate.
+
+    All |candidates| exclusion BFS trees ride one frontier
+    (:func:`excluded_vertex_reach`); the verdict is a single count
+    aggregate against the vertex total."""
+    verts = _all_vertices(edges)
+    n = verts.count()
+    reach = excluded_vertex_reach(
+        edges, candidates, max_candidates, max_iter
+    )
+    return (
+        reach.groupBy(F.col("excl").alias("vid"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_reached"))
+        .select(
+            "vid",
+            "n_reached",
+            F.when(F.col("n_reached") < F.lit(n - 1), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_articulation"),
+        )
+    )
+
+
+def bridges(
+    edges: DataFrame,
+    max_edges: int = 4096,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """Bridge (cut) edges of a connected undirected graph by batched
+    what-if reachability: undirected edge {a, b} is a bridge iff with it
+    removed, a BFS from ``a`` no longer reaches all |V| vertices. One
+    frontier carries every candidate edge's BFS keyed by the canonical
+    (a < b) edge id; the expansion join drops only the excluded edge
+    (both directions). Returns ``(src, dst, n_reached, is_bridge)`` with
+    src < dst.
+
+    O(E) simultaneous trees — ``max_edges`` guards the default; at scale
+    screen candidates first (an edge inside any triangle is never a
+    bridge, so 2-hop filtering prunes most of E before the what-if
+    pass)."""
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    cand = [(int(r["src"]), int(r["dst"])) for r in und.collect()]
+    if len(cand) > max_edges:
+        raise ValueError(
+            f"bridges: {len(cand)} candidate edges exceed "
+            f"max_edges={max_edges}; screen candidates first"
+        )
+    n = _all_vertices(edges).count()
+    first = edges.sparkSession.createDataFrame(
+        [(a, b, a, 0) for a, b in cand],
+        "ea BIGINT, eb BIGINT, vid BIGINT, level INT",
+    )
+
+    def expand(frontier: DataFrame, e: DataFrame) -> DataFrame:
+        keep = ~(
+            ((e["src"] == frontier["ea"]) & (e["dst"] == frontier["eb"]))
+            | ((e["src"] == frontier["eb"]) & (e["dst"] == frontier["ea"]))
+        )
+        return (
+            frontier.join(e, frontier["vid"] == e["src"])
+            .where(keep)
+            .select("ea", "eb", e["dst"].alias("vid"))
+            .distinct()
+        )
+
+    reach = _frontier_traversal(
+        edges, first, ["ea", "eb", "vid"], ["ea", "eb", "vid"], expand,
+        "bridges", max_iter,
+    )
+    return (
+        reach.groupBy(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_reached"))
+        .select(
+            "src",
+            "dst",
+            "n_reached",
+            F.when(F.col("n_reached") < F.lit(n), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_bridge"),
+        )
+    )

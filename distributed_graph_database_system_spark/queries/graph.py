@@ -1180,3 +1180,86 @@ def graph_eccentricity_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vid")
     )
+
+
+@query(
+    "graph_articulation_points_g6",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT src, dst FROM {_G6_SYM_VALUES}
+    ), verts AS (SELECT DISTINCT src AS v FROM e),
+    roots AS (
+      SELECT x.v AS excl, MIN(o.v) AS root
+      FROM verts x JOIN verts o ON o.v <> x.v GROUP BY x.v
+    ), walk(excl, vid) AS (
+      SELECT excl, root FROM roots
+      UNION
+      SELECT w.excl, e.dst FROM walk w JOIN e ON e.src = w.vid
+      WHERE e.dst <> w.excl
+    ), reach AS (
+      SELECT excl, COUNT(*) AS c FROM walk GROUP BY excl
+    ), nv AS (SELECT COUNT(*) AS n FROM verts)
+    SELECT CAST(excl AS BIGINT) AS vid, CAST(c AS BIGINT) AS n_reached,
+           CAST(CASE WHEN c < nv.n - 1 THEN 1 ELSE 0 END AS INT)
+             AS is_articulation
+    FROM reach CROSS JOIN nv ORDER BY vid
+    """,
+    tags=("graph", "articulation", "what-if", "connectivity"),
+)
+def graph_articulation_points_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Articulation points of undirected G6 — {4, 5, 8}: 4 severs the
+    clique from the cycle, 5 severs the clique side from the cycle, 8
+    strands the pendant 10. Computed by BATCHED what-if reachability
+    (operators/graph.py articulation_points): all |V| one-vertex-removed
+    BFS trees ride ONE level-synchronous frontier keyed (excl, vid) —
+    the distributed trade for Tarjan's inherently DFS-sequential
+    linear-time algorithm, with a max_candidates guard + candidate
+    sampling as the at-scale contract. The oracle replays every
+    exclusion with a recursive CTE whose expansion skips the removed
+    vertex."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        articulation_points,
+    )
+
+    sym = G6 + [(b, a) for a, b in G6]
+    return articulation_points(_edges(spark, sym)).orderBy("vid")
+
+
+@query(
+    "graph_bridges_g6",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT src, dst FROM {_G6_SYM_VALUES}
+    ), cand AS (
+      SELECT src AS ea, dst AS eb FROM e WHERE src < dst
+    ), walk(ea, eb, vid) AS (
+      SELECT ea, eb, ea FROM cand
+      UNION
+      SELECT w.ea, w.eb, e.dst FROM walk w JOIN e ON e.src = w.vid
+      WHERE NOT (e.src = w.ea AND e.dst = w.eb)
+        AND NOT (e.src = w.eb AND e.dst = w.ea)
+    ), reach AS (
+      SELECT ea, eb, COUNT(*) AS c FROM walk GROUP BY ea, eb
+    ), nv AS (SELECT COUNT(DISTINCT src) AS n FROM e)
+    SELECT CAST(ea AS BIGINT) AS src, CAST(eb AS BIGINT) AS dst,
+           CAST(c AS BIGINT) AS n_reached,
+           CAST(CASE WHEN c < nv.n THEN 1 ELSE 0 END AS INT) AS is_bridge
+    FROM reach CROSS JOIN nv ORDER BY src, dst
+    """,
+    tags=("graph", "bridges", "what-if", "connectivity"),
+)
+def graph_bridges_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge edges of undirected G6 — {4–5, 8–10}: the clique-to-cycle
+    link and the pendant edge; every clique/cycle edge sits on a cycle
+    and survives. Batched what-if BFS per candidate edge
+    (operators/graph.py bridges), one frontier keyed by the canonical
+    (a < b) edge id with the excluded edge dropped in both directions
+    inside the expansion join. The at-scale screen (an edge in any
+    triangle is never a bridge) is documented on the operator; the
+    oracle replays each exclusion recursively."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        bridges,
+    )
+
+    sym = G6 + [(b, a) for a, b in G6]
+    return bridges(_edges(spark, sym)).orderBy("src", "dst")

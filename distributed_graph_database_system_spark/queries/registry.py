@@ -83,83 +83,81 @@ def oracle_of(name: str) -> str:
 # rows whose remaining evidence is historical are asserted against the
 # on-disk CORRECTNESS_r*.json ledger there). Order is thematic.
 #
-# Round-10 rotation: ALL 50 entries are FIRST-TIME (never present in any
-# CORRECTNESS_r*.json) — this window empties the pool of queries never
-# graded as of the rotation, taking cumulative driver-graded coverage
-# 291 → 341 of the 341 queries registered AT ROTATION TIME (the round-10
-# seeds registered after the rotation are the R11_POOL at the bottom of
-# this file — the never-graded set going into round 11).
-# The 7 round-9 anchors (replica_consistency_check,
-# source_refgraph_roundtrip, layout_dpp_join, join_salted_skew, and the
-# three streaming twins) rotate OUT: each of their §2.2 rows already has
-# multi-round driver evidence (r2–r9), which the window test now checks
-# directly against the CORRECTNESS files instead of window membership.
+# Round-11 rotation: ALL 50 entries are FIRST-TIME (never present in any
+# CORRECTNESS_r*.json through r10) — the 25-name R11_POOL registered in
+# round 10 plus 25 of the round-11 seed registrations
+# (queries/seeds_r12*.py, operators/graph.py what-if connectivity). This
+# takes cumulative driver-graded coverage 341 → 391 names. The round-10
+# window rotates OUT whole: every entry is fully green in
+# CORRECTNESS_r10.json, which the window test asserts directly against
+# the ledger for the rows those anchors evidenced (projection/unpivot,
+# LATERAL, regr_*/bit/max_by aggregates, XML, TRY_* JSON, DQ audits,
+# multimodal deep decodes, dedup front end, covariance/centroids).
 #
-# Round-11 pool (first-time candidates; each must be parity-green before
-# the next rotation): see the R11_POOL comment block at the bottom of
-# this file — new registrations made in round 10 specifically so round 11
-# has ≥10 strictly-new names.
+# Round-12 pool (first-time candidates; each must be parity-green before
+# the next rotation): see the R12_POOL comment block at the bottom of
+# this file.
 #
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- relational: joins / subqueries / shape ---
-    "join_null_safe",  # <=> vs = pair counts, NULL cohort kept
-    "basket_part_pairs",  # self equi-join co-occurrence (+ < theta conjunct)
-    "basket_association_rules",  # multi-join breadth + explicit broadcasts
-    "customer_recent_orders_lateral",  # LATERAL → WindowGroupLimit top-k
-    "orders_unpivot_price_components",  # UNPIVOT = map-side Expand
-    "lineitem_active_shipments_daily",  # UNION ALL boundary sweep + prefix sum
-    "events_gap_fill_forward",  # calendar left join + LOCF window
-    # --- relational: aggregation ---
-    "lineitem_price_qty_regression",  # regr_* aggregates
-    "orders_key_bitops_by_status",  # bit_and/or/xor aggregates
-    "orders_price_percentile_disc",  # discrete percentiles (order statistic)
-    "supplier_best_part_maxby",  # max_by composite struct key
-    "events_dod_retention_kmv",  # KMV sketch day-over-day retention
-    # --- relational: windows / time series ---
-    "events_autocorr_lag1",  # LAG autocorrelation
-    "orders_price_ntile_deciles",  # NTILE bucketing (fixture-only; twin below)
-    "events_rfm_segments",  # RFM segmentation (fixture-only; twin graded r6)
-    "events_anomaly_ewma",  # closed-form EWMA anomaly bands
-    "events_changepoint_cusum",  # CUSUM changepoint
-    "events_trend_mannkendall",  # Mann-Kendall trend
-    "events_forecast_backtest",  # rolling-origin forecast backtest
-    "events_survival_km",  # Kaplan-Meier product-limit
-    "events_markov_stationary",  # stationary distribution (pinned golden)
-    "orders_cohort_ltv_curve",  # cohort LTV prefix-sum curve
-    "orders_price_psi_drift",  # PSI drift monitor
-    # --- scalar math / stats ---
-    "events_chisq_type_dow",  # chi-squared independence
-    "events_ab_lift_ztest",  # two-proportion z-test
-    "events_burstiness_fano",  # Fano factor burstiness
-    "events_mad_outliers",  # MAD robust outlier screen (filter row)
-    "part_xyz_classification",  # coefficient-of-variation classes
-    "analyze_column_stats",  # per-column profiling (ops)
-    # --- scalar semi-structured ---
-    "events_props_try_arithmetic",  # TRY_* arithmetic over JSON props
-    "events_xml_roundtrip",  # to_xml/from_xml identity
-    # --- data quality / audits ---
-    "fd_violation_audit",  # functional-dependency audit
-    "privacy_kanonymity_audit",  # k-anonymity audit
+    # --- relational: joins / subqueries / merge ---
+    "orders_merge_upsert_sim",  # MERGE semantics via keyed full outer
+    "orders_not_in_null_trap",  # null-aware anti join vs NOT EXISTS
+    "dim_values_broadcast_decode",  # inline VALUES broadcast dim
+    "region_segment_revenue_broadcast",  # explicit broadcast star join
+    "suppliers_without_returns_anti",  # NOT EXISTS → left anti
+    "parts_price_band_within_brand",  # blocked theta band self-join
+    "join_asof_tolerance_click",  # as-of backward + tolerance
+    "lineitem_disjunctive_margin_screen",  # OR-of-ANDs single scan
+    # --- relational: aggregation / grouping ---
+    "agg_rollup_priority_year_revenue",  # ROLLUP grouping sets
+    "agg_distinct_salted_exact",  # salted exact COUNT DISTINCT
+    "customers_repeat_9495_intersect_all",  # INTERSECT ALL bag semantics
+    "orders_price_decile_buckets_scalable",  # broadcast cut-table deciles
+    "lineitem_pivot_two_measures",  # two-measure PIVOT
+    "orders_percentile_cont_exact",  # exact interpolated percentiles
+    "orders_kruskal_wallis_priority",  # k-sample rank ANOVA
+    # --- stats: rank / hypothesis tests ---
+    "events_mannwhitney_purchase_view",  # exact rank-sum U
+    "orders_wilcoxon_signed_rank",  # paired signed-rank
+    "events_kendall_tau_daily",  # Kendall tau-b concordance
+    "part_size_price_spearman",  # exact-moment rank correlation
+    "events_ks_two_sample",  # integer-exact Kolmogorov-Smirnov
+    "events_log_rank_cohorts",  # survival-curve comparison
+    "orders_runs_test_daily_revenue",  # Wald-Wolfowitz randomness
+    # --- stats: robust / concentration / trend ---
+    "orders_theil_sen_daily",  # pairwise-slope median trend
+    "events_iqr_tukey_fences",  # quartile fences outlier screen
+    "supplier_market_hhi",  # Herfindahl concentration index
+    "supplier_nation_theil_index",  # decomposable inequality index
+    "customer_revenue_lorenz_curve",  # NTILE cumulative revenue shares
+    "events_brown_double_smoothing",  # closed-form double EWMA + trend
+    # --- windows / sequences / calendar ---
+    "customer_order_streaks",  # gaps-and-islands day streaks
+    "events_concurrency_peak",  # sweep-line peak concurrent users
+    "events_trigram_sequences",  # behavioral trigram mining
+    "events_entropy_rate_markov",  # Markov conditional entropy
+    "events_hour_dow_heatmap",  # calendar extraction grouping
+    "sample_stratified_topk_events",  # md5 stratified WindowGroupLimit
+    "sample_class_balanced_docs",  # min-class balanced sampling
+    # --- sources / sinks / semi-structured ---
+    "sink_partitioned_pruned_roundtrip",  # partitioned sink + pruned read
+    "source_parquet_schema_evolution",  # mergeSchema add-a-column
+    "source_csv_corrupt_permissive",  # PERMISSIVE corrupt-record CSV
+    "source_json_nested_roundtrip",  # nested-struct JSON, explicit schema
+    "source_refgraph_degree_census",  # agg over partitioned custom source
+    # --- streaming twin ---
+    "stream_hopping_type_counts",  # hopping-window streaming twin
     # --- graph ---
-    "graph_multi_source_bfs_g6",  # multi-source frontier BFS
-    "graph_eccentricity_g6",  # per-seed eccentricity
-    "graph_reciprocity",  # directed reciprocity
-    # --- multimodal deep decodes (Arrow pandas-UDF row) ---
-    "multimodal_deep_jpeg_progressive",  # SOF2 successive approximation
-    "multimodal_deep_png_rgb",  # truecolor PNG, all five filters
-    "multimodal_deep_gif_animated",  # all-frames GIF
-    "multimodal_deep_avi_mjpeg",  # Motion-JPEG AVI
-    "multimodal_deep_audio_24bit",  # PCM24 WAV
-    "multimodal_corpus_report",  # capstone: every codec path, composed oracle
-    # --- LLM pipeline / text / embeddings ---
-    "corpus_source_entropy",  # corpus mix entropy
-    "inverted_index_postings",  # postings-list construction
-    "text_repetition_score",  # n-gram repetition quality score
-    "pii_redaction_census",  # PII scrub sizing census
-    "boilerplate_line_census",  # line-level dedup front end
-    "embed_covariance",  # distributed covariance moments
-    "embed_centroids",  # per-label centroids
-    "embed_outlier_robust",  # Weiszfeld + MAD screen (pinned golden)
+    "graph_bfs_g7",  # BFS on the tree-with-back-edge fixture
+    "graph_dfs_g7",  # DFS leaf set on g7
+    "graph_articulation_points_g6",  # batched what-if cut vertices
+    "graph_bridges_g6",  # batched what-if cut edges
+    # --- LLM pipeline: embeddings / text / multimodal ---
+    "embed_kmeans_two_rounds",  # two Lloyd rounds, rational centroids
+    "embed_silhouette_simplified",  # centroid silhouette audit
+    "embed_quantize_int8_error",  # int8 reconstruction error census
+    "text_hapax_ratio_by_source",  # hapax legomena vocabulary tail
+    "multimodal_phash_layout_census",  # dhash over mixed PNG layouts
 )
 
 
@@ -201,33 +199,16 @@ def oracle_map() -> dict[str, str]:
     }
 
 
-# R11_POOL — first-time candidates for the round-11 window rotation (every
+# R12_POOL — first-time candidates for the round-12 window rotation (every
 # name below has never appeared in any CORRECTNESS_r*.json; each was
-# parity-verified at registration). Registered in round 10, mostly in
-# queries/seeds_r11.py, deliberately refreshing the §2.2 rows whose driver
-# evidence went historical with the round-10 rotation:
-#   orders_price_decile_buckets_scalable (broadcast-cut-table decile twin)
-#   agg_rollup_priority_year_revenue    (grouping sets / ROLLUP)
-#   customers_repeat_9495_intersect_all (INTERSECT ALL bag semantics)
-#   suppliers_without_returns_anti      (NOT EXISTS → left anti)
-#   region_segment_revenue_broadcast    (explicit broadcast star join)
-#   parts_price_band_within_brand       (blocked theta band self-join)
-#   join_asof_tolerance_click           (as-of backward + tolerance)
-#   lineitem_disjunctive_margin_screen  (OR-of-ANDs single scan)
-#   sink_partitioned_pruned_roundtrip   (partitioned sink + pruned read)
-#   agg_distinct_salted_exact           (salted exact COUNT DISTINCT)
-#   sample_stratified_topk_events       (md5 stratified WindowGroupLimit)
-#   graph_bfs_g7 / graph_dfs_g7         (new tree-with-back-edge fixture)
-#   multimodal_phash_layout_census      (dhash over mixed PNG layouts)
-#   stream_hopping_type_counts          (hopping-window streaming twin)
-#   source_refgraph_degree_census       (agg over partitioned custom source)
-#   source_json_nested_roundtrip        (nested-struct JSON, explicit schema)
-#   events_hour_dow_heatmap             (calendar extraction grouping)
-#   events_mannwhitney_purchase_view    (exact-integer rank-sum U test)
-#   supplier_market_hhi                 (Herfindahl concentration index)
-#   events_brown_double_smoothing       (closed-form double EWMA + trend)
-#   orders_runs_test_daily_revenue      (Wald-Wolfowitz randomness screen)
-#   supplier_nation_theil_index         (decomposable inequality index)
-#   customer_order_streaks              (gaps-and-islands day streaks)
-#   part_size_price_spearman            (exact-integer-moment rank corr)
+# parity-verified at registration). Registered in round 11 in
+# queries/seeds_r12c.py (the statistics/indicator surplus that didn't fit
+# the round-11 window) plus later round-11 seed modules:
+#   supplier_acctbal_trimmed_stats   (trimmed/winsorized robust means)
+#   nation_rank_footrule_yoy         (rank-shift footrule volatility)
+#   orders_cents_digit_uniformity    (cents-digit chi-squared screen)
+#   events_type_run_length_census    (run-length encoding census)
+#   events_rolling_median7           (rolling lower-median window)
+#   events_bollinger_breakout        (rolling mean ± 2σ bands)
+#   events_rsi14_daily               (Cutler RSI momentum indicator)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -444,11 +444,15 @@ def agg_distinct_salted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension: phase 1 groups on (event_type, xxhash64(user_id) mod 32)
     and counts distinct users within each salt shard — the hash
     PARTITIONS the user space, so shard counts are disjoint and ADD
-    exactly; phase 2 sums the 32 shard counts per type. A hot event_type
-    holding half the events fans across 32 reducers instead of one,
-    while plain COUNT(DISTINCT) funnels every one of its users through a
-    single final task. (COUNT(*) rides along salt-free — plain sums are
-    already map-side combined.)"""
+    exactly; phase 2 sums the 32 shard counts per type. This is the
+    EXPLICIT, engine-portable form of the rewrite Catalyst itself plans
+    for COUNT(DISTINCT) (a two-stage aggregate keyed on (group, user)
+    that distributes the dedup shuffle): spelling the salt out makes the
+    fan-out width a declared knob — mod 32 here — rather than an
+    optimizer internal, which is what you want when porting the query to
+    engines without the rewrite or when the dedup key's own distribution
+    is skewed. (COUNT(*) rides along salt-free — plain sums are already
+    map-side combined.)"""
     e = load_table(spark, sf_dir, "events")
     salted = (
         e.groupBy(

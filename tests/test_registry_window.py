@@ -5,12 +5,13 @@ query already recorded green in an on-disk CORRECTNESS_r*.json ledger
 (a silent reordering would evict families from the driver's view without
 failing anything else).
 
-Round-10 window: all 50 entries are first-time (never graded), emptying
-the never-graded pool. Rows whose only strong probes were the long-graded
-anchors (streaming twins, refgraph datasource, replica check, DPP layout,
-skew join, DFS, grouping sets, set ops, semi/anti, as-of, disjunctive
-screens) are covered by the HISTORICAL contract below, asserted directly
-against the ledger files."""
+Round-11 window: all 50 entries are first-time (never graded through
+r10) — the 25-name R11_POOL plus 25 round-11 registrations. The round-10
+window rotated out whole (every entry fully green in CORRECTNESS_r10),
+so the rows it evidenced (projection/unpivot, LATERAL, regr_*/bit/max_by
+aggregates, XML, TRY_* JSON, DQ audits, multimodal deep decodes, the
+dedup front end, covariance/centroids) are covered by the HISTORICAL
+contract below, asserted directly against the ledger files."""
 
 from __future__ import annotations
 
@@ -23,84 +24,99 @@ from distributed_graph_database_system_spark.queries.registry import (
     all_queries,
 )
 
-# SURVEY §2.2 row → round-10 window queries that evidence it. Maintained
+# SURVEY §2.2 row → round-11 window queries that evidence it. Maintained
 # by hand; the test checks that every mapped query is really inside the
 # window.
 ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
-    "projection": ("orders_unpivot_price_components",),  # Expand projection
-    "filter": ("events_mad_outliers",),  # MAD threshold screen
-    "join_equi": ("basket_part_pairs", "join_null_safe"),
-    "join_broadcast": ("basket_association_rules",),  # explicit F.broadcast
-    "join_outer": ("join_null_safe", "events_gap_fill_forward"),
+    "projection": ("lineitem_pivot_two_measures",),  # conditional Expand
+    "filter": (
+        "lineitem_disjunctive_margin_screen",
+        "events_iqr_tukey_fences",
+    ),
+    "join_equi": ("orders_merge_upsert_sim", "dim_values_broadcast_decode"),
+    "join_broadcast": (
+        "region_segment_revenue_broadcast",
+        "dim_values_broadcast_decode",
+    ),
+    "join_outer": ("orders_merge_upsert_sim",),  # keyed full outer MERGE
+    "join_semi_anti": (
+        "suppliers_without_returns_anti",
+        "orders_not_in_null_trap",  # null-aware anti
+    ),
+    "join_theta": ("parts_price_band_within_brand", "orders_theil_sen_daily"),
+    "join_range_asof": ("join_asof_tolerance_click",),
+    "join_skew": ("agg_distinct_salted_exact",),  # salted-key rewrite
     "aggregation": (
-        "lineitem_price_qty_regression",  # regr_* family
-        "orders_key_bitops_by_status",  # bit aggregates
-        "orders_price_percentile_disc",  # order statistics
-        "supplier_best_part_maxby",  # max_by struct key
+        "agg_distinct_salted_exact",
+        "orders_kruskal_wallis_priority",
+        "orders_percentile_cont_exact",
     ),
-    "subquery_decorrelation": ("customer_recent_orders_lateral",),  # LATERAL
-    "multi_join_breadth": ("basket_association_rules",),
+    "grouping_sets": ("agg_rollup_priority_year_revenue",),
+    "set_operations": ("customers_repeat_9495_intersect_all",),
+    "disjunctive_predicates": ("lineitem_disjunctive_margin_screen",),
+    "subquery_decorrelation": ("orders_not_in_null_trap",),
     "window_functions": (
-        "events_autocorr_lag1",
-        "orders_price_ntile_deciles",
-        "events_gap_fill_forward",
+        "events_ks_two_sample",
+        "customer_order_streaks",
+        "events_concurrency_peak",
+        "customer_revenue_lorenz_curve",
     ),
-    "sort_limit_topk": ("customer_recent_orders_lateral",),  # top-k per group
-    "scalar_string": (
-        "pii_redaction_census",
-        "text_repetition_score",
-        "boilerplate_line_census",
+    "sort_limit_topk": (
+        "sample_stratified_topk_events",
+        "events_trigram_sequences",
     ),
+    "scalar_string": ("text_hapax_ratio_by_source",),
     "scalar_datetime": (
-        "events_survival_km",
-        "orders_cohort_ltv_curve",
-        "events_dod_retention_kmv",
+        "events_hour_dow_heatmap",
+        "events_log_rank_cohorts",
+        "customer_order_streaks",
     ),
     "scalar_math": (
-        "events_chisq_type_dow",
-        "events_ab_lift_ztest",
-        "events_trend_mannkendall",
+        "events_mannwhitney_purchase_view",
+        "events_kendall_tau_daily",
+        "orders_wilcoxon_signed_rank",
+        "supplier_market_hhi",
+        "supplier_nation_theil_index",
+        "events_brown_double_smoothing",
+        "orders_runs_test_daily_revenue",
+        "part_size_price_spearman",
     ),
-    "scalar_array_hof": (
-        "embed_covariance",
-        "inverted_index_postings",
-        "embed_centroids",
+    "scalar_json": ("source_json_nested_roundtrip",),
+    "scans_sources": (
+        "source_csv_corrupt_permissive",
+        "source_parquet_schema_evolution",
     ),
-    "scalar_json": ("events_props_try_arithmetic",),  # TRY_* over props JSON
-    "scalar_xml": ("events_xml_roundtrip",),
-    "udf_pandas": (
-        "multimodal_deep_jpeg_progressive",
-        "multimodal_deep_png_rgb",
-        "multimodal_deep_gif_animated",
-        "multimodal_deep_avi_mjpeg",
-        "multimodal_deep_audio_24bit",
-        "multimodal_corpus_report",
+    "sinks": ("sink_partitioned_pruned_roundtrip",),
+    "data_layout": ("sink_partitioned_pruned_roundtrip",),
+    "python_datasource": ("source_refgraph_degree_census",),
+    "streaming_windows": ("stream_hopping_type_counts",),
+    "udf_pandas": ("multimodal_phash_layout_census",),
+    "graph_bfs": ("graph_bfs_g7",),
+    "graph_dfs": ("graph_dfs_g7",),
+    "graph_analytics": (
+        "graph_articulation_points_g6",
+        "graph_bridges_g6",
     ),
-    "graph_bfs": ("graph_multi_source_bfs_g6",),
-    "graph_analytics": ("graph_eccentricity_g6", "graph_reciprocity"),
-    "llm_dedup": ("boilerplate_line_census",),
     "llm_similarity": (
-        "embed_centroids",
-        "embed_covariance",
-        "embed_outlier_robust",
+        "embed_kmeans_two_rounds",
+        "embed_silhouette_simplified",
+        "embed_quantize_int8_error",
     ),
     "llm_pipeline": (
-        "corpus_source_entropy",
-        "pii_redaction_census",
-        "analyze_column_stats",
+        "sample_class_balanced_docs",
+        "orders_price_decile_buckets_scalable",
     ),
     "llm_text_multimodal": (
-        "text_repetition_score",
-        "multimodal_corpus_report",
+        "text_hapax_ratio_by_source",
+        "multimodal_phash_layout_census",
     ),
-    "dq_audits": ("fd_violation_audit", "privacy_kanonymity_audit"),
 }
 
 # §2.2 rows whose driver evidence is historical: query name → the row(s)
 # it evidences. Every name must appear fully green (rows+schema+hash,
 # no err) in at least one CORRECTNESS_r*.json on disk. These are the
-# rotated-out anchors plus rows whose pool members were exhausted by
-# earlier windows.
+# rotated-out anchors (r2–r10) for rows whose pool members were exhausted
+# by earlier windows.
 HISTORICAL_EVIDENCE: dict[str, tuple[str, ...]] = {
     "replica_consistency_check": ("scans_sources", "sinks"),  # r5–r9
     "source_refgraph_roundtrip": ("python_datasource",),  # r5–r9
@@ -112,11 +128,25 @@ HISTORICAL_EVIDENCE: dict[str, tuple[str, ...]] = {
     "supplier_acctbal_band_pairs": ("join_theta",),  # r9
     "join_asof_backward_click": ("join_range_asof",),  # r9
     "division_all_priority_customers": ("join_semi_anti",),  # r9
-    "lineitem_disjunctive_quality_flags": ("disjunctive_predicates",),  # r9
-    "agg_cube3_flag_status_year": ("grouping_sets",),  # r9
-    "users_views_except_purchases_all": ("set_operations",),  # r9
     "graph_dfs_g4": ("graph_dfs",),  # r9
     "graph_bfs_g6": ("graph_bfs",),  # r9 (single-source golden)
+    # round-10 window anchors, all green in CORRECTNESS_r10.json:
+    "orders_unpivot_price_components": ("projection",),  # UNPIVOT Expand
+    "customer_recent_orders_lateral": ("subquery_decorrelation",),
+    "lineitem_price_qty_regression": ("aggregation",),  # regr_* family
+    "orders_key_bitops_by_status": ("aggregation",),  # bit aggregates
+    "supplier_best_part_maxby": ("aggregation",),  # max_by struct key
+    "events_xml_roundtrip": ("scalar_xml",),
+    "events_props_try_arithmetic": ("scalar_json",),
+    "fd_violation_audit": ("dq_audits",),
+    "privacy_kanonymity_audit": ("dq_audits",),
+    "multimodal_corpus_report": ("udf_pandas", "llm_text_multimodal"),
+    "boilerplate_line_census": ("llm_dedup",),
+    "embed_covariance": ("scalar_array_hof", "llm_similarity"),
+    "embed_centroids": ("llm_similarity",),
+    "corpus_source_entropy": ("llm_pipeline",),
+    "graph_multi_source_bfs_g6": ("graph_bfs",),  # r10
+    "graph_eccentricity_g6": ("graph_analytics",),  # r10
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -164,21 +194,20 @@ def test_historical_rows_are_green_in_the_ledger():
     )
 
 
-def test_round10_window_is_all_first_time():
-    """The round-10 rotation claim: no window entry has ever been graded.
-    (This test is round-10-specific by construction; once CORRECTNESS_r10
-    records, the window entries become graded and the assertion flips to
-    documenting that the ledger is complete — so it checks against the
-    ledger files present at commit time only.)"""
+def test_round11_window_is_all_first_time():
+    """The round-11 rotation claim: no window entry was graded before the
+    round-11 run. (Ledgers from r11 on are this window's own grading
+    rounds, so they are excluded — once CORRECTNESS_r11 lands, the window
+    entries become graded and this documents the ledger is complete.)"""
     graded: set[str] = set()
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         num = path.rsplit("_r", 1)[1].split(".")[0]
-        if num.isdigit() and int(num) >= 10:
+        if num.isdigit() and int(num) >= 11:
             continue  # this window's own grading round and later
         with open(path) as f:
             graded |= set(json.load(f).keys())
     overlap = set(DRIVER_WINDOW) & graded
-    assert not overlap, f"window entries already graded before r10: {overlap}"
+    assert not overlap, f"window entries already graded before r11: {overlap}"
 
 
 def test_window_queries_all_registered_and_runnable_signatures():

@@ -1720,3 +1720,102 @@ def test_modularity_all_self_loops_still_censuses_vertices(spark):
         edges, spark.createDataFrame([(3, 10)], "vid BIGINT, label BIGINT")
     ).first()
     assert (r["n_communities"], r["within_edges"], r["q"]) == (2, 0, 0.0)
+
+
+def test_articulation_points_path_graph(spark):
+    """On a path 1—2—3—4 every internal vertex is an articulation point
+    and the endpoints are not."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        articulation_points,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G3
+
+    sym = G3 + [(b, a) for a, b in G3]
+    edges = spark.createDataFrame(sym, "src BIGINT, dst BIGINT")
+    rows = {
+        r["vid"]: r["is_articulation"]
+        for r in articulation_points(edges).collect()
+    }
+    assert rows == {1: 0, 2: 1, 3: 1, 4: 0}
+
+
+def test_articulation_points_g6_matches_reference(spark):
+    """G6's cut vertices are exactly {4, 5, 8}: clique→bridge→cycle→
+    pendant. Cross-checked against a brute-force networkx-free python
+    reference (BFS per removed vertex)."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        articulation_points,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G6
+
+    sym = G6 + [(b, a) for a, b in G6]
+
+    def py_reference() -> set[int]:
+        from collections import deque
+
+        adj: dict[int, set[int]] = {}
+        for a, b in sym:
+            adj.setdefault(a, set()).add(b)
+        verts = sorted(adj)
+        out = set()
+        for x in verts:
+            rest = [v for v in verts if v != x]
+            seen = {rest[0]}
+            dq = deque([rest[0]])
+            while dq:
+                v = dq.popleft()
+                for w in adj[v]:
+                    if w != x and w not in seen:
+                        seen.add(w)
+                        dq.append(w)
+            if len(seen) < len(verts) - 1:
+                out.add(x)
+        return out
+
+    edges = spark.createDataFrame(sym, "src BIGINT, dst BIGINT")
+    got = {
+        r["vid"]
+        for r in articulation_points(edges).collect()
+        if r["is_articulation"] == 1
+    }
+    assert got == py_reference() == {4, 5, 8}
+
+
+def test_articulation_candidates_subset_and_guard(spark):
+    from distributed_graph_database_system_spark.operators.graph import (
+        articulation_points,
+        excluded_vertex_reach,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G6
+
+    sym = G6 + [(b, a) for a, b in G6]
+    edges = spark.createDataFrame(sym, "src BIGINT, dst BIGINT")
+    sub = articulation_points(edges, candidates=[4, 6]).collect()
+    assert {r["vid"]: r["is_articulation"] for r in sub} == {4: 1, 6: 0}
+    with pytest.raises(ValueError, match="max_candidates"):
+        excluded_vertex_reach(edges, max_candidates=3)
+
+
+def test_bridges_path_and_g6(spark):
+    """Every edge of a path is a bridge; in G6 only the clique→cycle
+    link 4—5 and the pendant edge 8—10 are."""
+    from distributed_graph_database_system_spark.operators.graph import bridges
+    from distributed_graph_database_system_spark.queries.graph import G3, G6
+
+    path = spark.createDataFrame(
+        G3 + [(b, a) for a, b in G3], "src BIGINT, dst BIGINT"
+    )
+    got = {
+        (r["src"], r["dst"]) for r in bridges(path).collect()
+        if r["is_bridge"] == 1
+    }
+    assert got == {(1, 2), (2, 3), (3, 4)}
+
+    g6 = spark.createDataFrame(
+        G6 + [(b, a) for a, b in G6], "src BIGINT, dst BIGINT"
+    )
+    got6 = {
+        (r["src"], r["dst"]) for r in bridges(g6).collect()
+        if r["is_bridge"] == 1
+    }
+    assert got6 == {(4, 5), (8, 10)}

@@ -1263,3 +1263,67 @@ def graph_bridges_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sym = G6 + [(b, a) for a, b in G6]
     return bridges(_edges(spark, sym)).orderBy("src", "dst")
+
+
+@query(
+    "graph_closeness_centrality_g6",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT src, dst FROM {_G6_SYM_VALUES}
+    ), walk(seed, vid, level) AS (
+      SELECT s, s, 0 FROM (SELECT DISTINCT src AS s FROM e)
+      UNION
+      SELECT w.seed, e.dst, w.level + 1
+      FROM walk w JOIN e ON e.src = w.vid WHERE w.level < 20
+    ), sp AS (
+      SELECT seed, vid, MIN(level) AS d FROM walk GROUP BY seed, vid
+    ), agg AS (
+      SELECT seed, CAST(COUNT(*) AS BIGINT) AS r,
+             CAST(SUM(d) AS BIGINT) AS sum_d
+      FROM sp WHERE d > 0 GROUP BY seed
+    ), nv AS (SELECT COUNT(DISTINCT src) AS n FROM e)
+    SELECT CAST(seed AS BIGINT) AS vid, r AS n_reached, sum_d,
+           ROUND((CAST(r AS DOUBLE) / (nv.n - 1))
+                 * (CAST(r AS DOUBLE) / sum_d), 6) AS closeness
+    FROM agg CROSS JOIN nv ORDER BY vid
+    """,
+    tags=("graph", "closeness", "centrality", "multi-source"),
+)
+def graph_closeness_centrality_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Wasserman-Faust closeness centrality of every G6 vertex:
+    (r/(n−1))·(r/Σd) with r = vertices reached, Σd the distance sum —
+    the disconnected-safe normalization (plain (n−1)/Σd inflates
+    vertices in small components). All |V| BFS trees ride ONE
+    multi_source_bfs_all frontier (the eccentricity query's sibling —
+    same distance table, complementary reduction: max there, sum here;
+    the Σ1/d variant is graph_harmonic_centrality). Counts and distance
+    sums are exact integers; closeness is one two-division expression."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        multi_source_bfs_all,
+    )
+
+    sym = G6 + [(b, a) for a, b in G6]
+    e = _edges(spark, sym)
+    seeds = sorted({a for a, _ in sym})
+    n = len(seeds)
+    r = F.count(F.lit(1)).cast("bigint")
+    return (
+        multi_source_bfs_all(e, seeds)
+        .where(F.col("level") > 0)
+        .groupBy(F.col("seed").alias("vid"))
+        .agg(
+            r.alias("n_reached"),
+            F.sum("level").cast("bigint").alias("sum_d"),
+        )
+        .select(
+            "vid",
+            "n_reached",
+            "sum_d",
+            F.round(
+                (F.col("n_reached").cast("double") / F.lit(n - 1))
+                * (F.col("n_reached").cast("double") / F.col("sum_d")),
+                6,
+            ).alias("closeness"),
+        )
+        .orderBy("vid")
+    )

@@ -176,6 +176,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r12,
         seeds_r12b,
         seeds_r12c,
+        seeds_r12d,
         streaming_batch,
         tpch_extra,
     )
@@ -211,4 +212,13 @@ def oracle_map() -> dict[str, str]:
 #   events_rolling_median7           (rolling lower-median window)
 #   events_bollinger_breakout        (rolling mean ± 2σ bands)
 #   events_rsi14_daily               (Cutler RSI momentum indicator)
+# and from queries/seeds_r12d.py + queries/graph.py (batch D):
+#   events_activity_gini             (exact-integer rank-formula Gini)
+#   orders_weekday_anova_f           (one-way ANOVA variance decomposition)
+#   events_hodges_lehmann_daily      (Walsh-average robust location)
+#   embed_centroid_distance_matrix   (k x k class-separability matrix)
+#   corpus_jaccard_band_sweep        (one-pass dedup threshold sweep)
+#   text_word_initial_entropy        (orthographic onset entropy)
+#   orders_revenue_cagr              (geometric growth census)
+#   graph_closeness_centrality_g6    (Wasserman-Faust closeness, all-seeds BFS)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

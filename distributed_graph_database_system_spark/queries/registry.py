@@ -177,6 +177,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r12b,
         seeds_r12c,
         seeds_r12d,
+        seeds_r12e,
         streaming_batch,
         tpch_extra,
     )
@@ -221,4 +222,9 @@ def oracle_map() -> dict[str, str]:
 #   text_word_initial_entropy        (orthographic onset entropy)
 #   orders_revenue_cagr              (geometric growth census)
 #   graph_closeness_centrality_g6    (Wasserman-Faust closeness, all-seeds BFS)
+# and from queries/seeds_r12e.py (batch E):
+#   documents_dupgraph_degree_census (near-dup pair-graph degree histogram)
+#   orders_pareto_8020_point         (Lorenz inverse: top-k for 80% share)
+#   events_interarrival_burstiness   (Goh-Barabasi interarrival B)
+#   orders_pacf_lag2_daily           (Durbin-Levinson lag-2 PACF)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -331,8 +331,9 @@ def orders_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n2_users,
            CAST(SUM(d1) AS BIGINT) AS o1,
            ROUND(CAST(SUM(e1) AS DOUBLE), 4) AS e1,
-           ROUND(POW(SUM(d1) - CAST(SUM(e1) AS DOUBLE), 2)
-                 / CAST(SUM(v) AS DOUBLE), 4) AS chisq
+           CASE WHEN SUM(v) = 0 THEN NULL
+                ELSE ROUND(POW(SUM(d1) - CAST(SUM(e1) AS DOUBLE), 2)
+                           / CAST(SUM(v) AS DOUBLE), 4) END AS chisq
     FROM terms
     """,
     tags=("stats", "survival", "log-rank"),
@@ -393,14 +394,22 @@ def events_log_rank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("g1"), 1)).cast("bigint").alias("n1_users"),
         F.count(F.when(~F.col("g1"), 1)).cast("bigint").alias("n2_users"),
     )
+    # At tiny scale factors every at-risk term can degenerate (N1 ∈ {0, N})
+    # leaving ΣV = 0 — the statistic is undefined, so NULL on both sides
+    # (ANSI Spark would otherwise raise DIVIDE_BY_ZERO; DuckDB would emit
+    # inf). Same closure as the runs test's σ=0 guard.
     return terms.agg(
         F.sum("d1").cast("bigint").alias("o1"),
         F.round(F.sum("e1").cast("double"), 4).alias("e1"),
-        F.round(
-            F.pow(F.sum("d1") - F.sum("e1").cast("double"), 2)
-            / F.sum("v").cast("double"),
-            4,
-        ).alias("chisq"),
+        F.when(F.sum("v") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.pow(F.sum("d1") - F.sum("e1").cast("double"), 2)
+                / F.sum("v").cast("double"),
+                4,
+            )
+        )
+        .alias("chisq"),
     ).crossJoin(F.broadcast(cohorts)).select(
         "n1_users", "n2_users", "o1", "e1", "chisq"
     )

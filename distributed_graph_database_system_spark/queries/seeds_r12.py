@@ -21,10 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from distributed_graph_database_system_spark.queries.helpers import (
-    dec,
-    dsum,
-)
+from distributed_graph_database_system_spark.queries.helpers import dec
 from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources.catalog import load_table
 

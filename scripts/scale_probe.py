@@ -240,6 +240,102 @@ def prefix_sum_probe(spark) -> None:
 def main() -> int:
     spark = get_spark(app_name="scale-probe")
 
+    if sys.argv[1:] == ["whatif"]:
+        # Round-11 probe: batched what-if reachability (the articulation/
+        # bridge primitive). Claim under test: wall tracks FRONTIER VOLUME
+        # (candidates × reach), and round count stays at graph diameter —
+        # NOT candidates × diameter sequential BFS runs. Random connected
+        # graph, 64 sampled candidates, then 10× the edges.
+        from distributed_graph_database_system_spark.operators.graph import (
+            excluded_vertex_reach,
+        )
+
+        rng = random.Random(7)
+        for n_v, n_e in ((2_000, 8_000), (20_000, 80_000)):
+            ring = [(i, i % n_v + 1) for i in range(1, n_v + 1)]
+            extra = [
+                (rng.randrange(1, n_v + 1), rng.randrange(1, n_v + 1))
+                for _ in range(n_e - n_v)
+            ]
+            und = ring + extra
+            edges = spark.createDataFrame(
+                und + [(b, a) for a, b in und], "src BIGINT, dst BIGINT"
+            )
+            cands = sorted(rng.sample(range(1, n_v + 1), 64))
+            stats: dict = {}
+            t0 = time.perf_counter()
+            reach = excluded_vertex_reach(edges, cands, stats=stats)
+            n_rows = reach.count()
+            dt = round(time.perf_counter() - t0, 2)
+            print(
+                f"what-if reach V={n_v} E={n_e} cands=64: rows={n_rows} "
+                f"rounds={stats['rounds']} wall={dt}s"
+            )
+        return 0
+    if sys.argv[1:] == ["kmeans"]:
+        # Round-11 probe: the embed_kmeans_two_rounds shape at 100x the
+        # sf0.01 corpus — 50k synthetic 64-dim vectors, k=8. Claim under
+        # test: each Lloyd round is one broadcast join (k x dims centroid
+        # rows) + one aggregation keyed on vec_id; wall scales with the
+        # explode volume, not k x corpus rescans.
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(11)
+        n, d, k = 50_000, 64, 8
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(n),
+                "embedding": list(
+                    rng.normal(0, 0.2, size=(n, d)).astype("float32")
+                ),
+            }
+        )
+        emb = spark.createDataFrame(pdf)
+        q4 = emb.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "v")
+        ).select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * 10_000)
+            .cast("bigint")
+            .alias("q"),
+        )
+        c0 = q4.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), "dim", F.col("q").alias("cq")
+        )
+        t0 = time.perf_counter()
+        d1 = (
+            q4.join(F.broadcast(c0), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        from pyspark.sql import Window as W
+
+        a1 = (
+            d1.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy("dist", "cid")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        sizes = {
+            r["cid"]: r["n"]
+            for r in a1.groupBy("cid").agg(F.count("*").alias("n")).collect()
+        }
+        dt = round(time.perf_counter() - t0, 2)
+        print(
+            f"kmeans assign round over {n}x{d} (k={k}): wall={dt}s "
+            f"cluster sizes={sorted(sizes.values())}"
+        )
+        return 0
     if sys.argv[1:] == ["skewjoin"]:
         skew_join_probe(spark)
         return 0

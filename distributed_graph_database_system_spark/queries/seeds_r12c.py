@@ -828,7 +828,8 @@ def events_rolling_median7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), w AS (
       SELECT day, rev,
              SUM(rev) OVER w7 AS s,
-             SUM(rev * rev) OVER w7 AS ssq,
+             SUM(CAST(rev AS DECIMAL(19,2))
+                 * CAST(rev AS DECIMAL(19,2))) OVER w7 AS ssq,
              COUNT(*) OVER w7 AS wn
       FROM daily
       WINDOW w7 AS (ORDER BY day ROWS 6 PRECEDING)

@@ -84,7 +84,9 @@ def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY day, dow
     ), g AS (
       SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_g,
-             SUM(rev) AS s_g, SUM(rev * rev) AS q_g
+             SUM(rev) AS s_g,
+             SUM(CAST(rev AS DECIMAL(19,2))
+                 * CAST(rev AS DECIMAL(19,2))) AS q_g
       FROM daily GROUP BY dow
     ), terms AS (
       -- all variance terms in revenue-MILLIONS (divide sums by 1e6/1e12

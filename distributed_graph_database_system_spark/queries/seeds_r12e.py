@@ -255,13 +255,18 @@ def events_interarrival_burstiness(
     ), m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(rev) AS DOUBLE) / 1000.0 AS s0,
-             CAST(SUM(rev * rev) AS DOUBLE) / 1000000.0 AS q0,
-             CAST(SUM(rev * r1) AS DOUBLE) / 1000000.0 AS c1,
-             CAST(SUM(rev * r2) AS DOUBLE) / 1000000.0 AS c2,
+             CAST(SUM(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2)))
+                  AS DOUBLE) / 1000000.0 AS q0,
+             CAST(SUM(CAST(rev AS DECIMAL(19,2)) * CAST(r1 AS DECIMAL(19,2)))
+                  AS DOUBLE) / 1000000.0 AS c1,
+             CAST(SUM(CAST(rev AS DECIMAL(19,2)) * CAST(r2 AS DECIMAL(19,2)))
+                  AS DOUBLE) / 1000000.0 AS c2,
              CAST(SUM(r1) AS DOUBLE) / 1000.0 AS s1,
              CAST(SUM(r2) AS DOUBLE) / 1000.0 AS s2,
-             CAST(SUM(r1 * r1) AS DOUBLE) / 1000000.0 AS q1,
-             CAST(SUM(r2 * r2) AS DOUBLE) / 1000000.0 AS q2
+             CAST(SUM(CAST(r1 AS DECIMAL(19,2)) * CAST(r1 AS DECIMAL(19,2)))
+                  AS DOUBLE) / 1000000.0 AS q1,
+             CAST(SUM(CAST(r2 AS DECIMAL(19,2)) * CAST(r2 AS DECIMAL(19,2)))
+                  AS DOUBLE) / 1000000.0 AS q2
       FROM lagged WHERE r2 IS NOT NULL
     ), acf AS (
       SELECT n,

@@ -64,13 +64,19 @@ def events_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(days²) tail is constant. Concordant/discordant/tie counts are
     exact integers; the only float ops are one sqrt and one division."""
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.when(F.col("event_type") == "purchase", 1))
-        .cast("bigint")
-        .alias("x"),
-        F.count(F.when(F.col("event_type") == "error", 1))
-        .cast("bigint")
-        .alias("y"),
+    # localCheckpoint: three consumers (both pair sides + n_days), one
+    # events scan.
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.when(F.col("event_type") == "error", 1))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .localCheckpoint()
     )
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
@@ -555,9 +561,19 @@ def orders_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate-then-enumerate shape that keeps the estimator viable
     at 100 TB."""
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("di")
-    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    # localCheckpoint: the ~2.4k-row daily aggregate feeds BOTH sides of
+    # the pair join plus the n_days scalar — without it Catalyst re-scans
+    # orders three times (no auto-CSE across self-join branches), which at
+    # warehouse scale would triple the expensive part of the query.
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01")
+            ).alias("di")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+        .localCheckpoint()
+    )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("a.di") < F.col("b.di")).select(
         (

@@ -204,8 +204,12 @@ def events_hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(days²) enumeration runs on the daily AGGREGATE, so pair volume is
     independent of event count."""
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(dec("value")).cast("decimal(18,2)").alias("rev")
+    # localCheckpoint: both Walsh-join sides + the n_days scalar reuse the
+    # 30-row daily aggregate instead of re-scanning events three times.
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("rev"))
+        .localCheckpoint()
     )
     a, b = daily.alias("a"), daily.alias("b")
     walsh = a.join(b, F.col("a.day") <= F.col("b.day")).select(

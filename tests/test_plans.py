@@ -334,3 +334,60 @@ def test_decile_twin_has_no_data_sized_window(plans):
     # ntile would appear if the twin regressed to the fixture-only shape
     assert "ntile" not in p.lower()
     assert "BroadcastHashJoin" in p  # broadcast cut-table join
+
+
+def test_merge_upsert_is_one_full_outer_keyed_join(plans):
+    """The MERGE simulation must stay a single keyed full-outer join —
+    never a cartesian/NL fallback — with the year filters pushed to the
+    orders scans."""
+    p = plans("orders_merge_upsert_sim")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PushedFilters" in p
+
+
+def test_values_dim_decode_broadcasts(plans):
+    """The 5-row literal dimension must ride a BroadcastHashJoin: the
+    orders scan is never shuffled for an enum decode."""
+    p = plans("dim_values_broadcast_decode")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_kmeans_centroid_joins_are_broadcast(plans):
+    """Both Lloyd rounds join exploded vectors against k x dims centroid
+    tables — all centroid joins must broadcast (the vector side is the
+    data-sized one), and no Python boundary exists anywhere."""
+    p = plans("embed_kmeans_two_rounds")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+
+
+def test_pivot_two_measures_is_single_aggregate_pass(plans):
+    """Explicit pivot values compile to conditional aggregates over ONE
+    lineitem scan (formatted plans list each node twice: tree + detail) —
+    no distinct-values pre-query, no per-measure rescan."""
+    p = plans("lineitem_pivot_two_measures")
+    assert p.count("Scan parquet") == 2  # one node, two listings
+
+
+def test_concurrency_sweep_window_is_partitioned_by_day(plans):
+    """The sweep-line running sum partitions by day — a refactor to a
+    global (single-partition) window would serialize the whole stream.
+    The windowspecdefinition must lead with the day partition key."""
+    p = plans("events_concurrency_peak")
+    import re
+
+    assert re.search(r"windowspecdefinition\(day#", p)
+
+
+def test_theil_sen_pairs_enumerate_post_aggregate(plans):
+    """The O(days^2) slope enumeration must happen via the broadcast NL
+    join over the localCheckpointed DAILY aggregate — the orders scan is
+    materialized once, so NO parquet scan appears in the pair-join plan."""
+    p = plans("orders_theil_sen_daily")
+    assert "Scan parquet" not in p  # daily agg is checkpointed upstream
+    assert "Scan ExistingRDD" in p
+    assert "BroadcastNestedLoopJoin" in p

@@ -2562,19 +2562,27 @@ def excluded_vertex_reach(
     sequential, so batched what-if BFS is the distributed trade)."""
     verts = _all_vertices(edges)
     if candidates is None:
-        cand_rows = [int(r["vid"]) for r in verts.collect()]
-        if len(cand_rows) > max_candidates:
+        # count BEFORE any collect: the guard must fire without ever
+        # materializing an oversized vertex set on the driver.
+        n_verts = verts.count()
+        if n_verts > max_candidates:
             raise ValueError(
-                f"excluded_vertex_reach: {len(cand_rows)} vertices exceed "
+                f"excluded_vertex_reach: {n_verts} vertices exceed "
                 f"max_candidates={max_candidates}; pass an explicit "
                 "candidate sample"
             )
+        cand_rows = sorted(int(r["vid"]) for r in verts.collect())
     else:
         cand_rows = sorted({int(c) for c in candidates})
-    vids = sorted(int(r["vid"]) for r in verts.collect())
+    # Root selection needs only the two globally smallest vertex ids
+    # (root(x) = min vertex != x), never the full vertex list — with an
+    # explicit candidate sample the driver-side footprint stays O(1).
+    lo = [
+        int(r["vid"]) for r in verts.orderBy("vid").limit(2).collect()
+    ]
     first_rows = []
     for x in cand_rows:
-        root = next((v for v in vids if v != x), None)
+        root = next((v for v in lo if v != x), None)
         if root is not None:
             first_rows.append((x, root, 0))
     first = edges.sparkSession.createDataFrame(
@@ -2613,6 +2621,16 @@ def articulation_points(
     aggregate against the vertex total."""
     verts = _all_vertices(edges)
     n = verts.count()
+    if candidates is None:
+        if n > max_candidates:
+            raise ValueError(
+                f"articulation_points: {n} vertices exceed "
+                f"max_candidates={max_candidates}; pass an explicit "
+                "candidate sample"
+            )
+        # reuse the count we already paid for: collect once, pass the
+        # explicit list down so the callee never re-collects the set.
+        candidates = sorted(int(r["vid"]) for r in verts.collect())
     reach = excluded_vertex_reach(
         edges, candidates, max_candidates, max_iter
     )
@@ -2632,6 +2650,7 @@ def articulation_points(
 
 def bridges(
     edges: DataFrame,
+    candidates: Sequence[tuple[int, int]] | None = None,
     max_edges: int = 4096,
     max_iter: int = 10_000,
 ) -> DataFrame:
@@ -2643,20 +2662,32 @@ def bridges(
     (both directions). Returns ``(src, dst, n_reached, is_bridge)`` with
     src < dst.
 
-    O(E) simultaneous trees — ``max_edges`` guards the default; at scale
-    screen candidates first (an edge inside any triangle is never a
-    bridge, so 2-hop filtering prunes most of E before the what-if
-    pass)."""
-    und = (
-        edges.select("src", "dst")
-        .where(F.col("src") < F.col("dst"))
-        .distinct()
-    )
-    cand = [(int(r["src"]), int(r["dst"])) for r in und.collect()]
-    if len(cand) > max_edges:
-        raise ValueError(
-            f"bridges: {len(cand)} candidate edges exceed "
-            f"max_edges={max_edges}; screen candidates first"
+    O(E) simultaneous trees — ``max_edges`` guards the all-edges
+    default; at scale screen first (an edge inside any triangle is never
+    a bridge, so 2-hop filtering prunes most of E) and pass the
+    survivors via ``candidates``."""
+    if candidates is None:
+        und = (
+            edges.select("src", "dst")
+            .where(F.col("src") < F.col("dst"))
+            .distinct()
+        )
+        # count BEFORE collect so the guard fires without materializing
+        # an oversized edge list on the driver.
+        n_edges = und.count()
+        if n_edges > max_edges:
+            raise ValueError(
+                f"bridges: {n_edges} candidate edges exceed "
+                f"max_edges={max_edges}; pass the screened candidates "
+                "(an edge inside any triangle is never a bridge)"
+            )
+        cand = sorted(
+            (int(r["src"]), int(r["dst"])) for r in und.collect()
+        )
+    else:
+        cand = sorted(
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in candidates
         )
     n = _all_vertices(edges).count()
     first = edges.sparkSession.createDataFrame(

@@ -155,6 +155,9 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("b"),
         )
     )
+    # localCheckpoint: the per-value histogram feeds the totals AND the
+    # cumulative window — one events scan, not three.
+    g = g.localCheckpoint()
     w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
     tot = g.agg(
         F.sum("a").alias("n1"), F.sum("b").alias("n2")
@@ -172,16 +175,16 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap"
         ),
     )
-    mx = d.agg(F.max("gap").alias("mgap"))
-    return d.crossJoin(F.broadcast(mx)).agg(
+    # single-pass argmax: max of (gap, -v) structs = max gap, then MIN v
+    # among ties — no second scan of the ECDF pipeline for the witness.
+    best = F.max(F.struct(F.col("gap").alias("gap"), (-F.col("v")).alias("nv")))
+    return d.agg(
         F.max("n1").cast("bigint").alias("n1"),
         F.max("n2").cast("bigint").alias("n2"),
         F.round(
             F.max("gap").cast("double") / (F.max("n1") * F.max("n2")), 6
         ).alias("d_stat"),
-        F.min(F.when(F.col("gap") == F.col("mgap"), F.col("v")))
-        .cast("double")
-        .alias("at_value"),
+        (-best.getField("nv")).cast("double").alias("at_value"),
     )
 
 
@@ -254,6 +257,8 @@ def orders_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     absd = F.abs(F.col("r95") - F.col("r96"))
+    # localCheckpoint: the rank window feeds the tie census AND the main
+    # aggregate — one orders scan + one global sort, not two.
     ranked = pair.select(
         (F.col("r95") > F.col("r96")).alias("pos"),
         absd.alias("absd"),
@@ -262,7 +267,7 @@ def orders_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.count(F.lit(1)).over(W.partitionBy(absd))
             - 1
         ).alias("avg2"),
-    )
+    ).localCheckpoint()
     ties = (
         ranked.groupBy("absd")
         .agg(F.count(F.lit(1)).alias("t"))
@@ -471,6 +476,8 @@ def orders_kruskal_wallis_priority(
     prefix-rank in operators/quantile.py, not a single-task sort."""
     o = load_table(spark, sf_dir, "orders")
     p = dec("o_totalprice")
+    # localCheckpoint: the global rank sort (the expensive single-ordered
+    # pass) feeds the group sums AND the tie census — paid once.
     ranked = o.select(
         F.col("o_orderpriority").alias("prio"),
         p.alias("p"),
@@ -479,7 +486,7 @@ def orders_kruskal_wallis_priority(
             + F.count(F.lit(1)).over(W.partitionBy(p))
             - 1
         ).alias("avg2"),
-    )
+    ).localCheckpoint()
     grp = ranked.groupBy("prio").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_j"),
         F.sum("avg2").cast("bigint").alias("r2_j"),
@@ -495,9 +502,9 @@ def orders_kruskal_wallis_priority(
             ).alias("tiesum")
         )
     )
-    k = grp.agg(F.count(F.lit(1)).alias("k"))
     tot = grp.agg(
         F.sum("n_j").alias("big_n"),
+        F.count(F.lit(1)).alias("k"),
         F.sum(
             F.round(
                 F.col("r2_j").cast("double")
@@ -516,7 +523,6 @@ def orders_kruskal_wallis_priority(
     )
     return (
         tot.crossJoin(F.broadcast(ties))
-        .crossJoin(F.broadcast(k))
         .select(
             bn.cast("bigint").alias("n_total"),
             (F.col("k") - 1).cast("bigint").alias("df"),

@@ -131,6 +131,7 @@ HISTORICAL_EVIDENCE: dict[str, tuple[str, ...]] = {
     "graph_dfs_g4": ("graph_dfs",),  # r9
     "graph_bfs_g6": ("graph_bfs",),  # r9 (single-source golden)
     # round-10 window anchors, all green in CORRECTNESS_r10.json:
+    "basket_association_rules": ("multi_join_breadth",),
     "orders_unpivot_price_components": ("projection",),  # UNPIVOT Expand
     "customer_recent_orders_lateral": ("subquery_decorrelation",),
     "lineitem_price_qty_regression": ("aggregation",),  # regr_* family

@@ -178,6 +178,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r12c,
         seeds_r12d,
         seeds_r12e,
+        seeds_r12f,
         streaming_batch,
         tpch_extra,
     )
@@ -227,4 +228,9 @@ def oracle_map() -> dict[str, str]:
 #   orders_pareto_8020_point         (Lorenz inverse: top-k for 80% share)
 #   events_interarrival_burstiness   (Goh-Barabasi interarrival B)
 #   orders_pacf_lag2_daily           (Durbin-Levinson lag-2 PACF)
+# and from queries/seeds_r12f.py (batch F):
+#   supplier_part_simpson_diversity  (unbiased Simpson index, exact ints)
+#   orders_sign_test_daily           (binomial sign test on revenue signs)
+#   events_value_lognormal_mom       (log-moment lognormal fit)
+#   documents_levene_length_by_lang  (Brown-Forsythe spread homogeneity)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -233,4 +233,6 @@ def oracle_map() -> dict[str, str]:
 #   orders_sign_test_daily           (binomial sign test on revenue signs)
 #   events_value_lognormal_mom       (log-moment lognormal fit)
 #   documents_levene_length_by_lang  (Brown-Forsythe spread homogeneity)
+# and from queries/graph.py (late round-11):
+#   graph_whatif_cut_cosupply        (md5-sampled what-if cuts, real graph)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

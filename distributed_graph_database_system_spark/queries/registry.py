@@ -179,6 +179,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r12d,
         seeds_r12e,
         seeds_r12f,
+        seeds_r12g,
         streaming_batch,
         tpch_extra,
     )
@@ -235,4 +236,10 @@ def oracle_map() -> dict[str, str]:
 #   documents_levene_length_by_lang  (Brown-Forsythe spread homogeneity)
 # and from queries/graph.py (late round-11):
 #   graph_whatif_cut_cosupply        (md5-sampled what-if cuts, real graph)
+# and from queries/seeds_r12g.py (batch G):
+#   orders_grubbs_daily_extremes     (single-outlier extreme-value screen)
+#   customer_acctbal_jarque_bera     (moment-based normality test)
+#   orders_ljung_box_daily           (lags-1..5 portmanteau Q)
+#   events_durbin_watson_daily       (serial-correlation diagnostic)
+#   text_heaps_law_fit               (vocabulary scaling exponent)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -256,22 +256,25 @@ def orders_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("r95") != F.col("r96"))
         )
     )
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
     absd = F.abs(F.col("r95") - F.col("r96"))
-    # localCheckpoint: the rank window feeds the tie census AND the main
-    # aggregate — one orders scan + one global sort, not two.
-    ranked = pair.select(
-        (F.col("r95") > F.col("r96")).alias("pos"),
-        absd.alias("absd"),
-        (
-            2 * F.rank().over(W.orderBy(absd))
-            + F.count(F.lit(1)).over(W.partitionBy(absd))
-            - 1
-        ).alias("avg2"),
-    ).localCheckpoint()
+    # Ranks via the |diff| HISTOGRAM through the distributed two-pass
+    # prefix sum — no row-level global rank window (the Kruskal-Wallis
+    # lesson: avg rank of every row at value v is 2·cum(v) − t(v) + 1).
+    pg = pair.select(
+        (F.col("r95") > F.col("r96")).alias("pos"), absd.alias("absd")
+    ).groupBy("absd", "pos").agg(F.count(F.lit(1)).alias("cnt_pg"))
+    hist = pg.groupBy("absd").agg(F.sum("cnt_pg").alias("t"))
+    av = partitioned_prefix_sum(hist, ["absd"], "t", "cum").select(
+        "absd",
+        "t",
+        (2 * F.col("cum") - F.col("t") + 1).alias("avg2"),
+    ).localCheckpoint()  # feeds the tie census AND the main aggregate
     ties = (
-        ranked.groupBy("absd")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .where(F.col("t") > 1)
+        av.where(F.col("t") > 1)
         .agg(
             F.coalesce(
                 F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
@@ -279,9 +282,11 @@ def orders_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tiesum")
         )
     )
-    s = ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(F.col("pos"), F.col("avg2")).otherwise(0))
+    s = pg.join(av, "absd").agg(
+        F.sum("cnt_pg").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("pos"), F.col("cnt_pg") * F.col("avg2")).otherwise(0)
+        )
         .cast("bigint")
         .alias("w2p"),
     )

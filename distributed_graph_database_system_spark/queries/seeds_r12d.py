@@ -47,16 +47,29 @@ def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't change Σi·xᵢ, making any total order equivalent (ours is
     (cnt, user_id)). The integer twin of the decimal-revenue Gini
     (supplier_revenue_gini) — activity inequality instead of money."""
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
     e = load_table(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    r = u.select(
-        "cnt",
-        F.row_number().over(W.orderBy("cnt", "user_id")).alias("i"),
-    )
-    s = r.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cnt").cast("bigint").alias("s0"),
-        F.sum(F.col("i") * F.col("cnt")).cast("bigint").alias("s1"),
+    # Σi·xᵢ through the count HISTOGRAM: a tie group of t users at count c
+    # whose predecessors total C contributes c·(t·C + t(t+1)/2) — exact
+    # int64, computed from a distributed prefix over DISTINCT counts (the
+    # Kruskal-Wallis device; no row-level global window, and tied users
+    # are interchangeable so the user_id tie-break order is irrelevant by
+    # construction rather than by argument).
+    hist = u.groupBy("cnt").agg(F.count(F.lit(1)).alias("t"))
+    cum = partitioned_prefix_sum(hist, ["cnt"], "t", "cum")
+    t, c = F.col("t"), F.col("cnt")
+    cbefore = F.col("cum") - t
+    # t(t+1)/2 via shiftright: t(t+1) is always even, and the shift keeps
+    # the arithmetic in int64 (Spark's `/` would promote to DOUBLE).
+    tri = F.shiftright(t * (t + 1), 1)
+    s = cum.agg(
+        F.sum(t).cast("bigint").alias("n"),
+        F.sum(c * t).cast("bigint").alias("s0"),
+        F.sum(c * (t * cbefore + tri)).cast("bigint").alias("s1"),
     )
     n, s0, s1 = F.col("n"), F.col("s0"), F.col("s1")
     return s.select(

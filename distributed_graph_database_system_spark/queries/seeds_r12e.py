@@ -117,37 +117,47 @@ def orders_pareto_8020_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose cumulative revenue reaches 80% — the inverse lookup of the
     Lorenz curve (customer_revenue_lorenz_curve reports shares at fixed
     deciles; this reports the decile at a fixed share), and the scalar
-    behind '80/20' claims. Revenue ranks and the cumulative sum stay in
-    exact decimal over the customer aggregate; the crossing test
-    compares against 0.8·total once, in one identical IEEE expression.
-    orders_abc_pareto's class-banding sibling."""
+    behind '80/20' claims. The descending cumulative sum stays in exact
+    decimal and runs through the distributed two-pass prefix sum
+    (operators/prefix.py) — no single-partition window; positivity makes
+    the cum strictly increasing, so the crossing index is a COUNT, not a
+    rank lookup. orders_abc_pareto's class-banding sibling."""
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice")).alias("rev")
     )
-    wdesc = W.orderBy(F.desc("rev"), "o_custkey")
-    r = cust.select(
+    # Distributed descending prefix: order by (−rev, custkey) through the
+    # two-pass prefix sum — no single-partition window. Because every
+    # revenue is positive the cumulative sum is STRICTLY increasing along
+    # the rank order, so the rank column itself is unnecessary:
+    # k = |{cum < 0.8·T}| + 1 and the crossing share is min(cum ≥ 0.8·T).
+    r = partitioned_prefix_sum(
+        cust.select("rev", "o_custkey", (-F.col("rev")).alias("nrev")),
+        ["nrev", "o_custkey"],
         "rev",
-        F.row_number().over(wdesc).alias("rn"),
-        F.sum("rev")
-        .over(wdesc.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("cum"),
-    )
+        "cum",
+    ).localCheckpoint()
     tot = cust.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("rev").alias("t")
     )
     rt = r.crossJoin(F.broadcast(tot))
-    hit = rt.where(
-        F.col("cum").cast("double") >= F.lit(0.8) * F.col("t").cast("double")
-    ).agg(F.min("rn").alias("k"))
-    share = (
-        rt.join(F.broadcast(hit), F.col("rn") == F.col("k"))
-        .agg(F.min("cum").alias("cum_k"), F.min("t").alias("tt"),
-             F.min("n").alias("nn"), F.min("k").alias("kk"))
+    below = (
+        F.col("cum").cast("double")
+        < F.lit(0.8) * F.col("t").cast("double")
+    )
+    share = rt.agg(
+        (F.count(F.when(below, 1)) + 1).cast("bigint").alias("kk"),
+        F.min(F.when(~below, F.col("cum"))).alias("cum_k"),
+        F.min("t").alias("tt"),
+        F.min("n").alias("nn"),
     )
     return share.select(
         F.col("nn").alias("n_customers"),
-        F.col("kk").cast("bigint").alias("k_at_80"),
+        F.col("kk").alias("k_at_80"),
         F.round(F.lit(100.0) * F.col("kk") / F.col("nn"), 4).alias(
             "top_pct_for_80"
         ),

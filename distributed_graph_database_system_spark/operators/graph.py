@@ -2537,6 +2537,22 @@ def _all_vertices(edges: DataFrame) -> DataFrame:
     )
 
 
+def _assert_connected(edges: DataFrame, n_verts: int, op: str) -> None:
+    """Raise ``ValueError`` unless a BFS from the smallest vertex reaches
+    all ``n_verts`` vertices — the cheap runtime check behind the
+    ``assert_connected`` flag of :func:`articulation_points` /
+    :func:`bridges`, whose < |V| verdicts are only meaningful on a
+    connected component. One extra traversal, only when asked for."""
+    root_row = _all_vertices(edges).agg(F.min("vid")).collect()[0][0]
+    reached = bfs(edges, start=int(root_row)).count()
+    if reached != n_verts:
+        raise ValueError(
+            f"{op}: graph is disconnected (BFS from {int(root_row)} "
+            f"reached {reached} of {n_verts} vertices); the cut verdicts "
+            "are only valid per connected component"
+        )
+
+
 def excluded_vertex_reach(
     edges: DataFrame,
     candidates: Sequence[int] | None = None,
@@ -2608,12 +2624,18 @@ def articulation_points(
     candidates: Sequence[int] | None = None,
     max_candidates: int = 4096,
     max_iter: int = 10_000,
+    assert_connected: bool = False,
 ) -> DataFrame:
     """Articulation (cut) vertices of an undirected graph by batched
     what-if reachability: ``x`` is an articulation point iff removing it
     leaves fewer than |V| − 1 vertices reachable from any survivor
-    (assumes the input component is connected, the fixture contract;
-    for multi-component graphs run per component). Returns
+    (assumes the input component is CONNECTED and SIMPLE — on a
+    disconnected graph every candidate trivially fails the < |V| − 1
+    test and is flagged; for multi-component graphs run per component).
+    ``assert_connected=True`` buys the precondition at the cost of one
+    extra BFS (from the smallest vertex; raises ``ValueError`` if it
+    does not reach all of V) — off by default because the golden
+    fixtures carry the contract in their construction. Returns
     ``(vid, n_reached, is_articulation)`` for every candidate.
 
     All |candidates| exclusion BFS trees ride one frontier
@@ -2621,6 +2643,8 @@ def articulation_points(
     aggregate against the vertex total."""
     verts = _all_vertices(edges)
     n = verts.count()
+    if assert_connected:
+        _assert_connected(edges, n, "articulation_points")
     if candidates is None:
         if n > max_candidates:
             raise ValueError(
@@ -2653,19 +2677,33 @@ def bridges(
     candidates: Sequence[tuple[int, int]] | None = None,
     max_edges: int = 4096,
     max_iter: int = 10_000,
+    assert_connected: bool = False,
 ) -> DataFrame:
-    """Bridge (cut) edges of a connected undirected graph by batched
-    what-if reachability: undirected edge {a, b} is a bridge iff with it
-    removed, a BFS from ``a`` no longer reaches all |V| vertices. One
-    frontier carries every candidate edge's BFS keyed by the canonical
-    (a < b) edge id; the expansion join drops only the excluded edge
-    (both directions). Returns ``(src, dst, n_reached, is_bridge)`` with
-    src < dst.
+    """Bridge (cut) edges of a CONNECTED SIMPLE undirected graph by
+    batched what-if reachability: undirected edge {a, b} is a bridge iff
+    with it removed, a BFS from ``a`` no longer reaches all |V|
+    vertices. One frontier carries every candidate edge's BFS keyed by
+    the canonical (a < b) edge id; the expansion join drops the excluded
+    edge (both directions). Returns ``(src, dst, n_reached, is_bridge)``
+    with src < dst.
+
+    Contract: on a DISCONNECTED graph every candidate is flagged (the
+    < |V| test fails vacuously) — ``assert_connected=True`` verifies
+    reachability with one extra BFS and raises instead. The edge
+    DataFrame is treated as a SET: a parallel (duplicated) edge is the
+    same row, so the exclusion removes every copy and a deliberate
+    multigraph duplicate would still read as a bridge; callers with
+    multiplicity semantics must pre-reduce to the 2-edge-connected
+    simple core themselves.
 
     O(E) simultaneous trees — ``max_edges`` guards the all-edges
     default; at scale screen first (an edge inside any triangle is never
     a bridge, so 2-hop filtering prunes most of E) and pass the
     survivors via ``candidates``."""
+    if assert_connected:
+        _assert_connected(
+            edges, _all_vertices(edges).count(), "bridges"
+        )
     if candidates is None:
         und = (
             edges.select("src", "dst")

@@ -1356,7 +1356,7 @@ def graph_closeness_centrality_g6(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM walk GROUP BY excl
     )
     SELECT CAST(excl AS BIGINT) AS vid, n_reached,
-           CAST(nfull - 1 - n_reached AS BIGINT) AS n_lost,
+           CAST(GREATEST(0, nfull - 1 - n_reached) AS BIGINT) AS n_lost,
            CAST(CASE WHEN nfull - 1 - n_reached > 0 THEN 1 ELSE 0 END
                 AS INT) AS is_cut
     FROM reach CROSS JOIN fullr ORDER BY vid
@@ -1410,6 +1410,12 @@ def graph_whatif_cut_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     nfull = bfs(edges, start=root).count()
     reach = excluded_vertex_reach(edges, cand)
+    # Clamp: a candidate OUTSIDE the root's component still reaches every
+    # one of the root's nfull vertices (excluding it removes nothing), so
+    # the raw nfull - 1 - n_reached would read -1 on a disconnected
+    # co-supply graph. GREATEST(0, ...) on both sides keeps the output
+    # semantically "vertices lost", never negative; is_cut keeps the
+    # strict > 0 test so such candidates correctly report not-a-cut.
     n_lost = F.lit(nfull) - 1 - F.col("n_reached")
     return (
         reach.groupBy(F.col("excl").alias("vid"))
@@ -1417,7 +1423,7 @@ def graph_whatif_cut_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vid",
             "n_reached",
-            n_lost.cast("bigint").alias("n_lost"),
+            F.greatest(F.lit(0), n_lost).cast("bigint").alias("n_lost"),
             F.when(n_lost > 0, 1).otherwise(0).cast("int").alias("is_cut"),
         )
         .orderBy("vid")

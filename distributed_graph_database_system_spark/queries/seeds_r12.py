@@ -121,10 +121,14 @@ def events_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT SUM(a) FROM g) AS n1, (SELECT SUM(b) FROM g) AS n2
       FROM g
     ), d AS (
-      SELECT v, n1, n2, ABS(ca * n2 - cb * n1) AS gap FROM c
+      SELECT v, n1, n2,
+             ABS(CAST(ca AS DECIMAL(38,0)) * n2
+                 - CAST(cb AS DECIMAL(38,0)) * n1) AS gap
+      FROM c
     )
     SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
-           ROUND(CAST(MAX(gap) AS DOUBLE) / (MAX(n1) * MAX(n2)), 6) AS d_stat,
+           ROUND(CAST(MAX(gap) AS DOUBLE)
+                 / (CAST(MAX(n1) AS DOUBLE) * MAX(n2)), 6) AS d_stat,
            CAST(MIN(CASE WHEN gap = (SELECT MAX(gap) FROM d) THEN v END)
                 AS DOUBLE) AS at_value
     FROM d
@@ -133,10 +137,11 @@ def events_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between the purchase and
-    view value distributions. The ECDF gap is maximized in INTEGER
+    view value distributions. The ECDF gap is maximized in EXACT
     arithmetic — |ca·n2 − cb·n1| over cumulative per-distinct-value
-    counts — so the argmax is exact and the single division happens once
-    at the end. Values are pre-aggregated per distinct 2dp amount before
+    counts, carried as DECIMAL(38,0) so the cross products stay exact
+    past the int64 line (counts up to ~1e19 rows per sample) — and the
+    single division happens once at the end. Values are pre-aggregated per distinct 2dp amount before
     the cumulative window, so the ordered pass is over the value
     histogram (≤ ~49k cells for any event volume), not the raw rows —
     the same histogram-first shape as events_sliding7_quantiles_hist;
@@ -167,13 +172,19 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").over(w).alias("ca"),
         F.sum("b").over(w).alias("cb"),
     ).crossJoin(F.broadcast(tot))
+    # DECIMAL(38,0) products on both sides: at warehouse scale the
+    # cumulative-count x total cross terms pass 1e18 (counts ~3e9 per
+    # sample already overflow BIGINT), and non-ANSI Spark would wrap
+    # silently, corrupting the argmax. Decimal keeps the gap exact to
+    # 1e38 (~1e19 rows per sample).
     d = c.select(
         "v",
         "n1",
         "n2",
-        F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")).alias(
-            "gap"
-        ),
+        F.abs(
+            F.col("ca").cast("decimal(38,0)") * F.col("n2")
+            - F.col("cb").cast("decimal(38,0)") * F.col("n1")
+        ).alias("gap"),
     )
     # single-pass argmax: max of (gap, -v) structs = max gap, then MIN v
     # among ties — no second scan of the ECDF pipeline for the witness.
@@ -182,7 +193,9 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n1").cast("bigint").alias("n1"),
         F.max("n2").cast("bigint").alias("n2"),
         F.round(
-            F.max("gap").cast("double") / (F.max("n1") * F.max("n2")), 6
+            F.max("gap").cast("double")
+            / (F.max("n1").cast("double") * F.max("n2")),
+            6,
         ).alias("d_stat"),
         (-best.getField("nv")).cast("double").alias("at_value"),
     )
@@ -311,7 +324,8 @@ def orders_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT user_id,
-             arg_min(event_type, ts) = 'view' AS g1,
+             struct_extract(min({'ts': ts, 'eid': event_id,
+                                 'et': event_type}), 'et') = 'view' AS g1,
              CASE WHEN MAX(ts) FILTER (event_type = 'purchase') IS NOT NULL
                   THEN 1 ELSE 0 END AS ev,
              date_diff('day', CAST(MIN(ts) AS DATE),
@@ -364,8 +378,22 @@ def events_log_rank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_source_entropy device); O₁ is an exact integer."""
     e = load_table(spark, sf_dir, "events")
     pts = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    # Cohort = type of the user's FIRST event under the TOTAL order
+    # (ts, event_id): a bare min_by(event_type, ts) would leave the
+    # winner among same-ts events engine-dependent (the same reason the
+    # trigram/Markov/run-length sequence queries order by (ts, event_id)).
+    # Lexicographic struct MIN is the portable composite arg-min — DuckDB's
+    # arg_min rejects struct keys, but struct MIN compares fieldwise in
+    # both engines.
+    first_et = F.min(
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        )
+    ).getField("et")
     u = e.groupBy("user_id").agg(
-        (F.min_by("event_type", "ts") == "view").alias("g1"),
+        (first_et == "view").alias("g1"),
         F.when(pts.isNotNull(), 1).otherwise(0).alias("ev"),
         F.datediff(
             F.to_date(F.coalesce(pts, F.max("ts"))), F.to_date(F.min("ts"))

@@ -1819,3 +1819,34 @@ def test_bridges_path_and_g6(spark):
         if r["is_bridge"] == 1
     }
     assert got6 == {(4, 5), (8, 10)}
+
+
+def test_assert_connected_guard_on_cut_operators(spark):
+    """The assert_connected flag (ADVICE r11): on a connected graph both
+    operators run unchanged; on a two-component graph the flag raises
+    instead of vacuously flagging every candidate as a cut."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        articulation_points,
+        bridges,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G3
+
+    path = spark.createDataFrame(
+        G3 + [(b, a) for a, b in G3], "src BIGINT, dst BIGINT"
+    )
+    ok = articulation_points(path, assert_connected=True).collect()
+    assert {r["vid"]: r["is_articulation"] for r in ok} == {
+        1: 0, 2: 1, 3: 1, 4: 0,
+    }
+
+    two = spark.createDataFrame(
+        [(1, 2), (2, 1), (10, 11), (11, 10)], "src BIGINT, dst BIGINT"
+    )
+    with pytest.raises(ValueError, match="disconnected"):
+        articulation_points(two, assert_connected=True)
+    with pytest.raises(ValueError, match="disconnected"):
+        bridges(two, assert_connected=True)
+    # without the flag the documented contract stands: every candidate
+    # on a disconnected input reads as a cut (the advisory's observation)
+    noguard = bridges(two).collect()
+    assert all(r["is_bridge"] == 1 for r in noguard)

@@ -401,53 +401,72 @@ def supplier_acctbal_trimmed_stats(
 ) -> DataFrame:
     """10% trimmed and winsorized means of supplier account balance next
     to the raw mean — the robust-location summary that survives the
-    heavy negative tail. Trim boundaries are ROW_NUMBER order
-    statistics over (balance, suppkey) — a total order, so both the
-    dropped set and the caps are identical cross-engine; all three
-    means are exact decimal sums divided once. Completes the robust
-    family: MAD screen (events_mad_outliers), Tukey fences
-    (events_iqr_tukey_fences), and now bounded-influence location."""
+    heavy negative tail. The oracle defines the trim by ROW_NUMBER over
+    (balance, suppkey); the Spark side never ranks rows at all — a
+    trimmed SUM only depends on the VALUES dropped, never on which
+    tied row dropped, so it folds the balance HISTOGRAM through the
+    distributed two-pass prefix sum (operators/prefix.py, the Kruskal-
+    Wallis rewrite): cum(v) = rows ≤ v gives the caps as threshold
+    scans (lo_cap = min v with cum ≥ k+1, hi_cap = min v with
+    cum ≥ n−k) and the bottom/top-k mass as per-value clamped overlaps
+    greatest(0, least(cnt, k − (cum − cnt))) — no single-task global
+    window anywhere (the r11 verdict's remaining scale cliff). All
+    three means stay exact decimal sums divided once. Completes the
+    robust family: MAD screen (events_mad_outliers), Tukey fences
+    (events_iqr_tukey_fences), and bounded-influence location."""
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
     s = load_table(spark, sf_dir, "supplier")
-    ranked = s.select(
-        dec("s_acctbal").alias("bal"),
-        F.row_number()
-        .over(W.orderBy("s_acctbal", "s_suppkey"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    hist = s.groupBy(dec("s_acctbal").alias("bal")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    k = ranked.agg(
-        F.max("n").alias("n_tot"),
-        F.floor(F.max("n") / 10).cast("bigint").alias("k"),
+    # localCheckpoint: the ranked histogram feeds the totals, the caps,
+    # and the final aggregate — pin one partition placement for all three.
+    cum = partitioned_prefix_sum(hist, ["bal"], "cnt", "cum").localCheckpoint()
+    tot = cum.agg(
+        F.max("cum").cast("bigint").alias("n"),
+        F.sum(F.col("bal") * F.col("cnt")).alias("tsum"),
+    ).select(
+        "n", "tsum", F.floor(F.col("n") / 10).cast("bigint").alias("k")
     )
-    rk = ranked.drop("n").crossJoin(F.broadcast(k)).withColumnRenamed(
-        "n_tot", "n"
-    )
-    caps = rk.agg(
+    j = cum.crossJoin(F.broadcast(tot))
+    caps = j.agg(
         F.min(
-            F.when(F.col("rn") == F.col("k") + 1, F.col("bal"))
+            F.when(F.col("cum") >= F.col("k") + 1, F.col("bal"))
         ).alias("lo_cap"),
         F.min(
-            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("bal"))
+            F.when(F.col("cum") >= F.col("n") - F.col("k"), F.col("bal"))
         ).alias("hi_cap"),
     )
-    rkc = rk.crossJoin(F.broadcast(caps))
-    inside = (F.col("rn") > F.col("k")) & (
-        F.col("rn") <= F.col("n") - F.col("k")
+    zero = F.lit(0).cast("bigint")
+    low_take = F.greatest(
+        zero, F.least(F.col("cnt"), F.col("k") - (F.col("cum") - F.col("cnt")))
     )
-    wins = (
-        F.when(F.col("rn") <= F.col("k"), F.col("lo_cap"))
-        .when(F.col("rn") > F.col("n") - F.col("k"), F.col("hi_cap"))
-        .otherwise(F.col("bal"))
+    high_take = F.greatest(
+        zero, F.least(F.col("cnt"), F.col("cum") - (F.col("n") - F.col("k")))
     )
-    return rkc.agg(
+    trimmed = (
+        F.max("tsum")
+        - F.sum(F.col("bal") * low_take)
+        - F.sum(F.col("bal") * high_take)
+    )
+    return j.crossJoin(F.broadcast(caps)).agg(
         F.max("n").cast("bigint").alias("n"),
         F.max("k").cast("bigint").alias("k_trim"),
-        (F.sum("bal").cast("double") / F.max("n")).alias("mean_raw"),
+        (F.max("tsum").cast("double") / F.max("n")).alias("mean_raw"),
         (
-            F.sum(F.when(inside, F.col("bal"))).cast("double")
-            / (F.max("n") - 2 * F.max("k"))
+            trimmed.cast("double") / (F.max("n") - 2 * F.max("k"))
         ).alias("mean_trimmed"),
-        (F.sum(wins).cast("double") / F.max("n")).alias("mean_winsorized"),
+        (
+            (
+                trimmed
+                + F.max("k") * F.max("lo_cap")
+                + F.max("k") * F.max("hi_cap")
+            ).cast("double")
+            / F.max("n")
+        ).alias("mean_winsorized"),
     )
 
 
@@ -549,37 +568,70 @@ def customer_revenue_lorenz_curve(
     """The Lorenz curve of customer revenue concentration: decile d's
     cumulative share of total revenue — the curve whose area doubles
     into the Gini that supplier_revenue_gini reports as a scalar, and
-    whose decomposable sibling is supplier_nation_theil_index. NTILE
-    over (revenue, custkey) is a total order; per-decile revenue and
+    whose decomposable sibling is supplier_nation_theil_index. The
+    oracle says NTILE(10) over (revenue, custkey); the Spark side
+    reproduces NTILE's bucket arithmetic WITHOUT ranking customers:
+    standard NTILE gives ranks (b_{d−1}, b_d] to decile d where
+    b_d = d·⌊n/10⌋ + min(d, n mod 10), and a tie group of equal revenue
+    contributes the same decile sums however its members split — so the
+    per-customer-revenue HISTOGRAM through the distributed prefix sum
+    (operators/prefix.py) plus a broadcast 10-row decile table and a
+    clamped interval overlap min(cum, b_d) − max(cum − cnt, b_{d−1})
+    yields the identical ten rows with no single-task global window
+    (the r11 verdict's remaining scale cliff). Per-decile revenue and
     the cumulative numerator stay exact decimal, so the ten shares are
     ten identical IEEE divisions."""
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice")).alias("rev")
     )
-    dec_t = cust.select(
-        F.ntile(10).over(W.orderBy("rev", "o_custkey")).alias("decile"),
-        "rev",
+    hist = cust.groupBy("rev").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    g = dec_t.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum("rev").alias("drev"),
+    cum = partitioned_prefix_sum(hist, ["rev"], "cnt", "cum").localCheckpoint()
+    tot = cum.agg(
+        F.max("cum").cast("bigint").alias("n"),
+        F.sum(F.col("rev") * F.col("cnt")).alias("t"),
     )
-    tot = g.agg(F.sum("drev").alias("t"))
-    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        g.crossJoin(F.broadcast(tot))
-        .select(
-            "decile",
-            "n_customers",
-            F.round(
-                F.sum("drev").over(wc).cast("double")
-                / F.col("t").cast("double"),
-                6,
-            ).alias("cum_revenue_share"),
+    deciles = (
+        spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    )
+    base = F.floor(F.col("n") / 10)
+    m = F.col("n") % 10
+    b_d = F.col("decile") * base + F.least(F.col("decile").cast("bigint"), m)
+    b_prev = (F.col("decile") - 1) * base + F.least(
+        (F.col("decile") - 1).cast("bigint"), m
+    )
+    overlap = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cum"), b_d)
+        - F.greatest(F.col("cum") - F.col("cnt"), b_prev),
+    )
+    g = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(deciles))
+        .where(overlap > 0)
+        .groupBy("decile")
+        .agg(
+            F.sum(overlap).cast("bigint").alias("n_customers"),
+            F.sum(F.col("rev") * overlap).alias("drev"),
+            F.max("t").alias("t"),
         )
-        .orderBy("decile")
     )
+    # the cumulative pass is over exactly 10 decile rows — constant
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return g.select(
+        "decile",
+        "n_customers",
+        F.round(
+            F.sum("drev").over(wc).cast("double") / F.col("t").cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+    ).orderBy("decile")
 
 
 # --- cents-digit uniformity (price psychology screen) -------------------------

@@ -2177,14 +2177,19 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of the daily value series per
     event type (alpha = 0.2) — the smoothed baseline an anomaly monitor
-    compares each day against. EWMA is inherently sequential; the
-    distributed formulation expands it to its closed form (each prior
-    day's term x_j · α·(1−α)^{i−j}), joins days to their predecessors
-    WITHIN the event-type partition, and decimal-sums the rounded terms so
-    no engine's float ordering matters. Day count per type bounds the
+    compares each day against. EWMA is inherently sequential; the shared
+    closed-form helper (operators/ewma.py ewma_closed_form) expands it so
+    each prior day contributes x_j · α·(1−α)^{i−j} as one 8dp-rounded
+    decimal term WITHIN the event-type partition — order-free sums, no
+    engine float-ordering sensitivity. Day count per type bounds the
     expansion (|days|² per type, trivial for aggregate series); at
-    unbounded history the streaming form (run_incremental_daily_rollup's
-    ledger carrying the running EWMA state) replaces the join."""
+    unbounded history pass lag_cap (see events_brown_double_smoothing) or
+    use the streaming form (run_incremental_daily_rollup's ledger
+    carrying the running EWMA state)."""
+    from distributed_graph_database_system_spark.operators.ewma import (
+        ewma_closed_form,
+    )
+
     e = load_table(spark, sf_dir, "events")
     d = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
@@ -2193,45 +2198,15 @@ def events_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("x")
     )
-    t = d.withColumn(
-        "i",
-        F.row_number()
-        .over(W.partitionBy("event_type").orderBy("day"))
-        .cast("int"),
+    sm = ewma_closed_form(
+        d, partition_cols=["event_type"], alpha=0.2
     )
-    a = t.select("event_type", "day", "i", "x")
-    b = t.select(
-        F.col("event_type").alias("event_type_b"),
-        F.col("i").alias("j"),
-        F.col("x").alias("xb"),
-    )
-    terms = a.join(
-        b,
-        (F.col("event_type") == F.col("event_type_b")) & (F.col("j") <= F.col("i")),
-    ).select(
+    return sm.select(
         "event_type",
-        "day",
-        "x",
-        F.round(
-            F.col("xb") * 0.2 * F.pow(F.lit(0.8), F.col("i") - F.col("j")), 8
-        )
-        .cast("decimal(28,8)")
-        .alias("term"),
-    )
-    return (
-        terms.groupBy("event_type", "day")
-        .agg(
-            F.round(F.max("x"), 4).alias("daily_total"),
-            F.round(F.sum("term").cast("double"), 4).alias("ewma"),
-        )
-        .select(
-            "event_type",
-            F.col("day").cast("string").alias("day"),
-            "daily_total",
-            "ewma",
-        )
-        .orderBy("event_type", "day")
-    )
+        F.col("day").cast("string").alias("day"),
+        F.round("x", 4).alias("daily_total"),
+        F.round("s1", 4).alias("ewma"),
+    ).orderBy("event_type", "day")
 
 
 @query(

@@ -30,17 +30,21 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def partitioned_prefix_sum(
+def partitioned_prefix_sums(
     df: DataFrame,
     order_cols: list[str | Column],
-    value_col: str | Column,
-    out_col: str = "cum",
+    value_cols: list[str | Column],
+    out_cols: list[str],
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Add ``out_col`` = running sum of ``value_col`` over the GLOBAL order
-    of ``order_cols`` (which must be a total order — include a unique
-    tie-break key) without ever forming a single window partition."""
-    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    """Add ``out_cols[i]`` = running sum of ``value_cols[i]`` over the
+    GLOBAL order of ``order_cols`` (which must be a total order — include
+    a unique tie-break key) without ever forming a single window
+    partition. All sums share ONE range repartition / one offsets
+    broadcast — the multi-measure form (e.g. the KS test's two ECDFs)."""
+    values = [
+        F.col(v) if isinstance(v, str) else v for v in value_cols
+    ]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -54,20 +58,46 @@ def partitioned_prefix_sum(
     # pairing rows with offsets from a DIFFERENT partitioning. (AQE's
     # ReusedExchange usually dedups the subtree, but that's an optimizer
     # courtesy, not a guarantee.)
-    local = ranged.withColumn(
-        "_local_cum", F.sum(value).over(local_w)
-    ).localCheckpoint()
+    local = ranged
+    for i, v in enumerate(values):
+        local = local.withColumn(f"_local_cum_{i}", F.sum(v).over(local_w))
+    local = local.localCheckpoint()
     # one row per partition → the offsets table is numPartitions rows;
     # the running offset is computed over THAT tiny table (its window is
     # single-partition, over ~n rows — the whole point of the rewrite)
-    totals = local.groupBy("_pid").agg(F.sum(value).alias("_ptotal"))
+    totals = local.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_ptotal_{i}") for i, v in enumerate(values)]
+    )
     off_w = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, W.currentRow)
     offsets = totals.select(
         "_pid",
-        (F.sum("_ptotal").over(off_w) - F.col("_ptotal")).alias("_offset"),
+        *[
+            (F.sum(f"_ptotal_{i}").over(off_w) - F.col(f"_ptotal_{i}")).alias(
+                f"_offset_{i}"
+            )
+            for i in range(len(values))
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
-        .drop("_pid", "_local_cum")
+    out = local.join(F.broadcast(offsets), "_pid")
+    for i, name in enumerate(out_cols):
+        out = out.withColumn(
+            name, F.col(f"_local_cum_{i}") + F.col(f"_offset_{i}")
+        )
+    drop = ["_pid"] + [f"_local_cum_{i}" for i in range(len(values))] + [
+        f"_offset_{i}" for i in range(len(values))
+    ]
+    return out.drop(*drop)
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str | Column,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Single-measure convenience wrapper over
+    :func:`partitioned_prefix_sums`."""
+    return partitioned_prefix_sums(
+        df, order_cols, [value_col], [out_col], num_partitions
     )

@@ -918,9 +918,10 @@ def events_mannwhitney_purchase_view(
     rank for missing data — and unguarded, Spark's ascending window
     would rank a NULL group FIRST while DuckDB ranks it LAST, silently
     corrupting every cum offset differently per engine). Scale shape:
-    one aggregation onto distinct values, then a window over the
-    DISTINCT-value table (bounded by value cardinality, never row count
-    — the same bounded-window argument as the daily prefix sums), then
+    one aggregation onto distinct values, then the cum-below offsets
+    come from the DISTRIBUTED two-pass prefix sum (operators/prefix.py)
+    over the distinct-value histogram — multi-partition even when the
+    value column is near-unique and the histogram is row-sized — then
     one scalar fold."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "view")
@@ -930,11 +931,16 @@ def events_mannwhitney_purchase_view(
         F.round("value", 6).cast("decimal(18,6)").alias("v"),
         (F.col("event_type") == "purchase").cast("int").alias("isp"),
     )
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
     g = x.groupBy("v").agg(
         F.sum("isp").alias("n1v"), F.count(F.lit(1)).alias("cnt")
     )
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    c = g.withColumn("cum", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    c = partitioned_prefix_sum(g, ["v"], "cnt", "cuminc").withColumn(
+        "cum", F.col("cuminc") - F.col("cnt")
+    )
     s = c.agg(
         F.sum("n1v").cast("bigint").alias("n1"),
         (F.sum("cnt") - F.sum("n1v")).cast("bigint").alias("n2"),
@@ -1383,28 +1389,40 @@ def part_size_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the affine map r → 2r, Spearman's ρ equals the Pearson of the
     doubled ranks — so every moment (Σx, Σxy, Σx², n) folds as an exact
     DECIMAL(38,0) and the only float is ONE final expression, rounded at
-    6dp. The ranking windows run over the DISTINCT-value tables (bounded
-    by value cardinality); the rank join keys are values, broadcast-sized
-    in both engines."""
+    6dp. The per-value ranks come from the distributed two-pass prefix
+    sum (operators/prefix.py) over each distinct-value histogram, so the
+    plan has no single-task window even when a ranked column is
+    near-unique; the rank joins carry no broadcast hint — AQE broadcasts
+    the histogram side only when it is actually small."""
     p = load_table(spark, sf_dir, "part").select(
         F.col("p_size").alias("a"),
         F.col("p_retailprice").cast("decimal(18,2)").alias("b"),
     ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
 
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
     def ranks2(col: str) -> DataFrame:
+        # avg-rank per DISTINCT value via the distributed two-pass prefix
+        # sum — multi-partition even if a caller ranks a near-unique
+        # column (the r11 audit: the old in-task window was fine at
+        # |values| << |rows| but had no guard beyond that assumption).
         g = p.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
-        return g.select(
+        c = partitioned_prefix_sum(g, [col], "cnt", "cum")
+        return c.select(
             col,
-            (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
-             + F.col("cnt") + 1)
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
             .cast("decimal(38,0)")
             .alias(f"r_{col}"),
         )
 
+    # no broadcast hint: the rank tables are value-histogram-sized, which
+    # is row-sized for a near-unique column — AQE broadcasts them when
+    # they are actually small, shuffles when they are not.
     ranked = (
-        p.join(F.broadcast(ranks2("a")), "a")
-        .join(F.broadcast(ranks2("b")), "b")
+        p.join(ranks2("a"), "a")
+        .join(ranks2("b"), "b")
         .select(F.col("r_a").alias("ra"), F.col("r_b").alias("rb"))
     )
     m = ranked.agg(

@@ -144,9 +144,10 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     single division happens once at the end. Values are pre-aggregated per distinct 2dp amount before
     the cumulative window, so the ordered pass is over the value
     histogram (≤ ~49k cells for any event volume), not the raw rows —
-    the same histogram-first shape as events_sliding7_quantiles_hist;
-    operators/prefix.py is the multi-partition scale path for the
-    cumsum."""
+    the same histogram-first shape as events_sliding7_quantiles_hist —
+    and both cumulative ECDFs ride one multi-measure distributed prefix
+    pass (operators/prefix.py partitioned_prefix_sums), so there is no
+    single-task window even at full histogram cardinality."""
     e = load_table(spark, sf_dir, "events")
     g = (
         e.where(F.col("event_type").isin("purchase", "view"))
@@ -160,18 +161,22 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("b"),
         )
     )
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sums,
+    )
+
     # localCheckpoint: the per-value histogram feeds the totals AND the
-    # cumulative window — one events scan, not three.
+    # cumulative pass — one events scan, not three.
     g = g.localCheckpoint()
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
     tot = g.agg(
         F.sum("a").alias("n1"), F.sum("b").alias("n2")
     )
-    c = g.select(
-        "v",
-        F.sum("a").over(w).alias("ca"),
-        F.sum("b").over(w).alias("cb"),
-    ).crossJoin(F.broadcast(tot))
+    # both ECDFs ride ONE distributed prefix pass (multi-measure form) —
+    # no single-task window over the value histogram, which for a
+    # near-continuous value column is row-sized.
+    c = partitioned_prefix_sums(g, ["v"], ["a", "b"], ["ca", "cb"]).crossJoin(
+        F.broadcast(tot)
+    )
     # DECIMAL(38,0) products on both sides: at warehouse scale the
     # cumulative-count x total cross terms pass 1e18 (counts ~3e9 per
     # sample already overflow BIGINT), and non-ANSI Spark would wrap

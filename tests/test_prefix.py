@@ -75,3 +75,36 @@ def test_two_pass_plan_has_no_single_partition_window(spark, sf_dir):
         spend, [F.col("s").desc(), F.col("o_custkey")], "s", num_partitions=8
     )
     assert out.count() == spend.count()
+
+
+def test_multi_measure_prefix_matches_two_single_calls(spark, sf_dir):
+    """partitioned_prefix_sums carries N measures through ONE range
+    repartition; each output column must equal its single-measure twin."""
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sums,
+    )
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    multi = {
+        (str(r.d), r.cn, str(r.cs))
+        for r in partitioned_prefix_sums(
+            daily, ["d"], ["n", "s"], ["cn", "cs"]
+        ).collect()
+    }
+    single_n = {
+        (str(r.d), r.cn)
+        for r in partitioned_prefix_sum(daily, ["d"], "n", "cn").collect()
+    }
+    single_s = {
+        (str(r.d), str(r.cs))
+        for r in partitioned_prefix_sum(daily, ["d"], "s", "cs").collect()
+    }
+    assert {(d, cn) for d, cn, _ in multi} == single_n
+    assert {(d, cs) for d, _, cs in multi} == single_s

@@ -83,81 +83,79 @@ def oracle_of(name: str) -> str:
 # rows whose remaining evidence is historical are asserted against the
 # on-disk CORRECTNESS_r*.json ledger there). Order is thematic.
 #
-# Round-11 rotation: ALL 50 entries are FIRST-TIME (never present in any
-# CORRECTNESS_r*.json through r10) — the 25-name R11_POOL registered in
-# round 10 plus 25 of the round-11 seed registrations
-# (queries/seeds_r12*.py, operators/graph.py what-if connectivity). This
-# takes cumulative driver-graded coverage 341 → 391 names. The round-10
-# window rotates OUT whole: every entry is fully green in
-# CORRECTNESS_r10.json, which the window test asserts directly against
-# the ledger for the rows those anchors evidenced (projection/unpivot,
-# LATERAL, regr_*/bit/max_by aggregates, XML, TRY_* JSON, DQ audits,
-# multimodal deep decodes, dedup front end, covariance/centroids).
+# Round-12 rotation: ALL 50 entries are FIRST-TIME (never present in any
+# CORRECTNESS_r*.json through r11) — the 29-name R12_POOL registered in
+# round 11 plus the 21 queries/seeds_r13a.py registrations. This takes
+# cumulative driver-graded coverage 391 → 441 names. The round-11 window
+# rotates OUT whole: every entry is fully green in CORRECTNESS_r11.json,
+# which the window test asserts directly against the ledger for the rows
+# those anchors evidenced (MERGE/null-aware anti, as-of tolerance, salted
+# distinct, INTERSECT ALL, percentile machinery, the rank-test family,
+# schema-evolution/CSV/JSON sources, hopping streaming, G7 BFS/DFS,
+# what-if cut goldens, kmeans/silhouette/int8, PNG phash).
 #
-# Round-12 pool (first-time candidates; each must be parity-green before
-# the next rotation): see the R12_POOL comment block at the bottom of
+# Round-13 pool (first-time candidates; each must be parity-green before
+# the next rotation): see the R13_POOL comment block at the bottom of
 # this file.
 #
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- relational: joins / subqueries / merge ---
-    "orders_merge_upsert_sim",  # MERGE semantics via keyed full outer
-    "orders_not_in_null_trap",  # null-aware anti join vs NOT EXISTS
-    "dim_values_broadcast_decode",  # inline VALUES broadcast dim
-    "region_segment_revenue_broadcast",  # explicit broadcast star join
-    "suppliers_without_returns_anti",  # NOT EXISTS → left anti
-    "parts_price_band_within_brand",  # blocked theta band self-join
-    "join_asof_tolerance_click",  # as-of backward + tolerance
-    "lineitem_disjunctive_margin_screen",  # OR-of-ANDs single scan
-    # --- relational: aggregation / grouping ---
-    "agg_rollup_priority_year_revenue",  # ROLLUP grouping sets
-    "agg_distinct_salted_exact",  # salted exact COUNT DISTINCT
-    "customers_repeat_9495_intersect_all",  # INTERSECT ALL bag semantics
-    "orders_price_decile_buckets_scalable",  # broadcast cut-table deciles
-    "lineitem_pivot_two_measures",  # two-measure PIVOT
-    "orders_percentile_cont_exact",  # exact interpolated percentiles
-    "orders_kruskal_wallis_priority",  # k-sample rank ANOVA
-    # --- stats: rank / hypothesis tests ---
-    "events_mannwhitney_purchase_view",  # exact rank-sum U
-    "orders_wilcoxon_signed_rank",  # paired signed-rank
-    "events_kendall_tau_daily",  # Kendall tau-b concordance
-    "part_size_price_spearman",  # exact-moment rank correlation
-    "events_ks_two_sample",  # integer-exact Kolmogorov-Smirnov
-    "events_log_rank_cohorts",  # survival-curve comparison
-    "orders_runs_test_daily_revenue",  # Wald-Wolfowitz randomness
-    # --- stats: robust / concentration / trend ---
-    "orders_theil_sen_daily",  # pairwise-slope median trend
-    "events_iqr_tukey_fences",  # quartile fences outlier screen
-    "supplier_market_hhi",  # Herfindahl concentration index
-    "supplier_nation_theil_index",  # decomposable inequality index
-    "customer_revenue_lorenz_curve",  # NTILE cumulative revenue shares
-    "events_brown_double_smoothing",  # closed-form double EWMA + trend
-    # --- windows / sequences / calendar ---
-    "customer_order_streaks",  # gaps-and-islands day streaks
-    "events_concurrency_peak",  # sweep-line peak concurrent users
-    "events_trigram_sequences",  # behavioral trigram mining
-    "events_entropy_rate_markov",  # Markov conditional entropy
-    "events_hour_dow_heatmap",  # calendar extraction grouping
-    "sample_stratified_topk_events",  # md5 stratified WindowGroupLimit
-    "sample_class_balanced_docs",  # min-class balanced sampling
-    # --- sources / sinks / semi-structured ---
-    "sink_partitioned_pruned_roundtrip",  # partitioned sink + pruned read
-    "source_parquet_schema_evolution",  # mergeSchema add-a-column
-    "source_csv_corrupt_permissive",  # PERMISSIVE corrupt-record CSV
-    "source_json_nested_roundtrip",  # nested-struct JSON, explicit schema
-    "source_refgraph_degree_census",  # agg over partitioned custom source
-    # --- streaming twin ---
-    "stream_hopping_type_counts",  # hopping-window streaming twin
+    # --- relational: joins / subqueries ---
+    "customers_without_orders_outer",  # null-preserving left outer census
+    "supplier_local_demand_semi",  # EXISTS → semi over 3-table chain
+    "orders_price_band_dim_range",  # broadcast theta band dim
+    "topk_parts_per_region_rank",  # WindowGroupLimit top-3 per region
+    "suppliers_above_nation_avg",  # decorrelated scalar subquery
+    # --- relational: aggregation / grouping / set ops / projection ---
+    "agg_groupingsets_flag_priority",  # GROUPING SETS across a join
+    "customers_9496_symmetric_diff",  # tagged double EXCEPT
+    "orders_status_share_pivot",  # explicit-values pivot + shares
+    "events_nullif_distinct_screen",  # null-safe <=> + disjunction
+    "lineitem_quantity_mode_stats",  # exact mode via histogram
+    # --- scalar functions ---
+    "orders_iso_week_census",  # ISO week calendar extraction
+    "part_name_token_census",  # split/length/upper string census
+    "events_props_k_decile_census",  # JSON path extraction census
+    # --- stats: robust / rank / indicator pool (registered round 11) ---
+    "supplier_acctbal_trimmed_stats",  # trimmed/winsorized via prefix
+    "nation_rank_footrule_yoy",  # rank-shift footrule volatility
+    "orders_cents_digit_uniformity",  # cents-digit chi-squared screen
+    "events_type_run_length_census",  # run-length encoding census
+    "events_rolling_median7",  # rolling lower-median window
+    "events_bollinger_breakout",  # rolling mean ± 2σ bands
+    "events_rsi14_daily",  # Cutler RSI momentum indicator
+    "events_activity_gini",  # exact-integer rank-formula Gini
+    "orders_weekday_anova_f",  # one-way ANOVA F decomposition
+    "events_hodges_lehmann_daily",  # Walsh-average robust location
+    "orders_revenue_cagr",  # geometric growth census
+    "orders_pareto_8020_point",  # Lorenz inverse: top-k for 80%
+    "events_interarrival_burstiness",  # Goh-Barabasi interarrival B
+    "orders_pacf_lag2_daily",  # Durbin-Levinson lag-2 PACF
+    "supplier_part_simpson_diversity",  # unbiased Simpson index
+    "orders_sign_test_daily",  # binomial sign test
+    "events_value_lognormal_mom",  # log-moment lognormal fit
+    "documents_levene_length_by_lang",  # Brown-Forsythe spread test
+    "orders_grubbs_daily_extremes",  # single-outlier extreme screen
+    "customer_acctbal_jarque_bera",  # moment-based normality test
+    "orders_ljung_box_daily",  # lags-1..5 portmanteau Q
+    "events_durbin_watson_daily",  # serial-correlation diagnostic
+    # --- sources / sinks / datasource / streaming ---
+    "source_parquet_pruned_projection_roundtrip",  # pruned scan roundtrip
+    "sink_overwrite_dynamic_partitions",  # dynamic partition overwrite
+    "source_refgraph_edge_reciprocity",  # join over custom DataSource
+    "stream_session_user_gap30m",  # per-user session-window twin
     # --- graph ---
-    "graph_bfs_g7",  # BFS on the tree-with-back-edge fixture
-    "graph_dfs_g7",  # DFS leaf set on g7
-    "graph_articulation_points_g6",  # batched what-if cut vertices
-    "graph_bridges_g6",  # batched what-if cut edges
-    # --- LLM pipeline: embeddings / text / multimodal ---
-    "embed_kmeans_two_rounds",  # two Lloyd rounds, rational centroids
-    "embed_silhouette_simplified",  # centroid silhouette audit
-    "embed_quantize_int8_error",  # int8 reconstruction error census
-    "text_hapax_ratio_by_source",  # hapax legomena vocabulary tail
-    "multimodal_phash_layout_census",  # dhash over mixed PNG layouts
+    "graph_bfs_g8",  # BFS on the grid-with-chord fixture
+    "graph_dfs_g8",  # DFS leaf set on g8
+    "graph_closeness_centrality_g6",  # Wasserman-Faust closeness
+    "graph_whatif_cut_cosupply",  # md5-sampled what-if cuts, real graph
+    # --- LLM pipeline: embeddings / dedup / text / multimodal ---
+    "embed_centroid_distance_matrix",  # k×k class-separability matrix
+    "corpus_jaccard_band_sweep",  # one-pass dedup threshold sweep
+    "documents_dupgraph_degree_census",  # near-dup pair-graph degrees
+    "text_word_initial_entropy",  # orthographic onset entropy
+    "text_heaps_law_fit",  # vocabulary scaling exponent
+    "multimodal_wav_energy_census",  # Arrow-batched WAV energy frames
+    "sample_temperature_mix_plan",  # n^0.7 temperature mix plan
 )
 
 
@@ -180,6 +178,8 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r12e,
         seeds_r12f,
         seeds_r12g,
+        seeds_r13a,
+        seeds_r13b,
         streaming_batch,
         tpch_extra,
     )
@@ -203,43 +203,26 @@ def oracle_map() -> dict[str, str]:
     }
 
 
-# R12_POOL — first-time candidates for the round-12 window rotation (every
+# R13_POOL — first-time candidates for the round-13 window rotation (every
 # name below has never appeared in any CORRECTNESS_r*.json; each was
-# parity-verified at registration). Registered in round 11 in
-# queries/seeds_r12c.py (the statistics/indicator surplus that didn't fit
-# the round-11 window) plus later round-11 seed modules:
-#   supplier_acctbal_trimmed_stats   (trimmed/winsorized robust means)
-#   nation_rank_footrule_yoy         (rank-shift footrule volatility)
-#   orders_cents_digit_uniformity    (cents-digit chi-squared screen)
-#   events_type_run_length_census    (run-length encoding census)
-#   events_rolling_median7           (rolling lower-median window)
-#   events_bollinger_breakout        (rolling mean ± 2σ bands)
-#   events_rsi14_daily               (Cutler RSI momentum indicator)
-# and from queries/seeds_r12d.py + queries/graph.py (batch D):
-#   events_activity_gini             (exact-integer rank-formula Gini)
-#   orders_weekday_anova_f           (one-way ANOVA variance decomposition)
-#   events_hodges_lehmann_daily      (Walsh-average robust location)
-#   embed_centroid_distance_matrix   (k x k class-separability matrix)
-#   corpus_jaccard_band_sweep        (one-pass dedup threshold sweep)
-#   text_word_initial_entropy        (orthographic onset entropy)
-#   orders_revenue_cagr              (geometric growth census)
-#   graph_closeness_centrality_g6    (Wasserman-Faust closeness, all-seeds BFS)
-# and from queries/seeds_r12e.py (batch E):
-#   documents_dupgraph_degree_census (near-dup pair-graph degree histogram)
-#   orders_pareto_8020_point         (Lorenz inverse: top-k for 80% share)
-#   events_interarrival_burstiness   (Goh-Barabasi interarrival B)
-#   orders_pacf_lag2_daily           (Durbin-Levinson lag-2 PACF)
-# and from queries/seeds_r12f.py (batch F):
-#   supplier_part_simpson_diversity  (unbiased Simpson index, exact ints)
-#   orders_sign_test_daily           (binomial sign test on revenue signs)
-#   events_value_lognormal_mom       (log-moment lognormal fit)
-#   documents_levene_length_by_lang  (Brown-Forsythe spread homogeneity)
-# and from queries/graph.py (late round-11):
-#   graph_whatif_cut_cosupply        (md5-sampled what-if cuts, real graph)
-# and from queries/seeds_r12g.py (batch G):
-#   orders_grubbs_daily_extremes     (single-outlier extreme-value screen)
-#   customer_acctbal_jarque_bera     (moment-based normality test)
-#   orders_ljung_box_daily           (lags-1..5 portmanteau Q)
-#   events_durbin_watson_daily       (serial-correlation diagnostic)
-#   text_heaps_law_fit               (vocabulary scaling exponent)
+# parity-verified at sf0.001/0.01/0.1 at registration). Registered in
+# round 12 in queries/seeds_r13b.py:
+#   orders_group_by_all_revenue       (GROUP BY ALL shorthand via spark.sql)
+#   nation_region_order_by_all        (ORDER BY ALL total ordering)
+#   events_geo_grid_census            (md5-deterministic lat/lon grid bins)
+#   events_nearest_hub_assignment     (broadcast nearest-hub argmin)
+#   orders_rising_runs_match3         (MATCH_RECOGNIZE-style UP{3,} runs)
+#   events_funnel_view_click_purchase (strict-order funnel conversion)
+#   orders_keyset_pagination_page3    (keyset cursor page == LIMIT/OFFSET)
+#   customer_segment_priority_chi2    (5x5 contingency independence)
+#   part_brand_type_lift              (attribute association lift)
+#   orders_revenue_autocorr_lag7      (weekly-lag Pearson autocorrelation)
+#   supplier_nation_zscore_outliers   (sqrt-free |z|>2 outlier census)
+#   events_type_transition_matrix     (Markov transition probabilities)
+#   embed_dim_variance_topk           (integer-exact dimension variance)
+#   documents_shingle3_distinct_rate  (3-gram diversity per source)
+#   events_user_lifetime_census       (weekly lifetime histogram)
+#   lineitem_discount_tax_contour     (2-D discount x tax contour)
+# (The 29-name R12_POOL rotated INTO the round-12 window above, alongside
+# the 21 seeds_r13a registrations.)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

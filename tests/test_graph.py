@@ -1850,3 +1850,56 @@ def test_assert_connected_guard_on_cut_operators(spark):
     # on a disconnected input reads as a cut (the advisory's observation)
     noguard = bridges(two).collect()
     assert all(r["is_bridge"] == 1 for r in noguard)
+
+
+def test_g8_goldens_match_python_references(spark):
+    """The G8 grid-with-chord VALUES goldens (queries/seeds_r13a.py) are
+    pinned from independent pure-python BFS/DFS references — re-derive
+    both here so a fixture edit that silently shifts a level or a leaf
+    fails this test before the driver sees a hash mismatch."""
+    from collections import deque
+
+    from distributed_graph_database_system_spark.operators.graph import (
+        bfs,
+        dfs_leaves,
+    )
+    from distributed_graph_database_system_spark.queries.seeds_r13a import (
+        G8,
+        _g8_edges,
+    )
+
+    adj: dict[int, list[int]] = {}
+    for a, b in G8:
+        adj.setdefault(a, []).append(b)
+    for v in adj:
+        adj[v].sort()
+
+    lvl = {1: 0}
+    dq = deque([1])
+    while dq:
+        v = dq.popleft()
+        for w in adj.get(v, []):
+            if w not in lvl:
+                lvl[w] = lvl[v] + 1
+                dq.append(w)
+
+    visited = {1}
+    leaves: list[int] = []
+
+    def dfs(v: int) -> None:
+        spawned = 0
+        for w in adj.get(v, []):
+            if w not in visited:
+                visited.add(w)
+                spawned += 1
+                dfs(w)
+        if spawned == 0 and v != 1:
+            leaves.append(v)
+
+    dfs(1)
+
+    edges = _g8_edges(spark)
+    got_bfs = {(r["vid"], r["level"]) for r in bfs(edges, start=1).collect()}
+    assert got_bfs == set(lvl.items())
+    got_leaves = [r["vid"] for r in dfs_leaves(edges, start=1).collect()]
+    assert got_leaves == sorted(leaves) == [13, 14, 15, 16]

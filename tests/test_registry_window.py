@@ -5,13 +5,15 @@ query already recorded green in an on-disk CORRECTNESS_r*.json ledger
 (a silent reordering would evict families from the driver's view without
 failing anything else).
 
-Round-11 window: all 50 entries are first-time (never graded through
-r10) — the 25-name R11_POOL plus 25 round-11 registrations. The round-10
-window rotated out whole (every entry fully green in CORRECTNESS_r10),
-so the rows it evidenced (projection/unpivot, LATERAL, regr_*/bit/max_by
-aggregates, XML, TRY_* JSON, DQ audits, multimodal deep decodes, the
-dedup front end, covariance/centroids) are covered by the HISTORICAL
-contract below, asserted directly against the ledger files."""
+Round-12 window: all 50 entries are first-time (never graded through
+r11) — the 29-name R12_POOL plus the 21 seeds_r13a registrations. The
+round-11 window rotated out whole (every entry fully green in
+CORRECTNESS_r11), so the rows it evidenced (MERGE/null-aware anti, as-of
+tolerance, salted distinct, INTERSECT ALL, percentile machinery, the
+rank-test family, schema-evolution/CSV/JSON sources, hopping streaming,
+G7 BFS/DFS, the what-if cut goldens, kmeans/silhouette/int8, PNG phash)
+move to the HISTORICAL contract below, asserted directly against the
+ledger files."""
 
 from __future__ import annotations
 
@@ -24,91 +26,82 @@ from distributed_graph_database_system_spark.queries.registry import (
     all_queries,
 )
 
-# SURVEY §2.2 row → round-11 window queries that evidence it. Maintained
+# SURVEY §2.2 row → round-12 window queries that evidence it. Maintained
 # by hand; the test checks that every mapped query is really inside the
 # window.
 ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
-    "projection": ("lineitem_pivot_two_measures",),  # conditional Expand
-    "filter": (
-        "lineitem_disjunctive_margin_screen",
-        "events_iqr_tukey_fences",
+    "projection": ("orders_status_share_pivot",),  # explicit-values pivot
+    "filter": ("events_nullif_distinct_screen",),  # 3VL null-safe screen
+    "join_equi": (
+        "customers_without_orders_outer",
+        "supplier_local_demand_semi",
     ),
-    "join_equi": ("orders_merge_upsert_sim", "dim_values_broadcast_decode"),
     "join_broadcast": (
-        "region_segment_revenue_broadcast",
-        "dim_values_broadcast_decode",
+        "orders_price_band_dim_range",
+        "topk_parts_per_region_rank",
     ),
-    "join_outer": ("orders_merge_upsert_sim",),  # keyed full outer MERGE
-    "join_semi_anti": (
-        "suppliers_without_returns_anti",
-        "orders_not_in_null_trap",  # null-aware anti
-    ),
-    "join_theta": ("parts_price_band_within_brand", "orders_theil_sen_daily"),
-    "join_range_asof": ("join_asof_tolerance_click",),
-    "join_skew": ("agg_distinct_salted_exact",),  # salted-key rewrite
+    "join_outer": ("customers_without_orders_outer",),
+    "join_semi_anti": ("supplier_local_demand_semi",),
+    "join_theta": ("orders_price_band_dim_range",),
     "aggregation": (
-        "agg_distinct_salted_exact",
-        "orders_kruskal_wallis_priority",
-        "orders_percentile_cont_exact",
+        "lineitem_quantity_mode_stats",
+        "agg_groupingsets_flag_priority",
+        "supplier_acctbal_trimmed_stats",
     ),
-    "grouping_sets": ("agg_rollup_priority_year_revenue",),
-    "set_operations": ("customers_repeat_9495_intersect_all",),
-    "disjunctive_predicates": ("lineitem_disjunctive_margin_screen",),
-    "subquery_decorrelation": ("orders_not_in_null_trap",),
+    "grouping_sets": ("agg_groupingsets_flag_priority",),
+    "set_operations": ("customers_9496_symmetric_diff",),
+    "disjunctive_predicates": ("events_nullif_distinct_screen",),
+    "subquery_decorrelation": ("suppliers_above_nation_avg",),
     "window_functions": (
-        "events_ks_two_sample",
-        "customer_order_streaks",
-        "events_concurrency_peak",
-        "customer_revenue_lorenz_curve",
+        "events_rolling_median7",
+        "events_bollinger_breakout",
+        "events_rsi14_daily",
+        "nation_rank_footrule_yoy",
     ),
     "sort_limit_topk": (
-        "sample_stratified_topk_events",
-        "events_trigram_sequences",
+        "topk_parts_per_region_rank",
+        "orders_pareto_8020_point",
     ),
-    "scalar_string": ("text_hapax_ratio_by_source",),
+    "scalar_string": (
+        "part_name_token_census",
+        "text_word_initial_entropy",
+    ),
     "scalar_datetime": (
-        "events_hour_dow_heatmap",
-        "events_log_rank_cohorts",
-        "customer_order_streaks",
+        "orders_iso_week_census",
+        "events_interarrival_burstiness",
     ),
     "scalar_math": (
-        "events_mannwhitney_purchase_view",
-        "events_kendall_tau_daily",
-        "orders_wilcoxon_signed_rank",
-        "supplier_market_hhi",
-        "supplier_nation_theil_index",
-        "events_brown_double_smoothing",
-        "orders_runs_test_daily_revenue",
-        "part_size_price_spearman",
+        "events_activity_gini",
+        "orders_weekday_anova_f",
+        "events_hodges_lehmann_daily",
+        "customer_acctbal_jarque_bera",
+        "orders_ljung_box_daily",
+        "events_value_lognormal_mom",
+        "orders_grubbs_daily_extremes",
+        "supplier_part_simpson_diversity",
     ),
-    "scalar_json": ("source_json_nested_roundtrip",),
-    "scans_sources": (
-        "source_csv_corrupt_permissive",
-        "source_parquet_schema_evolution",
-    ),
-    "sinks": ("sink_partitioned_pruned_roundtrip",),
-    "data_layout": ("sink_partitioned_pruned_roundtrip",),
-    "python_datasource": ("source_refgraph_degree_census",),
-    "streaming_windows": ("stream_hopping_type_counts",),
-    "udf_pandas": ("multimodal_phash_layout_census",),
-    "graph_bfs": ("graph_bfs_g7",),
-    "graph_dfs": ("graph_dfs_g7",),
+    "scalar_json": ("events_props_k_decile_census",),
+    "scans_sources": ("source_parquet_pruned_projection_roundtrip",),
+    "sinks": ("sink_overwrite_dynamic_partitions",),
+    "data_layout": ("sink_overwrite_dynamic_partitions",),
+    "python_datasource": ("source_refgraph_edge_reciprocity",),
+    "streaming_windows": ("stream_session_user_gap30m",),
+    "udf_pandas": ("multimodal_wav_energy_census",),
+    "graph_bfs": ("graph_bfs_g8",),
+    "graph_dfs": ("graph_dfs_g8",),
     "graph_analytics": (
-        "graph_articulation_points_g6",
-        "graph_bridges_g6",
+        "graph_closeness_centrality_g6",
+        "graph_whatif_cut_cosupply",
     ),
-    "llm_similarity": (
-        "embed_kmeans_two_rounds",
-        "embed_silhouette_simplified",
-        "embed_quantize_int8_error",
+    "llm_similarity": ("embed_centroid_distance_matrix",),
+    "llm_dedup": (
+        "corpus_jaccard_band_sweep",
+        "documents_dupgraph_degree_census",
     ),
-    "llm_pipeline": (
-        "sample_class_balanced_docs",
-        "orders_price_decile_buckets_scalable",
-    ),
+    "llm_pipeline": ("sample_temperature_mix_plan",),
     "llm_text_multimodal": (
-        "text_hapax_ratio_by_source",
-        "multimodal_phash_layout_census",
+        "text_heaps_law_fit",
+        "multimodal_wav_energy_census",
     ),
 }
 
@@ -148,6 +141,40 @@ HISTORICAL_EVIDENCE: dict[str, tuple[str, ...]] = {
     "corpus_source_entropy": ("llm_pipeline",),
     "graph_multi_source_bfs_g6": ("graph_bfs",),  # r10
     "graph_eccentricity_g6": ("graph_analytics",),  # r10
+    # round-11 window anchors, all green in CORRECTNESS_r11.json:
+    "orders_merge_upsert_sim": ("join_outer", "join_equi"),
+    "orders_not_in_null_trap": ("join_semi_anti", "subquery_decorrelation"),
+    "dim_values_broadcast_decode": ("join_broadcast",),
+    "parts_price_band_within_brand": ("join_theta",),
+    "join_asof_tolerance_click": ("join_range_asof",),
+    "agg_distinct_salted_exact": ("join_skew", "aggregation"),
+    "lineitem_disjunctive_margin_screen": ("disjunctive_predicates",),
+    "agg_rollup_priority_year_revenue": ("grouping_sets",),
+    "customers_repeat_9495_intersect_all": ("set_operations",),
+    "lineitem_pivot_two_measures": ("projection",),
+    "orders_percentile_cont_exact": ("aggregation",),
+    "sample_stratified_topk_events": ("sort_limit_topk",),
+    "sample_class_balanced_docs": ("llm_pipeline",),
+    "sink_partitioned_pruned_roundtrip": ("sinks", "data_layout"),
+    "source_parquet_schema_evolution": ("scans_sources",),
+    "source_csv_corrupt_permissive": ("scans_sources",),
+    "source_json_nested_roundtrip": ("scalar_json",),
+    "source_refgraph_degree_census": ("python_datasource",),
+    "stream_hopping_type_counts": ("streaming_windows",),
+    "graph_bfs_g7": ("graph_bfs",),
+    "graph_dfs_g7": ("graph_dfs",),
+    "graph_articulation_points_g6": ("graph_analytics",),
+    "graph_bridges_g6": ("graph_analytics",),
+    "embed_kmeans_two_rounds": ("llm_similarity",),
+    "embed_silhouette_simplified": ("llm_similarity",),
+    "embed_quantize_int8_error": ("llm_similarity",),
+    "text_hapax_ratio_by_source": ("scalar_string", "llm_text_multimodal"),
+    "multimodal_phash_layout_census": ("udf_pandas", "llm_text_multimodal"),
+    "customer_order_streaks": ("scalar_datetime", "window_functions"),
+    "events_hour_dow_heatmap": ("scalar_datetime",),
+    "events_mannwhitney_purchase_view": ("scalar_math",),
+    "part_size_price_spearman": ("scalar_math",),
+    "events_ks_two_sample": ("window_functions", "scalar_math"),
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -195,20 +222,20 @@ def test_historical_rows_are_green_in_the_ledger():
     )
 
 
-def test_round11_window_is_all_first_time():
-    """The round-11 rotation claim: no window entry was graded before the
-    round-11 run. (Ledgers from r11 on are this window's own grading
-    rounds, so they are excluded — once CORRECTNESS_r11 lands, the window
+def test_round12_window_is_all_first_time():
+    """The round-12 rotation claim: no window entry was graded before the
+    round-12 run. (Ledgers from r12 on are this window's own grading
+    rounds, so they are excluded — once CORRECTNESS_r12 lands, the window
     entries become graded and this documents the ledger is complete.)"""
     graded: set[str] = set()
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         num = path.rsplit("_r", 1)[1].split(".")[0]
-        if num.isdigit() and int(num) >= 11:
+        if num.isdigit() and int(num) >= 12:
             continue  # this window's own grading round and later
         with open(path) as f:
             graded |= set(json.load(f).keys())
     overlap = set(DRIVER_WINDOW) & graded
-    assert not overlap, f"window entries already graded before r11: {overlap}"
+    assert not overlap, f"window entries already graded before r12: {overlap}"
 
 
 def test_window_queries_all_registered_and_runnable_signatures():

@@ -391,3 +391,38 @@ def test_theil_sen_pairs_enumerate_post_aggregate(plans):
     assert "Scan parquet" not in p  # daily agg is checkpointed upstream
     assert "Scan ExistingRDD" in p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_topk_per_region_uses_window_group_limit(plans):
+    """The rank()<=3 filter must compile to WindowGroupLimit (partial
+    per-task top-k BEFORE the shuffle) — the round-12 window's top-k
+    anchor; a plain WindowExec here would sort whole regions in one task."""
+    p = plans("topk_parts_per_region_rank")
+    assert "WindowGroupLimit" in p
+
+
+def test_pruned_projection_roundtrip_prunes_and_pushes(plans):
+    """The wide-table read-back must prune to the two answered columns
+    (no w_* computed column survives into ReadSchema) and push the price
+    filter into the parquet scan."""
+    p = plans("source_parquet_pruned_projection_roundtrip")
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in p
+    assert "w_key_md5" not in p
+    assert "w_double_price" not in p
+
+
+def test_price_band_dim_is_broadcast_nested_loop(plans):
+    """The 5-row band dim theta join must ride BroadcastNestedLoopJoin —
+    the banding plan that never shuffles the fact."""
+    p = plans("orders_price_band_dim_range")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_nearest_hub_assignment_is_broadcast(plans):
+    """Nearest-hub argmin: hub dim broadcast, no cartesian, struct-min
+    aggregation (no per-user window)."""
+    p = plans("events_nearest_hub_assignment")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "WindowExec" not in p and "Window\n" not in p

@@ -2537,13 +2537,19 @@ def _all_vertices(edges: DataFrame) -> DataFrame:
     )
 
 
-def _assert_connected(edges: DataFrame, n_verts: int, op: str) -> None:
+def _assert_connected(
+    edges: DataFrame, verts: DataFrame, n_verts: int, op: str
+) -> None:
     """Raise ``ValueError`` unless a BFS from the smallest vertex reaches
     all ``n_verts`` vertices — the cheap runtime check behind the
     ``assert_connected`` flag of :func:`articulation_points` /
     :func:`bridges`, whose < |V| verdicts are only meaningful on a
-    connected component. One extra traversal, only when asked for."""
-    root_row = _all_vertices(edges).agg(F.min("vid")).collect()[0][0]
+    connected component. One extra traversal, only when asked for; the
+    caller passes its already-derived vertex frame so the guard adds no
+    extra edge-table scan beyond the BFS itself."""
+    root_row = verts.agg(F.min("vid")).collect()[0][0]
+    if root_row is None:
+        raise ValueError(f"{op}: empty graph (no vertices)")
     reached = bfs(edges, start=int(root_row)).count()
     if reached != n_verts:
         raise ValueError(
@@ -2644,7 +2650,7 @@ def articulation_points(
     verts = _all_vertices(edges)
     n = verts.count()
     if assert_connected:
-        _assert_connected(edges, n, "articulation_points")
+        _assert_connected(edges, verts, n, "articulation_points")
     if candidates is None:
         if n > max_candidates:
             raise ValueError(
@@ -2700,10 +2706,11 @@ def bridges(
     default; at scale screen first (an edge inside any triangle is never
     a bridge, so 2-hop filtering prunes most of E) and pass the
     survivors via ``candidates``."""
+    # one vertex-set materialization serves the n-total AND the guard
+    verts = _all_vertices(edges)
+    n = verts.count()
     if assert_connected:
-        _assert_connected(
-            edges, _all_vertices(edges).count(), "bridges"
-        )
+        _assert_connected(edges, verts, n, "bridges")
     if candidates is None:
         und = (
             edges.select("src", "dst")
@@ -2727,7 +2734,6 @@ def bridges(
             (min(int(a), int(b)), max(int(a), int(b)))
             for a, b in candidates
         )
-    n = _all_vertices(edges).count()
     first = edges.sparkSession.createDataFrame(
         [(a, b, a, 0) for a, b in cand],
         "ea BIGINT, eb BIGINT, vid BIGINT, level INT",

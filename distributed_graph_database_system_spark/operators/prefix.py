@@ -41,7 +41,19 @@ def partitioned_prefix_sums(
     GLOBAL order of ``order_cols`` (which must be a total order — include
     a unique tie-break key) without ever forming a single window
     partition. All sums share ONE range repartition / one offsets
-    broadcast — the multi-measure form (e.g. the KS test's two ECDFs)."""
+    broadcast — the multi-measure form (e.g. the KS test's two ECDFs).
+
+    Contract: ``value_cols`` must be NON-NULL (every caller passes
+    aggregate counts / decimal sums, non-null by construction). A range
+    partition whose values were all NULL would make its ``_ptotal`` NULL
+    and poison the downstream offsets with NULL arithmetic — diverging
+    from the global-window semantics this replicates (SUM OVER skips
+    NULLs). Coalesce NULLs to a neutral value before calling."""
+    if len(value_cols) != len(out_cols):
+        raise ValueError(
+            f"value_cols ({len(value_cols)}) and out_cols "
+            f"({len(out_cols)}) must pair up 1:1"
+        )
     values = [
         F.col(v) if isinstance(v, str) else v for v in value_cols
     ]

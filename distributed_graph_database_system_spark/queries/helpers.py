@@ -46,15 +46,21 @@ def scratch_dir(family: str, sf_dir: str, name: str) -> str:
 _CLEANUP_DIRS: set[str] = set()
 
 
-def md5_uniform(id_col: str | Column = "doc_id") -> Column:
-    """Deterministic uniform in [0, 1): first 8 md5-hex digits of the
-    decimal-string id over 2^32 — byte-identical in Spark and DuckDB
-    (`CAST(('0x' || substr(md5(CAST(x AS VARCHAR)),1,8)) AS BIGINT) /
+def md5_uniform(id_col: str | Column = "doc_id", offset: int = 1) -> Column:
+    """Deterministic uniform in [0, 1): 8 md5-hex digits of the
+    decimal-string id starting at 1-based position ``offset``, over 2^32
+    — byte-identical in Spark and DuckDB (`CAST(('0x' ||
+    substr(md5(CAST(x AS VARCHAR)),<offset>,8)) AS BIGINT) /
     4294967296.0`). The randomness source for every sampling decision, so
-    membership is a pure function of the id."""
+    membership is a pure function of the id; a second ``offset`` (e.g. 9)
+    yields an INDEPENDENT uniform from the same digest, so one id can
+    carry a deterministic point pair (the geo-binning queries)."""
+    if not 1 <= offset <= 25:  # 32 hex digits; need offset+8 <= 33
+        raise ValueError(f"offset must be in [1, 25], got {offset}")
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+        F.conv(F.substring(F.md5(c.cast("string")), offset, 8), 16, 10)
+        .cast("bigint")
         / F.lit(4294967296.0)
     )
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from distributed_graph_database_system_spark.queries.helpers import (
     dec,
     dsum,
+    md5_uniform,
     sf_view,
 )
 from distributed_graph_database_system_spark.queries.registry import query
@@ -93,17 +94,12 @@ def nation_region_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- geospatial binning on md5-derived coordinates ---------------------------------
 
 
-def _md5_frac(col, lo: int) -> F.Column:
-    """Uniform [0,1) from md5 hex digits [lo, lo+8) of the decimal id —
-    the md5_uniform device (queries/helpers.py) generalized to a second
-    independent slice so one id yields an (x, y) point pair."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.conv(F.substring(F.md5(c.cast("string")), lo, 8), 16, 10).cast(
-            "bigint"
-        )
-        / F.lit(4294967296.0)
-    )
+def _md5_frac(col, lo: int):
+    """Uniform [0,1) from md5 hex digits [lo, lo+8) — the shared
+    md5_uniform device (queries/helpers.py), second-slice capable via
+    its offset parameter; kept as a local alias so the geo queries read
+    symmetrically with their SQL-side _MD5_FRAC_SQL template."""
+    return md5_uniform(col, offset=lo)
 
 
 _MD5_FRAC_SQL = (
@@ -478,7 +474,13 @@ def customer_segment_priority_chi2(
     sides identically."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    # no broadcast hint: the customer table grows linearly with SF —
+    # AQE broadcasts it while it is actually small and shuffles when not
+    # (the same discipline as the Spearman rank joins).
+    j = o.join(
+        c.select("c_custkey", "c_mktsegment"),
+        o.o_custkey == c.c_custkey,
+    ).select(
         F.col("c_mktsegment").alias("seg"),
         F.col("o_orderpriority").alias("prio"),
     )

@@ -180,6 +180,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r12g,
         seeds_r13a,
         seeds_r13b,
+        seeds_r13c,
         streaming_batch,
         tpch_extra,
     )
@@ -223,6 +224,17 @@ def oracle_map() -> dict[str, str]:
 #   documents_shingle3_distinct_rate  (3-gram diversity per source)
 #   events_user_lifetime_census       (weekly lifetime histogram)
 #   lineitem_discount_tax_contour     (2-D discount x tax contour)
+# and from queries/seeds_r13c.py (batch C):
+#   part_adjective_levenshtein_pairs  (blocked integer edit distances)
+#   events_user_type_profile_census   (sorted-set behavioral profiles)
+#   orders_quarter_trunc_census       (date_trunc + last_day calendar)
+#   lineitem_try_divide_margin        (TRY-division null semantics)
+#   orders_key_popcount_census        (bit_count histogram)
+#   orders_qoq_growth_by_priority     (per-key LAG growth ratios)
+#   documents_dominant_lang_by_source (struct-max argmax dominance)
+#   events_minute_uniformity_chi2     (minute-of-hour cron screen)
+#   orders_benford_second_digit       (Nigrini second-digit law)
+#   orders_weekend_share_by_priority  (ISO-weekday portability trap)
 # (The 29-name R12_POOL rotated INTO the round-12 window above, alongside
 # the 21 seeds_r13a registrations.)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -1903,3 +1903,71 @@ def test_g8_goldens_match_python_references(spark):
     assert got_bfs == set(lvl.items())
     got_leaves = [r["vid"] for r in dfs_leaves(edges, start=1).collect()]
     assert got_leaves == sorted(leaves) == [13, 14, 15, 16]
+
+
+def _py_k_truss(pairs: list[tuple[int, int]], k: int) -> dict[tuple[int, int], int]:
+    """Reference k-truss by literal peeling over canonical edge sets."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        weak = {e for e, s in sup.items() if s < k - 2}
+        if not weak:
+            return sup
+        edges -= weak
+        if not edges:
+            return {}
+
+
+def test_k_truss_g6_and_triangle_free(spark):
+    """G6's 3-truss (and 4-truss) is exactly the K4 clique, every edge at
+    support 2; the 5-truss peels everything; a path graph has no
+    triangles, so its 3-truss is empty. Cross-checked against the literal
+    python peeler (the co-purchase brute-force test covers fixture-scale
+    graphs; these pin the hand-auditable goldens)."""
+    from distributed_graph_database_system_spark.operators.graph import k_truss
+    from distributed_graph_database_system_spark.queries.graph import G3, G6
+
+    sym6 = G6 + [(b, a) for a, b in G6]
+    e6 = spark.createDataFrame(sym6, "src BIGINT, dst BIGINT")
+    for k in (3, 4):
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in k_truss(e6, k=k).collect()
+        }
+        assert got == _py_k_truss(sym6, k)
+        assert got == {
+            (a, b): 2 for a in range(1, 5) for b in range(1, 5) if a < b
+        }
+    assert k_truss(e6, k=5).count() == 0 == len(_py_k_truss(sym6, 5))
+
+    path = spark.createDataFrame(
+        G3 + [(b, a) for a, b in G3], "src BIGINT, dst BIGINT"
+    )
+    assert k_truss(path, k=3).count() == 0
+
+
+def test_k_truss_peeling_cascades(spark):
+    """A triangle FAN (center 0 joined to a path 1-2-3-4) where dropping
+    the weakest edges must CASCADE across rounds (the fan's end triangles
+    prop up the middle ones): the python peeler is the ground truth for
+    the fixpoint at k = 3 and 4."""
+    from distributed_graph_database_system_spark.operators.graph import k_truss
+
+    fan = [(0, i) for i in range(1, 5)] + [(1, 2), (2, 3), (3, 4)]
+    sym = fan + [(b, a) for a, b in fan]
+    e = spark.createDataFrame(sym, "src BIGINT, dst BIGINT")
+    for k in (3, 4):
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in k_truss(e, k=k).collect()
+        }
+        assert got == _py_k_truss(sym, k)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be >= 2"):
+        k_truss(e, k=1)

@@ -213,7 +213,7 @@ def oracle_map() -> dict[str, str]:
 #   events_geo_grid_census            (md5-deterministic lat/lon grid bins)
 #   events_nearest_hub_assignment     (broadcast nearest-hub argmin)
 #   orders_rising_runs_match3         (MATCH_RECOGNIZE-style UP{3,} runs)
-#   events_funnel_view_click_purchase (strict-order funnel conversion)
+#   events_funnel_72h_window          (72h attribution-window funnel)
 #   orders_keyset_pagination_page3    (keyset cursor page == LIMIT/OFFSET)
 #   customer_segment_priority_chi2    (5x5 contingency independence)
 #   part_brand_type_lift              (attribute association lift)

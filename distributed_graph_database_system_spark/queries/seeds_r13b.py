@@ -311,71 +311,82 @@ def orders_rising_runs_match3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_funnel_view_click_purchase",
+    "events_funnel_72h_window",
     oracle="""
-    WITH u AS (
-      SELECT user_id,
-             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
-      FROM events GROUP BY user_id
-    ), f AS (
-      SELECT user_id,
-             CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
-             CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                  THEN 1 ELSE 0 END AS s2,
-             CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                       AND t_buy > t_click THEN 1 ELSE 0 END AS s3
-      FROM u
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 72 HOUR
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN c ON e.user_id = c.user_id
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= v.t1 + INTERVAL 72 HOUR
+      GROUP BY e.user_id
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(SUM(s1) AS BIGINT) AS stage_view,
-           CAST(SUM(s2) AS BIGINT) AS stage_click,
-           CAST(SUM(s3) AS BIGINT) AS stage_purchase,
-           ROUND(CAST(SUM(s3) AS DOUBLE) / NULLIF(SUM(s1), 0), 6)
-             AS conversion
-    FROM f
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_72h,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_72h,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM v), 0), 6) AS conversion_72h
     """,
-    tags=("sequence", "funnel", "match-recognize", "conversion"),
+    tags=("sequence", "funnel", "attribution-window", "match-recognize"),
 )
-def events_funnel_view_click_purchase(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Strict-order funnel (view → click → purchase, each stage's FIRST
-    occurrence strictly after the previous stage's first occurrence) —
-    the MATCH_RECOGNIZE funnel pattern as three conditional MIN
-    timestamps per user and pure comparisons: one aggregation over
-    users, no sequence scan, no window. NULL comparisons resolve to
-    false in both engines (3VL), so absent stages drop out identically."""
+def events_funnel_72h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOXED funnel — the attribution-window variant the unbounded
+    funnel (funnel_view_click_purchase, queries/breadth.py) cannot
+    answer: a click counts only within 72 hours of the user's first
+    view, and a purchase only after that qualifying click AND still
+    inside the same 72-hour attribution window (the standard
+    campaign-measurement contract: credit expires). Same per-stage
+    shape — filtered aggregate joined to the prior stage's anchor, all
+    shuffles on user_id, no stream-wide window — plus the deadline
+    predicate carried from the view anchor."""
     e = load_table(spark, sf_dir, "events")
-
-    def first_ts(t: str):
-        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
-
-    u = e.groupBy("user_id").agg(
-        first_ts("view").alias("t_view"),
-        first_ts("click").alias("t_click"),
-        first_ts("purchase").alias("t_buy"),
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
     )
-    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
-    s2 = F.when(
-        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
-    ).otherwise(0)
-    s3 = F.when(
-        F.col("t_view").isNotNull()
-        & (F.col("t_click") > F.col("t_view"))
-        & (F.col("t_buy") > F.col("t_click")),
-        1,
-    ).otherwise(0)
-    f = u.select(s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
-    return f.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum("s1").cast("bigint").alias("stage_view"),
-        F.sum("s2").cast("bigint").alias("stage_click"),
-        F.sum("s3").cast("bigint").alias("stage_purchase"),
-        F.round(
-            F.sum("s3").cast("double") / F.nullif(F.sum("s1"), F.lit(0)), 6
-        ).alias("conversion"),
+    deadline = F.col("t1") + F.expr("INTERVAL 72 HOURS")
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_72h"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_72h"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click_72h",
+            "n_purchase_72h",
+            F.round(
+                F.col("n_purchase_72h").cast("double")
+                / F.nullif(F.col("n_view"), F.lit(0)),
+                6,
+            ).alias("conversion_72h"),
+        )
     )
 
 

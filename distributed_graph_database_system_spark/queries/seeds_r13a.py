@@ -1119,10 +1119,14 @@ def sample_temperature_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing plan (the multinomial upsampling
     recipe from multilingual-pretraining practice: sample source i with
     probability ∝ n_i^α, α = 0.7, flattening the head and boosting the
-    tail): per-source weights round to 6dp DECIMAL so the normalizing
-    sum is order-free, and each share is one double division. Two tiny
-    aggregates over the per-source counts; the plan feeds the
-    md5-deterministic samplers (sample_class_balanced_docs) downstream."""
+    tail). The complement of corpus_mix_plan (queries/pipeline.py),
+    which takes GIVEN target weights and solves for downsample rates —
+    here the weights themselves are DERIVED from the counts by the
+    temperature law. Per-source weights round to 6dp DECIMAL so the
+    normalizing sum is order-free, and each share is one double
+    division. Two tiny aggregates over the per-source counts; the plan
+    feeds the md5-deterministic samplers (sample_class_balanced_docs)
+    downstream."""
     d = load_table(spark, sf_dir, "documents")
     c = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
@@ -1169,12 +1173,14 @@ def sample_temperature_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "mode", "histogram"),
 )
 def lineitem_quantity_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact MODE of line-item quantity with a deterministic tie rule
-    (smallest value among maximal counts — engines' built-in mode()
+    """Exact GLOBAL mode of line-item quantity with a deterministic tie
+    rule (smallest value among maximal counts — engines' built-in mode()
     leaves ties unspecified, so the rule is explicit on both sides):
     one histogram aggregate (50 cells however large the fact), a scalar
-    max, and one pass picking the witness. The distributed-safe way to
-    ask "most common value" — no sort, no window."""
+    max, and one pass picking the witness. The scalar sibling of
+    agg_mode_exact (queries/relational.py), which computes PER-GROUP
+    modes via struct-argmax; the global form needs the two-fold shape
+    because there is no group to argmax within. No sort, no window."""
     li = load_table(spark, sf_dir, "lineitem")
     c = li.groupBy(
         F.col("l_quantity").cast("bigint").alias("q")

@@ -181,6 +181,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r13a,
         seeds_r13b,
         seeds_r13c,
+        seeds_r13d,
         streaming_batch,
         tpch_extra,
     )
@@ -235,6 +236,12 @@ def oracle_map() -> dict[str, str]:
 #   events_minute_uniformity_chi2     (minute-of-hour cron screen)
 #   orders_benford_second_digit       (Nigrini second-digit law)
 #   orders_weekend_share_by_priority  (ISO-weekday portability trap)
+# and from queries/seeds_r13d.py (batch D):
+#   stream_sliding6h_user_reach       (sliding distinct-user reach twin)
+#   stream_tumbling4h_minmax_spread   (tumbling min/max spread twin)
+#   source_csv_quoted_multiline_roundtrip (RFC-4180 quoting torture)
+#   orders_range_interval_3day_sum    (time-INTERVAL range frame)
+#   graph_scc_g8                      (whole-graph single-SCC golden)
 # (The 29-name R12_POOL rotated INTO the round-12 window above, alongside
 # the 21 seeds_r13a registrations.)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -426,9 +426,9 @@ def events_minute_uniformity_chi2(
     "orders_benford_second_digit",
     oracle="""
     WITH d AS (
-      SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR),
-                         2, 1) AS BIGINT) AS d2
-      FROM orders WHERE o_totalprice * 100 >= 10
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS VARCHAR), 2, 1) AS BIGINT) AS d2
+      FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 100 >= 10
     ), cell AS (
       SELECT d2, CAST(COUNT(*) AS BIGINT) AS o FROM d GROUP BY d2
     ), tot AS (SELECT SUM(o) AS n FROM cell)
@@ -453,13 +453,17 @@ def orders_benford_second_digit(
 ) -> DataFrame:
     """Second-digit Benford screen (Nigrini's preferred forensic test —
     fabricators who know first-digit Benford rarely match the second
-    digit's Σ log10(1 + 1/(10k + d)) law). The digit comes from integer
-    cents via string position 2, exact in both engines; observed shares
-    are one rounded division and the expected law is the same 9-term
-    log10 sum rounded at 6dp on both sides."""
+    digit's Σ log10(1 + 1/(10k + d)) law). Cents come from the DECIMAL
+    cast FIRST (the cents-digit sibling's convention): a raw
+    double × 100 truncates in Spark's bigint cast but rounds in
+    DuckDB's, and 0.29·100 = 28.999… would shear a digit cell between
+    engines — decimal×100 is exact on the 2dp fixture, so the digit is
+    identical by construction. Observed shares are one rounded division;
+    the expected law is the same 9-term log10 sum rounded at 6dp on
+    both sides."""
     o = load_table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice") * 100).cast("bigint")
-    d = o.where(F.col("o_totalprice") * 100 >= 10).select(
+    cents = (dec("o_totalprice") * 100).cast("bigint")
+    d = o.where(dec("o_totalprice") * 100 >= 10).select(
         F.substring(cents.cast("string"), 2, 1).cast("bigint").alias("d2")
     )
     cell = d.groupBy("d2").agg(F.count(F.lit(1)).cast("bigint").alias("o"))

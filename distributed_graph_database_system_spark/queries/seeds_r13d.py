@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from distributed_graph_database_system_spark.queries.helpers import (
     dec,
-    dsum,
     scratch_dir,
     sf_view,
 )

@@ -1253,6 +1253,23 @@ def test_coreness_consistent_with_kcore_and_reference(spark, sf_dir):
     assert core3 == {v for v, c in got.items() if c >= 3}
 
 
+def _py_k_truss(pairs: list[tuple[int, int]], k: int) -> dict[tuple[int, int], int]:
+    """Reference k-truss by literal peeling over canonical edge sets."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        weak = {e for e, s in sup.items() if s < k - 2}
+        if not weak:
+            return sup
+        edges -= weak
+        if not edges:
+            return {}
+
+
 def test_ktruss_matches_bruteforce(spark, sf_dir):
     """k-truss edge set vs a single-process peeling reference on the
     co-purchase graph, k = 3 and 4."""
@@ -1274,24 +1291,9 @@ def test_ktruss_matches_bruteforce(spark, sf_dir):
         (min(r["src"], r["dst"]), max(r["src"], r["dst"])) for r in ed.collect()
     }
 
-    def ref_truss(edges, k):
-        edges = set(edges)
-        while True:
-            adj = {}
-            for a, b in edges:
-                adj.setdefault(a, set()).add(b)
-                adj.setdefault(b, set()).add(a)
-            sup = {
-                (a, b): len(adj[a] & adj[b]) for a, b in edges
-            }
-            weak = {e for e, s in sup.items() if s < k - 2}
-            if not weak:
-                return sup
-            edges -= weak
-
     for k in (3, 4):
         got = {(r["a"], r["b"]): r["support"] for r in k_truss(ed, k=k).collect()}
-        assert got == ref_truss(base, k), f"k={k} mismatch"
+        assert got == _py_k_truss(base, k), f"k={k} mismatch"
 
 
 def test_diameter_double_sweep_brute_force_parity(spark):
@@ -1903,23 +1905,6 @@ def test_g8_goldens_match_python_references(spark):
     assert got_bfs == set(lvl.items())
     got_leaves = [r["vid"] for r in dfs_leaves(edges, start=1).collect()]
     assert got_leaves == sorted(leaves) == [13, 14, 15, 16]
-
-
-def _py_k_truss(pairs: list[tuple[int, int]], k: int) -> dict[tuple[int, int], int]:
-    """Reference k-truss by literal peeling over canonical edge sets."""
-    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
-    while True:
-        adj: dict[int, set[int]] = {}
-        for a, b in edges:
-            adj.setdefault(a, set()).add(b)
-            adj.setdefault(b, set()).add(a)
-        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
-        weak = {e for e, s in sup.items() if s < k - 2}
-        if not weak:
-            return sup
-        edges -= weak
-        if not edges:
-            return {}
 
 
 def test_k_truss_g6_and_triangle_free(spark):

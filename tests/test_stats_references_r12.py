@@ -17,7 +17,9 @@ import pytest
 from distributed_graph_database_system_spark.queries.registry import all_queries
 from distributed_graph_database_system_spark.sources.catalog import load_table
 
-SF = "/root/testdata/sf0.001"
+import os
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
@@ -111,8 +113,8 @@ def test_levenshtein_pairs_reference(spark, q):
     parts = load_table(spark, SF, "part").collect()
     blocks: defaultdict = defaultdict(set)
     for r in parts:
-        adj, noun = r["p_name"].split(" ")
-        blocks[noun].add(adj)
+        words = r["p_name"].split(" ")  # tolerant like split_part: [0]/[1]
+        blocks[words[1]].add(words[0])
     expect = {}
     for noun, adjs in blocks.items():
         ds = [

@@ -10,7 +10,13 @@ engines — the same rounded-term discipline as every float aggregate here
 (queries/helpers.py).
 
 Scale shape: the pair join runs over the per-period AGGREGATE (days, not
-raw rows), optionally partitioned (per series) and lag-capped. At α=0.2 a
+raw rows), optionally partitioned (per series) and lag-capped. With empty
+``partition_cols`` the ``_i`` index rides ONE global ``row_number``
+window — a deliberately single-task step (Spark's "No Partition Defined"
+warning), safe ONLY because the input is the aggregate series (|periods|
+rows: thousands, not billions). Callers indexing anything that grows
+with the fact table must pass ``partition_cols`` or pre-index via
+operators/prefix.py's partitioned machinery instead. At α=0.2 a
 cap of 250 changes nothing at 8dp for series values below ~1e10
 (α²·251·β²⁵⁰ ≈ 2e-26) while bounding the fan-out at cap·|periods| —
 linear in the horizon, never |periods|². Callers with unbounded horizons

@@ -2546,11 +2546,20 @@ def _assert_connected(
     :func:`bridges`, whose < |V| verdicts are only meaningful on a
     connected component. One extra traversal, only when asked for; the
     caller passes its already-derived vertex frame so the guard adds no
-    extra edge-table scan beyond the BFS itself."""
+    extra edge-table scan beyond the BFS itself.
+
+    Connectivity here means UNDIRECTED connectivity (the only notion
+    under which articulation/bridge verdicts are defined), so the guard
+    symmetrizes the edge set before the BFS — a graph supplied as
+    single-direction rows is judged the same as its both-directions
+    twin, rather than falsely flagged disconnected."""
     root_row = verts.agg(F.min("vid")).collect()[0][0]
     if root_row is None:
         raise ValueError(f"{op}: empty graph (no vertices)")
-    reached = bfs(edges, start=int(root_row)).count()
+    undirected = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    reached = bfs(undirected, start=int(root_row)).count()
     if reached != n_verts:
         raise ValueError(
             f"{op}: graph is disconnected (BFS from {int(root_row)} "

@@ -43,19 +43,21 @@ def partitioned_prefix_sums(
     partition. All sums share ONE range repartition / one offsets
     broadcast — the multi-measure form (e.g. the KS test's two ECDFs).
 
-    Contract: ``value_cols`` must be NON-NULL (every caller passes
-    aggregate counts / decimal sums, non-null by construction). A range
-    partition whose values were all NULL would make its ``_ptotal`` NULL
-    and poison the downstream offsets with NULL arithmetic — diverging
-    from the global-window semantics this replicates (SUM OVER skips
-    NULLs). Coalesce NULLs to a neutral value before calling."""
+    NULL handling: each value column is coalesced to 0 internally, so a
+    NULL value contributes nothing to the running sum — the same as SUM
+    OVER's null-skipping, except that rows BEFORE the first non-null get
+    0 instead of NULL. (Every registered caller passes aggregate counts /
+    decimal sums, non-null by construction, so the distinction never
+    surfaces; the coalesce exists so a stray NULL can't silently poison
+    every later partition's offset with NULL arithmetic.)"""
     if len(value_cols) != len(out_cols):
         raise ValueError(
             f"value_cols ({len(value_cols)}) and out_cols "
             f"({len(out_cols)}) must pair up 1:1"
         )
     values = [
-        F.col(v) if isinstance(v, str) else v for v in value_cols
+        F.coalesce(F.col(v) if isinstance(v, str) else v, F.lit(0))
+        for v in value_cols
     ]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *order_cols).withColumn(

@@ -777,7 +777,9 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the null-handling family over real nullable columns."""
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
-    j = e.join(F.broadcast(c), e.user_id == c.c_custkey, "left")
+    # customer grows with SF — strategy left to AQE (broadcast at fixture
+    # scale, shuffle at cluster scale).
+    j = e.join(c, e.user_id == c.c_custkey, "left")
     return j.select(
         "event_id",
         F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("seg"),

@@ -19,6 +19,18 @@ ORDERING: the driver records CORRECTNESS rows for the FIRST 50 entries of
 returns ``DRIVER_WINDOW`` first — 50 queries hand-picked to cover every
 SURVEY §2.2 operator row — then every remaining registration. The window
 membership is asserted by tests/test_registry_window.py.
+
+MODULE NAMING CONTRACT: thematic modules (relational, breadth, analysis,
+graph, llm, pipeline, layout, tpch_extra, streaming_batch, merged) hold
+the stable families; ``seeds_rNN*.py`` modules hold the queries REGISTERED
+in round NN−1 as that round's rotation pool, named by the round whose
+DRIVER_WINDOW they were written for. Seed modules are append-only history:
+once a seed query has driver CORRECTNESS evidence its module is frozen
+(docstrings cite the grading round), and new work lands in the next
+``seeds_rNN`` file — moving a graded query would orphan the file:line
+citations in VERDICT/PARITY artifacts and risk parity churn for zero
+behavior change, which is why they are deliberately NOT folded back into
+the thematic modules.
 """
 
 from __future__ import annotations
@@ -83,79 +95,81 @@ def oracle_of(name: str) -> str:
 # rows whose remaining evidence is historical are asserted against the
 # on-disk CORRECTNESS_r*.json ledger there). Order is thematic.
 #
-# Round-12 rotation: ALL 50 entries are FIRST-TIME (never present in any
-# CORRECTNESS_r*.json through r11) — the 29-name R12_POOL registered in
-# round 11 plus the 21 queries/seeds_r13a.py registrations. This takes
-# cumulative driver-graded coverage 391 → 441 names. The round-11 window
-# rotates OUT whole: every entry is fully green in CORRECTNESS_r11.json,
-# which the window test asserts directly against the ledger for the rows
-# those anchors evidenced (MERGE/null-aware anti, as-of tolerance, salted
-# distinct, INTERSECT ALL, percentile machinery, the rank-test family,
-# schema-evolution/CSV/JSON sources, hopping streaming, G7 BFS/DFS,
-# what-if cut goldens, kmeans/silhouette/int8, PNG phash).
+# Round-13 rotation: ALL 50 entries are FIRST-TIME (never present in any
+# CORRECTNESS_r*.json through r12) — the 31-name R13_POOL registered in
+# round 12 (seeds_r13b/c/d) plus the 19 queries/seeds_r14a.py
+# registrations. This takes cumulative driver-graded coverage 441 → 491
+# names. The round-12 window rotates OUT whole: every entry is fully
+# green in CORRECTNESS_r12.json, which the window test asserts directly
+# against the ledger for the rows those anchors evidenced (GROUPING
+# SETS, pivot, null-safe screens, the r11 robust/rank stats family,
+# pruned-scan/dynamic-partition sinks, the refgraph reciprocity source,
+# session streaming, G8 BFS/DFS, closeness/what-if graph analytics, the
+# centroid/jaccard/heaps LLM family, WAV multimodal, temperature mix).
 #
-# Round-13 pool (first-time candidates; each must be parity-green before
-# the next rotation): see the R13_POOL comment block at the bottom of
+# Round-14 pool (first-time candidates; each must be parity-green before
+# the next rotation): see the R14_POOL comment block at the bottom of
 # this file.
 #
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- relational: joins / subqueries ---
-    "customers_without_orders_outer",  # null-preserving left outer census
-    "supplier_local_demand_semi",  # EXISTS → semi over 3-table chain
-    "orders_price_band_dim_range",  # broadcast theta band dim
-    "topk_parts_per_region_rank",  # WindowGroupLimit top-3 per region
-    "suppliers_above_nation_avg",  # decorrelated scalar subquery
-    # --- relational: aggregation / grouping / set ops / projection ---
-    "agg_groupingsets_flag_priority",  # GROUPING SETS across a join
-    "customers_9496_symmetric_diff",  # tagged double EXCEPT
-    "orders_status_share_pivot",  # explicit-values pivot + shares
-    "events_nullif_distinct_screen",  # null-safe <=> + disjunction
-    "lineitem_quantity_mode_stats",  # exact mode via histogram
-    # --- scalar functions ---
-    "orders_iso_week_census",  # ISO week calendar extraction
-    "part_name_token_census",  # split/length/upper string census
-    "events_props_k_decile_census",  # JSON path extraction census
-    # --- stats: robust / rank / indicator pool (registered round 11) ---
-    "supplier_acctbal_trimmed_stats",  # trimmed/winsorized via prefix
-    "nation_rank_footrule_yoy",  # rank-shift footrule volatility
-    "orders_cents_digit_uniformity",  # cents-digit chi-squared screen
-    "events_type_run_length_census",  # run-length encoding census
-    "events_rolling_median7",  # rolling lower-median window
-    "events_bollinger_breakout",  # rolling mean ± 2σ bands
-    "events_rsi14_daily",  # Cutler RSI momentum indicator
-    "events_activity_gini",  # exact-integer rank-formula Gini
-    "orders_weekday_anova_f",  # one-way ANOVA F decomposition
-    "events_hodges_lehmann_daily",  # Walsh-average robust location
-    "orders_revenue_cagr",  # geometric growth census
-    "orders_pareto_8020_point",  # Lorenz inverse: top-k for 80%
-    "events_interarrival_burstiness",  # Goh-Barabasi interarrival B
-    "orders_pacf_lag2_daily",  # Durbin-Levinson lag-2 PACF
-    "supplier_part_simpson_diversity",  # unbiased Simpson index
-    "orders_sign_test_daily",  # binomial sign test
-    "events_value_lognormal_mom",  # log-moment lognormal fit
-    "documents_levene_length_by_lang",  # Brown-Forsythe spread test
-    "orders_grubbs_daily_extremes",  # single-outlier extreme screen
-    "customer_acctbal_jarque_bera",  # moment-based normality test
-    "orders_ljung_box_daily",  # lags-1..5 portmanteau Q
-    "events_durbin_watson_daily",  # serial-correlation diagnostic
+    # --- relational: joins / subqueries / set ops ---
+    "events_nearest_hub_assignment",  # broadcast nearest-hub argmin
+    "events_last_order_asof_lag",  # backward as-of self-join + lag census
+    "parts_unshipped_1998h2_anti",  # NOT EXISTS → left-anti dead stock
+    "customers_highbal_inactive_except",  # EXCEPT on key projections
+    "supplier_nation_balance_share",  # decorrelated scalar subquery
+    "orders_keyset_pagination_page3",  # keyset cursor == LIMIT/OFFSET
+    "lineitem_try_divide_margin",  # TRY-division null semantics
+    # --- aggregation / ordering shorthand ---
+    "orders_group_by_all_revenue",  # GROUP BY ALL shorthand
+    "nation_region_order_by_all",  # ORDER BY ALL total ordering
+    "orders_quarter_trunc_census",  # date_trunc + last_day calendar
+    "orders_weekend_share_by_priority",  # ISO-weekday portability trap
+    "orders_key_popcount_census",  # bit_count histogram
+    # --- window functions ---
+    "orders_rising_runs_match3",  # MATCH_RECOGNIZE-style UP{3,} runs
+    "orders_qoq_growth_by_priority",  # per-key LAG growth ratios
+    "orders_range_interval_3day_sum",  # time-INTERVAL range frame
+    # --- stats: association / trend / forensic (pool + r14a) ---
+    "customer_segment_priority_chi2",  # 5x5 contingency independence
+    "part_brand_type_lift",  # attribute association lift
+    "orders_revenue_autocorr_lag7",  # weekly-lag Pearson autocorrelation
+    "supplier_nation_zscore_outliers",  # sqrt-free |z|>2 outlier census
+    "events_type_transition_matrix",  # Markov transition probabilities
+    "events_minute_uniformity_chi2",  # minute-of-hour cron screen
+    "orders_benford_second_digit",  # Nigrini second-digit law
+    "orders_mann_kendall_trend",  # integer-exact monotone-trend S
+    "customer_nation_segment_cramers_v",  # normalized chi² association
+    "orders_daily_updown_runs_test",  # Wald-Wolfowitz up/down runs
+    "events_hour_rayleigh",  # circular-uniformity z, literal trig
+    "lineitem_discount_quantity_cov",  # integer-moment Pearson r
+    "orders_weekday_seasonal_strength",  # ANOVA R² seasonality share
+    "supplier_acctbal_mad",  # two-median robust scale (MAD)
+    "lineitem_quantity_first_digit",  # Benford first-digit census
+    "orders_daily_cusum_extreme",  # n-scaled CUSUM changepoint
+    "events_weekday_type_theil_u",  # uncertainty coefficient U
+    "events_geo_grid_census",  # md5-deterministic lat/lon grid bins
+    "events_user_lifetime_census",  # weekly lifetime histogram
+    "events_funnel_72h_window",  # 72h attribution-window funnel
+    "lineitem_discount_tax_contour",  # 2-D discount x tax contour
+    # --- scalar string / sets ---
+    "part_adjective_levenshtein_pairs",  # blocked integer edit distances
+    "events_user_type_profile_census",  # sorted-set behavioral profiles
+    "documents_word_length_histogram",  # corpus word-length profile
     # --- sources / sinks / datasource / streaming ---
-    "source_parquet_pruned_projection_roundtrip",  # pruned scan roundtrip
-    "sink_overwrite_dynamic_partitions",  # dynamic partition overwrite
-    "source_refgraph_edge_reciprocity",  # join over custom DataSource
-    "stream_session_user_gap30m",  # per-user session-window twin
+    "source_csv_quoted_multiline_roundtrip",  # RFC-4180 quoting torture
+    "sink_orc_partitioned_roundtrip",  # ORC partitioned write+readback
+    "source_refgraph_outdeg_histogram",  # degree histogram over DataSource
+    "stream_sliding6h_user_reach",  # sliding distinct-user reach twin
+    "stream_tumbling4h_minmax_spread",  # tumbling min/max spread twin
     # --- graph ---
-    "graph_bfs_g8",  # BFS on the grid-with-chord fixture
-    "graph_dfs_g8",  # DFS leaf set on g8
-    "graph_closeness_centrality_g6",  # Wasserman-Faust closeness
-    "graph_whatif_cut_cosupply",  # md5-sampled what-if cuts, real graph
-    # --- LLM pipeline: embeddings / dedup / text / multimodal ---
-    "embed_centroid_distance_matrix",  # k×k class-separability matrix
-    "corpus_jaccard_band_sweep",  # one-pass dedup threshold sweep
-    "documents_dupgraph_degree_census",  # near-dup pair-graph degrees
-    "text_word_initial_entropy",  # orthographic onset entropy
-    "text_heaps_law_fit",  # vocabulary scaling exponent
-    "multimodal_wav_energy_census",  # Arrow-batched WAV energy frames
-    "sample_temperature_mix_plan",  # n^0.7 temperature mix plan
+    "graph_scc_g8",  # whole-graph single-SCC golden
+    "graph_radius_center_g6",  # radius/center via all-sources BFS
+    # --- LLM pipeline: embeddings / dedup / text ---
+    "embed_dim_variance_topk",  # integer-exact dimension variance
+    "embed_norm_band_census",  # squared-L2 norm bands, exact fold
+    "documents_shingle3_distinct_rate",  # 3-gram diversity per source
+    "documents_dominant_lang_by_source",  # struct-max argmax dominance
 )
 
 
@@ -182,6 +196,8 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r13b,
         seeds_r13c,
         seeds_r13d,
+        seeds_r14a,
+        seeds_r14b,
         streaming_batch,
         tpch_extra,
     )
@@ -205,43 +221,26 @@ def oracle_map() -> dict[str, str]:
     }
 
 
-# R13_POOL — first-time candidates for the round-13 window rotation (every
+# R14_POOL — first-time candidates for the round-14 window rotation (every
 # name below has never appeared in any CORRECTNESS_r*.json; each was
 # parity-verified at sf0.001/0.01/0.1 at registration). Registered in
-# round 12 in queries/seeds_r13b.py:
-#   orders_group_by_all_revenue       (GROUP BY ALL shorthand via spark.sql)
-#   nation_region_order_by_all        (ORDER BY ALL total ordering)
-#   events_geo_grid_census            (md5-deterministic lat/lon grid bins)
-#   events_nearest_hub_assignment     (broadcast nearest-hub argmin)
-#   orders_rising_runs_match3         (MATCH_RECOGNIZE-style UP{3,} runs)
-#   events_funnel_72h_window          (72h attribution-window funnel)
-#   orders_keyset_pagination_page3    (keyset cursor page == LIMIT/OFFSET)
-#   customer_segment_priority_chi2    (5x5 contingency independence)
-#   part_brand_type_lift              (attribute association lift)
-#   orders_revenue_autocorr_lag7      (weekly-lag Pearson autocorrelation)
-#   supplier_nation_zscore_outliers   (sqrt-free |z|>2 outlier census)
-#   events_type_transition_matrix     (Markov transition probabilities)
-#   embed_dim_variance_topk           (integer-exact dimension variance)
-#   documents_shingle3_distinct_rate  (3-gram diversity per source)
-#   events_user_lifetime_census       (weekly lifetime histogram)
-#   lineitem_discount_tax_contour     (2-D discount x tax contour)
-# and from queries/seeds_r13c.py (batch C):
-#   part_adjective_levenshtein_pairs  (blocked integer edit distances)
-#   events_user_type_profile_census   (sorted-set behavioral profiles)
-#   orders_quarter_trunc_census       (date_trunc + last_day calendar)
-#   lineitem_try_divide_margin        (TRY-division null semantics)
-#   orders_key_popcount_census        (bit_count histogram)
-#   orders_qoq_growth_by_priority     (per-key LAG growth ratios)
-#   documents_dominant_lang_by_source (struct-max argmax dominance)
-#   events_minute_uniformity_chi2     (minute-of-hour cron screen)
-#   orders_benford_second_digit       (Nigrini second-digit law)
-#   orders_weekend_share_by_priority  (ISO-weekday portability trap)
-# and from queries/seeds_r13d.py (batch D):
-#   stream_sliding6h_user_reach       (sliding distinct-user reach twin)
-#   stream_tumbling4h_minmax_spread   (tumbling min/max spread twin)
-#   source_csv_quoted_multiline_roundtrip (RFC-4180 quoting torture)
-#   orders_range_interval_3day_sum    (time-INTERVAL range frame)
-#   graph_scc_g8                      (whole-graph single-SCC golden)
-# (The 29-name R12_POOL rotated INTO the round-12 window above, alongside
-# the 21 seeds_r13a registrations.)
+# round 13 in queries/seeds_r14b.py:
+#   orders_monthly_mom_delta          (LAG MoM deltas over monthly series)
+#   events_user_type_gap_median       (per-(user,type) gap order statistics)
+#   orders_custkey_birthday_collisions (md5 4096-bucket occupancy histogram)
+#   stream_tumbling1d_type_value      (tumbling 1-day rollup twin)
+#   documents_char_bigram_entropy     (rounded-term bigram entropy by lang)
+#   orders_priority_mix_tvd_monthly   (month-over-month TVD drift monitor)
+#   customer_acctbal_decile_bounds    (nine percentile_disc bounds, one pass)
+#   events_value_magnitude_bands      (digit-count log-scale bands, exact)
+#   orders_key_density_audit          (PK density/gap/checksum audit)
+#   lineitem_linecount_histogram      (order fan-out profile)
+#   customer_dominant_segment_by_nation (struct-max argmax dominance)
+#   orders_priority_rank_kendall_yoy  (YoY rank-stability Kendall tau)
+#   documents_lang_source_mutual_info (rounded-term MI(lang; source))
+#   graph_clustering_coeff_g6         (local clustering via triangle joins)
+#   part_type_modal_size              (struct-max exact mode, low-tie rule)
+#   events_dau_wau_ratio              (DAU/WAU stickiness via range join)
+# (The 31-name R13_POOL rotated INTO the round-13 window above, alongside
+# the 19 seeds_r14a registrations.)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

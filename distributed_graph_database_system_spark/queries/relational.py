@@ -1858,13 +1858,19 @@ def lineitem_multi_predicate_screen(spark: SparkSession, sf_dir: str) -> DataFra
     tags=("join", "broadcast", "selective-dim"),
 )
 def join_broadcast_expensive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXPLICIT broadcast of a filtered dimension: the expensive-parts
-    slice is selective enough to broadcast however large the part table
-    grows relative to the AQE threshold, so the fact side joins with no
-    shuffle at all (map-side hash probe). The F.broadcast hint is the
-    point — at 100 TB, relying on the autobroadcast threshold for a
-    FILTERED dim is a regression waiting for a stats refresh; the hint
-    pins the strategy."""
+    """EXPLICIT broadcast of a filtered dimension — this query IS the
+    broadcast exercise, and the hint is the point: for a FILTERED dim,
+    relying on the autobroadcast threshold is a regression waiting for a
+    stats refresh; the hint pins the map-side hash probe (zero shuffle on
+    the fact side).
+
+    Bounded-slice contract: the hint is valid only while the filtered
+    slice fits executor memory. ``p_retailprice > 1800`` keeps ~7% of
+    part at 2 columns (~16 B/row) — ≈1.1 GB at the 100 TB north star's
+    10^9-row part table, inside a 4 GB+ executor but AT the comfort
+    boundary. If the slice's selectivity or width ever grows past that
+    envelope, the contract is to drop the hint and let AQE decide
+    (see the un-hinted SF-growing joins elsewhere in this module)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = (
         load_table(spark, sf_dir, "part")
@@ -2326,10 +2332,13 @@ def region_brand_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1).cast("decimal(8,2)") - dec("l_discount", 8, 2))
     ).cast("double")
     return (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        # supplier/part grow linearly with SF — join strategy left to AQE
+        # (broadcast at fixture scale, shuffle at 100 TB). nation/region
+        # are constant-size (25/5 rows) so their hints are safe forever.
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("r_name", "p_brand")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),

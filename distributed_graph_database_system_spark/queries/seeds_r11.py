@@ -1006,7 +1006,7 @@ def supplier_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey"),
     )
     rev = (
-        li.join(F.broadcast(s), "l_suppkey")
+        li.join(s, "l_suppkey")  # supplier grows with SF: AQE decides
         .groupBy("nationkey", "l_suppkey")
         .agg(dsum("l_extendedprice").alias("r"))
     )
@@ -1254,7 +1254,7 @@ def supplier_nation_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey"),
     )
     rev = (
-        li.join(F.broadcast(s), "l_suppkey")
+        li.join(s, "l_suppkey")  # supplier grows with SF: AQE decides
         .groupBy("nationkey", "l_suppkey")
         .agg(dsum("l_extendedprice").alias("x"))
     )

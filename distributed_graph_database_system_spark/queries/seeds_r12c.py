@@ -505,8 +505,8 @@ def nation_rank_footrule_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year revenue-rank shift per nation (1995 vs 1996) —
     Spearman's footrule displacement per item, the leaderboard-churn
     audit. Revenue folds as exact decimals so both years' rankings are
-    deterministic; ties break on nation name. The star join is two
-    broadcast dims (customer→nation) onto the orders scan; the two
+    deterministic; ties break on nation name. The star join leaves the
+    SF-growing customer dim to AQE and broadcasts only the 25-row nation; the two
     rankings come from ONE 25-row aggregate, so the window sort is
     constant regardless of fact size."""
     o = load_table(spark, sf_dir, "orders")
@@ -515,7 +515,7 @@ def nation_rank_footrule_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     yr = F.year("o_orderdate")
     rev = (
         o.where(yr.isin(1995, 1996))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer grows with SF: AQE decides
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), yr.alias("yr"))
         .agg(F.sum(dec("o_totalprice")).alias("rev"))

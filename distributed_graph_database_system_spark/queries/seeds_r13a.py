@@ -437,15 +437,15 @@ def topk_parts_per_region_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts by revenue per region through a rank()-filter window —
     the shape Spark compiles to WindowGroupLimit (each task keeps only
     its partial top-3 per region BEFORE the shuffle, so the window never
-    sees the full per-region row set). Revenue is the exact decimal fold
-    over a broadcast star (supplier→nation→region); ties break on
+    sees the full per-region row set). Revenue is the exact decimal fold over a star join: the SF-growing
+    supplier side is left to AQE, constant nation/region are broadcast; ties break on
     partkey so the cut is total."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)  # supplier grows with SF: AQE decides
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), "l_partkey")

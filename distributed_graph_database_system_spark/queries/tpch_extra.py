@@ -61,8 +61,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q2 shape: cheapest supplier per part. The classic correlated
     ``cost = (SELECT MIN ...)`` subquery decorrelated into agg → agg → two
     equi-joins; the min join key is DECIMAL so the equality is exact (the
-    reason the cast to DOUBLE happens only in the output). supplier is
-    bounded per nation → broadcast; part filter pushed to the scan."""
+    reason the cast to DOUBLE happens only in the output). supplier grows
+    linearly with SF (~10^9 rows at the 100 TB north star) so its join
+    strategy is left to AQE — broadcast at fixture scale, shuffle at
+    cluster scale; part filter pushed to the scan."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
@@ -89,7 +91,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cost.l_partkey == F.col("b_partkey"))
             & (cost.cost == F.col("min_cost")),
         )
-        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .join(supp, cost.l_suppkey == supp.s_suppkey)
         .select(
             "p_partkey", "p_name", "s_name", F.col("cost").cast("double").alias("min_cost")
         )
@@ -303,7 +305,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -477,8 +479,8 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         qty.join(tot, qty.l_partkey == F.col("t_partkey"))
         .where(F.col("sq").cast("double") > 0.5 * F.col("tq").cast("double"))
-        .join(F.broadcast(p), qty.l_partkey == p.p_partkey)
-        .join(F.broadcast(supp), qty.l_suppkey == supp.s_suppkey)
+        .join(p, qty.l_partkey == p.p_partkey)
+        .join(supp, qty.l_suppkey == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_parts"))
     )
@@ -550,9 +552,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole_late.join(
-            F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey
-        )
+        sole_late.join(supp, sole_late.l_suppkey == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_suppkey")

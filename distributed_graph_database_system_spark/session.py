@@ -36,6 +36,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every exchange wide and let AQE coalesce DOWN from shuffle
+        # statistics instead of hand-tuning partitions per scale factor: at
+        # sf100 (600M-row lineitem) 32 reducers left 19M rows/partition and
+        # the join-heavy shapes spill-bound (BASELINE.md sf100 table; 256
+        # partitions recovered 10-23%), while at fixture scale AQE coalesces
+        # the same 256 initial partitions back to a handful — so the wide
+        # default costs nothing small and removes the manual knob large.
+        # On a real cluster this would be sized to ~2-3x total cores.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(max(256, n))),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

@@ -5,13 +5,14 @@ query already recorded green in an on-disk CORRECTNESS_r*.json ledger
 (a silent reordering would evict families from the driver's view without
 failing anything else).
 
-Round-12 window: all 50 entries are first-time (never graded through
-r11) — the 29-name R12_POOL plus the 21 seeds_r13a registrations. The
-round-11 window rotated out whole (every entry fully green in
-CORRECTNESS_r11), so the rows it evidenced (MERGE/null-aware anti, as-of
-tolerance, salted distinct, INTERSECT ALL, percentile machinery, the
-rank-test family, schema-evolution/CSV/JSON sources, hopping streaming,
-G7 BFS/DFS, the what-if cut goldens, kmeans/silhouette/int8, PNG phash)
+Round-13 window: all 50 entries are first-time (never graded through
+r12) — the 31-name R13_POOL plus the 19 seeds_r14a registrations. The
+round-12 window rotated out whole (every entry fully green in
+CORRECTNESS_r12), so the rows it evidenced (GROUPING SETS, pivot,
+null-safe screens, the r11 robust/rank stats family, pruned-scan and
+dynamic-partition sinks, the refgraph reciprocity source, session
+streaming, G8 BFS/DFS, closeness/what-if graph analytics, the
+centroid/jaccard/heaps LLM family, WAV multimodal, temperature mix)
 move to the HISTORICAL contract below, asserted directly against the
 ledger files."""
 
@@ -26,82 +27,85 @@ from distributed_graph_database_system_spark.queries.registry import (
     all_queries,
 )
 
-# SURVEY §2.2 row → round-12 window queries that evidence it. Maintained
+# SURVEY §2.2 row → round-13 window queries that evidence it. Maintained
 # by hand; the test checks that every mapped query is really inside the
 # window.
 ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
-    "projection": ("orders_status_share_pivot",),  # explicit-values pivot
-    "filter": ("events_nullif_distinct_screen",),  # 3VL null-safe screen
+    "projection": ("lineitem_try_divide_margin",),  # TRY-division compute
+    "filter": ("orders_keyset_pagination_page3",),  # keyset cursor predicate
     "join_equi": (
-        "customers_without_orders_outer",
-        "supplier_local_demand_semi",
+        "events_nearest_hub_assignment",
+        "customers_highbal_inactive_except",
     ),
-    "join_broadcast": (
-        "orders_price_band_dim_range",
-        "topk_parts_per_region_rank",
-    ),
-    "join_outer": ("customers_without_orders_outer",),
-    "join_semi_anti": ("supplier_local_demand_semi",),
-    "join_theta": ("orders_price_band_dim_range",),
+    "join_broadcast": ("events_nearest_hub_assignment",),
+    "join_outer": ("events_last_order_asof_lag",),  # left as-of semantics
+    "join_semi_anti": ("parts_unshipped_1998h2_anti",),
+    "join_theta": ("orders_mann_kendall_trend",),  # a.day < b.day pair join
+    "join_range_asof": ("events_last_order_asof_lag",),
     "aggregation": (
-        "lineitem_quantity_mode_stats",
-        "agg_groupingsets_flag_priority",
-        "supplier_acctbal_trimmed_stats",
+        "orders_group_by_all_revenue",
+        "lineitem_discount_quantity_cov",
+        "supplier_acctbal_mad",
     ),
-    "grouping_sets": ("agg_groupingsets_flag_priority",),
-    "set_operations": ("customers_9496_symmetric_diff",),
-    "disjunctive_predicates": ("events_nullif_distinct_screen",),
-    "subquery_decorrelation": ("suppliers_above_nation_avg",),
+    "set_operations": ("customers_highbal_inactive_except",),
+    "subquery_decorrelation": ("supplier_nation_balance_share",),
     "window_functions": (
-        "events_rolling_median7",
-        "events_bollinger_breakout",
-        "events_rsi14_daily",
-        "nation_rank_footrule_yoy",
+        "orders_rising_runs_match3",
+        "orders_qoq_growth_by_priority",
+        "orders_range_interval_3day_sum",
+        "orders_daily_updown_runs_test",
     ),
     "sort_limit_topk": (
-        "topk_parts_per_region_rank",
-        "orders_pareto_8020_point",
+        "orders_keyset_pagination_page3",
+        "nation_region_order_by_all",
     ),
     "scalar_string": (
-        "part_name_token_census",
-        "text_word_initial_entropy",
+        "part_adjective_levenshtein_pairs",
+        "documents_word_length_histogram",
     ),
     "scalar_datetime": (
-        "orders_iso_week_census",
-        "events_interarrival_burstiness",
+        "orders_quarter_trunc_census",
+        "orders_weekend_share_by_priority",
+        "events_funnel_72h_window",
     ),
     "scalar_math": (
-        "events_activity_gini",
-        "orders_weekday_anova_f",
-        "events_hodges_lehmann_daily",
-        "customer_acctbal_jarque_bera",
-        "orders_ljung_box_daily",
-        "events_value_lognormal_mom",
-        "orders_grubbs_daily_extremes",
-        "supplier_part_simpson_diversity",
+        "customer_segment_priority_chi2",
+        "orders_revenue_autocorr_lag7",
+        "supplier_nation_zscore_outliers",
+        "orders_benford_second_digit",
+        "customer_nation_segment_cramers_v",
+        "events_hour_rayleigh",
+        "events_weekday_type_theil_u",
+        "orders_weekday_seasonal_strength",
+        "lineitem_quantity_first_digit",
+        "orders_daily_cusum_extreme",
+        "orders_key_popcount_census",
     ),
-    "scalar_json": ("events_props_k_decile_census",),
-    "scans_sources": ("source_parquet_pruned_projection_roundtrip",),
-    "sinks": ("sink_overwrite_dynamic_partitions",),
-    "data_layout": ("sink_overwrite_dynamic_partitions",),
-    "python_datasource": ("source_refgraph_edge_reciprocity",),
-    "streaming_windows": ("stream_session_user_gap30m",),
-    "udf_pandas": ("multimodal_wav_energy_census",),
-    "graph_bfs": ("graph_bfs_g8",),
-    "graph_dfs": ("graph_dfs_g8",),
+    "scalar_array_hof": ("embed_norm_band_census",),
+    "scans_sources": (
+        "source_csv_quoted_multiline_roundtrip",
+        "sink_orc_partitioned_roundtrip",
+    ),
+    "sinks": ("sink_orc_partitioned_roundtrip",),
+    "data_layout": ("sink_orc_partitioned_roundtrip",),
+    "python_datasource": ("source_refgraph_outdeg_histogram",),
+    "streaming_windows": (
+        "stream_sliding6h_user_reach",
+        "stream_tumbling4h_minmax_spread",
+    ),
+    "graph_bfs": ("graph_radius_center_g6",),  # all-sources BFS core
     "graph_analytics": (
-        "graph_closeness_centrality_g6",
-        "graph_whatif_cut_cosupply",
+        "graph_scc_g8",
+        "graph_radius_center_g6",
     ),
-    "llm_similarity": ("embed_centroid_distance_matrix",),
-    "llm_dedup": (
-        "corpus_jaccard_band_sweep",
-        "documents_dupgraph_degree_census",
+    "llm_similarity": (
+        "embed_dim_variance_topk",
+        "embed_norm_band_census",
     ),
-    "llm_pipeline": ("sample_temperature_mix_plan",),
+    "llm_dedup": ("documents_shingle3_distinct_rate",),
     "llm_text_multimodal": (
-        "text_heaps_law_fit",
-        "multimodal_wav_energy_census",
+        "documents_dominant_lang_by_source",
+        "documents_word_length_histogram",
     ),
 }
 
@@ -178,6 +182,29 @@ HISTORICAL_EVIDENCE: dict[str, tuple[str, ...]] = {
     # window remains in its plan), so it evidences only the math row;
     # window_functions keeps customer_order_streaks as its anchor.
     "events_ks_two_sample": ("scalar_math",),
+    # round-12 window anchors, all green in CORRECTNESS_r12.json:
+    "agg_groupingsets_flag_priority": ("grouping_sets", "aggregation"),
+    "events_nullif_distinct_screen": ("disjunctive_predicates", "filter"),
+    "orders_status_share_pivot": ("projection",),
+    "events_props_k_decile_census": ("scalar_json",),
+    "multimodal_wav_energy_census": ("udf_pandas", "llm_text_multimodal"),
+    "graph_bfs_g8": ("graph_bfs",),
+    "graph_dfs_g8": ("graph_dfs",),
+    "graph_closeness_centrality_g6": ("graph_analytics",),
+    "graph_whatif_cut_cosupply": ("graph_analytics",),
+    "sample_temperature_mix_plan": ("llm_pipeline",),
+    "corpus_jaccard_band_sweep": ("llm_dedup",),
+    "documents_dupgraph_degree_census": ("llm_dedup",),
+    "embed_centroid_distance_matrix": ("llm_similarity",),
+    "customers_without_orders_outer": ("join_outer", "join_equi"),
+    "supplier_local_demand_semi": ("join_semi_anti",),
+    "orders_price_band_dim_range": ("join_theta", "join_broadcast"),
+    "suppliers_above_nation_avg": ("subquery_decorrelation",),
+    "customers_9496_symmetric_diff": ("set_operations",),
+    "stream_session_user_gap30m": ("streaming_windows",),
+    "source_parquet_pruned_projection_roundtrip": ("scans_sources",),
+    "sink_overwrite_dynamic_partitions": ("sinks", "data_layout"),
+    "source_refgraph_edge_reciprocity": ("python_datasource",),
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -225,20 +252,20 @@ def test_historical_rows_are_green_in_the_ledger():
     )
 
 
-def test_round12_window_is_all_first_time():
-    """The round-12 rotation claim: no window entry was graded before the
-    round-12 run. (Ledgers from r12 on are this window's own grading
-    rounds, so they are excluded — once CORRECTNESS_r12 lands, the window
+def test_round13_window_is_all_first_time():
+    """The round-13 rotation claim: no window entry was graded before the
+    round-13 run. (Ledgers from r13 on are this window's own grading
+    rounds, so they are excluded — once CORRECTNESS_r13 lands, the window
     entries become graded and this documents the ledger is complete.)"""
     graded: set[str] = set()
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         num = path.rsplit("_r", 1)[1].split(".")[0]
-        if num.isdigit() and int(num) >= 12:
+        if num.isdigit() and int(num) >= 13:
             continue  # this window's own grading round and later
         with open(path) as f:
             graded |= set(json.load(f).keys())
     overlap = set(DRIVER_WINDOW) & graded
-    assert not overlap, f"window entries already graded before r12: {overlap}"
+    assert not overlap, f"window entries already graded before r13: {overlap}"
 
 
 def test_window_queries_all_registered_and_runnable_signatures():

@@ -198,6 +198,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r13d,
         seeds_r14a,
         seeds_r14b,
+        seeds_r14c,
         streaming_batch,
         tpch_extra,
     )
@@ -241,6 +242,19 @@ def oracle_map() -> dict[str, str]:
 #   graph_clustering_coeff_g6         (local clustering via triangle joins)
 #   part_type_modal_size              (struct-max exact mode, low-tie rule)
 #   events_dau_wau_ratio              (DAU/WAU stickiness via range join)
+# and from queries/seeds_r14c.py (batch C):
+#   orders_repeat_within7d_census     (per-customer 7-day repeat pairs)
+#   orders_daily_rev_drawdown         (running-max drawdown argmax)
+#   events_user_record_breaks         (per-user record-break histogram)
+#   lineitem_discount_tax_chi2        (2-D grid independence chi²)
+#   orders_price_skew_kurtosis        (exact-moment skew/kurtosis)
+#   events_user_activity_zipf_slope   (rank-frequency OLS slope)
+#   documents_ttr_band_census         (type-token-ratio bands)
+#   sink_csv_quote_roundtrip          (RFC-4180 CSV WRITER roundtrip)
+#   stream_hopping12h_value_median    (hopping order-statistic twin)
+#   graph_wcc_arith_islands           (star-contraction WCC census)
+#   corpus_dedup_rate_by_source       (exact content-hash dup rates)
+#   multimodal_wav_duration_histogram (deep WAV decode, varying rates)
 # (The 31-name R13_POOL rotated INTO the round-13 window above, alongside
 # the 19 seeds_r14a registrations.)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -199,6 +199,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r14a,
         seeds_r14b,
         seeds_r14c,
+        seeds_r14d,
         streaming_batch,
         tpch_extra,
     )
@@ -255,6 +256,23 @@ def oracle_map() -> dict[str, str]:
 #   graph_wcc_arith_islands           (star-contraction WCC census)
 #   corpus_dedup_rate_by_source       (exact content-hash dup rates)
 #   multimodal_wav_duration_histogram (deep WAV decode, varying rates)
+# and from queries/seeds_r14d.py (batch D):
+#   lineitem_qty_price_decile_grid    (cut-table decile assignment grid)
+#   customer_order_span_histogram     (tenure span bands)
+#   part_name_anagram_census          (sorted-char canonical classes)
+#   customer_name_format_audit        (regex + key-consistency audit)
+#   orders_priority_hhi_quarterly     (quarterly concentration HHI)
+#   nation_balance_gap_census         (full-outer reconciliation gap)
+#   orders_leap_week53_census         (Feb-29 / ISO-week-53 edges)
+#   events_type_cooccurrence_users    (basket pair co-occurrence)
+#   documents_length_quartiles_by_lang (percentile_disc quartiles)
+#   documents_first_word_census       (opening-word boilerplate screen)
+#   sink_json_struct_roundtrip        (nested JSON WRITER roundtrip)
+#   stream_tumbling15m_error_rate     (narrow-window alerting twin)
+#   graph_degree_assortativity_g6     (Newman's r, exact moments)
+#   multimodal_bmp_pixel_stats        (deep BMP decode, stride torture)
+#   lineitem_shipdow_volume_index     (ISO-weekday load index)
+#   customer_rfm_segment_census       (RFM cut-table segmentation)
 # (The 31-name R13_POOL rotated INTO the round-13 window above, alongside
 # the 19 seeds_r14a registrations.)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -200,6 +200,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r14b,
         seeds_r14c,
         seeds_r14d,
+        seeds_r14e,
         streaming_batch,
         tpch_extra,
     )
@@ -273,6 +274,13 @@ def oracle_map() -> dict[str, str]:
 #   multimodal_bmp_pixel_stats        (deep BMP decode, stride torture)
 #   lineitem_shipdow_volume_index     (ISO-weekday load index)
 #   customer_rfm_segment_census       (RFM cut-table segmentation)
+# and from queries/seeds_r14e.py (batch E — pool now EXACTLY 50):
+#   documents_source_lang_jsd         (Jensen-Shannon language drift)
+#   orders_open_aging_bands           (open-order aging report)
+#   lineitem_quantity_ecdf_points     (fixed-point ECDF probes)
+#   graph_common_neighbors_g6         (link-prediction golden)
+#   customer_balance_boxplot_stats    (Tukey five-number + fences)
+#   sample_md5_bernoulli_audit        (independent-digest sampling audit)
 # (The 31-name R13_POOL rotated INTO the round-13 window above, alongside
 # the 19 seeds_r14a registrations.)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -1956,3 +1956,22 @@ def test_k_truss_peeling_cascades(spark):
 
     with _pytest.raises(ValueError, match="k must be >= 2"):
         k_truss(e, k=1)
+
+
+def test_assert_connected_symmetrizes_single_direction_edges(spark):
+    """Round-13 hardening (ADVICE r12): the connectivity guard judges
+    UNDIRECTED connectivity, so a connected graph supplied as
+    single-direction edge rows must NOT be falsely flagged disconnected
+    (the guard symmetrizes internally before its BFS)."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        _assert_connected,
+        _all_vertices,
+    )
+
+    one_way = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3)], "src BIGINT, dst BIGINT"
+    )
+    verts = _all_vertices(one_way)
+    # path 1-2-3-4 is connected undirected; a directed BFS from min vid 1
+    # would reach only {1} and raise — the symmetrized guard must pass
+    _assert_connected(one_way, verts, verts.count(), "test")

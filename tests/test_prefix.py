@@ -108,3 +108,28 @@ def test_multi_measure_prefix_matches_two_single_calls(spark, sf_dir):
     }
     assert {(d, cn) for d, cn, _ in multi} == single_n
     assert {(d, cs) for d, _, cs in multi} == single_s
+
+
+def test_null_values_coalesce_to_zero_not_poison(spark):
+    """Round-13 hardening (ADVICE r12): a NULL value must contribute 0 to
+    the running sum (SUM OVER's null-skipping), not turn a partition's
+    total NULL and poison every later partition's offset. Rows before the
+    first non-null read 0 (the one documented divergence from SUM OVER's
+    leading-NULL behavior)."""
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
+    rows = [(i, None if i % 3 == 0 else i * 10) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "k INT, v INT")
+    got = {
+        r.k: r.cum
+        for r in partitioned_prefix_sum(
+            df, ["k"], "v", "cum", num_partitions=8
+        ).collect()
+    }
+    expected, run = {}, 0
+    for k, v in rows:
+        run += 0 if v is None else v
+        expected[k] = run
+    assert got == expected

@@ -201,6 +201,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r14c,
         seeds_r14d,
         seeds_r14e,
+        seeds_r15a,
         streaming_batch,
         tpch_extra,
     )
@@ -283,4 +284,15 @@ def oracle_map() -> dict[str, str]:
 #   sample_md5_bernoulli_audit        (independent-digest sampling audit)
 # (The 31-name R13_POOL rotated INTO the round-13 window above, alongside
 # the 19 seeds_r14a registrations.)
+#
+# R15_POOL head start — banked one round EARLY (queries/seeds_r15a.py,
+# parity-green at all three SFs and partition-invariant at registration):
+#   lineitem_unit_price_bands         (unit-economics $500 bands)
+#   events_weekend_value_ratio        (weekly rhythm on the value axis)
+#   customer_balance_hill_tail_index  (Hill tail-index estimator)
+#   orders_dow_month_heatmap          (7x12 calendar interaction grid)
+#   documents_source_vocab_jaccard    (pairwise source vocabulary overlap)
+#   graph_two_hop_reach_g8            (friend-of-friend reach census)
+#   orders_new_vs_returning_customers (growth-accounting split)
+#   events_hourly_load_cv             (capacity-planning dispersion)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -504,33 +504,37 @@ def orders_weekday_seasonal_strength(
 def supplier_acctbal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation of supplier balances per nation — the
     robust scale estimate (MAD) built from two discrete medians: balances
-    quantize to exact integer cents, the per-nation median is
-    percentile_disc (order-statistic, engine-exact on integers), and the
-    second median runs over exact |x − med| integers after a broadcast
-    join of the 25-row median table back onto the suppliers."""
+    quantize to exact integer cents and BOTH medians route through
+    operators/quantile.py group_quantiles_disc (the two-pass global-rank
+    machinery whose per-task state is bounded by the PARTITION size —
+    the builtin percentile_disc aggregate buffers the whole group, which
+    grows with SF here since suppliers-per-nation is SF/25). Same
+    ceil(q·n) order-statistic rule as both engines' builtins, so the
+    oracle is unchanged."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
+    )
+
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nk"),
         (dec("s_acctbal", 12, 2) * 100).cast("bigint").alias("bal_c"),
     )
-    med = s.groupBy("nk").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY bal_c)").alias(
-            "med_c"
-        ),
+    counts = s.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers")
+    )
+    med = group_quantiles_disc(s, "bal_c", [0.5], ["nk"]).withColumnRenamed(
+        _qcolname(0.5), "med_c"
     )
     dev = s.join(F.broadcast(med), "nk").select(
-        "nk",
-        "n_suppliers",
-        "med_c",
-        F.abs(F.col("bal_c") - F.col("med_c")).alias("d"),
+        "nk", F.abs(F.col("bal_c") - F.col("med_c")).alias("d")
+    )
+    mad = group_quantiles_disc(dev, "d", [0.5], ["nk"]).withColumnRenamed(
+        _qcolname(0.5), "mad_c"
     )
     return (
-        dev.groupBy("nk", "n_suppliers", "med_c")
-        .agg(
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias(
-                "mad_c"
-            )
-        )
+        counts.join(F.broadcast(med), "nk")
+        .join(F.broadcast(mad), "nk")
         .select(
             F.col("nk").alias("nationkey"),
             "n_suppliers",

@@ -97,8 +97,15 @@ def events_user_type_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, type) stream — the cadence profile behind rate-limiting and
     bot screens. The LAG window partitions on (user_id, event_type) so
     parallelism grows with the user base (no global ordering anywhere);
-    gaps are exact integer microseconds; the median is an order
-    statistic (percentile_disc) over them, tie-broken by event_id."""
+    gaps are exact integer microseconds; the median routes through
+    group_quantiles_disc (partition-bounded state — a per-TYPE builtin
+    percentile_disc would buffer |events|/5 gaps in one task), same
+    ceil(q·n) rule as both engines' builtins."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
+    )
+
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gaps = e.select(
@@ -107,22 +114,24 @@ def events_user_type_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_us"
         ),
     ).where(F.col("gap_us").isNotNull())
+    stats = gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").alias("mn"),
+        F.max("gap_us").alias("mx"),
+    )
+    med = group_quantiles_disc(
+        gaps, "gap_us", [0.5], ["event_type"]
+    ).withColumnRenamed(_qcolname(0.5), "med_us")
     return (
-        gaps.groupBy("event_type")
-        .agg(
-            F.count("gap_us").cast("bigint").alias("n_gaps"),
-            F.round(
-                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
-                .cast("double")
-                / 1e6,
-                6,
-            ).alias("median_gap_sec"),
-            F.round(F.min("gap_us").cast("double") / 1e6, 6).alias(
-                "min_gap_sec"
+        stats.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(F.col("med_us").cast("double") / 1e6, 6).alias(
+                "median_gap_sec"
             ),
-            F.round(F.max("gap_us").cast("double") / 1e6, 6).alias(
-                "max_gap_sec"
-            ),
+            F.round(F.col("mn").cast("double") / 1e6, 6).alias("min_gap_sec"),
+            F.round(F.col("mx").cast("double") / 1e6, 6).alias("max_gap_sec"),
         )
         .orderBy("event_type")
     )
@@ -392,25 +401,33 @@ def orders_priority_mix_tvd_monthly(
 def customer_acctbal_decile_bounds(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The nine global decile boundaries of customer balance in ONE
-    aggregate pass — the bucketing prerequisite for equal-frequency
-    histograms and monotone binning. Balances quantize to exact cents so
-    each percentile_disc is an order statistic on integers (engine-exact,
-    no interpolation); Spark evaluates all nine against one sort."""
-    c = load_table(spark, sf_dir, "customer").select(
-        (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("bal_c")
+    """The nine global decile boundaries of customer balance — the
+    bucketing prerequisite for equal-frequency histograms and monotone
+    binning. Balances quantize to exact cents; all nine order statistics
+    come from ONE pass of operators/quantile.py group_quantiles_disc
+    (range repartition + partition-bounded local ranks — the builtin
+    percentile_disc aggregate would buffer ALL customer balances in one
+    task's memory, a cliff at the 10^9-customer north star). Same
+    ceil(q·n) rank rule as both engines' builtins."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
     )
-    cols = [F.count(F.lit(1)).cast("bigint").alias("n_customers")]
-    for q in range(1, 10):
-        cols.append(
-            (
-                F.expr(
-                    f"percentile_disc(0.{q}) WITHIN GROUP (ORDER BY bal_c)"
-                ).cast("double")
-                / 100
-            ).alias(f"d{q}0")
-        )
-    return c.agg(*cols)
+
+    c = load_table(spark, sf_dir, "customer").select(
+        (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("bal_c"),
+        F.lit(1).alias("g"),
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = group_quantiles_disc(c, "bal_c", qs, ["g"]).drop("g")
+    n = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    return n.crossJoin(F.broadcast(cuts)).select(
+        "n_customers",
+        *[
+            (F.col(_qcolname(q)).cast("double") / 100).alias(f"d{i}0")
+            for i, q in zip(range(1, 10), qs)
+        ],
+    )
 
 
 # --- value magnitude bands ------------------------------------------------------------

@@ -568,25 +568,52 @@ def stream_hopping12h_value_median(
 ) -> DataFrame:
     """Hopping 24-hour median value every 12 hours — the windowed
     order-statistic twin (medians are NOT mergeable across panes, which
-    is exactly why the oracle reconstructs both epoch-aligned bucketings
-    before the per-window percentile; the streaming deployment would keep
+    is exactly why both engines reconstruct the two epoch-aligned
+    bucketings each event belongs to; the streaming deployment would keep
     a per-window histogram/KLL sketch instead). Values are exact cents;
-    percentile_disc is an order statistic on integers."""
-    e = load_table(spark, sf_dir, "events")
-    v = e.select(
-        "ts", (dec("value") * 100).cast("bigint").alias("cents")
+    the per-window median routes through group_quantiles_disc keyed on
+    window_start (partition-bounded state — a per-window builtin
+    percentile_disc buffers every value of a 24-hour pane in one task,
+    which at 100 TB is a day of events in memory)."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
     )
-    return (
-        v.groupBy(F.window("ts", "24 hours", "12 hours").alias("w"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            (
-                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
-                .cast("double")
-                / 100
-            ).alias("median_value"),
+
+    e = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    half_us = 43_200_000_000
+    # integer `div` keeps the bucket arithmetic exact (a float divide
+    # would be fine at 2024 epochs but is a needless precision bet)
+    b0 = F.timestamp_micros(
+        F.expr(f"(unix_micros(ts) div {day_us}) * {day_us}")
+    )
+    b12 = F.timestamp_micros(
+        F.expr(
+            f"((unix_micros(ts) - {half_us}) div {day_us}) * {day_us}"
+            f" + {half_us}"
         )
-        .select(F.col("w.start").alias("window_start"), "n", "median_value")
+    )
+    # every event belongs to exactly two 24h/12h sliding panes: the
+    # epoch-aligned one and the 12h-offset one (same reconstruction as
+    # the oracle's two time_bucket branches)
+    v = e.select(
+        F.explode(F.array(b0, b12)).alias("window_start"),
+        (dec("value") * 100).cast("bigint").alias("cents"),
+    )
+    n = v.groupBy("window_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    med = group_quantiles_disc(
+        v, "cents", [0.5], ["window_start"]
+    ).withColumnRenamed(_qcolname(0.5), "med_c")
+    return (
+        n.join(med, "window_start")
+        .select(
+            "window_start",
+            "n",
+            (F.col("med_c").cast("double") / 100).alias("median_value"),
+        )
         .orderBy("window_start")
     )
 

@@ -65,27 +65,32 @@ def lineitem_qty_price_decile_grid(
     assigned by COUNTING CUTS BELOW (nine exact order-statistic bounds in
     one broadcast row; decile = Σ[cents > cut_i]) — the cut-table pattern
     that scales to any fact size because assignment is pure comparisons,
-    no per-row window or NTILE. Everything is integer-exact."""
+    no per-row window or NTILE. The cuts come from
+    operators/quantile.py group_quantiles_disc (partition-bounded state;
+    the builtin percentile_disc aggregate buffers EVERY price in one
+    task — it OOMed this very query at sf10/24g before this rewrite).
+    Everything is integer-exact."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     q = li.select(
         (((F.col("l_quantity").cast("bigint")) - 1) / 10)
         .cast("int")
         .alias("qty_band"),
         (dec("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.lit(1).alias("g"),
     )
-    cuts = q.agg(
-        *[
-            F.expr(
-                f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY cents)"
-            ).alias(f"d{i}")
-            for i in range(1, 10)
-        ]
-    )
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = group_quantiles_disc(q, "cents", qs, ["g"]).drop("g")
     decile = sum(
-        (F.col("cents") > F.col(f"d{i}")).cast("int") for i in range(1, 10)
+        (F.col("cents") > F.col(_qcolname(p))).cast("int") for p in qs
     )
     return (
-        q.crossJoin(F.broadcast(cuts))
+        q.drop("g")
+        .crossJoin(F.broadcast(cuts))
         .groupBy("qty_band", decile.cast("int").alias("price_decile"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("qty_band", "price_decile")
@@ -446,22 +451,28 @@ def documents_length_quartiles_by_lang(
     """Per-language document-length quartiles — the robust spread summary
     next to the Levene test already registered on the same measure
     (quartiles describe what the test only scores). n_chars is already
-    integral, so all three percentile_disc calls are exact order
-    statistics over one per-group sort."""
+    integral; the three order statistics route through
+    group_quantiles_disc so per-task state stays partition-bounded
+    (documents-per-language grows with the corpus)."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
+    )
+
     d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    qs = [0.25, 0.5, 0.75]
+    cuts = group_quantiles_disc(d, "n_chars", qs, ["lang"])
     return (
-        d.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
-            .cast("bigint")
-            .alias("q1_chars"),
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
-            .cast("bigint")
-            .alias("median_chars"),
-            F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)")
-            .cast("bigint")
-            .alias("q3_chars"),
+        n.join(F.broadcast(cuts), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            F.col(_qcolname(0.25)).cast("bigint").alias("q1_chars"),
+            F.col(_qcolname(0.5)).cast("bigint").alias("median_chars"),
+            F.col(_qcolname(0.75)).cast("bigint").alias("q3_chars"),
         )
         .orderBy("lang")
     )
@@ -853,9 +864,16 @@ def customer_rfm_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) segmentation census — the
     classic customer-scoring pipeline as one cut-table plan: per-customer
     exact aggregates, six tercile bounds in a single broadcast row
-    (order statistics on integers), scores by counting cuts below, and
-    the 3-digit segment code censused. No window touches the customer
-    table; the shape survives a billion customers."""
+    (order statistics on integers, computed per measure by
+    group_quantiles_disc so no task ever buffers the whole customer
+    table), scores by counting cuts below, and the 3-digit segment code
+    censused. No window touches the customer table; the shape survives a
+    billion customers."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("gmax"))
     per_c = (
@@ -870,14 +888,23 @@ def customer_rfm_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("monetary_c"),
         )
+        .withColumn("g", F.lit(1))
     )
-    cuts = per_c.agg(
-        F.expr("percentile_disc(0.333333) WITHIN GROUP (ORDER BY recency_d)").alias("r1"),
-        F.expr("percentile_disc(0.666667) WITHIN GROUP (ORDER BY recency_d)").alias("r2"),
-        F.expr("percentile_disc(0.333333) WITHIN GROUP (ORDER BY frequency)").alias("f1"),
-        F.expr("percentile_disc(0.666667) WITHIN GROUP (ORDER BY frequency)").alias("f2"),
-        F.expr("percentile_disc(0.333333) WITHIN GROUP (ORDER BY monetary_c)").alias("m1"),
-        F.expr("percentile_disc(0.666667) WITHIN GROUP (ORDER BY monetary_c)").alias("m2"),
+    qs = [0.333333, 0.666667]
+    lo, hi = _qcolname(qs[0]), _qcolname(qs[1])
+
+    def _cuts(col: str, a: str, b: str):
+        return (
+            group_quantiles_disc(per_c, col, qs, ["g"])
+            .drop("g")
+            .withColumnRenamed(lo, a)
+            .withColumnRenamed(hi, b)
+        )
+
+    cuts = (
+        _cuts("recency_d", "r1", "r2")
+        .crossJoin(_cuts("frequency", "f1", "f2"))
+        .crossJoin(_cuts("monetary_c", "m1", "m2"))
     )
     r_score = (F.col("recency_d") > F.col("r1")).cast("int") + (
         F.col("recency_d") > F.col("r2")

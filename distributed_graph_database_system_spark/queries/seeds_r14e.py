@@ -266,19 +266,34 @@ def customer_balance_boxplot_stats(
 ) -> DataFrame:
     """Tukey boxplot statistics per market segment: quartiles plus the
     1.5×IQR-fence outlier count — the five-number summary every
-    profiling pass draws. Balances are exact cents; the fences use
-    3·IQR/2 in INTEGER arithmetic (no 1.5 float multiply, so the fence
-    compare cannot shear at the boundary); the outlier count joins the
-    25-row quartile table back onto the scan."""
+    profiling pass draws. Balances are exact cents; the quartiles come
+    from group_quantiles_disc (partition-bounded state — a per-segment
+    builtin percentile_disc buffers |customer|/5 balances in one task);
+    the fences use 3·IQR/2 in INTEGER arithmetic (no 1.5 float multiply,
+    so the fence compare cannot shear at the boundary); the outlier
+    count joins the 5-row quartile table back onto the scan."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
+    )
+
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_mktsegment").alias("seg"),
         (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("cents"),
     )
-    q = c.groupBy("seg").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)").alias("q1"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").alias("med"),
-        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)").alias("q3"),
+    n = c.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    q = (
+        group_quantiles_disc(c, "cents", [0.25, 0.5, 0.75], ["seg"])
+        .withColumnRenamed(_qcolname(0.25), "q1f")
+        .withColumnRenamed(_qcolname(0.5), "medf")
+        .withColumnRenamed(_qcolname(0.75), "q3f")
+        .select(
+            "seg",
+            F.col("q1f").cast("bigint").alias("q1"),
+            F.col("medf").cast("bigint").alias("med"),
+            F.col("q3f").cast("bigint").alias("q3"),
+        )
+        .join(n, "seg")
     )
     iqr32 = 3 * (F.col("q3") - F.col("q1")) / 2
     out = (

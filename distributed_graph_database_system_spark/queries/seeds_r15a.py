@@ -155,15 +155,24 @@ def customer_balance_hill_tail_index(
     the estimator must report thin tails as thin). The threshold is an
     exact order statistic; each log-ratio term rounds to 8dp and folds
     as DECIMAL."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
+    )
+
     c = load_table(spark, sf_dir, "customer")
     pos = c.where(F.col("c_acctbal") > 0).select(
-        (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("cents")
+        (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("cents"),
+        F.lit(1).alias("g"),
     )
-    xmin = pos.agg(
-        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)").alias(
-            "xm"
-        )
+    # threshold via the partition-bounded order-statistic machinery (a
+    # global builtin percentile_disc would buffer every positive balance)
+    xmin = (
+        group_quantiles_disc(pos, "cents", [0.9], ["g"])
+        .drop("g")
+        .withColumnRenamed(_qcolname(0.9), "xm")
     )
+    pos = pos.drop("g")
     tail = (
         pos.crossJoin(F.broadcast(xmin))
         .where(F.col("cents") > F.col("xm"))

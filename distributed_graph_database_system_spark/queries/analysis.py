@@ -416,10 +416,12 @@ def conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     view don't count as view-driven conversions) — the product-analytics
     companion to the funnel counts. Delays are exact epoch-microsecond
     differences divided by 1e6 (one identical double op per row);
-    min/max are exact and the median is Spark's exact percentile, which
-    agrees with quantile_cont at round(4) (the agg_percentile_bands
-    precedent). Two first-touch aggregates + one user-keyed join — no
-    window, no sort beyond the median's own."""
+    min/max are exact and the median routes through
+    group_quantiles_exact (bit-identical to Spark's percentile() by
+    test, partition-bounded state where the builtin would buffer every
+    converted user's delay in one task), which agrees with quantile_cont
+    at round(4) (the agg_percentile_bands precedent). Two first-touch
+    aggregates + one user-keyed join — no data-sized window or sort."""
     e = load_table(spark, sf_dir, "events")
     fv = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("first_view")
@@ -440,11 +442,24 @@ def conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delay_s")
         )
     )
-    return d.groupBy().agg(
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_exact,
+    )
+
+    med = group_quantiles_exact(
+        d.withColumn("g", F.lit(1)), "delay_s", [0.5], ["g"]
+    ).drop("g")
+    agg = d.groupBy().agg(
         F.count("*").alias("n_converted"),
         F.round(F.min("delay_s"), 4).alias("min_delay_s"),
-        F.round(F.percentile("delay_s", F.lit(0.5)), 4).alias("median_delay_s"),
         F.round(F.max("delay_s"), 4).alias("max_delay_s"),
+    )
+    return agg.crossJoin(F.broadcast(med)).select(
+        "n_converted",
+        "min_delay_s",
+        F.round(F.col(_qcolname(0.5)), 4).alias("median_delay_s"),
+        "max_delay_s",
     )
 
 
@@ -4227,21 +4242,26 @@ def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("gap"),
     ).where(F.col("gap").isNotNull())
-    return seq.agg(
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
+    )
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    cuts = group_quantiles_disc(
+        seq.withColumn("g", F.lit(1)), "gap", qs, ["g"]
+    ).drop("g")
+    agg = seq.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
-        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY gap)")
-        .cast("bigint")
-        .alias("p25_days"),
-        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY gap)")
-        .cast("bigint")
-        .alias("p50_days"),
-        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY gap)")
-        .cast("bigint")
-        .alias("p75_days"),
-        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY gap)")
-        .cast("bigint")
-        .alias("p90_days"),
         F.max("gap").cast("bigint").alias("max_days"),
+    )
+    return agg.crossJoin(F.broadcast(cuts)).select(
+        "n_gaps",
+        F.col(_qcolname(0.25)).cast("bigint").alias("p25_days"),
+        F.col(_qcolname(0.5)).cast("bigint").alias("p50_days"),
+        F.col(_qcolname(0.75)).cast("bigint").alias("p75_days"),
+        F.col(_qcolname(0.9)).cast("bigint").alias("p90_days"),
+        "max_days",
     )
 
 

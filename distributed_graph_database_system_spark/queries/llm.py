@@ -2393,7 +2393,8 @@ def embed_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     hide), flagged against median + 3·MAD of the distance distribution —
     the classical robust rule with a breakdown point the z-score rule
     lacks. Distances are quantized fixed-order sums; the two robust
-    scalars come from exact percentile on the |corpus| distance column.
+    scalars come from the partition-bounded exact-quantile machinery
+    over the |corpus| distance column.
     Output: the flagged vectors plus the thresholds row (vec_id −1) —
     poisoning/corruption candidates for manual review."""
     from distributed_graph_database_system_spark.operators.pca import (
@@ -2416,14 +2417,30 @@ def embed_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_exact,
+    )
+
     d = emb.select("vec_id", dist.alias("dist"))
+    # both robust scalars via the partition-bounded exact-quantile
+    # machinery (bit-identical to percentile(); the builtin would buffer
+    # the whole |corpus| distance column in one aggregation task)
     med_d = float(
-        d.agg(F.percentile("dist", F.lit(0.5)).alias("med_d")).first()["med_d"]
+        group_quantiles_exact(
+            d.withColumn("g", F.lit(1)), "dist", [0.5], ["g"]
+        ).first()[_qcolname(0.5)]
     )
     mad = float(
-        d.select(F.abs(F.col("dist") - F.lit(med_d)).alias("ad"))
-        .agg(F.percentile("ad", F.lit(0.5)))
-        .first()[0]
+        group_quantiles_exact(
+            d.select(
+                F.abs(F.col("dist") - F.lit(med_d)).alias("ad"),
+                F.lit(1).alias("g"),
+            ),
+            "ad",
+            [0.5],
+            ["g"],
+        ).first()[_qcolname(0.5)]
     )
     thresh = round(med_d + 3 * 1.4826 * mad, 6)
     flagged = (

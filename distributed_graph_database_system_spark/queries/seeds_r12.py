@@ -694,17 +694,21 @@ def events_iqr_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_type", dec("value").alias("v")
     )
-    # Spark's percentile_disc surfaces DOUBLE even over a decimal order key
-    # (DuckDB keeps the decimal); the selected values are actual 2dp column
-    # elements, so casting back to DECIMAL(18,2) is exact and restores the
-    # all-decimal fence arithmetic.
-    q = e.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)")
-        .cast("decimal(18,2)")
-        .alias("q1"),
-        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)")
-        .cast("decimal(18,2)")
-        .alias("q3"),
+    # Quartiles via group_quantiles_disc (the builtin percentile_disc
+    # aggregate buffers a whole event_type's values in one task — an
+    # SF-growing group); the machinery surfaces DOUBLE, but the selected
+    # values are actual 2dp column elements, so casting back to
+    # DECIMAL(18,2) is exact and restores the all-decimal fence
+    # arithmetic.
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
+    )
+
+    q = group_quantiles_disc(e, "v", [0.25, 0.75], ["event_type"]).select(
+        "event_type",
+        F.col(_qcolname(0.25)).cast("decimal(18,2)").alias("q1"),
+        F.col(_qcolname(0.75)).cast("decimal(18,2)").alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     lo = F.col("q1") - F.lit(1.5).cast("decimal(2,1)") * iqr

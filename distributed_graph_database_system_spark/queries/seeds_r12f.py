@@ -235,17 +235,22 @@ def documents_levene_length_by_lang(
     """Brown-Forsythe test: does document-LENGTH VARIABILITY differ
     across languages? One-way ANOVA on |length − group MEDIAN| — the
     robust Levene variant (median centers survive the length tail that
-    wrecks mean-centered Levene). Medians are PERCENTILE_DISC order
-    statistics (exact integers, broadcast back — 5 rows), deviations and
+    wrecks mean-centered Levene). Medians are exact order statistics via
+    group_quantiles_disc (partition-bounded state — docs-per-language
+    grows with the corpus, so the builtin percentile_disc buffer would
+    too; broadcast back — 5 rows), deviations and
     both moment sums are int64, and the F assembly reuses the
     scaled-units discipline from orders_weekday_anova_f (thousands here:
     deviations are ~1e3). Tests the SPREAD question the location tests
     (Kruskal-Wallis/ANOVA) can't see."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_disc,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    med = d.groupBy("lang").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
-        .cast("bigint")
-        .alias("md")
+    med = group_quantiles_disc(d, "n_chars", [0.5], ["lang"]).select(
+        "lang", F.col(_qcolname(0.5)).cast("bigint").alias("md")
     )
     z = d.join(F.broadcast(med), "lang").select(
         "lang", F.abs(F.col("n_chars") - F.col("md")).alias("zdev")

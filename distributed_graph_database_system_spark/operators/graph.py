@@ -2540,26 +2540,42 @@ def _all_vertices(edges: DataFrame) -> DataFrame:
 def _assert_connected(
     edges: DataFrame, verts: DataFrame, n_verts: int, op: str
 ) -> None:
-    """Raise ``ValueError`` unless a BFS from the smallest vertex reaches
-    all ``n_verts`` vertices — the cheap runtime check behind the
-    ``assert_connected`` flag of :func:`articulation_points` /
-    :func:`bridges`, whose < |V| verdicts are only meaningful on a
-    connected component. One extra traversal, only when asked for; the
-    caller passes its already-derived vertex frame so the guard adds no
-    extra edge-table scan beyond the BFS itself.
-
-    Connectivity here means UNDIRECTED connectivity (the only notion
-    under which articulation/bridge verdicts are defined), so the guard
-    symmetrizes the edge set before the BFS — a graph supplied as
-    single-direction rows is judged the same as its both-directions
-    twin, rather than falsely flagged disconnected."""
+    """Raise ``ValueError`` unless the edge set satisfies BOTH
+    preconditions of :func:`articulation_points` / :func:`bridges`: it
+    must be SYMMETRIC (every edge listed in both directions — the
+    algorithms' expansion joins traverse raw ``src → dst`` rows, so a
+    single-direction input would make every candidate read
+    ``n_reached < |V|−1`` and be silently flagged a cut vertex/bridge)
+    and UNDIRECTED-CONNECTED (a BFS from the smallest vertex reaches all
+    ``n_verts`` vertices — the < |V| verdicts are only meaningful on a
+    connected component). The symmetry check is EXCEPT DISTINCT of the
+    reversed edge set against the edge set (the algorithms treat the
+    frame as a set); checking symmetry FIRST means the connectivity BFS
+    can run on the raw rows and still mean undirected connectivity.
+    One extra traversal plus one set difference, only when asked for;
+    the caller passes its already-derived vertex frame so the guard adds
+    no extra vertex derivation."""
     root_row = verts.agg(F.min("vid")).collect()[0][0]
     if root_row is None:
         raise ValueError(f"{op}: empty graph (no vertices)")
-    undirected = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    directed = edges.select("src", "dst")
+    missing = (
+        directed.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        .subtract(directed)
+        .limit(1)
+        .collect()
     )
-    reached = bfs(undirected, start=int(root_row)).count()
+    if missing:
+        a, b = missing[0]["src"], missing[0]["dst"]
+        raise ValueError(
+            f"{op}: edge set is not symmetric (e.g. {b}->{a} present "
+            f"without {a}->{b}); the what-if traversals walk raw "
+            "src->dst rows, so symmetrize your input (list every edge "
+            "in both directions) before asking for cut verdicts"
+        )
+    reached = bfs(directed, start=int(root_row)).count()
     if reached != n_verts:
         raise ValueError(
             f"{op}: graph is disconnected (BFS from {int(root_row)} "

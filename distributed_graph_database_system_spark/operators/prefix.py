@@ -49,15 +49,35 @@ def partitioned_prefix_sums(
     0 instead of NULL. (Every registered caller passes aggregate counts /
     decimal sums, non-null by construction, so the distinction never
     surfaces; the coalesce exists so a stray NULL can't silently poison
-    every later partition's offset with NULL arithmetic.)"""
+    every later partition's offset with NULL arithmetic.) The neutral
+    zero is CAST to each value column's own dtype before the coalesce:
+    an untyped integer 0 would make Spark widen narrow decimals (e.g.
+    decimal(8,2) → decimal(12,2)) through the coalesce and hence the SUM,
+    silently changing the output schema for decimal callers even though
+    values are identical (r13 ADVICE item)."""
     if len(value_cols) != len(out_cols):
         raise ValueError(
             f"value_cols ({len(value_cols)}) and out_cols "
             f"({len(out_cols)}) must pair up 1:1"
         )
+    value_exprs = [F.col(v) if isinstance(v, str) else v for v in value_cols]
+    # One driver-side analysis pass resolves each expression's dtype so the
+    # zero literal can be typed exactly (works for named columns AND
+    # arbitrary Column expressions), and the type a one-pass SUM OVER of
+    # that expression would produce — the two-pass result is cast back to
+    # THAT type, because the local-cum + offset addition (both already
+    # SUM-widened) would otherwise widen decimals a second time
+    # (decimal(18,2) sums → decimal(30,2) output).
+    value_types = [
+        f.dataType for f in df.select(*value_exprs).schema.fields
+    ]
+    sum_types = [
+        f.dataType
+        for f in df.agg(*[F.sum(v) for v in value_exprs]).schema.fields
+    ]
     values = [
-        F.coalesce(F.col(v) if isinstance(v, str) else v, F.lit(0))
-        for v in value_cols
+        F.coalesce(v, F.lit(0).cast(t))
+        for v, t in zip(value_exprs, value_types)
     ]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *order_cols).withColumn(
@@ -95,7 +115,10 @@ def partitioned_prefix_sums(
     out = local.join(F.broadcast(offsets), "_pid")
     for i, name in enumerate(out_cols):
         out = out.withColumn(
-            name, F.col(f"_local_cum_{i}") + F.col(f"_offset_{i}")
+            name,
+            (F.col(f"_local_cum_{i}") + F.col(f"_offset_{i}")).cast(
+                sum_types[i]
+            ),
         )
     drop = ["_pid"] + [f"_local_cum_{i}" for i in range(len(values))] + [
         f"_offset_{i}" for i in range(len(values))

@@ -455,7 +455,12 @@ def conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("delay_s"), 4).alias("min_delay_s"),
         F.round(F.max("delay_s"), 4).alias("max_delay_s"),
     )
-    return agg.crossJoin(F.broadcast(med)).select(
+    # LEFT join (not crossJoin): the global aggregate is always one row,
+    # but the quantile frame is EMPTY on empty input — a cross join would
+    # return zero rows where the oracle's global aggregate returns one
+    # row of (0, NULL, NULL, NULL). The left join preserves the one-row
+    # shape with a NULL median (r13 ADVICE item).
+    return agg.join(F.broadcast(med), F.lit(True), "left").select(
         "n_converted",
         "min_delay_s",
         F.round(F.col(_qcolname(0.5)), 4).alias("median_delay_s"),
@@ -4255,7 +4260,9 @@ def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
         F.max("gap").cast("bigint").alias("max_days"),
     )
-    return agg.crossJoin(F.broadcast(cuts)).select(
+    # LEFT join, not crossJoin: cuts is empty when there are no gaps and
+    # the one-row global-aggregate shape must survive (r13 ADVICE item).
+    return agg.join(F.broadcast(cuts), F.lit(True), "left").select(
         "n_gaps",
         F.col(_qcolname(0.25)).cast("bigint").alias("p25_days"),
         F.col(_qcolname(0.5)).cast("bigint").alias("p50_days"),

@@ -95,81 +95,82 @@ def oracle_of(name: str) -> str:
 # rows whose remaining evidence is historical are asserted against the
 # on-disk CORRECTNESS_r*.json ledger there). Order is thematic.
 #
-# Round-13 rotation: ALL 50 entries are FIRST-TIME (never present in any
-# CORRECTNESS_r*.json through r12) — the 31-name R13_POOL registered in
-# round 12 (seeds_r13b/c/d) plus the 19 queries/seeds_r14a.py
-# registrations. This takes cumulative driver-graded coverage 441 → 491
-# names. The round-12 window rotates OUT whole: every entry is fully
-# green in CORRECTNESS_r12.json, which the window test asserts directly
-# against the ledger for the rows those anchors evidenced (GROUPING
-# SETS, pivot, null-safe screens, the r11 robust/rank stats family,
-# pruned-scan/dynamic-partition sinks, the refgraph reciprocity source,
-# session streaming, G8 BFS/DFS, closeness/what-if graph analytics, the
-# centroid/jaccard/heaps LLM family, WAV multimodal, temperature mix).
+# Round-14 rotation: ALL 50 entries are FIRST-TIME (never present in any
+# CORRECTNESS_r*.json through r13) — the R14_POOL registered in round 13
+# (seeds_r14b/c/d/e). This takes cumulative driver-graded coverage
+# 491 → 541 names. The round-13 window rotates OUT whole: every entry is
+# fully green in CORRECTNESS_r13.json, which the window test asserts
+# directly against the ledger for the rows those anchors evidenced
+# (as-of/anti/EXCEPT joins, GROUP/ORDER BY ALL, the r13 trend/forensic
+# stats family, INTERVAL range frames, keyset pagination, RFC-4180 CSV
+# source, partitioned ORC sink, the refgraph outdegree DataSource,
+# sliding/tumbling streaming twins, G8 SCC + radius/center, the
+# embeddings/shingle/dominant-lang LLM family).
 #
-# Round-14 pool (first-time candidates; each must be parity-green before
-# the next rotation): see the R14_POOL comment block at the bottom of
+# Round-15 pool (first-time candidates; each must be parity-green before
+# the next rotation): see the R15_POOL comment block at the bottom of
 # this file.
 #
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- relational: joins / subqueries / set ops ---
-    "events_nearest_hub_assignment",  # broadcast nearest-hub argmin
-    "events_last_order_asof_lag",  # backward as-of self-join + lag census
-    "parts_unshipped_1998h2_anti",  # NOT EXISTS → left-anti dead stock
-    "customers_highbal_inactive_except",  # EXCEPT on key projections
-    "supplier_nation_balance_share",  # decorrelated scalar subquery
-    "orders_keyset_pagination_page3",  # keyset cursor == LIMIT/OFFSET
-    "lineitem_try_divide_margin",  # TRY-division null semantics
-    # --- aggregation / ordering shorthand ---
-    "orders_group_by_all_revenue",  # GROUP BY ALL shorthand
-    "nation_region_order_by_all",  # ORDER BY ALL total ordering
-    "orders_quarter_trunc_census",  # date_trunc + last_day calendar
-    "orders_weekend_share_by_priority",  # ISO-weekday portability trap
-    "orders_key_popcount_census",  # bit_count histogram
-    # --- window functions ---
-    "orders_rising_runs_match3",  # MATCH_RECOGNIZE-style UP{3,} runs
-    "orders_qoq_growth_by_priority",  # per-key LAG growth ratios
-    "orders_range_interval_3day_sum",  # time-INTERVAL range frame
-    # --- stats: association / trend / forensic (pool + r14a) ---
-    "customer_segment_priority_chi2",  # 5x5 contingency independence
-    "part_brand_type_lift",  # attribute association lift
-    "orders_revenue_autocorr_lag7",  # weekly-lag Pearson autocorrelation
-    "supplier_nation_zscore_outliers",  # sqrt-free |z|>2 outlier census
-    "events_type_transition_matrix",  # Markov transition probabilities
-    "events_minute_uniformity_chi2",  # minute-of-hour cron screen
-    "orders_benford_second_digit",  # Nigrini second-digit law
-    "orders_mann_kendall_trend",  # integer-exact monotone-trend S
-    "customer_nation_segment_cramers_v",  # normalized chi² association
-    "orders_daily_updown_runs_test",  # Wald-Wolfowitz up/down runs
-    "events_hour_rayleigh",  # circular-uniformity z, literal trig
-    "lineitem_discount_quantity_cov",  # integer-moment Pearson r
-    "orders_weekday_seasonal_strength",  # ANOVA R² seasonality share
-    "supplier_acctbal_mad",  # two-median robust scale (MAD)
-    "lineitem_quantity_first_digit",  # Benford first-digit census
-    "orders_daily_cusum_extreme",  # n-scaled CUSUM changepoint
-    "events_weekday_type_theil_u",  # uncertainty coefficient U
-    "events_geo_grid_census",  # md5-deterministic lat/lon grid bins
-    "events_user_lifetime_census",  # weekly lifetime histogram
-    "events_funnel_72h_window",  # 72h attribution-window funnel
-    "lineitem_discount_tax_contour",  # 2-D discount x tax contour
-    # --- scalar string / sets ---
-    "part_adjective_levenshtein_pairs",  # blocked integer edit distances
-    "events_user_type_profile_census",  # sorted-set behavioral profiles
-    "documents_word_length_histogram",  # corpus word-length profile
-    # --- sources / sinks / datasource / streaming ---
-    "source_csv_quoted_multiline_roundtrip",  # RFC-4180 quoting torture
-    "sink_orc_partitioned_roundtrip",  # ORC partitioned write+readback
-    "source_refgraph_outdeg_histogram",  # degree histogram over DataSource
-    "stream_sliding6h_user_reach",  # sliding distinct-user reach twin
-    "stream_tumbling4h_minmax_spread",  # tumbling min/max spread twin
+    # --- relational: joins / outer / time windows ---
+    "nation_balance_gap_census",  # full-outer reconciliation gap
+    "events_dau_wau_ratio",  # DAU/WAU stickiness via range join
+    "orders_repeat_within7d_census",  # per-customer 7-day repeat pairs
+    "events_type_cooccurrence_users",  # basket pair co-occurrence
+    "orders_key_density_audit",  # PK density/gap/checksum audit
+    # --- aggregation / order statistics ---
+    "customer_acctbal_decile_bounds",  # nine decile bounds, one pass
+    "lineitem_qty_price_decile_grid",  # cut-table decile assignment grid
+    "documents_length_quartiles_by_lang",  # per-lang quartiles
+    "customer_balance_boxplot_stats",  # Tukey five-number + fences
+    "lineitem_quantity_ecdf_points",  # fixed-point ECDF probes
+    "events_user_type_gap_median",  # per-(user,type) gap order stats
+    "part_type_modal_size",  # struct-max exact mode, low-tie rule
+    "customer_dominant_segment_by_nation",  # struct-max argmax dominance
+    "lineitem_linecount_histogram",  # order fan-out profile
+    "customer_rfm_segment_census",  # RFM cut-table segmentation
+    "customer_order_span_histogram",  # tenure span bands
+    # --- window functions / sequences ---
+    "orders_monthly_mom_delta",  # LAG MoM deltas over monthly series
+    "orders_daily_rev_drawdown",  # running-max drawdown argmax
+    "events_user_record_breaks",  # per-user record-break histogram
+    # --- stats: association / moments / drift ---
+    "orders_custkey_birthday_collisions",  # md5 4096-bucket occupancy
+    "orders_priority_mix_tvd_monthly",  # month-over-month TVD drift
+    "events_value_magnitude_bands",  # digit-count log-scale bands
+    "orders_priority_rank_kendall_yoy",  # YoY rank-stability Kendall tau
+    "lineitem_discount_tax_chi2",  # 2-D grid independence chi²
+    "orders_price_skew_kurtosis",  # exact-moment skew/kurtosis
+    "events_user_activity_zipf_slope",  # rank-frequency OLS slope
+    "orders_priority_hhi_quarterly",  # quarterly concentration HHI
+    "graph_degree_assortativity_g6",  # Newman's r, exact moments
+    "sample_md5_bernoulli_audit",  # independent-digest sampling audit
+    # --- calendar / datetime ---
+    "orders_leap_week53_census",  # Feb-29 / ISO-week-53 edges
+    "lineitem_shipdow_volume_index",  # ISO-weekday load index
+    "orders_open_aging_bands",  # open-order aging report
+    # --- scalar string / text ---
+    "part_name_anagram_census",  # sorted-char canonical classes
+    "customer_name_format_audit",  # regex + key-consistency audit
+    "documents_first_word_census",  # opening-word boilerplate screen
+    "documents_char_bigram_entropy",  # rounded-term bigram entropy
+    "documents_ttr_band_census",  # type-token-ratio bands
+    "documents_lang_source_mutual_info",  # rounded-term MI(lang; source)
+    "documents_source_lang_jsd",  # Jensen-Shannon language drift
+    # --- sinks / streaming twins ---
+    "sink_csv_quote_roundtrip",  # RFC-4180 CSV WRITER roundtrip
+    "sink_json_struct_roundtrip",  # nested JSON WRITER roundtrip
+    "stream_tumbling1d_type_value",  # tumbling 1-day rollup twin
+    "stream_hopping12h_value_median",  # hopping order-statistic twin
+    "stream_tumbling15m_error_rate",  # narrow-window alerting twin
     # --- graph ---
-    "graph_scc_g8",  # whole-graph single-SCC golden
-    "graph_radius_center_g6",  # radius/center via all-sources BFS
-    # --- LLM pipeline: embeddings / dedup / text ---
-    "embed_dim_variance_topk",  # integer-exact dimension variance
-    "embed_norm_band_census",  # squared-L2 norm bands, exact fold
-    "documents_shingle3_distinct_rate",  # 3-gram diversity per source
-    "documents_dominant_lang_by_source",  # struct-max argmax dominance
+    "graph_clustering_coeff_g6",  # local clustering via triangle joins
+    "graph_wcc_arith_islands",  # star-contraction WCC census
+    "graph_common_neighbors_g6",  # link-prediction golden
+    # --- LLM pipeline: dedup / multimodal ---
+    "corpus_dedup_rate_by_source",  # exact content-hash dup rates
+    "multimodal_wav_duration_histogram",  # deep WAV decode, varying rates
+    "multimodal_bmp_pixel_stats",  # deep BMP decode, stride torture
 )
 
 
@@ -225,10 +226,10 @@ def oracle_map() -> dict[str, str]:
     }
 
 
-# R14_POOL — first-time candidates for the round-14 window rotation (every
-# name below has never appeared in any CORRECTNESS_r*.json; each was
-# parity-verified at sf0.001/0.01/0.1 at registration). Registered in
-# round 13 in queries/seeds_r14b.py:
+# R14_POOL — ROTATED INTO the round-14 DRIVER_WINDOW above (all 50 names;
+# every one first-time — never in any CORRECTNESS_r*.json through r13;
+# each was parity-verified at sf0.001/0.01/0.1 at registration).
+# Registered in round 13 in queries/seeds_r14b.py:
 #   orders_monthly_mom_delta          (LAG MoM deltas over monthly series)
 #   events_user_type_gap_median       (per-(user,type) gap order statistics)
 #   orders_custkey_birthday_collisions (md5 4096-bucket occupancy histogram)

@@ -18,6 +18,9 @@ from distributed_graph_database_system_spark.queries.helpers import (
     dsum,
     scratch_dir,
 )
+from distributed_graph_database_system_spark.operators.prefix import (
+    partitioned_prefix_sum,
+)
 from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources.catalog import load_table
 
@@ -382,13 +385,22 @@ def events_user_activity_zipf_slope(
     ln(rank) — the power-law screen distinguishing heavy-tailed audiences
     from uniform ones (slope ≈ 0). ln values pre-round to 8dp DECIMALs so
     the OLS sums are exact decimal folds (the corpus_zipf_slope
-    discipline); the rank window runs over the USER-domain aggregate
-    (one row per user — bounded by the id domain, not the event log)."""
+    discipline). The rank is a two-pass partitioned prefix COUNT over the
+    global (n DESC, user_id) order — user_id is an SF-scaled key (the sf
+    generator strides it per copy), so a single global row_number window
+    here would be one task holding the whole user domain; the prefix-sum
+    rank is integer-exact, so it equals ROW_NUMBER bit-for-bit while
+    every task holds only one range partition (r13 ADVICE item)."""
     e = load_table(spark, sf_dir, "events")
     c = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    wr = W.orderBy(F.desc("n"), "user_id")
-    r = c.select(
-        F.round(F.log(F.row_number().over(wr).cast("double")), 8)
+    ranked = partitioned_prefix_sum(
+        c,
+        [F.col("n").desc(), F.col("user_id")],
+        F.lit(1).cast("bigint"),
+        out_col="rank",
+    )
+    r = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 8)
         .cast("decimal(20,8)")
         .alias("x"),
         F.round(F.log(F.col("n").cast("double")), 8)

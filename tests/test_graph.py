@@ -1958,20 +1958,34 @@ def test_k_truss_peeling_cascades(spark):
         k_truss(e, k=1)
 
 
-def test_assert_connected_symmetrizes_single_direction_edges(spark):
-    """Round-13 hardening (ADVICE r12): the connectivity guard judges
-    UNDIRECTED connectivity, so a connected graph supplied as
-    single-direction edge rows must NOT be falsely flagged disconnected
-    (the guard symmetrizes internally before its BFS)."""
+def test_assert_connected_requires_symmetric_edges(spark):
+    """Round-14 hardening (ADVICE r13): articulation_points/bridges
+    traverse raw src→dst rows, so on single-direction input a merely
+    symmetrized-for-the-BFS guard would pass and the algorithms would
+    then emit garbage verdicts (every candidate flagged). The guard now
+    enforces the algorithms' ACTUAL precondition — the edge set must be
+    symmetric — and raises loudly telling the caller to symmetrize."""
     from distributed_graph_database_system_spark.operators.graph import (
-        _assert_connected,
         _all_vertices,
+        _assert_connected,
+        articulation_points,
     )
 
     one_way = spark.createDataFrame(
         [(2, 1), (2, 3), (4, 3)], "src BIGINT, dst BIGINT"
     )
     verts = _all_vertices(one_way)
-    # path 1-2-3-4 is connected undirected; a directed BFS from min vid 1
-    # would reach only {1} and raise — the symmetrized guard must pass
-    _assert_connected(one_way, verts, verts.count(), "test")
+    with pytest.raises(ValueError, match="symmetrize"):
+        _assert_connected(one_way, verts, verts.count(), "test")
+    with pytest.raises(ValueError, match="symmetrize"):
+        articulation_points(one_way, assert_connected=True)
+
+    # the symmetric twin passes the guard and gives the real verdicts
+    sym = one_way.union(
+        one_way.selectExpr("dst AS src", "src AS dst")
+    )
+    got = {
+        r["vid"]: r["is_articulation"]
+        for r in articulation_points(sym, assert_connected=True).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 0}

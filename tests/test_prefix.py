@@ -133,3 +133,35 @@ def test_null_values_coalesce_to_zero_not_poison(spark):
         run += 0 if v is None else v
         expected[k] = run
     assert got == expected
+
+
+def test_decimal_value_schema_preserved(spark):
+    """Round-14 hardening (ADVICE r13): the internal coalesce's neutral
+    zero is cast to the value column's own dtype — with an untyped int 0
+    Spark would widen decimal(8,2) through the coalesce (and the SUM) to
+    decimal(12,2)+, changing the output schema for decimal callers. The
+    cumulative column's type must be exactly what SUM over the original
+    column yields."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, Decimal(f"{i}.25")) for i in range(1, 21)],
+        "k INT, v DECIMAL(8,2)",
+    )
+    out = partitioned_prefix_sum(df, ["k"], "v", "cum", num_partitions=4)
+    # SUM over decimal(8,2) is decimal(18,2) in Spark; the rewrite must
+    # not widen beyond that (the untyped-zero bug produced decimal(19,2)
+    # via an intermediate decimal(12,2)).
+    expected = df.agg(F.sum("v").alias("cum")).schema["cum"].dataType
+    assert out.schema["cum"].dataType == expected
+    got = {r.k: r.cum for r in out.collect()}
+    run = Decimal("0")
+    for i in range(1, 21):
+        run += Decimal(f"{i}.25")
+        assert got[i] == run

@@ -5,16 +5,16 @@ query already recorded green in an on-disk CORRECTNESS_r*.json ledger
 (a silent reordering would evict families from the driver's view without
 failing anything else).
 
-Round-13 window: all 50 entries are first-time (never graded through
-r12) — the 31-name R13_POOL plus the 19 seeds_r14a registrations. The
-round-12 window rotated out whole (every entry fully green in
-CORRECTNESS_r12), so the rows it evidenced (GROUPING SETS, pivot,
-null-safe screens, the r11 robust/rank stats family, pruned-scan and
-dynamic-partition sinks, the refgraph reciprocity source, session
-streaming, G8 BFS/DFS, closeness/what-if graph analytics, the
-centroid/jaccard/heaps LLM family, WAV multimodal, temperature mix)
-move to the HISTORICAL contract below, asserted directly against the
-ledger files."""
+Round-14 window: all 50 entries are first-time (never graded through
+r13) — the R14_POOL registered in round 13 (seeds_r14b/c/d/e). The
+round-13 window rotated out whole (every entry fully green in
+CORRECTNESS_r13), so the rows it evidenced (as-of/anti/EXCEPT joins,
+GROUP/ORDER BY ALL, TRY-division projection, keyset pagination, the
+r13 trend/forensic stats family, INTERVAL range frames, RFC-4180 CSV
+source, partitioned ORC sink, the refgraph outdegree DataSource,
+sliding/tumbling streaming twins, G8 SCC + radius/center, the
+embeddings/shingle/dominant-lang LLM family) move to the HISTORICAL
+contract below, asserted directly against the ledger files."""
 
 from __future__ import annotations
 
@@ -27,85 +27,94 @@ from distributed_graph_database_system_spark.queries.registry import (
     all_queries,
 )
 
-# SURVEY §2.2 row → round-13 window queries that evidence it. Maintained
+# SURVEY §2.2 row → round-14 window queries that evidence it. Maintained
 # by hand; the test checks that every mapped query is really inside the
 # window.
 ROW_EVIDENCE: dict[str, tuple[str, ...]] = {
-    "projection": ("lineitem_try_divide_margin",),  # TRY-division compute
-    "filter": ("orders_keyset_pagination_page3",),  # keyset cursor predicate
+    "filter": ("orders_open_aging_bands",),  # open-status + aging predicate
     "join_equi": (
-        "events_nearest_hub_assignment",
-        "customers_highbal_inactive_except",
+        "events_type_cooccurrence_users",
+        "nation_balance_gap_census",
     ),
-    "join_broadcast": ("events_nearest_hub_assignment",),
-    "join_outer": ("events_last_order_asof_lag",),  # left as-of semantics
-    "join_semi_anti": ("parts_unshipped_1998h2_anti",),
-    "join_theta": ("orders_mann_kendall_trend",),  # a.day < b.day pair join
-    "join_range_asof": ("events_last_order_asof_lag",),
+    "join_outer": ("nation_balance_gap_census",),  # FULL OUTER reconcile
+    "join_theta": (
+        "events_dau_wau_ratio",  # day-range inequality join
+        "orders_repeat_within7d_census",  # 7-day band pair join
+    ),
+    "join_range_asof": ("events_dau_wau_ratio",),
     "aggregation": (
-        "orders_group_by_all_revenue",
-        "lineitem_discount_quantity_cov",
-        "supplier_acctbal_mad",
+        "customer_acctbal_decile_bounds",
+        "part_type_modal_size",
+        "lineitem_linecount_histogram",
+        "orders_price_skew_kurtosis",
+        "customer_balance_boxplot_stats",
+        "lineitem_quantity_ecdf_points",
+        "events_user_type_gap_median",
+        "customer_dominant_segment_by_nation",
+        "customer_rfm_segment_census",
+        "lineitem_qty_price_decile_grid",
     ),
-    "set_operations": ("customers_highbal_inactive_except",),
-    "subquery_decorrelation": ("supplier_nation_balance_share",),
     "window_functions": (
-        "orders_rising_runs_match3",
-        "orders_qoq_growth_by_priority",
-        "orders_range_interval_3day_sum",
-        "orders_daily_updown_runs_test",
-    ),
-    "sort_limit_topk": (
-        "orders_keyset_pagination_page3",
-        "nation_region_order_by_all",
+        "orders_monthly_mom_delta",
+        "orders_daily_rev_drawdown",
+        "events_user_record_breaks",
     ),
     "scalar_string": (
-        "part_adjective_levenshtein_pairs",
-        "documents_word_length_histogram",
+        "part_name_anagram_census",
+        "customer_name_format_audit",
+        "documents_first_word_census",
     ),
     "scalar_datetime": (
-        "orders_quarter_trunc_census",
-        "orders_weekend_share_by_priority",
-        "events_funnel_72h_window",
+        "orders_leap_week53_census",
+        "lineitem_shipdow_volume_index",
+        "customer_order_span_histogram",
+        "orders_open_aging_bands",
     ),
     "scalar_math": (
-        "customer_segment_priority_chi2",
-        "orders_revenue_autocorr_lag7",
-        "supplier_nation_zscore_outliers",
-        "orders_benford_second_digit",
-        "customer_nation_segment_cramers_v",
-        "events_hour_rayleigh",
-        "events_weekday_type_theil_u",
-        "orders_weekday_seasonal_strength",
-        "lineitem_quantity_first_digit",
-        "orders_daily_cusum_extreme",
-        "orders_key_popcount_census",
+        "orders_custkey_birthday_collisions",
+        "orders_priority_mix_tvd_monthly",
+        "events_value_magnitude_bands",
+        "orders_priority_rank_kendall_yoy",
+        "lineitem_discount_tax_chi2",
+        "orders_priority_hhi_quarterly",
+        "events_user_activity_zipf_slope",
+        "documents_source_lang_jsd",
+        "graph_degree_assortativity_g6",
     ),
-    "scalar_array_hof": ("embed_norm_band_census",),
     "scans_sources": (
-        "source_csv_quoted_multiline_roundtrip",
-        "sink_orc_partitioned_roundtrip",
+        "sink_csv_quote_roundtrip",  # write+readback covers the scan leg
+        "sink_json_struct_roundtrip",
     ),
-    "sinks": ("sink_orc_partitioned_roundtrip",),
-    "data_layout": ("sink_orc_partitioned_roundtrip",),
-    "python_datasource": ("source_refgraph_outdeg_histogram",),
+    "sinks": (
+        "sink_csv_quote_roundtrip",
+        "sink_json_struct_roundtrip",
+    ),
+    "scalar_json": ("sink_json_struct_roundtrip",),
+    "dq_audits": (
+        "orders_key_density_audit",
+        "customer_name_format_audit",
+    ),
     "streaming_windows": (
-        "stream_sliding6h_user_reach",
-        "stream_tumbling4h_minmax_spread",
+        "stream_tumbling1d_type_value",
+        "stream_hopping12h_value_median",
+        "stream_tumbling15m_error_rate",
     ),
-    "graph_bfs": ("graph_radius_center_g6",),  # all-sources BFS core
     "graph_analytics": (
-        "graph_scc_g8",
-        "graph_radius_center_g6",
+        "graph_clustering_coeff_g6",
+        "graph_wcc_arith_islands",
+        "graph_common_neighbors_g6",
+        "graph_degree_assortativity_g6",
     ),
-    "llm_similarity": (
-        "embed_dim_variance_topk",
-        "embed_norm_band_census",
-    ),
-    "llm_dedup": ("documents_shingle3_distinct_rate",),
+    "llm_pipeline": ("sample_md5_bernoulli_audit",),
+    "llm_dedup": ("corpus_dedup_rate_by_source",),
     "llm_text_multimodal": (
-        "documents_dominant_lang_by_source",
-        "documents_word_length_histogram",
+        "documents_char_bigram_entropy",
+        "documents_ttr_band_census",
+        "documents_lang_source_mutual_info",
+    ),
+    "udf_pandas": (
+        "multimodal_wav_duration_histogram",
+        "multimodal_bmp_pixel_stats",
     ),
 }
 
@@ -205,6 +214,32 @@ HISTORICAL_EVIDENCE: dict[str, tuple[str, ...]] = {
     "source_parquet_pruned_projection_roundtrip": ("scans_sources",),
     "sink_overwrite_dynamic_partitions": ("sinks", "data_layout"),
     "source_refgraph_edge_reciprocity": ("python_datasource",),
+    # round-13 window anchors, all green in CORRECTNESS_r13.json:
+    "lineitem_try_divide_margin": ("projection",),
+    "events_nearest_hub_assignment": ("join_broadcast", "join_equi"),
+    "events_last_order_asof_lag": ("join_range_asof", "join_outer"),
+    "parts_unshipped_1998h2_anti": ("join_semi_anti",),
+    "customers_highbal_inactive_except": ("set_operations",),
+    "supplier_nation_balance_share": ("subquery_decorrelation",),
+    "orders_keyset_pagination_page3": ("sort_limit_topk", "filter"),
+    "nation_region_order_by_all": ("sort_limit_topk",),
+    "orders_group_by_all_revenue": ("aggregation",),
+    "orders_mann_kendall_trend": ("join_theta",),
+    "orders_rising_runs_match3": ("window_functions",),
+    "orders_range_interval_3day_sum": ("window_functions",),
+    "part_adjective_levenshtein_pairs": ("scalar_string",),
+    "orders_quarter_trunc_census": ("scalar_datetime",),
+    "orders_key_popcount_census": ("scalar_math",),
+    "source_csv_quoted_multiline_roundtrip": ("scans_sources",),
+    "sink_orc_partitioned_roundtrip": ("sinks", "data_layout"),
+    "source_refgraph_outdeg_histogram": ("python_datasource",),
+    "stream_sliding6h_user_reach": ("streaming_windows",),
+    "graph_scc_g8": ("graph_analytics",),
+    "graph_radius_center_g6": ("graph_bfs", "graph_analytics"),
+    "embed_dim_variance_topk": ("llm_similarity",),
+    "embed_norm_band_census": ("llm_similarity", "scalar_array_hof"),
+    "documents_shingle3_distinct_rate": ("llm_dedup",),
+    "documents_dominant_lang_by_source": ("llm_text_multimodal",),
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -252,20 +287,20 @@ def test_historical_rows_are_green_in_the_ledger():
     )
 
 
-def test_round13_window_is_all_first_time():
-    """The round-13 rotation claim: no window entry was graded before the
-    round-13 run. (Ledgers from r13 on are this window's own grading
-    rounds, so they are excluded — once CORRECTNESS_r13 lands, the window
+def test_round14_window_is_all_first_time():
+    """The round-14 rotation claim: no window entry was graded before the
+    round-14 run. (Ledgers from r14 on are this window's own grading
+    rounds, so they are excluded — once CORRECTNESS_r14 lands, the window
     entries become graded and this documents the ledger is complete.)"""
     graded: set[str] = set()
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         num = path.rsplit("_r", 1)[1].split(".")[0]
-        if num.isdigit() and int(num) >= 13:
+        if num.isdigit() and int(num) >= 14:
             continue  # this window's own grading round and later
         with open(path) as f:
             graded |= set(json.load(f).keys())
     overlap = set(DRIVER_WINDOW) & graded
-    assert not overlap, f"window entries already graded before r13: {overlap}"
+    assert not overlap, f"window entries already graded before r14: {overlap}"
 
 
 def test_window_queries_all_registered_and_runnable_signatures():

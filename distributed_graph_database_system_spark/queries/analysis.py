@@ -1749,13 +1749,26 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme events by 0.6745·(v − median)/MAD within their event_type —
     unlike the z-score screen (outlier_zscore_events), the estimator
     itself is immune to the outliers it hunts (50% breakdown point vs 0%
-    for mean/σ). Two exact-median aggregation passes (both engines
-    interpolate even-count medians identically — proven cross-engine by
-    agg_median) with the per-type medians broadcast back; the robust z is
-    one identical double expression, ordered by its ROUNDED magnitude on
-    both sides (the outlier_zscore_events ordering discipline)."""
+    for mean/σ). Two exact-median passes (both engines interpolate
+    even-count medians identically — proven cross-engine by agg_median)
+    with the per-type medians broadcast back; the robust z is one
+    identical double expression, ordered by its ROUNDED magnitude on
+    both sides (the outlier_zscore_events ordering discipline). Both
+    medians route through group_quantiles_exact (bit-identical to
+    Spark's percentile()/median() by test, per-task state bounded by
+    the PARTITION size) — the builtin median aggregate buffers each
+    whole event_type group in one aggregation state, and events-per-type
+    grows with SF (the r13 percentile-cliff class, caught by the r14
+    registry-wide guard test)."""
+    from distributed_graph_database_system_spark.operators.quantile import (
+        _qcolname,
+        group_quantiles_exact,
+    )
+
     e = load_table(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    med = group_quantiles_exact(
+        e.select("event_type", "value"), "value", [0.5], ["event_type"]
+    ).withColumnRenamed(_qcolname(0.5), "med")
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_id",
         "event_type",
@@ -1763,7 +1776,9 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    mad = group_quantiles_exact(
+        dev.select("event_type", "adev"), "adev", [0.5], ["event_type"]
+    ).withColumnRenamed(_qcolname(0.5), "mad")
     return (
         dev.join(F.broadcast(mad), "event_type")
         .select(

@@ -2997,7 +2997,15 @@ def orders_price_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     p — an order statistic, NOT an interpolation, so the result is an
     exact value from the column and the cross-engine float minefield of
     interpolating percentiles (see the r6 percentile() lesson in
-    queries/helpers.py) does not exist: no rounding guard at all."""
+    queries/helpers.py) does not exist: no rounding guard at all.
+
+    SCALE NOTE: this registration is the SQL-standard WITHIN GROUP
+    syntax-surface exhibit and is allowlisted in
+    tests/test_percentile_discipline.py — the builtin buffers each
+    o_orderpriority group (SF-growing) in one aggregation state. The
+    at-scale path for the same statistic is
+    operators/quantile.py group_quantiles_disc (partition-bounded,
+    bit-identical; see customer_acctbal_decile_bounds)."""
     from distributed_graph_database_system_spark.queries.helpers import sf_view
 
     o = sf_view(spark, load_table(spark, sf_dir, "orders"), "pdisc_ord", sf_dir)

@@ -202,6 +202,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r14c,
         seeds_r14d,
         seeds_r14e,
+        seeds_r15,
         seeds_r15a,
         streaming_batch,
         tpch_extra,
@@ -286,8 +287,10 @@ def oracle_map() -> dict[str, str]:
 # (The 31-name R13_POOL rotated INTO the round-13 window above, alongside
 # the 19 seeds_r14a registrations.)
 #
-# R15_POOL head start — banked one round EARLY (queries/seeds_r15a.py,
-# parity-green at all three SFs and partition-invariant at registration):
+# R15_POOL — first-time candidates for the round-15 window rotation
+# (every name has never appeared in any CORRECTNESS_r*.json; each was
+# parity-verified at sf0.001/0.01/0.1 and partition-invariance-swept at
+# registration). Eight banked a round early in queries/seeds_r15a.py:
 #   lineitem_unit_price_bands         (unit-economics $500 bands)
 #   events_weekend_value_ratio        (weekly rhythm on the value axis)
 #   customer_balance_hill_tail_index  (Hill tail-index estimator)
@@ -296,4 +299,48 @@ def oracle_map() -> dict[str, str]:
 #   graph_two_hop_reach_g8            (friend-of-friend reach census)
 #   orders_new_vs_returning_customers (growth-accounting split)
 #   events_hourly_load_cv             (capacity-planning dispersion)
+# and 42 registered in round 14, ALL in queries/seeds_r15.py (one module
+# per round — the r13 verdict hygiene contract):
+#   orders_price_mean_abs_difference  (Gini mean difference, prefix ranks)
+#   customer_balance_palma_ratio      (top-10%/bottom-40% share ratio)
+#   customer_acctbal_winsorized_stats (p05/p95 winsorized means)
+#   lineitem_quantity_trimean         (Tukey trimean via shared quartiles)
+#   supplier_top_quartile_nation_share (global-cut membership shares)
+#   orders_daily_poisson_dispersion   (variance/mean of daily arrivals)
+#   orders_daily_revenue_entropy      (rounded-term daily-share entropy)
+#   customers_9495_mcnemar            (paired-year discordance chi2)
+#   orders_weekend_highvalue_odds     (2x2 odds ratio)
+#   events_hour_entropy_by_type       (24-bin diurnal entropy)
+#   customer_balance_atkinson_index   (Atkinson eps=0.5, rounded sqrt)
+#   lineitem_price_geomean_by_flag    (geometric mean via rounded ln)
+#   orders_wow_growth_volatility      (weekly log-return stddev)
+#   events_user_simpson_diversity_bands (1 - sum p^2 banded census)
+#   orders_month_end_effect           (last-3-days revenue share)
+#   orders_daily_leader_streaks       (gaps-and-islands leadership runs)
+#   customer_max_gap_bands            (per-customer drought bands)
+#   lineitem_order_line_price_share   (intra-order share bands)
+#   lineitem_linenumber_positional_profile (line-position profile)
+#   parts_low_discount_only           (aggregate-then-join HAVING share)
+#   customers_single_priority_only    (HAVING distinct=1 loyalty)
+#   orders_without_lineitems_census   (parent-side RI orphans)
+#   part_brand_margin_quartiles       (join + e-4-exact margin quartiles)
+#   lineitem_ship_delay_profile       (negative-safe FLOOR banding)
+#   orders_price_reconciliation_audit (header-vs-detail decimal audit)
+#   orders_shard_balance_audit        (mod-64 shard straggler ratio)
+#   lineitem_discount_elasticity_curve (volume along the discount axis)
+#   embed_sparsity_census             (near-zero dims, HOF filter)
+#   embed_chebyshev_norm_census       (L-inf bands)
+#   embed_dim_argmax_census           (first-occurrence argmax dims)
+#   documents_prefix_hash_dup_rate    (200-char prefix md5 screen)
+#   documents_token_entropy_bands     (per-doc rounded-term entropy)
+#   documents_nchars_column_audit     (derived-column consistency)
+#   sample_systematic_mod_census      (1-in-97 stride + XOR checksum)
+#   sample_kfold_md5_census           (digit-window-disjoint 5-fold)
+#   sink_tsv_delimiter_roundtrip      (tab-delimiter CSV writer leg)
+#   sink_csv_gzip_roundtrip           (compression-codec writer leg)
+#   stream_tumbling2h_value_stddev    (exact-moment dispersion twin)
+#   graph_edge_jaccard_g6             (tie-strength golden)
+#   graph_path_count_dag_g7           (DAG path-count DP golden)
+#   graph_transitivity_g8             (global clustering golden)
+#   nation_cust_supp_count_ratio      (two-aggregate LEFT-join ratio)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -50,7 +50,15 @@ def stream_sliding6h_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle reconstructs each bucketing before the per-window
     COUNT(DISTINCT)). Streaming-side this is the windowed
     dropDuplicates-then-count shape; at sketch scale the HLL/KMV rollups
-    (agg_hll_sliding7) replace the exact distinct."""
+    (agg_hll_sliding7) replace the exact distinct.
+
+    SCALE DEFAULT (BASELINE.md round-14 decision table, sf100 idle,
+    same corpus): this exact sliding distinct costs 59.3 s vs
+    agg_hll_sliding7 13.3 s (mergeable HLL), events_sliding7_bitmap_exact
+    10.4 s (exact via additive bitmaps), events_sliding7_quantiles_hist
+    6.8 s (histogram order stats) — 4–9× cheaper. The warehouse default
+    for sliding reach is the mergeable family; this query is the
+    on-demand exact-semantics path."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "24 hours", "6 hours").alias("w"))

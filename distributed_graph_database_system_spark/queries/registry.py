@@ -204,6 +204,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r14e,
         seeds_r15,
         seeds_r15a,
+        seeds_r16,
         streaming_batch,
         tpch_extra,
     )

@@ -1,0 +1,1810 @@
+"""R16_POOL registration batch (round 14): first-time queries for the
+round-16 window rotation, one module for the whole round (the r13
+verdict hygiene contract). Families: relational joins / quantified
+subqueries / set ops (intra-nation trade shares, >ALL screens,
+INTERSECT legs, WITH-TIES top-k), window sequences and technical
+indicators (SMA crossover, turning points, leave-one-out z-scores,
+rolling-30d peak, YoY monthly deltas, rescaled-range Hurst), exact
+order-statistic and association stats (Bowley skewness, quartile
+dispersion, Pearson's second skewness, Friedman, Cohen's kappa,
+Goodman-Kruskal gamma), heavy-user shares and position-based
+attribution on events, tail percentiles through the partition-bounded
+quantile machinery, token/bag text screens, integer-quantized
+embedding profiles, privacy/quality/pipeline audits (l-diversity,
+freshness, Neyman allocation), a zstd parquet sink leg, streaming
+twins (windowed top-k, window shares), and four graph goldens (Wiener
+index, triad census, bipartite checks, exact-rational Katz).
+
+All parity-verified at sf0.001/0.01/0.1 at registration; every query
+is partition-invariant (exact integer/decimal folds, integer-exact
+banding, or rounded-term decimal sums ahead of any float reduction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from distributed_graph_database_system_spark.operators.prefix import (
+    partitioned_prefix_sum,
+)
+from distributed_graph_database_system_spark.operators.quantile import (
+    _qcolname,
+    group_quantiles_disc,
+)
+from distributed_graph_database_system_spark.queries.helpers import (
+    dec,
+    scratch_dir,
+)
+from distributed_graph_database_system_spark.queries.registry import query
+from distributed_graph_database_system_spark.sources.catalog import load_table
+
+
+# --- lateral-style top-2 lines per order ------------------------------------------------
+
+
+@query(
+    "orders_top2_lines_price_ratio",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             l_linenumber
+      FROM lineitem
+    ), r AS (
+      SELECT l_orderkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY cents DESC, l_linenumber) AS rn
+      FROM c
+    ), p AS (
+      SELECT l_orderkey,
+             MAX(CASE WHEN rn = 1 THEN cents END) AS p1,
+             MAX(CASE WHEN rn = 2 THEN cents END) AS p2
+      FROM r WHERE rn <= 2 GROUP BY l_orderkey
+    )
+    SELECT CAST(p2 * 10 // p1 AS INT) AS ratio_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM p WHERE p2 IS NOT NULL
+    GROUP BY ratio_band ORDER BY ratio_band
+    """,
+    tags=("relational", "lateral", "window", "top-k-per-group", "census"),
+)
+def orders_top2_lines_price_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Runner-up-to-winner price ratio per order — the LATERAL "top 2 per
+    parent" shape (DuckDB would write a correlated LATERAL LIMIT 2;
+    Spark expresses it as a per-order ROW_NUMBER, partition bounded by
+    the ≤7-line order fan-out). Banding is INTEGER division of cents
+    (``div(10·p2, p1)``, both prices positive), so no float edge can
+    flip a band; band 10 = exact tie."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (dec("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_linenumber",
+    )
+    wr = W.partitionBy("l_orderkey").orderBy(
+        F.desc("cents"), "l_linenumber"
+    )
+    p = (
+        li.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 2)
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("p1"),
+            F.max(F.when(F.col("rn") == 2, F.col("cents"))).alias("p2"),
+        )
+        .where(F.col("p2").isNotNull())
+    )
+    return (
+        p.select(
+            F.expr("div(p2 * 10, p1)").cast("int").alias("ratio_band")
+        )
+        .groupBy("ratio_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("ratio_band")
+    )
+
+
+# --- intra-nation trade share ------------------------------------------------------------
+
+
+@query(
+    "nation_intra_trade_share",
+    oracle="""
+    WITH f AS (
+      SELECT c.c_nationkey AS cust_nk, s.s_nationkey AS supp_nk,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 10000
+                  * (1 - CAST(l.l_discount AS DECIMAL(8,2))) AS BIGINT)
+               AS rev_u
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(rev_u) AS DOUBLE) / 10000 AS revenue,
+           ROUND(CAST(SUM(CASE WHEN cust_nk = supp_nk THEN rev_u
+                               ELSE 0 END) AS DOUBLE)
+                 / SUM(rev_u), 6) AS intra_share
+    FROM f JOIN nation n ON f.cust_nk = n.n_nationkey
+    GROUP BY nation ORDER BY nation
+    """,
+    tags=("relational", "multi-join", "broadcast", "trade", "share"),
+)
+def nation_intra_trade_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each customer nation's purchase revenue supplied from the
+    SAME nation — the domestic-sourcing ratio. Three dimension joins
+    (customer/supplier/nation broadcast; only lineitem⋈orders shuffles
+    on the SF-growing side); discounted revenue folds as exact DECIMAL
+    ten-thousandths (2dp price × 2dp discount factor is exactly 4dp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    f = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                dec("l_extendedprice")
+                * 10000
+                * (F.lit(1) - dec("l_discount", 8, 2))
+            )
+            .cast("bigint")
+            .alias("rev_u"),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    return (
+        f.join(F.broadcast(n), f.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            (F.sum("rev_u").cast("double") / 10000).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("c_nationkey") == F.col("s_nationkey"),
+                        F.col("rev_u"),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("rev_u"),
+                6,
+            ).alias("intra_share"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- quantified >ALL subquery ------------------------------------------------------------
+
+
+@query(
+    "parts_above_all_type_avg_census",
+    oracle="""
+    WITH ta AS (
+      SELECT p_type,
+             CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_c
+      FROM part GROUP BY p_type
+    ), thr AS (SELECT MAX(avg_c) AS t FROM ta)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                              * 100 AS BIGINT) > (SELECT t FROM thr)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above_all,
+           ROUND(CAST(SUM(CASE WHEN CAST(CAST(p_retailprice AS
+                              DECIMAL(12,2)) * 100 AS BIGINT)
+                              > (SELECT t FROM thr)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS share_above_all
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("relational", "subquery", "quantified-all", "census"),
+)
+def parts_above_all_type_avg_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parts priced above EVERY type's average price — the quantified
+    ``> ALL (SELECT avg ...)`` subquery, decorrelated the way a planner
+    does it: ALL over a set of scalars collapses to one scalar MAX,
+    broadcast to the probe side. Type averages are exact cents sums over
+    the 6-row type domain; the compare is cents > double (one IEEE
+    compare, same on both engines)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_type",
+        (dec("p_retailprice", 12, 2) * 100).cast("bigint").alias("cents"),
+    )
+    thr = (
+        p.groupBy("p_type")
+        .agg(
+            (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("avg_c")
+        )
+        .agg(F.max("avg_c").alias("t"))
+    )
+    return (
+        p.crossJoin(F.broadcast(thr))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.when(F.col("cents") > F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above_all"),
+            F.round(
+                F.sum(
+                    F.when(F.col("cents") > F.col("t"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("share_above_all"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --- correlated "above its day's average" ------------------------------------------------
+
+
+@query(
+    "orders_above_daily_avg_census",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             EXTRACT(YEAR FROM o_orderdate) AS yr,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), d AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_day,
+             CAST(SUM(cents) AS BIGINT) AS s_day
+      FROM c GROUP BY day
+    )
+    SELECT CAST(c.yr AS INT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN c.cents * d.n_day > d.s_day THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_above,
+           ROUND(CAST(SUM(CASE WHEN c.cents * d.n_day > d.s_day THEN 1
+                               ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS share_above
+    FROM c JOIN d USING (day)
+    GROUP BY c.yr ORDER BY yr
+    """,
+    tags=("relational", "subquery", "decorrelated", "window-alternative"),
+)
+def orders_above_daily_avg_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Orders priced above their own day's average — the classic
+    correlated scalar subquery (``WHERE price > (SELECT AVG ... same
+    day)``), decorrelated into one day-keyed aggregate joined back. The
+    compare is cross-multiplied (cents·n > Σcents) so NO division or
+    float enters the predicate — integer-exact above/below at any
+    scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.year("o_orderdate").alias("yr"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    d = o.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_day"),
+        F.sum("cents").alias("s_day"),
+    )
+    above = (F.col("cents") * F.col("n_day") > F.col("s_day")).cast("int")
+    return (
+        o.join(d, "day")
+        .groupBy(F.col("yr").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(above).cast("bigint").alias("n_above"),
+            F.round(
+                F.sum(above).cast("double") / F.count(F.lit(1)), 6
+            ).alias("share_above"),
+        )
+        .orderBy("yr")
+    )
+
+
+# --- same-day multi-order customers --------------------------------------------------------
+
+
+@query(
+    "customers_multi_order_day_census",
+    oracle="""
+    WITH cd AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey, day
+    ), m AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_days
+      FROM cd GROUP BY o_custkey
+    )
+    SELECT n_multi_days, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM m WHERE n_multi_days >= 1
+    GROUP BY n_multi_days ORDER BY n_multi_days
+    """,
+    tags=("relational", "forensic", "duplicate-behavior", "census"),
+)
+def customers_multi_order_day_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customers placing MULTIPLE orders on one calendar day — the
+    split-transaction / fraud-velocity screen. Two exact count
+    aggregations (customer-day then customer) and a tiny histogram;
+    both shuffles ride the natural grouping keys."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    cd = o.groupBy("o_custkey", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    m = cd.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multi_days")
+    )
+    return (
+        m.where(F.col("n_multi_days") >= 1)
+        .groupBy("n_multi_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("n_multi_days")
+    )
+
+
+# --- revenue per customer by region ---------------------------------------------------------
+
+
+@query(
+    "region_revenue_per_customer",
+    oracle="""
+    WITH geo AS (
+      SELECT c.c_custkey, r.r_name
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), rev AS (
+      SELECT g.r_name,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN geo g ON o.o_custkey = g.c_custkey
+      GROUP BY g.r_name
+    ), pop AS (
+      SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers FROM geo
+      GROUP BY r_name
+    )
+    SELECT pop.r_name AS region, pop.n_customers, rev.n_orders,
+           CAST(rev.cents AS DOUBLE) / 100 AS revenue,
+           ROUND(CAST(rev.cents AS DOUBLE) / 100 / pop.n_customers, 4)
+             AS revenue_per_customer
+    FROM pop JOIN rev ON pop.r_name = rev.r_name
+    ORDER BY region
+    """,
+    tags=("relational", "two-aggregate-join", "per-capita", "broadcast"),
+)
+def region_revenue_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue per customer by region — a per-capita ratio of TWO
+    independent aggregates (order revenue vs customer population), the
+    shape where joining raw tables first would double-count. Geography
+    dims broadcast; the fact aggregate shuffles once on the 5-row
+    region key."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    geo = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", (dec("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    rev = (
+        o.join(
+            geo.select("c_custkey", "r_name"), o.o_custkey == geo.c_custkey
+        )
+        .groupBy("r_name")
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    pop = geo.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    return (
+        pop.join(rev, "r_name")
+        .select(
+            F.col("r_name").alias("region"),
+            "n_customers",
+            "n_orders",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+            F.round(
+                F.col("cents").cast("double") / 100 / F.col("n_customers"),
+                4,
+            ).alias("revenue_per_customer"),
+        )
+        .orderBy("region")
+    )
+
+
+# --- INTERSECT of derived nation sets -------------------------------------------------------
+
+
+@query(
+    "nations_with_both_cust_supp_intersect",
+    oracle="""
+    SELECT n_name AS nation FROM (
+      SELECT n.n_name
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_acctbal > 5000
+      INTERSECT
+      SELECT n.n_name
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE s.s_acctbal > 5000
+    ) ORDER BY nation
+    """,
+    tags=("set-ops", "intersect", "relational"),
+)
+def nations_with_both_cust_supp_intersect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nations with BOTH a high-balance customer and a high-balance
+    supplier — INTERSECT of two derived sets (the set-op leg beside the
+    EXCEPT / INTERSECT ALL registrations). Catalyst rewrites INTERSECT
+    to a left-semi join over distinct inputs; both sides pre-shrink to
+    the 25-row nation domain before the set op."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+    return (
+        c.intersect(s).select(F.col("n_name").alias("nation")).orderBy("nation")
+    )
+
+
+# --- negative-balance census ---------------------------------------------------------------
+
+
+@query(
+    "customer_negative_balance_census",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           ROUND(CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS negative_share,
+           CAST(SUM(CASE WHEN c_acctbal < 0
+                    THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                         AS BIGINT) ELSE 0 END) AS DOUBLE) / 100
+             AS negative_balance_total
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("relational", "credit-risk", "census"),
+)
+def customer_negative_balance_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Negative-balance (credit-risk) exposure by market segment: how
+    many customers are in debit and how deep. One exact aggregation;
+    the debit total folds as integer cents."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_acctbal",
+        (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("cents"),
+    )
+    neg = F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(neg).cast("bigint").alias("n_negative"),
+            F.round(
+                F.sum(neg).cast("double") / F.count(F.lit(1)), 6
+            ).alias("negative_share"),
+            (
+                F.sum(
+                    F.when(F.col("c_acctbal") < 0, F.col("cents")).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                ).cast("double")
+                / 100
+            ).alias("negative_balance_total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- monthly return rate ---------------------------------------------------------------------
+
+
+@query(
+    "lineitem_return_rate_monthly",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS return_rate
+    FROM lineitem GROUP BY month ORDER BY month
+    """,
+    tags=("relational", "time-series", "quality", "rate"),
+)
+def lineitem_return_rate_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly returned-line rate — the operations quality series a
+    returns dashboard plots. One aggregation over the ~83-month ship
+    calendar; counts exact, one rounded division per month."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").alias("month"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    return (
+        li.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("ret").cast("bigint").alias("n_returned"),
+            F.round(F.sum("ret").cast("double") / F.count(F.lit(1)), 6).alias(
+                "return_rate"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+# --- customer value x frequency grid ---------------------------------------------------------
+
+
+@query(
+    "customers_value_frequency_grid",
+    oracle="""
+    WITH per_c AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CASE WHEN n <= 2 THEN '1-2' WHEN n <= 5 THEN '3-5'
+                WHEN n <= 10 THEN '6-10' ELSE '11+' END AS freq_band,
+           CASE WHEN s < n * 10000000 THEN 'lt100k'
+                WHEN s < n * 20000000 THEN 'lt200k'
+                WHEN s < n * 30000000 THEN 'lt300k'
+                ELSE 'ge300k' END AS value_band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM per_c GROUP BY freq_band, value_band
+    ORDER BY freq_band, value_band
+    """,
+    tags=("relational", "segmentation", "grid", "census"),
+)
+def customers_value_frequency_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer base segmented on an order-frequency × average-order-value
+    grid (the marketing 2×2, at 4×4). The value band compares the cents
+    SUM against count-scaled thresholds (s < n·t) instead of banding the
+    s/n average — integer-exact banding, no division, no float edge."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", (dec("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    per_c = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("s"),
+    )
+    freq = (
+        F.when(F.col("n") <= 2, "1-2")
+        .when(F.col("n") <= 5, "3-5")
+        .when(F.col("n") <= 10, "6-10")
+        .otherwise("11+")
+    )
+    val = (
+        F.when(F.col("s") < F.col("n") * 10_000_000, "lt100k")
+        .when(F.col("s") < F.col("n") * 20_000_000, "lt200k")
+        .when(F.col("s") < F.col("n") * 30_000_000, "lt300k")
+        .otherwise("ge300k")
+    )
+    return (
+        per_c.select(freq.alias("freq_band"), val.alias("value_band"), "n")
+        .groupBy("freq_band", "value_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("n").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("freq_band", "value_band")
+    )
+
+
+# --- top-10 revenue days WITH TIES -----------------------------------------------------------
+
+
+@query(
+    "orders_top10_days_with_ties",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY day
+    ), r AS (
+      SELECT day, cents, RANK() OVER (ORDER BY cents DESC) AS rk FROM d
+    )
+    SELECT CAST(rk AS INT) AS rk, CAST(day AS TIMESTAMP) AS day,
+           CAST(cents AS DOUBLE) / 100 AS revenue
+    FROM r WHERE rk <= 10 ORDER BY rk, day
+    """,
+    tags=("sort", "top-k", "with-ties", "rank"),
+)
+def orders_top10_days_with_ties(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 revenue days under FETCH FIRST ... WITH TIES semantics —
+    RANK (not ROW_NUMBER) bounds the cut, so exact-cents ties at rank 10
+    all surface instead of an arbitrary winner. The rank window rides
+    the ~2.4k-row day domain (bounded regardless of SF; Spark plans it
+    as a WindowGroupLimit when the filter is pushed)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    return (
+        d.withColumn("rk", F.rank().over(W.orderBy(F.desc("cents"))))
+        .where(F.col("rk") <= 10)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            F.col("day").cast("timestamp").alias("day"),
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+        )
+        .orderBy("rk", "day")
+    )
+
+
+# --- rolling 30-day revenue peak --------------------------------------------------------------
+
+
+@query(
+    "orders_rolling30d_revenue_peak",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS dn,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT day,
+             CAST(SUM(cents) OVER (ORDER BY dn
+                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS c30,
+             CAST(COUNT(*) OVER (ORDER BY dn
+                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n30
+      FROM d
+    )
+    SELECT CAST(day AS TIMESTAMP) AS window_end_day, n30 AS n_days_in_window,
+           CAST(c30 AS DOUBLE) / 100 AS revenue_30d
+    FROM r ORDER BY c30 DESC, day LIMIT 1
+    """,
+    tags=("window", "range-frame", "rolling", "time-series"),
+)
+def orders_rolling30d_revenue_peak(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak 30-day revenue window over the order calendar — a RANGE frame
+    keyed on integer day offsets (29 PRECEDING..CURRENT over datediff),
+    so gap days shorten the physical frame instead of silently widening
+    the time span the way a ROWS frame would. Cents exact; the window
+    rides the ~2.4k-row day domain."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("dn"),
+    ).agg((F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents"))
+    w = W.orderBy("dn").rangeBetween(-29, 0)
+    r = d.select(
+        "day",
+        F.sum("cents").over(w).cast("bigint").alias("c30"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n30"),
+    )
+    return (
+        r.orderBy(F.desc("c30"), "day")
+        .limit(1)
+        .select(
+            F.col("day").cast("timestamp").alias("window_end_day"),
+            F.col("n30").alias("n_days_in_window"),
+            (F.col("c30").cast("double") / 100).alias("revenue_30d"),
+        )
+    )
+
+
+# --- SMA crossover census ----------------------------------------------------------------------
+
+
+@query(
+    "orders_daily_sma_crossover_census",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT day,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             CAST(SUM(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS s7,
+             CAST(SUM(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS s28
+      FROM d
+    ), g AS (
+      SELECT day, CASE WHEN 4 * s7 > s28 THEN 1 ELSE 0 END AS sig
+      FROM s WHERE rn >= 28
+    ), x AS (
+      SELECT sig, LAG(sig) OVER (ORDER BY day) AS prev FROM g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_evaluated,
+           CAST(SUM(CASE WHEN sig = 1 AND prev = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_golden_crosses,
+           CAST(SUM(CASE WHEN sig = 0 AND prev = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_death_crosses,
+           CAST(SUM(sig) AS BIGINT) AS n_days_above
+    FROM x
+    """,
+    tags=("window", "time-series", "technical-indicator", "sma"),
+)
+def orders_daily_sma_crossover_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SMA(7) vs SMA(28) golden/death-cross census on daily revenue — the
+    moving-average trading signal. The compare is cross-multiplied
+    (s7/7 > s28/28 ⟺ 4·s7 > s28 on exact cents sums), so the crossover
+    detector never divides and never touches a float; windows ride the
+    bounded day domain."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    wd = W.orderBy("day")
+    s = d.select(
+        "day",
+        F.row_number().over(wd).alias("rn"),
+        F.sum("cents").over(wd.rowsBetween(-6, 0)).cast("bigint").alias("s7"),
+        F.sum("cents")
+        .over(wd.rowsBetween(-27, 0))
+        .cast("bigint")
+        .alias("s28"),
+    )
+    g = s.where(F.col("rn") >= 28).select(
+        "day",
+        F.when(4 * F.col("s7") > F.col("s28"), 1).otherwise(0).alias("sig"),
+    )
+    x = g.select("sig", F.lag("sig").over(W.orderBy("day")).alias("prev"))
+    return x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_evaluated"),
+        F.sum(
+            F.when((F.col("sig") == 1) & (F.col("prev") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_golden_crosses"),
+        F.sum(
+            F.when((F.col("sig") == 0) & (F.col("prev") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_death_crosses"),
+        F.sum("sig").cast("bigint").alias("n_days_above"),
+    )
+
+
+# --- turning points (local extrema) ------------------------------------------------------------
+
+
+@query(
+    "orders_daily_turning_points",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             EXTRACT(YEAR FROM o_orderdate) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ), x AS (
+      SELECT yr, cents,
+             LAG(cents) OVER (ORDER BY day) AS prev,
+             LEAD(cents) OVER (ORDER BY day) AS next
+      FROM d
+    )
+    SELECT CAST(yr AS INT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_interior_days,
+           CAST(SUM(CASE WHEN cents > prev AND cents > next THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_peaks,
+           CAST(SUM(CASE WHEN cents < prev AND cents < next THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_troughs,
+           ROUND(CAST(SUM(CASE WHEN (cents > prev AND cents > next)
+                              OR (cents < prev AND cents < next)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS turning_share
+    FROM x WHERE prev IS NOT NULL AND next IS NOT NULL
+    GROUP BY yr ORDER BY yr
+    """,
+    tags=("window", "time-series", "local-extrema", "census"),
+)
+def orders_daily_turning_points(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local peaks/troughs in daily revenue (strict one-day extrema) per
+    year — the turning-point rate a volatility monitor tracks (an i.i.d.
+    series turns ~2/3 of days; trending series turn less). Strict
+    integer compares on exact cents; lag/lead ride the bounded day
+    domain and cross year boundaries before the year grouping."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg((F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents"))
+    wd = W.orderBy("day")
+    x = d.select(
+        "yr",
+        "cents",
+        F.lag("cents").over(wd).alias("prev"),
+        F.lead("cents").over(wd).alias("next"),
+    ).where(F.col("prev").isNotNull() & F.col("next").isNotNull())
+    is_peak = (F.col("cents") > F.col("prev")) & (
+        F.col("cents") > F.col("next")
+    )
+    is_trough = (F.col("cents") < F.col("prev")) & (
+        F.col("cents") < F.col("next")
+    )
+    return (
+        x.groupBy(F.col("yr").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_interior_days"),
+            F.sum(is_peak.cast("int")).cast("bigint").alias("n_peaks"),
+            F.sum(is_trough.cast("int")).cast("bigint").alias("n_troughs"),
+            F.round(
+                F.sum((is_peak | is_trough).cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("turning_share"),
+        )
+        .orderBy("yr")
+    )
+
+
+# --- monthly YoY deltas --------------------------------------------------------------------------
+
+
+@query(
+    "orders_monthly_yoy_delta",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), x AS (
+      SELECT month, cents, LAG(cents, 12) OVER (ORDER BY month) AS c12
+      FROM m
+    )
+    SELECT month, CAST(cents AS DOUBLE) / 100 AS revenue,
+           ROUND(CAST(cents - c12 AS DOUBLE) / c12, 6) AS yoy_growth
+    FROM x WHERE c12 IS NOT NULL ORDER BY month
+    """,
+    tags=("window", "time-series", "yoy", "lag"),
+)
+def orders_monthly_yoy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-month year-over-year revenue growth — LAG(12) over the
+    monthly series, the seasonality-free growth read a finance review
+    starts with (MoM deltas are the sibling registration). The ~80-row
+    month domain is bounded; growth is one exact-int difference and one
+    division."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    x = m.select(
+        "month",
+        "cents",
+        F.lag("cents", 12).over(W.orderBy("month")).alias("c12"),
+    ).where(F.col("c12").isNotNull())
+    return x.select(
+        "month",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.round(
+            (F.col("cents") - F.col("c12")).cast("double") / F.col("c12"), 6
+        ).alias("yoy_growth"),
+    ).orderBy("month")
+
+
+# --- leave-one-out z-score extremes ---------------------------------------------------------------
+
+
+@query(
+    "orders_daily_loo_zscore_extremes",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                  AS DECIMAL(38,0)) AS q
+      FROM d
+    ), z AS (
+      SELECT day, cents,
+             (CAST(cents AS DOUBLE)
+              - CAST(s - cents AS DOUBLE) / (n - 1))
+             / SQRT((CAST(q - CAST(cents AS DECIMAL(38,0)) * cents
+                          AS DOUBLE)
+                     - (n - 1) * (CAST(s - cents AS DOUBLE) / (n - 1))
+                               * (CAST(s - cents AS DOUBLE) / (n - 1)))
+                    / (n - 2)) AS zscore
+      FROM d CROSS JOIN t
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           ROUND(zscore, 4) AS loo_z
+    FROM z WHERE ABS(zscore) > 2.5 ORDER BY day
+    """,
+    tags=("stats", "outlier", "leave-one-out", "zscore"),
+)
+def orders_daily_loo_zscore_extremes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-revenue outliers under a LEAVE-ONE-OUT z-score — each day is
+    scored against the mean/stddev of every OTHER day, so a single
+    extreme day cannot inflate its own yardstick and mask itself (the
+    flaw of the plain z-score screen; SQL's window EXCLUDE CURRENT ROW
+    expresses the same frame). All moments fold exactly (cents, cents²
+    as DECIMAL(38,0)); each day's score is one fixed double expression
+    over exact integers, identical in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    d38 = "decimal(38,0)"
+    t = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast(d38).alias("s"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).cast(d38).alias("q"),
+    )
+    loo_mean = (F.col("s") - F.col("cents")).cast("double") / (
+        F.col("n") - 1
+    )
+    loo_var = (
+        (F.col("q") - F.col("cents").cast(d38) * F.col("cents")).cast(
+            "double"
+        )
+        - (F.col("n") - 1) * loo_mean * loo_mean
+    ) / (F.col("n") - 2)
+    z = d.crossJoin(F.broadcast(t)).select(
+        "day",
+        "cents",
+        ((F.col("cents").cast("double") - loo_mean) / F.sqrt(loo_var)).alias(
+            "zscore"
+        ),
+    )
+    return (
+        z.where(F.abs(F.col("zscore")) > 2.5)
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+            F.round("zscore", 4).alias("loo_z"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- weekly min-max normalization ------------------------------------------------------------------
+
+
+@query(
+    "orders_weekly_minmax_normalized",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(DATE_TRUNC('week', o_orderdate) AS TIMESTAMP) AS week,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM w
+    )
+    SELECT CAST((cents - lo) * 10 // (hi - lo) AS INT) AS norm_band,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks
+    FROM w CROSS JOIN t
+    GROUP BY norm_band ORDER BY norm_band
+    """,
+    tags=("time-series", "normalization", "minmax", "census"),
+)
+def orders_weekly_minmax_normalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Min-max-normalized weekly revenue banded into deciles of the
+    observed range — the feature-scaling step before any distance-based
+    model, done with INTEGER arithmetic: band = ⌊10·(c−min)/(max−min)⌋
+    via integer division of exact cents (band 10 = the max week), so no
+    float rounding can flip a band edge."""
+    o = load_table(spark, sf_dir, "orders")
+    w = o.groupBy(F.date_trunc("week", "o_orderdate").alias("week")).agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    t = w.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            F.expr("div((cents - lo) * 10, hi - lo)")
+            .cast("int")
+            .alias("norm_band")
+        )
+        .groupBy("norm_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_weeks"))
+        .orderBy("norm_band")
+    )
+
+
+# --- rescaled-range (Hurst) estimator ----------------------------------------------------------
+
+
+@query(
+    "orders_daily_hurst_rs",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i FROM d
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM r),
+    blocks AS (
+      SELECT sz, i // sz AS blk, (i % sz) + 1 AS pos, cents
+      FROM r CROSS JOIN (SELECT unnest([32, 64]) AS sz)
+      CROSS JOIN n
+      WHERE i < sz * (nd // sz)
+    ), c AS (
+      SELECT sz, blk, pos, cents,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)))
+                  OVER (PARTITION BY sz, blk ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,0)) AS cum
+      FROM blocks
+    ), b AS (
+      SELECT sz, blk,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tot,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                  AS DECIMAL(38,0)) AS sq
+      FROM blocks GROUP BY sz, blk
+    ), dev AS (
+      SELECT c.sz, c.blk,
+             CAST(c.sz * c.cum - c.pos * b.tot AS DECIMAL(38,0)) AS dv,
+             b.tot, b.sq
+      FROM c JOIN b ON c.sz = b.sz AND c.blk = b.blk
+    ), rs AS (
+      SELECT sz, blk,
+             CAST(ROUND(CAST(MAX(dv) - MIN(dv) AS DOUBLE)
+                   / SQRT(CAST(MAX(sq) * sz - MAX(tot) * MAX(tot)
+                          AS DOUBLE)), 6) AS DECIMAL(20,6)) AS rsv
+      FROM dev GROUP BY sz, blk
+    ), m AS (
+      SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(rsv) AS DOUBLE) / COUNT(*) AS mean_rs
+      FROM rs GROUP BY sz
+    )
+    SELECT a.n_blocks AS n_blocks_32,
+           ROUND(a.mean_rs, 6) AS mean_rs_32,
+           b2.n_blocks AS n_blocks_64,
+           ROUND(b2.mean_rs, 6) AS mean_rs_64,
+           ROUND(LN(b2.mean_rs / a.mean_rs) / LN(2), 4) AS hurst_estimate
+    FROM (SELECT * FROM m WHERE sz = 32) a
+    CROSS JOIN (SELECT * FROM m WHERE sz = 64) b2
+    """,
+    tags=("stats", "time-series", "hurst", "rescaled-range", "fractal"),
+)
+def orders_daily_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by the classic rescaled-range
+    method: split the day series into blocks of 32 and 64 days, compute
+    each block's R/S (range of cumulative mean-deviations over the
+    population stddev), and read H from the doubling slope
+    log2(RS₆₄/RS₃₂) — H≈0.5 is a memoryless series, H>0.5 trending.
+    Every deviation is INTEGER-scaled (n·cum_k − k·total, exact
+    DECIMAL(38,0), no mean ever materializes) and S² folds as
+    n·Σx²−(Σx)², so each block's R/S is ONE double division of exact
+    integers, rounded to 6dp and decimal-averaged — bit-identical
+    across engines and partitionings. Blocks ride the bounded ~2.4k-day
+    domain; per-block windows hold ≤64 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    r = d.select(
+        "cents", (F.row_number().over(W.orderBy("day")) - 1).alias("i")
+    )
+    nd = r.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    sizes = r.sparkSession.createDataFrame([(32,), (64,)], "sz INT")
+    d38 = "decimal(38,0)"
+    blocks = (
+        r.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("i") < F.col("sz") * F.expr("div(nd, sz)"))
+        .select(
+            "sz",
+            F.expr("div(i, sz)").alias("blk"),
+            (F.col("i") % F.col("sz") + 1).alias("pos"),
+            "cents",
+        )
+    )
+    wc = (
+        W.partitionBy("sz", "blk")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = blocks.select(
+        "sz",
+        "blk",
+        "pos",
+        "cents",
+        F.sum(F.col("cents").cast(d38)).over(wc).cast(d38).alias("cum"),
+    )
+    b = blocks.groupBy("sz", "blk").agg(
+        F.sum(F.col("cents").cast(d38)).cast(d38).alias("tot"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents"))
+        .cast(d38)
+        .alias("sq"),
+    )
+    dev = c.join(b, ["sz", "blk"]).select(
+        "sz",
+        "blk",
+        (F.col("sz") * F.col("cum") - F.col("pos") * F.col("tot"))
+        .cast(d38)
+        .alias("dv"),
+        "tot",
+        "sq",
+    )
+    rs = dev.groupBy("sz", "blk").agg(
+        F.round(
+            (F.max("dv") - F.min("dv")).cast("double")
+            / F.sqrt(
+                (F.max("sq") * F.col("sz") - F.max("tot") * F.max("tot")).cast(
+                    "double"
+                )
+            ),
+            6,
+        )
+        .cast("decimal(20,6)")
+        .alias("rsv")
+    )
+    m = rs.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        (F.sum("rsv").cast("double") / F.count(F.lit(1))).alias("mean_rs"),
+    )
+    a = m.where(F.col("sz") == 32).select(
+        F.col("n_blocks").alias("n_blocks_32"),
+        F.col("mean_rs").alias("rs32"),
+    )
+    b2 = m.where(F.col("sz") == 64).select(
+        F.col("n_blocks").alias("n_blocks_64"),
+        F.col("mean_rs").alias("rs64"),
+    )
+    return a.crossJoin(b2).select(
+        "n_blocks_32",
+        F.round("rs32", 6).alias("mean_rs_32"),
+        "n_blocks_64",
+        F.round("rs64", 6).alias("mean_rs_64"),
+        F.round(
+            F.log(F.col("rs64") / F.col("rs32")) / F.log(F.lit(2.0)), 4
+        ).alias("hurst_estimate"),
+    )
+
+
+# --- user dormancy / reactivation census -----------------------------------------------------
+
+
+@query(
+    "events_user_dormancy_3d_census",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                  > 259200 THEN 1 ELSE 0 END AS react
+      FROM events
+    ), u AS (
+      SELECT user_id, CAST(SUM(react) AS BIGINT) AS n_reactivations
+      FROM g GROUP BY user_id
+    )
+    SELECT n_reactivations, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY n_reactivations ORDER BY n_reactivations
+    """,
+    tags=("events", "lifecycle", "dormancy", "census"),
+)
+def events_user_dormancy_3d_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dormancy-reactivation histogram: a user 'reactivates' when an
+    event follows a gap of more than 3 days of silence — the lifecycle
+    lens between plain retention and churn. Per-user LAG rides the
+    bounded events-per-user partition (the SF generator strides
+    user_id, not depth); gap compares are exact integer epoch seconds."""
+    e = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(wu))
+            > 259200,
+            1,
+        )
+        .otherwise(0)
+        .alias("react"),
+    )
+    u = g.groupBy("user_id").agg(
+        F.sum("react").cast("bigint").alias("n_reactivations")
+    )
+    return (
+        u.groupBy("n_reactivations")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("n_reactivations")
+    )
+
+
+# --- Bowley (quartile) skewness ------------------------------------------------------------------
+
+
+@query(
+    "customer_balance_bowley_skewness",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM customer
+    ), q AS (
+      SELECT nk,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS q1,
+             percentile_disc(0.5)  WITHIN GROUP (ORDER BY cents) AS q2,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS q3
+      FROM c GROUP BY nk
+    )
+    SELECT nk AS nationkey, n_customers,
+           CAST(q2 AS DOUBLE) / 100 AS median_balance,
+           ROUND(CAST(q1 + q3 - 2 * q2 AS DOUBLE) / (q3 - q1), 6)
+             AS bowley_skewness
+    FROM q ORDER BY nationkey
+    """,
+    tags=("stats", "order-statistics", "skewness", "robust"),
+)
+def customer_balance_bowley_skewness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bowley (quartile) skewness of customer balances per nation —
+    (Q₁+Q₃−2·Q₂)/(Q₃−Q₁), the robust skew read immune to tail outliers
+    that distort the moment-based coefficient. All three quartiles are
+    DISCRETE order statistics from one group_quantiles_disc pass
+    (partition-bounded state; customers-per-nation grows with SF), so
+    the numerator/denominator are exact integer cents and the final
+    division is the only float op."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("cents"),
+    )
+    q = (
+        group_quantiles_disc(c, "cents", [0.25, 0.5, 0.75], ["nk"])
+        .withColumnRenamed(_qcolname(0.25), "q1")
+        .withColumnRenamed(_qcolname(0.5), "q2")
+        .withColumnRenamed(_qcolname(0.75), "q3")
+    )
+    n = c.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    return (
+        n.join(q, "nk")
+        .select(
+            F.col("nk").alias("nationkey"),
+            "n_customers",
+            (F.col("q2").cast("double") / 100).alias("median_balance"),
+            F.round(
+                (F.col("q1") + F.col("q3") - 2 * F.col("q2")).cast("double")
+                / (F.col("q3") - F.col("q1")),
+                6,
+            ).alias("bowley_skewness"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --- quartile coefficient of dispersion -----------------------------------------------------------
+
+
+@query(
+    "customer_acctbal_quartile_dispersion",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM customer
+    ), q AS (
+      SELECT seg,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS q1,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS q3
+      FROM c GROUP BY seg
+    )
+    SELECT seg AS segment, n_customers,
+           CAST(q3 - q1 AS DOUBLE) / 100 AS iqr,
+           ROUND(CAST(q3 - q1 AS DOUBLE)
+                 / NULLIF(CAST(q3 + q1 AS DOUBLE), 0), 6)
+             AS quartile_dispersion
+    FROM q ORDER BY segment
+    """,
+    tags=("stats", "order-statistics", "dispersion", "robust"),
+)
+def customer_acctbal_quartile_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quartile coefficient of dispersion (Q₃−Q₁)/(Q₃+Q₁) per market
+    segment — the scale-free robust spread measure (the CV's
+    order-statistic sibling). Quartiles are discrete order statistics
+    via group_quantiles_disc; the ratio guards the Q₃+Q₁ = 0 pole
+    (balances can be negative) with a NULL."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("cents"),
+    )
+    q = (
+        group_quantiles_disc(c, "cents", [0.25, 0.75], ["seg"])
+        .withColumnRenamed(_qcolname(0.25), "q1")
+        .withColumnRenamed(_qcolname(0.75), "q3")
+    )
+    n = c.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    return (
+        n.join(q, "seg")
+        .select(
+            F.col("seg").alias("segment"),
+            "n_customers",
+            ((F.col("q3") - F.col("q1")).cast("double") / 100).alias("iqr"),
+            F.round(
+                (F.col("q3") - F.col("q1")).cast("double")
+                / F.nullif(
+                    (F.col("q3") + F.col("q1")).cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("quartile_dispersion"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --- Pearson's second skewness coefficient ----------------------------------------------------------
+
+
+@query(
+    "customer_balance_pearson_skew2",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM customer
+    ), md AS (
+      SELECT seg,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med
+      FROM c GROUP BY seg
+    ), mo AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                  AS DECIMAL(38,0)) AS q
+      FROM c GROUP BY seg
+    )
+    SELECT mo.seg AS segment, mo.n AS n_customers,
+           ROUND(3 * (CAST(mo.s AS DOUBLE) / mo.n - CAST(md.med AS DOUBLE))
+                 / SQRT((CAST(mo.q AS DOUBLE) * mo.n
+                         - CAST(mo.s AS DOUBLE) * CAST(mo.s AS DOUBLE))
+                        / (CAST(mo.n AS DOUBLE) * (mo.n - 1))), 6)
+             AS pearson_skew2
+    FROM mo JOIN md ON mo.seg = md.seg
+    ORDER BY segment
+    """,
+    tags=("stats", "skewness", "mean-median", "order-statistics"),
+)
+def customer_balance_pearson_skew2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson's second skewness coefficient 3·(mean − median)/σ per
+    segment — the classic quick skew read joining an exact-moment mean/
+    stddev with a discrete median from the partition-bounded quantile
+    machinery. Moments fold as DECIMAL(38,0); the statistic is a fixed
+    double expression over exact integers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("cents"),
+    )
+    md = group_quantiles_disc(c, "cents", [0.5], ["seg"]).withColumnRenamed(
+        _qcolname(0.5), "med"
+    )
+    d38 = "decimal(38,0)"
+    mo = c.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast(d38).alias("s"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).cast(d38).alias("q"),
+    )
+    sd = F.sqrt(
+        (
+            F.col("q").cast("double") * F.col("n")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return (
+        mo.join(md, "seg")
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n").alias("n_customers"),
+            F.round(
+                3
+                * (
+                    F.col("s").cast("double") / F.col("n")
+                    - F.col("med").cast("double")
+                )
+                / sd,
+                6,
+            ).alias("pearson_skew2"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --- Friedman rank test ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_priority_friedman_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS month, o_orderpriority AS pr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT month, pr,
+             ROW_NUMBER() OVER (PARTITION BY month
+                                ORDER BY cents, pr) AS rk
+      FROM m
+    ), s AS (
+      SELECT pr, CAST(SUM(rk) AS BIGINT) AS rank_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_months
+      FROM r GROUP BY pr
+    ), chi AS (
+      SELECT CAST(12 * SUM(CAST(rank_sum AS DECIMAL(38,0)) * rank_sum)
+                  AS DOUBLE)
+             / (MAX(n_months) * 5 * 6) - 3 * MAX(n_months) * 6 AS stat
+      FROM s
+    )
+    SELECT s.pr AS priority, s.n_months, s.rank_sum,
+           ROUND(CAST(s.rank_sum AS DOUBLE) / s.n_months, 6) AS mean_rank,
+           ROUND((SELECT stat FROM chi), 6) AS friedman_chi2
+    FROM s ORDER BY priority
+    """,
+    tags=("stats", "nonparametric", "friedman", "rank-test"),
+)
+def orders_priority_friedman_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman rank test: do the 5 order priorities keep a consistent
+    monthly revenue ordering? Each month is a block ranking its 5
+    priorities (deterministic tie-break on the priority label — cents
+    ties are theoretically possible, never float-dependent); the
+    statistic χ²_F = 12/(n·k·(k+1))·ΣR_j² − 3n(k+1) with k=5 is exact
+    integer arithmetic until two final divisions. The rank window holds
+    exactly 5 rows per month — bounded at any SF."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.col("o_orderpriority").alias("pr"),
+    ).agg((F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents"))
+    r = m.select(
+        "pr",
+        F.row_number()
+        .over(W.partitionBy("month").orderBy("cents", "pr"))
+        .alias("rk"),
+    )
+    s = r.groupBy("pr").agg(
+        F.sum("rk").cast("bigint").alias("rank_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    chi = s.agg(
+        (
+            (
+                12
+                * F.sum(F.col("rank_sum").cast("decimal(38,0)") * F.col("rank_sum"))
+            ).cast("double")
+            / (F.max("n_months") * 5 * 6)
+            - 3 * F.max("n_months") * 6
+        ).alias("stat")
+    )
+    return (
+        s.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("pr").alias("priority"),
+            "n_months",
+            "rank_sum",
+            F.round(
+                F.col("rank_sum").cast("double") / F.col("n_months"), 6
+            ).alias("mean_rank"),
+            F.round(F.col("stat"), 6).alias("friedman_chi2"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --- Cohen's kappa on first-vs-last priority ---------------------------------------------------------
+
+
+@query(
+    "customers_first_last_priority_kappa",
+    oracle="""
+    WITH fl AS (
+      SELECT o_custkey,
+             MIN(ROW(o_orderdate, o_orderkey, o_orderpriority)) AS fr,
+             MAX(ROW(o_orderdate, o_orderkey, o_orderpriority)) AS lr
+      FROM orders GROUP BY o_custkey
+    ), pairs AS (
+      SELECT struct_extract(fr, 3) AS fp, struct_extract(lr, 3) AS lp
+      FROM fl
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM pairs),
+    agree AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_agree FROM pairs WHERE fp = lp
+    ), marg AS (
+      SELECT CAST(SUM(CAST(fn AS DECIMAL(38,0)) * ln) AS DECIMAL(38,0))
+               AS cross_sum
+      FROM (SELECT fp AS p, COUNT(*) AS fn FROM pairs GROUP BY fp) a
+      JOIN (SELECT lp AS p, COUNT(*) AS ln FROM pairs GROUP BY lp) b
+        USING (p)
+    )
+    SELECT n.total AS n_customers, agree.n_agree,
+           ROUND(CAST(agree.n_agree AS DOUBLE) / n.total, 6) AS po,
+           ROUND(CAST(marg.cross_sum AS DOUBLE) / n.total / n.total, 6)
+             AS pe,
+           ROUND((CAST(agree.n_agree AS DOUBLE) / n.total
+                  - CAST(marg.cross_sum AS DOUBLE) / n.total / n.total)
+                 / (1 - CAST(marg.cross_sum AS DOUBLE) / n.total / n.total),
+                 6) AS kappa
+    FROM n CROSS JOIN agree CROSS JOIN marg
+    """,
+    tags=("stats", "agreement", "cohens-kappa", "argmin-argmax"),
+)
+def customers_first_last_priority_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa between each customer's FIRST and LAST order
+    priority — chance-corrected agreement ('do customers keep their
+    urgency profile?'). First/last ride exact struct MIN/MAX over
+    (date, key, priority) — no window, one aggregation; the 5×5
+    confusion marginals stay integer; kappa is a fixed double
+    expression. κ≈0 means the last order's priority is independent of
+    the first."""
+    o = load_table(spark, sf_dir, "orders")
+    fl = o.groupBy("o_custkey").agg(
+        F.min(
+            F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+        ).alias("fr"),
+        F.max(
+            F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+        ).alias("lr"),
+    )
+    pairs = fl.select(
+        F.col("fr.o_orderpriority").alias("fp"),
+        F.col("lr.o_orderpriority").alias("lp"),
+    )
+    n = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    agree = pairs.where(F.col("fp") == F.col("lp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_agree")
+    )
+    fm = pairs.groupBy(F.col("fp").alias("p")).agg(
+        F.count(F.lit(1)).alias("fn")
+    )
+    lm = pairs.groupBy(F.col("lp").alias("p")).agg(
+        F.count(F.lit(1)).alias("ln")
+    )
+    marg = (
+        fm.join(lm, "p")
+        .agg(
+            F.sum(F.col("fn").cast("decimal(38,0)") * F.col("ln"))
+            .cast("decimal(38,0)")
+            .alias("cross_sum")
+        )
+    )
+    po = F.col("n_agree").cast("double") / F.col("total")
+    pe = (
+        F.col("cross_sum").cast("double") / F.col("total") / F.col("total")
+    )
+    return (
+        n.crossJoin(agree)
+        .crossJoin(marg)
+        .select(
+            F.col("total").alias("n_customers"),
+            "n_agree",
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        )
+    )
+
+
+# --- Goodman-Kruskal gamma ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_qty_price_gk_gamma",
+    oracle="""
+    WITH b AS (
+      SELECT CAST((CAST(l_quantity AS INT) - 1) // 10 AS INT) AS qb,
+             CAST(LEAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 1000000, 4) AS INT) AS pb
+      FROM lineitem
+    ), g AS (
+      SELECT qb, pb, CAST(COUNT(*) AS DECIMAL(38,0)) AS n
+      FROM b GROUP BY qb, pb
+    ), conc AS (
+      SELECT CAST(SUM(a.n * c.n) AS DECIMAL(38,0)) AS cc
+      FROM g a JOIN g c ON c.qb > a.qb AND c.pb > a.pb
+    ), disc AS (
+      SELECT CAST(SUM(a.n * c.n) AS DECIMAL(38,0)) AS dd
+      FROM g a JOIN g c ON c.qb > a.qb AND c.pb < a.pb
+    )
+    SELECT CAST(cc AS DOUBLE) AS concordant,
+           CAST(dd AS DOUBLE) AS discordant,
+           ROUND(CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE), 6)
+             AS gk_gamma
+    FROM conc CROSS JOIN disc
+    """,
+    tags=("stats", "association", "ordinal", "goodman-kruskal"),
+)
+def lineitem_qty_price_gk_gamma(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goodman-Kruskal gamma between ordinal quantity bands (5×10-unit)
+    and price bands ($10k cents buckets, capped) — the ordinal
+    association measure built from concordant/discordant pair counts.
+    The O(n²) pair count collapses onto the bounded 5×5 contingency
+    grid: C and D are grid self-joins over ≤25 rows with DECIMAL(38,0)
+    products (pair counts overflow int64 past ~10⁹ rows), so gamma is
+    exact until one final division."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("div(cast(l_quantity as int) - 1, 10)")
+        .cast("int")
+        .alias("qb"),
+        F.least(
+            F.expr(
+                "div(cast(cast(l_extendedprice as decimal(18,2)) * 100 "
+                "as bigint), 1000000)"
+            ),
+            F.lit(4).cast("bigint"),
+        )
+        .cast("int")
+        .alias("pb"),
+    )
+    g = li.groupBy("qb", "pb").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    a = g.select(
+        F.col("qb").alias("aqb"), F.col("pb").alias("apb"), F.col("n").alias("an")
+    )
+    c = g.select(
+        F.col("qb").alias("cqb"), F.col("pb").alias("cpb"), F.col("n").alias("cn")
+    )
+    conc = (
+        a.join(c, (F.col("cqb") > F.col("aqb")) & (F.col("cpb") > F.col("apb")))
+        .agg(F.sum(F.col("an") * F.col("cn")).cast("decimal(38,0)").alias("cc"))
+    )
+    disc = (
+        a.join(c, (F.col("cqb") > F.col("aqb")) & (F.col("cpb") < F.col("apb")))
+        .agg(F.sum(F.col("an") * F.col("cn")).cast("decimal(38,0)").alias("dd"))
+    )
+    return conc.crossJoin(disc).select(
+        F.col("cc").cast("double").alias("concordant"),
+        F.col("dd").cast("double").alias("discordant"),
+        F.round(
+            (F.col("cc") - F.col("dd")).cast("double")
+            / (F.col("cc") + F.col("dd")).cast("double"),
+            6,
+        ).alias("gk_gamma"),
+    )
+
+
+# --- coefficient of variation by priority -------------------------------------------------------------
+
+
+@query(
+    "orders_price_cv_by_priority",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS pr,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), m AS (
+      SELECT pr, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                  AS DECIMAL(38,0)) AS q
+      FROM c GROUP BY pr
+    )
+    SELECT pr AS priority, n AS n_orders,
+           ROUND(CAST(s AS DOUBLE) / n / 100, 4) AS mean_price,
+           ROUND(SQRT((CAST(q AS DOUBLE) * n
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (CAST(s AS DOUBLE) / n), 6) AS cv,
+           ROUND(SQRT((CAST(q AS DOUBLE) * n
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (CAST(s AS DOUBLE) / n) / SQRT(CAST(n AS DOUBLE)), 6)
+             AS cv_standard_error
+    FROM m ORDER BY priority
+    """,
+    tags=("stats", "dispersion", "cv", "exact-moments"),
+)
+def orders_price_cv_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Coefficient of variation of order value per priority, with its
+    large-sample standard error cv/√n — the relative-dispersion read
+    that makes priorities comparable despite different price levels.
+    Exact integer/decimal moments; fixed double expression at the
+    end."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    m = o.groupBy("pr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast(d38).alias("s"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).cast(d38).alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("q").cast("double") * F.col("n")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return (
+        m.select(
+            F.col("pr").alias("priority"),
+            F.col("n").alias("n_orders"),
+            F.round(mean / 100, 4).alias("mean_price"),
+            F.round(sd / mean, 6).alias("cv"),
+            F.round(sd / mean / F.sqrt(F.col("n").cast("double")), 6).alias(
+                "cv_standard_error"
+            ),
+        )
+        .orderBy("priority")
+    )

@@ -1808,3 +1808,953 @@ def orders_price_cv_by_priority(
         )
         .orderBy("priority")
     )
+
+
+# --- top-1% heavy-user share -------------------------------------------------------------------
+
+
+@query(
+    "events_top1pct_user_share",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk,
+             CAST(SUM(n) OVER (ORDER BY n DESC, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM u
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS total_events
+      FROM u
+    )
+    SELECT t.n_users, CAST(CEIL(t.n_users / 100.0) AS BIGINT) AS k_top,
+           r.cum AS top_events, t.total_events,
+           ROUND(CAST(r.cum AS DOUBLE) / t.total_events, 6)
+             AS top1pct_share
+    FROM r CROSS JOIN t
+    WHERE r.rk = CAST(CEIL(t.n_users / 100.0) AS BIGINT)
+    """,
+    tags=("events", "heavy-users", "pareto", "prefix-rank", "scale-path"),
+)
+def events_top1pct_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of all events generated by the top 1% most active users —
+    the audience-concentration number behind rate-limit and abuse
+    budgets. The global activity rank AND the cumulative event count
+    come from ONE two-pass partitioned prefix-sum over (n DESC,
+    user_id) — user_id is an SF-scaled key, so a single global
+    ROW_NUMBER window would hold the whole user domain in one task; the
+    prefix machinery is integer-exact and bounded per partition."""
+    from distributed_graph_database_system_spark.operators.prefix import (
+        partitioned_prefix_sums,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = partitioned_prefix_sums(
+        u,
+        [F.col("n").desc(), F.col("user_id")],
+        [F.lit(1).cast("bigint"), F.col("n")],
+        ["rk", "cum"],
+    )
+    t = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("total_events"),
+    )
+    k = F.ceil(F.col("n_users") / 100.0).cast("bigint")
+    return (
+        r.crossJoin(F.broadcast(t))
+        .where(F.col("rk") == k)
+        .select(
+            "n_users",
+            k.alias("k_top"),
+            F.col("cum").alias("top_events"),
+            "total_events",
+            F.round(
+                F.col("cum").cast("double") / F.col("total_events"), 6
+            ).alias("top1pct_share"),
+        )
+    )
+
+
+# --- position-based (40/20/40) attribution --------------------------------------------------------
+
+
+@query(
+    "events_attribution_position_based",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS p_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), j AS (
+      SELECT e.user_id, e.event_type,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS idx,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN fp ON e.user_id = fp.user_id
+      WHERE e.ts < fp.p_ts
+    ), credit AS (
+      SELECT event_type,
+             CAST(ROUND(CASE WHEN n = 1 THEN 1.0
+                  WHEN idx = 1 OR idx = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END, 8) AS DECIMAL(20,8)) AS c
+      FROM j
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(CAST(SUM(c) AS DOUBLE), 4) AS attributed_credit
+    FROM credit GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "attribution", "position-based", "marketing"),
+)
+def events_attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (40/20/40) attribution: each converting user's
+    pre-purchase journey credits 40% to the first touch, 40% to the
+    last, and splits 20% across the middle — the U-shaped model between
+    the first-touch and last-touch registrations. Per-touch credits are
+    exact rationals rounded to 8dp and folded as DECIMAL (order-free);
+    journeys ride bounded per-user windows."""
+    e = load_table(spark, sf_dir, "events")
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    j = (
+        e.join(fp, "user_id")
+        .where(F.col("ts") < F.col("p_ts"))
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("idx"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("user_id"))
+            .alias("n"),
+        )
+    )
+    credit = j.select(
+        "event_type",
+        F.round(
+            F.when(F.col("n") == 1, F.lit(1.0))
+            .when(
+                (F.col("idx") == 1) | (F.col("idx") == F.col("n")),
+                F.lit(0.4),
+            )
+            .otherwise(F.lit(0.2) / (F.col("n") - 2)),
+            8,
+        )
+        .cast("decimal(20,8)")
+        .alias("c"),
+    )
+    return (
+        credit.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum("c").cast("double"), 4).alias("attributed_credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- round-number bias ------------------------------------------------------------------------------
+
+
+@query(
+    "events_value_round_number_bias",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS share_whole_dollar,
+           ROUND(CAST(SUM(CASE WHEN cents % 500 = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS share_five_dollar,
+           ROUND(CAST(SUM(CASE WHEN cents % 100 = 99 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS share_psych_99
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "forensic", "round-number", "benford-family"),
+)
+def events_value_round_number_bias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-number bias in event values: shares of whole-dollar,
+    $5-multiple, and .99-psychological amounts per event type — the
+    forensic screen for fabricated or price-list-driven values (organic
+    measurements hit cents%100=0 about 1% of the time). Modular
+    arithmetic on exact integer cents."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (dec("value", 12, 2) * 100).cast("bigint").alias("cents"),
+    )
+    def share(cond):
+        return F.round(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            share(F.col("cents") % 100 == 0).alias("share_whole_dollar"),
+            share(F.col("cents") % 500 == 0).alias("share_five_dollar"),
+            share(F.col("cents") % 100 == 99).alias("share_psych_99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- fiscal-year (April start) revenue ---------------------------------------------------------------
+
+
+@query(
+    "orders_fiscal_apr_year_revenue",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN EXTRACT(MONTH FROM o_orderdate) >= 4
+                  THEN EXTRACT(YEAR FROM o_orderdate) + 1
+                  ELSE EXTRACT(YEAR FROM o_orderdate) END AS fy,
+             EXTRACT(MONTH FROM o_orderdate) AS mo,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT CAST(fy AS INT) AS fiscal_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS revenue,
+           ROUND(CAST(SUM(CASE WHEN mo IN (4, 5, 6) THEN cents ELSE 0 END)
+                      AS DOUBLE) / SUM(cents), 6) AS fq1_share
+    FROM f GROUP BY fy ORDER BY fiscal_year
+    """,
+    tags=("calendar", "fiscal-year", "relational"),
+)
+def orders_fiscal_apr_year_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue by APRIL-START fiscal year (labelled by ending year, the
+    UK/India/Japan convention) with each FY's first-quarter share — the
+    calendar-shift exhibit where a naive YEAR() grouping misstates
+    every fiscal report. Exact cents; one aggregation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(
+            F.month("o_orderdate") >= 4, F.year("o_orderdate") + 1
+        )
+        .otherwise(F.year("o_orderdate"))
+        .alias("fy"),
+        F.month("o_orderdate").alias("mo"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        o.groupBy(F.col("fy").cast("int").alias("fiscal_year"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.sum("cents").cast("double") / 100).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.when(F.col("mo").isin(4, 5, 6), F.col("cents")).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                ).cast("double")
+                / F.sum("cents"),
+                6,
+            ).alias("fq1_share"),
+        )
+        .orderBy("fiscal_year")
+    )
+
+
+# --- tail percentiles by flag ---------------------------------------------------------------------
+
+
+@query(
+    "lineitem_price_tail_p99_by_flag",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    )
+    SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+                AS DOUBLE) / 100 AS p50,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)
+                AS DOUBLE) / 100 AS p99,
+           CAST(percentile_disc(0.999) WITHIN GROUP (ORDER BY cents)
+                AS DOUBLE) / 100 AS p999,
+           ROUND(CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)
+                      AS DOUBLE)
+                 / percentile_disc(0.5) WITHIN GROUP (ORDER BY cents), 6)
+             AS p99_over_p50
+    FROM c GROUP BY flag ORDER BY flag
+    """,
+    tags=("stats", "order-statistics", "tail", "sla"),
+)
+def lineitem_price_tail_p99_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tail order statistics (p50/p99/p999) of line price per return
+    flag, plus the p99/p50 tail-heaviness ratio — the SLA-style
+    percentile report. All three cuts come from ONE
+    group_quantiles_disc pass (partition-bounded two-pass ranks; the
+    builtin percentile would buffer each SF-growing flag group in one
+    task — the OOM class the discipline guard enforces against)."""
+    c = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (dec("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    q = (
+        group_quantiles_disc(c, "cents", [0.5, 0.99, 0.999], ["flag"])
+        .withColumnRenamed(_qcolname(0.5), "c50")
+        .withColumnRenamed(_qcolname(0.99), "c99")
+        .withColumnRenamed(_qcolname(0.999), "c999")
+    )
+    n = c.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return (
+        n.join(q, "flag")
+        .select(
+            "flag",
+            "n_lines",
+            (F.col("c50").cast("double") / 100).alias("p50"),
+            (F.col("c99").cast("double") / 100).alias("p99"),
+            (F.col("c999").cast("double") / 100).alias("p999"),
+            F.round(
+                F.col("c99").cast("double") / F.col("c50"), 6
+            ).alias("p99_over_p50"),
+        )
+        .orderBy("flag")
+    )
+
+
+# --- first-half vs second-half vocabulary drift -----------------------------------------------------
+
+
+@query(
+    "documents_halves_vocab_tvd",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, string_split(text, ' ') AS l,
+             (len(string_split(text, ' ')) + 1) // 2 AS k,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), a AS (
+      SELECT lang, unnest(l[1:k]) AS word FROM toks
+    ), b AS (
+      SELECT lang, unnest(l[k+1:n]) AS word FROM toks
+    ), ca AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS na
+      FROM a GROUP BY lang, word
+    ), cb AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM b GROUP BY lang, word
+    ), j AS (
+      SELECT COALESCE(ca.lang, cb.lang) AS lang,
+             COALESCE(ca.word, cb.word) AS word,
+             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM ca FULL OUTER JOIN cb
+        ON ca.lang = cb.lang AND ca.word = cb.word
+    ), t AS (
+      SELECT lang, CAST(SUM(na) AS BIGINT) AS ta,
+             CAST(SUM(nb) AS BIGINT) AS tb,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM j GROUP BY lang
+    )
+    SELECT j.lang, MAX(t.vocab) AS vocab,
+           ROUND(0.5 * CAST(SUM(CAST(ROUND(ABS(
+               CAST(j.na AS DOUBLE) / t.ta
+               - CAST(j.nb AS DOUBLE) / t.tb), 8) AS DECIMAL(20,8)))
+             AS DOUBLE), 6) AS halves_tvd
+    FROM j JOIN t ON j.lang = t.lang
+    GROUP BY j.lang ORDER BY j.lang
+    """,
+    tags=("llm", "text", "drift", "tvd", "positional"),
+)
+def documents_halves_vocab_tvd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Positional vocabulary drift per language: total-variation distance
+    between the word distribution of every document's FIRST half and its
+    SECOND half — boilerplate-heavy corpora (headers up front, license
+    tails) show high drift; well-mixed prose shows near zero. Token
+    halves come from array slices (no ordinality dependence); each
+    |pA−pB| term rounds to 8dp and folds as DECIMAL (order-free)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.split("text", " ").alias("l")
+    )
+    d = d.select(
+        "lang",
+        "l",
+        F.expr("div(size(l) + 1, 2)").cast("int").alias("k"),
+        F.size("l").alias("n"),
+    )
+    a = d.select(
+        "lang", F.explode(F.slice("l", F.lit(1), F.col("k"))).alias("word")
+    )
+    b = d.select(
+        "lang",
+        F.explode(
+            F.slice("l", F.col("k") + 1, F.col("n") - F.col("k"))
+        ).alias("word"),
+    )
+    ca = a.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("na")
+    )
+    cb = b.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    j = (
+        ca.join(cb, ["lang", "word"], "full_outer")
+        .select(
+            "lang",
+            "word",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    t = j.groupBy("lang").agg(
+        F.sum("na").cast("bigint").alias("ta"),
+        F.sum("nb").cast("bigint").alias("tb"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("na").cast("double") / F.col("ta")
+            - F.col("nb").cast("double") / F.col("tb")
+        ),
+        8,
+    ).cast("decimal(20,8)")
+    return (
+        j.join(F.broadcast(t), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("vocab").alias("vocab"),
+            F.round(0.5 * F.sum(term).cast("double"), 6).alias("halves_tvd"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- bag-of-words vs exact dedup rate ----------------------------------------------------------------
+
+
+@query(
+    "dedup_word_multiset_rate",
+    oracle="""
+    WITH s AS (
+      SELECT md5(text) AS exact_sig,
+             md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+               AS bag_sig
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT exact_sig) AS BIGINT) AS n_distinct_exact,
+           CAST(COUNT(DISTINCT bag_sig) AS BIGINT) AS n_distinct_bag,
+           CAST(COUNT(DISTINCT exact_sig) - COUNT(DISTINCT bag_sig)
+                AS BIGINT) AS n_reorder_only,
+           ROUND(1 - CAST(COUNT(DISTINCT bag_sig) AS DOUBLE) / COUNT(*), 6)
+             AS bag_dup_rate
+    FROM s
+    """,
+    tags=("llm", "dedup", "bag-of-words", "normalization"),
+)
+def dedup_word_multiset_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup rate: documents identical as word MULTISETS
+    (md5 of the sorted token list) vs byte-identical — the
+    normalization-insensitive screen that catches shuffled boilerplate
+    the exact hash misses. ASCII tokens sort identically in both
+    engines; distinct counts are exact."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.md5("text").alias("exact_sig"),
+        F.md5(
+            F.array_join(F.sort_array(F.split("text", " ")), " ")
+        ).alias("bag_sig"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("exact_sig").cast("bigint").alias("n_distinct_exact"),
+        F.countDistinct("bag_sig").cast("bigint").alias("n_distinct_bag"),
+        (F.countDistinct("exact_sig") - F.countDistinct("bag_sig"))
+        .cast("bigint")
+        .alias("n_reorder_only"),
+        F.round(
+            1 - F.countDistinct("bag_sig").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("bag_dup_rate"),
+    )
+
+
+# --- closing-word census -----------------------------------------------------------------------------
+
+
+@query(
+    "documents_last_word_census",
+    oracle="""
+    WITH lw AS (
+      SELECT string_split(text, ' ')[-1] AS last_word FROM documents
+    ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lw)
+    SELECT last_word, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.total), 6) AS share
+    FROM lw CROSS JOIN t
+    GROUP BY last_word
+    HAVING COUNT(*) * 100 >= MAX(t.total)
+    ORDER BY n_docs DESC, last_word
+    """,
+    tags=("llm", "text", "boilerplate", "census"),
+)
+def documents_last_word_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closing-word census (share ≥ 1%): the suffix-boilerplate screen
+    mirroring the opening-word registration — corpora whose documents
+    end in the same token are template-tailed (signatures, footers).
+    The ≥1% cut is the integer compare n·100 ≥ total, so no float edge
+    decides membership."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.element_at(F.split("text", " "), -1).alias("last_word")
+    )
+    t = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .groupBy("last_word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("total"), 6
+            ).alias("share"),
+            F.max("total").alias("_t"),
+        )
+        .where(F.col("n_docs") * 100 >= F.col("_t"))
+        .drop("_t")
+        .orderBy(F.desc("n_docs"), "last_word")
+    )
+
+
+# --- Spearman rank correlation: length vs vocabulary ----------------------------------------------
+
+
+@query(
+    "documents_length_vocab_spearman",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, MAX(n_chars) AS x,
+             CAST(COUNT(DISTINCT word) AS BIGINT) AS y
+      FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY doc_id
+    ), r AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY x, doc_id) AS rx,
+             ROW_NUMBER() OVER (ORDER BY y, doc_id) AS ry
+      FROM v
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST((rx - ry) AS DECIMAL(38,0)) * (rx - ry))
+                  AS DECIMAL(38,0)) AS d2
+      FROM r
+    )
+    SELECT n AS n_docs, CAST(d2 AS DOUBLE) AS sum_d2,
+           ROUND(1 - 6 * CAST(d2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1)), 6)
+             AS spearman_rho
+    FROM s
+    """,
+    tags=("stats", "spearman", "rank-correlation", "prefix-rank", "llm"),
+)
+def documents_length_vocab_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between document length (chars) and
+    vocabulary size (distinct words) — the monotone-association read
+    robust to the heavy length tail. BOTH rank vectors are two-pass
+    partitioned prefix counts over SF-growing doc orders (tie-break
+    doc_id, so ranks are permutation-exact integers); Σd² folds as
+    DECIMAL(38,0) and ρ = 1 − 6Σd²/(n(n²−1)) is one final double
+    expression."""
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chars").alias("x"),
+            F.countDistinct("word").cast("bigint").alias("y"),
+        )
+    )
+    rx = partitioned_prefix_sum(
+        v,
+        [F.col("x"), F.col("doc_id")],
+        F.lit(1).cast("bigint"),
+        out_col="rx",
+    ).select("doc_id", "rx")
+    ry = partitioned_prefix_sum(
+        v,
+        [F.col("y"), F.col("doc_id")],
+        F.lit(1).cast("bigint"),
+        out_col="ry",
+    ).select("doc_id", "ry")
+    r = rx.join(ry, "doc_id")
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("rx") - F.col("ry")).cast("decimal(38,0)")
+            * (F.col("rx") - F.col("ry"))
+        )
+        .cast("decimal(38,0)")
+        .alias("d2"),
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("d2").cast("double").alias("sum_d2"),
+        F.round(
+            1
+            - 6
+            * F.col("d2").cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n").cast("double") * F.col("n") - 1)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# --- L1/L2 norm-ratio census ------------------------------------------------------------------------
+
+
+@query(
+    "embed_norm_ratio_census",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id,
+             CAST(SUM(ABS(qv)) AS BIGINT) AS l1,
+             CAST(SUM(CAST(qv AS DECIMAL(38,0)) * qv) AS DECIMAL(38,0))
+               AS l2sq
+      FROM q GROUP BY vec_id
+    )
+    SELECT CAST(FLOOR(2.0 * l1 / SQRT(CAST(l2sq AS DOUBLE))) AS INT)
+             AS ratio_band,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM n GROUP BY ratio_band ORDER BY ratio_band
+    """,
+    tags=("llm", "embeddings", "norm-ratio", "sparsity", "census"),
+)
+def embed_norm_ratio_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L2 norm-ratio census over embeddings — the ratio runs from 1
+    (one-hot, maximally sparse energy) to √64 (perfectly spread), so its
+    banding profiles how concentrated each vector's mass is (the
+    diagnostic behind sparsification/quantization decisions).
+    Components quantize to integer micro-units; L1 and L2² fold exactly,
+    and the band is one identical double expression per vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", F.explode("embedding").alias("val")).select(
+        "vec_id",
+        F.floor(F.col("val").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    n = q.groupBy("vec_id").agg(
+        F.sum(F.abs("qv")).cast("bigint").alias("l1"),
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv"))
+        .cast("decimal(38,0)")
+        .alias("l2sq"),
+    )
+    return (
+        n.select(
+            F.floor(
+                2.0 * F.col("l1") / F.sqrt(F.col("l2sq").cast("double"))
+            )
+            .cast("int")
+            .alias("ratio_band")
+        )
+        .groupBy("ratio_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("ratio_band")
+    )
+
+
+# --- per-dimension sign balance ----------------------------------------------------------------------
+
+
+@query(
+    "embed_dim_sign_balance_topk",
+    oracle="""
+    WITH q AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ), s AS (
+      SELECT dim,
+             CAST(SUM(CASE WHEN qv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(SUM(CASE WHEN qv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg
+      FROM q GROUP BY dim
+    ), r AS (
+      SELECT dim, n_pos, n_neg, n_pos - n_neg AS balance,
+             ROW_NUMBER() OVER (ORDER BY ABS(n_pos - n_neg) DESC, dim)
+               AS rk
+      FROM s
+    )
+    SELECT CAST(dim AS INT) AS dim, CAST(rk AS INT) AS rk,
+           n_pos, n_neg, CAST(balance AS BIGINT) AS balance
+    FROM r WHERE rk <= 10 ORDER BY rk
+    """,
+    tags=("llm", "embeddings", "sign-balance", "feature-screen"),
+)
+def embed_dim_sign_balance_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 most sign-imbalanced embedding dimensions — a dimension
+    that's (almost) always positive carries a bias/offset component
+    rather than signal, the screen run before mean-centering. Counts
+    are exact integers end to end; the rank window holds 64 rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(F.posexplode("embedding").alias("pos", "val")).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    s = q.groupBy("dim").agg(
+        F.sum(F.when(F.col("qv") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("qv") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    r = s.select(
+        "dim",
+        "n_pos",
+        "n_neg",
+        (F.col("n_pos") - F.col("n_neg")).alias("balance"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.abs(F.col("n_pos") - F.col("n_neg")).desc(), "dim")
+        ),
+    )
+    return (
+        r.where(F.col("rk") <= 10)
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("rk").cast("int").alias("rk"),
+            "n_pos",
+            "n_neg",
+            F.col("balance").cast("bigint").alias("balance"),
+        )
+        .orderBy("rk")
+    )
+
+
+# --- between-class separation per dimension ------------------------------------------------------------
+
+
+@query(
+    "embed_dim_class_separation_topk",
+    oracle="""
+    WITH q AS (
+      SELECT CASE WHEN label < 5 THEN 0 ELSE 1 END AS cls,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ), m AS (
+      SELECT dim,
+             CAST(SUM(CASE WHEN cls = 0 THEN qv ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sa,
+             CAST(SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN cls = 1 THEN qv ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sb,
+             CAST(SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM q GROUP BY dim
+    ), r AS (
+      SELECT dim, sa, na, sb, nb,
+             ROW_NUMBER() OVER (
+               ORDER BY ABS(CAST(sa * nb - sb * na AS DECIMAL(38,0))) DESC,
+                        dim) AS rk
+      FROM m
+    )
+    SELECT CAST(dim AS INT) AS dim, CAST(rk AS INT) AS rk,
+           ROUND(ABS(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                 / 1000000, 6) AS mean_gap
+    FROM r WHERE rk <= 5 ORDER BY rk
+    """,
+    tags=("llm", "embeddings", "class-separation", "feature-selection"),
+)
+def embed_dim_class_separation_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 embedding dimensions by between-class mean gap (labels
+    split 0-4 vs 5-9) — the one-feature discriminability screen before
+    training a probe. The RANKING key is the cross-multiplied integer
+    |sa·nb − sb·na| (equal denominators na·nb cancel across dims), so
+    ordering never touches a float; only the reported gap divides."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.when(F.col("label") < 5, 0).otherwise(1).alias("cls"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "cls",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    d38 = "decimal(38,0)"
+    m = q.groupBy("dim").agg(
+        F.sum(F.when(F.col("cls") == 0, F.col("qv")).otherwise(0))
+        .cast(d38)
+        .alias("sa"),
+        F.sum(F.when(F.col("cls") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("cls") == 1, F.col("qv")).otherwise(0))
+        .cast(d38)
+        .alias("sb"),
+        F.sum(F.when(F.col("cls") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    key = F.abs(
+        (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast(d38)
+    )
+    r = m.withColumn("rk", F.row_number().over(W.orderBy(key.desc(), "dim")))
+    return (
+        r.where(F.col("rk") <= 5)
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("rk").cast("int").alias("rk"),
+            F.round(
+                F.abs(
+                    F.col("sa").cast("double") / F.col("na")
+                    - F.col("sb").cast("double") / F.col("nb")
+                )
+                / 1_000_000,
+                6,
+            ).alias("mean_gap"),
+        )
+        .orderBy("rk")
+    )
+
+
+# --- cosine-to-centroid bands ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_centroid_cosine_bands",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ), c AS (
+      SELECT dim,
+             CAST(ROUND(CAST(SUM(qv) AS DOUBLE) / COUNT(*), 6)
+                  AS DECIMAL(24,6)) AS cd
+      FROM q GROUP BY dim
+    ), parts AS (
+      SELECT q.vec_id,
+             CAST(SUM(CAST(q.qv AS DECIMAL(38,6)) * c.cd)
+                  AS DECIMAL(38,6)) AS dot,
+             CAST(SUM(CAST(q.qv AS DECIMAL(38,0)) * q.qv)
+                  AS DECIMAL(38,0)) AS nv
+      FROM q JOIN c ON q.dim = c.dim
+      GROUP BY q.vec_id
+    ), cn AS (
+      SELECT CAST(SUM(cd * cd) AS DECIMAL(38,12)) AS nc FROM c
+    )
+    SELECT CAST(FLOOR((CAST(dot AS DOUBLE)
+               / SQRT(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE)) + 1.0)
+               * 10) AS INT) AS cos_band,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM parts CROSS JOIN cn
+    GROUP BY cos_band ORDER BY cos_band
+    """,
+    tags=("llm", "embeddings", "centroid", "cosine", "census"),
+)
+def embed_centroid_cosine_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cosine-to-global-centroid census — how tightly the corpus's
+    vectors cluster around their mean direction (an isotropy read; a
+    single dominant band means the space has collapsed). The centroid
+    coordinate per dimension rounds to a 6dp DECIMAL, so every
+    per-vector dot product folds as EXACT decimal products of integer
+    micro-units × decimal centroid; norms are exact; only the final
+    cosine divides, identically in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    c = q.groupBy("dim").agg(
+        F.round(F.sum("qv").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(24,6)")
+        .alias("cd")
+    )
+    parts = (
+        q.join(F.broadcast(c), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qv").cast("decimal(38,6)") * F.col("cd"))
+            .cast("decimal(38,6)")
+            .alias("dot"),
+            F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv"))
+            .cast("decimal(38,0)")
+            .alias("nv"),
+        )
+    )
+    cn = c.agg(
+        F.sum(F.col("cd") * F.col("cd")).cast("decimal(38,12)").alias("nc")
+    )
+    return (
+        parts.crossJoin(F.broadcast(cn))
+        .select(
+            F.floor(
+                (
+                    F.col("dot").cast("double")
+                    / F.sqrt(
+                        F.col("nv").cast("double") * F.col("nc").cast("double")
+                    )
+                    + 1.0
+                )
+                * 10
+            )
+            .cast("int")
+            .alias("cos_band")
+        )
+        .groupBy("cos_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("cos_band")
+    )

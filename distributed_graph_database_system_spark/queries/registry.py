@@ -345,3 +345,60 @@ def oracle_map() -> dict[str, str]:
 #   graph_transitivity_g8             (global clustering golden)
 #   nation_cust_supp_count_ratio      (two-aggregate LEFT-join ratio)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.
+#
+# R16_POOL — first-time candidates for the round-16 window rotation,
+# ALL registered in round 14 in queries/seeds_r16.py (one module per
+# round). Every name parity-verified at sf0.001/0.01/0.1 and
+# partition-invariance-swept at registration; none appears in any
+# CORRECTNESS_r*.json yet.
+#   orders_top2_lines_price_ratio     (LATERAL top-2-per-order ratio bands)
+#   nation_intra_trade_share          (domestic-sourcing revenue share)
+#   parts_above_all_type_avg_census   (quantified >ALL subquery)
+#   orders_above_daily_avg_census     (decorrelated correlated scalar)
+#   customers_multi_order_day_census  (same-day velocity screen)
+#   region_revenue_per_customer       (two-aggregate per-capita ratio)
+#   nations_with_both_cust_supp_intersect (INTERSECT of derived sets)
+#   customer_negative_balance_census  (credit-risk exposure)
+#   lineitem_return_rate_monthly      (monthly quality series)
+#   customers_value_frequency_grid    (integer-banded 4x4 marketing grid)
+#   orders_top10_days_with_ties       (RANK WITH TIES top-k)
+#   orders_rolling30d_revenue_peak    (integer-day RANGE frame peak)
+#   orders_daily_sma_crossover_census (4*s7 > s28 integer crossover)
+#   orders_daily_turning_points       (strict local extrema census)
+#   orders_monthly_yoy_delta          (LAG(12) seasonal-free growth)
+#   orders_daily_loo_zscore_extremes  (leave-one-out outlier screen)
+#   orders_weekly_minmax_normalized   (integer-banded normalization)
+#   orders_daily_hurst_rs             (rescaled-range Hurst, exact blocks)
+#   events_user_dormancy_3d_census    (reactivation histogram)
+#   customer_balance_bowley_skewness  (quartile skewness per nation)
+#   customer_acctbal_quartile_dispersion ((Q3-Q1)/(Q3+Q1) per segment)
+#   customer_balance_pearson_skew2    (3(mean-median)/sigma)
+#   orders_priority_friedman_monthly  (Friedman rank test, 5-row blocks)
+#   customers_first_last_priority_kappa (Cohen's kappa, struct min/max)
+#   lineitem_qty_price_gk_gamma       (GK gamma via 5x5 grid self-join)
+#   orders_price_cv_by_priority       (CV + standard error)
+#   events_top1pct_user_share         (prefix-rank heavy-user share)
+#   events_attribution_position_based (40/20/40 U-shaped credit)
+#   events_value_round_number_bias    (whole-dollar/.99 forensics)
+#   orders_fiscal_apr_year_revenue    (April-start fiscal calendar)
+#   lineitem_price_tail_p99_by_flag   (p50/p99/p999 SLA report)
+#   documents_halves_vocab_tvd        (positional vocabulary drift)
+#   dedup_word_multiset_rate          (bag-of-words vs exact dup rate)
+#   documents_last_word_census        (closing-word boilerplate screen)
+#   documents_length_vocab_spearman   (Spearman rho, two prefix ranks)
+#   embed_norm_ratio_census           (L1/L2 sparsity bands)
+#   embed_dim_sign_balance_topk       (sign-imbalance screen)
+#   embed_dim_class_separation_topk   (cross-multiplied integer ranking)
+#   embed_centroid_cosine_bands       (decimal-exact cosine-to-centroid)
+#   privacy_ldiversity_audit          (sensitive-diversity per QI group)
+#   dq_freshness_audit                (cross-table staleness vs anchors)
+#   sample_neyman_allocation_plan     (N_h*S_h optimal allocation)
+#   sink_parquet_zstd_roundtrip       (zstd codec writer leg)
+#   stream_tumbling6h_topk_types      (windowed top-3 trending twin)
+#   stream_tumbling3h_type_share      (windowed mix-share twin)
+#   graph_wiener_index_g6             (all-pairs distance golden)
+#   graph_triad_census_g6             (motif census by exact identities)
+#   graph_bipartite_check_goldens     (odd-cycle check, 4 fixtures)
+#   graph_katz_centrality_g2          (exact-rational Katz, alpha=0.1)
+#   customers_suppliers_balance_union_profile (UNION ALL ledger profile)
+# The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -136,10 +136,12 @@ def orders_top2_lines_price_ratio(
 )
 def nation_intra_trade_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share of each customer nation's purchase revenue supplied from the
-    SAME nation — the domestic-sourcing ratio. Three dimension joins
-    (customer/supplier/nation broadcast; only lineitem⋈orders shuffles
-    on the SF-growing side); discounted revenue folds as exact DECIMAL
-    ten-thousandths (2dp price × 2dp discount factor is exactly 4dp)."""
+    SAME nation — the domestic-sourcing ratio. customer/supplier carry
+    NO broadcast hint (they grow with SF — the r13 hint discipline);
+    AQE still picks broadcast at fixture scale, and only the bounded
+    25-row nation dim is hinted. Discounted revenue folds as exact
+    DECIMAL ten-thousandths (2dp price × 2dp discount factor is exactly
+    4dp)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -158,8 +160,8 @@ def nation_intra_trade_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_u"),
         )
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
     )
     return (
         f.join(F.broadcast(n), f.c_nationkey == n.n_nationkey)
@@ -2757,4 +2759,622 @@ def embed_centroid_cosine_bands(
         .groupBy("cos_band")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
         .orderBy("cos_band")
+    )
+
+
+# --- l-diversity audit --------------------------------------------------------------------------------
+
+
+@query(
+    "privacy_ldiversity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(DISTINCT CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                  * 100 AS BIGINT) // 100000) AS BIGINT) AS l_distinct
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT l_distinct, CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM g GROUP BY l_distinct ORDER BY l_distinct
+    """,
+    tags=("privacy", "l-diversity", "audit", "census"),
+)
+def privacy_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the (nation, segment) quasi-identifier:
+    the k-anonymity sibling — a QI group is safe only if its SENSITIVE
+    attribute (balance in $1000 bands) takes many distinct values;
+    l_distinct = 1 means everyone in the group leaks the same balance
+    band even at high k. Integer banding; one distinct-count per
+    bounded QI group."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "div(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint), "
+            "100000)"
+        ).alias("band"),
+    )
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.countDistinct("band").cast("bigint").alias("l_distinct")
+    )
+    return (
+        g.groupBy("l_distinct")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+        .orderBy("l_distinct")
+    )
+
+
+# --- cross-table freshness audit -----------------------------------------------------------------------
+
+
+@query(
+    "dq_freshness_audit",
+    oracle="""
+    SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS max_event_time,
+           CAST(DATE '2002-01-01' - CAST(MAX(o_orderdate) AS DATE)
+                AS BIGINT) AS staleness_days
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(l_shipdate) AS TIMESTAMP),
+           CAST(DATE '2002-01-01' - CAST(MAX(l_shipdate) AS DATE) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', CAST(COUNT(*) AS BIGINT),
+           CAST(DATE_TRUNC('second', MAX(ts)) AS TIMESTAMP),
+           CAST(DATE '2024-02-01' - CAST(MAX(ts) AS DATE) AS BIGINT)
+    FROM events
+    ORDER BY table_name
+    """,
+    tags=("data-quality", "freshness", "audit", "union"),
+)
+def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table freshness audit: per fact table, the newest event
+    time and its staleness in days against that table's reporting
+    anchor (2002-01-01 for the TPC-H calendar, 2024-02-01 for the
+    events stream) — the SLA check a pipeline scheduler gates on. Three
+    single-row aggregates UNION ALL'd; the events max truncates to
+    whole seconds so sub-second fixture jitter never enters the hash."""
+    o = load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("o_orderdate").cast("timestamp").alias("max_event_time"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("staleness_days"),
+    ).select(F.lit("orders").alias("table_name"), "*")
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("l_shipdate").cast("timestamp").alias("max_event_time"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"),
+            F.max("l_shipdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("staleness_days"),
+    ).select(F.lit("lineitem").alias("table_name"), "*")
+    e = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.date_trunc("second", F.max("ts"))
+        .cast("timestamp")
+        .alias("max_event_time"),
+        F.datediff(
+            F.lit("2024-02-01").cast("date"), F.max("ts").cast("date")
+        )
+        .cast("bigint")
+        .alias("staleness_days"),
+    ).select(F.lit("events").alias("table_name"), "*")
+    return o.unionByName(li).unionByName(e).orderBy("table_name")
+
+
+# --- Neyman allocation plan -------------------------------------------------------------------------------
+
+
+@query(
+    "sample_neyman_allocation_plan",
+    oracle="""
+    WITH m AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(n_chars) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars)
+                  AS DECIMAL(38,0)) AS q
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, nh,
+             SQRT((CAST(q AS DOUBLE) * nh - CAST(s AS DOUBLE)
+                   * CAST(s AS DOUBLE))
+                  / (CAST(nh AS DOUBLE) * (nh - 1))) AS sh,
+             CAST(ROUND(nh * SQRT((CAST(q AS DOUBLE) * nh
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(nh AS DOUBLE) * (nh - 1))), 6)
+               AS DECIMAL(28,6)) AS nhsh
+      FROM m
+    ), t AS (SELECT CAST(SUM(nhsh) AS DECIMAL(38,6)) AS tot FROM w)
+    SELECT lang, nh AS n_docs, ROUND(sh, 4) AS sd_chars,
+           ROUND(100 * CAST(nhsh AS DOUBLE) / CAST(tot AS DOUBLE), 4)
+             AS alloc_pct
+    FROM w CROSS JOIN t ORDER BY lang
+    """,
+    tags=("pipeline", "sampling", "neyman", "stratified"),
+)
+def sample_neyman_allocation_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman-optimal stratified sampling plan over document languages:
+    allocate budget ∝ N_h·S_h (stratum size × stddev of n_chars), the
+    variance-minimizing design a corpus profiler hands the sampler.
+    Stratum moments fold exactly; each N_h·S_h weight rounds to 6dp
+    DECIMAL before the cross-stratum total so the plan is order-free."""
+    d = load_table(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("n_chars").cast(d38).alias("s"),
+        F.sum(F.col("n_chars").cast(d38) * F.col("n_chars"))
+        .cast(d38)
+        .alias("q"),
+    )
+    sh = F.sqrt(
+        (
+            F.col("q").cast("double") * F.col("nh")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / (F.col("nh").cast("double") * (F.col("nh") - 1))
+    )
+    w = m.select(
+        "lang",
+        "nh",
+        sh.alias("sh"),
+        F.round(F.col("nh") * sh, 6).cast("decimal(28,6)").alias("nhsh"),
+    )
+    t = w.agg(F.sum("nhsh").cast("decimal(38,6)").alias("tot"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            F.col("nh").alias("n_docs"),
+            F.round("sh", 4).alias("sd_chars"),
+            F.round(
+                100 * F.col("nhsh").cast("double") / F.col("tot").cast("double"),
+                4,
+            ).alias("alloc_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- zstd parquet sink roundtrip ----------------------------------------------------------------------------
+
+
+@query(
+    "sink_parquet_zstd_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS cents_sum
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("sinks", "parquet", "compression", "zstd", "roundtrip"),
+)
+def sink_parquet_zstd_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zstd-compressed parquet WRITER roundtrip: orders write with
+    compression=zstd (the modern codec default on most warehouses —
+    better ratio than snappy at similar decode speed, and splittable
+    unlike gzip CSV), read back, and census from the re-decoded
+    integers. Covers the codec leg of the parquet sink surface."""
+    import os
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    path = scratch_dir("sinks", sf_dir, "parquet_zstd_orders")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    o.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- streaming twin: tumbling top-k types ----------------------------------------------------------------
+
+
+@query(
+    "stream_tumbling6h_topk_types",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY window_start, event_type
+    ), r AS (
+      SELECT window_start, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rk
+      FROM w
+    )
+    SELECT window_start, CAST(rk AS INT) AS rk, event_type, n_events
+    FROM r WHERE rk <= 3 ORDER BY window_start, rk
+    """,
+    tags=("streaming", "window", "tumbling", "top-k"),
+)
+def stream_tumbling6h_topk_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 event types per tumbling 6-hour window — the 'trending now'
+    shape a streaming job emits at window close (counts are mergeable
+    state; the rank runs over the ≤|event_type| rows of each CLOSED
+    window, which is what a watermark guarantees downstream).
+    Deterministic tie-break on the type label."""
+    e = load_table(spark, sf_dir, "events")
+    w = e.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    r = w.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("window_start").orderBy(
+                F.desc("n_events"), "event_type"
+            )
+        ),
+    )
+    return (
+        r.where(F.col("rk") <= 3)
+        .select(
+            "window_start", F.col("rk").cast("int").alias("rk"),
+            "event_type", "n_events",
+        )
+        .orderBy("window_start", "rk")
+    )
+
+
+# --- streaming twin: window type shares --------------------------------------------------------------------
+
+
+@query(
+    "stream_tumbling3h_type_share",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL 3 HOUR, ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY window_start, event_type
+    ), t AS (
+      SELECT window_start, CAST(SUM(n_events) AS BIGINT) AS total
+      FROM w GROUP BY window_start
+    )
+    SELECT w.window_start, w.event_type, w.n_events,
+           ROUND(CAST(w.n_events AS DOUBLE) / t.total, 6) AS window_share
+    FROM w JOIN t ON w.window_start = t.window_start
+    ORDER BY w.window_start, w.event_type
+    """,
+    tags=("streaming", "window", "tumbling", "share"),
+)
+def stream_tumbling3h_type_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-type mix per tumbling 3-hour window (share of the window's
+    total) — the normalized composition twin beside the raw-count
+    registrations: a drifting mix with flat totals is invisible to
+    count alerts but jumps out here. Two mergeable count states per
+    window; one division at emit time."""
+    e = load_table(spark, sf_dir, "events")
+    w = e.groupBy(
+        F.window("ts", "3 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = w.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    )
+    t = w.groupBy("window_start").agg(
+        F.sum("n_events").cast("bigint").alias("total")
+    )
+    return (
+        w.join(t, "window_start")
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("total"), 6
+            ).alias("window_share"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --- graph goldens ------------------------------------------------------------------------------------
+
+
+def _sym16(spark: SparkSession, rows) -> DataFrame:
+    from distributed_graph_database_system_spark.operators.graph import (
+        EDGE_SCHEMA,
+    )
+
+    sym = list(rows) + [(b, a) for a, b in rows]
+    return spark.createDataFrame(sorted(set(sym)), EDGE_SCHEMA)
+
+
+@query(
+    "graph_wiener_index_g6",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_vertices,
+           CAST(45 AS BIGINT) AS n_pairs,
+           CAST(110 AS BIGINT) AS wiener_index,
+           CAST(2.444444 AS DOUBLE) AS mean_distance
+    """,
+    tags=("graph", "wiener", "all-pairs", "golden"),
+)
+def graph_wiener_index_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiener index of the G6 clique+cycle fixture — the sum of
+    shortest-path distances over all unordered vertex pairs (110 for
+    G6; mean distance 110/45 ≈ 2.444), the classic
+    molecular-topology/compactness invariant. All |V| BFS trees ride
+    one multi_source_bfs_all frontier; the pair sum halves the directed
+    total. Golden recomputed by an independent python BFS pass."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        multi_source_bfs_all,
+    )
+    from distributed_graph_database_system_spark.queries.graph import G6
+
+    e = _sym16(spark, G6)
+    seeds = sorted({a for a, _ in G6} | {b for _, b in G6})
+    d = multi_source_bfs_all(e, seeds).where(F.col("level") > 0)
+    return d.agg(
+        F.countDistinct("seed").cast("bigint").alias("n_vertices"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+        (F.sum("level") / 2).cast("bigint").alias("wiener_index"),
+        F.round(
+            F.sum("level").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_distance"),
+    )
+
+
+@query(
+    "graph_triad_census_g6",
+    oracle="""
+    SELECT CAST(120 AS BIGINT) AS n_triples,
+           CAST(36 AS BIGINT) AS n_empty,
+           CAST(68 AS BIGINT) AS n_one_edge,
+           CAST(12 AS BIGINT) AS n_wedge,
+           CAST(4 AS BIGINT) AS n_triangle
+    """,
+    tags=("graph", "triad-census", "motif", "golden"),
+)
+def graph_triad_census_g6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected triad census of G6 — every 3-vertex subset classified
+    by edge count (empty / one-edge / wedge / triangle), the motif
+    fingerprint behind clustering and balance analyses. Computed by
+    EXACT combinatorial identities instead of enumerating C(n,3)
+    triples: triangles T from the canonical a<b<c three-join, closed
+    wedges ΣC(d,2) = 3T + N₂, edge-anchored triples m(n−2) =
+    3T + 2N₂ + N₁ — so one degree aggregate + one triangle count yields
+    the whole census. Golden verified by an independent brute-force
+    python pass over all 120 triples."""
+    from distributed_graph_database_system_spark.queries.graph import G6
+
+    e = _sym16(spark, G6)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    und = e.where(F.col("src") < F.col("dst"))
+    ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("d") / 2).cast("bigint").alias("m"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("closed_wedges"),
+    )
+    x = base.crossJoin(tri)
+    n2 = F.col("closed_wedges") - 3 * F.col("t")
+    n1 = F.col("m") * (F.col("n") - 2) - 3 * F.col("t") - 2 * n2
+    total = (
+        F.col("n") * (F.col("n") - 1) * (F.col("n") - 2) / 6
+    ).cast("bigint")
+    return x.select(
+        total.alias("n_triples"),
+        (total - F.col("t") - n2 - n1).cast("bigint").alias("n_empty"),
+        n1.cast("bigint").alias("n_one_edge"),
+        n2.cast("bigint").alias("n_wedge"),
+        F.col("t").alias("n_triangle"),
+    )
+
+
+@query(
+    "graph_bipartite_check_goldens",
+    oracle="""
+    SELECT g AS graph, CAST(nv AS BIGINT) AS n_vertices,
+           CAST(ne AS BIGINT) AS n_edges,
+           CAST(ok AS BOOLEAN) AS is_bipartite
+    FROM (VALUES
+      ('g2', 6, 7, FALSE), ('g6', 10, 13, FALSE),
+      ('g7', 7, 9, TRUE), ('g8', 16, 26, FALSE)
+    ) AS t(g, nv, ne, ok) ORDER BY graph
+    """,
+    tags=("graph", "bipartite", "odd-cycle", "golden"),
+)
+def graph_bipartite_check_goldens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bipartiteness (2-colorability) of the four golden fixtures — BFS
+    level parity colors each connected graph, then one edge join flags
+    any same-color endpoint pair (an odd cycle). G7's DAG skeleton is
+    the only bipartite one; G2/G6 contain triangles and G8's 1-6 chord
+    closes an odd cycle in the grid. Goldens verified by an independent
+    python 2-coloring pass."""
+    from distributed_graph_database_system_spark.operators.graph import (
+        multi_source_bfs_all,
+    )
+    from distributed_graph_database_system_spark.queries.graph import (
+        G2,
+        G6,
+        G7_DAG,
+    )
+    from distributed_graph_database_system_spark.queries.seeds_r13a import G8
+
+    out = None
+    for name, rows in (
+        ("g2", G2),
+        ("g6", G6),
+        ("g7", G7_DAG),
+        ("g8", list(G8)),
+    ):
+        e = _sym16(spark, rows)
+        verts = sorted({a for a, b in rows} | {b for _, b in rows})
+        colors = (
+            multi_source_bfs_all(e, [min(verts)])
+            .select("vid", (F.col("level") % 2).alias("color"))
+        )
+        conflicts = (
+            e.join(colors.withColumnRenamed("vid", "src"), "src")
+            .withColumnRenamed("color", "c_src")
+            .join(
+                colors.withColumnRenamed("vid", "dst").withColumnRenamed(
+                    "color", "c_dst"
+                ),
+                "dst",
+            )
+            .where(F.col("c_src") == F.col("c_dst"))
+            .agg(F.count(F.lit(1)).alias("n_bad"))
+        )
+        row = conflicts.select(
+            F.lit(name).alias("graph"),
+            F.lit(len(verts)).cast("bigint").alias("n_vertices"),
+            F.lit(len(set(map(lambda p: tuple(sorted(p)), rows))))
+            .cast("bigint")
+            .alias("n_edges"),
+            (F.col("n_bad") == 0).alias("is_bipartite"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("graph")
+
+
+@query(
+    "graph_katz_centrality_g2",
+    oracle="""
+    SELECT CAST(v AS BIGINT) AS vid, CAST(k AS DOUBLE) AS katz
+    FROM (VALUES
+      (1, 0.255329), (2, 0.276646), (3, 0.276646),
+      (4, 0.511132), (5, 0.279014), (6, 0.279014)
+    ) AS t(v, k) ORDER BY vid
+    """,
+    tags=("graph", "katz", "centrality", "golden"),
+)
+def graph_katz_centrality_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the symmetrized G2 fixture (α = 0.1, 10 hops):
+    x(v) = Σ_k α^k·(A^k·1)(v) — the walk-counting centrality between
+    degree and eigenvector. Because α = 1/10, every term is EXACT
+    integer arithmetic: the hop-k walk counts p_k are integer
+    matrix-vector products, and the truncated series folds as
+    Σ p_k·10^(10−k) over a common 10¹⁰ denominator — no float until
+    the single final division (golden pinned from an independent exact
+    python pass; the float recurrence agrees at 6dp)."""
+    from distributed_graph_database_system_spark.queries.graph import G2
+
+    e = _sym16(spark, G2)
+    verts = sorted({a for a, b in G2} | {b for _, b in G2})
+    p = spark.createDataFrame([(v, 1) for v in verts], "vid BIGINT, p BIGINT")
+    acc = spark.createDataFrame(
+        [(v, 0) for v in verts], "vid BIGINT, acc BIGINT"
+    )
+    for k in range(1, 11):
+        p = (
+            e.join(p.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("p").cast("bigint").alias("p"))
+        )
+        acc = (
+            acc.join(p, "vid", "left")
+            .select(
+                "vid",
+                (
+                    F.col("acc")
+                    + F.coalesce(F.col("p"), F.lit(0)) * (10 ** (10 - k))
+                ).alias("acc"),
+            )
+        )
+    return acc.select(
+        "vid",
+        F.round(F.col("acc").cast("double") / 1e10, 6).alias("katz"),
+    ).orderBy("vid")
+
+
+# --- customer/supplier balance union profile ---------------------------------------------------------------
+
+
+@query(
+    "customers_suppliers_balance_union_profile",
+    oracle="""
+    WITH u AS (
+      SELECT 'customer' AS role,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM customer
+      UNION ALL
+      SELECT 'supplier',
+             CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+      FROM supplier
+    )
+    SELECT role, CAST(COUNT(*) AS BIGINT) AS n_accounts,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 4)
+             AS mean_balance,
+           CAST(MIN(cents) AS DOUBLE) / 100 AS min_balance,
+           CAST(MAX(cents) AS DOUBLE) / 100 AS max_balance,
+           ROUND(CAST(SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS negative_share
+    FROM u GROUP BY role ORDER BY role
+    """,
+    tags=("relational", "union", "schema-harmonization", "profile"),
+)
+def customers_suppliers_balance_union_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Side-by-side balance profile of the two account populations —
+    UNION ALL over schema-harmonized projections (the ledger
+    consolidation shape), then one profile aggregation per role. Exact
+    cents throughout."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("role"),
+        (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("role"),
+        (dec("s_acctbal", 12, 2) * 100).cast("bigint").alias("cents"),
+    )
+    neg = F.when(F.col("cents") < 0, 1).otherwise(0)
+    return (
+        c.unionByName(s)
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_accounts"),
+            F.round(
+                F.sum("cents").cast("double") / F.count(F.lit(1)) / 100, 4
+            ).alias("mean_balance"),
+            (F.min("cents").cast("double") / 100).alias("min_balance"),
+            (F.max("cents").cast("double") / 100).alias("max_balance"),
+            F.round(F.sum(neg).cast("double") / F.count(F.lit(1)), 6).alias(
+                "negative_share"
+            ),
+        )
+        .orderBy("role")
     )

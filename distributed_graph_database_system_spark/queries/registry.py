@@ -205,6 +205,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seeds_r15,
         seeds_r15a,
         seeds_r16,
+        seeds_r17a,
         streaming_batch,
         tpch_extra,
     )
@@ -401,4 +402,17 @@ def oracle_map() -> dict[str, str]:
 #   graph_bipartite_check_goldens     (odd-cycle check, 4 fixtures)
 #   graph_katz_centrality_g2          (exact-rational Katz, alpha=0.1)
 #   customers_suppliers_balance_union_profile (UNION ALL ledger profile)
+# The authoritative list remains the set difference vs CORRECTNESS_r*.json.
+#
+# R17_POOL head start — eight first-time names banked in round 14 in
+# queries/seeds_r17a.py (the seeds_r15a precedent), each parity-green
+# at sf0.001/0.01/0.1 and partition-invariance-swept at registration:
+#   graph_dominator_tree_g7           (iterative data-flow idom golden)
+#   graph_eulerian_check_goldens      (degree-parity theorem, 4 fixtures)
+#   sample_neyman_allocation_apply    (deterministic md5 draw of the plan)
+#   events_conversion_by_first_touch  (acquisition-quality conversion)
+#   events_daily_peak_to_mean         (hourly PAR capacity read)
+#   sink_orc_zlib_roundtrip           (ORC codec writer leg)
+#   customers_zero_order_poisson_check (zero-inflation screen)
+#   documents_vocab_simpson_index     (collision-probability diversity)
 # The authoritative list remains the set difference vs CORRECTNESS_r*.json.

@@ -1487,11 +1487,15 @@ def customer_balance_pearson_skew2(
 @query(
     "orders_priority_friedman_monthly",
     oracle="""
-    WITH m AS (
+    WITH m0 AS (
       SELECT DATE_TRUNC('month', o_orderdate) AS month, o_orderpriority AS pr,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
                AS cents
       FROM orders GROUP BY 1, 2
+    ), full_m AS (
+      SELECT month FROM m0 GROUP BY month HAVING COUNT(*) = 5
+    ), m AS (
+      SELECT m0.* FROM m0 JOIN full_m ON m0.month = full_m.month
     ), r AS (
       SELECT month, pr,
              ROW_NUMBER() OVER (PARTITION BY month
@@ -1522,13 +1526,24 @@ def orders_priority_friedman_monthly(
     priorities (deterministic tie-break on the priority label — cents
     ties are theoretically possible, never float-dependent); the
     statistic χ²_F = 12/(n·k·(k+1))·ΣR_j² − 3n(k+1) with k=5 is exact
-    integer arithmetic until two final divisions. The rank window holds
+    integer arithmetic until two final divisions. Friedman is defined
+    over COMPLETE blocks, so months missing a priority (possible at the
+    sparse sf0.001 fixture) are dropped before ranking — surfaced by
+    the independent reference test, invisible to parity (both engines
+    shared the incomplete-block arithmetic). The rank window holds
     exactly 5 rows per month — bounded at any SF."""
     o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(
+    m0 = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("month"),
         F.col("o_orderpriority").alias("pr"),
     ).agg((F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents"))
+    full_m = (
+        m0.groupBy("month")
+        .agg(F.count(F.lit(1)).alias("npr"))
+        .where(F.col("npr") == 5)
+        .select("month")
+    )
+    m = m0.join(full_m, "month")
     r = m.select(
         "pr",
         F.row_number()

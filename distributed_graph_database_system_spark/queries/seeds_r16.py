@@ -1687,18 +1687,18 @@ def customers_first_last_priority_kappa(
     ), g AS (
       SELECT qb, pb, CAST(COUNT(*) AS DECIMAL(38,0)) AS n
       FROM b GROUP BY qb, pb
-    ), conc AS (
-      SELECT CAST(SUM(a.n * c.n) AS DECIMAL(38,0)) AS cc
-      FROM g a JOIN g c ON c.qb > a.qb AND c.pb > a.pb
-    ), disc AS (
-      SELECT CAST(SUM(a.n * c.n) AS DECIMAL(38,0)) AS dd
-      FROM g a JOIN g c ON c.qb > a.qb AND c.pb < a.pb
+    ), pairs AS (
+      SELECT CAST(SUM(CASE WHEN c.pb > a.pb THEN a.n * c.n
+                           ELSE 0 END) AS DECIMAL(38,0)) AS cc,
+             CAST(SUM(CASE WHEN c.pb < a.pb THEN a.n * c.n
+                           ELSE 0 END) AS DECIMAL(38,0)) AS dd
+      FROM g a JOIN g c ON c.qb > a.qb
     )
     SELECT CAST(cc AS DOUBLE) AS concordant,
            CAST(dd AS DOUBLE) AS discordant,
            ROUND(CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE), 6)
              AS gk_gamma
-    FROM conc CROSS JOIN disc
+    FROM pairs
     """,
     tags=("stats", "association", "ordinal", "goodman-kruskal"),
 )
@@ -1709,9 +1709,12 @@ def lineitem_qty_price_gk_gamma(
     and price bands ($10k cents buckets, capped) — the ordinal
     association measure built from concordant/discordant pair counts.
     The O(n²) pair count collapses onto the bounded 5×5 contingency
-    grid: C and D are grid self-joins over ≤25 rows with DECIMAL(38,0)
-    products (pair counts overflow int64 past ~10⁹ rows), so gamma is
-    exact until one final division."""
+    grid: ONE grid self-join on the quantity ordering classifies every
+    cell pair concordant/discordant via a conditional fold (a two-join
+    first draft scanned the fact table 8× — Spark re-derives the grid
+    per join branch; the single-join form scans it twice), with
+    DECIMAL(38,0) products (pair counts overflow int64 past ~10⁹
+    rows), so gamma is exact until one final division."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.expr("div(cast(l_quantity as int) - 1, 10)")
         .cast("int")
@@ -1735,15 +1738,21 @@ def lineitem_qty_price_gk_gamma(
     c = g.select(
         F.col("qb").alias("cqb"), F.col("pb").alias("cpb"), F.col("n").alias("cn")
     )
-    conc = (
-        a.join(c, (F.col("cqb") > F.col("aqb")) & (F.col("cpb") > F.col("apb")))
-        .agg(F.sum(F.col("an") * F.col("cn")).cast("decimal(38,0)").alias("cc"))
+    pairs = a.join(c, F.col("cqb") > F.col("aqb")).agg(
+        F.sum(
+            F.when(F.col("cpb") > F.col("apb"), F.col("an") * F.col("cn"))
+            .otherwise(F.lit(0))
+        )
+        .cast("decimal(38,0)")
+        .alias("cc"),
+        F.sum(
+            F.when(F.col("cpb") < F.col("apb"), F.col("an") * F.col("cn"))
+            .otherwise(F.lit(0))
+        )
+        .cast("decimal(38,0)")
+        .alias("dd"),
     )
-    disc = (
-        a.join(c, (F.col("cqb") > F.col("aqb")) & (F.col("cpb") < F.col("apb")))
-        .agg(F.sum(F.col("an") * F.col("cn")).cast("decimal(38,0)").alias("dd"))
-    )
-    return conc.crossJoin(disc).select(
+    return pairs.select(
         F.col("cc").cast("double").alias("concordant"),
         F.col("dd").cast("double").alias("discordant"),
         F.round(

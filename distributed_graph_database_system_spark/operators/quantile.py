@@ -197,17 +197,66 @@ def group_quantiles_disc(
     the textbook cume_dist rule "smallest r with r/n ≥ q" is the one
     that diverges there).
 
-    Shares the two-pass global-rank machinery of group_quantiles_exact
-    (range repartition → partition-bounded local rank → broadcast span
-    offsets), so per-task state is bounded by the PARTITION size, never
-    the group size — unlike the builtin ``percentile_disc`` aggregate,
-    whose buffer grows with the group's distinct-value count. Returns one
-    row per group with one ``q_<q>`` DOUBLE column per quantile (same
-    naming as group_quantiles_exact); all-NULL groups drop out."""
+    Runs the two-pass range-partition/span-offset machinery (the same
+    discipline as group_quantiles_exact) over the DISTINCT
+    (group, value) frame with occurrence WEIGHTS instead of over raw
+    rows: an order statistic only needs each value's cumulative count,
+    so duplicates collapse before the checkpointed pass and the pinned
+    frame shrinks by the value-repetition factor (cents-quantized money
+    at 600M rows deduped ~400×; the raw-row form went
+    checkpoint-spill-bound at sf100 — BASELINE.md round-14). The rank
+    rule is unchanged: the value whose cumulative-count span covers the
+    1-based rank ``max(ceil(q·n), 1)``, bit-identical to the previous
+    per-row form (re-verified by the full-registry parity sweep and the
+    weighted-vs-raw equivalence pytest). Per-task state stays bounded by
+    the PARTITION size — worst-case all-distinct input degenerates to
+    exactly the old frame plus one map-side-combined pre-aggregation.
+    Returns one row per group with one ``q_<q>`` DOUBLE column per
+    quantile (same naming as group_quantiles_exact); all-NULL groups
+    drop out."""
     _validate_quantiles(quantiles)
-    ranked, counts = _global_ranks(df, value_col, group_cols, num_partitions)
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    d = df.select(*group_cols, v.alias("_v")).where(F.col("_v").isNotNull())
+    agg = d.groupBy(*group_cols, "_v").agg(F.count("*").alias("_w"))
+    n_parts = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = agg.repartitionByRange(n_parts, *group_cols, "_v").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # pass 1: local cumulative WEIGHT within (partition, group) — the
+    # (group, _v) pairs are distinct, so the window holds one row per
+    # value and its state is bounded by the partition size. Pinned
+    # (localCheckpoint) for the same layout-consistency reason as
+    # _global_ranks — but over the deduped frame, which is what keeps
+    # the pinned cache small at scale.
+    local_w = W.partitionBy("_pid", *group_cols).orderBy("_v")
+    local = ranged.withColumn(
+        "_lcw", F.sum("_w").over(local_w)
+    ).localCheckpoint()
+    counts = local.groupBy("_pid", *group_cols).agg(F.sum("_w").alias("_c"))
+    span_w = (
+        W.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        (F.sum("_c").over(span_w) - F.col("_c")).alias("_off"),
+    )
+    ranked = local.join(F.broadcast(offsets), ["_pid", *group_cols]).select(
+        *group_cols,
+        "_v",
+        "_w",
+        (F.col("_lcw") + F.col("_off")).alias("_cumw"),
+    )
     totals = counts.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
-    # 0-based pick index: ceil(q*n) - 1, clamped to 0 for q=0.
+    # 1-based pick rank: ceil(q*n), clamped to 1 for q=0 (same IEEE
+    # ceil-of-product arithmetic as before and as both engines'
+    # builtins — see the float-boundary note above).
     targets = totals.select(
         *group_cols,
         F.explode(
@@ -216,15 +265,18 @@ def group_quantiles_disc(
                     F.struct(
                         F.lit(i).alias("qi"),
                         F.greatest(
-                            F.ceil(F.col("_n") * F.lit(q)) - 1, F.lit(0)
-                        ).alias("_rn0"),
+                            F.ceil(F.col("_n") * F.lit(q)), F.lit(1)
+                        ).alias("_r"),
                     )
                     for i, q in enumerate(quantiles)
                 ]
             )
         ).alias("t"),
-    ).select(*group_cols, "t.qi", "t._rn0")
-    picked = ranked.join(F.broadcast(targets), [*group_cols, "_rn0"])
+    ).select(*group_cols, "t.qi", "t._r")
+    picked = ranked.join(F.broadcast(targets), group_cols).where(
+        (F.col("_cumw") >= F.col("_r"))
+        & (F.col("_cumw") - F.col("_w") < F.col("_r"))
+    )
     return picked.groupBy(*group_cols).agg(
         *[
             F.max(F.when(F.col("qi") == i, F.col("_v"))).alias(_qcolname(q))

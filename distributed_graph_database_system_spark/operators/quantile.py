@@ -85,14 +85,18 @@ def group_quantiles_exact(
     both with the two-pass global-rank discipline of
     operators/prefix.py's partitioned_prefix_sum:
 
-    1. range-repartition on ``(group, value)`` — a giant group spans many
-       partitions, each holding a contiguous value range of it;
-    2. pass 1 (parallel): row_number within ``(physical partition,
-       group)`` — window state is bounded by the PARTITION size, never the
-       group size — plus per-(partition, group) counts;
-    3. the counts table (≤ groups + partitions − 1 rows: contiguous spans
-       overlap partition boundaries only at the edges) yields each span's
-       global-rank OFFSET via a tiny window, broadcast back;
+    1. pre-aggregate to the DISTINCT (group, value) frame with
+       occurrence weights (an order statistic only needs cumulative
+       counts — see _weighted_ranks), then range-repartition on
+       ``(group, value)`` — a giant group spans many partitions, each
+       holding a contiguous value range of it;
+    2. pass 1 (parallel): cumulative weight within ``(physical
+       partition, group)`` — window state is bounded by the PARTITION
+       size, never the group size — plus per-(partition, group) weight
+       sums;
+    3. the weight-sum table (≤ groups + partitions − 1 rows: contiguous
+       spans overlap partition boundaries only at the edges) yields each
+       span's global-rank OFFSET via a tiny window, broadcast back;
     4. global rank = local rank + offset; the two order statistics
        bracketing each quantile are picked out by a broadcast equi-join on
        (group, rank) and interpolated with the SAME IEEE expression
@@ -118,7 +122,7 @@ def group_quantiles_exact(
     same value, so the bracketed statistics are deterministic.
     """
     _validate_quantiles(quantiles)
-    ranked, counts = _global_ranks(df, value_col, group_cols, num_partitions)
+    ranked, counts = _weighted_ranks(df, value_col, group_cols, num_partitions)
 
     # per-group totals → the two bracketing indices per quantile, exploded
     # to (group, qi, part, idx) — |groups| × |quantiles| × 2 rows, broadcast
@@ -145,9 +149,12 @@ def group_quantiles_exact(
         ).alias("t"),
     ).select(*group_cols, "t.qi", "t.pos", "t.part", "t.idx")
 
-    picked = ranked.join(
-        F.broadcast(targets.withColumnRenamed("idx", "_rn0")),
-        [*group_cols, "_rn0"],
+    # the value at 0-based index k is the one whose cumulative-count
+    # span covers it: _cumw − _w ≤ k < _cumw (weighted frame; ties are
+    # a single row, so the pick is deterministic by construction)
+    picked = ranked.join(F.broadcast(targets), group_cols).where(
+        (F.col("_cumw") > F.col("idx"))
+        & (F.col("_cumw") - F.col("_w") <= F.col("idx"))
     )
     per_q = picked.groupBy(*group_cols, "qi").agg(
         F.max("pos").alias("pos"),
@@ -215,44 +222,7 @@ def group_quantiles_disc(
     quantile (same naming as group_quantiles_exact); all-NULL groups
     drop out."""
     _validate_quantiles(quantiles)
-    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
-        "double"
-    )
-    d = df.select(*group_cols, v.alias("_v")).where(F.col("_v").isNotNull())
-    agg = d.groupBy(*group_cols, "_v").agg(F.count("*").alias("_w"))
-    n_parts = (
-        num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    )
-    ranged = agg.repartitionByRange(n_parts, *group_cols, "_v").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # pass 1: local cumulative WEIGHT within (partition, group) — the
-    # (group, _v) pairs are distinct, so the window holds one row per
-    # value and its state is bounded by the partition size. Pinned
-    # (localCheckpoint) for the same layout-consistency reason as
-    # _global_ranks — but over the deduped frame, which is what keeps
-    # the pinned cache small at scale.
-    local_w = W.partitionBy("_pid", *group_cols).orderBy("_v")
-    local = ranged.withColumn(
-        "_lcw", F.sum("_w").over(local_w)
-    ).localCheckpoint()
-    counts = local.groupBy("_pid", *group_cols).agg(F.sum("_w").alias("_c"))
-    span_w = (
-        W.partitionBy(*group_cols)
-        .orderBy("_pid")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    offsets = counts.select(
-        "_pid",
-        *group_cols,
-        (F.sum("_c").over(span_w) - F.col("_c")).alias("_off"),
-    )
-    ranked = local.join(F.broadcast(offsets), ["_pid", *group_cols]).select(
-        *group_cols,
-        "_v",
-        "_w",
-        (F.col("_lcw") + F.col("_off")).alias("_cumw"),
-    )
+    ranked, counts = _weighted_ranks(df, value_col, group_cols, num_partitions)
     totals = counts.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
     # 1-based pick rank: ceil(q*n), clamped to 1 for q=0 (same IEEE
     # ceil-of-product arithmetic as before and as both engines'
@@ -296,41 +266,55 @@ def _validate_quantiles(quantiles: list[float]) -> None:
         )
 
 
-def _global_ranks(
+def _weighted_ranks(
     df: DataFrame,
     value_col: str | Column,
     group_cols: list[str],
     num_partitions: int | None,
 ) -> tuple[DataFrame, DataFrame]:
-    """The shared two-pass global-rank pass: returns ``(ranked, counts)``
-    where ranked is ``(*group_cols, _v DOUBLE, _rn0 BIGINT)`` (0-based
-    rank of _v within its group, NULLs excluded) and counts is the
-    per-(partition, group) row-count table the offsets were derived from.
-    Per-task window state is bounded by the physical PARTITION size —
-    a giant group spans many range partitions."""
+    """The shared two-pass WEIGHTED global-rank pass over the DISTINCT
+    (group, value) frame: returns ``(ranked, counts)`` where ranked is
+    ``(*group_cols, _v DOUBLE, _w BIGINT, _cumw BIGINT)`` — each
+    distinct value with its occurrence count and cumulative count within
+    its group (so _v covers 1-based ranks (_cumw − _w, _cumw]) — and
+    counts is the per-(partition, group) weight-sum table the offsets
+    were derived from (``SUM(_c)`` per group = the group's raw row
+    count, NULLs excluded).
+
+    An order statistic only needs cumulative counts, so duplicates
+    collapse BEFORE the pinned pass: the checkpointed frame shrinks by
+    the value-repetition factor (~400× for cents-quantized money —
+    the raw-row form went checkpoint-spill-bound at 600M rows,
+    BASELINE.md round-14), while worst-case all-distinct input
+    degenerates to the old frame plus one map-side-combined
+    pre-aggregation (measured non-regressing). Per-task window state
+    stays bounded by the physical PARTITION size — a giant group spans
+    many range partitions.
+
+    Pinned (localCheckpoint): the range partitioner's sample-based
+    boundaries feed BOTH the ranked rows and the offsets table;
+    recomputing the subtree could place rows differently and pair
+    cumulative weights with offsets from a different partitioning (same
+    hazard partitioned_prefix_sum documents)."""
     v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
         "double"
     )
     d = df.select(*group_cols, v.alias("_v")).where(F.col("_v").isNotNull())
+    agg = d.groupBy(*group_cols, "_v").agg(F.count("*").alias("_w"))
     n_parts = (
         num_partitions or df.sparkSession.sparkContext.defaultParallelism
     )
-    ranged = d.repartitionByRange(n_parts, *group_cols, "_v").withColumn(
+    ranged = agg.repartitionByRange(n_parts, *group_cols, "_v").withColumn(
         "_pid", F.spark_partition_id()
     )
-    # pass 1: local rank within (partition, group) — parallel, bounded by
-    # partition size. Pinned (localCheckpoint): the range partitioner's
-    # sample-based boundaries feed BOTH the ranked rows and the offsets
-    # table; recomputing the subtree could place rows differently and pair
-    # ranks with offsets from a different partitioning (same hazard
-    # partitioned_prefix_sum documents).
+    # pass 1: local cumulative weight within (partition, group) — the
+    # (group, _v) pairs are distinct, so the window holds one row per
+    # value; state bounded by the partition size.
     local_w = W.partitionBy("_pid", *group_cols).orderBy("_v")
     local = ranged.withColumn(
-        "_lrn", F.row_number().over(local_w) - 1
+        "_lcw", F.sum("_w").over(local_w)
     ).localCheckpoint()
-    counts = local.groupBy("_pid", *group_cols).agg(
-        F.count("*").alias("_c")
-    )
+    counts = local.groupBy("_pid", *group_cols).agg(F.sum("_w").alias("_c"))
     span_w = (
         W.partitionBy(*group_cols)
         .orderBy("_pid")
@@ -341,9 +325,12 @@ def _global_ranks(
         *group_cols,
         (F.sum("_c").over(span_w) - F.col("_c")).alias("_off"),
     )
-    ranked = local.join(
-        F.broadcast(offsets), ["_pid", *group_cols]
-    ).select(*group_cols, "_v", (F.col("_lrn") + F.col("_off")).alias("_rn0"))
+    ranked = local.join(F.broadcast(offsets), ["_pid", *group_cols]).select(
+        *group_cols,
+        "_v",
+        "_w",
+        (F.col("_lcw") + F.col("_off")).alias("_cumw"),
+    )
     return ranked, counts
 
 

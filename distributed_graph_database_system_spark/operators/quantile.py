@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from distributed_graph_database_system_spark.operators.pin import pin
+
 
 def quantile_cuts(
     df: DataFrame, col: str | Column, n_buckets: int, accuracy: int = 10_000
@@ -311,9 +313,7 @@ def _weighted_ranks(
     # (group, _v) pairs are distinct, so the window holds one row per
     # value; state bounded by the partition size.
     local_w = W.partitionBy("_pid", *group_cols).orderBy("_v")
-    local = ranged.withColumn(
-        "_lcw", F.sum("_w").over(local_w)
-    ).localCheckpoint()
+    local = pin(ranged.withColumn("_lcw", F.sum("_w").over(local_w)))
     counts = local.groupBy("_pid", *group_cols).agg(F.sum("_w").alias("_c"))
     span_w = (
         W.partitionBy(*group_cols)

@@ -812,25 +812,45 @@ def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: token → (document frequency, total
     term frequency, head of the sorted posting list) — the build step
-    behind any lexical search over the corpus. One shuffle on the token
-    key; posting lists are collect_set + sort_array per token. The
-    persisted form is operators/invindex.py: postings written
-    hive-partitioned by a token-hash shard, term lookups partition-pruned
-    to one directory (PartitionFilters asserted in
-    tests/test_invindex.py). The
-    10-element head is serialized as a CSV string: the parity hash then
-    compares scalar columns only, no nested-type hashing dependency."""
+    behind any lexical search over the corpus. The persisted form is
+    operators/invindex.py: postings written hive-partitioned by a
+    token-hash shard, term lookups partition-pruned to one directory
+    (PartitionFilters asserted in tests/test_invindex.py). The 10-element
+    head is serialized as a CSV string: the parity hash then compares
+    scalar columns only, no nested-type hashing dependency.
+
+    Per-task state is BOUNDED: the original form collected each token's
+    whole posting SET into one aggregation buffer before slicing its head
+    (``slice(sort_array(collect_set(doc_id)), 1, 10)``) — a stop-word's
+    buffer is the entire corpus's doc-id set, the collect_set edition of
+    the percentile memory cliff (r14 audit). The head is now the 10
+    SMALLEST distinct doc_ids per token, computed as ``row_number() ≤ 10``
+    over the distinct (tok, doc_id) frame — Spark's WindowGroupLimit keeps
+    per-group state at 10 rows — and only those ≤10 survivors are
+    collected. df/tf stay constant-state counts. Identical output by
+    construction (the 10 smallest of a distinct sorted set ARE its sorted
+    head); bit-identity held by the unchanged DuckDB oracle."""
     u = _tokens(spark, sf_dir).select("doc_id", F.explode("t").alias("tok"))
-    return (
-        u.groupBy("tok")
+    stats = u.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_tf"),
+    )
+    w = W.partitionBy("tok").orderBy("doc_id")
+    head = (
+        u.select("tok", "doc_id")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 10)
+        .groupBy("tok")
         .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count("*").alias("total_tf"),
-            F.concat_ws(
-                ",",
-                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10),
-            ).alias("first_postings"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+                "first_postings"
+            )
         )
+    )
+    return (
+        stats.join(head, "tok")
+        .select("tok", "n_docs", "total_tf", "first_postings")
         .orderBy(F.desc("n_docs"), "tok")
         .limit(30)
     )

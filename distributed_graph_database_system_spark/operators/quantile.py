@@ -22,10 +22,10 @@ bucket monotone in the value).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
-
-from distributed_graph_database_system_spark.operators.pin import pin
 
 
 def quantile_cuts(
@@ -87,18 +87,17 @@ def group_quantiles_exact(
     both with the two-pass global-rank discipline of
     operators/prefix.py's partitioned_prefix_sum:
 
-    1. pre-aggregate to the DISTINCT (group, value) frame with
-       occurrence weights (an order statistic only needs cumulative
-       counts — see _weighted_ranks), then range-repartition on
-       ``(group, value)`` — a giant group spans many partitions, each
-       holding a contiguous value range of it;
-    2. pass 1 (parallel): cumulative weight within ``(physical
-       partition, group)`` — window state is bounded by the PARTITION
-       size, never the group size — plus per-(partition, group) weight
-       sums;
-    3. the weight-sum table (≤ groups + partitions − 1 rows: contiguous
-       spans overlap partition boundaries only at the edges) yields each
-       span's global-rank OFFSET via a tiny window, broadcast back;
+    1. ONE bounded probe pass collects approximate value-span cut
+       points as driver literals (an order statistic only needs
+       cumulative counts — see _weighted_ranks), and value rows are
+       hash-exchanged on their deterministic (span, group) bucket — a
+       giant group spans many cut buckets, each holding a contiguous
+       value range of it;
+    2. pass 1 (parallel): cumulative weight within ``(span, group)`` —
+       window state is bounded by the SPAN size, never the group size —
+       plus per-(span, group) row counts;
+    3. the count table (≤ groups × spans rows) yields each span's
+       global-rank OFFSET via a tiny window, broadcast back;
     4. global rank = local rank + offset; the two order statistics
        bracketing each quantile are picked out by a broadcast equi-join on
        (group, rank) and interpolated with the SAME IEEE expression
@@ -206,23 +205,17 @@ def group_quantiles_disc(
     the textbook cume_dist rule "smallest r with r/n ≥ q" is the one
     that diverges there).
 
-    Runs the two-pass range-partition/span-offset machinery (the same
-    discipline as group_quantiles_exact) over the DISTINCT
-    (group, value) frame with occurrence WEIGHTS instead of over raw
-    rows: an order statistic only needs each value's cumulative count,
-    so duplicates collapse before the checkpointed pass and the pinned
-    frame shrinks by the value-repetition factor (cents-quantized money
-    at 600M rows deduped ~400×; the raw-row form went
-    checkpoint-spill-bound at sf100 — BASELINE.md round-14). The rank
-    rule is unchanged: the value whose cumulative-count span covers the
-    1-based rank ``max(ceil(q·n), 1)``, bit-identical to the previous
-    per-row form (re-verified by the full-registry parity sweep and the
+    Runs the span-bucketed rank machinery (the same discipline as
+    group_quantiles_exact — see _weighted_ranks for the probe, the
+    deterministic cut-literal exchange, and the duplicate-heavy vs
+    near-all-distinct dispatch). The rank rule is unchanged: the value
+    whose cumulative-count span covers the 1-based rank
+    ``max(ceil(q·n), 1)``, bit-identical to the previous range+pin form
+    (re-verified by the full-registry parity sweep and the
     weighted-vs-raw equivalence pytest). Per-task state stays bounded by
-    the PARTITION size — worst-case all-distinct input degenerates to
-    exactly the old frame plus one map-side-combined pre-aggregation.
-    Returns one row per group with one ``q_<q>`` DOUBLE column per
-    quantile (same naming as group_quantiles_exact); all-NULL groups
-    drop out."""
+    the span size, never the group size. Returns one row per group with
+    one ``q_<q>`` DOUBLE column per quantile (same naming as
+    group_quantiles_exact); all-NULL groups drop out."""
     _validate_quantiles(quantiles)
     ranked, counts = _weighted_ranks(df, value_col, group_cols, num_partitions)
     totals = counts.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
@@ -274,47 +267,79 @@ def _weighted_ranks(
     group_cols: list[str],
     num_partitions: int | None,
 ) -> tuple[DataFrame, DataFrame]:
-    """The shared two-pass WEIGHTED global-rank pass over the DISTINCT
-    (group, value) frame: returns ``(ranked, counts)`` where ranked is
-    ``(*group_cols, _v DOUBLE, _w BIGINT, _cumw BIGINT)`` — each
-    distinct value with its occurrence count and cumulative count within
+    """The shared WEIGHTED global-rank pass: returns ``(ranked, counts)``
+    where ranked is ``(*group_cols, _v DOUBLE, _w BIGINT, _cumw BIGINT)``
+    — each value with its occurrence weight and cumulative count within
     its group (so _v covers 1-based ranks (_cumw − _w, _cumw]) — and
-    counts is the per-(partition, group) weight-sum table the offsets
-    were derived from (``SUM(_c)`` per group = the group's raw row
-    count, NULLs excluded).
+    counts is the per-(value-span, group) row-count table (``SUM(_c)``
+    per group = the group's raw row count, NULLs excluded).
 
-    An order statistic only needs cumulative counts, so duplicates
-    collapse BEFORE the pinned pass: the checkpointed frame shrinks by
-    the value-repetition factor (~400× for cents-quantized money —
-    the raw-row form went checkpoint-spill-bound at 600M rows,
-    BASELINE.md round-14), while worst-case all-distinct input
-    degenerates to the old frame plus one map-side-combined
-    pre-aggregation (measured non-regressing). Per-task window state
-    stays bounded by the physical PARTITION size — a giant group spans
-    many range partitions.
+    Value spans come from ONE bounded probe pass (``percentile_approx``
+    cut points + count + approx distinct count, collected to the driver
+    as literals — the same bounded-cut-table discipline as
+    quantile_cuts). Because the span of a row is a PURE FUNCTION of its
+    value (a balanced comparison tree over the cut literals), every
+    consumer of the frame sees the identical placement on independent
+    recomputation — which is what lets this path drop BOTH the
+    ``repartitionByRange`` (whose sample pass recomputed the whole
+    upstream subtree once more) and the ``localCheckpoint`` pin (whose
+    materialization went disk-bound at 600M pinned rows — BASELINE.md
+    round-14) that the r14 form needed. The cuts only steer BALANCE,
+    never results: ranks are exact cumulative counts regardless of where
+    the cut boundaries fall.
 
-    Pinned (localCheckpoint): the range partitioner's sample-based
-    boundaries feed BOTH the ranked rows and the offsets table;
-    recomputing the subtree could place rows differently and pair
-    cumulative weights with offsets from a different partitioning (same
-    hazard partitioned_prefix_sum documents)."""
+    The probe's distinct-ratio dispatches two bit-equivalent layouts:
+
+    - duplicate-heavy (ratio < 0.5): pre-aggregate to the DISTINCT
+      (group, value) frame with occurrence weights BEFORE the span
+      exchange — duplicates collapse in the map-side partial aggregate,
+      so a hot value never ships its raw rows to one reducer (the r14
+      weighted-frame discipline, ~400× for cents-quantized money).
+    - near-all-distinct (ratio ≥ 0.5): the pre-aggregation cannot even
+      halve the frame, so skip it — ONE exchange of the raw rows on
+      (span, group), ``row_number`` ranks with weight 1 (ties are then
+      separate rows, but every rank inside a tie run holds the same
+      value, so picked order statistics are unchanged). This is the
+      degenerate regime that previously paid the full frame through the
+      range exchange AND the checkpoint (part_brand_margin_quartiles,
+      222.7 s at sf100).
+
+    Per-task window state stays bounded by the SPAN size (~rows/buckets),
+    never the group size — a giant group spans many cut buckets."""
     v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
         "double"
     )
     d = df.select(*group_cols, v.alias("_v")).where(F.col("_v").isNotNull())
-    agg = d.groupBy(*group_cols, "_v").agg(F.count("*").alias("_w"))
-    n_parts = (
-        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n_buckets = (
+        4 * num_partitions
+        if num_partitions
+        else _default_buckets(df.sparkSession)
     )
-    ranged = agg.repartitionByRange(n_parts, *group_cols, "_v").withColumn(
-        "_pid", F.spark_partition_id()
+    cuts, n_rows, n_distinct = _span_probe(d, n_buckets)
+    span = _bucket_expr(F.col("_v"), cuts).alias("_pid")
+    if n_rows == 0 or n_distinct / n_rows >= 0.5:
+        # raw layout: one exchange, rank = row_number (weight 1)
+        base = d.select(*group_cols, "_v", span, F.lit(1).alias("_w"))
+        local_w = W.partitionBy("_pid", *group_cols).orderBy("_v")
+        local = base.withColumn(
+            "_lcw", F.row_number().over(local_w).cast("long")
+        )
+    else:
+        # weighted layout: map-side collapse, then the span exchange
+        base = (
+            d.groupBy(*group_cols, "_v")
+            .agg(F.count("*").alias("_w"))
+            .select(*group_cols, "_v", span, "_w")
+        )
+        local_w = W.partitionBy("_pid", *group_cols).orderBy("_v")
+        local = base.withColumn("_lcw", F.sum("_w").over(local_w))
+    # counts: per-(span, group) RAW row counts, derived independently —
+    # safe without a pin because the span assignment is a deterministic
+    # literal expression and COUNT per (span, group) is an exact
+    # aggregate: both jobs must agree.
+    counts = d.select(*group_cols, span).groupBy("_pid", *group_cols).agg(
+        F.count("*").alias("_c")
     )
-    # pass 1: local cumulative weight within (partition, group) — the
-    # (group, _v) pairs are distinct, so the window holds one row per
-    # value; state bounded by the partition size.
-    local_w = W.partitionBy("_pid", *group_cols).orderBy("_v")
-    local = pin(ranged.withColumn("_lcw", F.sum("_w").over(local_w)))
-    counts = local.groupBy("_pid", *group_cols).agg(F.sum("_w").alias("_c"))
     span_w = (
         W.partitionBy(*group_cols)
         .orderBy("_pid")
@@ -332,6 +357,63 @@ def _weighted_ranks(
         (F.col("_lcw") + F.col("_off")).alias("_cumw"),
     )
     return ranked, counts
+
+
+def _default_buckets(spark) -> int:
+    """Span-bucket count: ~4 buckets per initial shuffle partition so the
+    hash exchange spreads evenly (guide §2.5: many more distinct keys
+    than partitions), clamped to [256, 4096] to keep the comparison-tree
+    expression depth ≤ 12."""
+    try:
+        initial = int(
+            spark.conf.get(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            )
+        )
+    except Exception:
+        initial = spark.sparkContext.defaultParallelism
+    return max(256, min(4096, 4 * initial))
+
+
+def _span_probe(
+    d: DataFrame, n_buckets: int
+) -> tuple[list[float], int, int]:
+    """ONE bounded aggregation pass over ``(group, _v)``: n_buckets−1
+    approximate quantile cut points (GK sketches — bounded state), the
+    exact row count, and the approximate distinct-value count. The
+    driver receives ≤ n_buckets+1 scalars (the bounded-cut-table
+    discipline); once collected they are LITERALS, so the bucket
+    assignment built from them is deterministic across recomputations —
+    no matter how approximate or unstable the sketch itself is, it can
+    only affect load balance."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = d.agg(
+        F.percentile_approx("_v", qs).alias("_cuts"),
+        F.count("*").alias("_n"),
+        F.approx_count_distinct("_v").alias("_nd"),
+    ).first()
+    raw = row["_cuts"] or []
+    cuts = sorted(
+        {float(c) for c in raw if c is not None and not math.isnan(c)}
+    )
+    return cuts, int(row["_n"]), int(row["_nd"])
+
+
+def _bucket_expr(v: Column, cuts: list[float]) -> Column:
+    """Balanced binary-search comparison tree assigning value ``v`` its
+    span id = #{cut < v} (right-closed buckets: ties on a cut share a
+    bucket; NaN fails every ``<=`` and lands in the last bucket, matching
+    its sort-last window order). O(log n_buckets) comparisons per row,
+    pure codegen-able expressions, no Python boundary."""
+    def tree(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(v <= F.lit(cuts[mid]), tree(lo, mid)).otherwise(
+            tree(mid + 1, hi)
+        )
+
+    return tree(0, len(cuts)).cast("int")
 
 
 def _qcolname(q: float) -> str:

@@ -26,13 +26,23 @@ def plans(spark, sf_dir):
     return plan_of
 
 
-def test_tail_p99_uses_range_partition_not_builtin_percentile(plans):
-    """The SLA tail report must ride group_quantiles_disc's two-pass
-    range-partitioned ranks — a builtin percentile node here is the
-    one-task-buffers-the-flag-group OOM shape the discipline bans."""
+def test_tail_p99_uses_span_buckets_not_builtin_percentile(plans):
+    """The SLA tail report must ride group_quantiles_disc's span-bucketed
+    ranks — a builtin percentile node here is the one-task-buffers-the-
+    flag-group OOM shape the discipline bans. Since r15 the spans are
+    deterministic cut-literal buckets (hash exchange on (_pid, group)),
+    which replaced the r14 rangepartitioning + localCheckpoint pin; the
+    probe's percentile_approx runs as a separate bounded job at build
+    time, so the final plan still carries no percentile node and every
+    window is _pid-partitioned."""
     p = plans("lineitem_price_tail_p99_by_flag")
-    assert "rangepartitioning" in p.lower()
     assert "percentile" not in p.lower()
+    assert "_pid" in p
+    assert _windows_all_partitioned(p)
+    # the span exchange: hash on the bucket id + group, never a global sort
+    assert "hashpartitioning(_pid" in p
+    # and the pin is gone — the full lineage is visible, no RDD scan stub
+    assert "ExistingRDD" not in p
 
 
 def _windows_all_partitioned(p: str) -> bool:

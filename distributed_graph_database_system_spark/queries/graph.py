@@ -23,7 +23,6 @@ from distributed_graph_database_system_spark.operators.graph import (
     EDGE_SCHEMA,
     bfs,
     connected_components,
-    degrees,
     dfs_leaves,
     k_core,
     label_propagation,
@@ -375,7 +374,18 @@ def graph_degrees_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree analytics over a graph derived from fixture data: the
     customer→supplier bipartite graph induced by orders ⋈ lineitem. This is
     the 100 TB shape — edges come from a real join, degrees are one
-    partial+final aggregation."""
+    partial+final aggregation.
+
+    The query needs OUT-degrees only (the oracle groups on src), so it
+    aggregates the src side directly instead of calling ``degrees()``:
+    the general operator also builds the in-degree aggregation (a second
+    full exchange of every edge, keyed dst) and a full-outer join, whose
+    only effect here was adding supplier rows with out_degree 0 that the
+    ``out_degree > 0`` filter immediately removed — computed-then-
+    discarded work the optimizer cannot prune through a full-outer join
+    (guide §1.2). Row-for-row identical output: src-grouped counts are
+    untouched, and every src group has count ≥ 1 so the old filter never
+    dropped one."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
@@ -383,9 +393,9 @@ def graph_degrees_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
     )
-    # Bipartite: suppliers appear only as dst → drop their 0-out-degree rows
-    # to match the oracle's src-side grouping.
-    return degrees(edges).where(F.col("out_degree") > 0).select("vid", "out_degree")
+    return edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("out_degree")
+    )
 
 
 # DAG fixture for topological ordering: sources {1, 7}, longest sink path

@@ -88,31 +88,61 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
-def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[str]]:
-    """Run every oracle-backed query both ways; return {name: problems}."""
+def run_parity(
+    spark,
+    sf_dir: str,
+    names: list[str] | None = None,
+    workers: int | None = None,
+) -> dict[str, list[str]]:
+    """Run every oracle-backed query both ways; return {name: problems}.
+
+    Queries are independent, so a small driver thread pool overlaps their
+    jobs (guide §2.6: actions are only sequential because the driver calls
+    them sequentially) — at fixture scale each query is dominated by fixed
+    per-job overhead (planning, task scheduling, the toPandas round-trip),
+    and overlapping 6 of them cuts the full-registry sweep several-fold.
+    That is what keeps the in-suite full sweep inside the driver's pytest
+    budget (r14 VERDICT item 1). Safety: every temp-view name is unique to
+    its query (or re-registers the identical table view), runtime-conf
+    sets are idempotent same-value writes, sink paths are per-query; each
+    worker thread gets its own DuckDB cursor (connections are not
+    thread-safe, cursors over one connection are). ``workers=1`` (or env
+    SPARK_GRAFT_PARITY_WORKERS=1) restores the serial sweep."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from distributed_graph_database_system_spark.queries.registry import all_queries
 
+    if workers is None:
+        workers = int(os.environ.get("SPARK_GRAFT_PARITY_WORKERS", "6"))
     con = duckdb_conn(sf_dir)
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    results: dict[str, list[str]] = {}
-    for name, spec in sorted(all_queries().items()):
-        if names and name not in names:
-            continue
-        if spec.oracle is None:
-            continue
-        if spec.oracle_sf and sf_tag != f"sf{spec.oracle_sf}":
-            # golden VALUES oracle pinned to one SF (the driver's sf0.01);
-            # at other SFs there is nothing valid to compare against
-            continue
+    selected = [
+        (name, spec)
+        for name, spec in sorted(all_queries().items())
+        if not (names and name not in names)
+        and spec.oracle is not None
+        # golden VALUES oracles are pinned to one SF (the driver's sf0.01);
+        # at other SFs there is nothing valid to compare against
+        and not (spec.oracle_sf and sf_tag != f"sf{spec.oracle_sf}")
+    ]
+
+    def one(item) -> tuple[str, list[str]]:
+        name, spec = item
+        spark.sparkContext.setJobDescription(f"parity: {name}")
         try:
             spark_pdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
-            results[name] = [f"spark error: {e}"]
-            continue
+            return name, [f"spark error: {e}"]
+        cur = con.cursor()
         try:
-            oracle_pdf = con.execute(spec.oracle).fetchdf()
+            oracle_pdf = cur.execute(spec.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
-            results[name] = [f"oracle error: {e}"]
-            continue
-        results[name] = compare(spark_pdf, oracle_pdf)
-    return results
+            return name, [f"oracle error: {e}"]
+        finally:
+            cur.close()
+        return name, compare(spark_pdf, oracle_pdf)
+
+    if workers <= 1:
+        return dict(one(item) for item in selected)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return dict(pool.map(one, selected))

@@ -53,6 +53,25 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan-split open cost (default 4 MB, a spinning-disk-era guard
+        # against over-splitting small files). Spark floors maxSplitBytes
+        # at this value, so a ~10 MB compact parquet file never splits
+        # into more than ~3 tasks no matter how many row groups or cores
+        # exist — at fixture scale every scan stage was 1-3 tasks on 32
+        # cores (r14 VERDICT: the scaling leg was blind). 128 KB lets
+        # (file_bytes / defaultParallelism)-sized splits win instead:
+        # scans parallelize to the core count whenever the file has
+        # enough row groups, measured -30% on the interleaved headline
+        # A/B (scripts/ab_fixture_probe.py). Scale-adaptive, not a local
+        # constant: the divisor is defaultParallelism, and at real scale
+        # (multi-GB inputs) maxPartitionBytes governs instead, where the
+        # only effect of a smaller open cost is packing many tiny files
+        # tighter — fewer, fuller tasks. Env-overridable like the other
+        # scale knobs.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(128 * 1024)),
+        )
         # Runtime bloom-filter join pruning is ON by default in Spark 4 (the
         # shuffle-join analogue of dynamic partition pruning): a selective
         # filter on one join side injects a bloom filter of its keys into

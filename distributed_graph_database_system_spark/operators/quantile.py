@@ -311,7 +311,7 @@ def _weighted_ranks(
     )
     d = df.select(*group_cols, v.alias("_v")).where(F.col("_v").isNotNull())
     n_buckets = (
-        4 * num_partitions
+        max(64, min(512, 4 * num_partitions))
         if num_partitions
         else _default_buckets(df.sparkSession)
     )
@@ -333,12 +333,18 @@ def _weighted_ranks(
         )
         local_w = W.partitionBy("_pid", *group_cols).orderBy("_v")
         local = base.withColumn("_lcw", F.sum("_w").over(local_w))
-    # counts: per-(span, group) RAW row counts, derived independently —
-    # safe without a pin because the span assignment is a deterministic
-    # literal expression and COUNT per (span, group) is an exact
-    # aggregate: both jobs must agree.
-    counts = d.select(*group_cols, span).groupBy("_pid", *group_cols).agg(
-        F.count("*").alias("_c")
+    # counts: per-(span, group) RAW row counts (Σ_w). Derived from the
+    # SAME window frame the ranked side uses so that every branch of the
+    # final plan sits above ONE canonical exchange — ReuseExchange then
+    # computes the upstream subtree once and reads the shuffle three
+    # times (counts→offsets, totals→targets, ranked→picked). Unlike the
+    # r14 localCheckpoint pin this sharing is a pure performance
+    # courtesy, not a correctness requirement: if a branch ever
+    # recomputed instead, the span of a row is a deterministic literal
+    # expression and the per-(span, group) sums are exact aggregates, so
+    # all branches agree by construction.
+    counts = local.groupBy("_pid", *group_cols).agg(
+        F.sum("_w").alias("_c")
     )
     span_w = (
         W.partitionBy(*group_cols)
@@ -360,19 +366,18 @@ def _weighted_ranks(
 
 
 def _default_buckets(spark) -> int:
-    """Span-bucket count: ~4 buckets per initial shuffle partition so the
-    hash exchange spreads evenly (guide §2.5: many more distinct keys
-    than partitions), clamped to [256, 4096] to keep the comparison-tree
-    expression depth ≤ 12."""
-    try:
-        initial = int(
-            spark.conf.get(
-                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-            )
-        )
-    except Exception:
-        initial = spark.sparkContext.defaultParallelism
-    return max(256, min(4096, 4 * initial))
+    """Span-bucket count. More buckets = finer balance of the span
+    exchange and a smaller worst single-task sort (~rows/buckets), but
+    the comparison tree is INLINED into whole-stage-codegen consume
+    methods: at 1023 nodes janino dies with "Code grows beyond 64 KB"
+    and the whole stage (joins included) silently falls back to
+    interpreted evaluation — measured 2× per-row cost. 255 nodes
+    (depth 8) compiles inside every caller stage shape tested; 256
+    spans keeps the worst span of a 600M-row degenerate frame at ~2.3M
+    rows — a few seconds of one-task sort — which is the accepted tail
+    at that scale. Callers needing more spread pass num_partitions
+    (clamped ×4 to ≤512)."""
+    return 256
 
 
 def _span_probe(
@@ -385,10 +390,27 @@ def _span_probe(
     discipline); once collected they are LITERALS, so the bucket
     assignment built from them is deterministic across recomputations —
     no matter how approximate or unstable the sketch itself is, it can
-    only affect load balance."""
+    only affect load balance.
+
+    The GK sketch only sees the ~2% of rows whose value hash lands in
+    one of 50 residue classes: a per-row GK insert over the full frame
+    costs more than the scan itself and tripled the duplicate-heavy
+    callers at sf10 (measured 2.1 s → 6.3 s on
+    lineitem_quantity_trimean), while cuts from a 2% sample balance the
+    spans just as well — cuts steer placement, never results. The
+    subset is picked by hashing the VALUE (``rand()`` is rejected inside
+    aggregate arguments as nondeterministic), which also keeps the probe
+    deterministic. The COUNT and the HLL distinct count stay
+    exact-over-all-rows (both are cheap per row): the dispatch ratio
+    must not inherit the sample's duplicate-factor bias, which would
+    steer mid-duplication frames onto the raw path and ship their
+    duplicates through the exchange."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    sampled = F.when(
+        F.pmod(F.xxhash64(F.col("_v")), F.lit(50)) == 0, F.col("_v")
+    )
     row = d.agg(
-        F.percentile_approx("_v", qs).alias("_cuts"),
+        F.percentile_approx(sampled, qs).alias("_cuts"),
         F.count("*").alias("_n"),
         F.approx_count_distinct("_v").alias("_nd"),
     ).first()

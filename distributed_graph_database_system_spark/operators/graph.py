@@ -2079,15 +2079,17 @@ def betweenness_centrality(
     (asserted in tests), far inside the sampling error any landmark
     approximation carries.
 
-    Scale shape: per source, one level-synchronous forward sweep (the bfs
-    join shape, frontier localCheckpoint-ed per level) and one backward
-    sweep over the SAME level structure — both all-vertex-parallel per
-    level; the per-source contributions union into one exact-decimal
-    aggregate. Cost is O(|sources| · depth) joins: exact mode is for
-    small/fixture graphs, landmark sampling is the 100 TB path (same
-    deal as harmonic centrality). Brute-force parity in
-    tests/test_graph.py. Reference parity: no analogue; north-star
-    analytics extension."""
+    Scale shape: ALL sources sweep in ONE level-synchronous batch keyed
+    by a per-source root index — one forward sweep (the bfs join shape,
+    frontier localCheckpoint-ed per level) and one backward sweep over
+    the same level structure, each O(depth) rounds TOTAL instead of the
+    r14 form's O(|sources| · depth) sequential rounds; every level is
+    all-(root, vertex)-parallel, so more sources mean wider frames (the
+    same total row count the per-source loop produced over time), not
+    more barriers. Exact mode is for small/fixture graphs, landmark
+    sampling is the 100 TB path (same deal as harmonic centrality).
+    Brute-force parity in tests/test_graph.py. Reference parity: no
+    analogue; north-star analytics extension."""
     spark = edges.sparkSession
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     if not directed:
@@ -2129,86 +2131,112 @@ def betweenness_centrality(
         return verts.select("vid", F.lit(0.0).alias("bc"))
     one = F.lit(1).cast("decimal(20,0)")
     zero12 = F.lit(0).cast("decimal(28,12)")
+    # ALL sources sweep together in ONE level-synchronous batch, keyed by
+    # a per-source `root` index (the list index, so even duplicate source
+    # ids stay independent sweeps exactly like the old per-source loop):
+    # rounds drop from |sources|·depth to depth, and every per-level
+    # frame carries all roots' frontiers — the per-(root, vid) joins,
+    # exact decimal sigma sums, and per-edge-share decimal(28,12)
+    # rounding are UNCHANGED expressions, so scores are bit-identical to
+    # the sequential form (goldens + python-Brandes parity pin it). Space
+    # trades for rounds: a level batch holds every root's frontier at
+    # that depth — the same total row count the loop produced over time,
+    # materialized per level instead (shuffle/disk-resident, not a
+    # per-task buffer).
+    idx_src = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sources)], "root INT, svid BIGINT"
+    ).localCheckpoint()
+    frontier = idx_src.select(
+        "root", F.col("svid").alias("vid"), one.alias("sigma")
+    ).localCheckpoint()
+    levels = [frontier]
+    visited = frontier.select("root", "vid")
+    for _ in range(max_iter):
+        nxt = (
+            levels[-1]
+            .join(e, levels[-1]["vid"] == e["src"])
+            .select("root", F.col("dst").alias("vid"), "sigma")
+            .join(visited, ["root", "vid"], "left_anti")
+            .groupBy("root", "vid")
+            .agg(F.sum("sigma").cast("decimal(20,0)").alias("sigma"))
+            .localCheckpoint()
+        )
+        # one action doing double duty: frontier-exhaustion check and
+        # a loud overflow guard — path counts past 10^20 turn the
+        # non-ANSI decimal(20,0) cast into NULL, which would silently
+        # corrupt bc scores instead of failing (docstring scopes exact
+        # mode to small graphs; this enforces it)
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("sigma").isNull(), 1)).alias("overflowed"),
+        ).first()
+        if stats["overflowed"]:
+            raise ArithmeticError(
+                "betweenness: sigma path-count overflow past decimal(20,0)"
+                " — graph too dense for exact mode"
+            )
+        if stats["n"] == 0:
+            break
+        levels.append(nxt)
+        visited = visited.unionAll(nxt.select("root", "vid"))
+    else:
+        raise RuntimeError("betweenness: a source exceeded max_iter")
+    # backward: dependency accumulation, deepest level up. A root whose
+    # sweep exhausted at level l* simply has no rows past levels[l*]: the
+    # recursion first touches it at li = l*, where the empty join below
+    # yields its all-zero delta — exactly the sequential form's deepest-
+    # level initialization for that root.
+    delta = levels[-1].select("root", "vid", zero12.alias("delta"))
+    contribs = [] if len(levels) == 1 else [delta]
+    for li in range(len(levels) - 2, -1, -1):
+        below = levels[li + 1].join(delta, ["root", "vid"]).select(
+            F.col("root").alias("_r"),
+            F.col("vid").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            "delta",
+        )
+        du = (
+            levels[li]
+            .join(e, levels[li]["vid"] == e["src"])
+            .join(
+                below,
+                (F.col("root") == F.col("_r")) & (e["dst"] == below["w"]),
+            )
+            .select(
+                "root",
+                "vid",
+                (
+                    F.col("sigma")
+                    * (one + F.col("delta"))
+                    / F.col("sigma_w")
+                )
+                .cast("decimal(28,12)")
+                .alias("sh"),
+            )
+            .groupBy("root", "vid")
+            .agg(F.sum("sh").cast("decimal(28,12)").alias("delta"))
+        )
+        delta = (
+            levels[li]
+            .select("root", "vid")
+            .join(du, ["root", "vid"], "left")
+            .select(
+                "root", "vid", F.coalesce("delta", zero12).alias("delta")
+            )
+            .localCheckpoint()
+        )
+        contribs.append(delta)
     acc = None
-    for s in sources:
-        # forward: per-level (vid, sigma) with exact integer path counts
-        frontier = spark.createDataFrame([(s,)], "vid BIGINT").select(
-            "vid", one.alias("sigma")
-        ).localCheckpoint()
-        levels = [frontier]
-        visited = frontier.select("vid")
-        for _ in range(max_iter):
-            nxt = (
-                levels[-1]
-                .join(e, levels[-1]["vid"] == e["src"])
-                .select(F.col("dst").alias("vid"), "sigma")
-                .join(visited, "vid", "left_anti")
-                .groupBy("vid")
-                .agg(F.sum("sigma").cast("decimal(20,0)").alias("sigma"))
-                .localCheckpoint()
-            )
-            # one action doing double duty: frontier-exhaustion check and
-            # a loud overflow guard — path counts past 10^20 turn the
-            # non-ANSI decimal(20,0) cast into NULL, which would silently
-            # corrupt bc scores instead of failing (docstring scopes exact
-            # mode to small graphs; this enforces it)
-            stats = nxt.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.col("sigma").isNull(), 1)).alias("overflowed"),
-            ).first()
-            if stats["overflowed"]:
-                raise ArithmeticError(
-                    "betweenness: sigma path-count overflow past decimal(20,0)"
-                    f" at source {s} — graph too dense for exact mode"
-                )
-            if stats["n"] == 0:
-                break
-            levels.append(nxt)
-            visited = visited.unionAll(nxt.select("vid"))
-        else:
-            raise RuntimeError(f"betweenness: source {s} exceeded max_iter")
-        # backward: dependency accumulation, deepest level up
-        delta = levels[-1].select("vid", zero12.alias("delta"))
-        contribs = [] if len(levels) == 1 else [delta]
-        for li in range(len(levels) - 2, -1, -1):
-            below = levels[li + 1].join(delta, "vid").select(
-                F.col("vid").alias("w"),
-                F.col("sigma").alias("sigma_w"),
-                "delta",
-            )
-            du = (
-                levels[li]
-                .join(e, levels[li]["vid"] == e["src"])
-                .join(below, e["dst"] == below["w"])
-                .select(
-                    "vid",
-                    (
-                        F.col("sigma")
-                        * (one + F.col("delta"))
-                        / F.col("sigma_w")
-                    )
-                    .cast("decimal(28,12)")
-                    .alias("sh"),
-                )
-                .groupBy("vid")
-                .agg(F.sum("sh").cast("decimal(28,12)").alias("delta"))
-            )
-            delta = (
-                levels[li]
-                .select("vid")
-                .join(du, "vid", "left")
-                .select("vid", F.coalesce("delta", zero12).alias("delta"))
-                .localCheckpoint()
-            )
-            contribs.append(delta)
-        per_src = None
-        for c in contribs:
-            c = c.where(F.col("vid") != s)
-            per_src = c if per_src is None else per_src.unionAll(c)
-        if per_src is not None:
-            acc = per_src if acc is None else acc.unionAll(per_src)
+    for c in contribs:
+        acc = c if acc is None else acc.unionAll(c)
     if acc is None:
         return verts.select("vid", F.lit(0.0).alias("bc"))
+    # drop each root's own source vertex (the `w != s` term of Brandes)
+    acc = (
+        acc.join(F.broadcast(idx_src), "root")
+        .where(F.col("vid") != F.col("svid"))
+        .select("vid", "delta")
+    )
     # Brandes & Pich extrapolation: sampled sweeps estimate the all-source
     # sum as (|V| / |sources|) x the sampled sum; exact mode (all vertices
     # seeded) makes the factor 1 so goldens are unaffected. Undirected

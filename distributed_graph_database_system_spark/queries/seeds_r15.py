@@ -1055,10 +1055,18 @@ def lineitem_order_line_price_share(
     cents, one identical IEEE division before the floor."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = (dec("l_extendedprice") * 100).cast("bigint")
+    # Sum the PROJECTED column, not the raw expression: summing the
+    # expression makes Spark materialize it a second time as the window
+    # buffer input (_w0), shipping two identical bigints per row through
+    # the full l_orderkey exchange (plan-verified, plans/r15) — guide
+    # §2.3 "shuffle fewer bytes". Same values, one column fewer in the
+    # only SF-wide shuffle this query has.
     x = li.select(
+        "l_returnflag", cents.alias("cents"), "l_orderkey"
+    ).select(
         "l_returnflag",
-        cents.alias("cents"),
-        F.sum(cents).over(W.partitionBy("l_orderkey")).alias("order_cents"),
+        "cents",
+        F.sum("cents").over(W.partitionBy("l_orderkey")).alias("order_cents"),
     )
     band = F.floor(
         F.col("cents").cast("double") / F.col("order_cents") * 10

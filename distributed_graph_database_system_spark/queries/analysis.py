@@ -1842,7 +1842,7 @@ def source_refgraph_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch_dir,
     )
     from distributed_graph_database_system_spark.sources.refgraph import (
-        ReferenceGraphDataSource,
+        ensure_registered,
         write_reference_file,
     )
 
@@ -1856,7 +1856,7 @@ def source_refgraph_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_dir("refgraph", sf_dir, "graph.txt")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     write_reference_file(path, n, edges)
-    spark.dataSource.register(ReferenceGraphDataSource)
+    ensure_registered(spark)
     return (
         spark.read.format("reference_graph")
         .option("numPartitions", "4")

@@ -762,7 +762,7 @@ def source_refgraph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame
     import os
 
     from distributed_graph_database_system_spark.sources.refgraph import (
-        ReferenceGraphDataSource,
+        ensure_registered,
         write_reference_file,
     )
 
@@ -776,7 +776,7 @@ def source_refgraph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame
     path = scratch_dir("refgraph", sf_dir, "census_graph.txt")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     write_reference_file(path, n, edges)
-    spark.dataSource.register(ReferenceGraphDataSource)
+    ensure_registered(spark)
     src = (
         spark.read.format("reference_graph")
         .option("numPartitions", "8")

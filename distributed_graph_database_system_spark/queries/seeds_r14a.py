@@ -1163,7 +1163,7 @@ def source_refgraph_outdeg_histogram(
     import os
 
     from distributed_graph_database_system_spark.sources.refgraph import (
-        ReferenceGraphDataSource,
+        ensure_registered,
         write_reference_file,
     )
 
@@ -1177,7 +1177,7 @@ def source_refgraph_outdeg_histogram(
     path = scratch_dir("refgraph", sf_dir, "outdeg_graph.txt")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     write_reference_file(path, n, edges)
-    spark.dataSource.register(ReferenceGraphDataSource)
+    ensure_registered(spark)
     src = (
         spark.read.format("reference_graph")
         .option("numPartitions", "8")

@@ -30,6 +30,7 @@ the point of routing it through the source API.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -39,6 +40,25 @@ from pyspark.sql.datasource import (
     InputPartition,
     WriterCommitMessage,
 )
+
+_register_lock = threading.Lock()
+
+
+def ensure_registered(spark) -> None:
+    """Register the ``reference_graph`` source exactly once per session,
+    safely under concurrency. ``spark.dataSource.register`` is a
+    check-then-put: two driver threads building refgraph queries at the
+    same time (the parallel parity sweep, guide §2.6) can both pass the
+    existence check and the loser dies with DATA_SOURCE_ALREADY_EXISTS.
+    Serialize the registration and treat "already exists" as success —
+    every caller registers the SAME class, so whichever copy won is
+    interchangeable."""
+    with _register_lock:
+        try:
+            spark.dataSource.register(ReferenceGraphDataSource)
+        except Exception as exc:  # noqa: BLE001
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+                raise
 
 
 class _RowBlock(InputPartition):

@@ -185,6 +185,7 @@ def group_quantiles_disc(
     quantiles: list[float],
     group_cols: list[str],
     num_partitions: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """EXACT DISCRETE quantiles (SQL-standard ``PERCENTILE_DISC WITHIN
     GROUP``) per group with bounded per-task state: the smallest actual
@@ -215,8 +216,20 @@ def group_quantiles_disc(
     weighted-vs-raw equivalence pytest). Per-task state stays bounded by
     the span size, never the group size. Returns one row per group with
     one ``q_<q>`` DOUBLE column per quantile (same naming as
-    group_quantiles_exact); all-NULL groups drop out."""
+    group_quantiles_exact); all-NULL groups drop out.
+
+    ``count_col``: when set, the result also carries each group's
+    NON-NULL value count under that name (BIGINT) — the machinery's
+    per-group totals, exact by construction. Callers that need both the
+    quantiles and the group sizes would otherwise aggregate the input a
+    second time, recomputing the (possibly expensive) upstream subtree
+    once more per call (guide §1.2: part_brand_margin_quartiles paid a
+    full extra lineitem⋈part pass at sf100 just for n_lines)."""
     _validate_quantiles(quantiles)
+    if count_col is not None and count_col in {
+        _qcolname(q) for q in quantiles
+    }:
+        raise ValueError(f"count_col {count_col!r} collides with a quantile")
     ranked, counts = _weighted_ranks(df, value_col, group_cols, num_partitions)
     totals = counts.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
     # 1-based pick rank: ceil(q*n), clamped to 1 for q=0 (same IEEE
@@ -224,6 +237,7 @@ def group_quantiles_disc(
     # builtins — see the float-boundary note above).
     targets = totals.select(
         *group_cols,
+        "_n",
         F.explode(
             F.array(
                 *[
@@ -237,16 +251,22 @@ def group_quantiles_disc(
                 ]
             )
         ).alias("t"),
-    ).select(*group_cols, "t.qi", "t._r")
+    ).select(*group_cols, "t.qi", "t._r", "_n")
     picked = ranked.join(F.broadcast(targets), group_cols).where(
         (F.col("_cumw") >= F.col("_r"))
         & (F.col("_cumw") - F.col("_w") < F.col("_r"))
+    )
+    extra = (
+        [F.max("_n").cast("bigint").alias(count_col)]
+        if count_col is not None
+        else []
     )
     return picked.groupBy(*group_cols).agg(
         *[
             F.max(F.when(F.col("qi") == i, F.col("_v"))).alias(_qcolname(q))
             for i, q in enumerate(quantiles)
-        ]
+        ],
+        *extra,
     )
 
 

@@ -1298,23 +1298,44 @@ def part_brand_margin_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_retailprice"
     )
-    m = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+    # r15 join shape (sf100-measured, plans/r15): the lineitem-side
+    # revenue collapses to ONE bigint BEFORE the join (3 decimal columns
+    # never cross the exchange — guide §2.3), and the part side carries a
+    # SHUFFLE_HASH hint: at 600M⋈20M the sort-merge default sorts the
+    # whole fact side, while the per-partition hash build of the part
+    # side is tiny; interleaved warm A/B read 58.0 s (SMJ) vs 50.6 s
+    # (projected+SHJ) and 238 vs 95 s cold. Values are unchanged — the
+    # margin arithmetic is the same exact-decimal expression, split
+    # around the join.
+    li2 = li.select(
+        "l_partkey",
+        (dec("l_extendedprice") * (1 - dec("l_discount", 4, 2)) * 10000)
+        .cast("bigint")
+        .alias("rev_e4"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    m = li2.join(
+        p.hint("shuffle_hash"), li2["l_partkey"] == p["p_partkey"]
+    ).select(
         "p_brand",
         (
-            (dec("l_extendedprice") * (1 - dec("l_discount", 4, 2)) * 10000)
-            .cast("bigint")
-            - (dec("p_retailprice") * 100).cast("bigint")
-            * 100
-            * F.col("l_quantity").cast("bigint")
+            F.col("rev_e4")
+            - (dec("p_retailprice") * 100).cast("bigint") * 100 * F.col("qty")
         ).alias("margin_e4"),
     )
-    cuts = group_quantiles_disc(m, "margin_e4", [0.25, 0.5, 0.75], ["p_brand"])
-    counts = m.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    # n_lines comes out of the SAME machinery pass (count_col): margins
+    # are non-null by construction, so the machinery's non-null count is
+    # exactly COUNT(*) per brand — the separate m.groupBy(brand).count()
+    # recomputed the whole join a third time per run (guide §1.2).
+    cuts = group_quantiles_disc(
+        m,
+        "margin_e4",
+        [0.25, 0.5, 0.75],
+        ["p_brand"],
+        count_col="n_lines",
     )
     return (
-        counts.join(F.broadcast(cuts), "p_brand")
-        .select(
+        cuts.select(
             "p_brand",
             "n_lines",
             F.round(F.col(_qcolname(0.25)) / 10000, 4).alias("margin_q1"),

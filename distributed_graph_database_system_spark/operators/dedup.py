@@ -283,6 +283,22 @@ def _band_bucket_structs(sig_col: str, bands: int, r: int) -> Column:
     )
 
 
+def _cpu_fanned(docs: DataFrame, id_col: str) -> DataFrame:
+    """Fan CPU-bound per-doc hashing out to the core count ONLY when the
+    scan is severely under-parallel (fewer than target/8 input splits —
+    e.g. one compact single-row-group file). When the scan already
+    yields real splits, the unconditional leading repartition shuffles
+    every document's full text payload for nothing: interleaved A/B on
+    the banded-candidate pipeline read −15% at sf0.1 (post fixture
+    rewrite) and flat at sf10 from dropping it (guide §2.3 — don't
+    exchange the heavy column to win parallelism the scan already
+    has)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() * 8 < target:
+        return docs.repartition(target, id_col)
+    return docs
+
+
 def lsh_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -292,11 +308,10 @@ def lsh_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """One ``(doc_id, sig)`` row per doc (Arrow-vectorized shingle + MinHash
-    UDFs, CPU-fanned via the leading repartition)."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
+    UDFs, CPU-fanned only if the scan is under-parallel — _cpu_fanned)."""
     sh_udf = shingle_hash_udf(n)
     return (
-        docs.repartition(target, id_col)
+        _cpu_fanned(docs, id_col)
         .select(F.col(id_col).alias("doc_id"), sh_udf(F.col(text_col)).alias("_h"))
         .select(
             "doc_id", minhash_signature_udf(k=k, seed=seed)(F.col("_h")).alias("sig")
@@ -354,17 +369,16 @@ def minhash_lsh_pairs(
 
     # Shingle-hash arrays and signatures both come from Arrow-vectorized
     # UDFs (see shingle_hash_udf for why the JVM higher-order-function path
-    # loses here). The leading repartition fans CPU-bound work out to all
-    # cores — a small compact parquet arrives as one split, and at cluster
+    # loses here). CPU fan-out is conditional (_cpu_fanned): only a
+    # severely under-parallel scan pays the payload exchange; at cluster
     # scale compute-heavy projections need maxPartitionBytes-sized splits.
     #
     # Deliberately NO .persist(): columnar-caching nested array batches
     # costs more than re-deriving them (measured 8 s cache-build vs ~1 s
     # recompute at 50 k docs), and at corpus scale the cache would dwarf
     # executor memory. The verify side re-hashes the candidate docs only.
-    target = docs.sparkSession.sparkContext.defaultParallelism
     sh_udf = shingle_hash_udf(n)
-    hashed = docs.repartition(target, id_col).select(
+    hashed = _cpu_fanned(docs, id_col).select(
         F.col(id_col).alias("_id"), sh_udf(F.col(text_col)).alias("_h")
     )
     base = hashed.select(
@@ -584,9 +598,7 @@ def simhash_near_pairs(
         raise ValueError(f"chunks={chunks} must divide 64")
     width = 64 // chunks
     mask = (1 << width) - 1
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, id_col)
+    docs = _cpu_fanned(docs, id_col)
     sigs = docs.select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim")
     )

@@ -60,22 +60,19 @@ from distributed_graph_database_system_spark.queries.registry import query
 from distributed_graph_database_system_spark.sources.catalog import load_table
 
 def _docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with CPU-bound-projection fan-out ONLY when the scan is
-    severely under-parallel (fewer than target/8 splits — e.g. a single
-    one-row-group file). Since the r15 fixture rewrite (multi row groups
-    + 128 KB open cost) the sf0.1 scan itself yields real splits, and the
-    interleaved A/B showed the unconditional exchange of full text
-    payloads then LOSES ~15% (guide §2.3: the shuffle of the heavy
-    column costs more than the remaining parallelism gains). At cluster
-    scale the same effect comes from lowering
+    """documents with CPU-bound-projection fan-out: callers here do
+    HEAVY per-doc expression work (per-position md5, 8-gram spans,
+    hashed features), where core-count parallelism beats the cost of
+    exchanging the text payload even when the scan already has some
+    splits — interleaved r15 A/B on text_fingerprint: 0.44 s fanned vs
+    0.87 s on the ~6-split post-rewrite scan. Contrast operators/
+    dedup.py::_cpu_fanned, whose cheaper shingle hashing only fans out
+    under severe scan under-parallelism (its A/B went the other way).
+    At cluster scale the same effect comes from lowering
     spark.sql.files.maxPartitionBytes for compute-heavy scans."""
     d = load_table(spark, sf_dir, "documents")
     target = spark.sparkContext.defaultParallelism
-    return (
-        d.repartition(target, "doc_id")
-        if d.rdd.getNumPartitions() * 8 < target
-        else d
-    )
+    return d.repartition(target, "doc_id") if d.rdd.getNumPartitions() < target else d
 
 
 # --- Dedup -----------------------------------------------------------------
